@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
+``oracle_sql()`` expose the full workload (jagular_spark/workloads.py)
+for the driver's DuckDB-oracle correctness harness at sf0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """The driver may hand us a vanilla session; apply the configs the
+    engine relies on (nano-parquet reads, Arrow)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf may be frozen; queries may still run
+        pass
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: gaps-and-islands sessionization of the events
+    stream (the reference's core segmentation semantics, SURVEY A7) on
+    /root/testdata/sf0.001."""
+    from jagular_spark.workloads import events_sessionize
+
+    return events_sessionize(_configure(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jagular_spark.workloads import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, fn=fn: fn(_configure(spark), sf_dir))
+        for name, fn in SPARK_QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jagular_spark.workloads import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

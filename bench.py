@@ -1,0 +1,51 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jagular_spark.session import get_spark
+from jagular_spark.workloads import SPARK_QUERIES
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("jagular_spark_bench")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in SPARK_QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Linear gap interpolation (SURVEY §2.6 I2/I3).
+
+Reference behavior (``jagular/utils.py:459-528``): for each interior gap
+of ≤ ``max_gap_size`` missing samples, synthesize the missing integer
+timestamps and linearly interpolate every value column between the two
+boundary samples, casting back to the storage type; larger gaps are left
+as epoch boundaries. The reference carries ``prev_ts/prev_channel_data``
+across blocks to handle gaps straddling block boundaries
+(``utils.py:443-446, 461-477``); in Spark that special case is replaced
+by a tiny edge-row pass:
+
+1. ``repartitionByRange(keys + ts)`` + local sort: each task detects its
+   own interior gaps vectorized and emits ``(left, right)`` boundary
+   pairs — plus its first/last row per key as tagged edge rows.
+2. Edge rows (O(2 × n_partitions), tiny) are paired across partition
+   boundaries with one window, yielding the cross-boundary gaps.
+3. Qualifying gaps explode ``sequence(left+step, right-step, step)``
+   and interpolate JVM-side (built-in expressions, codegen'd); the new
+   rows union back with the originals.
+
+So the heavy data is touched exactly once, gap synthesis is proportional
+to the number of missing samples, and there is no carried state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interpolate_gaps(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+    max_gap_size: int = 0,
+    step: int = 1,
+    partition_cols: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fill interior gaps of 1..max_gap_size missing samples with
+    linearly interpolated rows; return originals ∪ synthesized rows.
+
+    ``max_gap_size`` counts missing samples (a gap of ``diff = k*step``
+    has ``k-1`` missing); the reference's inclusive boundary
+    (``utils.py:463, 485``) is preserved: a gap with exactly
+    ``max_gap_size`` missing samples IS filled. Values are cast back to
+    their input types with truncation-toward-zero, matching numpy
+    ``astype`` on the reference path.
+    """
+    if max_gap_size <= 0:
+        return df
+    keys = list(partition_cols) if partition_cols else []
+    vals = list(value_cols)
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    order = keys + [ts_col]
+    value_types = dict(df.select(*vals).dtypes)
+    parted = (
+        df.select(*order, *vals)
+        .repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
+    )
+
+    key_schema = ", ".join(f"{k} {t}" for k, t in df.select(*keys).dtypes) + ", " if keys else ""
+    pair_schema = (
+        key_schema
+        + "kind string, pid int, left_ts long, right_ts long, "
+        + ", ".join(f"l_{c} double, r_{c} double" for c in vals)
+    )
+
+    def find_gaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = [b for b in batches]
+        if not acc:
+            return
+        pdf = pd.concat(acc, ignore_index=True)
+        if pdf.empty:
+            return
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            ts = g[ts_col].to_numpy()
+            out_rows: list[dict] = []
+            d = np.diff(ts)
+            idx = np.flatnonzero(d > step)
+            for i in idx:
+                row = {"kind": "gap", "pid": pid, "left_ts": int(ts[i]), "right_ts": int(ts[i + 1])}
+                for c in vals:
+                    v = g[c].to_numpy()
+                    row[f"l_{c}"] = float(v[i])
+                    row[f"r_{c}"] = float(v[i + 1])
+                out_rows.append(row)
+            for kind, j in (("F", 0), ("L", len(ts) - 1)):
+                row = {"kind": kind, "pid": pid, "left_ts": int(ts[j]), "right_ts": int(ts[j])}
+                for c in vals:
+                    v = g[c].to_numpy()
+                    row[f"l_{c}"] = float(v[j])
+                    row[f"r_{c}"] = float(v[j])
+                out_rows.append(row)
+            return pd.DataFrame(out_rows)
+
+        if keys:
+            for kv, g in pdf.groupby(keys, sort=False):
+                out = emit(g)
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                for k, v in zip(keys, kv):
+                    out[k] = v
+                yield out[keys + [c for c in out.columns if c not in keys]]
+        else:
+            yield emit(pdf)
+
+    pairs = parted.mapInPandas(find_gaps, pair_schema)
+    pairs.cache()
+
+    local_gaps = pairs.where(F.col("kind") == "gap")
+
+    # Cross-partition gaps: order edge rows per key by (pid, ts, kind);
+    # each 'L' (last-of-partition) followed by an 'F' (first-of-next)
+    # forms a boundary pair. O(2 × n_partitions) rows.
+    edges = pairs.where(F.col("kind").isin("F", "L"))
+    w = Window.partitionBy(*keys).orderBy("pid", "left_ts", F.col("kind")) if keys else Window.orderBy(
+        "pid", "left_ts", F.col("kind")
+    )
+    lead_cols = {"right_ts": F.lead("left_ts").over(w), "kind2": F.lead("kind").over(w)}
+    for c in vals:
+        lead_cols[f"r_{c}"] = F.lead(f"l_{c}").over(w)
+    boundary = edges
+    for name, expr in lead_cols.items():
+        boundary = boundary.withColumn(name, expr)
+    boundary_gaps = boundary.where(
+        (F.col("kind") == "L") & (F.col("kind2") == "F") & (F.col("right_ts") - F.col("left_ts") > step)
+    ).select(*keys, "left_ts", "right_ts", *[F.col(f"l_{c}") for c in vals], *[F.col(f"r_{c}") for c in vals])
+
+    gaps = local_gaps.select(
+        *keys, "left_ts", "right_ts", *[F.col(f"l_{c}") for c in vals], *[F.col(f"r_{c}") for c in vals]
+    ).unionByName(boundary_gaps)
+
+    # Fillable: 1..max_gap_size missing samples (inclusive upper bound).
+    n_missing = ((F.col("right_ts") - F.col("left_ts")) / F.lit(step)).cast("long") - 1
+    fillable = gaps.where(n_missing.between(1, max_gap_size))
+
+    filled = fillable.withColumn(
+        ts_col,
+        F.explode(
+            F.sequence(
+                F.col("left_ts") + F.lit(step),
+                F.col("right_ts") - F.lit(step),
+                F.lit(step),
+            )
+        ),
+    )
+    frac = (F.col(ts_col) - F.col("left_ts")) / (F.col("right_ts") - F.col("left_ts"))
+    for c in vals:
+        interp = F.col(f"l_{c}") + (F.col(f"r_{c}") - F.col(f"l_{c}")) * frac
+        # Spark's double→integral CAST truncates toward zero, matching the
+        # reference's numpy .astype(np.int16) (utils.py:519).
+        filled = filled.withColumn(c, interp.cast(value_types[c]))
+    filled = filled.select(*keys, ts_col, *vals)
+
+    original = df.select(*keys, ts_col, *vals)
+    return original.unionByName(filled)

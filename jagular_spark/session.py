@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what we'd set cluster-side: AQE on (runtime
+coalescing + skew-join handling), Arrow enabled for the pandas-UDF slow
+path, shuffle partitions sized to cores rather than the 200 default.
+On a real cluster only ``master`` and memory sizing change; the plan-level
+settings are identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "jagular_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` (driver contract) sets local parallelism; shuffle
+    partitions default to the same so a local run has one post-shuffle
+    partition per core. At 100 TB on a 1000-executor cluster you would
+    instead leave AQE to coalesce from a few thousand initial partitions —
+    the code below keys off the env so both work unchanged.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # the driver's testdata stores TIMESTAMP(NANOS) parquet, which Spark
+        # rejects natively; read as raw nano longs (converted to micros at
+        # the query layer, matching DuckDB's nanos→micros truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

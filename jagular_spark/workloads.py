@@ -1,0 +1,504 @@
+"""Driver-facing query workload: Spark implementations + DuckDB oracle SQL.
+
+Each entry demonstrates one or more operators from SURVEY.md §2 on the
+driver's TPC-H-ish tables (TESTDATA.md). Conventions that make the
+hash-compare deterministic across engines:
+
+- Money aggregations accumulate in DECIMAL (exact, order-insensitive)
+  and cast the final value to DOUBLE — bit-identical in Spark and DuckDB.
+- Timestamps are returned as unix microseconds (BIGINT) — Spark
+  ``unix_micros`` / DuckDB ``epoch_us`` — never as raw timestamp columns.
+- Every aggregate/window output is explicitly cast: DuckDB promotes
+  SUM(BIGINT)→HUGEINT and ``len()``→BIGINT while Spark ``row_number``→INT;
+  both sides pin BIGINT/DOUBLE.
+- Top-k queries always carry a unique tiebreak column in ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jagular_spark.operators import contiguous_segments, dedup_keep_first, gap_lengths
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, scale: int = 4):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+import pandas as _pd
+
+
+def _ns(datestr: str) -> int:
+    """Epoch nanoseconds of a date/timestamp literal — timestamp columns
+    arrive as raw nano longs (see session.py nanosAsLong)."""
+    return int(_pd.Timestamp(datestr).value)
+
+
+def _us(c: str):
+    """Nano-long column → unix microseconds BIGINT, truncating exactly
+    like DuckDB's nanos→micros parquet conversion."""
+    return F.expr(f"CAST({c} DIV 1000 AS BIGINT)")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan → filter → agg → join → top-k)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate pushdown + hash agg (SURVEY A-class).
+
+    Plan check: parquet scan shows PushedFilters on l_shipdate and a
+    partial→final hash aggregate (map-side combine) — one shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (broadcast the small
+    filtered customer side; Catalyst/AQE picks broadcast-hash)."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.to_utc_timestamp(F.col("o_orderdate"), "UTC")).alias("o_orderdate_us"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way snowflake join; dims (region/nation/supplier) broadcast."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (SURVEY W8): row_number per customer by price."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("price_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("price_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "price_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timestamped-stream operators over `events` (the jagular surface)
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+_STEP_US = 60 * 1_000_000      # nominal 1-minute step => gap_factor 30
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization per user (SURVEY A7 on event
+    time): new session when inter-event gap >= 30 min."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flag = (
+        F.when(F.col("us") - F.lag("us").over(w) >= _GAP_US, 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    # first row per user gets lag NULL -> otherwise(0); cumulative sum
+    # starts sessions at 0
+    return (
+        ev.withColumn("session_id", F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def events_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's contiguous_segments operator (SURVEY A7) on event
+    time: distributed local-island detection + tiny merge pass."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", _us("ts").alias("us")
+    )
+    return contiguous_segments(
+        ev, ts_col="us", step=_STEP_US, gap_factor=30.0, partition_cols=["user_id"]
+    ).select("user_id", "segment_id", "ts_start", "ts_stop", "n_samples")
+
+
+def events_gap_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-segment gaps (SURVEY A8) composed on top of segments."""
+    segs = events_segments(spark, sf_dir)
+    return gap_lengths(segs, partition_cols=["user_id"]).select(
+        "user_id", "segment_id", "gap_start", "gap_stop", "gap_len"
+    )
+
+
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-FIRST dedup (SURVEY I1): first event of each (user, type) by
+    event time with event_id tiebreak — exact reference keep-first
+    semantics under unordered partitions."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    out = dedup_keep_first(
+        ev, ts_col="event_type", tiebreak_cols=["us", "event_id"], partition_cols=["user_id"]
+    )
+    return out.select("user_id", "event_type", "event_id", "us", "value")
+
+
+def events_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounced threshold crossings (SURVEY W1): value > 100 AND the
+    next event (by time) also > 100, per user."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        ev.withColumn("next_value", F.lead("value").over(w))
+        .where((F.col("value") > 100.0) & (F.col("next_value") > 100.0))
+        .select("user_id", "event_id", "us", "value", "next_value")
+    )
+
+
+def events_mad_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD noise threshold (SURVEY A3): 4 * median(|value|) /
+    0.6745 per event_type — exact median (both engines interpolate)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.median(F.abs(F.col("value"))).alias("mad_median"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .withColumn("threshold", F.lit(4.0) * F.col("mad_median") / F.lit(0.6745))
+        .select("event_type", "mad_median", "threshold", "n")
+    )
+
+
+def events_stream_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream ts bounds + counts (SURVEY A1/S2/S6 catalog stats)."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    return ev.groupBy("event_type").agg(
+        F.min("us").alias("ts_first"),
+        F.max("us").alias("ts_last"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline ops over `documents`
+# ---------------------------------------------------------------------------
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text), canonical row =
+    min doc_id. One shuffle on the hash — no skew (hashes uniform)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (text analysis): whitespace tokenization, distinct
+    ratio, char stats. All JVM-side expressions — no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_distinct_tokens"),
+        F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")).cast("long").alias("n_token_chars"),
+        (
+            F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")).cast("double")
+            / F.size(tokens).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring heuristic (text analysis): alpha/digit/space
+    ratios + stopword ratio -> weighted score. Pure column expressions."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.length(F.col("text")).cast("double")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double") / n
+    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double") / n
+    space = F.length(F.regexp_replace(F.col("text"), r"[^\s]", "")).cast("double") / n
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.expr(
+        "CAST(size(filter(split(trim(text), '\\\\s+'), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
+    ) / F.size(tokens).cast("double")
+    score = F.lit(0.4) * alpha + F.lit(0.3) * stop + F.lit(0.3) * (F.lit(1.0) - digit)
+    return docs.select(
+        "doc_id",
+        alpha.alias("alpha_ratio"),
+        digit.alias("digit_ratio"),
+        space.alias("space_ratio"),
+        stop.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "events_sessionize": events_sessionize,
+    "events_segments": events_segments,
+    "events_gap_lengths": events_gap_lengths,
+    "events_dedup_first": events_dedup_first,
+    "events_crossings": events_crossings,
+    "events_mad_threshold": events_mad_threshold,
+    "events_stream_bounds": events_stream_bounds,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_token_stats": docs_token_stats,
+    "docs_quality": docs_quality,
+}
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
+    "top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank
+            FROM orders
+        ) WHERE price_rank <= 3
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), sess AS (
+            SELECT user_id, us,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "events_segments": """
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 30.0 * 60000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), seg AS (
+            SELECT user_id, us,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+            FROM flagged
+        )
+        SELECT user_id, segment_id,
+               MIN(us) AS ts_start, MAX(us) + 60000000 AS ts_stop,
+               CAST(COUNT(*) AS BIGINT) AS n_samples
+        FROM seg GROUP BY user_id, segment_id
+    """,
+    "events_gap_lengths": """
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 30.0 * 60000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), seg AS (
+            SELECT user_id, us,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+            FROM flagged
+        ), segments AS (
+            SELECT user_id, segment_id,
+                   MIN(us) AS ts_start, MAX(us) + 60000000 AS ts_stop
+            FROM seg GROUP BY user_id, segment_id
+        )
+        SELECT user_id, segment_id,
+               ts_stop AS gap_start,
+               LEAD(ts_start) OVER (PARTITION BY user_id ORDER BY ts_start) AS gap_stop,
+               LEAD(ts_start) OVER (PARTITION BY user_id ORDER BY ts_start) - ts_stop AS gap_len
+        FROM segments
+        QUALIFY gap_stop IS NOT NULL
+    """,
+    "events_dedup_first": """
+        SELECT user_id, event_type, event_id, us, value FROM (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                        ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "events_crossings": """
+        SELECT user_id, event_id, us, value, next_value FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                   LEAD(value) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS next_value
+            FROM events
+        ) WHERE value > 100.0 AND next_value > 100.0
+    """,
+    "events_mad_threshold": """
+        SELECT event_type,
+               CAST(MEDIAN(ABS(value)) AS DOUBLE) AS mad_median,
+               CAST(4.0 * CAST(MEDIAN(ABS(value)) AS DOUBLE) / 0.6745 AS DOUBLE) AS threshold,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    "events_stream_bounds": """
+        SELECT event_type,
+               MIN(epoch_us(ts)) AS ts_first,
+               MAX(epoch_us(ts)) AS ts_last,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "docs_exact_dedup": """
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "docs_token_stats": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_distinct_tokens,
+               CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS n_token_chars,
+               CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS avg_token_len
+        FROM documents
+    """,
+    "docs_quality": """
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS digit_ratio,
+               CAST(length(regexp_replace(text, '[^\\s]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS space_ratio,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio,
+               0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE))
+             + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
+             + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)) AS quality_score
+        FROM documents
+    """,
+}

@@ -1,0 +1,100 @@
+"""Local replica of the driver's t2 correctness harness.
+
+Runs every SPARK_QUERIES entry and its ORACLE_SQL twin at the given sf
+dir, compares row count, column-name set, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values stringified
+with float repr). Exit code 1 on any mismatch.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from jagular_spark.session import get_spark
+from jagular_spark.workloads import ORACLE_SQL, SPARK_QUERIES, TABLES
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def value_repr(df: pd.DataFrame) -> list[tuple]:
+    out = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(repr(v))
+            else:
+                vals.append(str(v))
+        out.append(tuple(vals))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in SPARK_QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        sql = ORACLE_SQL.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows-only); rows={len(sdf)}")
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        if not problems:
+            a, b = canon(sdf), canon(odf)
+            va, vb = value_repr(a), value_repr(b)
+            if va != vb:
+                n_bad = sum(1 for x, y in zip(va, vb) if x != y)
+                problems.append(f"values differ in {n_bad}/{len(va)} rows")
+                for x, y in list(zip(va, vb))[:200]:
+                    if x != y:
+                        problems.append(f"  spark={x}\n  duck ={y}")
+                        break
+        if problems:
+            failures.append((name, "; ".join(problems[:3])))
+            print(f"FAIL {name}: " + " | ".join(problems[:3]))
+        else:
+            print(f"OK   {name}: rows={len(sdf)}")
+    print(f"\n{len(SPARK_QUERIES) - len(failures)}/{len(SPARK_QUERIES)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
