@@ -1,0 +1,291 @@
+"""Zero-phase filtering within epochs (SURVEY §2.7 F1-F5).
+
+Reference shape (re-expressed): design an SOS filter once on the driver
+(``jagular/filtering.py:17-112``), then apply ``sosfiltfilt`` to each
+contiguous epoch independently, chunking huge epochs with a ±overlap
+halo so chunked output equals unchunked (``filtering.py:114-194``, the
+ASCII diagram at 152-161 is the invariant we test).
+
+Spark design:
+
+- F1 design: driver-side scipy, the tiny SOS ndarray is captured in the
+  UDF closure (broadcast by Spark automatically with the task binary).
+- F2 apply: ``groupBy(channel, segment).applyInPandas(sosfiltfilt)``
+  when epochs fit an executor; for epochs that don't, the halo-chunk
+  physical strategy: assign ``chunk = (ts - seg_start) DIV buffer_len``
+  JVM-side, self-union shifted copies so each chunk also receives its
+  ±overlap halo rows, run the kernel per (channel, segment, chunk), and
+  keep only core rows. This is the flagship custom physical op — no
+  Catalyst primitive expresses it (SURVEY §4).
+- The scipy kernel is shared verbatim with the in-core oracle, so tests
+  pin the *partitioning* (chunked == unchunked), not scipy itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jagular_spark import dsp
+
+
+# ---------------------------------------------------------------------------
+# F1: filter design (driver-side)
+# ---------------------------------------------------------------------------
+
+def design_sos(
+    fs: float,
+    fl: float | None = None,
+    fh: float | None = None,
+    gpass: float = 0.1,
+    gstop: float = 30.0,
+    ftype: str = "cheby2",
+    transition_factor: tuple[float, float] = (0.8, 1.4),
+) -> np.ndarray:
+    """Low/high/band-pass SOS design from corner frequencies.
+
+    Mirrors the reference's spec construction (transition bands at
+    0.8×/1.4× the corners, all-pass rejected, cheby2 default with
+    gpass 0.1 dB / gstop 30 dB — ``jagular/filtering.py:44-101``) over
+    the engine's pure-numpy design kernels (jagular_spark.dsp).
+    """
+    lo_t, hi_t = transition_factor
+    nyq = fs / 2.0
+    if fl is None and fh is None:
+        raise ValueError("all-pass (fl=None, fh=None) is not a filter")
+    if fl is not None and fh is not None:
+        wp = [fl / nyq, fh / nyq]
+        ws = [lo_t * fl / nyq, hi_t * fh / nyq]
+        btype = "bandpass"
+    elif fl is not None:
+        wp, ws = fl / nyq, lo_t * fl / nyq
+        btype = "highpass"
+    else:
+        wp, ws = fh / nyq, hi_t * fh / nyq
+        btype = "lowpass"
+    order = dsp.iir_order_estimate(wp, ws, gpass, gstop, ftype)
+    if ftype == "cheby2":
+        return dsp.cheby2_sos(order, gstop, ws, btype)
+    return dsp.butter_sos(order, wp, btype)
+
+
+def butter_bandpass_sos(fs: float, fl: float, fh: float, order: int = 3) -> np.ndarray:
+    """3-pole Butterworth band-pass with Nyquist clamp (reference F3,
+    ``jagular/spikes.py:260-301`` semantics)."""
+    nyq = fs / 2.0
+    hi = min(fh, 0.99 * nyq)
+    return dsp.butter_sos(order, [fl / nyq, hi / nyq], "bandpass")
+
+
+def design_fir(fs: float, fl: float | None, fh: float | None, numtaps: int = 801) -> np.ndarray:
+    """Windowed-sinc FIR band-pass — the preferred kernel at scale:
+    finite support makes halo-chunked == unchunked EXACT, and the
+    convolution vectorizes (FFT) inside the pandas kernel."""
+    return dsp.firwin_bandpass(numtaps, fl, fh, fs)
+
+
+# F4 presets (constants from BASELINE.md; independent dict form)
+SPIKE_FILTER_PARAMS = {"fl": 600.0, "fh": 6000.0, "fs": 30000.0, "buffer_len": 2**24, "overlap_len": 2**16}
+LFP_FILTER_PARAMS = {"fl": None, "fh": 400.0, "fs": 30000.0, "buffer_len": 2**22, "overlap_len": 60000}
+
+
+def _apply_zero_phase(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Dispatch on coefficient shape: 2-D = SOS cascade (IIR,
+    reference-parity), 1-D = symmetric FIR taps (vectorized fast path).
+    Short inputs (< warm-up length) return zeros like the reference's
+    degenerate-epoch behavior."""
+    if len(x) <= 30:
+        return np.zeros_like(x)
+    if coeffs.ndim == 2:
+        return dsp.sosfiltfilt(coeffs, x)
+    return dsp.fir_zero_phase(coeffs, x)
+
+
+# ---------------------------------------------------------------------------
+# F2: zero-phase filtering per epoch (with halo-chunk strategy)
+# ---------------------------------------------------------------------------
+
+def filtfilt_segments(
+    df: DataFrame,
+    sos: np.ndarray,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    partition_cols: Sequence[str] = ("channel_id", "segment_id"),
+    out_type: str = "double",
+) -> DataFrame:
+    """Whole-epoch ``sosfiltfilt`` per group. Use when every (channel,
+    segment) fits executor memory; otherwise :func:`filtfilt_chunked`."""
+    keys = list(partition_cols)
+    sos_arr = np.asarray(sos, dtype=np.float64)
+    key_schema = ", ".join(f"{k} {t}" for k, t in df.select(*keys).dtypes)
+    schema = f"{key_schema}, {ts_col} long, filtered {out_type}"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        y = _apply_zero_phase(sos_arr, x)
+        out = pdf[keys + [ts_col]].copy()
+        out["filtered"] = y
+        return out
+
+    return df.select(*keys, ts_col, value_col).groupBy(*keys).applyInPandas(kernel, schema)
+
+
+def filtfilt_chunked(
+    df: DataFrame,
+    sos: np.ndarray,
+    segments: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    channel_cols: Sequence[str] = ("channel_id",),
+    segment_col: str = "segment_id",
+    buffer_len: int = 2**22,
+    overlap_len: int = 60000,
+    step: int = 1,
+    out_type: str = "double",
+) -> DataFrame:
+    """Halo-chunked zero-phase filtering for epochs larger than executor
+    memory — the custom physical strategy.
+
+    Plan:
+    1. Join samples to their segment bounds (broadcast — segments are
+       tiny) to get a dense row index ``rn = (ts - ts_start) / step``
+       without any window sort.
+    2. ``chunk = rn DIV buffer_len`` JVM-side.
+    3. Self-union: rows within ``overlap_len`` of a chunk edge are
+       duplicated into the neighbor chunk as halo rows (``is_core``
+       false). All pure column arithmetic — no shuffle until the
+       groupBy.
+    4. ``applyInPandas`` per (channel, segment, chunk): sort, filter
+       with the shared scipy kernel, emit only core rows.
+
+    Chunked output is exactly ``sosfiltfilt`` of the whole epoch on the
+    core interior, and matches within transient tolerance at chunk
+    seams when ``overlap_len`` covers the filter's impulse response —
+    same contract as the reference (``filtering.py:148-161``).
+    """
+    keys = list(channel_cols) + [segment_col]
+    sos_arr = np.asarray(sos, dtype=np.float64)
+
+    seg_bounds = segments.select(
+        *[F.col(c) for c in channel_cols if c in segments.columns],
+        F.col(segment_col),
+        F.col("ts_start").alias("__seg_start"),
+    )
+    join_keys = [c for c in channel_cols if c in segments.columns] + [segment_col]
+    base = df.join(F.broadcast(seg_bounds), on=join_keys, how="inner").withColumn(
+        "__rn", ((F.col(ts_col) - F.col("__seg_start")) / F.lit(step)).cast("long")
+    )
+
+    core = base.withColumn("__chunk", (F.col("__rn") / F.lit(buffer_len)).cast("long")).withColumn(
+        "__is_core", F.lit(True)
+    )
+    # halo into the NEXT chunk: rows in the last overlap_len of chunk k
+    halo_next = (
+        base.withColumn("__chunk", ((F.col("__rn") + F.lit(overlap_len)) / F.lit(buffer_len)).cast("long"))
+        .withColumn("__is_core", F.lit(False))
+        .where(((F.col("__rn") + F.lit(overlap_len)) / F.lit(buffer_len)).cast("long") != (F.col("__rn") / F.lit(buffer_len)).cast("long"))
+    )
+    # halo into the PREVIOUS chunk: rows in the first overlap_len of chunk k
+    halo_prev = (
+        base.withColumn("__chunk", ((F.col("__rn") - F.lit(overlap_len)) / F.lit(buffer_len)).cast("long"))
+        .withColumn("__is_core", F.lit(False))
+        .where(
+            (((F.col("__rn") - F.lit(overlap_len)) / F.lit(buffer_len)).cast("long") != (F.col("__rn") / F.lit(buffer_len)).cast("long"))
+            & (F.col("__rn") >= F.lit(overlap_len))
+        )
+    )
+    unioned = core.unionByName(halo_next).unionByName(halo_prev)
+
+    key_schema = ", ".join(f"{k} {t}" for k, t in df.select(*keys).dtypes)
+    schema = f"{key_schema}, {ts_col} long, filtered {out_type}"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        y = _apply_zero_phase(sos_arr, x)
+        keep = pdf["__is_core"].to_numpy()
+        out = pdf.loc[keep, keys + [ts_col]].copy()
+        out["filtered"] = y[keep]
+        return out
+
+    return (
+        unioned.select(*keys, "__chunk", ts_col, value_col, "__is_core")
+        .groupBy(*keys, "__chunk")
+        .applyInPandas(kernel, schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5: decimate
+# ---------------------------------------------------------------------------
+
+def decimate(
+    df: DataFrame,
+    sos: np.ndarray,
+    segments: DataFrame,
+    q: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    channel_cols: Sequence[str] = ("channel_id",),
+    segment_col: str = "segment_id",
+    step: int = 1,
+    **chunk_kwargs,
+) -> DataFrame:
+    """Anti-alias prefilter (the SOS you pass should cut at the new
+    Nyquist) then keep every q-th sample — ``ts % (q*step) == 0`` so no
+    row index is needed (reference F5 stub semantics,
+    ``jagular/signal.py:3-40``)."""
+    filtered = filtfilt_chunked(
+        df, sos, segments, ts_col=ts_col, value_col=value_col,
+        channel_cols=channel_cols, segment_col=segment_col, step=step, **chunk_kwargs,
+    )
+    return filtered.where((F.col(ts_col) % F.lit(q * step)) == 0)
+
+
+# ---------------------------------------------------------------------------
+# A2: common average reference
+# ---------------------------------------------------------------------------
+
+def common_reference(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    channel_col: str = "channel_id",
+    method: str = "mean",
+) -> DataFrame:
+    """Cross-channel reference subtraction (reference ``common_ref``,
+    ``jagular/spikes.py:92-117``): value - mean(value over channels at
+    same ts). On the exploded `samples` layout this is a groupBy(ts) +
+    re-join; on the packets-wide layout prefer
+    ``aggregate(channels)/size(channels)`` (no shuffle at all)."""
+    agg = F.avg(value_col) if method == "mean" else F.median(value_col)
+    ref = df.groupBy(ts_col).agg(agg.alias("__ref"))
+    return (
+        df.join(ref, on=ts_col)
+        .withColumn("value_ref", F.col(value_col) - F.col("__ref"))
+        .drop("__ref")
+    )
+
+
+def common_reference_packets(
+    packets: DataFrame,
+    channels_col: str = "channels",
+) -> DataFrame:
+    """Wide-form common average reference: one pass, zero shuffles.
+    ``channels - mean(channels)`` via JVM array expressions."""
+    mean = F.aggregate(
+        channels_col, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ) / F.size(channels_col).cast("double")
+    return (
+        packets.withColumn("__mean", mean)
+        .withColumn(
+            "channels_ref",
+            F.transform(channels_col, lambda x: x.cast("double") - F.col("__mean")),
+        )
+        .drop("__mean")
+    )

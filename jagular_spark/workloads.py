@@ -244,6 +244,84 @@ def events_stream_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Signal chain over `events` (value as a per-user sample stream)
+# ---------------------------------------------------------------------------
+
+_FIR5 = (0.1, 0.2, 0.4, 0.2, 0.1)  # symmetric 5-tap smoothing kernel
+
+
+def events_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-phase FIR smoothing as PURE window expressions (F-class demo
+    with an exact SQL oracle): symmetric 5-tap kernel over each user's
+    event-value sequence; interior rows only (full support)."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    v = [
+        F.lag("value", 2).over(w),
+        F.lag("value", 1).over(w),
+        F.col("value"),
+        F.lead("value", 1).over(w),
+        F.lead("value", 2).over(w),
+    ]
+    c = [F.lit(x) for x in _FIR5]
+    # fixed left-to-right association so both engines sum identically
+    smooth = ((((c[0] * v[0] + c[1] * v[1]) + c[2] * v[2]) + c[3] * v[3]) + c[4] * v[4])
+    return (
+        ev.withColumn("smoothed", smooth)
+        .where(F.col("smoothed").isNotNull())
+        .select("user_id", "event_id", "us", "value", "smoothed")
+    )
+
+
+def events_filtfilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-phase Butterworth band-pass per user stream (the engine's
+    flagship custom op — applyInPandas with the pure-numpy SOS cascade;
+    genuinely non-SQL-expressible, rows-only check)."""
+    from jagular_spark.operators.filtering import filtfilt_segments
+    from jagular_spark import dsp
+
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    samples = ev.select(
+        F.col("user_id").cast("int").alias("channel_id"),
+        F.lit(0).cast("long").alias("segment_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("ts"),
+        F.col("value"),
+    )
+    sos = dsp.butter_sos(2, [0.05, 0.4], "bandpass")
+    out = filtfilt_segments(samples, sos)
+    return out.select(
+        F.col("channel_id").alias("user_id"), F.col("ts").alias("seq"), "filtered"
+    )
+
+
+def events_detect_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full detection pipeline (MAD threshold → debounced crossings →
+    censor → waveform extract) on per-user event-value streams —
+    demonstrates F7 end-to-end on driver data. Rows-only check (the
+    censor stage is inherently sequential)."""
+    from jagular_spark.operators.spikes import detect_spikes
+
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    samples = ev.select(
+        F.col("user_id").cast("int").alias("channel_id"),
+        F.lit(0).cast("long").alias("segment_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("ts"),
+        F.col("value"),
+    )
+    out = detect_spikes(
+        samples, multiplier=2.0, censor_width=5, patch_size=8, polarity="pos"
+    )
+    return out.select(
+        F.col("channel_id").alias("user_id"),
+        F.col("crossing_ts").alias("crossing_seq"),
+        F.col("peak_ts").alias("peak_seq"),
+        "waveform",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-data-pipeline ops over `documents`
 # ---------------------------------------------------------------------------
 
@@ -317,6 +395,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_crossings": events_crossings,
     "events_mad_threshold": events_mad_threshold,
     "events_stream_bounds": events_stream_bounds,
+    "events_fir_smooth": events_fir_smooth,
+    "events_filtfilt": events_filtfilt,
+    "events_detect_spikes": events_detect_spikes,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
@@ -450,6 +531,17 @@ ORACLE_SQL: dict[str, str] = {
                         ORDER BY epoch_us(ts), event_id) AS next_value
             FROM events
         ) WHERE value > 100.0 AND next_value > 100.0
+    """,
+    "events_fir_smooth": """
+        SELECT user_id, event_id, us, value, smoothed FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                   ((((0.1 * LAG(value, 2) OVER w + 0.2 * LAG(value, 1) OVER w)
+                      + 0.4 * value)
+                      + 0.2 * LEAD(value, 1) OVER w)
+                      + 0.1 * LEAD(value, 2) OVER w) AS smoothed
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ) WHERE smoothed IS NOT NULL
     """,
     "events_mad_threshold": """
         SELECT event_type,
