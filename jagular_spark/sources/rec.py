@@ -1,0 +1,341 @@
+"""SpikeGadgets ``.rec`` source for Spark (SURVEY §2.1 S1-S8).
+
+A ``.rec`` file is an XML ``<Configuration>`` workspace followed by
+fixed-size packets ``[header u1×H][timestamp u4][channel i2×N]``
+(reference: ``jagular/readers.py:215-343``). This module re-expresses the
+reference's reader stack Spark-first:
+
+- **S1 schema inference** (``readers.py:215-285``): driver-side XML parse
+  → :class:`RecConfig` (packet geometry + the spike-channel permutation),
+  analogous to reading a Parquet footer.
+- **S2/S6 catalog** (``readers.py:180-213``, ``io.py:68-96``): per-file
+  ``(ts_start, ts_stop, n_packets)`` stats DataFrame, computed
+  distributed (two 4-byte reads per file) — the min/max column stats
+  that drive partition pruning.
+- **S3/S5 splittable scan** (``readers.py:287-343``, ``io.py:234-280``):
+  packet-aligned byte splits planned driver-side, decoded executor-side
+  with ``np.frombuffer`` into Arrow batches via ``mapInPandas``. One
+  giant file parallelizes across executors — the reference's
+  single-threaded stitched-generator becomes a plain multi-split scan,
+  and global order is recovered lazily by ``orderBy(ts)`` only when a
+  consumer needs it.
+- **Projection pushdown** (``readers.py:341``): only the requested
+  logical channels are gathered from each packet *inside the decoder*,
+  so un-selected channels never leave the scan.
+- **Partition pruning** (``io.py:204-232``): a ``ts`` range predicate
+  drops whole files via catalog bounds before any byte is read, then is
+  re-applied per-row for partial overlap.
+
+Scale notes: splits default to 128 MiB of packets; decode is a single
+vectorized ``frombuffer`` + transpose per split (no per-row Python); the
+catalog is tiny (2 longs/file) and broadcastable. At 100 TB / 30 kHz ×
+128 ch this is ~13k files-worth of splits — well within driver planning
+capacity, same regime as Spark's own FileSourceScanExec planning.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CONFIG_END = b"</Configuration>"
+_MAX_CONFIG_BYTES = 16 * 1024 * 1024  # sanity guard, mirrors the reference's line cap
+
+
+@dataclass(frozen=True)
+class RecConfig:
+    """Packet geometry inferred from the embedded XML workspace (S1)."""
+
+    n_channels: int
+    header_size: int          # bytes of device headers per packet (incl. base byte)
+    config_size: int          # bytes of XML section to skip
+    sampling_rate: int
+    spike_channel_positions: tuple[int, ...]  # packet slot per logical spike channel
+    timestamp_size: int = 4
+    bytes_per_channel: int = 2
+
+    @property
+    def packet_size(self) -> int:
+        return self.header_size + self.timestamp_size + self.n_channels * self.bytes_per_channel
+
+    @property
+    def n_spike_channels(self) -> int:
+        return len(self.spike_channel_positions)
+
+
+def read_config(path: str) -> RecConfig:
+    """S1: parse the embedded ``<Configuration>`` workspace (driver-side).
+
+    Semantics per ``readers.py:215-285``: header = 1 base byte + one
+    ``numBytes`` per hardware device; ``SpikeChannel hwChan`` entries (in
+    document order — tetrode 1's four channels first, etc.) map to packet
+    slots via ``(hw % 32) * n_cards + hw // 32``.
+    """
+    with open(path, "rb") as f:
+        head = f.read(_MAX_CONFIG_BYTES)
+    end = head.find(_CONFIG_END)
+    if end < 0:
+        raise ValueError(f"{path}: no </Configuration> terminator in first {_MAX_CONFIG_BYTES} bytes")
+    # config section runs through the terminator line's trailing newline
+    config_size = end + len(_CONFIG_END)
+    while config_size < len(head) and head[config_size : config_size + 1] in (b"\r", b"\n"):
+        config_size += 1
+
+    root = ET.fromstring(head[:config_size].decode("utf-8", errors="replace"))
+    hw = root.find("HardwareConfiguration")
+    if hw is None:
+        raise ValueError(f"{path}: no <HardwareConfiguration> in workspace")
+    n_channels = int(hw.get("numChannels"))
+    sampling_rate = int(hw.get("samplingRate", "30000"))
+    header_size = 1 + sum(int(dev.get("numBytes", "0")) for dev in hw)
+
+    n_cards, rem = divmod(n_channels, 32)
+    if rem:
+        raise ValueError(f"{path}: numChannels={n_channels} not a multiple of 32")
+    positions = tuple(
+        (int(sc.get("hwChan")) % 32) * n_cards + int(sc.get("hwChan")) // 32
+        for sc in root.iter("SpikeChannel")
+    )
+    return RecConfig(
+        n_channels=n_channels,
+        header_size=header_size,
+        config_size=config_size,
+        sampling_rate=sampling_rate,
+        spike_channel_positions=positions,
+    )
+
+
+def _bounds_one(path: str, cfg: RecConfig) -> tuple[int, int, int]:
+    """S2: first/last ts + packet count from two point reads."""
+    size = os.path.getsize(path) - cfg.config_size
+    n_packets = size // cfg.packet_size
+    if n_packets <= 0:
+        raise ValueError(f"{path}: no complete packets")
+    ts_off = cfg.header_size
+    with open(path, "rb") as f:
+        f.seek(cfg.config_size + ts_off)
+        first = struct.unpack("<I", f.read(4))[0]
+        f.seek(cfg.config_size + (n_packets - 1) * cfg.packet_size + ts_off)
+        last = struct.unpack("<I", f.read(4))[0]
+    return first, last, n_packets
+
+
+def timestamp_bounds(path: str, cfg: RecConfig | None = None) -> tuple[int, int]:
+    first, last, _ = _bounds_one(path, cfg or read_config(path))
+    return first, last
+
+
+def file_catalog(spark: SparkSession, paths: Sequence[str], cfg: RecConfig | None = None) -> DataFrame:
+    """S2+S6: ``files(file_idx, path, ts_start, ts_stop, n_packets)``,
+    ordered by ``ts_start`` (the reference's catalog sort, ``io.py:91-96``).
+
+    Bounds are read distributed (one tiny task per file batch); file_idx
+    is assigned *after* the sort so downstream keep-first tiebreaks follow
+    recording order even when paths are passed shuffled.
+    """
+    cfg = cfg or read_config(paths[0])
+    pdf = pd.DataFrame({"path": list(paths)})
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for p in b["path"]:
+                first, last, n = _bounds_one(p, cfg)
+                if first > last:
+                    raise ValueError(f"{p}: first_ts {first} > last_ts {last}")
+                rows.append({"path": p, "ts_start": first, "ts_stop": last, "n_packets": n})
+            yield pd.DataFrame(rows)
+
+    raw = (
+        spark.createDataFrame(pdf)
+        .repartition(min(len(paths), spark.sparkContext.defaultParallelism))
+        .mapInPandas(stats, "path string, ts_start long, ts_stop long, n_packets long")
+    )
+    ordered = raw.orderBy("ts_start").collect()
+    return spark.createDataFrame(
+        [
+            (i, r.path, r.ts_start, r.ts_stop, r.n_packets)
+            for i, r in enumerate(ordered)
+        ],
+        "file_idx int, path string, ts_start long, ts_stop long, n_packets long",
+    )
+
+
+def _plan_splits(
+    catalog_rows: list,
+    cfg: RecConfig,
+    ts_start: int | None,
+    ts_stop: int | None,
+    split_bytes: int,
+) -> list[tuple[int, str, int, int]]:
+    """Packet-aligned (file_idx, path, first_packet, n_packets) splits,
+    with file-level pruning from catalog ts bounds (S7)."""
+    packets_per_split = max(1, split_bytes // cfg.packet_size)
+    splits = []
+    for r in catalog_rows:
+        if ts_start is not None and r.ts_stop < ts_start:
+            continue
+        if ts_stop is not None and r.ts_start > ts_stop:
+            continue
+        off = 0
+        while off < r.n_packets:
+            n = min(packets_per_split, r.n_packets - off)
+            splits.append((r.file_idx, r.path, off, n))
+            off += n
+    return splits
+
+
+def read_packets(
+    spark: SparkSession,
+    paths: Sequence[str],
+    cfg: RecConfig | None = None,
+    channels: Sequence[int] | None = None,
+    ts_start: int | None = None,
+    ts_stop: int | None = None,
+    split_bytes: int = 128 * 1024 * 1024,
+    catalog: DataFrame | None = None,
+) -> DataFrame:
+    """S3/S5: decode packets across all files into
+    ``(file_idx, packet_idx, ts, channels array<short>)``.
+
+    ``channels`` are *logical spike-channel* indices (document order in
+    the workspace); only those slots are gathered from each packet —
+    projection pushed into the scan. ``ts_start/ts_stop`` prune whole
+    files via the catalog, then filter rows. ``(file_idx, packet_idx)``
+    is the stable physical-order tiebreak used by keep-first dedup.
+    """
+    cfg = cfg or read_config(paths[0])
+    cat = catalog if catalog is not None else file_catalog(spark, paths, cfg)
+    sel = list(channels) if channels is not None else list(range(cfg.n_spike_channels))
+    positions = [cfg.spike_channel_positions[c] for c in sel]
+    splits = _plan_splits(cat.collect(), cfg, ts_start, ts_stop, split_bytes)
+    if not splits:
+        return spark.createDataFrame([], "file_idx int, packet_idx long, ts long, channels array<smallint>")
+
+    splits_df = spark.createDataFrame(
+        pd.DataFrame(splits, columns=["file_idx", "path", "first_packet", "n_packets"])
+    ).repartition(len(splits))
+
+    header_size, n_channels = cfg.header_size, cfg.n_channels
+    config_size, packet_size = cfg.config_size, cfg.packet_size
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dt = np.dtype(
+            [
+                ("header", np.uint8, (header_size,)),
+                ("ts", np.uint32),
+                ("channels", np.int16, (n_channels,)),
+            ]
+        )
+        for b in batches:
+            for row in b.itertuples(index=False):
+                with open(row.path, "rb") as f:
+                    f.seek(config_size + row.first_packet * packet_size)
+                    buf = f.read(row.n_packets * packet_size)
+                data = np.frombuffer(buf, dtype=dt, count=len(buf) // packet_size)
+                ts = data["ts"].astype(np.int64)
+                gathered = data["channels"][:, positions]  # projection pushdown
+                yield pd.DataFrame(
+                    {
+                        "file_idx": np.full(len(ts), row.file_idx, dtype=np.int32),
+                        "packet_idx": row.first_packet + np.arange(len(ts), dtype=np.int64),
+                        "ts": ts,
+                        "channels": list(gathered),
+                    }
+                )
+
+    out = splits_df.mapInPandas(decode, "file_idx int, packet_idx long, ts long, channels array<smallint>")
+    if ts_start is not None:
+        out = out.where(F.col("ts") >= F.lit(ts_start))
+    if ts_stop is not None:
+        out = out.where(F.col("ts") <= F.lit(ts_stop))
+    return out
+
+
+def read_samples(
+    spark: SparkSession,
+    paths: Sequence[str],
+    cfg: RecConfig | None = None,
+    channels: Sequence[int] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Long-form ``samples(channel_id, ts, value, file_idx, packet_idx)``
+    — the canonical columnar layout (§1.5). ``channel_id`` is the logical
+    spike-channel index, recovered via ``posexplode`` over the projected
+    packet vector (JVM-side, no UDF)."""
+    cfg = cfg or read_config(paths[0])
+    sel = list(channels) if channels is not None else list(range(cfg.n_spike_channels))
+    pk = read_packets(spark, paths, cfg, channels=sel, **kwargs)
+    chan_map = F.array(*[F.lit(c) for c in sel])
+    return pk.select(
+        "file_idx",
+        "packet_idx",
+        "ts",
+        F.posexplode("channels").alias("pos", "value"),
+    ).select(
+        F.element_at(chan_map, F.col("pos") + 1).alias("channel_id"),
+        "ts",
+        F.col("value").cast("smallint").alias("value"),
+        "file_idx",
+        "packet_idx",
+    )
+
+
+def extract_channels(
+    spark: SparkSession,
+    paths: Sequence[str],
+    out_path: str,
+    channels: Sequence[int] | None = None,
+    max_gap_size: int = 0,
+    cfg: RecConfig | None = None,
+    **kwargs,
+) -> DataFrame:
+    """The reference's ETL entry point (``utils.py:392-549``), Spark-shaped:
+    scan → keep-FIRST ts dedup → linear gap interpolation ≤ max_gap_size →
+    per-channel columnar sink (Parquet ``partitionBy(channel_id)`` — the
+    row→column pivot of §1.2). Returns the written samples DataFrame.
+
+    The reference's cross-block carry state disappears: Spark sees the
+    whole stream, and interpolate_gaps handles partition-boundary gaps
+    with its edge-row pass.
+    """
+    from jagular_spark.operators import dedup_keep_first, interpolate_gaps
+
+    cfg = cfg or read_config(paths[0])
+    pk = read_packets(spark, paths, cfg, channels=channels, **kwargs)
+    # I1: keep the first occurrence per ts in physical (file, packet) order
+    deduped = dedup_keep_first(pk, ts_col="ts", tiebreak_cols=["file_idx", "packet_idx"])
+    sel = list(channels) if channels is not None else list(range(cfg.n_spike_channels))
+    chan_map = F.array(*[F.lit(c) for c in sel])
+    samples = deduped.select(
+        "ts", F.posexplode("channels").alias("pos", "value")
+    ).select(
+        F.element_at(chan_map, F.col("pos") + 1).alias("channel_id"),
+        "ts",
+        F.col("value").cast("smallint").alias("value"),
+    )
+    if max_gap_size > 0:
+        samples = interpolate_gaps(
+            samples,
+            ts_col="ts",
+            value_cols=["value"],
+            max_gap_size=max_gap_size,
+            partition_cols=["channel_id"],
+        )
+    (
+        samples.repartition("channel_id")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .partitionBy("channel_id")
+        .parquet(out_path)
+    )
+    return spark.read.parquet(out_path)

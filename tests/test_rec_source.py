@@ -1,0 +1,154 @@
+"""E2E tests for the .rec source (SURVEY §2.1) against an in-test numpy
+oracle that decodes the reference sample fixtures directly.
+
+Fixture facts (sample_data_*.rec, asserted below): 128 channels, 80
+spike channels, 42-byte header, 302-byte packets, 21793-byte XML
+config, 11 packets per file, fs=30000.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pytest
+
+from jagular_spark.sources import (
+    extract_channels,
+    file_catalog,
+    read_config,
+    read_packets,
+    read_samples,
+    timestamp_bounds,
+)
+
+SAMPLES = sorted(glob.glob("/root/reference/sample_data/*.rec"))
+
+HEADER, N_CH, PACKET, CONFIG = 42, 128, 302, 21793
+DT = np.dtype([("header", np.uint8, (HEADER,)), ("ts", np.uint32), ("channels", np.int16, (N_CH,))])
+
+
+def oracle_decode(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        f.seek(CONFIG)
+        return np.fromfile(f, dtype=DT)
+
+
+def oracle_all() -> np.ndarray:
+    return np.concatenate([oracle_decode(p) for p in SAMPLES])
+
+
+def test_read_config_matches_fixture_header():
+    cfg = read_config(SAMPLES[0])
+    assert cfg.n_channels == N_CH
+    assert cfg.header_size == HEADER
+    assert cfg.packet_size == PACKET
+    assert cfg.config_size == CONFIG
+    assert cfg.sampling_rate == 30000
+    assert cfg.n_spike_channels == 80
+    # permutation stays within packet bounds and is injective
+    assert len(set(cfg.spike_channel_positions)) == 80
+    assert all(0 <= p < N_CH for p in cfg.spike_channel_positions)
+
+
+def test_timestamp_bounds_match_oracle():
+    cfg = read_config(SAMPLES[0])
+    for p in SAMPLES:
+        data = oracle_decode(p)
+        assert timestamp_bounds(p, cfg) == (int(data["ts"][0]), int(data["ts"][-1]))
+
+
+def test_file_catalog_sorted_with_stats(spark):
+    # pass paths deliberately out of order (the reference example does too)
+    shuffled = [SAMPLES[3], SAMPLES[0], SAMPLES[4], SAMPLES[1], SAMPLES[2]]
+    cat = file_catalog(spark, shuffled).collect()
+    starts = [r.ts_start for r in cat]
+    assert starts == sorted(starts)
+    assert [r.file_idx for r in cat] == list(range(5))
+    assert all(r.n_packets == 11 for r in cat)
+
+
+def test_read_packets_full_decode_matches_oracle(spark):
+    cfg = read_config(SAMPLES[0])
+    df = read_packets(spark, SAMPLES, cfg).orderBy("file_idx", "packet_idx")
+    rows = df.collect()
+    ref = oracle_all()
+    assert len(rows) == len(ref) == 55
+    perm = np.asarray(cfg.spike_channel_positions)
+    np.testing.assert_array_equal(
+        np.array([r.ts for r in rows]), ref["ts"].astype(np.int64)
+    )
+    np.testing.assert_array_equal(
+        np.array([r.channels for r in rows], dtype=np.int16), ref["channels"][:, perm]
+    )
+
+
+def test_channel_projection_pushdown(spark):
+    cfg = read_config(SAMPLES[0])
+    sel = [9, 3, 0]
+    df = read_packets(spark, SAMPLES[:1], cfg, channels=sel).orderBy("packet_idx")
+    got = np.array([r.channels for r in df.collect()], dtype=np.int16)
+    ref = oracle_decode(SAMPLES[0])
+    pos = [cfg.spike_channel_positions[c] for c in sel]
+    np.testing.assert_array_equal(got, ref["channels"][:, pos])
+
+
+def test_ts_range_prunes_files_and_rows(spark):
+    cfg = read_config(SAMPLES[0])
+    ref = oracle_all()
+    lo, hi = 216003235, 430419684  # exactly file 2's bounds (overlaps file 3)
+    df = read_packets(spark, SAMPLES, cfg, ts_start=lo, ts_stop=hi)
+    got = sorted(r.ts for r in df.collect())
+    want = sorted(int(t) for t in ref["ts"] if lo <= t <= hi)
+    assert got == want
+    # pruning: only files whose bounds intersect participate (2 of 5)
+    touched = {r.file_idx for r in df.select("file_idx").distinct().collect()}
+    assert touched == {1, 2}
+
+
+def test_read_samples_long_form(spark):
+    cfg = read_config(SAMPLES[0])
+    sel = [5, 2]
+    df = read_samples(spark, SAMPLES[:2], cfg, channels=sel)
+    rows = df.orderBy("channel_id", "file_idx", "packet_idx").collect()
+    assert {r.channel_id for r in rows} == {2, 5}
+    ref = np.concatenate([oracle_decode(p) for p in SAMPLES[:2]])
+    for ch in sel:
+        vals = [r.value for r in rows if r.channel_id == ch]
+        np.testing.assert_array_equal(
+            np.array(vals, dtype=np.int16),
+            ref["channels"][:, cfg.spike_channel_positions[ch]],
+        )
+
+
+def test_extract_channels_e2e(spark, tmp_path):
+    cfg = read_config(SAMPLES[0])
+    out = extract_channels(
+        spark, SAMPLES, str(tmp_path / "cols"), channels=[0, 1], max_gap_size=0, cfg=cfg
+    )
+    ref = oracle_all()
+    order = np.argsort(ref["ts"], kind="stable")
+    ref_sorted = ref[order]
+    # fixture has no duplicate timestamps → row count = 55 per channel
+    got = out.where(out.channel_id == 1).orderBy("ts").collect()
+    assert len(got) == 55
+    np.testing.assert_array_equal(
+        np.array([r.value for r in got], dtype=np.int16),
+        ref_sorted["channels"][:, cfg.spike_channel_positions[1]],
+    )
+    # columnar layout on disk: one directory per channel
+    dirs = {p.name for p in (tmp_path / "cols").iterdir() if p.is_dir()}
+    assert dirs == {"channel_id=0", "channel_id=1"}
+
+
+def test_small_split_bytes_many_splits_same_result(spark):
+    """Splittability: one packet per split must give byte-identical output."""
+    cfg = read_config(SAMPLES[0])
+    df = read_packets(spark, SAMPLES[:2], cfg, channels=[0], split_bytes=1)
+    rows = df.orderBy("file_idx", "packet_idx").collect()
+    ref = np.concatenate([oracle_decode(p) for p in SAMPLES[:2]])
+    np.testing.assert_array_equal(
+        np.array([r.channels[0] for r in rows], dtype=np.int16),
+        ref["channels"][:, cfg.spike_channel_positions[0]],
+    )
+    assert len(rows) == 22
