@@ -21,7 +21,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jagular_spark.operators import contiguous_segments, dedup_keep_first, gap_lengths
+from jagular_spark.operators import (
+    contiguous_segments,
+    dedup_keep_first,
+    gap_lengths,
+    interpolate_gaps,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -204,6 +209,29 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ts_col="event_type", tiebreak_cols=["us", "event_id"], partition_cols=["user_id"]
     )
     return out.select("user_id", "event_type", "event_id", "us", "value")
+
+
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation (SURVEY I2/I3) with an exact SQL oracle:
+    one sample per (user, minute) — keep-first dedup — then fill interior
+    gaps of ≤5 missing minutes with linearly interpolated values via the
+    engine's interpolate_gaps operator (edge-pass + sequence-explode)."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    base = dedup_keep_first(
+        ev.withColumn("minute", F.expr("CAST(us DIV 60000000 AS BIGINT)")),
+        ts_col="minute",
+        tiebreak_cols=["us", "event_id"],
+        partition_cols=["user_id"],
+    ).select("user_id", "minute", "value")
+    out = interpolate_gaps(
+        base,
+        ts_col="minute",
+        value_cols=["value"],
+        max_gap_size=5,
+        step=1,
+        partition_cols=["user_id"],
+    )
+    return out.select("user_id", "minute", "value")
 
 
 def events_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,6 +420,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_segments": events_segments,
     "events_gap_lengths": events_gap_lengths,
     "events_dedup_first": events_dedup_first,
+    "events_interpolate": events_interpolate,
     "events_crossings": events_crossings,
     "events_mad_threshold": events_mad_threshold,
     "events_stream_bounds": events_stream_bounds,
@@ -523,6 +552,29 @@ ORACLE_SQL: dict[str, str] = {
                         ORDER BY epoch_us(ts), event_id) AS rn
             FROM events
         ) WHERE rn = 1
+    """,
+    "events_interpolate": """
+        WITH dedup AS (
+            SELECT user_id, minute, value FROM (
+                SELECT user_id, epoch_us(ts) // 60000000 AS minute, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 60000000
+                            ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        ), pairs AS (
+            SELECT user_id, minute AS l_ts, value AS l_v,
+                   LEAD(minute) OVER (PARTITION BY user_id ORDER BY minute) AS r_ts,
+                   LEAD(value)  OVER (PARTITION BY user_id ORDER BY minute) AS r_v
+            FROM dedup
+        ), filled AS (
+            SELECT user_id, CAST(t.ts AS BIGINT) AS minute,
+                   l_v + (r_v - l_v) * ((t.ts - l_ts) / (r_ts - l_ts)) AS value
+            FROM pairs, UNNEST(generate_series(l_ts + 1, r_ts - 1)) AS t(ts)
+            WHERE r_ts - l_ts - 1 BETWEEN 1 AND 5
+        )
+        SELECT user_id, minute, value FROM dedup
+        UNION ALL
+        SELECT user_id, minute, value FROM filled
     """,
     "events_crossings": """
         SELECT user_id, event_id, us, value, next_value FROM (
