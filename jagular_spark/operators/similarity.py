@@ -1,0 +1,303 @@
+"""Deduplication & similarity-search operators (training-data pipeline
+extensions; BASELINE.json extension surface).
+
+Everything here is built on *deterministic integer math* so results are
+bit-identical across engines (Spark ↔ DuckDB oracle) and across
+partitionings:
+
+- Text hashing: first 8 hex chars of md5 → uint32 (both engines share
+  md5), reduced mod the Mersenne prime P = 2^31-1.
+- MinHash: k universal-hash functions ``(a_j·h + b_j) mod P`` with fixed
+  literal coefficients; products stay < 2^62 (no BIGINT overflow).
+- SimHash / hyperplane LSH: bit tests + ±1 sums — pure integers.
+- Embedding dot products: components scaled by 2^20 (exact for floats —
+  power-of-two double multiply) and floored to BIGINT; integer sums are
+  association-insensitive, so any partial-aggregation order gives the
+  same dot. Cosine is derived from the exact integer dots at the end.
+
+Scale shape: shingling/minhash are one explode + one hash-agg (map-side
+combined); LSH candidate pairs are an equi-join on (band, key) — the
+classic shuffle-friendly band-bucket join; brute-force ANN broadcasts
+the (small) probe side so the big side never shuffles. All hot-path
+expressions are JVM-side (whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1; minhash coefficients (fixed classic LCG constants)
+P = 2147483647
+MINHASH_A = [1103515245, 1566083941, 1812433253, 1664525, 22695477, 1013904223, 69069, 1103527590]
+MINHASH_B = [12345, 1013904223, 314159265, 271828183, 1442695041, 97531, 362437, 1]
+N_MINHASH = 8
+LSH_BANDS = 4          # 4 bands × 2 rows over the 8-signature
+_BAND_SHIFT = 2147483648  # 2^31: band key = m_even * 2^31 + m_odd
+
+EMB_SCALE = 1048576    # 2^20 — exact double multiplier for float32 inputs
+
+
+# ---------------------------------------------------------------------------
+# Text shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def tokens_col(text_col: str) -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _hash32(col: F.Column) -> F.Column:
+    """md5-based 32-bit hash shared bit-for-bit with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exploded ``(id, h)`` distinct shingle hashes, h ∈ [0, P)."""
+    t = df.select(F.col(id_col), tokens_col(text_col).alias("t"))
+    sh = t.select(
+        id_col,
+        F.expr(
+            "CASE WHEN size(t) >= {n} THEN array_distinct(transform(sequence(0, size(t) - {n}), "
+            "i -> concat_ws(' ', {idx}))) ELSE array() END".format(
+                n=n, idx=", ".join(f"t[i+{j}]" for j in range(n))
+            )
+        ).alias("shingles"),
+    )
+    return sh.select(id_col, F.explode("shingles").alias("s")).select(
+        id_col, (_hash32(F.col("s")) % F.lit(P)).alias("h")
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, m0..m{k-1}) MinHash signature: one explode + one hash agg
+    (map-side partials combine — single shuffle on id)."""
+    hashes = doc_shingle_hashes(df, id_col, text_col, n)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return hashes.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (LSH_BANDS bands × 2 rows), self-join buckets →
+    ``(id_a, id_b, n_bands)`` candidate pairs. The join key is
+    (band, m_even·2^31 + m_odd); bucket sizes are tiny so the self-join
+    is shuffle-bounded by the band table, not the corpus."""
+    bands = [
+        sig.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band"),
+            (F.col(f"m{2 * b}") * F.lit(_BAND_SHIFT) + F.col(f"m{2 * b + 1}")).alias("key"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    buckets = reduce(lambda x, y: x.unionByName(y), bands)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle:
+    explode-join on shingle hash → count common → sizes join.
+    ``(id_a, id_b, n_common, n_union, jaccard)``."""
+    hashes = doc_shingle_hashes(df, id_col, text_col, n)
+    sizes = hashes.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = hashes.alias("a"), hashes.alias("b")
+    common = (
+        a.join(b, F.col("a.h") == F.col("b.h"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("long"))
+        .withColumn("jaccard", F.col("n_common") / F.col("n_union"))
+        .where(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+    return out.select("id_a", "id_b", "n_common", "n_union", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Frequency-weighted SimHash over whitespace tokens: per bit b, sum
+    ±1 of token-hash bit b; sign → fingerprint bit. One explode + one
+    agg. ``(id, simhash)``."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    h = toks.select(id_col, _hash32(F.col("tok")).alias("h"))
+    sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = reduce(
+        lambda acc, b: acc + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(1, bits),
+        F.when(F.col("s0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return sums.select(id_col, fp.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (ANN) — exact integer-scaled dot products
+# ---------------------------------------------------------------------------
+
+def int_vec(col: str = "embedding") -> F.Column:
+    """float32 vector → exact scaled-integer vector (·2^20, floored)."""
+    return F.expr(
+        f"transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * {EMB_SCALE}) AS BIGINT))"
+    )
+
+
+def _int_dot(a: str, b: str) -> F.Column:
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+
+
+def with_int_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach ``iv`` (scaled ints) + ``nrm`` (integer self-dot)."""
+    out = df.withColumn("iv", int_vec(vec_col))
+    return out.withColumn("nrm", _int_dot("iv", "iv"))
+
+
+def _cos() -> F.Column:
+    # identical expression tree on the oracle side: dot / (sqrt(na)*sqrt(nb))
+    return F.col("dot") / (
+        F.sqrt(F.col("nrm_a").cast("double")) * F.sqrt(F.col("nrm_b").cast("double"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.35
+) -> DataFrame:
+    """All-pairs cosine near-dup detection (baseline scale path; use
+    :func:`lsh_bucket_assign` blocking at corpus scale).
+    ``(id_a, id_b, cos)`` for cos ≥ threshold."""
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    a = base.select(F.col("id").alias("id_a"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def ann_topk_bruteforce(
+    df: DataFrame,
+    probe_filter: F.Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the probe subset: broadcast the
+    (small) probe side against the full corpus — the corpus never
+    shuffles; ranking is decided by the exact integer dot (ties broken
+    by neighbor id). ``(query_id, neighbor_id, rank, cos)``."""
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    probes = base.where(probe_filter).select(
+        F.col("id").alias("query_id"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
+    )
+    corpus = base.select(
+        F.col("id").alias("neighbor_id"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+# deterministic ±1 hyperplanes: sign_ji = +1 iff (a_j·(i+1) + b_j) mod P is even
+def _plane_sign(j: int, i: int) -> int:
+    return 1 if ((MINHASH_A[j] * (i + 1) + MINHASH_B[j]) % P) % 2 == 0 else -1
+
+
+def lsh_bucket_assign(
+    df: DataFrame, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Random-hyperplane (SimHash) LSH for embeddings — the ANN scale
+    path: project onto ``n_planes`` fixed ±1 hyperplanes, sign bits →
+    bucket id. Near vectors collide with high probability; candidate
+    generation is then a bucket equi-join instead of all-pairs.
+    ``(id, bucket)`` — deterministic integers, oracle-exact."""
+    base = df.select(F.col(id_col), int_vec(vec_col).alias("iv"))
+    proj = [
+        reduce(
+            lambda acc, i: acc + F.lit(_plane_sign(j, i)) * F.expr(f"iv[{i}]"),
+            range(1, dim),
+            F.lit(_plane_sign(j, 0)) * F.expr("iv[0]"),
+        ).alias(f"p{j}")
+        for j in range(n_planes)
+    ]
+    projected = base.select(id_col, *proj)
+    bucket = reduce(
+        lambda acc, j: acc + F.when(F.col(f"p{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)),
+        range(1, n_planes),
+        F.when(F.col("p0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return projected.select(id_col, bucket.cast("long").alias("bucket"))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    probe_filter: F.Column,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH
+    bucket, then exact integer-dot ranking within candidates. Trades
+    recall for a corpus-partitionable bucket join (no broadcast of the
+    corpus, no all-pairs)."""
+    buckets = lsh_bucket_assign(df, n_planes, dim, id_col, vec_col)
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm").join(
+        buckets.select(F.col(id_col).alias("id"), "bucket"), "id"
+    )
+    probes = base.where(probe_filter).select(
+        F.col("id").alias("query_id"), F.col("iv").alias("iv_a"),
+        F.col("nrm").alias("nrm_a"), F.col("bucket").alias("qb"),
+    )
+    corpus = base.select(
+        F.col("id").alias("neighbor_id"), F.col("iv").alias("iv_b"),
+        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("nb"),
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), (F.col("qb") == F.col("nb")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

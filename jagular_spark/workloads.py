@@ -27,6 +27,7 @@ from jagular_spark.operators import (
     gap_lengths,
     interpolate_gaps,
 )
+from jagular_spark.operators import similarity as sim
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -408,6 +409,184 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similarity / dedup extension surface (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2) candidate near-dup pairs — the
+    shingle→minhash→band→bucket-join scale path for fuzzy dedup."""
+    docs = load(spark, sf_dir, "documents")
+    return sim.lsh_candidate_pairs(sim.minhash_signature(docs))
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5 for shingle-sharing pairs."""
+    docs = load(spark, sf_dir, "documents")
+    return sim.ngram_jaccard_pairs(docs, min_jaccard=0.5)
+
+
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit frequency-weighted SimHash fingerprint per document."""
+    docs = load(spark, sf_dir, "documents")
+    return sim.simhash(docs)
+
+
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding cosine ≥ 0.35 via exact scaled-integer dots."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(emb, threshold=0.35)
+
+
+def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for probe vecs (id<20):
+    probes broadcast, corpus never shuffles, integer-dot ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_bruteforce(emb, F.col("id") < 20, k=5)
+
+
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket per embedding (the ANN scale path)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.lsh_bucket_assign(emb)
+
+
+def _sim_hash_sql() -> str:
+    return "('0x' || substr(md5({col}), 1, 8))::BIGINT"
+
+
+def _similarity_oracles() -> dict[str, str]:
+    P = sim.P
+    shingle_cte = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+                list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS shingles FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), hashes AS (
+            SELECT doc_id, {_sim_hash_sql().format(col='s')} % {P} AS h FROM ex
+        )"""
+    sig_cols = ", ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS m{j}"
+        for j, (a, b) in enumerate(zip(sim.MINHASH_A, sim.MINHASH_B))
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band, m{2*b} * 2147483648 + m{2*b+1} AS key FROM sig"
+        for b in range(sim.LSH_BANDS)
+    )
+    minhash_lsh = f"""{shingle_cte}, sig AS (
+            SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id
+        ), buckets AS (
+            {band_selects}
+        )
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+        FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        GROUP BY a.id, b.id"""
+
+    jaccard = f"""{shingle_cte}, sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_common,
+               CAST(sa.n_sh + sb.n_sh - n_common AS BIGINT) AS n_union,
+               n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""
+
+    bits = 16
+    sum_cols = ", ".join(
+        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    simhash_sql = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+        ), h AS (
+            SELECT doc_id, {_sim_hash_sql().format(col='tok')} AS h FROM toks
+        ), sums AS (
+            SELECT doc_id, {sum_cols} FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums"""
+
+    normed_cte = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+            FROM embeddings
+        ), normed AS (
+            SELECT vec_id, iv,
+                   CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                        i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+            FROM base
+        )"""
+    pair_dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(a.iv)), "
+        "i -> a.iv[i] * b.iv[i])) AS BIGINT)"
+    )
+    neardup = f"""{normed_cte}, scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {pair_dot} AS dot,
+                   a.nrm AS nrm_a, b.nrm AS nrm_b
+            FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+        FROM scored
+        WHERE dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) >= 0.35"""
+
+    probe_dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(q.iv)), "
+        "i -> q.iv[i] * c.iv[i])) AS BIGINT)"
+    )
+    ann = f"""{normed_cte}, scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {probe_dot} AS dot,
+                   q.nrm AS nrm_a, c.nrm AS nrm_b
+            FROM normed q JOIN normed c
+              ON q.vec_id < 20 AND c.vec_id != q.vec_id
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank,
+               dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+        FROM ranked WHERE rank <= 5"""
+
+    plane_terms = []
+    for j in range(8):
+        signs = "[" + ", ".join(str(sim._plane_sign(j, i)) for i in range(64)) + "]"
+        plane_terms.append(
+            f"CAST(list_sum(list_transform(generate_series(1, 64), i -> ({signs}[i]) * iv[i])) AS BIGINT) AS p{j}"
+        )
+    bucket_expr = " + ".join(f"(CASE WHEN p{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    lsh_buckets = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+            FROM embeddings
+        ), proj AS (
+            SELECT vec_id, {', '.join(plane_terms)} FROM base
+        )
+        SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM proj"""
+
+    return {
+        "docs_minhash_lsh": minhash_lsh,
+        "docs_ngram_jaccard": jaccard,
+        "docs_simhash": simhash_sql,
+        "emb_cosine_neardup": neardup,
+        "emb_ann_topk": ann,
+        "emb_lsh_buckets": lsh_buckets,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -430,6 +609,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_exact_dedup": docs_exact_dedup,
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
+    "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_simhash": docs_simhash,
+    "emb_cosine_neardup": emb_cosine_neardup,
+    "emb_ann_topk": emb_ann_topk,
+    "emb_lsh_buckets": emb_lsh_buckets,
 }
 
 
@@ -646,3 +831,5 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
 }
+
+ORACLE_SQL.update(_similarity_oracles())
