@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+extension surface): language ID, document fingerprinting, tokenization
+stats. All pure JVM-side column expressions (whole-stage codegen — no
+Python UDFs), each with an exact DuckDB-oracle twin in workloads.py.
+
+Determinism notes (same playbook as operators/similarity.py): integer
+rolling hashes mod the Mersenne prime 2^31-1; md5-based 32-bit gram
+hashes; double division only as the final step with identical expression
+trees on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P = 2147483647
+
+# tiny per-language stopword profiles (language-ID is a ratio heuristic)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "de", "et", "les", "un", "une"),
+    "de": ("der", "die", "das", "und", "ein", "zu"),
+    "es": ("el", "la", "de", "y", "los", "un", "en"),
+}
+# fixed priority order for deterministic argmax tiebreaks
+LANG_ORDER = ("en", "fr", "de", "es")
+
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Spark SQL string literals consume one level of backslash escaping
+_BPE_RE_SPARK = BPE_TOKEN_RE.replace("\\", "\\\\")
+
+
+def _stopword_ratio(text_col: str, words: tuple[str, ...]) -> F.Column:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"CAST(size(filter(split(trim({text_col}), '\\\\s+'), t -> t IN ({wl}))) AS DOUBLE)"
+        f" / CAST(size(split(trim({text_col}), '\\\\s+')) AS DOUBLE)"
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID over LANG_ORDER profiles; greedy
+    first-wins argmax (``pred`` deterministic under score ties).
+    ``(id, s_<lang>..., pred_lang)``."""
+    scores = {lang: _stopword_ratio(text_col, LANG_STOPWORDS[lang]) for lang in LANG_ORDER}
+    out = df.select(F.col(id_col), *[scores[lang].alias(f"s_{lang}") for lang in LANG_ORDER])
+    pred = (
+        F.when((F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
+        .when((F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") >= F.col("s_es")), "fr")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+    )
+    return out.withColumn("pred_lang", pred)
+
+
+def rolling_fingerprint(text_col: str) -> F.Column:
+    """Whole-document polynomial rolling hash: fold (h·31 + ascii) mod P
+    over characters — the order-sensitive fingerprint (reordered text
+    changes it; md5 of the raw bytes wouldn't expose prefix structure)."""
+    return F.expr(
+        f"aggregate(transform(split({text_col}, ''), c -> CAST(ascii(c) AS BIGINT)), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {P})"
+    )
+
+
+def min_gram_fingerprint(text_col: str, gram: int = 8) -> F.Column:
+    """Winnowing-style signature: minimum md5-based hash over all
+    ``gram``-char windows — stable under local edits away from the
+    minimizing window (the MOSS/winnowing trick)."""
+    return F.expr(
+        f"array_min(transform(sequence(1, greatest(1, length({text_col}) - {gram - 1})), "
+        f"i -> CAST(conv(substring(md5(substring({text_col}, i, {gram})), 1, 8), 16, 10) AS BIGINT)))"
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        rolling_fingerprint(text_col).alias("fp_roll"),
+        min_gram_fingerprint(text_col).alias("fp_min8"),
+    )
+
+
+def bpe_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish tokenization stats: regex word/number/punct split plus a
+    subword estimate of ceil(len/4) pieces per alphanumeric token.
+    ``(id, n_regex_tokens, n_subwords, n_punct)``."""
+    toks = f"regexp_extract_all({text_col}, '{_BPE_RE_SPARK}', 0)"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_regex_tokens"),
+        F.expr(
+            f"CAST(aggregate(transform({toks}, t -> CASE WHEN t RLIKE '^[A-Za-z0-9]' "
+            f"THEN (length(t) + 3) DIV 4 ELSE 1 END), 0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("n_subwords"),
+        F.expr(
+            f"CAST(size(filter({toks}, t -> NOT t RLIKE '^[A-Za-z0-9]')) AS BIGINT)"
+        ).alias("n_punct"),
+    )

@@ -28,6 +28,7 @@ from jagular_spark.operators import (
     interpolate_gaps,
 )
 from jagular_spark.operators import similarity as sim
+from jagular_spark.operators import text as txt
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -450,6 +451,71 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_bucket_assign(emb)
 
 
+def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID with deterministic argmax."""
+    return txt.language_id(load(spark, sf_dir, "documents"))
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash + winnowing min-gram document fingerprints."""
+    return txt.fingerprints(load(spark, sf_dir, "documents"))
+
+
+def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex BPE-ish token counts + subword estimates."""
+    return txt.bpe_token_stats(load(spark, sf_dir, "documents"))
+
+
+def _text_oracles() -> dict[str, str]:
+    ratio = {
+        lang: (
+            f"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"t -> t IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS DOUBLE)"
+            f" / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+        )
+        for lang, words in txt.LANG_STOPWORDS.items()
+    }
+    lang_sql = f"""
+        WITH scored AS (
+            SELECT doc_id, {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
+                   {ratio['de']} AS s_de, {ratio['es']} AS s_es
+            FROM documents
+        )
+        SELECT doc_id, s_en, s_fr, s_de, s_es,
+               CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END AS pred_lang
+        FROM scored"""
+
+    fp_sql = f"""
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % {txt.P}) AS fp_roll,
+               list_min(list_transform(generate_series(1, greatest(1, length(text) - 7)),
+                    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT)) AS fp_min8
+        FROM documents"""
+
+    toks = f"regexp_extract_all(text, '{txt.BPE_TOKEN_RE}')"
+    bpe_sql = f"""
+        SELECT doc_id,
+               CAST(len({toks}) AS BIGINT) AS n_regex_tokens,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform({toks}, t -> CASE WHEN regexp_matches(t, '^[A-Za-z0-9]')
+                        THEN (length(t) + 3) // 4 ELSE CAST(1 AS BIGINT) END)),
+                    (acc, x) -> acc + x) AS BIGINT) AS n_subwords,
+               CAST(len(list_filter({toks}, t -> NOT regexp_matches(t, '^[A-Za-z0-9]'))) AS BIGINT)
+                   AS n_punct
+        FROM documents"""
+
+    return {
+        "docs_language_id": lang_sql,
+        "docs_fingerprint": fp_sql,
+        "docs_bpe_tokens": bpe_sql,
+    }
+
+
 def _sim_hash_sql() -> str:
     return "('0x' || substr(md5({col}), 1, 8))::BIGINT"
 
@@ -615,6 +681,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_neardup": emb_cosine_neardup,
     "emb_ann_topk": emb_ann_topk,
     "emb_lsh_buckets": emb_lsh_buckets,
+    "docs_language_id": docs_language_id,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_bpe_tokens": docs_bpe_tokens,
 }
 
 
@@ -833,3 +902,4 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 ORACLE_SQL.update(_similarity_oracles())
+ORACLE_SQL.update(_text_oracles())
