@@ -1,0 +1,5 @@
+from jagular_spark.streaming.pipeline import (  # noqa: F401
+    stream_censor,
+    stream_crossings,
+    stream_sessionize,
+)

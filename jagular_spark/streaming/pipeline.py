@@ -1,0 +1,115 @@
+"""Structured Streaming variant of the dataflow (SURVEY §2.9 / M8).
+
+The reference's block-at-a-time pipeline with carried state
+(``jagular/utils.py:443-446``) is exactly Structured Streaming's shape:
+event-time = sample ts, gaps-and-islands → ``session_window``, dead-time
+censor → ``applyInPandasWithState`` (the carried ``last_kept`` edge is
+the GroupState), late/out-of-order packets → watermark.
+
+Batch remains the primary surface; these operators exist so the same
+semantics run incrementally. Parity with the batch operators is pinned
+by tests (single ``availableNow`` pass ≡ batch result).
+
+Scale notes: session_window and the stateful censor shuffle once on the
+group key; state size is O(1) per (channel) for the censor and O(open
+sessions) for sessionization — both bounded by the watermark, which
+evicts state for event times older than the lateness bound.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gaps-and-islands segmentation as a streaming session window
+    (batch twin: workloads.events_sessionize): a session closes once the
+    watermark passes its last event + gap. Returns
+    ``(key, session_start, session_end, n_events, last_event)``."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "last_event",
+        )
+    )
+
+
+def stream_crossings(
+    samples: DataFrame,
+    threshold: float,
+    value_col: str = "value",
+    polarity: str = "pos",
+) -> DataFrame:
+    """Stateless part of detection: the threshold predicate (W1's first
+    half). The debounce/censor stages are stateful — see stream_censor."""
+    if polarity == "pos":
+        return samples.where(F.col(value_col) > threshold)
+    if polarity == "neg":
+        return samples.where(F.col(value_col) < -threshold)
+    return samples.where(F.abs(F.col(value_col)) > threshold)
+
+
+def stream_censor(
+    crossings: DataFrame,
+    width: int = 30,
+    ts_col: str = "ts",
+    partition_cols: Sequence[str] = ("channel_id",),
+    max_out_of_order: int = 0,
+) -> DataFrame:
+    """Dead-time suppression with carried state (batch twin:
+    operators.spikes.censor): keep the first crossing per group, drop
+    later ones within ``width`` samples of the last KEPT edge. The
+    reference's sequential loop state (``spikes.py:334-336``) becomes a
+    one-value GroupState (``last_kept``), surviving across micro-batches.
+
+    Rows are processed in ts order *within* each micro-batch; an edge
+    arriving in a later batch with an earlier ts than an already-kept
+    edge cannot retract it (document-level caveat shared by any
+    at-least-once streaming dead-time filter) — bound disorder with the
+    upstream watermark.
+    """
+    keys = list(partition_cols)
+    fields = dict(crossings.select(*keys, ts_col).dtypes)
+    out_schema = ", ".join(f"{k} {fields[k]}" for k in keys) + f", {ts_col} {fields[ts_col]}"
+
+    def kernel(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_kept = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        keep = []
+        for i, t in enumerate(pdf[ts_col].to_numpy()):
+            if last_kept is None or t - last_kept >= width:
+                keep.append(i)
+                last_kept = int(t)
+        if last_kept is not None:
+            state.update((last_kept,))
+        out = pdf.iloc[keep][[c for c in pdf.columns if c in set(keys) | {ts_col}]]
+        yield out
+
+    return (
+        crossings.select(*keys, ts_col)
+        .groupBy(*keys)
+        .applyInPandasWithState(kernel, out_schema, "last_kept long", "append", "NoTimeout")
+    )

@@ -1,0 +1,139 @@
+"""Streaming ↔ batch parity: a single availableNow pass over a file
+source must reproduce the batch operators' results exactly."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from jagular_spark.operators.spikes import censor as batch_censor
+from jagular_spark.streaming import stream_censor, stream_crossings, stream_sessionize
+
+SF = "/root/testdata/sf0.001"
+GAP_US = 30 * 60 * 1_000_000
+
+
+def _events_batch(spark):
+    """events with a real TimestampType event-time column."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")).alias("ts"),
+    )
+
+
+def _as_stream(spark, df, tmp_path, name):
+    path = str(tmp_path / name)
+    df.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(df.schema).parquet(path)
+
+
+def _run_to_memory(sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def test_stream_sessionize_matches_batch_islands(spark, tmp_path):
+    ev = _events_batch(spark)
+    stream = _as_stream(spark, ev, tmp_path, "ev")
+    out = stream_sessionize(stream, gap="30 minutes", watermark="0 seconds")
+    _run_to_memory(out, "sessions", "append")
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flag = F.when(us - F.lag(us).over(w) >= GAP_US, 1).otherwise(0)
+    batch = (
+        ev.withColumn("sid", F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    # append mode only emits sessions CLOSED by the final watermark
+    # (watermark = global max event time): last_event + gap <= watermark
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    rows = batch.collect()
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in rows
+        if r.last_event + pd.Timedelta(minutes=30) <= max_ts
+    }
+    still_open = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in rows
+        if r.last_event + pd.Timedelta(minutes=30) > max_ts
+    }
+    assert got == want
+    assert len(still_open) >= 1  # the tail sessions really were the difference
+
+
+def test_stream_censor_matches_batch_censor(spark, tmp_path):
+    ev = _events_batch(spark).select(
+        F.col("user_id").cast("int").alias("channel_id"),
+        F.unix_micros(F.col("ts")).alias("ts"),
+        "value",
+    )
+    crossings = stream_crossings(ev, threshold=100.0)
+    batch = batch_censor(
+        crossings, width=GAP_US, ts_col="ts", partition_cols=["channel_id"]
+    )
+    want = {(r.channel_id, r.ts) for r in batch.collect()}
+
+    stream = _as_stream(spark, crossings, tmp_path, "cr")
+    out = stream_censor(stream, width=GAP_US, ts_col="ts", partition_cols=["channel_id"])
+    _run_to_memory(out, "censored", "append")
+    got = {(r.channel_id, r.ts) for r in spark.sql("SELECT * FROM censored").collect()}
+    assert got == want
+    assert got  # non-degenerate
+
+
+def test_stream_censor_state_carries_across_batches(spark, tmp_path):
+    """Two sequential availableNow runs over a growing directory: edges
+    in the second batch within `width` of the last kept edge of the
+    first batch must be dropped (GroupState survives via checkpoint)."""
+    path = str(tmp_path / "inc")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    pd.DataFrame({"channel_id": [1, 1], "ts": [100, 105]}).to_parquet(f"{path}/a.parquet")
+
+    collected: list[tuple[int, int]] = []
+
+    def run_once():
+        stream = spark.readStream.schema("channel_id long, ts long").parquet(path)
+        out = stream_censor(stream, width=30, ts_col="ts", partition_cols=["channel_id"])
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: collected.extend((r.channel_id, r.ts) for r in bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {t for _, t in collected} == {100}
+
+    # second file: 120 (within 30 of kept edge 100 → dropped), 140 (kept)
+    pd.DataFrame({"channel_id": [1, 1], "ts": [120, 140]}).to_parquet(f"{path}/b.parquet")
+    run_once()
+    assert {t for _, t in collected} == {100, 140}
