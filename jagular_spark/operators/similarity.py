@@ -85,16 +85,21 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Band the signature (LSH_BANDS bands × 2 rows), self-join buckets →
     ``(id_a, id_b, n_bands)`` candidate pairs. The join key is
     (band, m_even·2^31 + m_odd); bucket sizes are tiny so the self-join
-    is shuffle-bounded by the band table, not the corpus."""
-    bands = [
-        sig.select(
-            F.col(id_col).alias("id"),
-            F.lit(b).alias("band"),
-            (F.col(f"m{2 * b}") * F.lit(_BAND_SHIFT) + F.col(f"m{2 * b + 1}")).alias("key"),
-        )
-        for b in range(LSH_BANDS)
-    ]
-    buckets = reduce(lambda x, y: x.unionByName(y), bands)
+    is shuffle-bounded by the band table, not the corpus.
+
+    Bands come from ONE projection (``posexplode`` of the key array, not
+    a 4-way union that would re-run the minhash pipeline per branch),
+    and the tiny bucket table is cached so the self-join's two sides
+    share a single upstream computation."""
+    keys = F.array(
+        *[
+            F.col(f"m{2 * b}") * F.lit(_BAND_SHIFT) + F.col(f"m{2 * b + 1}")
+            for b in range(LSH_BANDS)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "key")
+    ).cache()
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
@@ -113,8 +118,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle:
     explode-join on shingle hash → count common → sizes join.
-    ``(id_a, id_b, n_common, n_union, jaccard)``."""
-    hashes = doc_shingle_hashes(df, id_col, text_col, n)
+    ``(id_a, id_b, n_common, n_union, jaccard)``.
+
+    The exploded hash table feeds four plan branches (both join sides +
+    both size lookups); caching it makes the md5/shingle pipeline run
+    once. At warehouse scale this would be a persisted intermediate
+    table instead."""
+    hashes = doc_shingle_hashes(df, id_col, text_col, n).cache()
     sizes = hashes.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = hashes.alias("a"), hashes.alias("b")
     common = (
@@ -186,21 +196,68 @@ def _cos() -> F.Column:
 
 
 def cosine_neardup_pairs(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.35
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine near-dup detection (baseline scale path; use
-    :func:`lsh_bucket_assign` blocking at corpus scale).
-    ``(id_a, id_b, cos)`` for cos ≥ threshold."""
+    """All-pairs cosine near-dup detection as a **block-nested-loop
+    matmul**: vectors are packed into ``n_blocks`` hash blocks
+    (collect_list), the tiny block table is cross-joined with itself
+    (blk_a ≤ blk_b — upper triangle only), and each block pair runs one
+    vectorized int64 ``A @ Bᵀ`` in numpy. Shuffle volume is
+    O(n_blocks · corpus) instead of O(pairs); compute is BLAS-batched
+    instead of per-row array lambdas. Integer dots are exact, so results
+    are bit-identical to the naive pairwise formula (and the oracle).
+    ``(id_a, id_b, cos)`` for cos ≥ threshold.
+
+    At 100 TB scale, combine with :func:`lsh_bucket_assign` blocking to
+    avoid the quadratic block grid."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
-    a = base.select(F.col("id").alias("id_a"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", _int_dot("iv_a", "iv_b"))
-        .withColumn("cos", _cos())
-        .where(F.col("cos") >= F.lit(threshold))
-        .select("id_a", "id_b", "cos")
+    packed = (
+        base.withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "iv", "nrm")).alias("rows"))
     )
+    grid = (
+        packed.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+        .join(
+            packed.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for row in b.itertuples(index=False):
+                ia = np.array([r["id"] for r in row.rows_a], dtype=np.int64)
+                ib = np.array([r["id"] for r in row.rows_b], dtype=np.int64)
+                va = np.array([r["iv"] for r in row.rows_a], dtype=np.int64)
+                vb = np.array([r["iv"] for r in row.rows_b], dtype=np.int64)
+                na = np.array([r["nrm"] for r in row.rows_a], dtype=np.int64)
+                nb = np.array([r["nrm"] for r in row.rows_b], dtype=np.int64)
+                dot = va @ vb.T
+                # same expression tree as the SQL oracle: dot/(sqrt·sqrt)
+                cos = dot / (np.sqrt(na.astype(np.float64))[:, None] * np.sqrt(nb.astype(np.float64))[None, :])
+                if row.blk_a == row.blk_b:
+                    # both orientations present in one matrix → keep id_a < id_b
+                    mask = (cos >= threshold) & (ia[:, None] < ib[None, :])
+                else:
+                    # each unordered pair appears exactly once in the grid;
+                    # normalize orientation below
+                    mask = cos >= threshold
+                ii, jj = np.nonzero(mask)
+                id_a = np.minimum(ia[ii], ib[jj])
+                id_b = np.maximum(ia[ii], ib[jj])
+                yield pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos": cos[ii, jj]})
+
+    return grid.mapInPandas(kernel, "id_a long, id_b long, cos double")
 
 
 def ann_topk_bruteforce(
