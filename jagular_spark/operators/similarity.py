@@ -54,20 +54,30 @@ def _hash32(col: F.Column) -> F.Column:
 
 
 def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Exploded ``(id, h)`` distinct shingle hashes, h ∈ [0, P)."""
-    t = df.select(F.col(id_col), tokens_col(text_col).alias("t"))
-    sh = t.select(
-        id_col,
-        F.expr(
-            "CASE WHEN size(t) >= {n} THEN array_distinct(transform(sequence(0, size(t) - {n}), "
-            "i -> concat_ws(' ', {idx}))) ELSE array() END".format(
-                n=n, idx=", ".join(f"t[i+{j}]" for j in range(n))
-            )
-        ).alias("shingles"),
+    """Exploded ``(id, h)`` distinct shingle hashes, h ∈ [0, P).
+
+    Shape: posexplode tokens → window ``lead`` per doc → concat → distinct
+    → hash. An array-lambda formulation (``transform(sequence(...), i ->
+    concat_ws(' ', t[i], ...))``) is the obvious alternative but Catalyst's
+    project-collapse inlines the token alias into every ``t[i+j]`` access,
+    re-running ``split`` per lambda element — O(tokens²) string work per
+    doc. The window form evaluates ``split`` once per doc and its shuffle
+    spreads the corpus across executors regardless of input file layout
+    (a handful of fat parquet files otherwise serializes the hot path).
+    Distinct is on the shingle *string* (matches the oracle's
+    ``list_distinct`` — two distinct shingles hashing alike stay 2 rows)."""
+    toks = df.select(F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    sh = (
+        toks.select(
+            F.col(id_col),
+            F.when(F.lead("tok", n - 1).over(w).isNotNull(), F.concat_ws(" ", *parts)).alias("s"),
+        )
+        .where(F.col("s").isNotNull())
+        .distinct()
     )
-    return sh.select(id_col, F.explode("shingles").alias("s")).select(
-        id_col, (_hash32(F.col("s")) % F.lit(P)).alias("h")
-    )
+    return sh.select(id_col, (_hash32(F.col("s")) % F.lit(P)).alias("h"))
 
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
