@@ -47,7 +47,12 @@ def get_spark(
         # the query layer, matching DuckDB's nanos→micros truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # ZGC: G1's evacuation pauses on a multi-GB local[32] heap were
+        # measured at 0.5-3 s and injected 5-50 s of nondeterministic
+        # stall into individual queries; ZGC holds the same workload at
+        # sub-ms pauses (ngram-jaccard @ sf0.1: mean 7 s → 0.9 s)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseZGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
