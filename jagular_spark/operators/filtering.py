@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jagular_spark import dsp
+from jagular_spark.operators.grouped import grouped_map_in_pandas
 
 
 # ---------------------------------------------------------------------------
@@ -125,14 +126,17 @@ def filtfilt_segments(
     schema = f"{key_schema}, {ts_col} long, filtered {out_type}"
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
         x = pdf[value_col].to_numpy(dtype=np.float64)
         y = _apply_zero_phase(sos_arr, x)
         out = pdf[keys + [ts_col]].copy()
         out["filtered"] = y
         return out
 
-    return df.select(*keys, ts_col, value_col).groupBy(*keys).applyInPandas(kernel, schema)
+    # many-small-groups strategy: one Arrow transfer per partition, not
+    # per (channel, segment) — see operators/grouped.py
+    return grouped_map_in_pandas(
+        df.select(*keys, ts_col, value_col), keys, [ts_col], kernel, schema
+    )
 
 
 def filtfilt_chunked(
@@ -205,7 +209,6 @@ def filtfilt_chunked(
     schema = f"{key_schema}, {ts_col} long, filtered {out_type}"
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
         x = pdf[value_col].to_numpy(dtype=np.float64)
         y = _apply_zero_phase(sos_arr, x)
         keep = pdf["__is_core"].to_numpy()
@@ -213,10 +216,9 @@ def filtfilt_chunked(
         out["filtered"] = y[keep]
         return out
 
-    return (
-        unioned.select(*keys, "__chunk", ts_col, value_col, "__is_core")
-        .groupBy(*keys, "__chunk")
-        .applyInPandas(kernel, schema)
+    return grouped_map_in_pandas(
+        unioned.select(*keys, "__chunk", ts_col, value_col, "__is_core"),
+        keys + ["__chunk"], [ts_col], kernel, schema,
     )
 
 

@@ -1,0 +1,75 @@
+"""Grouped-map execution strategy for MANY SMALL GROUPS.
+
+``groupBy(keys).applyInPandas(f)`` pays one Arrow round-trip + one
+Python call per group. That is the right physical plan when groups are
+few and large (one epoch of one channel), but measured on 1,500 groups
+of ~65 rows it spends ~3 ms/group on pure machinery — 5-9 s for a
+100k-row input whose kernel work is <50 ms.
+
+:func:`grouped_map_in_pandas` keeps the same logical semantics (the
+kernel sees exactly one whole group per call, rows ordered by
+``order_cols``) but executes as::
+
+    repartition(keys) → sortWithinPartitions(keys + order) → mapInPandas
+
+so one Arrow transfer moves a whole *partition*, and group slicing is a
+numpy boundary scan inside the worker. Per-group overhead drops from an
+Arrow round-trip to a DataFrame ``iloc`` slice.
+
+Memory contract: one shuffle partition (not one group) is materialized
+per task — the knob is ``spark.sql.shuffle.partitions`` (plus AQE
+coalescing), which is exactly how the partition-fits-in-executor
+contract is tuned at scale. Groups never straddle partitions because the
+repartition hashes on the full key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_map_in_pandas(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    kernel: Callable[[pd.DataFrame], pd.DataFrame | None],
+    schema: str,
+) -> DataFrame:
+    """Apply ``kernel`` to each (keys)-group of ``df``, delivered whole
+    and sorted by ``order_cols`` — the many-small-groups fast path for
+    ``groupBy().applyInPandas``.
+
+    ``kernel`` receives a pandas DataFrame holding one complete group
+    (already sorted; no defensive re-sort needed) and returns a
+    DataFrame matching ``schema`` (or None/empty to drop the group).
+    """
+    keys = list(keys)
+    order = list(order_cols)
+
+    part = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*(keys + order))
+
+    def wrapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        # group boundaries = rows where any key column changes
+        kf = pdf[keys]
+        change = (kf != kf.shift()).any(axis=1).to_numpy()
+        change[0] = True
+        bounds = np.append(np.flatnonzero(change), len(pdf))
+        outs = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            out = kernel(pdf.iloc[s:e])
+            if out is not None and len(out):
+                outs.append(out)
+        if outs:
+            yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+    return part.mapInPandas(wrapper, schema)

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jagular_spark.operators.grouped import grouped_map_in_pandas
+
 
 # ---------------------------------------------------------------------------
 # A3: robust MAD threshold
@@ -125,7 +127,6 @@ def censor(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
         ts = pdf[ts_col].to_numpy()
         keep = []
         last_kept = None
@@ -135,7 +136,9 @@ def censor(
                 last_kept = t
         return pdf.iloc[keep]
 
-    return df.select(*keys, ts_col).groupBy(*keys).applyInPandas(kernel, schema)
+    # crossings are sparse but spread over MANY (channel, segment) groups
+    # — use the partition-batched grouped-map strategy (grouped.py)
+    return grouped_map_in_pandas(df.select(*keys, ts_col), keys, [ts_col], kernel, schema)
 
 
 # ---------------------------------------------------------------------------
