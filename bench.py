@@ -23,6 +23,20 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("jagular_spark_bench")
 
+    # Untimed infrastructure warm-up (JMH-style): spin up executor
+    # threads, the Arrow/pandas worker pool, and the whole-stage-codegen
+    # compiler on throwaway work so per-query numbers measure the
+    # queries, not one-time JVM/process init. No benchmark query or
+    # benchmark table is touched.
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    warm = spark.range(0, 1 << 20, 1, 32).select(
+        (_F.col("id") % 97).alias("k"), _F.col("id").alias("v")
+    )
+    warm.groupBy("k").agg(_F.sum("v"), _F.max("v")).count()
+    warm.limit(4096).mapInPandas(lambda it: (b for b in it), "k long, v long").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in SPARK_QUERIES.items():

@@ -98,9 +98,11 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     is shuffle-bounded by the band table, not the corpus.
 
     Bands come from ONE projection (``posexplode`` of the key array, not
-    a 4-way union that would re-run the minhash pipeline per branch),
-    and the tiny bucket table is cached so the self-join's two sides
-    share a single upstream computation."""
+    a 4-way union that would re-run the minhash pipeline per branch);
+    the self-join's two sides share the signature shuffle via Spark's
+    exchange reuse (an explicit ``.cache()`` measured slower: columnar
+    (de)serialization on a table this hot costs more than the reuse
+    saves)."""
     keys = F.array(
         *[
             F.col(f"m{2 * b}") * F.lit(_BAND_SHIFT) + F.col(f"m{2 * b + 1}")
@@ -109,7 +111,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     buckets = sig.select(
         F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "key")
-    ).cache()
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
@@ -131,10 +133,10 @@ def ngram_jaccard_pairs(
     ``(id_a, id_b, n_common, n_union, jaccard)``.
 
     The exploded hash table feeds four plan branches (both join sides +
-    both size lookups); caching it makes the md5/shingle pipeline run
-    once. At warehouse scale this would be a persisted intermediate
-    table instead."""
-    hashes = doc_shingle_hashes(df, id_col, text_col, n).cache()
+    both size lookups); Catalyst's exchange reuse runs the md5/shingle
+    pipeline once without materializing a cache. At warehouse scale this
+    would be a persisted intermediate table instead."""
+    hashes = doc_shingle_hashes(df, id_col, text_col, n)
     sizes = hashes.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = hashes.alias("a"), hashes.alias("b")
     common = (
@@ -315,11 +317,19 @@ def lsh_bucket_assign(
     generation is then a bucket equi-join instead of all-pairs.
     ``(id, bucket)`` — deterministic integers, oracle-exact."""
     base = df.select(F.col(id_col), int_vec(vec_col).alias("iv"))
+    # sign vectors as literal arrays + zip_with/aggregate dots: a flat
+    # 64-term add chain per plane compiles to ~512 codegen expression
+    # nodes across 8 planes and measurably bloats Janino compile time;
+    # the array form is a constant-size tree regardless of dim
     proj = [
-        reduce(
-            lambda acc, i: acc + F.lit(_plane_sign(j, i)) * F.expr(f"iv[{i}]"),
-            range(1, dim),
-            F.lit(_plane_sign(j, 0)) * F.expr("iv[0]"),
+        F.aggregate(
+            F.zip_with(
+                F.col("iv"),
+                F.array(*[F.lit(_plane_sign(j, i)) for i in range(dim)]),
+                lambda x, s: x * s.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
         ).alias(f"p{j}")
         for j in range(n_planes)
     ]

@@ -52,7 +52,10 @@ def get_spark(
         # measured at 0.5-3 s and injected 5-50 s of nondeterministic
         # stall into individual queries; ZGC holds the same workload at
         # sub-ms pauses (ngram-jaccard @ sf0.1: mean 7 s → 0.9 s)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseZGC")
+        # 512m code cache: whole-stage codegen across many distinct
+        # queries in one session can exhaust the 240m default, silently
+        # dropping the JVM to interpreted mode
+        .config("spark.driver.extraJavaOptions", "-XX:+UseZGC -XX:ReservedCodeCacheSize=512m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
