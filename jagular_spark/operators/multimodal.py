@@ -81,6 +81,41 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     return media.where(F.col("kind") == "image").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+BYTE_STATS_SCHEMA = "media_id long, n_bytes bigint, byte_sum bigint, mean_px double"
+
+
+def image_byte_stats(media: DataFrame) -> DataFrame:
+    """Decode raw8 payloads and compute EXACT integer byte statistics
+    (count, sum, and pixel mean as one double division at the end).
+
+    This is the oracle-checkable face of the decode path: the integer
+    accumulation is associativity-proof, so the result is bit-identical
+    across partitionings and engines — unlike float ``mean`` whose
+    summation order varies. One Arrow-batched narrow map, no shuffle;
+    payloads never leave the Arrow buffers except as numpy views."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(f"codec {r.codec!r}: only raw8 decodable here")
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                n = int(buf.size)
+                s = int(buf.sum(dtype=np.int64))
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "n_bytes": n,
+                        "byte_sum": s,
+                        "mean_px": float(s) / float(n * 255) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, BYTE_STATS_SCHEMA)
+
+
 def resize_image(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """Nearest-neighbor resize to (out_h, out_w), re-encoded as raw8
     bytes — shape-preserving plumbing for a real resample kernel."""

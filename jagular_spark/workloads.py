@@ -466,6 +466,160 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.bpe_token_stats(load(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Signal-chain extensions: common ref, LSH ANN, decimate, tetrode, alignment,
+# multimodal decode
+# ---------------------------------------------------------------------------
+
+def _minute_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base: one sample per (user, minute), keep-first dedup —
+    the sanitized per-channel stream several signal queries build on."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    return dedup_keep_first(
+        ev.withColumn("minute", F.expr("CAST(us DIV 60000000 AS BIGINT)")),
+        ts_col="minute",
+        tiebreak_cols=["us", "event_id"],
+        partition_cols=["user_id"],
+    ).select("user_id", "minute", "value")
+
+
+def events_common_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 common average reference (reference ``common_ref``,
+    ``jagular/spikes.py:92-117``): subtract the cross-channel mean at
+    each timestamp. Values are floored to integer millis first so the
+    mean's accumulation is exact (sums ≪ 2^53) and the single final
+    division is bit-identical in both engines."""
+    from jagular_spark.operators.filtering import common_reference
+
+    base = _minute_grid(spark, sf_dir).withColumn(
+        "iv", F.expr("CAST(floor(value * 1000) AS BIGINT)")
+    )
+    out = common_reference(
+        base.select("user_id", "minute", F.col("iv").alias("value")),
+        ts_col="minute",
+        value_col="value",
+        channel_col="user_id",
+    )
+    return out.select(
+        "user_id", "minute", F.col("value").alias("iv"),
+        F.col("value_ref").cast("double").alias("value_ref"),
+    )
+
+
+def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 neighbors (the ANN scale path):
+    candidates restricted to the probe's hyperplane bucket, exact
+    integer-dot ranking inside."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_lsh(emb, F.col("id") < 20, k=5)
+
+
+def events_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 decimate: FIR anti-alias prefilter (halo-chunked zero-phase
+    pass) then keep every 4th minute. Exercises the decimate operator +
+    the chunked filtering physical strategy on a real keyed stream.
+    Rows-only check (IIR/FIR kernels are not SQL-expressible)."""
+    from jagular_spark.operators.filtering import decimate, design_fir
+
+    base = _minute_grid(spark, sf_dir)
+    samples = base.select(
+        F.col("user_id").cast("int").alias("channel_id"),
+        F.col("minute").alias("ts"),
+        F.col("value"),
+    )
+    # inline gaps-and-islands segment ids (one window pass — avoids a
+    # samples⋈segments self-join on shared lineage)
+    w = Window.partitionBy("channel_id").orderBy("ts")
+    brk = (F.col("ts") - F.lag("ts").over(w) >= F.lit(2)).cast("int")
+    with_seg = samples.withColumn(
+        "segment_id", F.coalesce(F.sum(brk).over(w), F.lit(0)).cast("long")
+    )
+    segs = with_seg.groupBy("channel_id", "segment_id").agg(F.min("ts").alias("ts_start"))
+    taps = design_fir(fs=1.0, fl=None, fh=0.1, numtaps=21)
+    out = decimate(
+        with_seg, taps, segs, q=4, buffer_len=4096, overlap_len=64,
+    )
+    return out.select("channel_id", "ts", "filtered")
+
+
+def events_tetrode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4/P4 tetrode assembly: peak times detected on channel 0 are
+    joined against 4 channel streams; per-spike 4×8 waveforms pass an
+    artifact bound. Rows-only check (array-of-array assembly)."""
+    from jagular_spark.operators.spikes import detect_spikes, form_tetrode
+
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    samples = ev.select(
+        F.col("user_id").cast("int").alias("channel_id"),
+        F.lit(0).cast("long").alias("segment_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("ts"),
+        F.col("value"),
+    ).where(F.col("channel_id") < 4)
+    spikes = detect_spikes(
+        samples.where(F.col("channel_id") == 0),
+        multiplier=1.0, censor_width=5, patch_size=8, polarity="pos",
+    )
+    tet = form_tetrode(
+        samples, spikes.select(F.col("peak_ts").alias("ts")),
+        tetrode_channels=[0, 1, 2, 3], patch_size=8, artifact_bound=1e9,
+    )
+    return tet.select(
+        "peak_ts",
+        F.flatten("waveform").cast("array<double>").alias("waveform_flat"),
+    )
+
+
+def events_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5-W7 sub-sample alignment: detected single-channel waveforms are
+    wrapped as 1×N tetrodes and aligned to the parabola-vertex fractional
+    peak with the cubic-spline resampler. Rows-only check."""
+    from jagular_spark.operators.alignment import align_waveforms
+    from jagular_spark.operators.spikes import detect_spikes
+
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    samples = ev.select(
+        F.col("user_id").cast("int").alias("channel_id"),
+        F.lit(0).cast("long").alias("segment_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("ts"),
+        F.col("value"),
+    ).where(F.col("channel_id") < 32)
+    spikes = detect_spikes(
+        samples, multiplier=2.0, censor_width=5, patch_size=8, polarity="pos"
+    )
+    wrapped = spikes.withColumn(
+        "waveform", F.array(F.col("waveform").cast("array<float>"))
+    )
+    aligned = align_waveforms(wrapped, mode="cspline", polarity="pos")
+    return aligned.select(
+        "channel_id",
+        F.col("peak_ts").alias("peak_seq"),
+        F.element_at("aligned", 1).cast("array<double>").alias("aligned_wave"),
+    )
+
+
+def docs_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing with an EXACT SQL oracle: each doc's
+    UTF-8 bytes become a raw8 media payload; the Arrow-batched decode
+    kernel computes integer byte stats (count/sum) and one final double
+    division for the mean pixel value."""
+    from jagular_spark.operators.multimodal import image_byte_stats
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length(F.encode("text", "UTF-8")).cast("int").alias("width"),
+        F.lit(1).alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return image_byte_stats(media)
+
+
 def _text_oracles() -> dict[str, str]:
     ratio = {
         lang: (
@@ -684,6 +838,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_language_id": docs_language_id,
     "docs_fingerprint": docs_fingerprint,
     "docs_bpe_tokens": docs_bpe_tokens,
+    "events_common_ref": events_common_ref,
+    "emb_ann_topk_lsh": emb_ann_topk_lsh,
+    "events_decimate": events_decimate,
+    "events_tetrode": events_tetrode,
+    "events_align": events_align,
+    "docs_media_stats": docs_media_stats,
 }
 
 
@@ -901,5 +1061,92 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def _extension_oracles() -> dict[str, str]:
+    """Oracles for the signal/ANN/multimodal extension queries.
+    events_decimate / events_tetrode / events_align are rows-only (IIR
+    kernels, array-of-array assembly and spline resampling are not
+    SQL-expressible)."""
+    dedup_cte = """
+        WITH dedup AS (
+            SELECT user_id, minute, value FROM (
+                SELECT user_id, epoch_us(ts) // 60000000 AS minute, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 60000000
+                            ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        )"""
+    common_ref = f"""{dedup_cte}, iv AS (
+            SELECT user_id, minute, CAST(floor(value * 1000) AS BIGINT) AS iv FROM dedup
+        ), ref AS (
+            SELECT minute, AVG(iv) AS m FROM iv GROUP BY minute
+        )
+        SELECT i.user_id, i.minute, i.iv,
+               CAST(i.iv - r.m AS DOUBLE) AS value_ref
+        FROM iv i JOIN ref r ON i.minute = r.minute"""
+
+    plane_terms = []
+    for j in range(8):
+        signs = "[" + ", ".join(str(sim._plane_sign(j, i)) for i in range(64)) + "]"
+        plane_terms.append(
+            f"CAST(list_sum(list_transform(generate_series(1, 64), i -> ({signs}[i]) * iv[i])) AS BIGINT) AS p{j}"
+        )
+    bucket_expr = " + ".join(f"(CASE WHEN p{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    pair_dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(q.iv)), "
+        "i -> q.iv[i] * c.iv[i])) AS BIGINT)"
+    )
+    ann_lsh = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+            FROM embeddings
+        ), normed AS (
+            SELECT vec_id, iv,
+                   CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                        i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+            FROM base
+        ), proj AS (
+            SELECT vec_id, {', '.join(plane_terms)} FROM base
+        ), bucketed AS (
+            SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM proj
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {pair_dot} AS dot,
+                   q.nrm AS nrm_a, c.nrm AS nrm_b
+            FROM normed q
+            JOIN bucketed qb ON qb.vec_id = q.vec_id
+            JOIN bucketed cb ON cb.bucket = qb.bucket AND cb.vec_id != q.vec_id
+            JOIN normed c ON c.vec_id = cb.vec_id
+            WHERE q.vec_id < 20
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank,
+               dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+        FROM ranked WHERE rank <= 5"""
+
+    media_stats = """
+        WITH b AS (
+            SELECT doc_id AS media_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+                        i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum
+            FROM documents
+        )
+        SELECT media_id, n_bytes, byte_sum,
+               CASE WHEN n_bytes = 0 THEN 0.0
+                    ELSE CAST(byte_sum AS DOUBLE) / CAST(n_bytes * 255 AS DOUBLE)
+               END AS mean_px
+        FROM b"""
+
+    return {
+        "events_common_ref": common_ref,
+        "emb_ann_topk_lsh": ann_lsh,
+        "docs_media_stats": media_stats,
+    }
+
+
 ORACLE_SQL.update(_similarity_oracles())
 ORACLE_SQL.update(_text_oracles())
+ORACLE_SQL.update(_extension_oracles())

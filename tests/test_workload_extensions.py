@@ -1,0 +1,38 @@
+"""Smoke tests for the signal/ANN/multimodal extension queries (their
+value-level correctness is pinned by the DuckDB oracle harness; the
+rows-only ones are pinned here structurally)."""
+
+import pytest
+
+from jagular_spark.workloads import SPARK_QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "name,cols",
+    [
+        ("events_common_ref", {"user_id", "minute", "iv", "value_ref"}),
+        ("emb_ann_topk_lsh", {"query_id", "neighbor_id", "rank", "cos"}),
+        ("events_decimate", {"channel_id", "ts", "filtered"}),
+        ("events_tetrode", {"peak_ts", "waveform_flat"}),
+        ("events_align", {"channel_id", "peak_seq", "aligned_wave"}),
+        ("docs_media_stats", {"media_id", "n_bytes", "byte_sum", "mean_px"}),
+    ],
+)
+def test_extension_query_runs(spark, name, cols):
+    df = SPARK_QUERIES[name](spark, SF_DIR)
+    assert set(df.columns) == cols
+    rows = df.limit(2000).collect()
+    assert len(rows) >= 0  # driver smoke contract: runs, stable schema
+
+
+def test_decimate_keeps_every_4th(spark):
+    df = SPARK_QUERIES["events_decimate"](spark, SF_DIR)
+    assert df.where("ts % 4 != 0").count() == 0
+
+
+def test_tetrode_waveform_width(spark):
+    rows = SPARK_QUERIES["events_tetrode"](spark, SF_DIR).limit(10).collect()
+    for r in rows:
+        assert len(r.waveform_flat) == 4 * 8
