@@ -339,3 +339,102 @@ def extract_channels(
         .parquet(out_path)
     )
     return spark.read.parquet(out_path)
+
+
+# ---------------------------------------------------------------------------
+# S4/J1: raw single-channel scan zipped with a timestamps side-file
+# ---------------------------------------------------------------------------
+
+def read_raw_channel(
+    spark: SparkSession,
+    channel_file: str,
+    timestamps_file: str | None = None,
+    value_dtype: str = "int16",
+    ts_dtype: str = "uint64",
+    split_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """S4: scan a flat per-channel ``.raw`` file (int16 samples) zipped
+    row-positionally with its shared timestamps side-file (uint64) —
+    the reference's ``SpikeGadgetsSingleChannelReader.read_block``
+    (``jagular/readers.py:102-127``).
+
+    The J1 positional equi-join (``readers.py:121-125``) never becomes a
+    Spark join: splits are planned on the *sample index*, and each split
+    reads the matching byte ranges of both files (offsets scale by dtype
+    width), so the zip happens inside one vectorized ``np.frombuffer``
+    pass per split — no shuffle, no row_number. Where the reference
+    leaves ts auto-inference unimplemented (``readers.py:123``), passing
+    ``timestamps_file=None`` synthesizes ``ts = sample index`` (gapless
+    from 0), which is the documented intent.
+    """
+    import numpy as np
+
+    vdt = np.dtype(value_dtype)
+    tdt = np.dtype(ts_dtype)
+    n_samples = os.path.getsize(channel_file) // vdt.itemsize
+    if timestamps_file is not None:
+        n_ts = os.path.getsize(timestamps_file) // tdt.itemsize
+        if n_ts < n_samples:
+            n_samples = n_ts
+    samples_per_split = max(1, split_bytes // vdt.itemsize)
+    splits = []
+    off = 0
+    while off < n_samples:
+        n = min(samples_per_split, n_samples - off)
+        splits.append((off, n))
+        off += n
+    if not splits:
+        return spark.createDataFrame([], "ts long, value smallint")
+
+    splits_df = spark.createDataFrame(
+        pd.DataFrame(splits, columns=["first_sample", "n_samples"])
+    ).repartition(len(splits))
+    ch_path, ts_path = channel_file, timestamps_file
+    v_name, t_name = vdt.str, tdt.str
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        v_dt, t_dt = np.dtype(v_name), np.dtype(t_name)
+        for b in batches:
+            for row in b.itertuples(index=False):
+                with open(ch_path, "rb") as f:
+                    f.seek(row.first_sample * v_dt.itemsize)
+                    vals = np.frombuffer(
+                        f.read(row.n_samples * v_dt.itemsize), dtype=v_dt
+                    )
+                if ts_path is None:
+                    ts = row.first_sample + np.arange(len(vals), dtype=np.int64)
+                else:
+                    with open(ts_path, "rb") as f:
+                        f.seek(row.first_sample * t_dt.itemsize)
+                        ts = np.frombuffer(
+                            f.read(row.n_samples * t_dt.itemsize), dtype=t_dt
+                        ).astype(np.int64)
+                yield pd.DataFrame(
+                    {"ts": ts, "value": vals.astype(np.int16, copy=False)}
+                )
+
+    return splits_df.mapInPandas(decode, "ts long, value smallint")
+
+
+def read_scaled_channel(
+    spark: SparkSession,
+    channel_file: str,
+    timestamps_file: str | None = None,
+    bit_to_uv: float = 4096.0 / 2.0**15,
+    **kwargs,
+) -> DataFrame:
+    """S10/P6: channel scan with bits→µV scaling (reference ``load_ns5``,
+    ``jagular/spikes.py:63-90``; scale at ``spikes.py:87``). The ns5
+    container codec itself depends on an external loader the reference
+    imports lazily; decoding it is STUBBED — flat ``.raw`` channels take
+    the real S4 path, and the projection (the only Spark-side logic) is
+    a JVM column expression either way."""
+    if channel_file.endswith(".ns5"):
+        raise NotImplementedError(
+            "ns5 container decode requires an external loader (reference "
+            "imports `ns5` lazily); extract to flat .raw channels first"
+        )
+    raw = read_raw_channel(spark, channel_file, timestamps_file, **kwargs)
+    return raw.withColumn("uv", F.col("value") * F.lit(float(bit_to_uv)))

@@ -152,3 +152,52 @@ def test_small_split_bytes_many_splits_same_result(spark):
         ref["channels"][:, cfg.spike_channel_positions[0]],
     )
     assert len(rows) == 22
+
+
+def test_read_raw_channel_zip_scan(spark, tmp_path):
+    """S4/J1: flat .raw channel file zipped positionally with a uint64
+    timestamps side-file; splits must align across both files."""
+    from jagular_spark.sources import read_raw_channel
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-3000, 3000, size=1000, dtype=np.int16)
+    ts = (np.cumsum(rng.integers(1, 3, size=1000)) + 100).astype(np.uint64)
+    ch_f, ts_f = str(tmp_path / "ch09.raw"), str(tmp_path / "timestamps.raw")
+    vals.tofile(ch_f)
+    ts.tofile(ts_f)
+
+    # tiny split size -> many splits; zip must stay aligned
+    df = read_raw_channel(spark, ch_f, ts_f, split_bytes=64)
+    rows = df.orderBy("ts").collect()
+    np.testing.assert_array_equal(
+        np.array([r.ts for r in rows], dtype=np.uint64), ts
+    )
+    np.testing.assert_array_equal(
+        np.array([r.value for r in rows], dtype=np.int16), vals
+    )
+
+    # ts auto-inference (reference leaves it unimplemented, readers.py:123):
+    # ts = sample index from 0
+    df2 = read_raw_channel(spark, ch_f, None, split_bytes=256)
+    rows2 = df2.orderBy("ts").collect()
+    assert [r.ts for r in rows2] == list(range(1000))
+
+    # truncated ts side-file bounds the scan (zip semantics)
+    ts[:900].tofile(ts_f)
+    assert read_raw_channel(spark, ch_f, ts_f, split_bytes=64).count() == 900
+
+
+def test_read_scaled_channel_uv(spark, tmp_path):
+    from jagular_spark.sources import read_scaled_channel
+
+    vals = np.array([-32768, 0, 1, 32767], dtype=np.int16)
+    ch_f = str(tmp_path / "ch00.raw")
+    vals.tofile(ch_f)
+    df = read_scaled_channel(spark, ch_f, None)
+    rows = df.orderBy("ts").collect()
+    k = 4096.0 / 2.0**15
+    np.testing.assert_allclose(
+        np.array([r.uv for r in rows]), vals.astype(np.float64) * k
+    )
+    with pytest.raises(NotImplementedError):
+        read_scaled_channel(spark, str(tmp_path / "x.ns5"), None)
