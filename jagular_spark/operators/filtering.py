@@ -27,7 +27,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jagular_spark import dsp
@@ -142,7 +142,7 @@ def filtfilt_segments(
 def filtfilt_chunked(
     df: DataFrame,
     sos: np.ndarray,
-    segments: DataFrame,
+    segments: DataFrame | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
     channel_cols: Sequence[str] = ("channel_id",),
@@ -155,15 +155,19 @@ def filtfilt_chunked(
     """Halo-chunked zero-phase filtering for epochs larger than executor
     memory — the custom physical strategy.
 
-    Plan:
-    1. Join samples to their segment bounds (broadcast — segments are
-       tiny) to get a dense row index ``rn = (ts - ts_start) / step``
-       without any window sort.
+    Plan (ONE pass over the input — no self-union, no segments rejoin):
+    1. ``__seg_start = min(ts) over (channel, segment)`` — a window on
+       keys the input is already clustered by after the segment-id
+       window, so it adds a sort but NO exchange; dense row index
+       ``rn = (ts - __seg_start) / step`` follows as arithmetic. (If a
+       pre-computed ``segments`` frame is passed it is broadcast-joined
+       instead, for callers whose segments come from elsewhere.)
     2. ``chunk = rn DIV buffer_len`` JVM-side.
-    3. Self-union: rows within ``overlap_len`` of a chunk edge are
-       duplicated into the neighbor chunk as halo rows (``is_core``
-       false). All pure column arithmetic — no shuffle until the
-       groupBy.
+    3. Each row emits 1-3 ``(chunk, is_core)`` assignments via a
+       literal-array ``explode``: its own chunk (core) plus the
+       previous/next chunk when it falls inside an ``overlap_len`` halo.
+       Pure column arithmetic — the input lineage is scanned ONCE (a
+       self-union here would recompute the whole upstream per branch).
     4. ``applyInPandas`` per (channel, segment, chunk): sort, filter
        with the shared scipy kernel, emit only core rows.
 
@@ -175,35 +179,43 @@ def filtfilt_chunked(
     keys = list(channel_cols) + [segment_col]
     sos_arr = np.asarray(sos, dtype=np.float64)
 
-    seg_bounds = segments.select(
-        *[F.col(c) for c in channel_cols if c in segments.columns],
-        F.col(segment_col),
-        F.col("ts_start").alias("__seg_start"),
-    )
-    join_keys = [c for c in channel_cols if c in segments.columns] + [segment_col]
-    base = df.join(F.broadcast(seg_bounds), on=join_keys, how="inner").withColumn(
-        "__rn", ((F.col(ts_col) - F.col("__seg_start")) / F.lit(step)).cast("long")
-    )
-
-    core = base.withColumn("__chunk", (F.col("__rn") / F.lit(buffer_len)).cast("long")).withColumn(
-        "__is_core", F.lit(True)
-    )
-    # halo into the NEXT chunk: rows in the last overlap_len of chunk k
-    halo_next = (
-        base.withColumn("__chunk", ((F.col("__rn") + F.lit(overlap_len)) / F.lit(buffer_len)).cast("long"))
-        .withColumn("__is_core", F.lit(False))
-        .where(((F.col("__rn") + F.lit(overlap_len)) / F.lit(buffer_len)).cast("long") != (F.col("__rn") / F.lit(buffer_len)).cast("long"))
-    )
-    # halo into the PREVIOUS chunk: rows in the first overlap_len of chunk k
-    halo_prev = (
-        base.withColumn("__chunk", ((F.col("__rn") - F.lit(overlap_len)) / F.lit(buffer_len)).cast("long"))
-        .withColumn("__is_core", F.lit(False))
-        .where(
-            (((F.col("__rn") - F.lit(overlap_len)) / F.lit(buffer_len)).cast("long") != (F.col("__rn") / F.lit(buffer_len)).cast("long"))
-            & (F.col("__rn") >= F.lit(overlap_len))
+    if segments is None:
+        seg_w = Window.partitionBy(*keys)
+        base = df.withColumn("__seg_start", F.min(ts_col).over(seg_w))
+    else:
+        seg_bounds = segments.select(
+            *[F.col(c) for c in channel_cols if c in segments.columns],
+            F.col(segment_col),
+            F.col("ts_start").alias("__seg_start"),
         )
+        join_keys = [c for c in channel_cols if c in segments.columns] + [segment_col]
+        base = df.join(F.broadcast(seg_bounds), on=join_keys, how="inner")
+    base = base.withColumn(
+        "__rn", ((F.col(ts_col) - F.col("__seg_start")) / F.lit(step)).cast("long")
+    ).withColumn("__chunk0", (F.col("__rn") / F.lit(buffer_len)).cast("long"))
+
+    in_prev_halo = (
+        ((F.col("__rn") - F.lit(overlap_len)) / F.lit(buffer_len)).cast("long")
+        != F.col("__chunk0")
+    ) & (F.col("__rn") >= F.lit(overlap_len))
+    in_next_halo = (
+        (F.col("__rn") + F.lit(overlap_len)) / F.lit(buffer_len)
+    ).cast("long") != F.col("__chunk0")
+    assignments = F.filter(
+        F.array(
+            F.struct(F.col("__chunk0").alias("c"), F.lit(True).alias("core")),
+            F.struct((F.col("__chunk0") - 1).alias("c"), F.lit(False).alias("core")),
+            F.struct((F.col("__chunk0") + 1).alias("c"), F.lit(False).alias("core")),
+        ),
+        lambda a: a["core"]
+        | F.when(a["c"] < F.col("__chunk0"), in_prev_halo).otherwise(in_next_halo),
     )
-    unioned = core.unionByName(halo_next).unionByName(halo_prev)
+    unioned = (
+        base.withColumn("__a", F.explode(assignments))
+        .withColumn("__chunk", F.col("__a")["c"])
+        .withColumn("__is_core", F.col("__a")["core"])
+        .drop("__a", "__chunk0", "__rn", "__seg_start")
+    )
 
     key_schema = ", ".join(f"{k} {t}" for k, t in df.select(*keys).dtypes)
     schema = f"{key_schema}, {ts_col} long, filtered {out_type}"
@@ -229,8 +241,8 @@ def filtfilt_chunked(
 def decimate(
     df: DataFrame,
     sos: np.ndarray,
-    segments: DataFrame,
     q: int,
+    segments: DataFrame | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
     channel_cols: Sequence[str] = ("channel_id",),

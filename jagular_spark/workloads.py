@@ -528,16 +528,16 @@ def events_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
     )
     # inline gaps-and-islands segment ids (one window pass — avoids a
-    # samples⋈segments self-join on shared lineage)
+    # samples⋈segments self-join on shared lineage); segment starts are
+    # derived inside decimate by a same-clustering window (no rejoin)
     w = Window.partitionBy("channel_id").orderBy("ts")
     brk = (F.col("ts") - F.lag("ts").over(w) >= F.lit(2)).cast("int")
     with_seg = samples.withColumn(
         "segment_id", F.coalesce(F.sum(brk).over(w), F.lit(0)).cast("long")
     )
-    segs = with_seg.groupBy("channel_id", "segment_id").agg(F.min("ts").alias("ts_start"))
     taps = design_fir(fs=1.0, fl=None, fh=0.1, numtaps=21)
     out = decimate(
-        with_seg, taps, segs, q=4, buffer_len=4096, overlap_len=64,
+        with_seg, taps, q=4, buffer_len=4096, overlap_len=64,
     )
     return out.select("channel_id", "ts", "filtered")
 

@@ -80,6 +80,30 @@ def test_filtfilt_chunked_equals_unchunked(spark, noisy_signal, buffer_len, over
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+def test_filtfilt_chunked_derives_segments_via_window(spark, noisy_signal):
+    """segments=None: seg starts come from a min-over-window on the same
+    clustering — results identical to the explicit-segments path."""
+    from jagular_spark.dsp import sosfiltfilt
+
+    sos = butter_bandpass_sos(FS, 300.0, 1400.0)
+    # non-zero ts origin + a second shifted segment exercise rn derivation
+    df = _signal_df(spark, noisy_signal[:6000], segment=0, ts0=500).unionByName(
+        _signal_df(spark, noisy_signal[6000:], segment=1, ts0=9000)
+    )
+    got = (
+        filtfilt_chunked(df, sos, buffer_len=2048, overlap_len=1024)
+        .orderBy("segment_id", "ts")
+        .select("filtered")
+        .toPandas()["filtered"]
+        .to_numpy()
+    )
+    want = np.concatenate(
+        [sosfiltfilt(sos, noisy_signal[:6000]), sosfiltfilt(sos, noisy_signal[6000:])]
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_censor_doctest_vector(spark):
     ts = [110, 111, 112, 120, 270, 271, 280]
     df = spark.createDataFrame(
