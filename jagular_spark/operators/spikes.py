@@ -119,9 +119,11 @@ def censor(
 ) -> DataFrame:
     """Keep the first crossing; drop later ones within ``width`` of the
     last KEPT edge (reference ``spikes.py:303-337``, doctest
-    ``[110,111,112,120,270,271,280] w=30 → [110,270]``). Running state
-    makes this non-windowable; the pandas kernel sees only crossing
-    rows, which are sparse."""
+    ``[110,111,112,120,270,271,280] w=30 → [110,270]``). The boundary is
+    exclusive like the reference's ``sample > edges[-1] + width``
+    (``spikes.py:335``): an edge landing exactly ``width`` after the
+    last kept edge is censored. Running state makes this non-windowable;
+    the pandas kernel sees only crossing rows, which are sparse."""
     keys = list(partition_cols)
     in_schema = df.select(*keys, ts_col).schema
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema.fields)
@@ -131,7 +133,7 @@ def censor(
         keep = []
         last_kept = None
         for i, t in enumerate(ts):
-            if last_kept is None or t - last_kept >= width:
+            if last_kept is None or t - last_kept > width:
                 keep.append(i)
                 last_kept = t
         return pdf.iloc[keep]

@@ -100,7 +100,7 @@ def stream_censor(
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
         keep = []
         for i, t in enumerate(pdf[ts_col].to_numpy()):
-            if last_kept is None or t - last_kept >= width:
+            if last_kept is None or t - last_kept > width:
                 keep.append(i)
                 last_kept = int(t)
         if last_kept is not None:

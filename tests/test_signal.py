@@ -113,6 +113,17 @@ def test_censor_doctest_vector(spark):
     assert [r.ts for r in out] == [110, 270]
 
 
+def test_censor_boundary_is_exclusive(spark):
+    # reference keeps only sample > last_kept + width (jagular/spikes.py:335):
+    # an edge exactly `width` after the last kept edge is censored
+    df = spark.createDataFrame(
+        [(0, 0, 100), (0, 0, 130), (0, 0, 131)],
+        "channel_id int, segment_id long, ts long",
+    )
+    out = censor(df, width=30).orderBy("ts").collect()
+    assert [r.ts for r in out] == [100, 131]
+
+
 def test_mad_threshold_matches_numpy(spark, noisy_signal):
     df = _signal_df(spark, noisy_signal)
     got = mad_threshold(df, multiplier=4.0).collect()[0].threshold
