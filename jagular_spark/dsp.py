@@ -303,23 +303,38 @@ def firwin_bandpass(numtaps: int, fl: float | None, fh: float | None, fs: float)
 
 
 def fir_zero_phase(taps: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """Centered convolution with a symmetric FIR: zero-phase, fully
-    vectorized (FFT for long signals). Edge handling: reflect padding."""
+    """Centered convolution with a symmetric FIR: zero-phase, reflect
+    edge padding (``x[-j] ≡ x[j]``, ``x[n-1+j] ≡ x[n-1-j]``).
+
+    DETERMINISTIC BY CONSTRUCTION: ``y[i] = ((0 + t₀·x[r₀]) + t₁·x[r₁])
+    + …`` accumulates in fixed ascending-tap order, so the result is
+    bit-identical to any other engine folding the same sequence (the
+    DuckDB ``list_reduce`` oracle) AND halo-chunked == unchunked is an
+    exact equality on interior rows, not a tolerance. An FFT formulation
+    would be faster for very long kernels but breaks both properties;
+    for the short kernels used here (21-801 taps) the k-loop of
+    vectorized multiply-adds is within 2× of FFT anyway.
+
+    Signals shorter than ``numtaps`` return zeros (degenerate-epoch
+    rule, mirrors the reference's too-short-epoch behavior).
+    """
     taps = np.asarray(taps, dtype=np.float64)
     x = np.asarray(x, dtype=np.float64)
-    half = (len(taps) - 1) // 2
-    if len(x) == 0:
+    n = len(x)
+    numtaps = len(taps)
+    half = (numtaps - 1) // 2
+    if n == 0:
         return x
-    pad = min(half, len(x) - 1)
-    ext = np.concatenate([x[pad:0:-1], x, x[-2 : -pad - 2 : -1]]) if pad > 0 else x
-    if len(ext) > 4096:
-        n = len(ext) + len(taps) - 1
-        nfft = 1 << (n - 1).bit_length()
-        y = np.fft.irfft(np.fft.rfft(ext, nfft) * np.fft.rfft(taps, nfft), nfft)[: n]
-    else:
-        y = np.convolve(ext, taps, mode="full")
-    start = half + pad
-    return y[start : start + len(x)]
+    if n < numtaps:
+        return np.zeros_like(x)
+    idx = np.arange(n)
+    y = np.zeros(n, dtype=np.float64)
+    for k in range(numtaps):
+        j = idx + (k - half)
+        j = np.abs(j)                      # reflect at the left edge
+        j = np.where(j >= n, 2 * (n - 1) - j, j)  # reflect at the right edge
+        y += taps[k] * x[j]
+    return y
 
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jagular_spark import dsp
-from jagular_spark.operators.grouped import grouped_map_in_pandas
+from jagular_spark.operators.grouped import grouped_map_partition_bounds
 
 
 # ---------------------------------------------------------------------------
@@ -96,14 +96,19 @@ LFP_FILTER_PARAMS = {"fl": None, "fh": 400.0, "fs": 30000.0, "buffer_len": 2**22
 
 def _apply_zero_phase(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
     """Dispatch on coefficient shape: 2-D = SOS cascade (IIR,
-    reference-parity), 1-D = symmetric FIR taps (vectorized fast path).
-    Short inputs (< warm-up length) return zeros like the reference's
-    degenerate-epoch behavior."""
-    if len(x) <= 30:
-        return np.zeros_like(x)
+    reference-parity, zeros below the 30-sample warm-up), 1-D =
+    symmetric FIR taps (deterministic direct convolution; zeros below
+    ``numtaps`` — both mirror the reference's degenerate-epoch rule)."""
     if coeffs.ndim == 2:
+        if len(x) <= 30:
+            return np.zeros_like(np.asarray(x, dtype=np.float64))
         return dsp.sosfiltfilt(coeffs, x)
     return dsp.fir_zero_phase(coeffs, x)
+
+
+def _min_len(coeffs: np.ndarray) -> int:
+    """Groups shorter than this produce zeros without a kernel call."""
+    return 31 if coeffs.ndim == 2 else len(coeffs)
 
 
 # ---------------------------------------------------------------------------
@@ -122,20 +127,24 @@ def filtfilt_segments(
     segment) fits executor memory; otherwise :func:`filtfilt_chunked`."""
     keys = list(partition_cols)
     sos_arr = np.asarray(sos, dtype=np.float64)
+    min_len = _min_len(sos_arr)
     key_schema = ", ".join(f"{k} {t}" for k, t in df.select(*keys).dtypes)
     schema = f"{key_schema}, {ts_col} long, filtered {out_type}"
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def partition_kernel(pdf: pd.DataFrame, bounds) -> pd.DataFrame:
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        y = _apply_zero_phase(sos_arr, x)
+        y = np.zeros_like(x)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= min_len:  # short groups stay zeros — no Python call
+                y[s:e] = _apply_zero_phase(sos_arr, x[s:e])
         out = pdf[keys + [ts_col]].copy()
         out["filtered"] = y
         return out
 
-    # many-small-groups strategy: one Arrow transfer per partition, not
-    # per (channel, segment) — see operators/grouped.py
-    return grouped_map_in_pandas(
-        df.select(*keys, ts_col, value_col), keys, [ts_col], kernel, schema
+    # many-small-groups strategy: one Arrow transfer AND one pandas
+    # construction per partition — per-group cost is a numpy slice
+    return grouped_map_partition_bounds(
+        df.select(*keys, ts_col, value_col), keys, [ts_col], partition_kernel, schema
     )
 
 
@@ -219,18 +228,22 @@ def filtfilt_chunked(
 
     key_schema = ", ".join(f"{k} {t}" for k, t in df.select(*keys).dtypes)
     schema = f"{key_schema}, {ts_col} long, filtered {out_type}"
+    min_len = _min_len(sos_arr)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def partition_kernel(pdf: pd.DataFrame, bounds) -> pd.DataFrame:
         x = pdf[value_col].to_numpy(dtype=np.float64)
-        y = _apply_zero_phase(sos_arr, x)
+        y = np.zeros_like(x)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= min_len:
+                y[s:e] = _apply_zero_phase(sos_arr, x[s:e])
         keep = pdf["__is_core"].to_numpy()
         out = pdf.loc[keep, keys + [ts_col]].copy()
         out["filtered"] = y[keep]
         return out
 
-    return grouped_map_in_pandas(
+    return grouped_map_partition_bounds(
         unioned.select(*keys, "__chunk", ts_col, value_col, "__is_core"),
-        keys + ["__chunk"], [ts_col], kernel, schema,
+        keys + ["__chunk"], [ts_col], partition_kernel, schema,
     )
 
 
@@ -241,19 +254,34 @@ def filtfilt_chunked(
 def decimate(
     df: DataFrame,
     sos: np.ndarray,
-    q: int,
+    q: int | None = None,
     segments: DataFrame | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
     channel_cols: Sequence[str] = ("channel_id",),
     segment_col: str = "segment_id",
     step: int = 1,
+    fs: float | None = None,
+    fs_out: float | None = None,
     **chunk_kwargs,
 ) -> DataFrame:
     """Anti-alias prefilter (the SOS you pass should cut at the new
     Nyquist) then keep every q-th sample — ``ts % (q*step) == 0`` so no
-    row index is needed (reference F5 stub semantics,
-    ``jagular/signal.py:3-40``)."""
+    row index is needed.
+
+    Reference API parity (``jagular/signal.py:3-40``): pass either the
+    integer factor ``q``, or ``fs``+``fs_out`` to derive it —
+    ``fs/fs_out`` must be a whole number, like the reference's
+    divisibility validation."""
+    if q is None:
+        if fs is None or fs_out is None:
+            raise ValueError("pass q, or both fs and fs_out")
+        ratio = fs / fs_out
+        if abs(ratio - round(ratio)) > 1e-9 or round(ratio) < 1:
+            raise ValueError(f"fs/fs_out must be a positive integer, got {ratio}")
+        q = int(round(ratio))
+    elif fs_out is not None:
+        raise ValueError("pass q or fs_out, not both")
     filtered = filtfilt_chunked(
         df, sos, segments, ts_col=ts_col, value_col=value_col,
         channel_cols=channel_cols, segment_col=segment_col, step=step, **chunk_kwargs,

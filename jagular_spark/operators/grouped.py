@@ -73,3 +73,45 @@ def grouped_map_in_pandas(
             yield pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
 
     return part.mapInPandas(wrapper, schema)
+
+
+def grouped_map_partition_bounds(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    partition_kernel: Callable[[pd.DataFrame, "object"], pd.DataFrame | None],
+    schema: str,
+) -> DataFrame:
+    """Batched variant for kernels that can vectorize ACROSS groups:
+    ``partition_kernel(pdf, bounds)`` receives one whole shuffle
+    partition (rows sorted by keys + order_cols) plus the numpy array of
+    group start offsets (``bounds[i]:bounds[i+1]`` is group i) and
+    returns the output for the entire partition in one shot.
+
+    This is the many-tiny-groups scale path: a partition with 100k
+    one-row groups costs ONE pandas construction and a numpy loop over
+    boundary offsets instead of 100k ``iloc`` slices + kernel calls —
+    the per-group floor drops from ~1 ms to ~100 ns. Any skew toward
+    short groups (degenerate segmentation, sparse crossings) hits this
+    floor instead of a per-group Python cliff.
+    """
+    keys = list(keys)
+    order = list(order_cols)
+    part = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*(keys + order))
+
+    def wrapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        kf = pdf[keys]
+        change = (kf != kf.shift()).any(axis=1).to_numpy()
+        change[0] = True
+        bounds = np.append(np.flatnonzero(change), len(pdf))
+        out = partition_kernel(pdf, bounds)
+        if out is not None and len(out):
+            yield out
+
+    return part.mapInPandas(wrapper, schema)

@@ -27,6 +27,7 @@ from jagular_spark.operators import (
     gap_lengths,
     interpolate_gaps,
 )
+from jagular_spark import dsp
 from jagular_spark.operators import similarity as sim
 from jagular_spark.operators import text as txt
 
@@ -279,6 +280,62 @@ def events_stream_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FIR5 = (0.1, 0.2, 0.4, 0.2, 0.1)  # symmetric 5-tap smoothing kernel
 
+# FIR kernels for the filter-chain queries, designed once at import.
+# dsp.fir_zero_phase accumulates taps in ascending order with reflect
+# edge padding, so the SQL oracle reproduces it BIT-EXACTLY with the
+# same left-associated add chain (see _fir_chain_sql).
+_BP_TAPS = dsp.firwin_bandpass(21, 0.05, 0.2, 1.0)   # band-pass (filtfilt)
+_LP_TAPS = dsp.firwin_bandpass(21, None, 0.125, 1.0)  # low-pass (decimate, q=4)
+
+
+def _rn_samples(spark: SparkSession, sf_dir: str, max_channel: int | None = None) -> DataFrame:
+    """Events as per-user dense sample streams: channel = user, ts = the
+    0-based position in the user's (time, event_id) order — the
+    contiguous-epoch layout the signal operators expect."""
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = ev.select(
+        F.col("user_id").cast("int").alias("channel_id"),
+        F.lit(0).cast("long").alias("segment_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("ts"),
+        F.col("value"),
+    )
+    if max_channel is not None:
+        s = s.where(F.col("channel_id") < max_channel)
+    return s
+
+
+# Shared SQL prefix: the same per-user rn stream + per-user value lists.
+_ORDERED_LISTS_CTE = """
+    ordered AS (
+        SELECT user_id, value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS rn
+        FROM events
+    ), lists AS (
+        SELECT user_id, list(value ORDER BY rn) AS xs,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordered GROUP BY user_id
+    )"""
+
+
+def _fir_chain_sql(taps, rn: str = "o.rn", xs: str = "l.xs", n: str = "l.n") -> str:
+    """Left-associated FIR dot product with reflect indexing — the exact
+    fold order of dsp.fir_zero_phase; taps embedded as string-cast
+    literals (array literals would round-trip through DECIMAL)."""
+    half = (len(taps) - 1) // 2
+    chain = "0.0"
+    for k, t in enumerate(taps):
+        d = k - half
+        j = f"({rn} + {d})" if d >= 0 else f"({rn} - {-d})"
+        refl = (
+            f"(CASE WHEN {j} < 0 THEN -{j} "
+            f"WHEN {j} >= {n} THEN 2*({n}-1) - {j} "
+            f"ELSE {j} END) + 1"
+        )
+        chain = f"({chain} + CAST('{float(t)!r}' AS DOUBLE) * {xs}[{refl}])"
+    return f"CASE WHEN {n} < {len(taps)} THEN 0.0 ELSE {chain} END"
+
 
 def events_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-phase FIR smoothing as PURE window expressions (F-class demo
@@ -304,51 +361,40 @@ def events_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_filtfilt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-phase Butterworth band-pass per user stream (the engine's
-    flagship custom op — applyInPandas with the pure-numpy SOS cascade;
-    genuinely non-SQL-expressible, rows-only check)."""
+    """Zero-phase band-pass per user stream (the engine's flagship
+    grouped filtering op — partition-batched pandas kernel). The
+    deterministic FIR kernel makes the result EXACTLY reproducible in
+    SQL (see _fir_chain_sql), so this runs with a full value-hash
+    oracle; the IIR SOS-cascade variant of the same operator is covered
+    by unit tests (chunked == unchunked, vs the numpy oracle)."""
     from jagular_spark.operators.filtering import filtfilt_segments
-    from jagular_spark import dsp
 
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    samples = ev.select(
-        F.col("user_id").cast("int").alias("channel_id"),
-        F.lit(0).cast("long").alias("segment_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("ts"),
-        F.col("value"),
-    )
-    sos = dsp.butter_sos(2, [0.05, 0.4], "bandpass")
-    out = filtfilt_segments(samples, sos)
+    out = filtfilt_segments(_rn_samples(spark, sf_dir), _BP_TAPS)
     return out.select(
-        F.col("channel_id").alias("user_id"), F.col("ts").alias("seq"), "filtered"
+        F.col("channel_id").cast("long").alias("user_id"),
+        F.col("ts").alias("seq"),
+        "filtered",
     )
 
 
 def events_detect_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full detection pipeline (MAD threshold → debounced crossings →
-    censor → waveform extract) on per-user event-value streams —
-    demonstrates F7 end-to-end on driver data. Rows-only check (the
-    censor stage is inherently sequential)."""
+    censor → waveform extract) on per-user event-value streams — F7
+    end-to-end on driver data. Waveforms are posexploded to scalar
+    (idx, wv) rows; the DuckDB oracle replays the whole pipeline,
+    expressing the sequential censor as a recursive CTE."""
     from jagular_spark.operators.spikes import detect_spikes
 
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    samples = ev.select(
-        F.col("user_id").cast("int").alias("channel_id"),
-        F.lit(0).cast("long").alias("segment_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("ts"),
-        F.col("value"),
-    )
     out = detect_spikes(
-        samples, multiplier=2.0, censor_width=5, patch_size=8, polarity="pos"
+        _rn_samples(spark, sf_dir),
+        multiplier=2.0, censor_width=5, patch_size=8, polarity="pos",
     )
     return out.select(
-        F.col("channel_id").alias("user_id"),
+        F.col("channel_id").cast("long").alias("user_id"),
         F.col("crossing_ts").alias("crossing_seq"),
         F.col("peak_ts").alias("peak_seq"),
-        "waveform",
-    )
+        F.posexplode("waveform").alias("idx", "wv"),
+    ).withColumn("idx", F.col("idx").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -515,47 +561,33 @@ def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5 decimate: FIR anti-alias prefilter (halo-chunked zero-phase
-    pass) then keep every 4th minute. Exercises the decimate operator +
-    the chunked filtering physical strategy on a real keyed stream.
-    Rows-only check (IIR/FIR kernels are not SQL-expressible)."""
-    from jagular_spark.operators.filtering import decimate, design_fir
+    """F5 decimate: FIR anti-alias prefilter through the halo-chunked
+    zero-phase strategy, then keep every 4th sample — on fat per-user
+    contiguous streams (one segment per user), so the kernel filters
+    real data instead of degenerate 1-row islands. ``fs/fs_out`` API
+    parity with ``jagular/signal.py:3-40``. Exact SQL oracle via the
+    deterministic FIR chain."""
+    from jagular_spark.operators.filtering import decimate
 
-    base = _minute_grid(spark, sf_dir)
-    samples = base.select(
-        F.col("user_id").cast("int").alias("channel_id"),
-        F.col("minute").alias("ts"),
-        F.col("value"),
-    )
-    # inline gaps-and-islands segment ids (one window pass — avoids a
-    # samples⋈segments self-join on shared lineage); segment starts are
-    # derived inside decimate by a same-clustering window (no rejoin)
-    w = Window.partitionBy("channel_id").orderBy("ts")
-    brk = (F.col("ts") - F.lag("ts").over(w) >= F.lit(2)).cast("int")
-    with_seg = samples.withColumn(
-        "segment_id", F.coalesce(F.sum(brk).over(w), F.lit(0)).cast("long")
-    )
-    taps = design_fir(fs=1.0, fl=None, fh=0.1, numtaps=21)
     out = decimate(
-        with_seg, taps, q=4, buffer_len=4096, overlap_len=64,
+        _rn_samples(spark, sf_dir), _LP_TAPS, fs=1.0, fs_out=0.25,
+        buffer_len=4096, overlap_len=32,
     )
-    return out.select("channel_id", "ts", "filtered")
+    return out.select(
+        F.col("channel_id").cast("long").alias("user_id"),
+        F.col("ts").alias("seq"),
+        "filtered",
+    )
 
 
 def events_tetrode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/J4/P4 tetrode assembly: peak times detected on channel 0 are
     joined against 4 channel streams; per-spike 4×8 waveforms pass an
-    artifact bound. Rows-only check (array-of-array assembly)."""
+    artifact bound, flattened and posexploded to (peak_seq, idx, wv)
+    rows. Full SQL oracle (recursive-CTE censor + list assembly)."""
     from jagular_spark.operators.spikes import detect_spikes, form_tetrode
 
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    samples = ev.select(
-        F.col("user_id").cast("int").alias("channel_id"),
-        F.lit(0).cast("long").alias("segment_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("ts"),
-        F.col("value"),
-    ).where(F.col("channel_id") < 4)
+    samples = _rn_samples(spark, sf_dir, max_channel=4)
     spikes = detect_spikes(
         samples.where(F.col("channel_id") == 0),
         multiplier=1.0, censor_width=5, patch_size=8, polarity="pos",
@@ -565,38 +597,39 @@ def events_tetrode(spark: SparkSession, sf_dir: str) -> DataFrame:
         tetrode_channels=[0, 1, 2, 3], patch_size=8, artifact_bound=1e9,
     )
     return tet.select(
-        "peak_ts",
-        F.flatten("waveform").cast("array<double>").alias("waveform_flat"),
+        F.col("peak_ts").alias("peak_seq"),
+        F.posexplode(F.flatten("waveform")).alias("idx", "wv"),
+    ).select(
+        "peak_seq",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("wv").cast("double").alias("wv"),
     )
 
 
 def events_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5-W7 sub-sample alignment: detected single-channel waveforms are
-    wrapped as 1×N tetrodes and aligned to the parabola-vertex fractional
-    peak with the cubic-spline resampler. Rows-only check."""
+    wrapped as 1×N tetrodes and aligned to the parabola-vertex
+    fractional peak, linear-resampled (reference ``interp1d`` mode,
+    ``jagular/alignment.py:53-54``) and posexploded to scalar rows. The
+    closed-form parabola + piecewise-linear resample is reproduced
+    exactly by the SQL oracle; the cubic-spline mode of the same
+    operator is covered by unit tests against the numpy oracle."""
     from jagular_spark.operators.alignment import align_waveforms
     from jagular_spark.operators.spikes import detect_spikes
 
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    samples = ev.select(
-        F.col("user_id").cast("int").alias("channel_id"),
-        F.lit(0).cast("long").alias("segment_id"),
-        (F.row_number().over(w) - 1).cast("long").alias("ts"),
-        F.col("value"),
-    ).where(F.col("channel_id") < 32)
+    samples = _rn_samples(spark, sf_dir, max_channel=32)
     spikes = detect_spikes(
         samples, multiplier=2.0, censor_width=5, patch_size=8, polarity="pos"
     )
     wrapped = spikes.withColumn(
         "waveform", F.array(F.col("waveform").cast("array<float>"))
     )
-    aligned = align_waveforms(wrapped, mode="cspline", polarity="pos")
+    aligned = align_waveforms(wrapped, mode="linear", polarity="pos")
     return aligned.select(
-        "channel_id",
+        F.col("channel_id").cast("long").alias("user_id"),
         F.col("peak_ts").alias("peak_seq"),
-        F.element_at("aligned", 1).cast("array<double>").alias("aligned_wave"),
-    )
+        F.posexplode(F.element_at("aligned", 1).cast("array<double>")).alias("idx", "av"),
+    ).withColumn("idx", F.col("idx").cast("long"))
 
 
 def docs_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,11 +1094,130 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def _detect_cte(multiplier: float, width: int, chan_pred: str) -> str:
+    """CTE chain replaying the spike-detection pipeline in SQL:
+    per-user rn streams → exact-median MAD threshold → debounced
+    crossings (LEAD) → greedy censor as a RECURSIVE CTE (each iteration
+    keeps, per user, the first crossing strictly more than ``width``
+    after the last kept edge — the reference's sequential loop) →
+    peak re-location as first-argmax over the ±4 center window."""
+    mult = repr(float(multiplier))
+    return f"""
+        WITH RECURSIVE {_ORDERED_LISTS_CTE}, thr AS (
+            SELECT user_id,
+                   ({mult} * CAST(MEDIAN(ABS(value)) AS DOUBLE)) / 0.6745 AS threshold
+            FROM ordered WHERE {chan_pred} GROUP BY user_id
+        ), nxt AS (
+            SELECT user_id, rn, value,
+                   LEAD(value) OVER (PARTITION BY user_id ORDER BY rn) AS next_value
+            FROM ordered WHERE {chan_pred}
+        ), cr AS (
+            SELECT n.user_id, n.rn
+            FROM nxt n JOIN thr t ON n.user_id = t.user_id
+            WHERE n.value > t.threshold AND n.next_value > t.threshold
+        ), kept AS (
+            SELECT c.user_id, c.rn FROM cr c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cr c2 WHERE c2.user_id = c.user_id AND c2.rn < c.rn)
+            UNION ALL
+            SELECT c.user_id, c.rn
+            FROM cr c JOIN kept k ON c.user_id = k.user_id AND c.rn > k.rn + {width}
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cr c2
+                WHERE c2.user_id = c.user_id AND c2.rn > k.rn + {width} AND c2.rn < c.rn)
+        ), located AS (
+            SELECT k.user_id, k.rn AS crossing_seq, l.xs, l.n,
+                   GREATEST(k.rn - 4, 0)
+                     + CAST(list_position(
+                           list_slice(l.xs, GREATEST(k.rn - 4, 0) + 1, LEAST(k.rn + 4, l.n)),
+                           list_max(list_slice(l.xs, GREATEST(k.rn - 4, 0) + 1, LEAST(k.rn + 4, l.n)))
+                       ) AS BIGINT) - 1 AS peak_seq
+            FROM kept k JOIN lists l ON k.user_id = l.user_id
+        )"""
+
+
+def _signal_oracles() -> dict[str, str]:
+    """Exact oracles for the filter/detection chain. The FIR queries
+    reproduce dsp.fir_zero_phase's ascending-tap left fold bit-for-bit;
+    the detection queries replay threshold→crossings→censor→extract with
+    a recursive-CTE censor; align adds the closed-form parabola vertex +
+    np.interp-convention piecewise-linear resample (float32-rounded like
+    the pandas kernel)."""
+    filtfilt = f"""
+        WITH {_ORDERED_LISTS_CTE}
+        SELECT o.user_id, o.rn AS seq, {_fir_chain_sql(_BP_TAPS)} AS filtered
+        FROM ordered o JOIN lists l ON o.user_id = l.user_id"""
+
+    decimate = f"""
+        WITH {_ORDERED_LISTS_CTE}
+        SELECT o.user_id, o.rn AS seq, {_fir_chain_sql(_LP_TAPS)} AS filtered
+        FROM ordered o JOIN lists l ON o.user_id = l.user_id
+        WHERE o.rn % 4 = 0"""
+
+    detect = f"""{_detect_cte(2.0, 5, "TRUE")}
+        SELECT d.user_id, d.crossing_seq, d.peak_seq, CAST(t.j AS BIGINT) AS idx,
+               CASE WHEN d.peak_seq - 4 + t.j BETWEEN 0 AND d.n - 1
+                    THEN d.xs[d.peak_seq - 4 + t.j + 1] ELSE 0.0 END AS wv
+        FROM located d, UNNEST(generate_series(0, 7)) AS t(j)"""
+
+    tetrode = f"""{_detect_cte(1.0, 5, "user_id = 0")}, pk AS (
+            SELECT DISTINCT peak_seq FROM located
+        ), patches AS (
+            SELECT p.peak_seq, l.user_id AS ch, l.xs,
+                   GREATEST(p.peak_seq - 4, 0) AS lo,
+                   LEAST(p.peak_seq + 4, l.n) AS hi
+            FROM pk p, lists l WHERE l.user_id < 4
+        ), ok AS (
+            SELECT peak_seq FROM patches GROUP BY peak_seq
+            HAVING COUNT(*) = 4 AND MIN(hi - lo) > 0
+        )
+        SELECT p.peak_seq, CAST(p.ch * 8 + t.j AS BIGINT) AS idx,
+               CAST(CAST(CASE WHEN t.j < p.hi - p.lo
+                    THEN p.xs[p.lo + t.j + 1] ELSE 0.0 END AS FLOAT) AS DOUBLE) AS wv
+        FROM patches p, ok o, UNNEST(generate_series(0, 7)) AS t(j)
+        WHERE p.peak_seq = o.peak_seq"""
+
+    align = f"""{_detect_cte(2.0, 5, "user_id < 32")}, wvs AS (
+            SELECT user_id, crossing_seq, peak_seq,
+                   list_transform(generate_series(0, 7), j ->
+                       CAST(CAST(CASE WHEN peak_seq - 4 + j BETWEEN 0 AND n - 1
+                            THEN xs[peak_seq - 4 + j + 1] ELSE 0.0 END AS FLOAT) AS DOUBLE)) AS w
+            FROM located
+        ), pk2 AS (
+            SELECT user_id, crossing_seq, peak_seq, w,
+                   CAST(list_position(w, list_max(w)) AS BIGINT) - 1 AS p
+            FROM wvs
+        ), fr AS (
+            SELECT user_id, crossing_seq, peak_seq, w,
+                   CASE WHEN p BETWEEN 1 AND 6
+                             AND ((w[p] - 2.0 * w[p+1]) + w[p+2]) != 0.0
+                        THEN CAST(p AS DOUBLE)
+                             + (w[p] - w[p+2]) / (2.0 * ((w[p] - 2.0 * w[p+1]) + w[p+2]))
+                        ELSE CAST(p AS DOUBLE) END AS frac
+            FROM pk2
+        ), grid AS (
+            SELECT user_id, crossing_seq, peak_seq, w, CAST(t.i AS BIGINT) AS idx,
+                   LEAST(GREATEST(frac + CAST(t.i - 4 AS DOUBLE), 0.0), 7.0) AS q
+            FROM fr, UNNEST(generate_series(0, 7)) AS t(i)
+        )
+        SELECT user_id, peak_seq, idx,
+               CAST(CAST(CASE WHEN q >= 7.0 THEN w[8]
+                    ELSE (w[CAST(FLOOR(q) AS BIGINT) + 2] - w[CAST(FLOOR(q) AS BIGINT) + 1])
+                         * (q - FLOOR(q)) + w[CAST(FLOOR(q) AS BIGINT) + 1]
+               END AS FLOAT) AS DOUBLE) AS av
+        FROM grid"""
+
+    return {
+        "events_filtfilt": filtfilt,
+        "events_decimate": decimate,
+        "events_detect_spikes": detect,
+        "events_tetrode": tetrode,
+        "events_align": align,
+    }
+
+
 def _extension_oracles() -> dict[str, str]:
-    """Oracles for the signal/ANN/multimodal extension queries.
-    events_decimate / events_tetrode / events_align are rows-only (IIR
-    kernels, array-of-array assembly and spline resampling are not
-    SQL-expressible)."""
+    """Oracles for the common-ref/ANN/multimodal extension queries."""
     dedup_cte = """
         WITH dedup AS (
             SELECT user_id, minute, value FROM (
@@ -1150,3 +1302,4 @@ def _extension_oracles() -> dict[str, str]:
 ORACLE_SQL.update(_similarity_oracles())
 ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
+ORACLE_SQL.update(_signal_oracles())

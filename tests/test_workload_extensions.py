@@ -14,9 +14,9 @@ SF_DIR = "/root/testdata/sf0.001"
     [
         ("events_common_ref", {"user_id", "minute", "iv", "value_ref"}),
         ("emb_ann_topk_lsh", {"query_id", "neighbor_id", "rank", "cos"}),
-        ("events_decimate", {"channel_id", "ts", "filtered"}),
-        ("events_tetrode", {"peak_ts", "waveform_flat"}),
-        ("events_align", {"channel_id", "peak_seq", "aligned_wave"}),
+        ("events_decimate", {"user_id", "seq", "filtered"}),
+        ("events_tetrode", {"peak_seq", "idx", "wv"}),
+        ("events_align", {"user_id", "peak_seq", "idx", "av"}),
         ("docs_media_stats", {"media_id", "n_bytes", "byte_sum", "mean_px"}),
     ],
 )
@@ -29,10 +29,11 @@ def test_extension_query_runs(spark, name, cols):
 
 def test_decimate_keeps_every_4th(spark):
     df = SPARK_QUERIES["events_decimate"](spark, SF_DIR)
-    assert df.where("ts % 4 != 0").count() == 0
+    assert df.where("seq % 4 != 0").count() == 0
 
 
 def test_tetrode_waveform_width(spark):
-    rows = SPARK_QUERIES["events_tetrode"](spark, SF_DIR).limit(10).collect()
-    for r in rows:
-        assert len(r.waveform_flat) == 4 * 8
+    df = SPARK_QUERIES["events_tetrode"](spark, SF_DIR)
+    idx = df.groupBy("peak_seq").count().collect()
+    for r in idx:
+        assert r["count"] == 4 * 8  # one row per flattened 4×8 sample
