@@ -76,69 +76,87 @@ def interpolate_gaps(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        acc = [b for b in batches]
+        acc = [b for b in batches if len(b)]
         if not acc:
             return
-        pdf = pd.concat(acc, ignore_index=True)
-        if pdf.empty:
-            return
+        pdf = pd.concat(acc, ignore_index=True) if len(acc) > 1 else acc[0]
+        n_rows = len(pdf)
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
 
-        def emit(g: pd.DataFrame) -> pd.DataFrame:
-            ts = g[ts_col].to_numpy()
-            out_rows: list[dict] = []
-            d = np.diff(ts)
-            idx = np.flatnonzero(d > step)
-            for i in idx:
-                row = {"kind": "gap", "pid": pid, "left_ts": int(ts[i]), "right_ts": int(ts[i + 1])}
-                for c in vals:
-                    v = g[c].to_numpy()
-                    row[f"l_{c}"] = float(v[i])
-                    row[f"r_{c}"] = float(v[i + 1])
-                out_rows.append(row)
-            for kind, j in (("F", 0), ("L", len(ts) - 1)):
-                row = {"kind": kind, "pid": pid, "left_ts": int(ts[j]), "right_ts": int(ts[j])}
-                for c in vals:
-                    v = g[c].to_numpy()
-                    row[f"l_{c}"] = float(v[j])
-                    row[f"r_{c}"] = float(v[j])
-                out_rows.append(row)
-            return pd.DataFrame(out_rows)
-
+        # Group starts via key-change detection on the sorted partition
+        # (no per-group groupby slicing — one numpy pass).
         if keys:
-            for kv, g in pdf.groupby(keys, sort=False):
-                out = emit(g)
-                kv = kv if isinstance(kv, tuple) else (kv,)
-                for k, v in zip(keys, kv):
-                    out[k] = v
-                yield out[keys + [c for c in out.columns if c not in keys]]
+            kf = pdf[keys]
+            change = (kf != kf.shift()).any(axis=1).to_numpy()
+            change[0] = True
+            starts = np.flatnonzero(change)
         else:
-            yield emit(pdf)
+            change = np.zeros(n_rows, dtype=bool)
+            change[0] = True
+            starts = np.array([0], dtype=np.int64)
+        ends = np.append(starts[1:], n_rows) - 1
+
+        # Interior gaps: consecutive rows of the SAME group with a
+        # timestamp jump. Emission is fully vectorized fancy indexing.
+        if n_rows > 1:
+            gap_idx = np.flatnonzero(~change[1:] & (np.diff(ts) > step))
+        else:
+            gap_idx = np.array([], dtype=np.int64)
+
+        li = np.concatenate([gap_idx, starts, ends])
+        ri = np.concatenate([gap_idx + 1, starts, ends])
+        kind = np.concatenate(
+            [
+                np.full(len(gap_idx), "gap", dtype=object),
+                np.full(len(starts), "F", dtype=object),
+                np.full(len(ends), "L", dtype=object),
+            ]
+        )
+        out: dict[str, object] = {k: pdf[k].to_numpy()[li] for k in keys}
+        out["kind"] = kind
+        out["pid"] = np.full(len(li), pid, dtype=np.int32)
+        out["left_ts"] = ts[li]
+        out["right_ts"] = ts[ri]
+        for c in vals:
+            v = pdf[c].to_numpy(dtype=np.float64)
+            out[f"l_{c}"] = v[li]
+            out[f"r_{c}"] = v[ri]
+        yield pd.DataFrame(out)
 
     pairs = parted.mapInPandas(find_gaps, pair_schema)
-    pairs.cache()
 
-    local_gaps = pairs.where(F.col("kind") == "gap")
-
-    # Cross-partition gaps: order edge rows per key by (pid, ts, kind);
-    # each 'L' (last-of-partition) followed by an 'F' (first-of-next)
-    # forms a boundary pair. O(2 × n_partitions) rows.
-    edges = pairs.where(F.col("kind").isin("F", "L"))
-    w = Window.partitionBy(*keys).orderBy("pid", "left_ts", F.col("kind")) if keys else Window.orderBy(
-        "pid", "left_ts", F.col("kind")
+    # ONE window pass consumes the (tiny) pairs frame: within each key,
+    # ordering by (pid, left_ts, kind) sequences every physical
+    # partition's rows as F, gaps..., L — so lead() of an 'L' row is the
+    # next partition's 'F' row, yielding the cross-boundary gap, while
+    # 'gap' rows already carry their own boundary values. No cache, no
+    # second execution of the heavy scan.
+    w = (
+        Window.partitionBy(*keys).orderBy("pid", "left_ts", F.col("kind"))
+        if keys
+        else Window.orderBy("pid", "left_ts", F.col("kind"))
     )
-    lead_cols = {"right_ts": F.lead("left_ts").over(w), "kind2": F.lead("kind").over(w)}
-    for c in vals:
-        lead_cols[f"r_{c}"] = F.lead(f"l_{c}").over(w)
-    boundary = edges
-    for name, expr in lead_cols.items():
-        boundary = boundary.withColumn(name, expr)
-    boundary_gaps = boundary.where(
-        (F.col("kind") == "L") & (F.col("kind2") == "F") & (F.col("right_ts") - F.col("left_ts") > step)
+    is_gap = F.col("kind") == "gap"
+    enriched = pairs.select(
+        *keys,
+        "kind",
+        "left_ts",
+        F.when(is_gap, F.col("right_ts")).otherwise(F.lead("left_ts").over(w)).alias("right_ts"),
+        F.lead("kind").over(w).alias("kind2"),
+        *[F.col(f"l_{c}") for c in vals],
+        *[
+            F.when(is_gap, F.col(f"r_{c}")).otherwise(F.lead(f"l_{c}").over(w)).alias(f"r_{c}")
+            for c in vals
+        ],
+    )
+    gaps = enriched.where(
+        is_gap
+        | (
+            (F.col("kind") == "L")
+            & (F.col("kind2") == "F")
+            & (F.col("right_ts") - F.col("left_ts") > step)
+        )
     ).select(*keys, "left_ts", "right_ts", *[F.col(f"l_{c}") for c in vals], *[F.col(f"r_{c}") for c in vals])
-
-    gaps = local_gaps.select(
-        *keys, "left_ts", "right_ts", *[F.col(f"l_{c}") for c in vals], *[F.col(f"r_{c}") for c in vals]
-    ).unionByName(boundary_gaps)
 
     # Fillable: 1..max_gap_size missing samples (inclusive upper bound).
     n_missing = ((F.col("right_ts") - F.col("left_ts")) / F.lit(step)).cast("long") - 1
