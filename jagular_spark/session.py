@@ -56,6 +56,13 @@ def get_spark(
         # queries in one session can exhaust the 240m default, silently
         # dropping the JVM to interpreted mode
         .config("spark.driver.extraJavaOptions", "-XX:+UseZGC -XX:ReservedCodeCacheSize=512m")
+        # ContextCleaner frees shuffle files / broadcast blocks only when
+        # driver GC collects their weak refs; ZGC on a 16g heap can go
+        # many minutes without a cycle, so a long multi-query session
+        # accumulates dead shuffle state until queries crawl. Force a
+        # periodic GC so cleanup keeps pace (same setting is standard on
+        # long-running cluster drivers).
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
