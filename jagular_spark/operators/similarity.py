@@ -378,3 +378,53 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    dim: int = 64,
+    hamming_radius: int = 1,
+) -> DataFrame:
+    """Near-dup pairs with **LSH blocking** — the 100-TB path that
+    :func:`cosine_neardup_pairs`'s docstring promises: candidates are
+    pairs whose hyperplane buckets differ in ≤ ``hamming_radius`` bits
+    (multi-probe: the probe side explodes ``bucket XOR mask`` over the
+    0/single-bit masks), then the **exact** integer dot verifies each
+    candidate. Each qualifying pair matches exactly one mask, so no
+    dedup pass is needed and the result is deterministic (SQL-oracle
+    exact). Shuffle volume is O(corpus · (1 + n_planes)) and compute is
+    within-bucket only — sub-quadratic whenever buckets split the
+    corpus, vs the all-pairs O(n²) of the exact operator. Recall is the
+    standard SimHash-LSH trade: colliding-or-adjacent buckets only."""
+    if hamming_radius not in (0, 1):
+        raise ValueError("hamming_radius must be 0 or 1")
+    buckets = lsh_bucket_assign(df, n_planes, dim, id_col, vec_col)
+    base = (
+        with_int_norm(df, vec_col)
+        .select(F.col(id_col).alias("id"), "iv", "nrm")
+        .join(buckets.select(F.col(id_col).alias("id"), "bucket"), "id")
+    )
+    masks = [0] + ([1 << j for j in range(n_planes)] if hamming_radius >= 1 else [])
+    probes = base.select(
+        F.col("id").alias("id_a"),
+        F.col("iv").alias("iv_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("pb"),
+    )
+    cand = probes.join(
+        base.select(
+            F.col("id").alias("id_b"),
+            F.col("iv").alias("iv_b"),
+            F.col("nrm").alias("nrm_b"),
+            F.col("bucket").alias("bb"),
+        ),
+        (F.col("pb") == F.col("bb")) & (F.col("id_a") < F.col("id_b")),
+    )
+    scored = cand.withColumn("dot", _int_dot("iv_a", "iv_b")).withColumn("cos", _cos())
+    return scored.where(F.col("cos") >= threshold).select("id_a", "id_b", "cos")

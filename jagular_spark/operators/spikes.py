@@ -107,6 +107,72 @@ def crossings(
     )
 
 
+def crossings_chunked(
+    df: DataFrame,
+    thresholds: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    partition_cols: Sequence[str] = ("channel_id", "segment_id"),
+    polarity: str = "neg",
+    step: int = 1,
+    buffer_len: int = 2**22,
+) -> DataFrame:
+    """:func:`crossings` with a range-chunked window — the huge-epoch
+    scale path. A gapless multi-day recording is ONE (channel, segment)
+    group, so the plain lead-window serializes it into one task; here
+    the window partitions on ``(keys, ts DIV span)`` instead, and each
+    chunk receives a 1-row halo (the debounce looks exactly one sample
+    ahead): any row in the first ``step`` ticks of chunk ``c`` is also
+    emitted into chunk ``c-1`` as halo. Core rows of every chunk then
+    see the same ``lead`` values as the global window, so output is
+    exactly :func:`crossings` — mirrors the ``filtfilt_chunked``
+    strategy (reference chunking contract, ``jagular/filtering.py:
+    148-161``), with halo = 1 row instead of the filter's impulse
+    response."""
+    keys = list(partition_cols)
+    tkeys = [c for c in thresholds.columns if c != "threshold"]
+    joined = df.join(F.broadcast(thresholds), on=tkeys, how="inner")
+    if polarity == "neg":
+        pred = F.col(value_col) < -F.col("threshold")
+    elif polarity == "pos":
+        pred = F.col(value_col) > F.col("threshold")
+    elif polarity == "both":
+        pred = F.abs(F.col(value_col)) > F.col("threshold")
+    else:
+        raise ValueError(f"polarity must be neg|pos|both, got {polarity!r}")
+
+    span = buffer_len * step
+    c0 = F.floor(F.col(ts_col) / F.lit(span))
+    in_prev_halo = (F.col(ts_col) - c0 * F.lit(span)) < F.lit(step)
+    assignments = F.filter(
+        F.array(
+            F.struct(c0.alias("c"), F.lit(True).alias("core")),
+            F.struct((c0 - 1).alias("c"), F.lit(False).alias("core")),
+        ),
+        lambda a: a["core"] | in_prev_halo,
+    )
+    chunked = (
+        joined.withColumn("__a", F.explode(assignments))
+        .withColumn("__chunk", F.col("__a")["c"])
+        .withColumn("__is_core", F.col("__a")["core"])
+        .drop("__a")
+    )
+    w = Window.partitionBy(*keys, "__chunk").orderBy(ts_col)
+    below = pred.cast("int")
+    return (
+        chunked.withColumn("__cross", below)
+        .withColumn("__next_cross", F.lead("__cross").over(w))
+        .withColumn("__next_ts", F.lead(ts_col).over(w))
+        .where(
+            F.col("__is_core")
+            & (F.col("__cross") == 1)
+            & (F.col("__next_cross") == 1)
+            & (F.col("__next_ts") == F.col(ts_col) + step)
+        )
+        .drop("__cross", "__next_cross", "__next_ts", "__chunk", "__is_core", "threshold")
+    )
+
+
 # ---------------------------------------------------------------------------
 # W2: censor (dead-time suppression) — sequential, pandas per group
 # ---------------------------------------------------------------------------

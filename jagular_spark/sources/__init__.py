@@ -9,3 +9,9 @@ from jagular_spark.sources.rec import (  # noqa: F401
     read_scaled_channel,
     timestamp_bounds,
 )
+from jagular_spark.sources.spikes_io import (  # noqa: F401
+    load_spikes,
+    load_spikes_flat,
+    save_spikes,
+    save_spikes_flat,
+)

@@ -653,6 +653,42 @@ def docs_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_byte_stats(media)
 
 
+def emb_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked cosine near-dup (the 100-TB path): candidates from
+    hyperplane buckets within Hamming distance 1 (multi-probe), exact
+    integer-dot verify. Deterministic planes → exact SQL oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_lsh(emb, threshold=0.35)
+
+
+def events_spikes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 sink/scan driver surface: detection output is persisted with
+    ``save_spikes`` (Parquet, partitioned by channel, peak-sorted row
+    groups) and re-read with ``load_spikes``; the round-tripped table
+    must satisfy the same oracle as ``events_detect_spikes`` — the sink
+    is correct iff it is invisible to the query result."""
+    import re
+    import tempfile
+
+    from jagular_spark.operators.spikes import detect_spikes
+    from jagular_spark.sources.spikes_io import load_spikes, save_spikes
+
+    out = detect_spikes(
+        _rn_samples(spark, sf_dir),
+        multiplier=2.0, censor_width=5, patch_size=8, polarity="pos",
+    )
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    path = f"{tempfile.gettempdir()}/jspark_spikes_rt_{tag}"
+    save_spikes(out, path, partition_col="channel_id", order_col="peak_ts")
+    back = load_spikes(spark, path, ts_col="peak_ts")
+    return back.select(
+        F.col("channel_id").cast("long").alias("user_id"),
+        F.col("crossing_ts").alias("crossing_seq"),
+        F.col("peak_ts").alias("peak_seq"),
+        F.posexplode("waveform").alias("idx", "wv"),
+    ).withColumn("idx", F.col("idx").cast("long"))
+
+
 def _text_oracles() -> dict[str, str]:
     ratio = {
         lang: (
@@ -877,6 +913,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tetrode": events_tetrode,
     "events_align": events_align,
     "docs_media_stats": docs_media_stats,
+    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
+    "events_spikes_roundtrip": events_spikes_roundtrip,
 }
 
 
@@ -1292,10 +1330,42 @@ def _extension_oracles() -> dict[str, str]:
                END AS mean_px
         FROM b"""
 
+    masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(8)])
+    neardup_lsh = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+            FROM embeddings
+        ), normed AS (
+            SELECT vec_id, iv,
+                   CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                        i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+            FROM base
+        ), proj AS (
+            SELECT vec_id, {', '.join(plane_terms)} FROM base
+        ), bucketed AS (
+            SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM proj
+        ), probes AS (
+            SELECT b.vec_id, xor(b.bucket, t.m) AS pb
+            FROM bucketed b, UNNEST([{masks}]) AS t(m)
+        ), scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {pair_dot.replace('q.', 'a.').replace('c.', 'b.')} AS dot,
+                   a.nrm AS nrm_a, b.nrm AS nrm_b
+            FROM probes p
+            JOIN bucketed cb ON cb.bucket = p.pb AND p.vec_id < cb.vec_id
+            JOIN normed a ON a.vec_id = p.vec_id
+            JOIN normed b ON b.vec_id = cb.vec_id
+        )
+        SELECT id_a, id_b,
+               dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+        FROM scored
+        WHERE dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) >= 0.35"""
+
     return {
         "events_common_ref": common_ref,
         "emb_ann_topk_lsh": ann_lsh,
         "docs_media_stats": media_stats,
+        "emb_cosine_neardup_lsh": neardup_lsh,
     }
 
 
@@ -1303,3 +1373,5 @@ ORACLE_SQL.update(_similarity_oracles())
 ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
 ORACLE_SQL.update(_signal_oracles())
+# S9 round-trip: a correct sink/scan is invisible — same oracle as detect.
+ORACLE_SQL["events_spikes_roundtrip"] = ORACLE_SQL["events_detect_spikes"]

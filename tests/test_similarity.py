@@ -76,3 +76,70 @@ def test_bucket_assignment_deterministic(spark):
     b2 = {r.vec_id: r.bucket for r in sim.lsh_bucket_assign(emb.repartition(7)).collect()}
     assert b1 == b2
     assert all(0 <= v < 256 for v in b1.values())
+
+
+# ---------------------------------------------------------------------------
+# LSH-blocked near-dup (scale path for cosine_neardup_pairs)
+# ---------------------------------------------------------------------------
+
+def test_cosine_neardup_lsh_subset_and_exact_scores(spark):
+    """Every LSH-blocked pair is in the exact all-pairs result with an
+    identical (integer-dot) score; exact duplicates are always recalled
+    (identical vectors share a bucket)."""
+    import numpy as np
+
+    from jagular_spark.operators.similarity import (
+        cosine_neardup_lsh,
+        cosine_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 64))
+    vecs[40] = vecs[3]  # exact dup pair (3, 40)
+    vecs[41] = vecs[7]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_pairs(df, threshold=0.35).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_neardup_lsh(df, threshold=0.35).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for k, v in blocked.items():
+        assert v == exact[k]
+    assert (3, 40) in blocked and (7, 41) in blocked
+
+
+def test_cosine_neardup_lsh_subquadratic_candidates(spark):
+    """Candidate volume grows sub-quadratically: at 10x vectors the
+    bucket-join candidate count is far below the all-pairs count."""
+    import numpy as np
+
+    from jagular_spark.operators.similarity import lsh_bucket_assign
+
+    rng = np.random.default_rng(5)
+    for n in (100, 1000):
+        vecs = rng.normal(size=(n, 64))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        from pyspark.sql import functions as F
+
+        b = lsh_bucket_assign(df)
+        counts = {r.bucket: r.c for r in b.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+        # candidates (radius-0 part): sum over buckets of c*(c-1)/2
+        cand = sum(c * (c - 1) // 2 for c in counts.values())
+        allpairs = n * (n - 1) // 2
+        if n == 100:
+            ratio_small = cand / allpairs
+        else:
+            ratio_big = cand / allpairs
+    # with 8 planes / 256 buckets the within-bucket fraction stays small
+    # and does NOT grow with n (sub-quadratic candidate volume)
+    assert ratio_big < 0.05
+    assert ratio_big < ratio_small * 3

@@ -37,3 +37,32 @@ def test_tetrode_waveform_width(spark):
     idx = df.groupBy("peak_seq").count().collect()
     for r in idx:
         assert r["count"] == 4 * 8  # one row per flattened 4×8 sample
+
+
+def test_crossings_chunked_matches_window(spark):
+    """Chunked crossings == global-window crossings on ONE gapless
+    segment (the huge-epoch case the chunking exists for), including
+    chunk-boundary crossings caught by the 1-row halo."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jagular_spark.operators.spikes import crossings, crossings_chunked
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    vals = rng.normal(scale=10.0, size=n)
+    # plant consecutive super-threshold pairs straddling chunk boundaries
+    for base in (998, 1999, 3000, 4096):
+        vals[base] = vals[base + 1] = -99.0
+    rows = [(0, 0, int(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "channel_id int, segment_id long, ts long, value double")
+    thr = spark.createDataFrame(
+        [(0, 0, 50.0)], "channel_id int, segment_id long, threshold double"
+    )
+    a = sorted(
+        (r.ts for r in crossings(df, thr, polarity="neg").collect())
+    )
+    b = sorted(
+        (r.ts for r in crossings_chunked(df, thr, polarity="neg", buffer_len=1000).collect())
+    )
+    assert a == b and len(a) >= 4
