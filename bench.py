@@ -35,7 +35,10 @@ def main() -> None:
         (_F.col("id") % 97).alias("k"), _F.col("id").alias("v")
     )
     warm.groupBy("k").agg(_F.sum("v"), _F.max("v")).count()
-    warm.limit(4096).mapInPandas(lambda it: (b for b in it), "k long, v long").count()
+    # one mapInPandas task per core so the WHOLE Python worker pool is
+    # spawned (and pandas/numpy imported) before any timed query runs —
+    # a limit() here would collapse to 1 partition and warm 1 worker
+    warm.mapInPandas(lambda it: (b for b in it), "k long, v long").count()
 
     timings: dict[str, float] = {}
     total = 0.0

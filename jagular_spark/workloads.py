@@ -674,7 +674,7 @@ def events_spikes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jagular_spark.sources.spikes_io import load_spikes, save_spikes
 
     out = detect_spikes(
-        _rn_samples(spark, sf_dir),
+        _rn_samples(spark, sf_dir, max_channel=16),
         multiplier=2.0, censor_width=5, patch_size=8, polarity="pos",
     )
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
@@ -1373,5 +1373,11 @@ ORACLE_SQL.update(_similarity_oracles())
 ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
 ORACLE_SQL.update(_signal_oracles())
-# S9 round-trip: a correct sink/scan is invisible — same oracle as detect.
-ORACLE_SQL["events_spikes_roundtrip"] = ORACLE_SQL["events_detect_spikes"]
+# S9 round-trip: a correct sink/scan is invisible — the oracle is the
+# detection oracle itself, scoped to the query's 16-channel subset (the
+# sink surface needs correctness coverage, not full-corpus throughput).
+ORACLE_SQL["events_spikes_roundtrip"] = f"""{_detect_cte(2.0, 5, "user_id < 16")}
+        SELECT d.user_id, d.crossing_seq, d.peak_seq, CAST(t.j AS BIGINT) AS idx,
+               CASE WHEN d.peak_seq - 4 + t.j BETWEEN 0 AND d.n - 1
+                    THEN d.xs[d.peak_seq - 4 + t.j + 1] ELSE 0.0 END AS wv
+        FROM located d, UNNEST(generate_series(0, 7)) AS t(j)"""
