@@ -129,24 +129,54 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle:
-    explode-join on shingle hash → count common → sizes join.
+    ONE shuffle of the shingle hashes into per-hash buckets, pair
+    generation *inside* each bucket (array combinatorics, no self-join),
+    per-doc sizes derived from the same bucketed exchange.
     ``(id_a, id_b, n_common, n_union, jaccard)``.
 
-    The exploded hash table feeds four plan branches (both join sides +
-    both size lookups); Catalyst's exchange reuse runs the md5/shingle
-    pipeline once without materializing a cache. At warehouse scale this
-    would be a persisted intermediate table instead."""
+    Earlier shape (self-join of the exploded hash table + two size
+    lookups) fed the md5/shingle pipeline into 4 plan branches and
+    Catalyst's exchange reuse did NOT fire (measured: 4 parquet scans,
+    0 ReusedExchange) — the whole shingle pipeline ran 4×. Here both
+    consumers (pair gen, sizes) sit on the single groupBy(h) exchange,
+    so the expensive explode/window/distinct/md5 chain is executed
+    once and reuse is structural, not optimizer-dependent. Buckets are
+    per-shingle doc lists (tiny for natural text; a stop-shingle cap
+    would bound the k² pair fan-out at warehouse scale)."""
     hashes = doc_shingle_hashes(df, id_col, text_col, n)
-    sizes = hashes.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a, b = hashes.alias("a"), hashes.alias("b")
-    common = (
-        a.join(b, F.col("a.h") == F.col("b.h"))
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    bucket = hashes.groupBy("h").agg(F.collect_list(id_col).alias("ids"))
+    combos = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
+            )
+        ),
+        lambda s: s["id_a"] < s["id_b"],
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # self-pair sentinel rows (id, id) ride the same explode, so ONE
+    # aggregation yields both n_common (id_a < id_b) and per-doc shingle
+    # counts n_sh (id_a == id_b: each distinct shingle of the doc is in
+    # exactly one bucket) — the whole query is a single linear lineage.
+    entries = F.concat(
+        combos, F.transform("ids", lambda x: F.struct(x.alias("id_a"), x.alias("id_b")))
+    )
+    agg = (
+        bucket.select(F.explode(entries).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # the aggregate is O(docs + candidate pairs) — tiny next to the
+    # shingle stream. Materialize it once (AQE in Spark 4.x does not
+    # fire ReusedExchange on this plan shape — measured — so the two
+    # final branches would otherwise re-run the whole shingle pipeline;
+    # at warehouse scale this would be a persisted intermediate table).
+    agg = agg.localCheckpoint()
+    common = agg.where(F.col("id_a") != F.col("id_b")).withColumnRenamed("cnt", "n_common")
+    sa = agg.where(F.col("id_a") == F.col("id_b")).select(F.col("id_a"), F.col("cnt").alias("n_a"))
+    sb = agg.where(F.col("id_a") == F.col("id_b")).select(
+        F.col("id_a").alias("id_b"), F.col("cnt").alias("n_b")
+    )
     out = (
         common.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
