@@ -1,5 +1,6 @@
 from jagular_spark.streaming.pipeline import (  # noqa: F401
     stream_censor,
     stream_crossings,
+    stream_interpolate,
     stream_sessionize,
 )

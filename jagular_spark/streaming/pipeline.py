@@ -113,3 +113,81 @@ def stream_censor(
         .groupBy(*keys)
         .applyInPandasWithState(kernel, out_schema, "last_kept long", "append", "NoTimeout")
     )
+
+
+def stream_interpolate(
+    samples: DataFrame,
+    max_gap_size: int,
+    ts_col: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+    partition_cols: Sequence[str] = ("channel_id",),
+    step: int = 1,
+) -> DataFrame:
+    """Linear gap interpolation with carried state (batch twin:
+    operators.interpolate.interpolate_gaps; reference semantics
+    ``jagular/utils.py:459-528``): interior gaps of 1..max_gap_size
+    missing samples are filled by linear interpolation between the two
+    boundary samples, truncation-cast back to the input type.
+
+    The reference's cross-block carry (``prev_ts/prev_channel_data``,
+    ``utils.py:443-446, 461-477``) IS this operator's GroupState: the
+    last seen (ts, values) per key survives across micro-batches, so a
+    gap straddling a batch boundary interpolates exactly like the
+    in-core chain. State is O(1) per key (one boundary row).
+
+    Rows must arrive in ts order across batches per key (same contract
+    as the reference's sequential block iterator); disorder within one
+    micro-batch is sorted away.
+    """
+    keys = list(partition_cols)
+    vals = list(value_cols)
+    fields = dict(samples.select(*keys, ts_col, *vals).dtypes)
+    out_schema = ", ".join(f"{c} {fields[c]}" for c in keys + [ts_col] + vals)
+    state_schema = "last_ts long, " + ", ".join(f"v{i} double" for i in range(len(vals)))
+
+    def kernel(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+        if len(ts) == 0:
+            return
+        vs = {c: pdf[c].to_numpy(dtype=np.float64) for c in vals}
+        if state.exists:
+            # carried boundary row: prepended for gap detection only —
+            # it was already emitted by its own micro-batch
+            st = state.get
+            ts = np.concatenate(([int(st[0])], ts))
+            for i, c in enumerate(vals):
+                vs[c] = np.concatenate(([float(st[i + 1])], vs[c]))
+        state.update((int(ts[-1]), *(float(vs[c][-1]) for c in vals)))
+
+        n_missing = np.diff(ts) // step - 1
+        gap_idx = np.flatnonzero((n_missing >= 1) & (n_missing <= max_gap_size))
+        new_rows: dict[str, list] = {c: [] for c in keys + [ts_col] + vals}
+        for g in gap_idx:
+            grid = np.arange(ts[g] + step, ts[g + 1], step, dtype=np.int64)
+            frac = (grid - ts[g]) / (ts[g + 1] - ts[g])
+            new_rows[ts_col].extend(grid.tolist())
+            for c in vals:
+                interp = vs[c][g] + (vs[c][g + 1] - vs[c][g]) * frac
+                new_rows[c].extend(interp.tolist())
+            for kc, kv in zip(keys, key):
+                new_rows[kc].extend([kv] * len(grid))
+        out = pdf[keys + [ts_col] + vals]
+        if new_rows[ts_col]:
+            synth = pd.DataFrame(new_rows)
+            for c in vals:
+                if fields[c] in ("tinyint", "smallint", "int", "bigint"):
+                    # truncation toward zero like numpy astype (utils.py:519)
+                    synth[c] = np.trunc(synth[c].to_numpy()).astype(np.int64)
+            out = pd.concat([out, synth[keys + [ts_col] + vals]], ignore_index=True)
+        yield out
+
+    return (
+        samples.select(*keys, ts_col, *vals)
+        .groupBy(*keys)
+        .applyInPandasWithState(kernel, out_schema, state_schema, "append", "NoTimeout")
+    )

@@ -137,3 +137,78 @@ def test_stream_censor_state_carries_across_batches(spark, tmp_path):
     pd.DataFrame({"channel_id": [1, 1], "ts": [120, 140]}).to_parquet(f"{path}/b.parquet")
     run_once()
     assert {t for _, t in collected} == {100, 140}
+
+
+def test_stream_interpolate_matches_batch(spark, tmp_path):
+    """Single availableNow pass == batch interpolate_gaps (same data,
+    same inclusive max-gap boundary, same truncation cast)."""
+    from jagular_spark.operators import interpolate_gaps
+    from jagular_spark.streaming import stream_interpolate
+
+    rows = []
+    for ch in (1, 2):
+        ts = [0, 1, 2, 5, 6, 20, 21, 24]  # gaps of 2 (fill), 13 (skip), 2 (fill)
+        for t in ts:
+            rows.append((ch, t, ch * 100 + t * 3))
+    df = spark.createDataFrame(rows, "channel_id int, ts long, value int")
+
+    want = {
+        (r.channel_id, r.ts, r.value)
+        for r in interpolate_gaps(
+            df, max_gap_size=2, partition_cols=["channel_id"]
+        ).collect()
+    }
+
+    stream = _as_stream(spark, df, tmp_path, "interp")
+    out = stream_interpolate(stream, max_gap_size=2, partition_cols=["channel_id"])
+    _run_to_memory(out, "interp_out", "append")
+    got = {
+        (r.channel_id, r.ts, r.value)
+        for r in spark.sql("SELECT * FROM interp_out").collect()
+    }
+    assert got == want
+    assert len(got) > len(rows)  # gaps actually filled
+
+
+def test_stream_interpolate_gap_across_batches(spark, tmp_path):
+    """A gap straddling two micro-batches is filled via the carried
+    GroupState boundary row (the reference's prev_ts/prev_channel_data
+    carry, utils.py:443-446)."""
+    import os
+
+    from jagular_spark.streaming import stream_interpolate
+
+    path = str(tmp_path / "inc")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(path, exist_ok=True)
+    pd.DataFrame({"channel_id": [1, 1], "ts": [10, 11], "value": [100, 110]}).to_parquet(
+        f"{path}/a.parquet"
+    )
+    collected: list[tuple[int, int, int]] = []
+
+    def run_once():
+        stream = spark.readStream.schema("channel_id long, ts long, value long").parquet(path)
+        out = stream_interpolate(stream, max_gap_size=3, partition_cols=["channel_id"])
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: collected.extend(
+                    (r.channel_id, r.ts, r.value) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {(t, v) for _, t, v in collected} == {(10, 100), (11, 110)}
+
+    # batch 2 starts at ts=14: gap 11->14 has 2 missing samples, filled
+    # by interpolating between the carried row (11, 110) and (14, 140)
+    pd.DataFrame({"channel_id": [1], "ts": [14], "value": [140]}).to_parquet(f"{path}/b.parquet")
+    run_once()
+    assert {(t, v) for _, t, v in collected} == {
+        (10, 100), (11, 110), (12, 120), (13, 130), (14, 140)
+    }
