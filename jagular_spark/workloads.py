@@ -653,6 +653,29 @@ def docs_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_byte_stats(media)
 
 
+def events_crossings_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 at huge-epoch scale: the range-chunked crossings variant
+    (1-row halo per chunk) over the dense per-user rn streams, with a
+    deliberately tiny buffer so chunking engages at sf0.01 — output is
+    exactly the global-window debounce, which is what the oracle
+    replays."""
+    from jagular_spark.operators.spikes import crossings_chunked, mad_threshold
+
+    s = _rn_samples(spark, sf_dir)
+    thr = mad_threshold(
+        s, "value", multiplier=1.0, partition_cols=["channel_id", "segment_id"]
+    )
+    x = crossings_chunked(
+        s, thr, partition_cols=("channel_id", "segment_id"),
+        polarity="pos", buffer_len=256,
+    )
+    return x.select(
+        F.col("channel_id").cast("long").alias("user_id"),
+        F.col("ts").alias("seq"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def emb_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked cosine near-dup (the 100-TB path): candidates from
     hyperplane buckets within Hamming distance 1 (multi-probe), exact
@@ -915,6 +938,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_stats": docs_media_stats,
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "events_spikes_roundtrip": events_spikes_roundtrip,
+    "events_crossings_chunked": events_crossings_chunked,
 }
 
 
@@ -1373,6 +1397,21 @@ ORACLE_SQL.update(_similarity_oracles())
 ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
 ORACLE_SQL.update(_signal_oracles())
+# W1 chunked: result is exactly the global-window debounce — the oracle
+# replays threshold + LEAD on the dense rn streams.
+ORACLE_SQL["events_crossings_chunked"] = f"""
+    WITH {_ORDERED_LISTS_CTE}, thr AS (
+        SELECT user_id, CAST(MEDIAN(ABS(value)) AS DOUBLE) / 0.6745 AS threshold
+        FROM ordered GROUP BY user_id
+    ), led AS (
+        SELECT user_id, rn, value,
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY rn) AS nv
+        FROM ordered
+    )
+    SELECT o.user_id, o.rn AS seq, CAST(o.value AS DOUBLE) AS value
+    FROM led o JOIN thr t ON o.user_id = t.user_id
+    WHERE o.value > t.threshold AND o.nv > t.threshold"""
+
 # S9 round-trip: a correct sink/scan is invisible — the oracle is the
 # detection oracle itself, scoped to the query's 16-channel subset (the
 # sink surface needs correctness coverage, not full-corpus throughput).
