@@ -92,17 +92,18 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signature (LSH_BANDS bands × 2 rows), self-join buckets →
-    ``(id_a, id_b, n_bands)`` candidate pairs. The join key is
-    (band, m_even·2^31 + m_odd); bucket sizes are tiny so the self-join
-    is shuffle-bounded by the band table, not the corpus.
+    """Band the signature (LSH_BANDS bands × 2 rows), group each
+    (band, key) bucket, and generate ``id_a < id_b`` pairs *inside* the
+    bucket with array combinatorics → ``(id_a, id_b, n_bands)``. The
+    join key is (band, m_even·2^31 + m_odd).
 
     Bands come from ONE projection (``posexplode`` of the key array, not
-    a 4-way union that would re-run the minhash pipeline per branch);
-    the self-join's two sides share the signature shuffle via Spark's
-    exchange reuse (an explicit ``.cache()`` measured slower: columnar
-    (de)serialization on a table this hot costs more than the reuse
-    saves)."""
+    a 4-way union), and pair generation is a single linear lineage: the
+    earlier bucket *self-join* needed the band table on both sides, and
+    AQE in Spark 4.x does not fire ReusedExchange on that shape
+    (measured: the shingle/minhash pipeline executed twice). Bucket
+    sizes are near-dup cluster sizes — tiny for natural corpora — so
+    the k² in-bucket fan-out matches what the self-join emitted anyway."""
     keys = F.array(
         *[
             F.col(f"m{2 * b}") * F.lit(_BAND_SHIFT) + F.col(f"m{2 * b + 1}")
@@ -112,11 +113,20 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     buckets = sig.select(
         F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "key")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    grouped = buckets.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
+    combos = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
+            )
+        ),
+        lambda s: s["id_a"] < s["id_b"],
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.where(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
     )
 
@@ -338,6 +348,34 @@ def _plane_sign(j: int, i: int) -> int:
     return 1 if ((MINHASH_A[j] * (i + 1) + MINHASH_B[j]) % P) % 2 == 0 else -1
 
 
+def _plane_dots(iv_col: str, n_planes: int, dim: int) -> list[F.Column]:
+    """Per-plane signed dots over an integer vector column. Sign vectors
+    as literal arrays + zip_with/aggregate dots: a flat 64-term add
+    chain per plane compiles to ~512 codegen expression nodes across 8
+    planes and measurably bloats Janino compile time; the array form is
+    a constant-size tree regardless of dim."""
+    return [
+        F.aggregate(
+            F.zip_with(
+                F.col(iv_col),
+                F.array(*[F.lit(_plane_sign(j, i)) for i in range(dim)]),
+                lambda x, s: x * s.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(n_planes)
+    ]
+
+
+def _bucket_from_dots(dots: list[F.Column]) -> F.Column:
+    return reduce(
+        lambda acc, j: acc + F.when(dots[j] >= 0, F.lit(1 << j)).otherwise(F.lit(0)),
+        range(1, len(dots)),
+        F.when(dots[0] >= 0, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("long")
+
+
 def lsh_bucket_assign(
     df: DataFrame, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -347,29 +385,20 @@ def lsh_bucket_assign(
     generation is then a bucket equi-join instead of all-pairs.
     ``(id, bucket)`` — deterministic integers, oracle-exact."""
     base = df.select(F.col(id_col), int_vec(vec_col).alias("iv"))
-    # sign vectors as literal arrays + zip_with/aggregate dots: a flat
-    # 64-term add chain per plane compiles to ~512 codegen expression
-    # nodes across 8 planes and measurably bloats Janino compile time;
-    # the array form is a constant-size tree regardless of dim
-    proj = [
-        F.aggregate(
-            F.zip_with(
-                F.col("iv"),
-                F.array(*[F.lit(_plane_sign(j, i)) for i in range(dim)]),
-                lambda x, s: x * s.cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).alias(f"p{j}")
-        for j in range(n_planes)
-    ]
-    projected = base.select(id_col, *proj)
-    bucket = reduce(
-        lambda acc, j: acc + F.when(F.col(f"p{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)),
-        range(1, n_planes),
-        F.when(F.col("p0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+    return base.select(
+        id_col, _bucket_from_dots(_plane_dots("iv", n_planes, dim)).alias("bucket")
     )
-    return projected.select(id_col, bucket.cast("long").alias("bucket"))
+
+
+def _normed_bucketed(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, dim: int
+) -> DataFrame:
+    """``(id, iv, nrm, bucket)`` in ONE narrow projection — no join
+    between the norm and bucket derivations. (A bucket-table self-join
+    back onto the normed table doubles the scan lineage; AQE in Spark
+    4.x does not reuse the exchange.)"""
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    return base.withColumn("bucket", _bucket_from_dots(_plane_dots("iv", n_planes, dim)))
 
 
 def ann_topk_lsh(
@@ -384,11 +413,9 @@ def ann_topk_lsh(
     """Approximate top-k: candidates restricted to the probe's LSH
     bucket, then exact integer-dot ranking within candidates. Trades
     recall for a corpus-partitionable bucket join (no broadcast of the
-    corpus, no all-pairs)."""
-    buckets = lsh_bucket_assign(df, n_planes, dim, id_col, vec_col)
-    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm").join(
-        buckets.select(F.col(id_col).alias("id"), "bucket"), "id"
-    )
+    corpus, no all-pairs). The probe branch re-scans with its pushed-down
+    filter (tiny read); the corpus side scans once — no self-join."""
+    base = _normed_bucketed(df, id_col, vec_col, n_planes, dim)
     probes = base.where(probe_filter).select(
         F.col("id").alias("query_id"), F.col("iv").alias("iv_a"),
         F.col("nrm").alias("nrm_a"), F.col("bucket").alias("qb"),
@@ -432,12 +459,7 @@ def cosine_neardup_lsh(
     standard SimHash-LSH trade: colliding-or-adjacent buckets only."""
     if hamming_radius not in (0, 1):
         raise ValueError("hamming_radius must be 0 or 1")
-    buckets = lsh_bucket_assign(df, n_planes, dim, id_col, vec_col)
-    base = (
-        with_int_norm(df, vec_col)
-        .select(F.col(id_col).alias("id"), "iv", "nrm")
-        .join(buckets.select(F.col(id_col).alias("id"), "bucket"), "id")
-    )
+    base = _normed_bucketed(df, id_col, vec_col, n_planes, dim)
     masks = [0] + ([1 << j for j in range(n_planes)] if hamming_radius >= 1 else [])
     probes = base.select(
         F.col("id").alias("id_a"),
