@@ -377,6 +377,24 @@ def events_filtfilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_filtfilt_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2's halo-chunk physical strategy (the flagship custom op) under
+    driver verification: a deliberately tiny buffer forces many chunks
+    per epoch at sf0.01; the FIR kernel's finite support makes core
+    rows bit-identical to the whole-epoch result (halo 21 ≥ half-width
+    10), so this shares events_filtfilt's exact value-hash oracle."""
+    from jagular_spark.operators.filtering import filtfilt_chunked
+
+    out = filtfilt_chunked(
+        _rn_samples(spark, sf_dir), _BP_TAPS, buffer_len=64, overlap_len=21
+    )
+    return out.select(
+        F.col("channel_id").cast("long").alias("user_id"),
+        F.col("ts").alias("seq"),
+        "filtered",
+    )
+
+
 def events_detect_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full detection pipeline (MAD threshold → debounced crossings →
     censor → waveform extract) on per-user event-value streams — F7
@@ -939,6 +957,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "events_spikes_roundtrip": events_spikes_roundtrip,
     "events_crossings_chunked": events_crossings_chunked,
+    "events_filtfilt_chunked": events_filtfilt_chunked,
 }
 
 
@@ -1397,6 +1416,9 @@ ORACLE_SQL.update(_similarity_oracles())
 ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
 ORACLE_SQL.update(_signal_oracles())
+# F2 chunked: core-exact halo contract — same oracle as whole-epoch FIR.
+ORACLE_SQL["events_filtfilt_chunked"] = ORACLE_SQL["events_filtfilt"]
+
 # W1 chunked: result is exactly the global-window debounce — the oracle
 # replays threshold + LEAD on the dense rn streams.
 ORACLE_SQL["events_crossings_chunked"] = f"""
