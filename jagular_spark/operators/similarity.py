@@ -480,3 +480,123 @@ def cosine_neardup_lsh(
     )
     scored = cand.withColumn("dot", _int_dot("iv_a", "iv_b")).withColumn("cos", _cos())
     return scored.where(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustering-based scale path
+# ---------------------------------------------------------------------------
+
+def _sq_dist_to(cent: list[float], vec_col: str = "iv") -> F.Column:
+    """Squared distance from an integer-scaled vector column to a
+    literal centroid (scaled to the same 2^20 grid)."""
+    lit = F.array(*[F.lit(float(c)) for c in cent])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_centroid(cents: list[list[float]], vec_col: str = "iv") -> F.Column:
+    dists = F.array(*[_sq_dist_to(c, vec_col) for c in cents])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_fit_centroids(
+    df: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the integer-scaled vectors
+    (IVF coarse quantizer). Seeds = the ``k`` vectors with smallest ids
+    (deterministic, no RNG); each iteration is ONE narrow scan: assign
+    via literal-centroid argmin, then 64 per-dimension SUM/COUNT aggs —
+    the k×dim centroid table lives driver-side (tiny), the corpus never
+    collects. Ties in argmin break to the lowest centroid index
+    (array_position finds the first minimum), so the fit is bit-stable
+    across partitionings. At 100 TB you would fit on a hash-sample of
+    the corpus (same plan with a ``where pmod(hash(id), S) = 0``) —
+    centroid quality, not exactness, is what sampling trades."""
+    dim = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
+    seeds = base.orderBy("id").limit(k).select("iv").collect()
+    cents = [[float(x) for x in r.iv] for r in seeds]
+    for _ in range(n_iter):
+        assigned = base.select(_nearest_centroid(cents).alias("c"), "iv")
+        agg = assigned.groupBy("c").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("iv", i + 1)).alias(f"s{i}") for i in range(dim)],
+        )
+        rows = {r["c"]: r for r in agg.collect()}
+        cents = [
+            [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)] if ci in rows else cents[ci]
+            for ci in range(k)
+        ]
+    return cents
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    probe_filter: F.Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed by
+    nearest centroid (one narrow projection — the centroid table is a
+    driver-side literal, no join); each probe searches its ``nprobe``
+    nearest centroids' lists; exact integer-dot ranking inside the
+    candidate set. The candidate join is an equi-join on the centroid
+    id — corpus-partitionable, no all-pairs, no corpus broadcast.
+
+    Same recall/throughput trade as FAISS-style IVF-Flat: higher
+    ``nprobe`` → better recall, candidates ∝ nprobe/n_centroids of the
+    corpus."""
+    cents = ivf_fit_centroids(df, n_centroids, n_iter, id_col, vec_col)
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    corpus = base.select(
+        F.col("id").alias("neighbor_id"), F.col("iv").alias("iv_b"),
+        F.col("nrm").alias("nrm_b"), _nearest_centroid(cents).alias("cl"),
+    )
+    # nprobe nearest centroids per probe: (dist, index) structs sorted
+    # by distance (index tiebreak), first nprobe indices kept
+    dists = F.array(*[_sq_dist_to(c) for c in cents])
+    nearest_n = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        1,
+        nprobe,
+    )
+    probes = base.where(probe_filter).select(
+        F.col("id").alias("query_id"),
+        F.col("iv").alias("iv_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.explode(nearest_n).alias("pcl"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("pcl") == F.col("cl")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

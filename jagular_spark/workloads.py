@@ -702,6 +702,19 @@ def emb_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_neardup_lsh(emb, threshold=0.35)
 
 
+def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (clustering scale path): deterministic Lloyd
+    coarse quantizer (seeds by id, integer sums, first-min ties) →
+    inverted lists → nprobe centroid search → exact integer-dot
+    ranking. k-means is iterative, hence no SQL oracle — the driver
+    records a rows-only check; determinism and recall are pinned by
+    unit tests (tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf(
+        emb, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3
+    )
+
+
 def events_spikes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 sink/scan driver surface: detection output is persisted with
     ``save_spikes`` (Parquet, partitioned by channel, peak-sorted row
@@ -958,6 +971,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_spikes_roundtrip": events_spikes_roundtrip,
     "events_crossings_chunked": events_crossings_chunked,
     "events_filtfilt_chunked": events_filtfilt_chunked,
+    "emb_ann_topk_ivf": emb_ann_topk_ivf,
 }
 
 

@@ -143,3 +143,57 @@ def test_cosine_neardup_lsh_subquadratic_candidates(spark):
     # and does NOT grow with n (sub-quadratic candidate volume)
     assert ratio_big < 0.05
     assert ratio_big < ratio_small * 3
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (clustering-based scale path)
+# ---------------------------------------------------------------------------
+
+def test_ann_topk_ivf_recall_on_clustered_data(spark):
+    """On well-separated Gaussian blobs, IVF with nprobe covering the
+    blob structure recovers the brute-force neighbors; scores of
+    returned pairs are the exact integer-dot cosines."""
+    import numpy as np
+
+    from jagular_spark.operators.similarity import ann_topk_bruteforce, ann_topk_ivf
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(scale=10.0, size=(4, 64))
+    vecs = np.concatenate([c + rng.normal(scale=0.5, size=(50, 64)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    from pyspark.sql import functions as F
+
+    probe = F.col("id") < 10
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in ann_topk_bruteforce(df, probe, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in ann_topk_ivf(df, probe, k=3, n_centroids=8, nprobe=4, n_iter=3).collect()
+    }
+    # scores for common pairs are identical (exact verify)
+    common = set(bf) & set(ivf)
+    for p in common:
+        assert bf[p] == ivf[p]
+    # recall: probes live deep inside blobs, so IVF finds most true neighbors
+    assert len(common) / len(bf) >= 0.8
+
+
+def test_ivf_fit_deterministic(spark):
+    import numpy as np
+
+    from jagular_spark.operators.similarity import ivf_fit_centroids
+
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(100, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    a = ivf_fit_centroids(df, k=4, n_iter=2)
+    b = ivf_fit_centroids(df.repartition(7), k=4, n_iter=2)
+    assert a == b  # seeds by id, integer sums, first-min ties -> bit-stable
