@@ -175,6 +175,46 @@ def sample_video_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
     return media.where(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
 
 
+FRAME_BYTE_STATS_SCHEMA = "media_id long, frame_idx long, n_bytes bigint, byte_sum bigint, mean_px double"
+
+
+def video_frame_byte_stats(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Frame sampling with EXACT integer stats — the oracle-checkable
+    face of the frame-sample path (same contract as image_byte_stats):
+    every k-th full frame of a raw8 video payload yields (n_bytes,
+    byte_sum) as integers plus one final double division. Vectorized:
+    one ``frombuffer`` + reshape + row-sum per payload, only sampled
+    frames are touched."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(f"codec {r.codec!r}: only raw8 decodable here")
+                frame_len = r.height * r.width
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                n_full = min(int(r.n_frames), len(buf) // frame_len) if frame_len else 0
+                if n_full == 0:
+                    continue
+                idx = np.arange(0, n_full, every_k)
+                frames = buf[: n_full * frame_len].reshape(n_full, frame_len)[idx]
+                sums = frames.sum(axis=1, dtype=np.int64)
+                for fi, s in zip(idx, sums):
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": int(fi),
+                            "n_bytes": frame_len,
+                            "byte_sum": int(s),
+                            "mean_px": float(s) / float(frame_len * 255),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "video").mapInPandas(kernel, FRAME_BYTE_STATS_SCHEMA)
+
+
 def audio_window_features(media: DataFrame, window: int = 1024) -> DataFrame:
     """Windowed audio features over raw8 PCM bytes: RMS, peak, clipped
     count per window — vectorized reshape per batch, no per-sample loop."""

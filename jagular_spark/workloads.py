@@ -694,6 +694,27 @@ def events_crossings_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling with an EXACT SQL oracle: each doc's
+    UTF-8 bytes become a raw8 'video' of 1×16 frames; every 3rd full
+    frame yields integer (n_bytes, byte_sum) + one double division —
+    same oracle-checkable contract as docs_media_stats."""
+    from jagular_spark.operators.multimodal import video_frame_byte_stats
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(16).alias("width"),
+        F.lit(1).alias("height"),
+        (F.length(F.encode("text", "UTF-8")) / 16).cast("int").alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return video_frame_byte_stats(media, every_k=3)
+
+
 def emb_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked cosine near-dup (the 100-TB path): candidates from
     hyperplane buckets within Hamming distance 1 (multi-probe), exact
@@ -972,6 +993,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_crossings_chunked": events_crossings_chunked,
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "emb_ann_topk_ivf": emb_ann_topk_ivf,
+    "docs_media_frames": docs_media_frames,
 }
 
 
@@ -1430,6 +1452,23 @@ ORACLE_SQL.update(_similarity_oracles())
 ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
 ORACLE_SQL.update(_signal_oracles())
+# Frame sampling: every 3rd 16-byte frame, exact integer byte stats.
+ORACLE_SQL["docs_media_frames"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id, text, length(text) AS n_chars FROM documents
+    ), f AS (
+        SELECT media_id, CAST(t.fi AS BIGINT) AS frame_idx,
+               substr(text, CAST(t.fi * 16 + 1 AS BIGINT), 16) AS fr
+        FROM b, UNNEST(generate_series(0, CAST(n_chars // 16 AS BIGINT) - 1, 3)) AS t(fi)
+        WHERE n_chars >= 16
+    )
+    SELECT media_id, frame_idx, CAST(16 AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+                i -> ord(substr(fr, i, 1)))) AS BIGINT) AS byte_sum,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+                i -> ord(substr(fr, i, 1)))) AS DOUBLE) / (16 * 255) AS mean_px
+    FROM f"""
+
 # F2 chunked: core-exact halo contract — same oracle as whole-epoch FIR.
 ORACLE_SQL["events_filtfilt_chunked"] = ORACLE_SQL["events_filtfilt"]
 

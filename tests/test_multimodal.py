@@ -62,3 +62,25 @@ def test_partitioning_invariance(spark):
 def test_compressed_codec_raises_stub_error():
     with pytest.raises(NotImplementedError, match="raw8"):
         mm._decode_payload(b"\xff\xd8\xff", "jpeg", 4, 4)
+
+
+def test_video_frame_byte_stats_matches_numpy(spark):
+    import numpy as np
+
+    from jagular_spark.operators.multimodal import synthesize_media, video_frame_byte_stats
+
+    media = synthesize_media(spark)
+    got = {
+        (r.media_id, r.frame_idx): (r.n_bytes, r.byte_sum, r.mean_px)
+        for r in video_frame_byte_stats(media, every_k=4).collect()
+    }
+    vids = media.where("kind = 'video'").collect()
+    want = {}
+    for r in vids:
+        fl = r.height * r.width
+        buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+        n_full = min(r.n_frames, len(buf) // fl)
+        for fi in range(0, n_full, 4):
+            s = int(buf[fi * fl : (fi + 1) * fl].sum(dtype=np.int64))
+            want[(r.media_id, fi)] = (fl, s, s / (fl * 255))
+    assert got == want and len(got) > 0
