@@ -115,6 +115,29 @@ def stream_censor(
     )
 
 
+def stream_dedup(
+    samples: DataFrame,
+    watermark: str,
+    event_time_col: str,
+    key_cols: Sequence[str] = ("channel_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """I1's streaming twin: keep the first-arriving row per
+    (keys, ts); duplicate-detection state is evicted once the watermark
+    passes (bounded memory — the batch operator's full-history window
+    becomes O(in-flight ts) state). Built on Structured Streaming's
+    native ``dropDuplicates`` — exactly the right primitive, no custom
+    state needed.
+
+    Semantics caveat vs batch ``dedup_keep_first``: the batch operator
+    breaks ties by explicit physical order (file_idx, packet_idx);
+    streaming keeps the first *arrival*. For in-order replay (the
+    reference's file-by-file iteration) the two agree — pinned by the
+    parity test."""
+    keys = list(key_cols)
+    return samples.withWatermark(event_time_col, watermark).dropDuplicates(keys + [ts_col])
+
+
 def stream_interpolate(
     samples: DataFrame,
     max_gap_size: int,

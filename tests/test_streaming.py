@@ -212,3 +212,24 @@ def test_stream_interpolate_gap_across_batches(spark, tmp_path):
     assert {(t, v) for _, t, v in collected} == {
         (10, 100), (11, 110), (12, 120), (13, 130), (14, 140)
     }
+
+
+def test_stream_dedup_matches_batch_on_inorder(spark, tmp_path):
+    """Single availableNow pass of stream_dedup == batch keep-first on
+    in-order data (arrival order = physical order)."""
+    from jagular_spark.operators import dedup_keep_first
+    from jagular_spark.streaming import stream_dedup
+
+    ev = _events_batch(spark).select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    batch = dedup_keep_first(
+        ev, ts_col="us", tiebreak_cols=["event_id"], partition_cols=["user_id"]
+    )
+    want = {(r.user_id, r.us) for r in batch.collect()}
+
+    stream = _as_stream(spark, ev, tmp_path, "ddp")
+    out = stream_dedup(stream, "0 seconds", "ts", key_cols=["user_id"], ts_col="us")
+    _run_to_memory(out, "ddp_out", "append")
+    got = {(r.user_id, r.us) for r in spark.sql("SELECT * FROM ddp_out").collect()}
+    assert got == want and got
