@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis): randomized streams against
+straight-line sequential oracles, plus partition-invariance — the
+distributed result must not depend on physical layout. Example counts
+are kept small because every example runs Spark jobs."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# sorted distinct timestamp arrays with clustered gaps
+ts_arrays = st.lists(
+    st.integers(min_value=0, max_value=400), min_size=2, max_size=60, unique=True
+).map(sorted)
+
+
+@given(ts=ts_arrays, width=st.integers(min_value=1, max_value=40))
+@SET
+def test_censor_matches_sequential_oracle(spark, ts, width):
+    from jagular_spark.operators.spikes import censor
+
+    df = spark.createDataFrame(
+        [(0, 0, int(t)) for t in ts], "channel_id int, segment_id long, ts long"
+    )
+    got = sorted(r.ts for r in censor(df, width=width).collect())
+    kept, last = [], None
+    for t in ts:
+        if last is None or t - last > width:  # strictly-greater boundary
+            kept.append(t)
+            last = t
+    assert got == kept
+
+
+@given(
+    ts=ts_arrays,
+    max_gap=st.integers(min_value=1, max_value=5),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+@SET
+def test_interpolate_matches_numpy_and_is_partition_invariant(spark, ts, max_gap, n_parts):
+    from jagular_spark.operators import interpolate_gaps
+
+    vals = [float(3 * t % 17) for t in ts]
+    df = spark.createDataFrame(
+        [(0, int(t), v) for t, v in zip(ts, vals)], "ch int, ts long, value double"
+    ).repartition(n_parts)
+    got = sorted(
+        (r.ts, r.value)
+        for r in interpolate_gaps(
+            df, value_cols=["value"], max_gap_size=max_gap, partition_cols=["ch"]
+        ).collect()
+    )
+    want = list(zip(ts, vals))
+    a = np.asarray(ts)
+    for i in range(len(ts) - 1):
+        missing = ts[i + 1] - ts[i] - 1
+        if 1 <= missing <= max_gap:
+            for t in range(ts[i] + 1, ts[i + 1]):
+                frac = (t - ts[i]) / (ts[i + 1] - ts[i])
+                want.append((t, vals[i] + (vals[i + 1] - vals[i]) * frac))
+    _ = a
+    assert got == sorted(want)
+
+
+@given(ts=ts_arrays, gap_factor=st.integers(min_value=2, max_value=10))
+@SET
+def test_segments_window_equals_range_strategy(spark, ts, gap_factor):
+    from jagular_spark.operators import contiguous_segments
+
+    df = spark.createDataFrame([(0, int(t)) for t in ts], "ch int, ts long")
+    kw = dict(step=1, gap_factor=float(gap_factor))
+    win = sorted(
+        (r.ts_start, r.ts_stop, r.n_samples)
+        for r in contiguous_segments(df, partition_cols=["ch"], strategy="window", **kw).collect()
+    )
+    rng = sorted(
+        (r.ts_start, r.ts_stop, r.n_samples)
+        for r in contiguous_segments(
+            df.repartition(5), partition_cols=["ch"], strategy="range", **kw
+        ).collect()
+    )
+    assert win == rng
+    # numpy oracle: split where diff >= gap
+    brk = np.flatnonzero(np.diff(ts) >= gap_factor)
+    starts = np.concatenate(([0], brk + 1))
+    stops = np.concatenate((brk, [len(ts) - 1]))
+    want = sorted(
+        (int(ts[s]), int(ts[e]) + 1, int(e - s + 1)) for s, e in zip(starts, stops)
+    )
+    assert win == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5)), min_size=1, max_size=50
+    )
+)
+@SET
+def test_dedup_keeps_minimum_tiebreak(spark, pairs):
+    from jagular_spark.operators import dedup_keep_first
+
+    df = spark.createDataFrame(
+        [(int(t), int(fi), t * 10 + fi) for t, fi in pairs],
+        "ts long, file_idx int, payload long",
+    )
+    got = {(r.ts, r.file_idx) for r in dedup_keep_first(
+        df, ts_col="ts", tiebreak_cols=["file_idx"]
+    ).collect()}
+    want = {}
+    for t, fi in pairs:
+        if t not in want or fi < want[t]:
+            want[t] = fi
+    assert got == set(want.items())
