@@ -486,20 +486,40 @@ def cosine_neardup_lsh(
 # IVF (inverted-file) ANN — the clustering-based scale path
 # ---------------------------------------------------------------------------
 
-def _sq_dist_to(cent: list[float], vec_col: str = "iv") -> F.Column:
-    """Squared distance from an integer-scaled vector column to a
-    literal centroid (scaled to the same 2^20 grid)."""
-    lit = F.array(*[F.lit(float(c)) for c in cent])
+def _sq_dist(a: str, b: str) -> F.Column:
+    """Squared distance between two array columns."""
     return F.aggregate(
-        F.zip_with(F.col(vec_col), lit, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.zip_with(F.col(a), F.col(b), lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
-def _nearest_centroid(cents: list[list[float]], vec_col: str = "iv") -> F.Column:
-    dists = F.array(*[_sq_dist_to(c, vec_col) for c in cents])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+def _assign_nearest(base: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """``(id, iv, c)``: nearest-centroid assignment via a broadcast
+    join against the tiny centroid table. Two reasons this beats a
+    literal-centroid argmin expression: (a) the plan SHAPE is constant
+    across Lloyd iterations — only broadcast data changes — so
+    whole-stage codegen compiles once instead of re-compiling a
+    k×dim-literal tree every iteration (measured: ~20 s of Janino time
+    for 3 iterations at k=16, dim=64); (b) k scales without growing
+    the expression tree. ``min(struct(d, c))`` = first-minimum
+    tiebreak, so assignment stays bit-stable across partitionings."""
+    spark = base.sparkSession
+    cent_df = spark.createDataFrame(
+        [(ci, [float(v) for v in c]) for ci, c in enumerate(cents)],
+        "c int, cv array<double>",
+    )
+    return (
+        base.crossJoin(F.broadcast(cent_df))
+        .withColumn("d", _sq_dist("iv", "cv"))
+        .groupBy("id")
+        .agg(
+            F.min(F.struct(F.col("d"), F.col("c"))).getField("c").alias("c"),
+            F.any_value("iv").alias("iv"),  # constant per id — deterministic
+        )
+        .select("id", "iv", "c")
+    )
 
 
 def ivf_fit_centroids(
@@ -511,20 +531,20 @@ def ivf_fit_centroids(
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means over the integer-scaled vectors
     (IVF coarse quantizer). Seeds = the ``k`` vectors with smallest ids
-    (deterministic, no RNG); each iteration is ONE narrow scan: assign
-    via literal-centroid argmin, then 64 per-dimension SUM/COUNT aggs —
-    the k×dim centroid table lives driver-side (tiny), the corpus never
-    collects. Ties in argmin break to the lowest centroid index
-    (array_position finds the first minimum), so the fit is bit-stable
-    across partitionings. At 100 TB you would fit on a hash-sample of
-    the corpus (same plan with a ``where pmod(hash(id), S) = 0``) —
-    centroid quality, not exactness, is what sampling trades."""
+    (deterministic, no RNG); each iteration: broadcast-join nearest-
+    centroid assignment (see :func:`_assign_nearest`), then 64
+    per-dimension SUM/COUNT aggs — the k×dim centroid table lives
+    driver-side (tiny), the corpus never collects. First-minimum
+    tiebreaks keep the fit bit-stable across partitionings. At 100 TB
+    you would fit on a hash-sample of the corpus (same plan with a
+    ``where pmod(hash(id), S) = 0`` prefilter) — centroid quality, not
+    exactness, is what sampling trades."""
     dim = len(df.select(vec_col).first()[0])
     base = df.select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
     seeds = base.orderBy("id").limit(k).select("iv").collect()
     cents = [[float(x) for x in r.iv] for r in seeds]
     for _ in range(n_iter):
-        assigned = base.select(_nearest_centroid(cents).alias("c"), "iv")
+        assigned = _assign_nearest(base, cents)
         agg = assigned.groupBy("c").agg(
             F.count(F.lit(1)).alias("n"),
             *[F.sum(F.element_at("iv", i + 1)).alias(f"s{i}") for i in range(dim)],

@@ -694,6 +694,25 @@ def events_crossings_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/A9 whole-stream audit (reference runs it after every
+    extraction, ``jagular/utils.py:544-547``): per-user row count,
+    distinct-ts count, duplicate flag, ts bounds — one hash
+    aggregation."""
+    from jagular_spark.operators import check_timestamps
+
+    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    out = check_timestamps(ev, ts_col="us", partition_cols=["user_id"])
+    return out.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("ts_min").alias("ts_min"),
+        F.col("ts_max").alias("ts_max"),
+        "has_duplicates",
+    )
+
+
 def docs_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling with an EXACT SQL oracle: each doc's
     UTF-8 bytes become a raw8 'video' of 1×16 frames; every 3rd full
@@ -994,6 +1013,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "emb_ann_topk_ivf": emb_ann_topk_ivf,
     "docs_media_frames": docs_media_frames,
+    "events_audit": events_audit,
 }
 
 
@@ -1452,6 +1472,16 @@ ORACLE_SQL.update(_similarity_oracles())
 ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
 ORACLE_SQL.update(_signal_oracles())
+# S11/A9 audit: one hash aggregation per user.
+ORACLE_SQL["events_audit"] = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT epoch_us(ts)) AS BIGINT) AS n_distinct,
+           MIN(epoch_us(ts)) AS ts_min,
+           MAX(epoch_us(ts)) AS ts_max,
+           COUNT(*) != COUNT(DISTINCT epoch_us(ts)) AS has_duplicates
+    FROM events GROUP BY user_id"""
+
 # Frame sampling: every 3rd 16-byte frame, exact integer byte stats.
 ORACLE_SQL["docs_media_frames"] = """
     WITH b AS (
