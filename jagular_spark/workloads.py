@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from jagular_spark.operators import (
     contiguous_segments,
@@ -45,19 +46,24 @@ def _dec(c, scale: int = 4):
     return F.col(c).cast(f"decimal(18,{scale})")
 
 
-import pandas as _pd
+def _us(df: DataFrame, c: str = "ts"):
+    """``c`` as unix microseconds BIGINT, matching DuckDB ``epoch_us``.
+
+    Handles both parquet timestamp encodings the driver has shipped:
+    TIMESTAMP(MICROS) reads natively as TIMESTAMP_NTZ (wall-clock ==
+    UTC instant under the session's UTC timezone); TIMESTAMP(NANOS)
+    reads as a raw nano long via ``nanosAsLong`` (session.py), where
+    integer division truncates exactly like DuckDB's nanos→micros.
+    """
+    if isinstance(df.schema[c].dataType, LongType):
+        return F.expr(f"CAST({c} DIV 1000 AS BIGINT)")
+    return F.unix_micros(F.to_utc_timestamp(F.col(c), "UTC"))
 
 
-def _ns(datestr: str) -> int:
-    """Epoch nanoseconds of a date/timestamp literal — timestamp columns
-    arrive as raw nano longs (see session.py nanosAsLong)."""
-    return int(_pd.Timestamp(datestr).value)
-
-
-def _us(c: str):
-    """Nano-long column → unix microseconds BIGINT, truncating exactly
-    like DuckDB's nanos→micros parquet conversion."""
-    return F.expr(f"CAST({c} DIV 1000 AS BIGINT)")
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with a ``us`` (unix-microsecond BIGINT) column."""
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("us", _us(ev))
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +170,7 @@ _STEP_US = 60 * 1_000_000      # nominal 1-minute step => gap_factor 30
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization per user (SURVEY A7 on event
     time): new session when inter-event gap >= 30 min."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = _events_us(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flag = (
         F.when(F.col("us") - F.lag("us").over(w) >= _GAP_US, 1)
@@ -187,9 +193,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's contiguous_segments operator (SURVEY A7) on event
     time: distributed local-island detection + tiny merge pass."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", _us("ts").alias("us")
-    )
+    ev = _events_us(spark, sf_dir).select("user_id", "us")
     return contiguous_segments(
         ev, ts_col="us", step=_STEP_US, gap_factor=30.0, partition_cols=["user_id"]
     ).select("user_id", "segment_id", "ts_start", "ts_stop", "n_samples")
@@ -207,7 +211,7 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-FIRST dedup (SURVEY I1): first event of each (user, type) by
     event time with event_id tiebreak — exact reference keep-first
     semantics under unordered partitions."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = _events_us(spark, sf_dir)
     out = dedup_keep_first(
         ev, ts_col="event_type", tiebreak_cols=["us", "event_id"], partition_cols=["user_id"]
     )
@@ -219,7 +223,7 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sample per (user, minute) — keep-first dedup — then fill interior
     gaps of ≤5 missing minutes with linearly interpolated values via the
     engine's interpolate_gaps operator (edge-pass + sequence-explode)."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = _events_us(spark, sf_dir)
     base = dedup_keep_first(
         ev.withColumn("minute", F.expr("CAST(us DIV 60000000 AS BIGINT)")),
         ts_col="minute",
@@ -240,7 +244,7 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debounced threshold crossings (SURVEY W1): value > 100 AND the
     next event (by time) also > 100, per user."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = _events_us(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     return (
         ev.withColumn("next_value", F.lead("value").over(w))
@@ -266,7 +270,7 @@ def events_mad_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_stream_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stream ts bounds + counts (SURVEY A1/S2/S6 catalog stats)."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = _events_us(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.min("us").alias("ts_first"),
         F.max("us").alias("ts_last"),
@@ -292,7 +296,7 @@ def _rn_samples(spark: SparkSession, sf_dir: str, max_channel: int | None = None
     """Events as per-user dense sample streams: channel = user, ts = the
     0-based position in the user's (time, event_id) order — the
     contiguous-epoch layout the signal operators expect."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = _events_us(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     s = ev.select(
         F.col("user_id").cast("int").alias("channel_id"),
@@ -341,7 +345,7 @@ def events_fir_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-phase FIR smoothing as PURE window expressions (F-class demo
     with an exact SQL oracle): symmetric 5-tap kernel over each user's
     event-value sequence; interior rows only (full support)."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = _events_us(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     v = [
         F.lag("value", 2).over(w),
@@ -538,7 +542,7 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minute_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared base: one sample per (user, minute), keep-first dedup —
     the sanitized per-channel stream several signal queries build on."""
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = _events_us(spark, sf_dir)
     return dedup_keep_first(
         ev.withColumn("minute", F.expr("CAST(us DIV 60000000 AS BIGINT)")),
         ts_col="minute",
@@ -701,7 +705,7 @@ def events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation."""
     from jagular_spark.operators import check_timestamps
 
-    ev = load(spark, sf_dir, "events").withColumn("us", _us("ts"))
+    ev = _events_us(spark, sf_dir)
     out = check_timestamps(ev, ts_col="us", partition_cols=["user_id"])
     return out.select(
         "user_id",
