@@ -40,28 +40,37 @@ def main() -> None:
     # a limit() here would collapse to 1 partition and warm 1 worker
     warm.mapInPandas(lambda it: (b for b in it), "k long, v long").count()
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one raising query must not invalidate
+    # the whole artifact — it records null and the loop (and the final
+    # JSON line) still happen.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, fn in SPARK_QUERIES.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution
+        except Exception as e:  # noqa: BLE001 — record and continue
+            timings[name] = None
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"# {name}: FAILED {type(e).__name__}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "workload_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

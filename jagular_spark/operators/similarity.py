@@ -495,8 +495,24 @@ def _sq_dist(a: str, b: str) -> F.Column:
     )
 
 
-def _assign_nearest(base: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """``(id, iv, c)``: nearest-centroid assignment via a broadcast
+def _sq_dist_to(c: list[float]) -> F.Column:
+    """Squared distance from the ``iv`` column to a literal centroid.
+    Only for once-per-query use (probe→centroid ranking): the k×dim
+    literal expression tree is fine to compile a single time, but in
+    the Lloyd loop it would force a Janino recompile per iteration —
+    there, use :func:`_assign_nearest` instead."""
+    lit = F.array(*[F.lit(float(v)) for v in c])
+    return F.aggregate(
+        F.zip_with(F.col("iv"), lit, lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_nearest(
+    base: DataFrame, cents: list[list[float]], carry: tuple[str, ...] = ("iv",)
+) -> DataFrame:
+    """``(id, *carry, c)``: nearest-centroid assignment via a broadcast
     join against the tiny centroid table. Two reasons this beats a
     literal-centroid argmin expression: (a) the plan SHAPE is constant
     across Lloyd iterations — only broadcast data changes — so
@@ -504,7 +520,9 @@ def _assign_nearest(base: DataFrame, cents: list[list[float]]) -> DataFrame:
     k×dim-literal tree every iteration (measured: ~20 s of Janino time
     for 3 iterations at k=16, dim=64); (b) k scales without growing
     the expression tree. ``min(struct(d, c))`` = first-minimum
-    tiebreak, so assignment stays bit-stable across partitionings."""
+    tiebreak, so assignment stays bit-stable across partitionings.
+    ``carry`` columns are constant per id and ride the aggregation via
+    ``any_value`` (deterministic)."""
     spark = base.sparkSession
     cent_df = spark.createDataFrame(
         [(ci, [float(v) for v in c]) for ci, c in enumerate(cents)],
@@ -516,9 +534,9 @@ def _assign_nearest(base: DataFrame, cents: list[list[float]]) -> DataFrame:
         .groupBy("id")
         .agg(
             F.min(F.struct(F.col("d"), F.col("c"))).getField("c").alias("c"),
-            F.any_value("iv").alias("iv"),  # constant per id — deterministic
+            *[F.any_value(col).alias(col) for col in carry],
         )
-        .select("id", "iv", "c")
+        .select("id", *carry, "c")
     )
 
 
@@ -579,12 +597,14 @@ def ann_topk_ivf(
     corpus."""
     cents = ivf_fit_centroids(df, n_centroids, n_iter, id_col, vec_col)
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
-    corpus = base.select(
+    corpus = _assign_nearest(base, cents, carry=("iv", "nrm")).select(
         F.col("id").alias("neighbor_id"), F.col("iv").alias("iv_b"),
-        F.col("nrm").alias("nrm_b"), _nearest_centroid(cents).alias("cl"),
+        F.col("nrm").alias("nrm_b"), F.col("c").alias("cl"),
     )
     # nprobe nearest centroids per probe: (dist, index) structs sorted
-    # by distance (index tiebreak), first nprobe indices kept
+    # by distance (index tiebreak), first nprobe indices kept. The
+    # k×dim literal tree here compiles ONCE per query (unlike the Lloyd
+    # loop, which is why assignment uses the broadcast join instead).
     dists = F.array(*[_sq_dist_to(c) for c in cents])
     nearest_n = F.slice(
         F.transform(

@@ -341,27 +341,42 @@ def form_tetrode(
         chans, pts_by_chan, radius_before=size, radius_after=size,
         ts_col=ts_col, point_ts_col="peak_ts", join_cols=[channel_col], step=step,
     )
-    per_chan = (
-        joined.groupBy("peak_ts", channel_col)
-        .agg(F.array_sort(F.collect_list(F.struct(F.col(ts_col), F.col(value_col).alias("v")))).alias("win"))
-        .withColumn("patch", F.transform("win", lambda s: s["v"].cast("float")))
-        .withColumn(
-            "patch",
-            F.concat(
-                F.col("patch"),
-                F.array_repeat(F.lit(0.0).cast("float"), F.greatest(F.lit(0), F.lit(patch_size) - F.size("patch")).cast("int")),
+    # ONE shuffle: collect all channels' samples per spike in a single
+    # groupBy(peak_ts), then regroup per-channel with array expressions.
+    # (Was two chained collect_list shuffles — groupBy(peak_ts, channel)
+    # then groupBy(peak_ts) — same result, double the exchange volume.)
+    gathered = joined.groupBy("peak_ts").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(channel_col).alias("ch"),
+                    F.col(ts_col).alias("t"),
+                    F.col(value_col).alias("v"),
+                )
+            )
+        ).alias("smp")
+    )
+
+    def _chan_patch(c: int) -> F.Column:
+        # smp is sorted by (ch, t, v), so the filtered slice is already
+        # time-ordered within the channel; zero-pad to patch_size.
+        vals = F.transform(
+            F.filter("smp", lambda s: s["ch"] == F.lit(int(c))),
+            lambda s: s["v"].cast("float"),
+        )
+        return F.concat(
+            vals,
+            F.array_repeat(
+                F.lit(0.0).cast("float"),
+                F.greatest(F.lit(0), F.lit(patch_size) - F.size(vals)).cast("int"),
             ),
         )
-    )
+
+    n_chans = F.size(F.array_distinct(F.transform("smp", lambda s: s["ch"])))
     assembled = (
-        per_chan.groupBy("peak_ts")
-        .agg(
-            F.array_sort(F.collect_list(F.struct(F.col(channel_col), F.col("patch")))).alias("chans"),
-        )
-        .withColumn("waveform", F.transform("chans", lambda s: s["patch"]))
-        .withColumn("n_chans", F.size("waveform"))
-        .where(F.col("n_chans") == len(tetrode_channels))
-        .drop("chans", "n_chans")
+        gathered.where(n_chans == len(tetrode_channels))
+        .withColumn("waveform", F.array(*[_chan_patch(c) for c in sorted(tetrode_channels)]))
+        .drop("smp")
     )
     # P4: all samples within (−bound, bound)
     ok = F.forall(

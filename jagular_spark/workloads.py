@@ -765,6 +765,7 @@ def events_spikes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups) and re-read with ``load_spikes``; the round-tripped table
     must satisfy the same oracle as ``events_detect_spikes`` — the sink
     is correct iff it is invisible to the query result."""
+    import os
     import re
     import tempfile
 
@@ -776,7 +777,9 @@ def events_spikes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         multiplier=2.0, censor_width=5, patch_size=8, polarity="pos",
     )
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
-    path = f"{tempfile.gettempdir()}/jspark_spikes_rt_{tag}"
+    # pid-unique so two concurrent harness runs can't race on the sink;
+    # same-process re-runs reuse (save_spikes overwrites).
+    path = f"{tempfile.gettempdir()}/jspark_spikes_rt_{tag}_{os.getpid()}"
     save_spikes(out, path, partition_col="channel_id", order_col="peak_ts")
     back = load_spikes(spark, path, ts_col="peak_ts")
     return back.select(

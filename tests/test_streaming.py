@@ -15,14 +15,18 @@ GAP_US = 30 * 60 * 1_000_000
 
 
 def _events_batch(spark):
-    """events with a real TimestampType event-time column."""
+    """events with a real TimestampType event-time column (handles both
+    parquet encodings: raw nano longs via nanosAsLong, and native
+    TIMESTAMP(MICROS) read as TIMESTAMP_NTZ — same dispatch as
+    workloads._us)."""
+    from pyspark.sql.types import LongType
+
     ev = spark.read.parquet(f"{SF}/events.parquet")
-    return ev.select(
-        "user_id",
-        "event_id",
-        "value",
-        F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")).alias("ts"),
-    )
+    if isinstance(ev.schema["ts"].dataType, LongType):
+        t = F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)"))
+    else:
+        t = F.timestamp_micros(F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC")))
+    return ev.select("user_id", "event_id", "value", t.alias("ts"))
 
 
 def _as_stream(spark, df, tmp_path, name):
