@@ -24,6 +24,7 @@ expressions are JVM-side (whole-stage codegen) — no Python UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -559,19 +560,27 @@ def ivf_fit_centroids(
     exactness, is what sampling trades."""
     dim = len(df.select(vec_col).first()[0])
     base = df.select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
-    seeds = base.orderBy("id").limit(k).select("iv").collect()
-    cents = [[float(x) for x in r.iv] for r in seeds]
-    for _ in range(n_iter):
-        assigned = _assign_nearest(base, cents)
-        agg = assigned.groupBy("c").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.sum(F.element_at("iv", i + 1)).alias(f"s{i}") for i in range(dim)],
-        )
-        rows = {r["c"]: r for r in agg.collect()}
-        cents = [
-            [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)] if ci in rows else cents[ci]
-            for ci in range(k)
-        ]
+    # Each Lloyd iteration is an action — cache the projected vectors so
+    # iterations read the in-memory columnar copy, not the source scan
+    # re-executed n_iter+1 times. (At 100 TB the fit runs on a hash
+    # sample, which is exactly what you'd persist.)
+    base = base.persist()
+    try:
+        seeds = base.orderBy("id").limit(k).select("iv").collect()
+        cents = [[float(x) for x in r.iv] for r in seeds]
+        for _ in range(n_iter):
+            assigned = _assign_nearest(base, cents)
+            agg = assigned.groupBy("c").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("iv", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            rows = {r["c"]: r for r in agg.collect()}
+            cents = [
+                [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)] if ci in rows else cents[ci]
+                for ci in range(k)
+            ]
+    finally:
+        base.unpersist()
     return cents
 
 
@@ -637,6 +646,80 @@ def ann_topk_ivf(
     w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ann_topk_ivf_frozen(
+    df: DataFrame,
+    probe_filter: F.Column,
+    cents: Sequence[Sequence[int]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a FROZEN integer coarse quantizer — the
+    serving-time half of IVF-Flat, with the fit done offline (exactly
+    how a 100-TB deployment runs: centroids are fit once on a sample,
+    then shipped as a constant to every search).
+
+    Because the centroids are integer literals, assignment distances,
+    nprobe selection, and candidate ranking are ALL exact BIGINT
+    arithmetic — no float summation-order hazards — so every step is
+    SQL-expressible and the whole query hash-matches a DuckDB oracle
+    (unlike :func:`ann_topk_ivf`, whose iterative Lloyd fit forces a
+    rows-only check). Plan shape is identical to the fitted variant:
+    broadcast centroid table, argmin assignment, inverted-list
+    equi-join on cluster id, window top-k."""
+    spark = df.sparkSession
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    cent_df = spark.createDataFrame(
+        [(ci, [int(v) for v in c]) for ci, c in enumerate(cents)],
+        "c int, civ array<bigint>",
+    )
+    d_int = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("civ"), lambda x, cc: (x - cc) * (x - cc)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    corpus = (
+        base.crossJoin(F.broadcast(cent_df))
+        .withColumn("d", d_int)
+        .groupBy("id")
+        .agg(
+            F.min(F.struct("d", "c")).getField("c").alias("cl"),
+            F.any_value("iv").alias("iv_b"),
+            F.any_value("nrm").alias("nrm_b"),
+        )
+        .select(F.col("id").alias("neighbor_id"), "iv_b", "nrm_b", "cl")
+    )
+    pw = Window.partitionBy("id").orderBy("d", "c")
+    probes = (
+        base.where(probe_filter)
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d", d_int)
+        .withColumn("pr", F.row_number().over(pw))
+        .where(F.col("pr") <= nprobe)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("iv").alias("iv_a"),
+            F.col("nrm").alias("nrm_a"),
+            F.col("c").alias("pcl"),
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("pcl") == F.col("cl")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(fw).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )

@@ -759,6 +759,33 @@ def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen IVF coarse quantizer: one offline deterministic Lloyd fit
+# (k=8, n_iter=3, on the sf0.01 corpus), floored to ints. Integer
+# centroids make assignment/nprobe/ranking exact BIGINT arithmetic,
+# hence fully SQL-expressible (see sim.ann_topk_ivf_frozen).
+_IVF_FROZEN_CENTS: list[list[int]] = [
+    [17147, -354, 44195, -93804, 8356, -21768, -14391, 13960, 59683, -18163, -14134, 7420, -40273, -8982, -13699, -2336, 56150, 39848, 24358, 29263, -60788, 11201, -10636, -17269, 3781, 81554, 93833, -6230, -16332, 65826, -26215, 67046, 6081, -43471, 4673, -55811, -7373, 15896, 22653, 10608, -841, 28, 1303, 68, 15999, 23958, 34559, -51874, 9835, -47366, 2294, 21260, 9320, -57817, 31548, 16950, -15406, 5118, -70614, -19648, -14546, 37669, 37151, -46332],
+    [-24088, -22184, 11548, 2205, 12375, 30291, -96955, -9407, 2707, -5895, -55314, 47405, 67538, -81973, 32985, 2595, -4815, -21956, 31871, -49973, 33564, 18874, 3364, -25762, 37838, 74975, -7700, -17705, -1759, 12351, -23500, 5158, -2800, 5322, 17190, -1820, -48040, 11156, 21660, -76677, 3776, -40749, 19840, 13005, 21451, 18688, -35502, -14666, -66227, -93662, -16471, 10656, -18811, 4076, -23324, 44910, 49191, -4057, 31672, 11024, -22088, -3046, -48265, -11144],
+    [-1151, 8456, -41534, 49235, 44732, -6920, -12233, 21564, -6012, -71251, -17702, -20910, -62746, 69977, 460, 8792, -26897, 48174, -8029, -22090, -365, 9238, 70466, -25242, -2749, -58243, 4506, -5124, 13912, 5057, -18048, -88896, 1901, 1978, 4780, 3506, 7569, 60847, 48816, 60787, -8027, -7190, 16222, 24756, -4873, -14213, -14962, -1295, 50283, 34946, 48207, -62670, -15930, -32005, 47440, 5443, 14319, -18378, 17147, 49879, 41304, 2738, 19389, 3400],
+    [-24332, 29551, -18641, -17504, -14558, 28473, 26731, -1638, -33755, 1049, -3029, 43016, 17974, 86811, 14046, -14311, -42633, -47298, 14766, 35617, 8584, -2798, -23500, 11840, -13124, 30975, -31808, -14841, -64065, -36389, -2267, -8592, 84900, -12453, 3207, -19442, 10078, -30385, -36619, -27973, -6320, -41959, -73302, -37099, 4600, 3735, -16742, -40536, 63602, -46782, 11582, -20823, 14573, 20118, -41342, -36341, 13047, -6648, 34616, -47081, 35634, 4547, -4455, -46878],
+    [27699, -745, 69510, -18022, -46224, -71920, 48581, -6374, 4561, 27097, 25543, -65047, 31428, -44679, 18021, -16545, 51216, 28124, 7972, 29147, -19160, 39591, -23983, 13308, -27643, 4045, 23305, 6388, 28798, -43873, 34377, -31571, 18411, 18487, 32653, -51063, 15791, -82421, -24097, 8342, 30023, -5741, -8067, 15808, -32944, 144, -34488, 66758, -35425, 2423, -11462, 6921, 24512, 17671, 88020, -19734, 148, -14573, 27528, -4051, -66794, -8083, 36748, 367],
+    [-31472, -16906, 26157, -577, 53249, -13618, -50625, 68874, -17096, 18233, 24927, -13577, 4997, 8731, -17843, 7147, 3956, -47763, -15492, 33683, 6292, -25822, 28198, -10776, 25338, 44881, -34544, 6663, 6525, 18941, 9192, -27613, -297, -2396, 1646, 51002, 12344, 62673, -31898, 13262, -43158, 58632, 9653, 27522, -81432, -48429, 9167, -23798, -11549, 25424, 39604, 40703, 11785, 30440, -36793, -78537, 33603, -38693, 13306, -9042, -7404, 39542, -39921, 25616],
+    [-22528, -44807, -11586, -16053, 47977, 71940, -29950, -51208, 7140, 47676, 59425, 16806, 11271, 47326, -18165, 44727, 26473, 52453, -61114, -46519, 2319, -12549, -3113, -57450, -42784, -17364, -5305, 48883, 28917, -43424, 7544, 1742, -15134, -46715, -23899, 46433, 21078, -15175, -10116, -7781, 35830, -38567, 3346, -23769, 1093, 14110, 29281, 47392, 9917, 21696, -28699, -136, 46422, -2877, 23588, 35380, -64042, 52877, -23004, -36909, 17334, -9938, -4692, 22749],
+    [91574, 14662, -36089, 44567, -35677, 29183, -14257, 41359, -24665, -16323, 23224, 3345, -62150, -76466, -14049, 12731, -24008, 12494, 14621, 5521, -15520, -6779, -7809, 48813, 3986, -49882, -31441, 65205, -4178, 36146, 62827, 40585, -24679, 25747, 9996, 12442, -61071, -43492, 13626, 16399, -21495, -25586, 37919, -20260, -11116, 42121, 20818, 67298, -56452, 8847, 32809, -11938, -12095, -26643, -28293, 12249, 10305, 1228, -80137, -8887, 3560, -21126, 10883, -69367],
+]
+
+
+def emb_ann_topk_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving path with a frozen integer coarse quantizer —
+    assignment + nprobe selection + ranking are exact BIGINT, so this
+    is the hash-matched driver row for the IVF machinery (the Lloyd
+    fit itself stays rows-only in emb_ann_topk_ivf)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf_frozen(
+        emb, F.col("id") < 20, _IVF_FROZEN_CENTS, k=5, nprobe=2
+    )
+
+
 def events_spikes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 sink/scan driver surface: detection output is persisted with
     ``save_spikes`` (Parquet, partitioned by channel, peak-sorted row
@@ -1019,6 +1046,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_crossings_chunked": events_crossings_chunked,
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "emb_ann_topk_ivf": emb_ann_topk_ivf,
+    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
     "docs_media_frames": docs_media_frames,
     "events_audit": events_audit,
 }
@@ -1505,6 +1533,54 @@ ORACLE_SQL["docs_media_frames"] = """
            CAST(list_sum(list_transform(generate_series(1, 16),
                 i -> ord(substr(fr, i, 1)))) AS DOUBLE) / (16 * 255) AS mean_px
     FROM f"""
+
+# IVF with frozen integer centroids: assignment, nprobe selection and
+# ranking replayed in exact BIGINT arithmetic.
+_ivf_cent_rows = ",\n            ".join(
+    f"({ci}, [{', '.join(str(v) for v in c)}])"
+    for ci, c in enumerate(_IVF_FROZEN_CENTS)
+)
+ORACLE_SQL["emb_ann_topk_ivf_frozen"] = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, iv,
+               CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                    i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+        FROM base
+    ), cents(c, civ) AS (
+        VALUES {_ivf_cent_rows}
+    ), dists AS (
+        SELECT n.vec_id, n.iv, n.nrm, c.c,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> (n.iv[i] - c.civ[i]) * (n.iv[i] - c.civ[i]))) AS BIGINT) AS d
+        FROM normed n CROSS JOIN cents c
+    ), corpus AS (
+        SELECT vec_id, iv, nrm, c AS cl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id, iv, nrm, c AS pcl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM dists WHERE vec_id < 20
+        ) WHERE rn <= 2
+    ), scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                    i -> q.iv[i] * t.iv[i])) AS BIGINT) AS dot,
+               q.nrm AS nrm_a, t.nrm AS nrm_b
+        FROM probes q JOIN corpus t ON q.pcl = t.cl AND t.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank,
+           dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+    FROM ranked WHERE rank <= 5"""
 
 # F2 chunked: core-exact halo contract — same oracle as whole-epoch FIR.
 ORACLE_SQL["events_filtfilt_chunked"] = ORACLE_SQL["events_filtfilt"]

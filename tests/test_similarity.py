@@ -183,6 +183,44 @@ def test_ann_topk_ivf_recall_on_clustered_data(spark):
     assert len(common) / len(bf) >= 0.8
 
 
+def test_ann_topk_ivf_frozen_matches_fitted_quantizer(spark):
+    """The frozen-centroid serving path with the SAME (integer-floored)
+    centroids as an online fit returns the exact integer-dot scores of
+    brute force for every pair it surfaces, and recalls blob neighbors
+    when nprobe covers the blob structure."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from jagular_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf_frozen,
+        ivf_fit_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(scale=10.0, size=(4, 64))
+    vecs = np.concatenate([c + rng.normal(scale=0.5, size=(40, 64)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[int(np.floor(v)) for v in c] for c in ivf_fit_centroids(df, k=4, n_iter=2)]
+    probe = F.col("id") < 10
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in ann_topk_bruteforce(df, probe, k=3).collect()
+    }
+    fr = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in ann_topk_ivf_frozen(df, probe, cents, k=3, nprobe=2).collect()
+    }
+    common = set(bf) & set(fr)
+    for p in common:
+        assert bf[p] == fr[p]
+    assert len(common) / len(bf) >= 0.8
+
+
 def test_ivf_fit_deterministic(spark):
     import numpy as np
 
