@@ -370,10 +370,15 @@ def cubic_spline_eval(y: np.ndarray, xnew: np.ndarray) -> np.ndarray:
     xq = np.clip(np.asarray(xnew, dtype=np.float64), 0.0, n - 1.0)
     j = np.clip(np.floor(xq).astype(int), 0, n - 2)
     t = xq - j
-    h = 1.0
+    # cubes as explicit multiplies (not **3): IEEE multiply order is
+    # deterministic across engines, libm pow is not — keeps the SQL
+    # oracle bit-identical
+    omt = 1.0 - t
+    omt3 = (omt * omt) * omt
+    t3 = (t * t) * t
     return (
-        M[j] * (1 - t) ** 3 / 6.0
-        + M[j + 1] * t**3 / 6.0
-        + (y[j] - M[j] / 6.0) * (1 - t)
+        M[j] * omt3 / 6.0
+        + M[j + 1] * t3 / 6.0
+        + (y[j] - M[j] / 6.0) * omt
         + (y[j + 1] - M[j + 1] / 6.0) * t
     )

@@ -654,6 +654,33 @@ def events_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("idx", F.col("idx").cast("long"))
 
 
+def events_align_cspline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 cubic-spline mode under driver verification (the linear mode
+    is covered by events_align): at patch_size=8 the natural-cubic
+    second derivatives are a FIXED 6-unknown tridiagonal system, so the
+    Thomas forward sweep and back substitution unroll into
+    literal-constant SQL expressions — the oracle replays detection →
+    parabola vertex → spline evaluation bit-for-bit (cubes are explicit
+    multiplies on both engines; float32-rounded like the pandas
+    kernel)."""
+    from jagular_spark.operators.alignment import align_waveforms
+    from jagular_spark.operators.spikes import detect_spikes
+
+    samples = _rn_samples(spark, sf_dir, max_channel=16)
+    spikes = detect_spikes(
+        samples, multiplier=1.5, censor_width=5, patch_size=8, polarity="pos"
+    )
+    wrapped = spikes.withColumn(
+        "waveform", F.array(F.col("waveform").cast("array<float>"))
+    )
+    aligned = align_waveforms(wrapped, mode="cspline", polarity="pos")
+    return aligned.select(
+        F.col("channel_id").cast("long").alias("user_id"),
+        F.col("peak_ts").alias("peak_seq"),
+        F.posexplode(F.element_at("aligned", 1).cast("array<double>")).alias("idx", "av"),
+    ).withColumn("idx", F.col("idx").cast("long"))
+
+
 def docs_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing with an EXACT SQL oracle: each doc's
     UTF-8 bytes become a raw8 media payload; the Arrow-batched decode
@@ -1040,6 +1067,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_decimate": events_decimate,
     "events_tetrode": events_tetrode,
     "events_align": events_align,
+    "events_align_cspline": events_align_cspline,
     "docs_media_stats": docs_media_stats,
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "events_spikes_roundtrip": events_spikes_roundtrip,
@@ -1379,12 +1407,84 @@ def _signal_oracles() -> dict[str, str]:
                END AS FLOAT) AS DOUBLE) AS av
         FROM grid"""
 
+    # W6 cspline: the n=8 natural-cubic tridiagonal solve (b=4, a=c=1)
+    # has CONSTANT Thomas coefficients — compute them with the exact
+    # float ops dsp.cubic_spline_eval uses and embed their reprs, so the
+    # unrolled forward sweep / back substitution is bit-identical.
+    _n = 8
+    _cp = [0.0] * (_n - 2)
+    _m = [4.0] * (_n - 2)
+    _cp[0] = 1.0 / 4.0
+    for _i in range(1, _n - 2):
+        _m[_i] = 4.0 - 1.0 * _cp[_i - 1]
+        _cp[_i] = (1.0 / _m[_i]) if _i < _n - 3 else 0.0
+    _rhs = [
+        f"(6.0 * ((w[{_j + 3}] - 2.0 * w[{_j + 2}]) + w[{_j + 1}]))"
+        for _j in range(_n - 2)
+    ]
+    _dp_exprs = [f"({_rhs[0]} / 4.0) AS dp0"] + [
+        f"(({_rhs[_i]} - dp{_i - 1}) / {_m[_i]!r}) AS dp{_i}"
+        for _i in range(1, _n - 2)
+    ]
+    _m_exprs = ["dp5 AS M6"] + [
+        f"(dp{_i} - {_cp[_i]!r} * M{_i + 2}) AS M{_i + 1}"
+        for _i in range(_n - 4, -1, -1)
+    ]
+    _tt = "(q - CAST(j AS DOUBLE))"
+    _u = f"(1.0 - {_tt})"
+    _av = (
+        f"((((Ml[j+1] * (({_u} * {_u}) * {_u})) / 6.0)"
+        f" + ((Ml[j+2] * (({_tt} * {_tt}) * {_tt})) / 6.0))"
+        f" + ((w[j+1] - Ml[j+1] / 6.0) * {_u}))"
+        f" + ((w[j+2] - Ml[j+2] / 6.0) * {_tt})"
+    )
+    align_cspline = f"""{_detect_cte(1.5, 5, "user_id < 16")}, wvs AS (
+            SELECT user_id, crossing_seq, peak_seq,
+                   list_transform(generate_series(0, 7), j ->
+                       CAST(CAST(CASE WHEN peak_seq - 4 + j BETWEEN 0 AND n - 1
+                            THEN xs[peak_seq - 4 + j + 1] ELSE 0.0 END AS FLOAT) AS DOUBLE)) AS w
+            FROM located
+        ), pk2 AS (
+            SELECT user_id, crossing_seq, peak_seq, w,
+                   CAST(list_position(w, list_max(w)) AS BIGINT) - 1 AS p
+            FROM wvs
+        ), fr AS (
+            SELECT user_id, crossing_seq, peak_seq, w,
+                   CASE WHEN p BETWEEN 1 AND 6
+                             AND ((w[p] - 2.0 * w[p+1]) + w[p+2]) != 0.0
+                        THEN CAST(p AS DOUBLE)
+                             + (w[p] - w[p+2]) / (2.0 * ((w[p] - 2.0 * w[p+1]) + w[p+2]))
+                        ELSE CAST(p AS DOUBLE) END AS frac
+            FROM pk2
+        ), spl AS (
+            SELECT user_id, crossing_seq, peak_seq, w, frac,
+                   {', '.join(_dp_exprs)},
+                   {', '.join(_m_exprs)}
+            FROM fr
+        ), msl AS (
+            SELECT user_id, crossing_seq, peak_seq, w, frac,
+                   [0.0, M1, M2, M3, M4, M5, M6, 0.0] AS Ml
+            FROM spl
+        ), grid AS (
+            SELECT user_id, crossing_seq, peak_seq, w, Ml, CAST(t.i AS BIGINT) AS idx,
+                   LEAST(GREATEST(frac + CAST(t.i - 4 AS DOUBLE), 0.0), 7.0) AS q
+            FROM msl, UNNEST(generate_series(0, 7)) AS t(i)
+        ), ev AS (
+            SELECT user_id, peak_seq, idx, w, Ml, q,
+                   LEAST(CAST(FLOOR(q) AS BIGINT), 6) AS j
+            FROM grid
+        )
+        SELECT user_id, peak_seq, idx,
+               CAST(CAST(({_av}) AS FLOAT) AS DOUBLE) AS av
+        FROM ev"""
+
     return {
         "events_filtfilt": filtfilt,
         "events_decimate": decimate,
         "events_detect_spikes": detect,
         "events_tetrode": tetrode,
         "events_align": align,
+        "events_align_cspline": align_cspline,
     }
 
 
