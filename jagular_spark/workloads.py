@@ -714,9 +714,13 @@ def events_crossings_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = mad_threshold(
         s, "value", multiplier=1.0, partition_cols=["channel_id", "segment_id"]
     )
+    # buffer 16 on ~67-sample streams → 5 chunks/group, so the halo
+    # machinery genuinely engages (stream length is sf-INVARIANT in the
+    # testdata — users scale with sf, not samples-per-user — so a
+    # buffer "scaled to sf" would never chunk at any sf)
     x = crossings_chunked(
         s, thr, partition_cols=("channel_id", "segment_id"),
-        polarity="pos", buffer_len=256,
+        polarity="pos", buffer_len=16,
     )
     return x.select(
         F.col("channel_id").cast("long").alias("user_id"),
