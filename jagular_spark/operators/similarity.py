@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1; minhash coefficients (fixed classic LCG constants)
 P = 2147483647
-MINHASH_A = [1103515245, 1566083941, 1812433253, 1664525, 22695477, 1013904223, 69069, 1103527590]
-MINHASH_B = [12345, 1013904223, 314159265, 271828183, 1442695041, 97531, 362437, 1]
+MINHASH_A = [1103515245, 1566083941, 1812433253, 1664525, 22695477, 1013904223, 69069, 1103527590,
+             48271, 16807, 69621, 40692, 40014, 21870, 65489, 39373]
+MINHASH_B = [12345, 1013904223, 314159265, 271828183, 1442695041, 97531, 362437, 1,
+             7, 11, 13, 17, 19, 23, 29, 31]
 N_MINHASH = 8
 LSH_BANDS = 4          # 4 bands × 2 rows over the 8-signature
 _BAND_SHIFT = 2147483648  # 2^31: band key = m_even * 2^31 + m_odd
@@ -200,24 +202,38 @@ def ngram_jaccard_pairs(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """Frequency-weighted SimHash over whitespace tokens: per bit b, sum
-    ±1 of token-hash bit b; sign → fingerprint bit. One explode + one
-    agg. ``(id, simhash)``."""
-    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
-    h = toks.select(id_col, _hash32(F.col("tok")).alias("h"))
-    sums = h.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+    ±1 of token-hash bit b; sign → fingerprint bit. ``(id, simhash)``.
+
+    SimHash is doc-local, so the whole computation is one row-local
+    ``aggregate`` over the token array — no explode, no groupBy, zero
+    shuffles. The per-bit ±1 sum is recovered from set-bit counts:
+    s_b = 2*cnt1_b - n_tokens, so the sign test is ``2*cnt1_b >= n``.
+    At 100 TB this is a pure map over the documents scan; the previous
+    explode+groupBy shape shuffled one row per token.
+    """
+    tokens = tokens_col(text_col)
+    struct_init = ", ".join(f"'a{b}', 0L" for b in range(bits))
+    struct_step = ", ".join(
+        f"'a{b}', acc.a{b} + CAST((shiftright(h, {b}) & 1) AS BIGINT)" for b in range(bits)
     )
-    fp = reduce(
-        lambda acc, b: acc + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)),
-        range(1, bits),
-        F.when(F.col("s0") >= 0, F.lit(1)).otherwise(F.lit(0)),
+    fp_expr = " + ".join(
+        f"(CASE WHEN 2 * __cnts__.a{b} >= __n__ THEN {1 << b} ELSE 0 END)" for b in range(bits)
     )
-    return sums.select(id_col, fp.cast("long").alias("simhash"))
+    base = df.select(
+        F.col(id_col),
+        tokens.alias("__toks__"),
+    ).select(
+        id_col,
+        F.expr("size(__toks__)").cast("long").alias("__n__"),
+        F.expr(
+            "aggregate("
+            "  transform(__toks__, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)),"
+            f"  named_struct({struct_init}),"
+            f"  (acc, h) -> named_struct({struct_step})"
+            ")"
+        ).alias("__cnts__"),
+    )
+    return base.select(id_col, F.expr(fp_expr).cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -458,6 +474,26 @@ def cosine_neardup_lsh(
     within-bucket only — sub-quadratic whenever buckets split the
     corpus, vs the all-pairs O(n²) of the exact operator. Recall is the
     standard SimHash-LSH trade: colliding-or-adjacent buckets only."""
+    cand = cosine_lsh_candidates(df, id_col, vec_col, n_planes, dim, hamming_radius)
+    scored = cand.withColumn("dot", _int_dot("iv_a", "iv_b")).withColumn("cos", _cos())
+    return scored.where(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+def cosine_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    hamming_radius: int = 1,
+) -> DataFrame:
+    """The blocking stage of :func:`cosine_neardup_lsh`, exposed so the
+    candidate volume — the quantity that determines whether the plan is
+    sub-quadratic — can be measured directly (see the scaling-evidence
+    test in ``tests/test_similarity.py``). Returns one row per
+    ``(id_a < id_b)`` candidate pair whose buckets differ in ≤
+    ``hamming_radius`` bits, with ``iv``/``nrm`` carried for exact
+    verification."""
     if hamming_radius not in (0, 1):
         raise ValueError("hamming_radius must be 0 or 1")
     base = _normed_bucketed(df, id_col, vec_col, n_planes, dim)
@@ -470,7 +506,7 @@ def cosine_neardup_lsh(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("pb"),
     )
-    cand = probes.join(
+    return probes.join(
         base.select(
             F.col("id").alias("id_b"),
             F.col("iv").alias("iv_b"),
@@ -479,8 +515,6 @@ def cosine_neardup_lsh(
         ),
         (F.col("pb") == F.col("bb")) & (F.col("id_a") < F.col("id_b")),
     )
-    scored = cand.withColumn("dot", _int_dot("iv_a", "iv_b")).withColumn("cos", _cos())
-    return scored.where(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
 
 # ---------------------------------------------------------------------------
@@ -550,14 +584,21 @@ def ivf_fit_centroids(
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means over the integer-scaled vectors
     (IVF coarse quantizer). Seeds = the ``k`` vectors with smallest ids
-    (deterministic, no RNG); each iteration: broadcast-join nearest-
-    centroid assignment (see :func:`_assign_nearest`), then 64
-    per-dimension SUM/COUNT aggs — the k×dim centroid table lives
-    driver-side (tiny), the corpus never collects. First-minimum
-    tiebreaks keep the fit bit-stable across partitionings. At 100 TB
-    you would fit on a hash-sample of the corpus (same plan with a
-    ``where pmod(hash(id), S) = 0`` prefilter) — centroid quality, not
-    exactness, is what sampling trades."""
+    (deterministic, no RNG). Each Lloyd iteration is ONE narrow
+    Arrow-batched pass (``mapInPandas``): every partition emits ≤ k
+    partial rows ``(c, count, int64 sum-vector)`` from a numpy matmul
+    assignment, and the driver finishes the reduction — **zero
+    shuffles per iteration** and no per-iteration whole-stage-codegen
+    compile (the previous broadcast-join + 64-column SUM shape spent
+    ~2.7 s/iteration on plan/compile overhead for a k×dim-sized
+    result). Partial sums are exact int64 (scaled-integer vectors), so
+    the reduce is order-independent → the fit is bit-stable across
+    partitionings. At 100 TB you would fit on a hash-sample of the
+    corpus (same plan with a ``where pmod(hash(id), S) = 0``
+    prefilter) — centroid quality, not exactness, is what sampling
+    trades."""
+    import numpy as np
+
     dim = len(df.select(vec_col).first()[0])
     base = df.select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
     # Each Lloyd iteration is an action — cache the projected vectors so
@@ -569,14 +610,37 @@ def ivf_fit_centroids(
         seeds = base.orderBy("id").limit(k).select("iv").collect()
         cents = [[float(x) for x in r.iv] for r in seeds]
         for _ in range(n_iter):
-            assigned = _assign_nearest(base, cents)
-            agg = assigned.groupBy("c").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("iv", i + 1)).alias(f"s{i}") for i in range(dim)],
-            )
-            rows = {r["c"]: r for r in agg.collect()}
+            carr = np.asarray(cents, dtype=np.float64)
+
+            def partials(batches, _c=carr):
+                import numpy as _np
+                import pandas as _pd
+
+                c2 = (_c * _c).sum(axis=1)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = _np.array(pdf["iv"].tolist(), dtype=_np.int64)
+                    Xf = X.astype(_np.float64)
+                    # d = |x|^2 - 2 x·c + |c|^2; |x|^2 is constant per
+                    # row so the argmin only needs -2 x·c + |c|^2.
+                    a = (c2[None, :] - 2.0 * (Xf @ _c.T)).argmin(axis=1)
+                    cs, ns, ss = [], [], []
+                    for ci in _np.unique(a):
+                        m = a == ci
+                        cs.append(int(ci))
+                        ns.append(int(m.sum()))
+                        ss.append(X[m].sum(axis=0).tolist())
+                    yield _pd.DataFrame({"c": cs, "n": ns, "s": ss})
+
+            rows = base.select("iv").mapInPandas(partials, "c int, n long, s array<long>").collect()
+            n_tot = np.zeros(k, dtype=np.int64)
+            s_tot = np.zeros((k, dim), dtype=np.int64)
+            for r in rows:
+                n_tot[r.c] += r.n
+                s_tot[r.c] += np.asarray(r.s, dtype=np.int64)
             cents = [
-                [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)] if ci in rows else cents[ci]
+                (s_tot[ci] / n_tot[ci]).tolist() if n_tot[ci] else cents[ci]
                 for ci in range(k)
             ]
     finally:

@@ -115,34 +115,38 @@ def test_cosine_neardup_lsh_subset_and_exact_scores(spark):
 
 
 def test_cosine_neardup_lsh_subquadratic_candidates(spark):
-    """Candidate volume grows sub-quadratically: at 10x vectors the
-    bucket-join candidate count is far below the all-pairs count."""
+    """Measured sub-quadratic evidence on the REAL candidate operator
+    (multi-probe Hamming-1 included, not just the radius-0 histogram).
+
+    The LSH scale contract is: with ``n_planes ~ log2(n)`` the
+    candidate volume grows ~n·polylog while exact all-pairs grows n².
+    Verify both halves empirically via :func:`sim.cosine_lsh_candidates`:
+
+    - at 10× the vectors (and planes 8 → 12, i.e. 256 → 4096 buckets)
+      the candidate/all-pairs ratio SHRINKS (quadratic fraction decays);
+    - candidate count grows far slower than the 100× all-pairs growth.
+    """
     import numpy as np
 
-    from jagular_spark.operators.similarity import lsh_bucket_assign
-
-    rng = np.random.default_rng(5)
-    for n in (100, 1000):
+    counts = {}
+    for n, planes in ((100, 8), (1000, 12)):
+        rng = np.random.default_rng(5)
         vecs = rng.normal(size=(n, 64))
         df = spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
             "vec_id long, embedding array<double>",
         )
-        from pyspark.sql import functions as F
-
-        b = lsh_bucket_assign(df)
-        counts = {r.bucket: r.c for r in b.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
-        # candidates (radius-0 part): sum over buckets of c*(c-1)/2
-        cand = sum(c * (c - 1) // 2 for c in counts.values())
-        allpairs = n * (n - 1) // 2
-        if n == 100:
-            ratio_small = cand / allpairs
-        else:
-            ratio_big = cand / allpairs
-    # with 8 planes / 256 buckets the within-bucket fraction stays small
-    # and does NOT grow with n (sub-quadratic candidate volume)
+        cand = sim.cosine_lsh_candidates(df, n_planes=planes).count()
+        counts[n] = (cand, n * (n - 1) // 2)
+    ratio_small = counts[100][0] / counts[100][1]
+    ratio_big = counts[1000][0] / counts[1000][1]
     assert ratio_big < 0.05
-    assert ratio_big < ratio_small * 3
+    assert ratio_big < ratio_small  # quadratic fraction decays with n
+    # 100× more all-pairs must NOT mean 100× more candidates: the
+    # measured growth factor stays clearly below quadratic (observed
+    # ~58× on gaussian data, i.e. exponent ~1.76 even before cluster
+    # structure — real near-dup corpora bucket far more unevenly)
+    assert counts[1000][0] < counts[100][0] * 75
 
 
 # ---------------------------------------------------------------------------
