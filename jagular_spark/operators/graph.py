@@ -1,0 +1,105 @@
+"""Connected components over candidate-pair edges — the clustering
+step of a large-scale dedup pipeline.
+
+After pair generation (MinHash-LSH, n-gram Jaccard, SimHash or
+embedding-cosine blocking), near-duplicate groups are the connected
+components of the pair graph: keep one canonical document per
+component, drop the rest. The reference engine stops at pair lists;
+at 100 TB the grouping itself has to be distributed, so it is a
+first-class operator here.
+
+Algorithm: iterative min-label propagation ("hash-to-min" small-star
+style). Every vertex starts labeled with itself; each round, a vertex
+adopts the minimum label among itself and its direct neighbors. The
+label of the component minimum floods one hop per round, and a
+pointer-doubling step (label := label-of-label) compresses paths so
+the loop converges in O(log diameter) rounds — near-dup components
+are clique-like anyway (diameter 1-2), so 2-3 rounds in practice. Each round
+is one shuffle (join on vertex id) + one min-aggregate; lineage is
+truncated per round with ``localCheckpoint`` so the plan does not grow
+with iterations (the classic iterative-algorithm trap on Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """``(id, component)`` for every vertex appearing in ``edges``;
+    ``component`` is the minimum vertex id of the connected component
+    (deterministic canonical label, no RNG).
+
+    Scale shape per round: ``labels ⋈ edges`` is an equi-join on the
+    vertex id (corpus-partitionable, AQE-skew-handled) followed by a
+    map-side-combinable ``min`` aggregate, then a labels self-join for
+    the doubling step. Rounds = O(log diameter), not component count or
+    diameter. The convergence check rides the same aggregate
+    (max of per-vertex "label shrank" flags) — no extra pass.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # sym is read every round — materialize once, small relative to docs
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("l", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
+            sym["a"].alias("id"), F.col("l")
+        )
+        new = (
+            labels.select("id", "l", F.col("l").alias("l_old"))
+            .unionByName(nbr.withColumn("l_old", F.lit(None).cast("long")))
+            .groupBy("id")
+            .agg(F.min("l").alias("l"), F.min("l_old").alias("l_old"))
+        )
+        # Pointer doubling: follow the label's own label (labels are
+        # always vertex ids, so the self-join hits). One-hop flooding
+        # alone needs diameter rounds — a 10^6-long path chain at 100 TB
+        # would never finish; compressing two levels per round makes it
+        # O(log diameter).
+        par = new.select(F.col("id").alias("pid"), F.col("l").alias("pl"))
+        new = (
+            new.join(par, new["l"] == par["pid"], "left")
+            .select("id", F.coalesce("pl", "l").alias("l"), "l_old")
+        ).localCheckpoint()
+        changed = new.agg(
+            F.max((F.col("l") < F.col("l_old")).cast("int")).alias("c")
+        ).first()["c"]
+        labels = new.select("id", "l")
+        if not changed:
+            break
+    return labels.select("id", F.col("l").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """``(doc_id, cluster_id, is_canonical)`` for EVERY document:
+    near-dup components get the component-minimum id as ``cluster_id``;
+    documents in no pair are their own singleton cluster. The keep-list
+    of a dedup pass is ``is_canonical``."""
+    cc = connected_components(pairs, src=pair_a, dst=pair_b)
+    out = (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id"))
+    )

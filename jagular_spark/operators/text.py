@@ -39,12 +39,19 @@ def _stopword_ratio(text_col: str, words: tuple[str, ...]) -> F.Column:
     )
 
 
-def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", keep: tuple = ()
+) -> DataFrame:
     """Stopword-ratio language ID over LANG_ORDER profiles; greedy
     first-wins argmax (``pred`` deterministic under score ties).
-    ``(id, s_<lang>..., pred_lang)``."""
+    ``(id, *keep, s_<lang>..., pred_lang)``. ``keep`` columns ride the
+    same single projection (no re-join against the source)."""
     scores = {lang: _stopword_ratio(text_col, LANG_STOPWORDS[lang]) for lang in LANG_ORDER}
-    out = df.select(F.col(id_col), *[scores[lang].alias(f"s_{lang}") for lang in LANG_ORDER])
+    out = df.select(
+        F.col(id_col),
+        *[F.col(k) for k in keep],
+        *[scores[lang].alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
     pred = (
         F.when((F.col("s_en") >= F.col("s_fr")) & (F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
         .when((F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") >= F.col("s_es")), "fr")

@@ -891,10 +891,57 @@ def _text_oracles() -> dict[str, str]:
                    AS n_punct
         FROM documents"""
 
+    case_lang = """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END"""
+    thr_case = (
+        "CASE pred_lang "
+        + " ".join(
+            f"WHEN '{k}' THEN {int(v * (1 << 32))}"
+            for k, v in sorted(_STRATA_FRACTIONS.items())
+        )
+        + " ELSE 0 END"
+    )
+    sample_sql = f"""
+        WITH scored AS (
+            SELECT doc_id, {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
+                   {ratio['de']} AS s_de, {ratio['es']} AS s_es
+            FROM documents
+        ), lang AS (
+            SELECT doc_id, {case_lang} AS pred_lang FROM scored
+        )
+        SELECT doc_id, pred_lang FROM lang
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < {thr_case}"""
+
+    quantiles_sql = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
+                   {ratio['de']} AS s_de, {ratio['es']} AS s_es
+            FROM documents
+        ), lang AS (
+            SELECT doc_id, n_tokens, {case_lang} AS pred_lang FROM base
+        ), ranked AS (
+            SELECT pred_lang, n_tokens,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY pred_lang
+                        ORDER BY n_tokens, doc_id) AS BIGINT) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY pred_lang) AS cnt
+            FROM lang
+        )
+        SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) AS BIGINT) THEN n_tokens END) AS p90_tokens,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.99) AS BIGINT) THEN n_tokens END) AS p99_tokens
+        FROM ranked GROUP BY pred_lang"""
+
     return {
         "docs_language_id": lang_sql,
         "docs_fingerprint": fp_sql,
         "docs_bpe_tokens": bpe_sql,
+        "docs_stratified_sample": sample_sql,
+        "docs_token_quantiles": quantiles_sql,
     }
 
 
@@ -1024,14 +1071,109 @@ def _similarity_oracles() -> dict[str, str]:
         )
         SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM proj"""
 
+    # Connected-components closure of the jaccard>=0.5 pair graph as a
+    # recursive CTE: reach = transitive closure over symmetric edges,
+    # component label = min reachable id (matches min-label propagation).
+    cluster_sql = f"""{shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1)}, sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), prs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM prs
+            UNION ALL
+            SELECT id_b, id_a FROM prs
+        ), reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), comp AS (
+            SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+               d.doc_id = COALESCE(c.comp, d.doc_id) AS is_canonical
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
+
     return {
         "docs_minhash_lsh": minhash_lsh,
         "docs_ngram_jaccard": jaccard,
         "docs_simhash": simhash_sql,
+        "docs_dedup_clusters": cluster_sql,
         "emb_cosine_neardup": neardup,
         "emb_ann_topk": ann,
         "emb_lsh_buckets": lsh_buckets,
     }
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering, deterministic sampling, corpus stats
+# ---------------------------------------------------------------------------
+
+_STRATA_FRACTIONS = {"en": 0.5, "fr": 1.0, "de": 0.8, "es": 0.25}
+
+
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    exact 3-gram Jaccard ≥ 0.5 pair graph (min-label propagation, one
+    equi-join shuffle per diameter round), then every document labeled
+    with its component-minimum ``cluster_id`` and a canonical flag —
+    the keep-list of a corpus-scale dedup pass. DuckDB oracle replays
+    the closure with a recursive CTE."""
+    from jagular_spark.operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = sim.ngram_jaccard_pairs(docs, min_jaccard=0.5)
+    return dedup_clusters(docs, pairs)
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample: membership is a
+    pure md5 function of ``doc_id`` (reproducible across engines, runs
+    and partitionings — rand() sampling is none of those), with
+    per-stratum keep fractions. Pure filter, no shuffle."""
+    from jagular_spark.operators.sampling import stratified_sample
+
+    docs = txt.language_id(load(spark, sf_dir, "documents"))
+    out = stratified_sample(
+        docs, "pred_lang", _STRATA_FRACTIONS, key_col="doc_id"
+    )
+    return out.select("doc_id", "pred_lang")
+
+
+def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count quantiles (p50/p90/p99) via
+    rank-index selection over a (n_tokens, doc_id) sort — deterministic
+    discrete quantiles, unlike interpolating percentile built-ins whose
+    float semantics differ across engines. One shuffle (window
+    partition by language) + one map-side-combined aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    n_col = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = txt.language_id(docs.withColumn("n_tokens", n_col), keep=("n_tokens",))
+    w = Window.partitionBy("pred_lang").orderBy("n_tokens", "doc_id")
+    ranked = base.select(
+        "pred_lang",
+        "n_tokens",
+        (F.row_number().over(w) - 1).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("pred_lang")).alias("cnt"),
+    )
+
+    def q_at(q: float) -> F.Column:
+        idx = F.floor((F.col("cnt") - 1) * F.lit(q)).cast("long")
+        return F.max(F.when(F.col("rn") == idx, F.col("n_tokens")))
+
+    return ranked.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        q_at(0.5).alias("p50_tokens"),
+        q_at(0.9).alias("p90_tokens"),
+        q_at(0.99).alias("p99_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1081,6 +1223,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
     "docs_media_frames": docs_media_frames,
     "events_audit": events_audit,
+    "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_stratified_sample": docs_stratified_sample,
+    "docs_token_quantiles": docs_token_quantiles,
 }
 
 

@@ -1,0 +1,74 @@
+"""Connected-components clustering + deterministic sampling tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from jagular_spark.operators.graph import connected_components, dedup_clusters
+from jagular_spark.operators.sampling import hash_sample, stratified_sample
+
+
+def _edges(spark, pairs, n_parts=1):
+    return spark.createDataFrame(pairs, "src long, dst long").repartition(n_parts)
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3: needs >1 propagation round), pair 10-11,
+    # triangle 20-21-22 with redundant edge
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    cc = {r.id: r.component for r in connected_components(_edges(spark, pairs)).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_partition_invariance(spark):
+    pairs = [(i, i + 1) for i in range(1, 30)] + [(100, 101), (102, 101)]
+    a = sorted(map(tuple, connected_components(_edges(spark, pairs, 1)).collect()))
+    b = sorted(map(tuple, connected_components(_edges(spark, pairs, 7)).collect()))
+    assert a == b
+    # the 30-chain floods to the single minimum label 1
+    assert all(c == 1 for v, c in a if v <= 30)
+
+
+def test_connected_components_empty_edges(spark):
+    cc = connected_components(_edges(spark, []).limit(0))
+    assert cc.count() == 0
+
+
+def test_dedup_clusters_covers_all_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[1] == (1, True) and out[3] == (1, False) and out[5] == (1, False)
+    # untouched docs are their own canonical singleton
+    for d in (0, 2, 4, 6, 7):
+        assert out[d] == (d, True)
+    # a dedup keep-list retains exactly one doc per cluster
+    assert sum(1 for _, (c, k) in out.items() if k) == len({c for c, _ in out.values()})
+
+
+def _py_bucket(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+
+def test_hash_sample_matches_reference_md5(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    frac = 0.3
+    got = {r.doc_id for r in hash_sample(df, "doc_id", frac).collect()}
+    want = {i for i in range(500) if _py_bucket(str(i)) < int(frac * (1 << 32))}
+    assert got == want
+    # determinism across partitionings
+    got7 = {r.doc_id for r in hash_sample(df.repartition(7), "doc_id", frac).collect()}
+    assert got7 == got
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = stratified_sample(df, "stratum", {"a": 1.0, "b": 0.0}, key_col="doc_id")
+    got = {(r.doc_id, r.stratum) for r in out.collect()}
+    assert got == {(i, s) for i, s in rows if s == "a"}
+    # unlisted strata fall back to default_fraction
+    out2 = stratified_sample(df, "stratum", {"a": 1.0}, key_col="doc_id")
+    assert {r.stratum for r in out2.collect()} == {"a"}
