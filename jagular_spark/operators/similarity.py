@@ -59,28 +59,39 @@ def _hash32(col: F.Column) -> F.Column:
 def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Exploded ``(id, h)`` distinct shingle hashes, h ∈ [0, P).
 
-    Shape: posexplode tokens → window ``lead`` per doc → concat → distinct
-    → hash. An array-lambda formulation (``transform(sequence(...), i ->
-    concat_ws(' ', t[i], ...))``) is the obvious alternative but Catalyst's
-    project-collapse inlines the token alias into every ``t[i+j]`` access,
-    re-running ``split`` per lambda element — O(tokens²) string work per
-    doc. The window form evaluates ``split`` once per doc and its shuffle
-    spreads the corpus across executors regardless of input file layout
-    (a handful of fat parquet files otherwise serializes the hot path).
+    Shape: one repartition of the raw ``(id, text)`` rows (spreads the
+    corpus across executors regardless of input file layout — smaller
+    than the previous exploded-token window shuffle, which also paid a
+    per-doc sort and a distinct shuffle), then the shingling, dedup and
+    hashing are all row-local array lambdas. The naive array-lambda
+    formulation re-runs ``split`` per lambda element (Catalyst
+    project-collapse inlines a multiply-referenced alias — O(tokens²)
+    string work per doc); binding the token array as a ``transform``
+    lambda variable (`transform(array(split(..)), t -> ...)`) evaluates
+    it exactly once, and every later intermediate is referenced exactly
+    once so collapse stays duplication-free.
     Distinct is on the shingle *string* (matches the oracle's
     ``list_distinct`` — two distinct shingles hashing alike stay 2 rows)."""
-    toks = df.select(F.col(id_col), F.posexplode(tokens_col(text_col)).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
-    sh = (
-        toks.select(
-            F.col(id_col),
-            F.when(F.lead("tok", n - 1).over(w).isNotNull(), F.concat_ws(" ", *parts)).alias("s"),
-        )
-        .where(F.col("s").isNotNull())
-        .distinct()
+    shingles = (
+        f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
+        f"if(size(t) >= {n}, "
+        f"   transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', slice(t, i, {n}))), "
+        f"   cast(array() as array<string>)))[0]"
     )
-    return sh.select(id_col, (_hash32(F.col("s")) % F.lit(P)).alias("h"))
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
+        .select(F.col(id_col), F.expr(shingles).alias("__sh__"))
+        .select(F.col(id_col), F.array_distinct("__sh__").alias("__shd__"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(__shd__, s -> "
+                f"CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % {P})"
+            ).alias("__hs__"),
+        )
+        .select(F.col(id_col), F.explode("__hs__").alias("h"))
+    )
 
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
@@ -521,57 +532,21 @@ def cosine_lsh_candidates(
 # IVF (inverted-file) ANN — the clustering-based scale path
 # ---------------------------------------------------------------------------
 
-def _sq_dist(a: str, b: str) -> F.Column:
-    """Squared distance between two array columns."""
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _sq_dist_to(c: list[float]) -> F.Column:
     """Squared distance from the ``iv`` column to a literal centroid.
-    Only for once-per-query use (probe→centroid ranking): the k×dim
-    literal expression tree is fine to compile a single time, but in
-    the Lloyd loop it would force a Janino recompile per iteration —
-    there, use :func:`_assign_nearest` instead."""
+    Only for once-per-query use (serving-path assignment and
+    probe→centroid ranking): a k×dim literal expression tree is fine
+    to compile a single time, but inside the Lloyd loop it would force
+    a Janino recompile per iteration — the fit therefore assigns with
+    a numpy kernel instead (:func:`ivf_fit_centroids`). For very large
+    quantizers (k×dim ≫ 10⁴ literals) the tree itself becomes a
+    compile-time hazard; at that scale ship the centroids as a
+    broadcast table and assign via join."""
     lit = F.array(*[F.lit(float(v)) for v in c])
     return F.aggregate(
         F.zip_with(F.col("iv"), lit, lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
         F.lit(0.0),
         lambda acc, v: acc + v,
-    )
-
-
-def _assign_nearest(
-    base: DataFrame, cents: list[list[float]], carry: tuple[str, ...] = ("iv",)
-) -> DataFrame:
-    """``(id, *carry, c)``: nearest-centroid assignment via a broadcast
-    join against the tiny centroid table. Two reasons this beats a
-    literal-centroid argmin expression: (a) the plan SHAPE is constant
-    across Lloyd iterations — only broadcast data changes — so
-    whole-stage codegen compiles once instead of re-compiling a
-    k×dim-literal tree every iteration (measured: ~20 s of Janino time
-    for 3 iterations at k=16, dim=64); (b) k scales without growing
-    the expression tree. ``min(struct(d, c))`` = first-minimum
-    tiebreak, so assignment stays bit-stable across partitionings.
-    ``carry`` columns are constant per id and ride the aggregation via
-    ``any_value`` (deterministic)."""
-    spark = base.sparkSession
-    cent_df = spark.createDataFrame(
-        [(ci, [float(v) for v in c]) for ci, c in enumerate(cents)],
-        "c int, cv array<double>",
-    )
-    return (
-        base.crossJoin(F.broadcast(cent_df))
-        .withColumn("d", _sq_dist("iv", "cv"))
-        .groupBy("id")
-        .agg(
-            F.min(F.struct(F.col("d"), F.col("c"))).getField("c").alias("c"),
-            *[F.any_value(col).alias(col) for col in carry],
-        )
-        .select("id", *carry, "c")
     )
 
 
@@ -670,9 +645,22 @@ def ann_topk_ivf(
     corpus."""
     cents = ivf_fit_centroids(df, n_centroids, n_iter, id_col, vec_col)
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
-    corpus = _assign_nearest(base, cents, carry=("iv", "nrm")).select(
+    # Corpus inverted-list assignment: literal-centroid argmin in ONE
+    # narrow projection — no crossJoin, no groupBy, zero shuffles (the
+    # previous broadcast-join + min-struct aggregation shuffled every
+    # corpus row carrying its 64-element vector). min of (d, i) structs
+    # = FIRST minimum — same tiebreak as the fit's numpy argmin.
+    dist_arr = F.array(*[_sq_dist_to(c) for c in cents])
+    argmin = F.array_min(
+        F.zip_with(
+            dist_arr,
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    ).getField("i").cast("int")
+    corpus = base.select(
         F.col("id").alias("neighbor_id"), F.col("iv").alias("iv_b"),
-        F.col("nrm").alias("nrm_b"), F.col("c").alias("cl"),
+        F.col("nrm").alias("nrm_b"), argmin.alias("cl"),
     )
     # nprobe nearest centroids per probe: (dist, index) structs sorted
     # by distance (index tiebreak), first nprobe indices kept. The
