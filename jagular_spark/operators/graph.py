@@ -42,12 +42,15 @@ def connected_components(
     diameter. The convergence check rides the same aggregate
     (max of per-vertex "label shrank" flags) — no extra pass.
     """
-    sym = edges.select(
+    # Materialize the directed edges BEFORE symmetrizing: the union
+    # references the edge lineage twice, and pair generation (LSH /
+    # jaccard join) is the expensive part — without the checkpoint it
+    # would execute twice. The edge list is small relative to the docs
+    # it came from, and it is re-read every propagation round anyway.
+    e0 = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    )
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # sym is read every round — materialize once, small relative to docs
-    sym = sym.localCheckpoint()
+    ).localCheckpoint()
+    sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("l", F.col("id"))
     ).localCheckpoint()
