@@ -50,6 +50,14 @@ def connected_components(
     e0 = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     ).localCheckpoint()
+    # Partition the propagation loop proportionally to the edge count
+    # (~1M edges per partition), not to the corpus that produced the
+    # pairs: a dedup pair graph is orders of magnitude smaller than its
+    # corpus, and running each round's joins at corpus-sized partition
+    # counts wastes a fixed per-task cost per round (measured 3-4 s of
+    # pure scheduling at sf0.1's ~500 edges × 32 partitions × rounds).
+    n_parts = max(1, min(int(e0.count() // 1_000_000) + 1, 2048))
+    e0 = e0.repartition(n_parts).localCheckpoint()
     sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("l", F.col("id"))

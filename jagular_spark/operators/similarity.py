@@ -72,10 +72,11 @@ def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     once so collapse stays duplication-free.
     Distinct is on the shingle *string* (matches the oracle's
     ``list_distinct`` — two distinct shingles hashing alike stay 2 rows)."""
+    gram = ", ".join(f"t[i + {j}]" for j in range(n))
     shingles = (
         f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
         f"if(size(t) >= {n}, "
-        f"   transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', slice(t, i, {n}))), "
+        f"   transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {gram})), "
         f"   cast(array() as array<string>)))[0]"
     )
     return (
