@@ -72,3 +72,54 @@ def test_stratified_sample_per_stratum_fractions(spark):
     # unlisted strata fall back to default_fraction
     out2 = stratified_sample(df, "stratum", {"a": 1.0}, key_col="doc_id")
     assert {r.stratum for r in out2.collect()} == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# Property: distributed min-label CC == sequential union-find
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SET = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 35), st.integers(0, 35)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _union_find_components(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, list[int]] = {}
+    for v in parent:
+        roots.setdefault(find(v), []).append(v)
+    return {v: min(vs) for vs in roots.values() for v in vs}
+
+
+@given(pairs=edge_lists)
+@_SET
+def test_connected_components_matches_union_find(spark, pairs):
+    got = {
+        r.id: r.component
+        for r in connected_components(_edges(spark, [(int(a), int(b)) for a, b in pairs])).collect()
+    }
+    assert got == _union_find_components(pairs)

@@ -237,3 +237,40 @@ def test_stream_dedup_matches_batch_on_inorder(spark, tmp_path):
     _run_to_memory(out, "ddp_out", "append")
     got = {(r.user_id, r.us) for r in spark.sql("SELECT * FROM ddp_out").collect()}
     assert got == want and got
+
+
+def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
+    """The curation surface (simhash fingerprints, language ID,
+    deterministic hash sampling) is stateless row-local — it must run
+    unchanged as a Structured Streaming transformation and agree with
+    the batch result. (The shuffle-free rewrites are what make this
+    free: an explode+groupBy simhash would need watermarks.)"""
+    from jagular_spark.operators.sampling import stratified_sample
+    from jagular_spark.operators.similarity import simhash
+    from jagular_spark.operators.text import language_id
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    stream = _as_stream(spark, docs, tmp_path, "docs")
+
+    piped = stratified_sample(
+        language_id(stream),
+        "pred_lang",
+        {"en": 0.5, "fr": 1.0, "de": 0.8, "es": 0.25},
+        key_col="doc_id",
+    ).select("doc_id", "pred_lang")
+    _run_to_memory(piped, "curated", "append")
+    got = {(r.doc_id, r.pred_lang) for r in spark.sql("SELECT * FROM curated").collect()}
+    want = {
+        (r.doc_id, r.pred_lang)
+        for r in stratified_sample(
+            language_id(docs), "pred_lang",
+            {"en": 0.5, "fr": 1.0, "de": 0.8, "es": 0.25}, key_col="doc_id",
+        ).select("doc_id", "pred_lang").collect()
+    }
+    assert got == want
+
+    fp_stream = simhash(stream)
+    _run_to_memory(fp_stream, "fps", "append")
+    got_fp = {(r.doc_id, r.simhash) for r in spark.sql("SELECT * FROM fps").collect()}
+    want_fp = {(r.doc_id, r.simhash) for r in simhash(docs).collect()}
+    assert got_fp == want_fp
