@@ -247,6 +247,89 @@ def audio_window_features(media: DataFrame, window: int = 1024) -> DataFrame:
     return media.where(F.col("kind") == "audio").mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)
 
 
+AUDIO_WINDOW_BYTE_SCHEMA = (
+    "media_id long, window_idx long, sum_dev2 bigint, peak_dev bigint, "
+    "n_clipped bigint, rms double"
+)
+
+
+def audio_window_byte_stats(media: DataFrame, window: int = 1024) -> DataFrame:
+    """Windowed audio stats with EXACT integer semantics — the
+    oracle-checkable face of :func:`audio_window_features` (same
+    windowing): per full window of raw8 PCM bytes, deviation-from-midpoint
+    sums/max/clip-count as BIGINTs plus one fixed double chain for rms
+    (``sqrt(sum_dev2/window)/128`` — identical op order on both
+    engines). Vectorized reshape per payload, no per-sample loop."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(f"codec {r.codec!r}: only raw8 decodable here")
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8).astype(np.int64)
+                n_win = len(buf) // window
+                if n_win == 0:
+                    continue
+                dev = buf[: n_win * window].reshape(n_win, window) - 128
+                sum_dev2 = (dev * dev).sum(axis=1)
+                peak = np.abs(dev).max(axis=1)
+                clipped = (np.abs(dev) >= 127).sum(axis=1)
+                for i in range(n_win):
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "window_idx": i,
+                            "sum_dev2": int(sum_dev2[i]),
+                            "peak_dev": int(peak[i]),
+                            "n_clipped": int(clipped[i]),
+                            "rms": float(np.sqrt(float(sum_dev2[i]) / window) / 128.0),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(kernel, AUDIO_WINDOW_BYTE_SCHEMA)
+
+
+RESIZE_PIXEL_SCHEMA = "media_id long, r long, c long, px long"
+
+
+def resize_pixel_grid(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """``(media_id, r, c, px)``: nearest-neighbor-resized pixels as
+    exact integer rows — the oracle-checkable face of
+    :func:`resize_image` (identical index mapping ``trunc(i·in/out)``
+    clipped to the edge; the raw8 byte round-trips the float decode
+    bit-exactly for all 256 values, so direct byte indexing is the same
+    pixel the resized payload carries)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(f"codec {r.codec!r}: only raw8 decodable here")
+                h, w = int(r.height), int(r.width)
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                if h * w == 0 or len(buf) < h * w:
+                    continue
+                yi = np.clip((np.arange(out_h) * h / out_h).astype(int), 0, h - 1)
+                xi = np.clip((np.arange(out_w) * w / out_w).astype(int), 0, w - 1)
+                grid = buf[: h * w].reshape(h, w)[np.ix_(yi, xi)]
+                for ri in range(out_h):
+                    for ci in range(out_w):
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "r": ri,
+                                "c": ci,
+                                "px": int(grid[ri, ci]),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "image").mapInPandas(kernel, RESIZE_PIXEL_SCHEMA)
+
+
 def synthesize_media(spark: SparkSession, n_images: int = 8, n_videos: int = 2, n_audio: int = 2) -> DataFrame:
     """Deterministic synthetic media table (seeded) for tests/demos."""
     rng = np.random.default_rng(42)

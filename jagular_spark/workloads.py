@@ -769,6 +769,47 @@ def docs_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_byte_stats(media, every_k=3)
 
 
+def docs_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing with an EXACT SQL oracle: each doc's UTF-8 bytes
+    become raw8 PCM; every full 32-byte window yields integer
+    deviation-from-midpoint stats + one fixed double chain for rms."""
+    from jagular_spark.operators.multimodal import audio_window_byte_stats
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(0).alias("n_frames"),
+        F.lit(8000).alias("sample_rate"),
+    )
+    return audio_window_byte_stats(media, window=32)
+
+
+def docs_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor image resize with an EXACT SQL oracle: each
+    doc's UTF-8 bytes become a (n_chars//16)×16 raw8 image, resized to
+    4×8; every output pixel is an integer row the oracle replays with
+    the same trunc(i·in/out) index mapping."""
+    from jagular_spark.operators.multimodal import resize_pixel_grid
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(16).alias("width"),
+        (F.length(F.encode("text", "UTF-8")) / 16).cast("int").alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return resize_pixel_grid(media, out_h=4, out_w=8)
+
+
 def emb_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked cosine near-dup (the 100-TB path): candidates from
     hyperplane buckets within Hamming distance 1 (multi-probe), exact
@@ -1226,6 +1267,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_token_quantiles": docs_token_quantiles,
+    "docs_media_audio": docs_media_audio,
+    "docs_media_resize": docs_media_resize,
 }
 
 
@@ -1782,6 +1825,50 @@ ORACLE_SQL["docs_media_frames"] = """
            CAST(list_sum(list_transform(generate_series(1, 16),
                 i -> ord(substr(fr, i, 1)))) AS DOUBLE) / (16 * 255) AS mean_px
     FROM f"""
+
+# Audio windowing: every full 32-byte window, exact integer deviation
+# stats; rms is a fixed double chain (/32 and /128 are powers of two,
+# sqrt is IEEE-correctly-rounded, so both engines agree bit-for-bit).
+ORACLE_SQL["docs_media_audio"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+    ), w AS (
+        SELECT media_id, CAST(t.wi AS BIGINT) AS window_idx,
+               substr(text, CAST(t.wi * 32 + 1 AS BIGINT), 32) AS seg
+        FROM b, UNNEST(generate_series(0, CAST(n // 32 AS BIGINT) - 1)) AS t(wi)
+        WHERE n >= 32
+    ), s AS (
+        SELECT media_id, window_idx,
+               CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> (ord(substr(seg, i, 1)) - 128) * (ord(substr(seg, i, 1)) - 128))) AS BIGINT) AS sum_dev2,
+               CAST(list_max(list_transform(generate_series(1, 32),
+                    i -> abs(ord(substr(seg, i, 1)) - 128))) AS BIGINT) AS peak_dev,
+               CAST(len(list_filter(generate_series(1, 32),
+                    i -> abs(ord(substr(seg, i, 1)) - 128) >= 127)) AS BIGINT) AS n_clipped
+        FROM w
+    )
+    SELECT media_id, window_idx, sum_dev2, peak_dev, n_clipped,
+           sqrt(CAST(sum_dev2 AS DOUBLE) / 32) / 128 AS rms
+    FROM s"""
+
+# Nearest-neighbor resize to 4x8: per-output-pixel byte fetch with the
+# same trunc(i*in/out) index mapping the kernel uses.
+ORACLE_SQL["docs_media_resize"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id, text,
+               CAST(length(text) // 16 AS BIGINT) AS h
+        FROM documents WHERE length(text) >= 16
+    ), g AS (
+        SELECT media_id, text, h, CAST(t.r AS BIGINT) AS r, CAST(t2.c AS BIGINT) AS c
+        FROM b, UNNEST(generate_series(0, 3)) AS t(r),
+                UNNEST(generate_series(0, 7)) AS t2(c)
+    )
+    SELECT media_id, r, c,
+           CAST(ord(substr(text,
+                CAST(LEAST(CAST(floor(r * h / 4.0) AS BIGINT), h - 1) * 16
+                     + LEAST(CAST(floor(c * 16 / 8.0) AS BIGINT), 15) + 1 AS BIGINT),
+                1)) AS BIGINT) AS px
+    FROM g"""
 
 # IVF with frozen integer centroids: assignment, nprobe selection and
 # ranking replayed in exact BIGINT arithmetic.

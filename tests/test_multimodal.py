@@ -84,3 +84,49 @@ def test_video_frame_byte_stats_matches_numpy(spark):
             s = int(buf[fi * fl : (fi + 1) * fl].sum(dtype=np.int64))
             want[(r.media_id, fi)] = (fl, s, s / (fl * 255))
     assert got == want and len(got) > 0
+
+
+def test_audio_window_byte_stats_matches_numpy(spark):
+    import numpy as np
+
+    from jagular_spark.operators.multimodal import audio_window_byte_stats, synthesize_media
+
+    media = synthesize_media(spark)
+    W = 64
+    got = {
+        (r.media_id, r.window_idx): (r.sum_dev2, r.peak_dev, r.n_clipped, r.rms)
+        for r in audio_window_byte_stats(media, window=W).collect()
+    }
+    want = {}
+    for r in media.where("kind = 'audio'").collect():
+        buf = np.frombuffer(bytes(r.payload), dtype=np.uint8).astype(np.int64)
+        for i in range(len(buf) // W):
+            dev = buf[i * W : (i + 1) * W] - 128
+            s = int((dev * dev).sum())
+            want[(r.media_id, i)] = (
+                s,
+                int(np.abs(dev).max()),
+                int((np.abs(dev) >= 127).sum()),
+                float(np.sqrt(s / W) / 128.0),
+            )
+    assert got == want and len(got) > 0
+
+
+def test_resize_pixel_grid_matches_resized_payload(spark):
+    """The per-pixel grid must be exactly the bytes resize_image encodes
+    (same index mapping; float decode round-trips uint8 bit-exactly)."""
+    import numpy as np
+
+    from jagular_spark.operators.multimodal import resize_image, resize_pixel_grid, synthesize_media
+
+    media = synthesize_media(spark)
+    oh, ow = 5, 7
+    grid = {
+        (r.media_id, r.r, r.c): r.px for r in resize_pixel_grid(media, oh, ow).collect()
+    }
+    for r in resize_image(media, oh, ow).collect():
+        buf = np.frombuffer(bytes(r.payload), dtype=np.uint8).reshape(oh, ow)
+        for ri in range(oh):
+            for ci in range(ow):
+                assert grid[(r.media_id, ri, ci)] == int(buf[ri, ci])
+    assert len(grid) > 0
