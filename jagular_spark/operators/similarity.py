@@ -252,6 +252,56 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return base.select(id_col, F.expr(fp_expr).cast("long").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """``(id_a, id_b, hamming)``: pairs whose SimHash fingerprints
+    differ in ≤ ``max_hamming`` bits (0 or 1) — the fingerprint-based
+    member of the near-dup family.
+
+    Scale shape: by pigeonhole, a pair at Hamming ≤ 1 agrees on at
+    least one HALF of the fingerprint, so candidates come from two
+    equi-joins on the half-fingerprints (corpus-partitionable bucket
+    joins — never all-pairs) and the exact ``bit_count(xor)`` verify
+    runs only inside buckets. Candidate completeness is provable, which
+    is why the DuckDB oracle can be the straight all-pairs formulation
+    while the engine plan stays sub-quadratic."""
+    if max_hamming not in (0, 1):
+        raise ValueError("max_hamming must be 0 or 1 (half-split pigeonhole)")
+    half = bits // 2
+    fp = simhash(df, id_col, text_col, bits).select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        (F.col("simhash") % F.lit(1 << half)).alias("h0"),
+        F.expr(f"CAST(simhash DIV {1 << half} AS BIGINT)").alias("h1"),
+    )
+    fp = fp.localCheckpoint()  # two join sides + explode: materialize once
+    # numeric bucket key: half-index packed above the half-value
+    bks = F.array(F.col("h0"), F.col("h1") + F.lit(1 << half))
+    probes = fp.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), F.explode(bks).alias("bk")
+    )
+    base = fp.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), F.explode(bks).alias("bk")
+    )
+    cand = (
+        probes.join(base, ["bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()  # hamming-0 pairs match on both halves
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity (ANN) — exact integer-scaled dot products
 # ---------------------------------------------------------------------------

@@ -769,6 +769,14 @@ def docs_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_byte_stats(media, every_k=3)
 
 
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ 1 via half-fingerprint
+    banding (pigeonhole-complete candidates, exact bit_count verify);
+    the oracle is the provably-equivalent all-pairs formulation."""
+    docs = load(spark, sf_dir, "documents")
+    return sim.simhash_neardup_pairs(docs, max_hamming=1)
+
+
 def docs_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio windowing with an EXACT SQL oracle: each doc's UTF-8 bytes
     become raw8 PCM; every full 32-byte window yields integer
@@ -1142,10 +1150,20 @@ def _similarity_oracles() -> dict[str, str]:
                d.doc_id = COALESCE(c.comp, d.doc_id) AS is_canonical
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
 
+    # All-pairs Hamming<=1 over the fingerprints: provably the same
+    # result set as the engine's half-fingerprint banding (pigeonhole).
+    simhash_neardup_sql = f"""
+        WITH fps AS ({simhash_sql})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+
     return {
         "docs_minhash_lsh": minhash_lsh,
         "docs_ngram_jaccard": jaccard,
         "docs_simhash": simhash_sql,
+        "docs_simhash_neardup": simhash_neardup_sql,
         "docs_dedup_clusters": cluster_sql,
         "emb_cosine_neardup": neardup,
         "emb_ann_topk": ann,
@@ -1269,6 +1287,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_quantiles": docs_token_quantiles,
     "docs_media_audio": docs_media_audio,
     "docs_media_resize": docs_media_resize,
+    "docs_simhash_neardup": docs_simhash_neardup,
 }
 
 

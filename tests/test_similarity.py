@@ -239,3 +239,19 @@ def test_ivf_fit_deterministic(spark):
     a = ivf_fit_centroids(df, k=4, n_iter=2)
     b = ivf_fit_centroids(df.repartition(7), k=4, n_iter=2)
     assert a == b  # seeds by id, integer sums, first-min ties -> bit-stable
+
+
+def test_simhash_neardup_banding_equals_bruteforce(spark):
+    """Half-fingerprint banding must find EXACTLY the all-pairs
+    Hamming<=1 set (pigeonhole completeness, exact verify)."""
+    docs = _docs(spark)
+    got = {(r.id_a, r.id_b, r.hamming) for r in sim.simhash_neardup_pairs(docs).collect()}
+    fps = {r.doc_id: r.simhash for r in sim.simhash(docs).collect()}
+    ids = sorted(fps)
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 1
+    }
+    assert got == want
