@@ -8,3 +8,5 @@ from jagular_spark.operators.timestamps import (  # noqa: F401
     is_sorted,
 )
 from jagular_spark.operators.interpolate import interpolate_gaps  # noqa: F401
+from jagular_spark.operators.graph import connected_components, dedup_clusters  # noqa: F401
+from jagular_spark.operators.sampling import hash_sample, stratified_sample  # noqa: F401

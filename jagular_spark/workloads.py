@@ -46,6 +46,25 @@ def _dec(c, scale: int = 4):
     return F.col(c).cast(f"decimal(18,{scale})")
 
 
+def _fp4(c: str) -> F.Column:
+    """Column as exact BIGINT fixed-point quanta of 10^-4 (the storage
+    doubles carry ≤4 decimals, so DECIMAL(18,4)·10^4 is integral and
+    the BIGINT cast is exact on both engines)."""
+    return F.expr(f"CAST(CAST({c} AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+
+
+def _disc_price_sum() -> F.Column:
+    """SUM(extendedprice · (1 − discount)) as a DOUBLE that is
+    bit-identical across engines: all arithmetic is exact BIGINT quanta
+    of 10^-8; the only floating steps are one correctly-rounded
+    int64→double conversion and one division by 1e8. (A DECIMAL-sum →
+    DOUBLE cast is NOT portable: at sf0.1 the scale-8 sum exceeds 2^53
+    quanta and Spark/DuckDB round the cast to ADJACENT doubles — a
+    1-ulp hash mismatch.)"""
+    q = F.sum(_fp4("l_extendedprice") * (F.lit(10000) - _fp4("l_discount")))
+    return q.cast("double") / F.lit(100000000.0)
+
+
 def _us(df: DataFrame, c: str = "ts"):
     """``c`` as unix microseconds BIGINT, matching DuckDB ``epoch_us``.
 
@@ -83,9 +102,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
+            _disc_price_sum().alias("sum_disc_price"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -106,11 +123,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(_disc_price_sum().alias("revenue"))
         .select(
             "l_orderkey",
             F.unix_micros(F.to_utc_timestamp(F.col("o_orderdate"), "UTC")).alias("o_orderdate_us"),
@@ -139,11 +152,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(_disc_price_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -1296,9 +1305,9 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-                   AS sum_disc_price,
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS BIGINT) AS DOUBLE)
+                   / 100000000 AS sum_disc_price,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1308,9 +1317,9 @@ ORACLE_SQL: dict[str, str] = {
     "q3_shipping_priority": """
         SELECT l_orderkey,
                epoch_us(o_orderdate) AS o_orderdate_us,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-                   AS revenue
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS BIGINT) AS DOUBLE)
+                   / 100000000 AS revenue
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1322,9 +1331,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q5_region_revenue": """
         SELECT n_name,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-                   AS revenue
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS BIGINT) AS DOUBLE)
+                   / 100000000 AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
