@@ -1,0 +1,97 @@
+"""Plan-shape regression tests: the scale properties this engine
+claims (pushdown, column pruning, zero-shuffle doc-local ops, bounded
+shuffle counts, no cartesian products) asserted on the OPTIMIZED plans
+so they cannot silently regress."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jagular_spark.operators import similarity as sim
+from jagular_spark.operators.sampling import stratified_sample
+from jagular_spark.operators.text import language_id
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_q1_pushdown_and_pruning(spark):
+    from jagular_spark.workloads import q1_pricing_summary
+
+    p = _formatted(q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruning reached the scan: comment/shipmode never read
+    assert "l_comment" not in p and "l_shipmode" not in p
+
+
+def test_doc_local_ops_have_zero_shuffles(spark):
+    """simhash, language ID and stratified sampling are pure maps over
+    the documents scan — NO Exchange may appear in their plans."""
+    docs = _docs(spark)
+    for df in (
+        sim.simhash(docs),
+        language_id(docs),
+        stratified_sample(language_id(docs), "pred_lang", {"en": 0.5}, key_col="doc_id"),
+    ):
+        p = _formatted(df)
+        assert "Exchange" not in p, p[:2000]
+
+
+def test_shingle_hashes_single_exchange(spark):
+    """The shingle pipeline's only shuffle is the one deliberate text
+    repartition (corpus spreading) — window/distinct shuffles are gone."""
+    p = _formatted(sim.doc_shingle_hashes(_docs(spark)))
+    assert p.count("(1) Exchange") + p.count("Exchange (") <= 2  # plan node + detail section
+    assert "Window" not in p and "Generate" in p
+
+
+def test_no_cartesian_products_on_flagships(spark):
+    from jagular_spark.workloads import SPARK_QUERIES
+
+    for name in (
+        "events_detect_spikes",
+        "events_tetrode",
+        "emb_cosine_neardup_lsh",
+        "docs_ngram_jaccard",
+        "q5_region_revenue",
+    ):
+        p = _formatted(SPARK_QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        # BroadcastNestedLoopJoin is allowed ONLY as the deliberate
+        # bounded-small-side pattern (events_tetrode crosses peaks with
+        # the 4-row channel dim); everywhere else it means an equi-key
+        # was lost.
+        if name != "events_tetrode":
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_ivf_corpus_assignment_is_narrow(spark):
+    """The serving-path inverted-list assignment must not shuffle the
+    corpus: no Exchange between the embeddings scan and the centroid
+    argmin projection (the join/window machinery only touches probe and
+    candidate rows afterwards)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = sim.with_int_norm(emb, "embedding").select(
+        F.col("vec_id").alias("id"), "iv", "nrm"
+    )
+    cents = sim.ivf_fit_centroids(emb, k=4, n_iter=1)
+    dist_arr = F.array(*[sim._sq_dist_to(c) for c in cents])
+    argmin = F.array_min(
+        F.zip_with(
+            dist_arr,
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    ).getField("i")
+    p = _formatted(base.select("id", argmin.alias("cl")))
+    assert "Exchange" not in p
