@@ -152,6 +152,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle:
     ONE shuffle of the shingle hashes into per-hash buckets, pair
@@ -166,10 +167,21 @@ def ngram_jaccard_pairs(
     consumers (pair gen, sizes) sit on the single groupBy(h) exchange,
     so the expensive explode/window/distinct/md5 chain is executed
     once and reuse is structural, not optimizer-dependent. Buckets are
-    per-shingle doc lists (tiny for natural text; a stop-shingle cap
-    would bound the k² pair fan-out at warehouse scale)."""
+    per-shingle doc lists (tiny for natural text).
+
+    ``max_bucket`` is the warehouse-scale guard against heavy-hitter
+    ("stop") shingles: a shingle appearing in k documents fans out k²
+    candidate pairs, so one boilerplate phrase shared by 10^6 docs
+    would alone generate 10^12 pairs. Capping drops buckets larger
+    than ``max_bucket`` from BOTH the pair stream and the size
+    sentinels — semantically, stop-shingles are removed from every
+    document's shingle set before the Jaccard, so scores stay
+    consistent (not silently underestimated) while the candidate
+    volume is bounded by ``max_bucket · n_shingles``."""
     hashes = doc_shingle_hashes(df, id_col, text_col, n)
     bucket = hashes.groupBy("h").agg(F.collect_list(id_col).alias("ids"))
+    if max_bucket is not None:
+        bucket = bucket.where(F.size("ids") <= max_bucket)
     # Pairs ride the explode as PACKED BIGINTs (id_a * 2^32 + id_b,
     # requires 0 ≤ id < 2^31 — true for corpus row ids; fold larger key
     # spaces through a dense id first): one long per candidate instead
