@@ -129,20 +129,22 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "key")
     )
     grouped = buckets.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
-    combos = F.filter(
-        F.flatten(
-            F.transform(
-                "ids",
-                lambda x: F.transform("ids", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
-            )
-        ),
-        lambda s: s["id_a"] < s["id_b"],
+    # packed-BIGINT pairs (id_a * 2^32 + id_b, ids < 2^31) — same
+    # allocation-free shape as ngram_jaccard_pairs
+    combos = F.expr(
+        "filter(flatten(transform(ids, x -> transform(ids, "
+        "y -> CASE WHEN x < y THEN x * 4294967296 + y ELSE -1 END))), p -> p >= 0)"
     )
     return (
         grouped.where(F.size("ids") >= 2)
         .select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .groupBy("p")
         .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+        .select(
+            F.expr("CAST(p DIV 4294967296 AS BIGINT)").alias("id_a"),
+            F.expr("CAST(p % 4294967296 AS BIGINT)").alias("id_b"),
+            "n_bands",
+        )
     )
 
 
