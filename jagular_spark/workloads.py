@@ -980,19 +980,22 @@ def _text_oracles() -> dict[str, str]:
                    {ratio['de']} AS s_de, {ratio['es']} AS s_es
             FROM documents
         ), lang AS (
-            SELECT doc_id, n_tokens, {case_lang} AS pred_lang FROM base
+            SELECT doc_id, n_tokens,
+                   CAST(floor(s_en * 10.0) AS BIGINT) AS stop_dec,
+                   {case_lang} AS pred_lang
+            FROM base
         ), ranked AS (
-            SELECT pred_lang, n_tokens,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY pred_lang
+            SELECT pred_lang, stop_dec, n_tokens,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY pred_lang, stop_dec
                         ORDER BY n_tokens, doc_id) AS BIGINT) - 1 AS rn,
-                   COUNT(*) OVER (PARTITION BY pred_lang) AS cnt
+                   COUNT(*) OVER (PARTITION BY pred_lang, stop_dec) AS cnt
             FROM lang
         )
-        SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        SELECT pred_lang, stop_dec, CAST(COUNT(*) AS BIGINT) AS n_docs,
                MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) AS BIGINT) THEN n_tokens END) AS p50_tokens,
                MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) AS BIGINT) THEN n_tokens END) AS p90_tokens,
                MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.99) AS BIGINT) THEN n_tokens END) AS p99_tokens
-        FROM ranked GROUP BY pred_lang"""
+        FROM ranked GROUP BY pred_lang, stop_dec"""
 
     return {
         "docs_language_id": lang_sql,
@@ -1216,27 +1219,33 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-language token-count quantiles (p50/p90/p99) via
-    rank-index selection over a (n_tokens, doc_id) sort — deterministic
-    discrete quantiles, unlike interpolating percentile built-ins whose
-    float semantics differ across engines. One shuffle (window
-    partition by language) + one map-side-combined aggregate."""
+    """Exact token-count quantiles (p50/p90/p99) per (language,
+    stopword-density decile) via rank-index selection over a
+    (n_tokens, doc_id) sort — deterministic discrete quantiles, unlike
+    interpolating percentile built-ins whose float semantics differ
+    across engines. One shuffle (window partition by stratum) + one
+    map-side-combined aggregate."""
     docs = load(spark, sf_dir, "documents")
     n_col = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     base = txt.language_id(docs.withColumn("n_tokens", n_col), keep=("n_tokens",))
-    w = Window.partitionBy("pred_lang").orderBy("n_tokens", "doc_id")
+    # second stratum: stopword-density decile — an integer from one
+    # deterministic double chain on the post-barrier s_en attribute
+    # (low-stopword bands ≈ low-quality docs in curation pipelines)
+    base = base.withColumn("stop_dec", F.floor(F.col("s_en") * F.lit(10.0)).cast("long"))
+    w = Window.partitionBy("pred_lang", "stop_dec").orderBy("n_tokens", "doc_id")
     ranked = base.select(
         "pred_lang",
+        "stop_dec",
         "n_tokens",
         (F.row_number().over(w) - 1).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("pred_lang")).alias("cnt"),
+        F.count(F.lit(1)).over(Window.partitionBy("pred_lang", "stop_dec")).alias("cnt"),
     )
 
     def q_at(q: float) -> F.Column:
         idx = F.floor((F.col("cnt") - 1) * F.lit(q)).cast("long")
         return F.max(F.when(F.col("rn") == idx, F.col("n_tokens")))
 
-    return ranked.groupBy("pred_lang").agg(
+    return ranked.groupBy("pred_lang", "stop_dec").agg(
         F.count(F.lit(1)).alias("n_docs"),
         q_at(0.5).alias("p50_tokens"),
         q_at(0.9).alias("p90_tokens"),
