@@ -1253,6 +1253,53 @@ def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline a training-data user actually
+    runs, as one composed query: quality-score filter → language filter
+    → exact dedup (md5 canonical) → near-dup removal (jaccard ≥ 0.5
+    connected components, keep cluster minimum) → deterministic 50 %
+    hash sample. Every stage is an operator that is individually
+    hash-verified elsewhere; this query verifies their COMPOSITION
+    (stage ordering, survivor-set threading) against one DuckDB oracle
+    that replays the whole funnel."""
+    from jagular_spark.operators.graph import dedup_clusters
+    from jagular_spark.operators.sampling import hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    n = F.length(F.col("text")).cast("double")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double") / n
+    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double") / n
+    stop = F.expr(
+        "CAST(size(filter(split(trim(text), '\\\\s+'), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
+    ) / F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    score = F.lit(0.4) * alpha + F.lit(0.3) * stop + F.lit(0.3) * (F.lit(1.0) - digit)
+    scored = txt.language_id(
+        docs.withColumn("quality_score", score), keep=("text", "quality_score")
+    )
+    s1 = scored.where(
+        (F.col("quality_score") >= F.lit(0.6)) & (F.col("pred_lang") == "en")
+    ).select("doc_id", "text", "quality_score")
+
+    # exact dedup: keep the min doc_id per identical text
+    w_txt = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    s2 = (
+        s1.withColumn("__min_id__", F.min("doc_id").over(w_txt))
+        .where(F.col("doc_id") == F.col("__min_id__"))
+        .drop("__min_id__")
+    )
+
+    # near-dup removal over the SURVIVORS only (stage threading matters)
+    pairs = sim.ngram_jaccard_pairs(s2, min_jaccard=0.5)
+    kept = (
+        dedup_clusters(s2.select("doc_id"), pairs)
+        .where(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    s3 = s2.join(kept, "doc_id")
+
+    return hash_sample(s3, "doc_id", 0.5).select("doc_id", "quality_score")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1306,7 +1353,86 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_audio": docs_media_audio,
     "docs_media_resize": docs_media_resize,
     "docs_simhash_neardup": docs_simhash_neardup,
+    "docs_curation_funnel": docs_curation_funnel,
 }
+
+
+def _funnel_oracle() -> str:
+    """DuckDB replay of the whole curation funnel (quality → language →
+    exact dedup → near-dup closure → hash sample)."""
+    ratio = {
+        lang: (
+            f"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"t -> t IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS DOUBLE)"
+            f" / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+        )
+        for lang, words in txt.LANG_STOPWORDS.items()
+    }
+    quality = (
+        "0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE))"
+        " + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        " t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
+        " / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))"
+        " + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE))"
+    )
+    case_lang = """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END"""
+    return f"""
+        WITH RECURSIVE scored AS (
+            SELECT doc_id, text, {quality} AS quality_score,
+                   {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
+                   {ratio['de']} AS s_de, {ratio['es']} AS s_es
+            FROM documents
+        ), f1 AS (
+            SELECT doc_id, text, quality_score FROM scored
+            WHERE quality_score >= 0.6 AND {case_lang} = 'en'
+        ), d AS (
+            SELECT doc_id, text, quality_score FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM f1
+            ) WHERE doc_id = min_id
+        ), toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d
+        ), sh AS (
+            SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+                list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS shingles FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), hashes AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {sim.P} AS h FROM ex
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), prs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM prs
+            UNION ALL
+            SELECT id_b, id_a FROM prs
+        ), reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), comp AS (
+            SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+        ), kept AS (
+            SELECT d.doc_id, d.quality_score
+            FROM d LEFT JOIN comp c ON d.doc_id = c.id
+            WHERE d.doc_id = COALESCE(c.comp, d.doc_id)
+        )
+        SELECT doc_id, quality_score FROM kept
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < {int(0.5 * (1 << 32))}"""
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -1836,6 +1962,7 @@ ORACLE_SQL.update(_similarity_oracles())
 ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
 ORACLE_SQL.update(_signal_oracles())
+ORACLE_SQL["docs_curation_funnel"] = _funnel_oracle()
 # S11/A9 audit: one hash aggregation per user.
 ORACLE_SQL["events_audit"] = """
     SELECT user_id,
