@@ -66,3 +66,23 @@ def test_crossings_chunked_matches_window(spark):
         (r.ts for r in crossings_chunked(df, thr, polarity="neg", buffer_len=1000).collect())
     )
     assert a == b and len(a) >= 4
+
+
+def test_curation_funnel_stage_monotonicity(spark):
+    """Each funnel stage only removes documents, survivors are real
+    doc_ids, and the sample stage matches the reference md5 rule."""
+    import hashlib
+
+    from jagular_spark.workloads import SPARK_QUERIES, load
+
+    sf = "/root/testdata/sf0.001"
+    out = SPARK_QUERIES["docs_curation_funnel"](spark, sf).collect()
+    all_ids = {r.doc_id for r in load(spark, sf, "documents").select("doc_id").collect()}
+    got = {r.doc_id for r in out}
+    assert got <= all_ids and len(got) > 0
+    # survivors satisfy the sampling rule exactly
+    thr = int(0.5 * (1 << 32))
+    for d in got:
+        assert int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thr
+    # quality floor holds on the carried score column
+    assert all(r.quality_score >= 0.6 for r in out)
