@@ -781,9 +781,11 @@ def docs_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming ≤ 1 via half-fingerprint
     banding (pigeonhole-complete candidates, exact bit_count verify);
-    the oracle is the provably-equivalent all-pairs formulation."""
+    the oracle is the provably-equivalent all-pairs formulation.
+    32-bit fingerprints — 16 bits saturate with birthday collisions at
+    corpus scale."""
     docs = load(spark, sf_dir, "documents")
-    return sim.simhash_neardup_pairs(docs, max_hamming=1)
+    return sim.simhash_neardup_pairs(docs, bits=32, max_hamming=1)
 
 
 def docs_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,12 +1059,12 @@ def _similarity_oracles() -> dict[str, str]:
         JOIN sizes sb ON id_b = sb.doc_id
         WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""
 
-    bits = 16
-    sum_cols = ", ".join(
-        f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
-    )
-    fp = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
-    simhash_sql = f"""
+    def _simhash_sql_for(bits: int) -> str:
+        sum_cols = ", ".join(
+            f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+        )
+        fp = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+        return f"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
         ), h AS (
@@ -1071,6 +1073,8 @@ def _similarity_oracles() -> dict[str, str]:
             SELECT doc_id, {sum_cols} FROM h GROUP BY doc_id
         )
         SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums"""
+
+    simhash_sql = _simhash_sql_for(16)
 
     normed_cte = f"""
         WITH base AS (
@@ -1162,10 +1166,13 @@ def _similarity_oracles() -> dict[str, str]:
                d.doc_id = COALESCE(c.comp, d.doc_id) AS is_canonical
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
 
-    # All-pairs Hamming<=1 over the fingerprints: provably the same
+    # All-pairs Hamming<=1 over 32-bit fingerprints: provably the same
     # result set as the engine's half-fingerprint banding (pigeonhole).
+    # 32 bits, not 16: a 16-bit space saturates at corpus scale (5000
+    # docs already produced ~700k birthday-collision "pairs" at sf0.1);
+    # at 32 bits survivors are genuine near-dups.
     simhash_neardup_sql = f"""
-        WITH fps AS ({simhash_sql})
+        WITH fps AS ({_simhash_sql_for(32)})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM fps a JOIN fps b ON a.doc_id < b.doc_id
