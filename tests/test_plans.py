@@ -95,3 +95,27 @@ def test_ivf_corpus_assignment_is_narrow(spark):
     ).getField("i")
     p = _formatted(base.select("id", argmin.alias("cl")))
     assert "Exchange" not in p
+
+
+def test_jaccard_exchange_count_pinned(spark):
+    """Lineage-duplication regression guard on the EXPENSIVE half of
+    the jaccard pipeline (everything before the tiny-aggregate
+    localCheckpoint — the final plan only shows the checkpoint scan):
+    exactly 3 shuffles (text repartition, groupBy(h), pair aggregation)
+    and ONE documents scan. The 4-branch shape this replaced
+    re-executed the shingle pipeline per branch — if these counts creep
+    up, that bug is back."""
+    import re
+
+    hashes = sim.doc_shingle_hashes(_docs(spark))
+    bucket = hashes.groupBy("h").agg(F.collect_list("doc_id").alias("ids"))
+    agg = (
+        bucket.select(F.explode(F.expr("transform(ids, x -> x)")).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = _formatted(agg)
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", p))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert n_shuffles == 3, p[:1500]
+    assert n_scans == 1  # the documents scan appears ONCE in the plan

@@ -274,3 +274,27 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
     got_fp = {(r.doc_id, r.simhash) for r in spark.sql("SELECT * FROM fps").collect()}
     want_fp = {(r.doc_id, r.simhash) for r in simhash(docs).collect()}
     assert got_fp == want_fp
+
+
+def test_media_kernels_run_on_streams(spark, tmp_path):
+    """The Arrow-batched media kernels (audio windows, resize grid) are
+    per-batch maps — they must run unchanged on a stream with
+    batch-equal results."""
+    from jagular_spark.operators.multimodal import (
+        audio_window_byte_stats,
+        resize_pixel_grid,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark)
+    stream = _as_stream(spark, media, tmp_path, "media")
+
+    _run_to_memory(audio_window_byte_stats(stream, window=64), "aw", "append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM aw").collect()}
+    want = {tuple(r) for r in audio_window_byte_stats(media, window=64).collect()}
+    assert got == want and len(got) > 0
+
+    _run_to_memory(resize_pixel_grid(stream, 4, 4), "rg", "append")
+    got2 = {tuple(r) for r in spark.sql("SELECT * FROM rg").collect()}
+    want2 = {tuple(r) for r in resize_pixel_grid(media, 4, 4).collect()}
+    assert got2 == want2 and len(got2) > 0
