@@ -1,0 +1,78 @@
+"""Backward as-of join — the canonical timeseries join Spark lacks.
+
+For every left row, attach the most recent right row with
+``right.ts <= left.ts`` within the same keys (optionally within a
+``tolerance``). The classic use: enrich each event with the latest
+reading/state that preceded it.
+
+Spark-first shape: NOT a join. Both sides are tagged and unioned, then
+one window pass per key carries the last non-null right payload forward
+(``last(..., ignorenulls=True)`` over rows-unbounded-preceding). That is
+a single shuffle on the keys with a local sort — no range-join
+explosion, no broadcast requirement, and skew follows the key
+distribution exactly like any window. At equal timestamps the right row
+sorts FIRST (side tiebreak), so ``<=`` semantics hold. Right-side
+duplicates at the same (keys, ts) must be resolved by the caller (e.g.
+keep-first) for deterministic output — the same requirement DuckDB's
+native ASOF JOIN has.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    right_cols: Sequence[str] = ("value",),
+    suffix: str = "_asof",
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Left as-of join: all left columns plus ``<ts_col><suffix>`` and
+    ``<col><suffix>`` for each of ``right_cols`` (NULL when no right row
+    precedes, or none within ``tolerance``)."""
+    keys = list(on)
+    rcols = list(right_cols)
+    lcols = [c for c in left.columns]
+
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("__side__"),
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__rts__"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in rcols],
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in keys + [ts_col] else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side__"),
+        F.col(ts_col).alias("__rts__"),
+        *[F.col(c).alias(f"__r_{c}__") for c in rcols],
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side__").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [F.last("__rts__", ignorenulls=True).over(w).alias("__cts__")] + [
+        F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"__c_{c}__") for c in rcols
+    ]
+    out = u.select(*lcols, "__side__", *carried).where(F.col("__side__") == 1)
+    in_tol = (
+        F.col("__cts__").isNotNull()
+        if tolerance is None
+        else F.col("__cts__") >= (F.col(ts_col) - F.lit(tolerance))
+    )
+    return out.select(
+        *lcols,
+        F.when(in_tol, F.col("__cts__")).alias(f"{ts_col}{suffix}"),
+        *[F.when(in_tol, F.col(f"__c_{c}__")).alias(f"{c}{suffix}") for c in rcols],
+    )

@@ -1260,6 +1260,38 @@ def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (the canonical timeseries enrichment Spark
+    lacks natively): every 'view' event gets the most recent preceding
+    'purchase' per user. Implemented as a tagged union + one window
+    carry — a single shuffle, no join node (operators/asof.py); the
+    oracle is DuckDB's NATIVE ASOF LEFT JOIN, cross-validating the
+    window formulation against an independent implementation."""
+    from jagular_spark.operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "us", F.col("event_id").alias("view_id"), "value"
+    )
+    w = Window.partitionBy("user_id", "us").orderBy("event_id")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select("user_id", "us", "value")
+    )
+    out = asof_join(
+        views, purchases, on=["user_id"], ts_col="us", right_cols=("value",), suffix="_p"
+    )
+    return out.select(
+        "user_id",
+        F.col("us").alias("view_us"),
+        "view_id",
+        F.col("us_p").alias("purchase_us"),
+        F.col("value_p").alias("purchase_value"),
+    )
+
+
 def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation pipeline a training-data user actually
     runs, as one composed query: quality-score filter → language filter
@@ -1361,6 +1393,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_resize": docs_media_resize,
     "docs_simhash_neardup": docs_simhash_neardup,
     "docs_curation_funnel": docs_curation_funnel,
+    "events_asof": events_asof,
 }
 
 
@@ -1970,6 +2003,25 @@ ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
 ORACLE_SQL.update(_signal_oracles())
 ORACLE_SQL["docs_curation_funnel"] = _funnel_oracle()
+
+# As-of join: the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+# independent implementation of the same semantics, cross-validating
+# the engine's union+window-carry formulation.
+ORACLE_SQL["events_asof"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id AS view_id, value
+        FROM events WHERE event_type = 'view'
+    ), p0 AS (
+        SELECT user_id, epoch_us(ts) AS us, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                    ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), p AS (
+        SELECT user_id, us, value FROM p0 WHERE rn = 1
+    )
+    SELECT v.user_id, v.us AS view_us, v.view_id,
+           p.us AS purchase_us, p.value AS purchase_value
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.us >= p.us"""
 # S11/A9 audit: one hash aggregation per user.
 ORACLE_SQL["events_audit"] = """
     SELECT user_id,

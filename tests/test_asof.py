@@ -1,0 +1,93 @@
+"""asof_join vs pandas merge_asof (an independent reference
+implementation), plus tolerance and partition invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from jagular_spark.operators.asof import asof_join
+
+
+def _frames(seed=7, n_left=200, n_right=80, n_keys=5):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "ts": rng.integers(0, 1000, n_left),
+            "lv": rng.normal(size=n_left),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, n_keys, n_right),
+                "ts": rng.integers(0, 1000, n_right),
+                "rv": rng.normal(size=n_right),
+            }
+        )
+        .drop_duplicates(["k", "ts"])  # deterministic: unique (key, ts)
+        .reset_index(drop=True)
+    )
+    left["lid"] = np.arange(n_left)
+    return left, right
+
+
+def _want(left, right, tolerance=None):
+    kw = {"tolerance": tolerance} if tolerance is not None else {}
+    m = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+        suffixes=("", "_r"),
+        **kw,
+    )
+    return {
+        (int(r.lid), None if pd.isna(r.rv) else round(float(r.rv), 9))
+        for r in m.itertuples(index=False)
+    }
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left, right = _frames()
+    ldf = spark.createDataFrame(left[["k", "ts", "lv", "lid"]])
+    rdf = spark.createDataFrame(right)
+    out = asof_join(ldf, rdf, on=["k"], ts_col="ts", right_cols=("rv",)).collect()
+    got = {
+        (int(r.lid), None if r.rv_asof is None else round(float(r.rv_asof), 9))
+        for r in out
+    }
+    assert got == _want(left, right)
+    assert len(got) == len(left)  # left join: every left row survives
+
+
+def test_asof_join_tolerance(spark):
+    left, right = _frames(seed=9)
+    ldf = spark.createDataFrame(left[["k", "ts", "lv", "lid"]])
+    rdf = spark.createDataFrame(right)
+    out = asof_join(
+        ldf, rdf, on=["k"], ts_col="ts", right_cols=("rv",), tolerance=50
+    ).collect()
+    got = {
+        (int(r.lid), None if r.rv_asof is None else round(float(r.rv_asof), 9))
+        for r in out
+    }
+    assert got == _want(left, right, tolerance=50)
+
+
+def test_asof_join_partition_invariance(spark):
+    left, right = _frames(seed=11)
+    ldf = spark.createDataFrame(left[["k", "ts", "lv", "lid"]])
+    rdf = spark.createDataFrame(right)
+    a = sorted(map(tuple, asof_join(ldf, rdf, on=["k"], ts_col="ts", right_cols=("rv",)).collect()))
+    b = sorted(
+        map(
+            tuple,
+            asof_join(
+                ldf.repartition(13), rdf.repartition(3), on=["k"], ts_col="ts", right_cols=("rv",)
+            ).collect(),
+        )
+    )
+    assert a == b
