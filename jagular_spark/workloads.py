@@ -1326,6 +1326,11 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") == F.col("__min_id__"))
         .drop("__min_id__")
     )
+    # s2 feeds pair generation AND the final survivor join — materialize
+    # the (small) post-filter working set once instead of re-running the
+    # scoring+dedup lineage per consumer (standard practice: persist the
+    # survivor set between curation stages).
+    s2 = s2.localCheckpoint()
 
     # near-dup removal over the SURVIVORS only (stage threading matters)
     pairs = sim.ngram_jaccard_pairs(s2, min_jaccard=0.5)
