@@ -74,9 +74,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # always present so a clean run is distinguishable from a runner
+        # that predates fault isolation
+        "errors": errors,
     }
-    if errors:
-        out["errors"] = errors
     print(json.dumps(out))
 
 

@@ -306,16 +306,20 @@ def _rn_samples(spark: SparkSession, sf_dir: str, max_channel: int | None = None
     0-based position in the user's (time, event_id) order — the
     contiguous-epoch layout the signal operators expect."""
     ev = _events_us(spark, sf_dir)
+    if max_channel is not None:
+        # Filter BEFORE the window: the window partitions by user_id, so
+        # pre-filtering on it is exact — and Catalyst cannot push the
+        # predicate through the Window itself (it references a projected
+        # cast, not the raw partition column), which would otherwise
+        # window the full table only to drop 1496/1500 channels.
+        ev = ev.where(F.col("user_id") < max_channel)
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    s = ev.select(
+    return ev.select(
         F.col("user_id").cast("int").alias("channel_id"),
         F.lit(0).cast("long").alias("segment_id"),
         (F.row_number().over(w) - 1).cast("long").alias("ts"),
         F.col("value"),
     )
-    if max_channel is not None:
-        s = s.where(F.col("channel_id") < max_channel)
-    return s
 
 
 # Shared SQL prefix: the same per-user rn stream + per-user value lists.

@@ -97,6 +97,18 @@ def test_ivf_corpus_assignment_is_narrow(spark):
     assert "Exchange" not in p
 
 
+def test_rn_samples_channel_filter_reaches_scan(spark):
+    """_rn_samples(max_channel=N) must filter BEFORE the row_number
+    window (Catalyst can't push a predicate on the projected cast
+    through the Window): the user_id bound has to appear in the parquet
+    scan's PushedFilters, or every signal query windows all 1500
+    channels to use 4."""
+    from jagular_spark.workloads import _rn_samples
+
+    p = _formatted(_rn_samples(spark, SF, max_channel=4))
+    assert "LessThan(user_id,4)" in p, p[:2000]
+
+
 def test_jaccard_exchange_count_pinned(spark):
     """Lineage-duplication regression guard on the EXPENSIVE half of
     the jaccard pipeline (everything before the tiny-aggregate
