@@ -47,9 +47,10 @@ def connected_components(
     # jaccard join) is the expensive part — without the checkpoint it
     # would execute twice. The edge list is small relative to the docs
     # it came from, and it is re-read every propagation round anyway.
+    # Lazy checkpoint + count = ONE materialization job, not two.
     e0 = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # Partition the propagation loop proportionally to the edge count
     # (~1M edges per partition), not to the corpus that produced the
     # pairs: a dedup pair graph is orders of magnitude smaller than its
@@ -57,11 +58,16 @@ def connected_components(
     # counts wastes a fixed per-task cost per round (measured 3-4 s of
     # pure scheduling at sf0.1's ~500 edges × 32 partitions × rounds).
     n_parts = max(1, min(int(e0.count() // 1_000_000) + 1, 2048))
-    e0 = e0.repartition(n_parts).localCheckpoint()
+    # Both derived sets checkpoint lazily: round 1's single action
+    # materializes them as a side effect instead of two more blocking
+    # driver jobs. (Driver job round-trips, not data volume, dominate
+    # CC on a pair graph — measured 2-4 s for a 500-edge graph when
+    # every checkpoint and convergence probe was its own job.)
+    e0 = e0.repartition(n_parts).localCheckpoint(eager=False)
     sym = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("l", F.col("id"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
             sym["a"].alias("id"), F.col("l")
@@ -76,12 +82,17 @@ def connected_components(
         # always vertex ids, so the self-join hits). One-hop flooding
         # alone needs diameter rounds — a 10^6-long path chain at 100 TB
         # would never finish; compressing two levels per round makes it
-        # O(log diameter).
+        # O(log diameter). In the converged round it degenerates to an
+        # identity join over |V| rows — cheaper than the extra driver
+        # round-trip a propagate-then-check-then-double split would cost.
         par = new.select(F.col("id").alias("pid"), F.col("l").alias("pl"))
         new = (
             new.join(par, new["l"] == par["pid"], "left")
             .select("id", F.coalesce("pl", "l").alias("l"), "l_old")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # ONE job per round: the convergence probe materializes the lazy
+        # checkpoint (truncating lineage for the next round) and returns
+        # the already-computed "any label shrank" flag in the same pass.
         changed = new.agg(
             F.max((F.col("l") < F.col("l_old")).cast("int")).alias("c")
         ).first()["c"]
