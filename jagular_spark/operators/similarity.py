@@ -106,6 +106,18 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return hashes.groupBy(id_col).agg(*aggs)
 
 
+def _guarded_ids(col: str = "ids") -> F.Column:
+    """Validate ids fit the packed-BIGINT pair encoding (0 ≤ id < 2^31)
+    *at runtime* — outside that range ``a * 2^32 + b`` silently corrupts
+    pairs, which a comment-only precondition cannot catch at 100 TB.
+    One linear pass per bucket list; raises with the offending value."""
+    return F.expr(
+        f"transform({col}, x -> CASE WHEN x >= 0 AND x < 2147483648 THEN x "
+        f"ELSE CAST(raise_error(concat('packed-pair id outside [0, 2^31): ', "
+        f"CAST(x AS STRING))) AS BIGINT) END)"
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Band the signature (LSH_BANDS bands × 2 rows), group each
     (band, key) bucket, and generate ``id_a < id_b`` pairs *inside* the
@@ -128,7 +140,11 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     buckets = sig.select(
         F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "key")
     )
-    grouped = buckets.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
+    grouped = (
+        buckets.groupBy("band", "key")
+        .agg(F.collect_list("id").alias("ids"))
+        .withColumn("ids", _guarded_ids())
+    )
     # packed-BIGINT pairs (id_a * 2^32 + id_b, ids < 2^31) — same
     # allocation-free shape as ngram_jaccard_pairs
     combos = F.expr(
@@ -184,6 +200,7 @@ def ngram_jaccard_pairs(
     bucket = hashes.groupBy("h").agg(F.collect_list(id_col).alias("ids"))
     if max_bucket is not None:
         bucket = bucket.where(F.size("ids") <= max_bucket)
+    bucket = bucket.withColumn("ids", _guarded_ids())
     # Pairs ride the explode as PACKED BIGINTs (id_a * 2^32 + id_b,
     # requires 0 ≤ id < 2^31 — true for corpus row ids; fold larger key
     # spaces through a dense id first): one long per candidate instead
@@ -224,6 +241,68 @@ def ngram_jaccard_pairs(
         common.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("long"))
+        .withColumn("jaccard", F.col("n_common") / F.col("n_union"))
+        .where(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+    return out.select("id_a", "id_b", "n_common", "n_union", "jaccard")
+
+
+def ngram_jaccard_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH-first exact Jaccard — the 100-TB composition of the two
+    verified pieces: MinHash-LSH banding generates CANDIDATE pairs
+    (band-bucket equi-join, sub-quadratic), then the exact n-gram
+    Jaccard verifies candidates only. Candidate volume is the LSH
+    bucket combinatorics (near-dup cluster sized), not the per-shingle
+    bucket combinatorics of :func:`ngram_jaccard_pairs` — which at
+    corpus scale is the difference between O(candidates) and
+    O(Σ bucket²) verification work. Results are a subset of the exact
+    operator (standard LSH false-negative trade at 4×2 banding);
+    ``(id_a, id_b, n_common, n_union, jaccard)`` values are identical
+    for every pair both emit.
+
+    Shape: ONE groupBy(id) produces the minhash signature AND the
+    per-doc shingle-hash multiset from the same exchange; banding +
+    in-bucket pair gen ride the signature; verification joins the
+    (small) candidate set back to the per-doc multisets — AQE
+    broadcasts the candidate side. n_common counts hash matches with
+    multiplicity products (Σ_h cntA(h)·cntB(h)) — bit-identical to the
+    exact operator's per-bucket combinatorics under hash collisions."""
+    hashes = doc_shingle_hashes(df, id_col, text_col, n)
+    sig_aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A[:N_MINHASH], MINHASH_B[:N_MINHASH]))
+    ]
+    per_doc = hashes.groupBy(id_col).agg(
+        *sig_aggs, F.sort_array(F.collect_list("h")).alias("hs")
+    )
+    # three consumers (banding + both verify sides): truncate once,
+    # materialized by the query's own action
+    per_doc = per_doc.localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(per_doc, id_col).select("id_a", "id_b")
+    a = per_doc.select(
+        F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")
+    )
+    b = per_doc.select(
+        F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")
+    )
+    j = a.join(cand, "id_a").join(b, "id_b")
+    # multiset intersection with multiplicity products; |A|·|B| element
+    # compares per CANDIDATE pair only (docs are a few hundred shingles)
+    n_common = F.expr(
+        "aggregate(hs_a, 0L, (acc, x) -> acc + size(filter(hs_b, y -> y = x)))"
+    )
+    out = (
+        j.withColumn("n_common", n_common)
+        .withColumn(
+            "n_union",
+            (F.size("hs_a") + F.size("hs_b") - F.col("n_common")).cast("long"),
+        )
         .withColumn("jaccard", F.col("n_common") / F.col("n_union"))
         .where(F.col("jaccard") >= F.lit(min_jaccard))
     )

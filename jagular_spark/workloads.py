@@ -507,6 +507,15 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ngram_jaccard_pairs(docs, min_jaccard=0.5)
 
 
+def docs_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-first exact Jaccard ≥ 0.5: MinHash-LSH banding proposes
+    candidates, exact shingle-multiset Jaccard verifies candidates only
+    — the sub-quadratic composition that replaces per-shingle bucket
+    combinatorics at corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    return sim.ngram_jaccard_pairs_lsh(docs, min_jaccard=0.5)
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit frequency-weighted SimHash fingerprint per document."""
     docs = load(spark, sf_dir, "documents")
@@ -1063,6 +1072,36 @@ def _similarity_oracles() -> dict[str, str]:
         JOIN sizes sb ON id_b = sb.doc_id
         WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""
 
+    # LSH-first exact Jaccard: candidates from the minhash band buckets,
+    # common-shingle counting restricted to candidate pairs. The shared
+    # hashes JOIN counts multiplicity products like the engine's
+    # aggregate-over-multiset expression.
+    jaccard_lsh = f"""{shingle_cte}, sig AS (
+            SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id
+        ), buckets AS (
+            {band_selects}
+        ), cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            GROUP BY a.id, b.id
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+        ), common AS (
+            SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN hashes a ON a.doc_id = c.id_a
+            JOIN hashes b ON b.doc_id = c.id_b AND a.h = b.h
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, n_common,
+               CAST(sa.n_sh + sb.n_sh - n_common AS BIGINT) AS n_union,
+               n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""
+
     def _simhash_sql_for(bits: int) -> str:
         sum_cols = ", ".join(
             f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
@@ -1185,6 +1224,7 @@ def _similarity_oracles() -> dict[str, str]:
     return {
         "docs_minhash_lsh": minhash_lsh,
         "docs_ngram_jaccard": jaccard,
+        "docs_ngram_jaccard_lsh": jaccard_lsh,
         "docs_simhash": simhash_sql,
         "docs_simhash_neardup": simhash_neardup_sql,
         "docs_dedup_clusters": cluster_sql,
@@ -1373,6 +1413,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality": docs_quality,
     "docs_minhash_lsh": docs_minhash_lsh,
     "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
     "docs_simhash": docs_simhash,
     "emb_cosine_neardup": emb_cosine_neardup,
     "emb_ann_topk": emb_ann_topk,

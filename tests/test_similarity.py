@@ -33,6 +33,42 @@ def test_lsh_candidates_cover_high_jaccard_pairs(spark):
         assert len(mid & cand) >= len(mid) / 2
 
 
+def test_ngram_jaccard_lsh_subset_with_identical_values(spark):
+    """The LSH-first composition emits a SUBSET of the exact operator's
+    pairs (band false negatives only), and every emitted pair carries
+    bit-identical (n_common, n_union, jaccard) — the verify stage is the
+    exact multiset Jaccard, not an approximation."""
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b): (r.n_common, r.n_union, r.jaccard)
+        for r in sim.ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): (r.n_common, r.n_union, r.jaccard)
+        for r in sim.ngram_jaccard_pairs_lsh(docs, min_jaccard=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+    # the banding recall bound of test_lsh_candidates_cover_high_jaccard_pairs
+    # applies: high-jaccard pairs must survive
+    high = {k for k, v in exact.items() if v[2] >= 0.9}
+    assert high <= set(lsh)
+
+
+def test_packed_pair_id_guard_raises(spark):
+    """ids ≥ 2^31 (or negative) must fail loudly, not silently corrupt
+    the packed-BIGINT pair keys."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    docs = _docs(spark).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2_147_483_648)
+    )
+    with pytest.raises(SparkRuntimeException, match="packed-pair id outside"):
+        sim.ngram_jaccard_pairs(docs, min_jaccard=0.5).count()
+
+
 def test_simhash_near_dups_have_close_fingerprints(spark):
     """Near-identical docs (jaccard ≥ 0.9) should differ in few simhash
     bits; random pairs should differ in many on average."""
