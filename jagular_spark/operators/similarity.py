@@ -680,20 +680,22 @@ def cosine_lsh_candidates(
 # IVF (inverted-file) ANN — the clustering-based scale path
 # ---------------------------------------------------------------------------
 
-def _sq_dist_to(c: list[float]) -> F.Column:
-    """Squared distance from the ``iv`` column to a literal centroid.
-    Only for once-per-query use (serving-path assignment and
-    probe→centroid ranking): a k×dim literal expression tree is fine
-    to compile a single time, but inside the Lloyd loop it would force
-    a Janino recompile per iteration — the fit therefore assigns with
-    a numpy kernel instead (:func:`ivf_fit_centroids`). For very large
-    quantizers (k×dim ≫ 10⁴ literals) the tree itself becomes a
-    compile-time hazard; at that scale ship the centroids as a
-    broadcast table and assign via join."""
-    lit = F.array(*[F.lit(float(v)) for v in c])
+def _sq_dist_to(c: Sequence[int]) -> F.Column:
+    """EXACT int64 squared distance from the ``iv`` column to a literal
+    integer centroid (components ≤ 2^21 → per-term ≤ 2^42, 64-dim sum
+    ≤ 2^48 — no overflow, no float rounding). Only for once-per-query
+    use (serving-path assignment and probe→centroid ranking): a k×dim
+    literal expression tree is fine to compile a single time, but
+    inside the Lloyd loop it would force a Janino recompile per
+    iteration — the fit therefore assigns with a numpy kernel instead
+    (:func:`ivf_fit_centroids`). For very large quantizers (k×dim ≫
+    10⁴ literals) the tree itself becomes a compile-time hazard; at
+    that scale ship the centroids as a broadcast table and assign via
+    join."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in c])
     return F.aggregate(
-        F.zip_with(F.col("iv"), lit, lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)),
-        F.lit(0.0),
+        F.zip_with(F.col("iv"), lit, lambda x, cc: (x - cc) * (x - cc)),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
@@ -704,22 +706,28 @@ def ivf_fit_centroids(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> list[list[float]]:
-    """Deterministic Lloyd's k-means over the integer-scaled vectors
-    (IVF coarse quantizer). Seeds = the ``k`` vectors with smallest ids
-    (deterministic, no RNG). Each Lloyd iteration is ONE narrow
-    Arrow-batched pass (``mapInPandas``): every partition emits ≤ k
-    partial rows ``(c, count, int64 sum-vector)`` from a numpy matmul
+) -> list[list[int]]:
+    """Deterministic INTEGER-QUANTIZED Lloyd's k-means over the
+    integer-scaled vectors (IVF coarse quantizer). Seeds = the ``k``
+    vectors with smallest ids (deterministic, no RNG); each update
+    floors the mean back to int64 (``sum // count``, floor division).
+    Quantizing the centroids to the same 2^-20 grid as the vectors
+    costs nothing in quantizer quality (cell edges move < 1 ulp of the
+    input scale) and buys EXACTNESS: every distance in the fit is
+    int64 (diff ≤ 2^21 → 64-dim sum ≤ 2^48), so assignment has no
+    float-summation-order hazard, the whole fit is bit-reproducible
+    across partitionings, BLAS builds AND engines — which is what lets
+    a SQL oracle replay the fitted pipeline end-to-end (a float-mean
+    fit dies on matmul rounding order).
+
+    Each Lloyd iteration is ONE narrow Arrow-batched pass
+    (``mapInPandas``): every partition emits ≤ k partial rows
+    ``(c, count, int64 sum-vector)`` from a numpy integer-matmul
     assignment, and the driver finishes the reduction — **zero
     shuffles per iteration** and no per-iteration whole-stage-codegen
-    compile (the previous broadcast-join + 64-column SUM shape spent
-    ~2.7 s/iteration on plan/compile overhead for a k×dim-sized
-    result). Partial sums are exact int64 (scaled-integer vectors), so
-    the reduce is order-independent → the fit is bit-stable across
-    partitionings. At 100 TB you would fit on a hash-sample of the
-    corpus (same plan with a ``where pmod(hash(id), S) = 0``
-    prefilter) — centroid quality, not exactness, is what sampling
-    trades."""
+    compile. At 100 TB you would fit on a hash-sample of the corpus
+    (same plan with a ``where pmod(hash(id), S) = 0`` prefilter) —
+    centroid quality, not exactness, is what sampling trades."""
     import numpy as np
 
     dim = len(df.select(vec_col).first()[0])
@@ -731,23 +739,24 @@ def ivf_fit_centroids(
     base = base.persist()
     try:
         seeds = base.orderBy("id").limit(k).select("iv").collect()
-        cents = [[float(x) for x in r.iv] for r in seeds]
+        cents = [[int(x) for x in r.iv] for r in seeds]
         for _ in range(n_iter):
-            carr = np.asarray(cents, dtype=np.float64)
+            carr = np.asarray(cents, dtype=np.int64)
 
             def partials(batches, _c=carr):
                 import numpy as _np
                 import pandas as _pd
 
+                # |c|^2 and x·c in pure int64 (≤ 2^48) — exact argmin,
+                # first-min tiebreak like ROW_NUMBER ORDER BY d, c
                 c2 = (_c * _c).sum(axis=1)
                 for pdf in batches:
                     if not len(pdf):
                         continue
                     X = _np.array(pdf["iv"].tolist(), dtype=_np.int64)
-                    Xf = X.astype(_np.float64)
                     # d = |x|^2 - 2 x·c + |c|^2; |x|^2 is constant per
                     # row so the argmin only needs -2 x·c + |c|^2.
-                    a = (c2[None, :] - 2.0 * (Xf @ _c.T)).argmin(axis=1)
+                    a = (c2[None, :] - 2 * (X @ _c.T)).argmin(axis=1)
                     cs, ns, ss = [], [], []
                     for ci in _np.unique(a):
                         m = a == ci
@@ -763,7 +772,7 @@ def ivf_fit_centroids(
                 n_tot[r.c] += r.n
                 s_tot[r.c] += np.asarray(r.s, dtype=np.int64)
             cents = [
-                (s_tot[ci] / n_tot[ci]).tolist() if n_tot[ci] else cents[ci]
+                (s_tot[ci] // n_tot[ci]).tolist() if n_tot[ci] else cents[ci]
                 for ci in range(k)
             ]
     finally:
@@ -787,6 +796,12 @@ def ann_topk_ivf(
     nearest centroids' lists; exact integer-dot ranking inside the
     candidate set. The candidate join is an equi-join on the centroid
     id — corpus-partitionable, no all-pairs, no corpus broadcast.
+
+    With the integer-quantized fit every stage (fit, assignment,
+    nprobe selection, ranking) is exact int64 arithmetic, so the WHOLE
+    fitted pipeline is SQL-replayable: the driver oracle unrolls the
+    ``n_iter`` Lloyd iterations as chained CTEs and hash-matches this
+    query bit-for-bit.
 
     Same recall/throughput trade as FAISS-style IVF-Flat: higher
     ``nprobe`` → better recall, candidates ∝ nprobe/n_centroids of the

@@ -851,12 +851,13 @@ def emb_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (clustering scale path): deterministic Lloyd
-    coarse quantizer (seeds by id, integer sums, first-min ties) →
+    """IVF-Flat ANN (clustering scale path): deterministic
+    integer-quantized Lloyd coarse quantizer (seeds by id, int64
+    distances, floor-divided centroid updates, first-min ties) →
     inverted lists → nprobe centroid search → exact integer-dot
-    ranking. k-means is iterative, hence no SQL oracle — the driver
-    records a rows-only check; determinism and recall are pinned by
-    unit tests (tests/test_similarity.py)."""
+    ranking. Every stage is exact int64, so the DuckDB oracle replays
+    the FIT TOO — the 3 Lloyd iterations unrolled as chained CTEs —
+    and hash-matches the fitted pipeline end-to-end."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ann_topk_ivf(
         emb, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3
@@ -2190,6 +2191,84 @@ ORACLE_SQL["emb_ann_topk_ivf_frozen"] = f"""
     SELECT query_id, neighbor_id, rank,
            dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
     FROM ranked WHERE rank <= 5"""
+
+# Fitted IVF: the integer-quantized Lloyd fit unrolled as chained CTEs
+# (seeds = 16 smallest vec_ids; per iteration: exact int64 argmin
+# assignment → per-dim integer sums → floor-divided centroid update;
+# empty clusters keep their previous centroid), then the same frozen
+# search shape (nprobe=4). Bit-exact vs sim.ivf_fit_centroids +
+# sim.ann_topk_ivf because every quantity on both sides is int64.
+def _ivf_fitted_oracle(k: int = 16, n_iter: int = 3, nprobe: int = 4) -> str:
+    its = []
+    for i in range(n_iter):
+        its.append(f"""
+    , d{i} AS (
+        SELECT n.vec_id, c.c,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    j -> (n.iv[j] - c.civ[j]) * (n.iv[j] - c.civ[j]))) AS BIGINT) AS d
+        FROM normed n CROSS JOIN cents{i} c
+    ), a{i} AS (
+        SELECT vec_id, c FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ), s{i} AS (
+        SELECT a.c, t.j, SUM(n.iv[t.j]) AS sv, COUNT(*) AS cnt
+        FROM a{i} a JOIN normed n USING (vec_id), UNNEST(generate_series(1, 64)) AS t(j)
+        GROUP BY a.c, t.j
+    ), cents{i + 1} AS (
+        SELECT p.c, COALESCE(u.civ, p.civ) AS civ
+        FROM cents{i} p LEFT JOIN (
+            SELECT c, list(CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY j) AS civ
+            FROM s{i} GROUP BY c
+        ) u ON p.c = u.c
+    )""")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, iv,
+               CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                    i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+        FROM base
+    ), cents0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, iv AS civ
+        FROM (SELECT vec_id, iv FROM normed ORDER BY vec_id LIMIT {k})
+    ){''.join(its)}
+    , fdist AS (
+        SELECT n.vec_id, n.iv, n.nrm, c.c,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    j -> (n.iv[j] - c.civ[j]) * (n.iv[j] - c.civ[j]))) AS BIGINT) AS d
+        FROM normed n CROSS JOIN cents{n_iter} c
+    ), corpus AS (
+        SELECT vec_id, iv, nrm, c AS cl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM fdist
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id, iv, nrm, c AS pcl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM fdist WHERE vec_id < 20
+        ) WHERE rn <= {nprobe}
+    ), scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                    i -> q.iv[i] * t.iv[i])) AS BIGINT) AS dot,
+               q.nrm AS nrm_a, t.nrm AS nrm_b
+        FROM probes q JOIN corpus t ON q.pcl = t.cl AND t.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank,
+           dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+    FROM ranked WHERE rank <= 5"""
+
+
+ORACLE_SQL["emb_ann_topk_ivf"] = _ivf_fitted_oracle()
 
 # F2 chunked: core-exact halo contract — same oracle as whole-epoch FIR.
 ORACLE_SQL["events_filtfilt_chunked"] = ORACLE_SQL["events_filtfilt"]
