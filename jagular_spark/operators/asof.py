@@ -41,11 +41,22 @@ def asof_join(
     rcols = list(right_cols)
     lcols = [c for c in left.columns]
 
+    # The whole right payload rides in ONE struct carried by ONE
+    # last(ignorenulls): the struct is non-null for every right row even
+    # when individual payload fields are NULL, so the matched timestamp
+    # and all payload columns always come from the SAME right row —
+    # per-column carries desynchronize on NULL fields (an older row's
+    # value under a newer row's ts), diverging from pandas merge_asof /
+    # DuckDB ASOF semantics. Field "__ts__" avoids clashing with a
+    # payload column named like ts_col.
+    rstruct = F.struct(
+        F.col(ts_col).alias("__ts__"), *[F.col(c).alias(c) for c in rcols]
+    )
+    rstruct_type = right.select(rstruct.alias("s")).schema["s"].dataType
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("__side__"),
-        F.lit(None).cast(right.schema[ts_col].dataType).alias("__rts__"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in rcols],
+        F.lit(None).cast(rstruct_type).alias("__r__"),
     )
     r_tagged = right.select(
         *[
@@ -53,8 +64,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("__side__"),
-        F.col(ts_col).alias("__rts__"),
-        *[F.col(c).alias(f"__r_{c}__") for c in rcols],
+        rstruct.alias("__r__"),
     )
     u = l_tagged.unionByName(r_tagged)
     w = (
@@ -62,17 +72,17 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side__").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [F.last("__rts__", ignorenulls=True).over(w).alias("__cts__")] + [
-        F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"__c_{c}__") for c in rcols
-    ]
-    out = u.select(*lcols, "__side__", *carried).where(F.col("__side__") == 1)
+    out = (
+        u.select(*lcols, "__side__", F.last("__r__", ignorenulls=True).over(w).alias("__c__"))
+        .where(F.col("__side__") == 1)
+    )
     in_tol = (
-        F.col("__cts__").isNotNull()
+        F.col("__c__").isNotNull()
         if tolerance is None
-        else F.col("__cts__") >= (F.col(ts_col) - F.lit(tolerance))
+        else F.col("__c__")["__ts__"] >= (F.col(ts_col) - F.lit(tolerance))
     )
     return out.select(
         *lcols,
-        F.when(in_tol, F.col("__cts__")).alias(f"{ts_col}{suffix}"),
-        *[F.when(in_tol, F.col(f"__c_{c}__")).alias(f"{c}{suffix}") for c in rcols],
+        F.when(in_tol, F.col("__c__")["__ts__"]).alias(f"{ts_col}{suffix}"),
+        *[F.when(in_tol, F.col("__c__")[c]).alias(f"{c}{suffix}") for c in rcols],
     )

@@ -53,16 +53,30 @@ def _fp4(c: str) -> F.Column:
     return F.expr(f"CAST(CAST({c} AS DECIMAL(18,4)) * 10000 AS BIGINT)")
 
 
+_DISC_PRICE_QUANTA = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    " * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))"
+)
+
+
 def _disc_price_sum() -> F.Column:
     """SUM(extendedprice · (1 − discount)) as a DOUBLE that is
     bit-identical across engines: all arithmetic is exact BIGINT quanta
-    of 10^-8; the only floating steps are one correctly-rounded
-    int64→double conversion and one division by 1e8. (A DECIMAL-sum →
-    DOUBLE cast is NOT portable: at sf0.1 the scale-8 sum exceeds 2^53
-    quanta and Spark/DuckDB round the cast to ADJACENT doubles — a
-    1-ulp hash mismatch.)"""
-    q = F.sum(_fp4("l_extendedprice") * (F.lit(10000) - _fp4("l_discount")))
-    return q.cast("double") / F.lit(100000000.0)
+    of 10^-8, SPLIT-SUMMED as (Σ p DIV 2^31, Σ p % 2^31) so neither
+    partial overflows int64 — per-row quanta reach ~1.05e13, so a
+    single int64 sum wraps at ~9e5 rows/group (≈ sf0.3 for q1); the
+    split carries headroom to ~3e9 rows/group (≈ sf1000). The floating
+    steps (two correctly-rounded int64→double conversions, one
+    multiply-add by 2^31, one division by 1e8) are the IDENTICAL
+    expression tree on the DuckDB side, so results stay hash-equal at
+    every scale. (A DECIMAL-sum → DOUBLE cast is NOT portable: the
+    scale-8 sum exceeds 2^53 quanta and Spark/DuckDB round the cast to
+    ADJACENT doubles — a measured 1-ulp hash mismatch.)"""
+    hi = F.sum(F.expr(f"({_DISC_PRICE_QUANTA}) DIV 2147483648"))
+    lo = F.sum(F.expr(f"({_DISC_PRICE_QUANTA}) % 2147483648"))
+    return (
+        hi.cast("double") * F.lit(2147483648.0) + lo.cast("double")
+    ) / F.lit(100000000.0)
 
 
 def _us(df: DataFrame, c: str = "ts"):
@@ -703,6 +717,17 @@ def events_align_cspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("idx", F.col("idx").cast("long"))
 
 
+def _ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents restricted to pure-ASCII text — the raw8 media fixture
+    contract. The Spark media kernels operate on UTF-8 BYTES while the
+    DuckDB oracles index CHARACTERS; on ASCII the two coincide, so the
+    restriction (length == octet_length on both engines) makes parity
+    hold by construction on ANY corpus instead of silently depending on
+    the current fixture being ASCII-only."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.where(F.length("text") == F.octet_length("text"))
+
+
 def docs_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing with an EXACT SQL oracle: each doc's
     UTF-8 bytes become a raw8 media payload; the Arrow-batched decode
@@ -710,7 +735,7 @@ def docs_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     division for the mean pixel value."""
     from jagular_spark.operators.multimodal import image_byte_stats
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _ascii_docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -777,7 +802,7 @@ def docs_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     same oracle-checkable contract as docs_media_stats."""
     from jagular_spark.operators.multimodal import video_frame_byte_stats
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _ascii_docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
@@ -807,7 +832,7 @@ def docs_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation-from-midpoint stats + one fixed double chain for rms."""
     from jagular_spark.operators.multimodal import audio_window_byte_stats
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _ascii_docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("kind"),
@@ -828,7 +853,7 @@ def docs_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same trunc(i·in/out) index mapping."""
     from jagular_spark.operators.multimodal import resize_pixel_grid
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _ascii_docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -1531,9 +1556,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
-                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS BIGINT) AS DOUBLE)
-                   / 100000000 AS sum_disc_price,
+               (CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0 AS sum_disc_price,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1543,9 +1571,12 @@ ORACLE_SQL: dict[str, str] = {
     "q3_shipping_priority": """
         SELECT l_orderkey,
                epoch_us(o_orderdate) AS o_orderdate_us,
-               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
-                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS BIGINT) AS DOUBLE)
-                   / 100000000 AS revenue
+               (CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0 AS revenue
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -1557,9 +1588,12 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q5_region_revenue": """
         SELECT n_name,
-               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
-                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) AS BIGINT) AS DOUBLE)
-                   / 100000000 AS revenue
+               (CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0 AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -2002,7 +2036,7 @@ def _extension_oracles() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_bytes,
                    CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
                         i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum
-            FROM documents
+            FROM documents WHERE length(text) = strlen(text)
         )
         SELECT media_id, n_bytes, byte_sum,
                CASE WHEN n_bytes = 0 THEN 0.0
@@ -2086,7 +2120,8 @@ ORACLE_SQL["events_audit"] = """
 # Frame sampling: every 3rd 16-byte frame, exact integer byte stats.
 ORACLE_SQL["docs_media_frames"] = """
     WITH b AS (
-        SELECT doc_id AS media_id, text, length(text) AS n_chars FROM documents
+        SELECT doc_id AS media_id, text, length(text) AS n_chars
+        FROM documents WHERE length(text) = strlen(text)
     ), f AS (
         SELECT media_id, CAST(t.fi AS BIGINT) AS frame_idx,
                substr(text, CAST(t.fi * 16 + 1 AS BIGINT), 16) AS fr
@@ -2105,7 +2140,8 @@ ORACLE_SQL["docs_media_frames"] = """
 # sqrt is IEEE-correctly-rounded, so both engines agree bit-for-bit).
 ORACLE_SQL["docs_media_audio"] = """
     WITH b AS (
-        SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents WHERE length(text) = strlen(text)
     ), w AS (
         SELECT media_id, CAST(t.wi AS BIGINT) AS window_idx,
                substr(text, CAST(t.wi * 32 + 1 AS BIGINT), 32) AS seg
@@ -2131,7 +2167,7 @@ ORACLE_SQL["docs_media_resize"] = """
     WITH b AS (
         SELECT doc_id AS media_id, text,
                CAST(length(text) // 16 AS BIGINT) AS h
-        FROM documents WHERE length(text) >= 16
+        FROM documents WHERE length(text) >= 16 AND length(text) = strlen(text)
     ), g AS (
         SELECT media_id, text, h, CAST(t.r AS BIGINT) AS r, CAST(t2.c AS BIGINT) AS c
         FROM b, UNNEST(generate_series(0, 3)) AS t(r),

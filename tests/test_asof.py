@@ -77,6 +77,33 @@ def test_asof_join_tolerance(spark):
     assert got == _want(left, right, tolerance=50)
 
 
+def test_asof_join_null_payload_stays_synchronized(spark):
+    """A right row whose PAYLOAD is NULL is still the as-of match: the
+    matched ts and every payload column must come from that same row
+    (per-column last(ignorenulls) carries would resurrect an older
+    row's value under the newer row's timestamp)."""
+    ldf = spark.createDataFrame(
+        [(1, 100, 0), (1, 250, 1)], "k int, ts long, lid int"
+    )
+    rdf = spark.createDataFrame(
+        [(1, 50, 7.0), (1, 200, None)], "k int, ts long, rv double"
+    )
+    rows = {
+        r.lid: (r.ts_asof, r.rv_asof)
+        for r in asof_join(ldf, rdf, on=["k"], ts_col="ts", right_cols=("rv",)).collect()
+    }
+    assert rows[0] == (50, 7.0)
+    # the ts=200 NULL-payload row IS the match: rv must be NULL, not 7.0
+    assert rows[1] == (200, None)
+    # pandas agrees
+    left = pd.DataFrame({"k": [1, 1], "ts": [100, 250], "lid": [0, 1]})
+    right = pd.DataFrame({"k": [1, 1], "ts": [50, 200], "rv": [7.0, None]})
+    m = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k"
+    ).set_index("lid")
+    assert m.loc[0, "rv"] == 7.0 and pd.isna(m.loc[1, "rv"])
+
+
 def test_asof_join_partition_invariance(spark):
     left, right = _frames(seed=11)
     ldf = spark.createDataFrame(left[["k", "ts", "lv", "lid"]])
