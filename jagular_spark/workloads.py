@@ -642,16 +642,27 @@ def events_tetrode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/J4/P4 tetrode assembly: peak times detected on channel 0 are
     joined against 4 channel streams; per-spike 4×8 waveforms pass an
     artifact bound, flattened and posexploded to (peak_seq, idx, wv)
-    rows. Full SQL oracle (recursive-CTE censor + list assembly)."""
+    rows. Full SQL oracle (recursive-CTE censor + list assembly).
+
+    Materialization policy: ``samples`` feeds FOUR branches of the plan
+    (MAD agg, crossings window, detection range-join, tetrode range-join)
+    — without a cut, each branch re-runs the parquet scan + row_number
+    shuffle, and the composed tree quadruples Catalyst/codegen cost.
+    ``localCheckpoint`` materializes the sanitized stream once (the same
+    write-sanitized-then-reuse shape as the reference's per-channel
+    intermediate files, ``jagular/core.py``); the censored peak list is
+    O(spikes) ≪ O(samples) and cuts the detection pipeline out of the
+    tetrode join's plan."""
     from jagular_spark.operators.spikes import detect_spikes, form_tetrode
 
-    samples = _rn_samples(spark, sf_dir, max_channel=4)
+    samples = _rn_samples(spark, sf_dir, max_channel=4).localCheckpoint(eager=False)
     spikes = detect_spikes(
         samples.where(F.col("channel_id") == 0),
         multiplier=1.0, censor_width=5, patch_size=8, polarity="pos",
     )
+    pts = spikes.select(F.col("peak_ts").alias("ts")).localCheckpoint(eager=False)
     tet = form_tetrode(
-        samples, spikes.select(F.col("peak_ts").alias("ts")),
+        samples, pts,
         tetrode_channels=[0, 1, 2, 3], patch_size=8, artifact_bound=1e9,
     )
     return tet.select(
