@@ -2,7 +2,9 @@ from jagular_spark.sources.rec import (  # noqa: F401
     RecConfig,
     extract_channels,
     file_catalog,
+    ns5_header,
     read_config,
+    read_ns5_channel,
     read_packets,
     read_raw_channel,
     read_samples,

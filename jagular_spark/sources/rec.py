@@ -418,23 +418,117 @@ def read_raw_channel(
     return splits_df.mapInPandas(decode, "ts long, value smallint")
 
 
+NS5_MAGIC = b"NEURALSG"
+_NS5_FIXED_HEADER = 32  # magic(8) + label(16) + period(4) + channel_count(4)
+
+
+def ns5_header(path: str) -> dict:
+    """Parse the NSx 2.1 ``NEURALSG`` basic header (the public Blackrock
+    NSx spec; the container the reference's lazy ``ns5.Loader`` reads,
+    ``jagular/spikes.py:84-86``): magic, 16-byte label, uint32 sampling
+    period (in 1/30 kHz ticks), uint32 channel count, then the uint32
+    channel-id list. Data frames follow as int16, one value per channel
+    per frame, interleaved in header order."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        head = f.read(_NS5_FIXED_HEADER)
+        if len(head) < _NS5_FIXED_HEADER or head[:8] != NS5_MAGIC:
+            raise ValueError(f"{path}: not a NEURALSG (NSx 2.1) file")
+        label = head[8:24].split(b"\x00", 1)[0].decode("latin-1")
+        period, n_channels = np.frombuffer(head[24:32], dtype="<u4")
+        ids = np.frombuffer(f.read(4 * int(n_channels)), dtype="<u4")
+    header_bytes = _NS5_FIXED_HEADER + 4 * int(n_channels)
+    frame_bytes = 2 * int(n_channels)
+    n_frames = (os.path.getsize(path) - header_bytes) // frame_bytes
+    return {
+        "label": label,
+        "period": int(period),
+        "n_channels": int(n_channels),
+        "channel_ids": [int(c) for c in ids],
+        "header_bytes": header_bytes,
+        "n_frames": int(n_frames),
+    }
+
+
+def read_ns5_channel(
+    spark: SparkSession,
+    path: str,
+    channel_id: int,
+    split_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """S10: splittable scan of ONE channel out of an interleaved
+    ``NEURALSG`` container (reference ``load_ns5`` yields one channel at
+    a time for the same memory reason, ``jagular/spikes.py:63-90``).
+
+    Splits are planned on the frame index so each task reads a bounded
+    contiguous byte range of the row-major frame block and stride-slices
+    its channel column out — the columnar-from-row-major gather happens
+    in one ``np.frombuffer`` + reshape per split, no shuffle. ``ts`` is
+    the global frame index (the file is gapless by construction)."""
+    import numpy as np
+
+    hdr = ns5_header(path)
+    try:
+        chan_idx = hdr["channel_ids"].index(int(channel_id))
+    except ValueError:
+        raise ValueError(
+            f"channel {channel_id} not in {path} (has {hdr['channel_ids']})"
+        ) from None
+    nch = hdr["n_channels"]
+    frame_bytes = 2 * nch
+    frames_per_split = max(1, split_bytes // frame_bytes)
+    splits = []
+    off = 0
+    while off < hdr["n_frames"]:
+        n = min(frames_per_split, hdr["n_frames"] - off)
+        splits.append((off, n))
+        off += n
+    if not splits:
+        return spark.createDataFrame([], "ts long, value smallint")
+
+    splits_df = spark.createDataFrame(
+        pd.DataFrame(splits, columns=["first_frame", "n_frames"])
+    ).repartition(len(splits))
+    header_bytes = hdr["header_bytes"]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for row in b.itertuples(index=False):
+                with open(path, "rb") as f:
+                    f.seek(header_bytes + row.first_frame * frame_bytes)
+                    block = np.frombuffer(
+                        f.read(row.n_frames * frame_bytes), dtype="<i2"
+                    ).reshape(-1, nch)
+                yield pd.DataFrame(
+                    {
+                        "ts": row.first_frame
+                        + np.arange(block.shape[0], dtype=np.int64),
+                        "value": np.ascontiguousarray(block[:, chan_idx]),
+                    }
+                )
+
+    return splits_df.mapInPandas(decode, "ts long, value smallint")
+
+
 def read_scaled_channel(
     spark: SparkSession,
     channel_file: str,
     timestamps_file: str | None = None,
     bit_to_uv: float = 4096.0 / 2.0**15,
+    channel_id: int | None = None,
     **kwargs,
 ) -> DataFrame:
     """S10/P6: channel scan with bits→µV scaling (reference ``load_ns5``,
-    ``jagular/spikes.py:63-90``; scale at ``spikes.py:87``). The ns5
-    container codec itself depends on an external loader the reference
-    imports lazily; decoding it is STUBBED — flat ``.raw`` channels take
-    the real S4 path, and the projection (the only Spark-side logic) is
-    a JVM column expression either way."""
+    ``jagular/spikes.py:63-90``; scale constant at ``spikes.py:87``).
+    ``.ns5`` containers decode through the NEURALSG parser
+    (:func:`read_ns5_channel` — ``channel_id`` selects the channel);
+    flat ``.raw`` channels take the S4 path. The scaling projection (the
+    only Spark-side logic) is a JVM column expression either way."""
     if channel_file.endswith(".ns5"):
-        raise NotImplementedError(
-            "ns5 container decode requires an external loader (reference "
-            "imports `ns5` lazily); extract to flat .raw channels first"
-        )
-    raw = read_raw_channel(spark, channel_file, timestamps_file, **kwargs)
+        if channel_id is None:
+            raise ValueError("reading an .ns5 container requires channel_id")
+        raw = read_ns5_channel(spark, channel_file, channel_id, **kwargs)
+    else:
+        raw = read_raw_channel(spark, channel_file, timestamps_file, **kwargs)
     return raw.withColumn("uv", F.col("value") * F.lit(float(bit_to_uv)))

@@ -787,6 +787,34 @@ def events_crossings_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_crossings_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 with ``polarity='both'`` — the INTENDED two-sided debounce the
+    reference's elif chain silently drops (``jagular/spikes.py:339-375``
+    falls through to neg-only; SURVEY §2.10 do-not-replicate): keep a
+    sample when |value| and |next value| both exceed the per-user MAD
+    threshold. Exercises the third branch of ``crossings`` under the
+    driver oracle (pos is covered by events_crossings_chunked). The raw
+    stream is strictly positive (so 'both' would degenerate to 'pos');
+    centering by a CONSTANT keeps the float math a per-row IEEE op that
+    is bit-identical across engines while making both signs occur."""
+    from jagular_spark.operators.spikes import crossings, mad_threshold
+
+    s = _rn_samples(spark, sf_dir).withColumn(
+        "value", F.col("value") - F.lit(245.0)
+    )
+    thr = mad_threshold(
+        s, "value", multiplier=0.75, partition_cols=["channel_id", "segment_id"]
+    )
+    x = crossings(
+        s, thr, partition_cols=("channel_id", "segment_id"), polarity="both"
+    )
+    return x.select(
+        F.col("channel_id").cast("long").alias("user_id"),
+        F.col("ts").alias("seq"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11/A9 whole-stream audit (reference runs it after every
     extraction, ``jagular/utils.py:544-547``): per-user row count,
@@ -1468,6 +1496,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "events_spikes_roundtrip": events_spikes_roundtrip,
     "events_crossings_chunked": events_crossings_chunked,
+    "events_crossings_both": events_crossings_both,
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "emb_ann_topk_ivf": emb_ann_topk_ivf,
     "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
@@ -2334,6 +2363,24 @@ ORACLE_SQL["events_crossings_chunked"] = f"""
     SELECT o.user_id, o.rn AS seq, CAST(o.value AS DOUBLE) AS value
     FROM led o JOIN thr t ON o.user_id = t.user_id
     WHERE o.value > t.threshold AND o.nv > t.threshold"""
+
+# W1 polarity='both' — the two-sided debounce on the constant-centered
+# stream (MAD multiplier 1.0; the dense rn stream makes LEAD the ts+1
+# sample, so the step gate is implied)
+ORACLE_SQL["events_crossings_both"] = f"""
+    WITH {_ORDERED_LISTS_CTE}, centered AS (
+        SELECT user_id, rn, value - 245.0 AS value FROM ordered
+    ), thr AS (
+        SELECT user_id, CAST(0.75 * MEDIAN(ABS(value)) AS DOUBLE) / 0.6745 AS threshold
+        FROM centered GROUP BY user_id
+    ), led AS (
+        SELECT user_id, rn, value,
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY rn) AS nv
+        FROM centered
+    )
+    SELECT o.user_id, o.rn AS seq, CAST(o.value AS DOUBLE) AS value
+    FROM led o JOIN thr t ON o.user_id = t.user_id
+    WHERE ABS(o.value) > t.threshold AND ABS(o.nv) > t.threshold"""
 
 # S9 round-trip: a correct sink/scan is invisible — the oracle is the
 # detection oracle itself, scoped to the query's 16-channel subset (the

@@ -199,5 +199,61 @@ def test_read_scaled_channel_uv(spark, tmp_path):
     np.testing.assert_allclose(
         np.array([r.uv for r in rows]), vals.astype(np.float64) * k
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="channel_id"):
         read_scaled_channel(spark, str(tmp_path / "x.ns5"), None)
+
+
+def _write_ns5(path: str, data: np.ndarray, channel_ids: list[int], period: int = 1) -> None:
+    """Serialize (n_frames, n_channels) int16 ``data`` as a NEURALSG
+    (NSx 2.1) container — the byte layout the parser under test reads."""
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(b"NEURALSG")
+        f.write(b"30 kS/s".ljust(16, b"\x00"))
+        f.write(struct.pack("<II", period, len(channel_ids)))
+        f.write(np.asarray(channel_ids, dtype="<u4").tobytes())
+        f.write(np.ascontiguousarray(data, dtype="<i2").tobytes())
+
+
+def test_ns5_header_and_channel_decode(spark, tmp_path):
+    from jagular_spark.sources import ns5_header, read_ns5_channel
+
+    rng = np.random.default_rng(7)
+    n_frames, ids = 500, [16, 18, 17, 20]
+    data = rng.integers(-2048, 2048, size=(n_frames, len(ids)), dtype=np.int16)
+    path = str(tmp_path / "rec.ns5")
+    _write_ns5(path, data, ids, period=1)
+
+    hdr = ns5_header(path)
+    assert hdr["label"] == "30 kS/s"
+    assert hdr["channel_ids"] == ids
+    assert hdr["n_frames"] == n_frames
+
+    # every channel decodes to its interleaved column, in ts order —
+    # with a tiny split size so the multi-split path engages
+    for pos, cid in enumerate(ids):
+        rows = read_ns5_channel(spark, path, cid, split_bytes=256).orderBy("ts").collect()
+        assert [r.ts for r in rows] == list(range(n_frames))
+        np.testing.assert_array_equal(
+            np.array([r.value for r in rows], dtype=np.int16), data[:, pos]
+        )
+
+    with pytest.raises(ValueError, match="channel 99"):
+        read_ns5_channel(spark, path, 99)
+    (tmp_path / "bad.ns5").write_bytes(b"NOTNEURAL" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="NEURALSG"):
+        ns5_header(str(tmp_path / "bad.ns5"))
+
+
+def test_read_scaled_channel_ns5(spark, tmp_path):
+    from jagular_spark.sources import read_scaled_channel
+
+    data = np.array([[-32768, 5], [0, 6], [32767, 7]], dtype=np.int16)
+    path = str(tmp_path / "rec.ns5")
+    _write_ns5(path, data, [3, 9])
+    k = 4096.0 / 2.0**15
+    rows = read_scaled_channel(spark, path, channel_id=3).orderBy("ts").collect()
+    np.testing.assert_allclose(
+        np.array([r.uv for r in rows]), data[:, 0].astype(np.float64) * k
+    )
