@@ -680,24 +680,55 @@ def cosine_lsh_candidates(
 # IVF (inverted-file) ANN — the clustering-based scale path
 # ---------------------------------------------------------------------------
 
-def _sq_dist_to(c: Sequence[int]) -> F.Column:
-    """EXACT int64 squared distance from the ``iv`` column to a literal
-    integer centroid (components ≤ 2^21 → per-term ≤ 2^42, 64-dim sum
-    ≤ 2^48 — no overflow, no float rounding). Only for once-per-query
-    use (serving-path assignment and probe→centroid ranking): a k×dim
-    literal expression tree is fine to compile a single time, but
-    inside the Lloyd loop it would force a Janino recompile per
-    iteration — the fit therefore assigns with a numpy kernel instead
-    (:func:`ivf_fit_centroids`). For very large quantizers (k×dim ≫
-    10⁴ literals) the tree itself becomes a compile-time hazard; at
-    that scale ship the centroids as a broadcast table and assign via
-    join."""
-    lit = F.array(*[F.lit(int(v)).cast("long") for v in c])
-    return F.aggregate(
-        F.zip_with(F.col("iv"), lit, lambda x, cc: (x - cc) * (x - cc)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+def _cent_dists(cents: Sequence[Sequence[int]]) -> F.Column:
+    """EXACT int64 squared distances from the ``iv`` column to every
+    centroid, as one ``array<bigint>`` (components ≤ 2^21 → per-term ≤
+    2^42, 64-dim sum ≤ 2^48 — no overflow, no float rounding). The
+    centroid table is a SINGLE nested-array literal, so the expression
+    tree is O(1) in k×dim — the earlier one-``aggregate``-per-centroid
+    form put k·dim literal nodes in the plan and dominated the query's
+    cold time in Catalyst/Janino (higher-order functions are
+    interpreter-evaluated either way, so runtime is unchanged)."""
+    lit = F.lit([[int(v) for v in c] for c in cents]).cast("array<array<bigint>>")
+    return F.transform(
+        lit,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("iv"), c, lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
     )
+
+
+def _dist_idx(cents: Sequence[Sequence[int]]) -> F.Column:
+    """(distance, centroid-index) structs for the ``iv`` column — the
+    shared building block for argmin assignment (``array_min`` = first
+    minimum, the fit's numpy-argmin / the oracle's ROW_NUMBER ORDER BY
+    d, c tiebreak) and nprobe selection (``array_sort`` + slice)."""
+    return F.zip_with(
+        _cent_dists(cents),
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    )
+
+
+def _lloyd_int(X, k: int, n_iter: int) -> list[list[int]]:
+    """Driver-side exact integer Lloyd loop over an in-memory (n, dim)
+    int64 matrix already sorted by id (seeds = first k rows). Identical
+    math to the distributed path: int64 distances, first-min argmin,
+    floor-divided centroid updates, empty clusters keep their centroid."""
+    import numpy as np
+
+    cents = X[:k].astype(np.int64, copy=True)
+    for _ in range(n_iter):
+        c2 = (cents * cents).sum(axis=1)
+        a = (c2[None, :] - 2 * (X @ cents.T)).argmin(axis=1)
+        nxt = []
+        for ci in range(k):
+            m = a == ci
+            nxt.append(X[m].sum(axis=0) // m.sum() if m.any() else cents[ci])
+        cents = np.asarray(nxt, dtype=np.int64)
+    return [[int(v) for v in c] for c in cents]
 
 
 def ivf_fit_centroids(
@@ -706,6 +737,8 @@ def ivf_fit_centroids(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float | None = None,
+    salt: str = "",
 ) -> list[list[int]]:
     """Deterministic INTEGER-QUANTIZED Lloyd's k-means over the
     integer-scaled vectors (IVF coarse quantizer). Seeds = the ``k``
@@ -725,10 +758,33 @@ def ivf_fit_centroids(
     ``(c, count, int64 sum-vector)`` from a numpy integer-matmul
     assignment, and the driver finishes the reduction — **zero
     shuffles per iteration** and no per-iteration whole-stage-codegen
-    compile. At 100 TB you would fit on a hash-sample of the corpus
-    (same plan with a ``where pmod(hash(id), S) = 0`` prefilter) —
-    centroid quality, not exactness, is what sampling trades."""
+    compile.
+
+    ``fit_fraction`` is the 100-TB path (and the FAISS norm: train the
+    coarse quantizer on a bounded sample, add the full corpus): rows are
+    kept by the engine-portable md5 hash-sample (operators/sampling.py),
+    COLLECTED once, and the Lloyd loop runs driver-side in numpy — one
+    Spark job for the whole fit instead of 1 + n_iter. Same integer
+    math, so the fit stays bit-reproducible and SQL-replayable; choose
+    the fraction so the sample fits the driver (quantizer quality, not
+    exactness, is what sampling trades)."""
     import numpy as np
+
+    if fit_fraction is not None:
+        from jagular_spark.operators.sampling import hash_sample
+
+        rows = (
+            hash_sample(df, id_col, fit_fraction, salt)
+            .select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
+            .collect()
+        )
+        rows.sort(key=lambda r: r.id)
+        if len(rows) < k:
+            raise ValueError(
+                f"fit sample has {len(rows)} rows < k={k}; raise fit_fraction"
+            )
+        X = np.array([r.iv for r in rows], dtype=np.int64)
+        return _lloyd_int(X, k, n_iter)
 
     dim = len(df.select(vec_col).first()[0])
     base = df.select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
@@ -789,6 +845,8 @@ def ann_topk_ivf(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_fraction: float | None = None,
+    salt: str = "",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-listed by
     nearest centroid (one narrow projection — the centroid table is a
@@ -806,43 +864,40 @@ def ann_topk_ivf(
     Same recall/throughput trade as FAISS-style IVF-Flat: higher
     ``nprobe`` → better recall, candidates ∝ nprobe/n_centroids of the
     corpus."""
-    cents = ivf_fit_centroids(df, n_centroids, n_iter, id_col, vec_col)
+    cents = ivf_fit_centroids(
+        df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt
+    )
+    return _ivf_search(df, probe_filter, cents, k, nprobe, id_col, vec_col)
+
+
+def _ivf_search(
+    df: DataFrame,
+    probe_filter: F.Column,
+    cents: Sequence[Sequence[int]],
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVF serving path shared by the fitted and frozen variants.
+
+    Corpus inverted-list assignment is a literal-centroid argmin in ONE
+    narrow projection — no crossJoin, no groupBy, ZERO extra shuffles
+    (a broadcast-join + min-struct aggregation would shuffle every
+    corpus row carrying its 64-element vector). ``array_min`` of
+    (d, i) structs = FIRST minimum — same tiebreak as the fit's numpy
+    argmin and the oracle's ROW_NUMBER ORDER BY d, c. nprobe selection
+    sorts the same (d, i) structs and keeps the first ``nprobe``
+    indices. The candidate join is an equi-join on the centroid id —
+    corpus-partitionable, no all-pairs, no corpus broadcast."""
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
-    # Corpus inverted-list assignment: literal-centroid argmin in ONE
-    # narrow projection — no crossJoin, no groupBy, zero shuffles (the
-    # previous broadcast-join + min-struct aggregation shuffled every
-    # corpus row carrying its 64-element vector). min of (d, i) structs
-    # = FIRST minimum — same tiebreak as the fit's numpy argmin.
-    dist_arr = F.array(*[_sq_dist_to(c) for c in cents])
-    argmin = F.array_min(
-        F.zip_with(
-            dist_arr,
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-        )
-    ).getField("i").cast("int")
+    argmin = F.array_min(_dist_idx(cents)).getField("i").cast("int")
     corpus = base.select(
         F.col("id").alias("neighbor_id"), F.col("iv").alias("iv_b"),
         F.col("nrm").alias("nrm_b"), argmin.alias("cl"),
     )
-    # nprobe nearest centroids per probe: (dist, index) structs sorted
-    # by distance (index tiebreak), first nprobe indices kept. The
-    # k×dim literal tree here compiles ONCE per query (unlike the Lloyd
-    # loop, which is why assignment uses the broadcast join instead).
-    dists = F.array(*[_sq_dist_to(c) for c in cents])
     nearest_n = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    dists,
-                    F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                )
-            ),
-            lambda s: s["i"],
-        ),
-        1,
-        nprobe,
+        F.transform(F.array_sort(_dist_idx(cents)), lambda s: s["i"]), 1, nprobe
     )
     probes = base.where(probe_filter).select(
         F.col("id").alias("query_id"),
@@ -880,61 +935,11 @@ def ann_topk_ivf_frozen(
     how a 100-TB deployment runs: centroids are fit once on a sample,
     then shipped as a constant to every search).
 
-    Because the centroids are integer literals, assignment distances,
+    Because the centroids are integer constants, assignment distances,
     nprobe selection, and candidate ranking are ALL exact BIGINT
     arithmetic — no float summation-order hazards — so every step is
-    SQL-expressible and the whole query hash-matches a DuckDB oracle
-    (unlike :func:`ann_topk_ivf`, whose iterative Lloyd fit forces a
-    rows-only check). Plan shape is identical to the fitted variant:
-    broadcast centroid table, argmin assignment, inverted-list
-    equi-join on cluster id, window top-k."""
-    spark = df.sparkSession
-    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
-    cent_df = spark.createDataFrame(
-        [(ci, [int(v) for v in c]) for ci, c in enumerate(cents)],
-        "c int, civ array<bigint>",
-    )
-    d_int = F.aggregate(
-        F.zip_with(F.col("iv"), F.col("civ"), lambda x, cc: (x - cc) * (x - cc)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    corpus = (
-        base.crossJoin(F.broadcast(cent_df))
-        .withColumn("d", d_int)
-        .groupBy("id")
-        .agg(
-            F.min(F.struct("d", "c")).getField("c").alias("cl"),
-            F.any_value("iv").alias("iv_b"),
-            F.any_value("nrm").alias("nrm_b"),
-        )
-        .select(F.col("id").alias("neighbor_id"), "iv_b", "nrm_b", "cl")
-    )
-    pw = Window.partitionBy("id").orderBy("d", "c")
-    probes = (
-        base.where(probe_filter)
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("d", d_int)
-        .withColumn("pr", F.row_number().over(pw))
-        .where(F.col("pr") <= nprobe)
-        .select(
-            F.col("id").alias("query_id"),
-            F.col("iv").alias("iv_a"),
-            F.col("nrm").alias("nrm_a"),
-            F.col("c").alias("pcl"),
-        )
-    )
-    scored = (
-        corpus.join(
-            F.broadcast(probes),
-            (F.col("pcl") == F.col("cl")) & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .withColumn("dot", _int_dot("iv_a", "iv_b"))
-        .withColumn("cos", _cos())
-    )
-    fw = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(fw).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    SQL-expressible and the whole query hash-matches a DuckDB oracle.
+    Identical serving plan to :func:`ann_topk_ivf` (shared
+    :func:`_ivf_search`): nested-literal argmin assignment,
+    inverted-list equi-join on cluster id, window top-k."""
+    return _ivf_search(df, probe_filter, cents, k, nprobe, id_col, vec_col)

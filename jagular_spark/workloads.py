@@ -919,12 +919,16 @@ def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-quantized Lloyd coarse quantizer (seeds by id, int64
     distances, floor-divided centroid updates, first-min ties) →
     inverted lists → nprobe centroid search → exact integer-dot
-    ranking. Every stage is exact int64, so the DuckDB oracle replays
-    the FIT TOO — the 3 Lloyd iterations unrolled as chained CTEs —
-    and hash-matches the fitted pipeline end-to-end."""
+    ranking. The fit runs on the engine-portable md5 half-sample of the
+    corpus (the FAISS-style train-on-sample 100-TB path: one collect,
+    driver-side integer Lloyd). Every stage is exact int64, so the
+    DuckDB oracle replays the FIT TOO — the 3 Lloyd iterations over the
+    same sample unrolled as chained CTEs — and hash-matches the fitted
+    pipeline end-to-end."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ann_topk_ivf(
-        emb, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3
+        emb, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3,
+        fit_fraction=0.5,
     )
 
 
@@ -2274,7 +2278,13 @@ ORACLE_SQL["emb_ann_topk_ivf_frozen"] = f"""
 # empty clusters keep their previous centroid), then the same frozen
 # search shape (nprobe=4). Bit-exact vs sim.ivf_fit_centroids +
 # sim.ann_topk_ivf because every quantity on both sides is int64.
-def _ivf_fitted_oracle(k: int = 16, n_iter: int = 3, nprobe: int = 4) -> str:
+def _ivf_fitted_oracle(
+    k: int = 16, n_iter: int = 3, nprobe: int = 4, fit_fraction: float = 0.5
+) -> str:
+    # fit set = the engine-portable md5 hash-sample (the Spark side's
+    # operators/sampling.hash_bucket construction); the search half
+    # still runs over the FULL corpus
+    fit_thr = int(fit_fraction * (1 << 32))
     its = []
     for i in range(n_iter):
         its.append(f"""
@@ -2282,7 +2292,7 @@ def _ivf_fitted_oracle(k: int = 16, n_iter: int = 3, nprobe: int = 4) -> str:
         SELECT n.vec_id, c.c,
                CAST(list_sum(list_transform(generate_series(1, 64),
                     j -> (n.iv[j] - c.civ[j]) * (n.iv[j] - c.civ[j]))) AS BIGINT) AS d
-        FROM normed n CROSS JOIN cents{i} c
+        FROM fitset n CROSS JOIN cents{i} c
     ), a{i} AS (
         SELECT vec_id, c FROM (
             SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
@@ -2290,7 +2300,7 @@ def _ivf_fitted_oracle(k: int = 16, n_iter: int = 3, nprobe: int = 4) -> str:
         ) WHERE rn = 1
     ), s{i} AS (
         SELECT a.c, t.j, SUM(n.iv[t.j]) AS sv, COUNT(*) AS cnt
-        FROM a{i} a JOIN normed n USING (vec_id), UNNEST(generate_series(1, 64)) AS t(j)
+        FROM a{i} a JOIN fitset n USING (vec_id), UNNEST(generate_series(1, 64)) AS t(j)
         GROUP BY a.c, t.j
     ), cents{i + 1} AS (
         SELECT p.c, COALESCE(u.civ, p.civ) AS civ
@@ -2309,9 +2319,12 @@ def _ivf_fitted_oracle(k: int = 16, n_iter: int = 3, nprobe: int = 4) -> str:
                CAST(list_sum(list_transform(generate_series(1, len(iv)),
                     i -> iv[i] * iv[i])) AS BIGINT) AS nrm
         FROM base
+    ), fitset AS (
+        SELECT vec_id, iv FROM normed
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT < {fit_thr}
     ), cents0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, iv AS civ
-        FROM (SELECT vec_id, iv FROM normed ORDER BY vec_id LIMIT {k})
+        FROM (SELECT vec_id, iv FROM fitset ORDER BY vec_id LIMIT {k})
     ){''.join(its)}
     , fdist AS (
         SELECT n.vec_id, n.iv, n.nrm, c.c,

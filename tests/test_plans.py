@@ -85,14 +85,7 @@ def test_ivf_corpus_assignment_is_narrow(spark):
         F.col("vec_id").alias("id"), "iv", "nrm"
     )
     cents = sim.ivf_fit_centroids(emb, k=4, n_iter=1)
-    dist_arr = F.array(*[sim._sq_dist_to(c) for c in cents])
-    argmin = F.array_min(
-        F.zip_with(
-            dist_arr,
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-        )
-    ).getField("i")
+    argmin = F.array_min(sim._dist_idx(cents)).getField("i")
     p = _formatted(base.select("id", argmin.alias("cl")))
     assert "Exchange" not in p
 

@@ -275,6 +275,15 @@ def test_ivf_fit_deterministic(spark):
     a = ivf_fit_centroids(df, k=4, n_iter=2)
     b = ivf_fit_centroids(df.repartition(7), k=4, n_iter=2)
     assert a == b  # seeds by id, integer sums, first-min ties -> bit-stable
+    # the driver-side sampled path runs the IDENTICAL integer math: at
+    # fraction 1.0 the sample is the whole corpus, so the numpy loop
+    # must reproduce the distributed fit bit-for-bit
+    c = ivf_fit_centroids(df, k=4, n_iter=2, fit_fraction=1.0)
+    assert a == c
+    # a real sample fits on fewer rows but stays deterministic
+    d1 = ivf_fit_centroids(df, k=4, n_iter=2, fit_fraction=0.5)
+    d2 = ivf_fit_centroids(df.repartition(5), k=4, n_iter=2, fit_fraction=0.5)
+    assert d1 == d2
 
 
 def test_simhash_neardup_banding_equals_bruteforce(spark):
