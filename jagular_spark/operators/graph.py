@@ -30,6 +30,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """``(id, component)`` for every vertex appearing in ``edges``;
     ``component`` is the minimum vertex id of the connected component
@@ -41,6 +42,15 @@ def connected_components(
     the doubling step. Rounds = O(log diameter), not component count or
     diameter. The convergence check rides the same aggregate
     (max of per-vertex "label shrank" flags) — no extra pass.
+
+    ``small_graph_edges``: a dedup pair graph is orders of magnitude
+    smaller than the corpus that produced it — at or below this edge
+    count (~16 MB collected) the rounds' fixed driver/job cost exceeds
+    the work, so the component labeling runs as one driver-side
+    union-find over the collected edge list (identical min-label
+    result; property-tested against the distributed loop). Above it,
+    the O(log d) distributed loop runs. The materializing count that
+    decides this is needed anyway to size the loop's partitions.
     """
     # Materialize the directed edges BEFORE symmetrizing: the union
     # references the edge lineage twice, and pair generation (LSH /
@@ -57,7 +67,10 @@ def connected_components(
     # corpus, and running each round's joins at corpus-sized partition
     # counts wastes a fixed per-task cost per round (measured 3-4 s of
     # pure scheduling at sf0.1's ~500 edges × 32 partitions × rounds).
-    n_parts = max(1, min(int(e0.count() // 1_000_000) + 1, 2048))
+    n_edges = e0.count()
+    if n_edges <= small_graph_edges:
+        return _driver_union_find(e0)
+    n_parts = max(1, min(int(n_edges // 1_000_000) + 1, 2048))
     # Both derived sets checkpoint lazily: round 1's single action
     # materializes them as a side effect instead of two more blocking
     # driver jobs. (Driver job round-trips, not data volume, dominate
@@ -100,6 +113,35 @@ def connected_components(
         if not changed:
             break
     return labels.select("id", F.col("l").alias("component"))
+
+
+def _driver_union_find(e0: DataFrame) -> DataFrame:
+    """Min-label components of a SMALL collected edge list (one job to
+    collect, one createDataFrame back) — path-compressed union-find,
+    then every root relabeled to its component's minimum vertex id, so
+    the output is bit-identical to the distributed min-label loop."""
+    rows = e0.collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r.a, r.b
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root -> min label
+    out = [(v, find(v)) for v in parent]
+    return e0.sparkSession.createDataFrame(out, "id long, component long")
 
 
 def dedup_clusters(

@@ -231,7 +231,7 @@ def ngram_jaccard_pairs(
     # fire ReusedExchange on this plan shape — measured — so the two
     # final branches would otherwise re-run the whole shingle pipeline;
     # at warehouse scale this would be a persisted intermediate table).
-    agg = agg.localCheckpoint()
+    agg = agg.localCheckpoint(eager=False)
     common = agg.where(F.col("id_a") != F.col("id_b")).withColumnRenamed("cnt", "n_common")
     sa = agg.where(F.col("id_a") == F.col("id_b")).select(F.col("id_a"), F.col("cnt").alias("n_a"))
     sb = agg.where(F.col("id_a") == F.col("id_b")).select(
@@ -372,7 +372,7 @@ def simhash_neardup_pairs(
         (F.col("simhash") % F.lit(1 << half)).alias("h0"),
         F.expr(f"CAST(simhash DIV {1 << half} AS BIGINT)").alias("h1"),
     )
-    fp = fp.localCheckpoint()  # two join sides + explode: materialize once
+    fp = fp.localCheckpoint(eager=False)  # two join sides + explode: materialize once
     # numeric bucket key: half-index packed above the half-value
     bks = F.array(F.col("h0"), F.col("h1") + F.lit(1 << half))
     probes = fp.select(

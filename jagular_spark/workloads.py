@@ -1443,10 +1443,13 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (small) post-filter working set once instead of re-running the
     # scoring+dedup lineage per consumer (standard practice: persist the
     # survivor set between curation stages).
-    s2 = s2.localCheckpoint()
+    s2 = s2.localCheckpoint(eager=False)
 
-    # near-dup removal over the SURVIVORS only (stage threading matters)
-    pairs = sim.ngram_jaccard_pairs(s2, min_jaccard=0.5)
+    # near-dup removal over the SURVIVORS only (stage threading matters).
+    # LSH-first: banded candidates + exact-Jaccard verify — the
+    # sub-quadratic 100-TB composition (the all-bucket exact operator
+    # stays the verification baseline under docs_ngram_jaccard).
+    pairs = sim.ngram_jaccard_pairs_lsh(s2, min_jaccard=0.5)
     kept = (
         dedup_clusters(s2.select("doc_id"), pairs)
         .where(F.col("is_canonical"))
@@ -1519,7 +1522,20 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 def _funnel_oracle() -> str:
     """DuckDB replay of the whole curation funnel (quality → language →
-    exact dedup → near-dup closure → hash sample)."""
+    exact dedup → LSH-candidate near-dup closure → hash sample). The
+    near-dup stage mirrors the engine's LSH-first composition: minhash
+    band buckets propose candidate pairs over the survivor set, exact
+    shingle-Jaccard ≥ 0.5 verifies them."""
+    sig_cols = ", ".join(
+        f"MIN(({a} * h + {b}) % {sim.P}) AS m{j}"
+        for j, (a, b) in enumerate(
+            zip(sim.MINHASH_A[: sim.N_MINHASH], sim.MINHASH_B[: sim.N_MINHASH])
+        )
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band, m{2*b} * 2147483648 + m{2*b+1} AS key FROM sig"
+        for b in range(sim.LSH_BANDS)
+    )
     ratio = {
         lang: (
             f"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
@@ -1565,12 +1581,23 @@ def _funnel_oracle() -> str:
             SELECT doc_id, unnest(shingles) AS s FROM sh
         ), hashes AS (
             SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {sim.P} AS h FROM ex
+        ), sig AS (
+            SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id
+        ), buckets AS (
+            {band_selects}
+        ), cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            GROUP BY a.id, b.id
         ), sizes AS (
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
         ), common AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
+            SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN hashes a ON a.doc_id = c.id_a
+            JOIN hashes b ON b.doc_id = c.id_b AND a.h = b.h
+            GROUP BY c.id_a, c.id_b
         ), prs AS (
             SELECT id_a, id_b FROM common
             JOIN sizes sa ON id_a = sa.doc_id

@@ -118,8 +118,15 @@ def _union_find_components(pairs):
 @given(pairs=edge_lists)
 @_SET
 def test_connected_components_matches_union_find(spark, pairs):
-    got = {
+    edges = _edges(spark, [(int(a), int(b)) for a, b in pairs])
+    want = _union_find_components(pairs)
+    # default path (driver union-find below the small-graph threshold)
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == want
+    # distributed min-label loop, forced (small_graph_edges=-1) — the
+    # 100-TB path must stay equivalent, not just the fast path
+    got_d = {
         r.id: r.component
-        for r in connected_components(_edges(spark, [(int(a), int(b)) for a, b in pairs])).collect()
+        for r in connected_components(edges, small_graph_edges=-1).collect()
     }
-    assert got == _union_find_components(pairs)
+    assert got_d == want
