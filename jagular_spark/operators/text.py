@@ -140,3 +140,104 @@ def bpe_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
             f"CAST(size(filter({toks}, t -> NOT t RLIKE '^[A-Za-z0-9]')) AS BIGINT)"
         ).alias("n_punct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing, corpus vocabulary, domain-mixture stats
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Fixed-window token chunking with overlap — the sequence-packing
+    step of a pretraining pipeline (every doc becomes ⌈n/stride⌉
+    windows of ``chunk_tokens`` tokens, consecutive windows sharing
+    ``chunk_tokens - stride``). One narrow projection + one posexplode:
+    chunk starts ride a ``sequence()``, the window is a ``slice`` of the
+    token array, identity is the md5 of the re-joined window (an
+    engine-portable chunk hash for downstream chunk-level dedup).
+    ``(id, chunk_idx, start_tok, n_tokens, chunk_hash)``."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    # starts: 0, stride, 2·stride, … strictly below n (a doc shorter
+    # than one window still yields its single ragged chunk)
+    chunks = F.expr(
+        f"transform(array({toks}), t -> "
+        f"transform(sequence(0, CAST((size(t) - 1) DIV {stride} AS INT)), "
+        f"           i -> slice(t, i * {stride} + 1, {chunk_tokens})))[0]"
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "ck"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * F.lit(stride)).cast("long").alias("start_tok"),
+            F.size("ck").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("ck", " ")).alias("chunk_hash"),
+        )
+    )
+
+
+def vocab_top_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-group vocabulary head by DOCUMENT frequency (the df half of
+    tf-idf; corpus-analysis step behind stopword lists and quality
+    filters). Distinct (doc, token) explode → one hash agg per
+    (group, token) → window top-k with (df DESC, token ASC) determinism.
+    ``(group, token, df, rank)``."""
+    from pyspark.sql import Window
+
+    toks = F.expr(f"array_distinct(split(trim({text_col}), '\\\\s+'))")
+    tok = (
+        df.select(F.col(group_col).alias("grp"), F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("df").desc(), F.col("token").asc())
+    return (
+        tok.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("grp").alias(group_col), "token", "df", "rank")
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Per-domain corpus composition — the bookkeeping behind training
+    data mixture weights: docs, token totals (exact BIGINT), and each
+    domain's share of all corpus tokens (single double division at the
+    end, identical expression both engines).
+    ``(domains…, n_docs, n_tokens, token_share)``."""
+    n_tok = F.expr(f"CAST(size(split(trim({text_col}), '\\\\s+')) AS BIGINT)")
+    per = df.select(*[F.col(c) for c in domain_cols], n_tok.alias("nt")).groupBy(
+        *domain_cols
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    # corpus total via a broadcast 1-row aggregate (map-side partials),
+    # not a partition-less window that would funnel the domain table
+    # through a single task
+    total = per.agg(F.sum("n_tokens").cast("long").alias("__tot__"))
+    return per.crossJoin(F.broadcast(total)).select(
+        *domain_cols,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("__tot__").cast("double")).alias(
+            "token_share"
+        ),
+    )

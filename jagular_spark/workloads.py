@@ -570,6 +570,25 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.bpe_token_stats(load(spark, sf_dir, "documents"))
 
 
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: overlapping fixed-token windows per document
+    (32-token chunks, stride 24), with an engine-portable md5 chunk
+    hash for chunk-level dedup downstream."""
+    return txt.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+def docs_vocab_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary head by document frequency (df half of
+    tf-idf): deterministic top-10 with (df DESC, token ASC) ties."""
+    return txt.vocab_top_df(load(spark, sf_dir, "documents"))
+
+
+def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture bookkeeping per (lang, source) domain: docs,
+    exact token totals, token share of the corpus."""
+    return txt.domain_mixture(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Signal-chain extensions: common ref, LSH ANN, decimate, tetrode, alignment,
 # multimodal decode
@@ -1486,6 +1505,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_lsh": docs_minhash_lsh,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
+    "docs_chunking": docs_chunking,
+    "docs_vocab_topdf": docs_vocab_topdf,
+    "docs_domain_mixture": docs_domain_mixture,
     "docs_simhash": docs_simhash,
     "emb_cosine_neardup": emb_cosine_neardup,
     "emb_ann_topk": emb_ann_topk,
@@ -2403,6 +2425,46 @@ ORACLE_SQL["events_crossings_chunked"] = f"""
     SELECT o.user_id, o.rn AS seq, CAST(o.value AS DOUBLE) AS value
     FROM led o JOIN thr t ON o.user_id = t.user_id
     WHERE o.value > t.threshold AND o.nv > t.threshold"""
+
+# Sequence packing: chunk starts every 24 tokens, 32-token windows
+# (ragged tail kept); DuckDB list_slice clamps exactly like Spark slice
+ORACLE_SQL["docs_chunking"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), ck AS (
+        SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+               CAST(s.i * 24 AS BIGINT) AS start_tok,
+               list_slice(t, s.i * 24 + 1, s.i * 24 + 32) AS w
+        FROM toks, UNNEST(generate_series(0, (len(t) - 1) // 24)) AS s(i)
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w, ' ')) AS chunk_hash
+    FROM ck"""
+
+ORACLE_SQL["docs_vocab_topdf"] = """
+    WITH tok AS (
+        SELECT lang AS grp, doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents
+    ), dfc AS (
+        SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY grp, token
+    ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                ORDER BY df DESC, token ASC) AS BIGINT) AS rank
+        FROM dfc
+    )
+    SELECT grp AS lang, token, df, rank FROM r WHERE rank <= 10"""
+
+ORACLE_SQL["docs_domain_mixture"] = """
+    WITH per AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+    FROM per"""
 
 # W1 polarity='both' — the two-sided debounce on the constant-centered
 # stream (MAD multiplier 1.0; the dense rn stream makes LEAD the ts+1

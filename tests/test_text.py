@@ -46,3 +46,64 @@ def test_bpe_token_stats_counts(spark):
     assert r.n_punct == 2
     # subwords: ceil(5/4)+1+ceil(5/4)+1+ceil(3/4)+ceil(3/4)+ceil(12/4) = 2+1+2+1+1+1+3
     assert r.n_subwords == 11
+
+
+def test_chunk_documents_windows(spark):
+    from jagular_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(70)]
+    rows = [(1, " ".join(words)), (2, "a b"), (3, " ".join(f"x{i}" for i in range(24)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_tok, r.n_tokens, r.chunk_hash)
+        for r in chunk_documents(df, chunk_tokens=32, stride=24).collect()
+    }
+    import hashlib
+
+    # python reference: starts at 0, 24, 48, ... while start < n
+    want = {}
+    for doc_id, text in rows:
+        t = text.split()
+        for ci, start in enumerate(range(0, len(t), 24)):
+            w = t[start : start + 32]
+            want[(doc_id, ci)] = (
+                start,
+                len(w),
+                hashlib.md5(" ".join(w).encode()).hexdigest(),
+            )
+    assert got == want
+    # overlap property: consecutive full chunks share chunk-stride tokens
+    assert got[(1, 0)][1] == 32 and got[(1, 1)][0] == 24
+
+
+def test_vocab_top_df_determinism_and_counts(spark):
+    from jagular_spark.operators.text import vocab_top_df
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa", "en"),   # aa counted once per doc (distinct)
+            (2, "aa cc", "en"),
+            (3, "bb cc", "en"),
+            (4, "zz", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = [(r.lang, r.token, r.df, r.rank) for r in vocab_top_df(df, top_k=2)
+           .orderBy("lang", "rank").collect()]
+    # en: aa=2, bb=2, cc=2 -> tie broken by token asc -> aa, bb
+    assert got == [("en", "aa", 2, 1), ("en", "bb", 2, 2), ("fr", "zz", 1, 1)]
+
+
+def test_domain_mixture_shares(spark):
+    from jagular_spark.operators.text import domain_mixture
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s0"), (2, "d e", "en", "s1"), (3, "f", "fr", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = domain_mixture(df).collect()
+    shares = {(r.lang, r.source): (r.n_docs, r.n_tokens, r.token_share) for r in rows}
+    assert shares[("en", "s0")] == (1, 3, 0.5)
+    assert shares[("en", "s1")] == (1, 2, 2 / 6)
+    assert shares[("fr", "s0")] == (1, 1, 1 / 6)
+    assert abs(sum(v[2] for v in shares.values()) - 1.0) < 1e-12
