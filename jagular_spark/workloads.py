@@ -431,11 +431,15 @@ def events_detect_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     censor → waveform extract) on per-user event-value streams — F7
     end-to-end on driver data. Waveforms are posexploded to scalar
     (idx, wv) rows; the DuckDB oracle replays the whole pipeline,
-    expressing the sequential censor as a recursive CTE."""
+    expressing the sequential censor as a recursive CTE.
+
+    The sample stream feeds three plan branches (MAD agg, crossings
+    window, extraction range-join) — materialize it once, as in
+    events_tetrode."""
     from jagular_spark.operators.spikes import detect_spikes
 
     out = detect_spikes(
-        _rn_samples(spark, sf_dir),
+        _rn_samples(spark, sf_dir).localCheckpoint(eager=False),
         multiplier=2.0, censor_width=5, patch_size=8, polarity="pos",
     )
     return out.select(
@@ -705,7 +709,7 @@ def events_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jagular_spark.operators.alignment import align_waveforms
     from jagular_spark.operators.spikes import detect_spikes
 
-    samples = _rn_samples(spark, sf_dir, max_channel=32)
+    samples = _rn_samples(spark, sf_dir, max_channel=32).localCheckpoint(eager=False)
     spikes = detect_spikes(
         samples, multiplier=2.0, censor_width=5, patch_size=8, polarity="pos"
     )
@@ -732,7 +736,7 @@ def events_align_cspline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jagular_spark.operators.alignment import align_waveforms
     from jagular_spark.operators.spikes import detect_spikes
 
-    samples = _rn_samples(spark, sf_dir, max_channel=16)
+    samples = _rn_samples(spark, sf_dir, max_channel=16).localCheckpoint(eager=False)
     spikes = detect_spikes(
         samples, multiplier=1.5, censor_width=5, patch_size=8, polarity="pos"
     )
@@ -992,7 +996,7 @@ def events_spikes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jagular_spark.sources.spikes_io import load_spikes, save_spikes
 
     out = detect_spikes(
-        _rn_samples(spark, sf_dir, max_channel=16),
+        _rn_samples(spark, sf_dir, max_channel=16).localCheckpoint(eager=False),
         multiplier=2.0, censor_width=5, patch_size=8, polarity="pos",
     )
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
