@@ -118,3 +118,39 @@ def test_dedup_keeps_minimum_tiebreak(spark, pairs):
         if t not in want or fi < want[t]:
             want[t] = fi
     assert got == set(want.items())
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=90),
+        min_size=1,
+        max_size=12,
+    ),
+    chunk=st.integers(min_value=1, max_value=40),
+    stride=st.integers(min_value=1, max_value=40),
+)
+@SET
+def test_chunking_matches_python_reference(spark, docs, chunk, stride):
+    """chunk_documents over arbitrary token streams == the plain python
+    window loop: starts 0, stride, 2*stride … < n; windows clamp at the
+    end; every token is covered when stride <= chunk."""
+    import hashlib
+
+    from jagular_spark.operators.text import chunk_documents
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_tok, r.n_tokens, r.chunk_hash)
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    }
+    want = {}
+    for i, words in enumerate(docs):
+        for ci, start in enumerate(range(0, len(words), stride)):
+            w = words[start : start + chunk]
+            want[(i, ci)] = (start, len(w), hashlib.md5(" ".join(w).encode()).hexdigest())
+    assert got == want
+    if stride <= chunk:
+        for i, words in enumerate(docs):
+            covered = sum(n for (d, _), (_, n, _) in got.items() if d == i)
+            assert covered >= len(words)  # full coverage (overlap counts twice)

@@ -275,6 +275,16 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
     want_fp = {(r.doc_id, r.simhash) for r in simhash(docs).collect()}
     assert got_fp == want_fp
 
+    # sequence chunking is projection+posexplode — also stream-stateless
+    from jagular_spark.operators.text import chunk_documents
+
+    _run_to_memory(chunk_documents(stream), "chunks", "append")
+    got_ck = {
+        tuple(r) for r in spark.sql("SELECT * FROM chunks").collect()
+    }
+    want_ck = {tuple(r) for r in chunk_documents(docs).collect()}
+    assert got_ck == want_ck
+
 
 def test_media_kernels_run_on_streams(spark, tmp_path):
     """The Arrow-batched media kernels (audio windows, resize grid) are
