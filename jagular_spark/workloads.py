@@ -783,6 +783,28 @@ def docs_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_byte_stats(media)
 
 
+def docs_media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec round-trip under the driver oracle: doc
+    bytes → raw8 image → actual PNG container (stdlib zlib encoder) →
+    full PNG decode (inflate + unfilter) → exact integer byte stats.
+    Losslessness makes the oracle the plain raw-byte statistics — any
+    codec bug breaks the hash."""
+    from jagular_spark.operators.multimodal import png_byte_stats, png_encode_images
+
+    docs = _ascii_docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length(F.encode("text", "UTF-8")).cast("int").alias("width"),
+        F.lit(1).alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return png_byte_stats(png_encode_images(media))
+
+
 def events_crossings_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 at huge-epoch scale: the range-chunked crossings variant
     (1-row halo per chunk) over the dense per-user rn streams, with a
@@ -1510,6 +1532,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
     "docs_chunking": docs_chunking,
+    "docs_media_png_roundtrip": docs_media_png_roundtrip,
     "docs_vocab_topdf": docs_vocab_topdf,
     "docs_domain_mixture": docs_domain_mixture,
     "docs_simhash": docs_simhash,
@@ -2432,6 +2455,21 @@ ORACLE_SQL["events_crossings_chunked"] = f"""
 
 # Sequence packing: chunk starts every 24 tokens, 32-token windows
 # (ragged tail kept); DuckDB list_slice clamps exactly like Spark slice
+# PNG round-trip is lossless: the oracle is the plain raw-byte stats
+ORACLE_SQL["docs_media_png_roundtrip"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum
+        FROM documents WHERE length(text) = strlen(text)
+    )
+    SELECT media_id, n_bytes, byte_sum,
+           CASE WHEN n_bytes = 0 THEN 0.0
+                ELSE CAST(byte_sum AS DOUBLE) / CAST(n_bytes * 255 AS DOUBLE)
+           END AS mean_px
+    FROM b"""
+
 ORACLE_SQL["docs_chunking"] = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

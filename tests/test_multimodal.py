@@ -130,3 +130,117 @@ def test_resize_pixel_grid_matches_resized_payload(spark):
             for ci in range(ow):
                 assert grid[(r.media_id, ri, ci)] == int(buf[ri, ci])
     assert len(grid) > 0
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: PNG (zlib) and WAV (PCM16)
+# ---------------------------------------------------------------------------
+
+def _png_from_filtered(img: np.ndarray, filters: list[int]) -> bytes:
+    """Assemble a PNG whose scanlines are FORWARD-filtered per the spec
+    (independently of the decoder's unfilter code): filt(x) =
+    raw(x) - pred(x) mod 256, one filter type per row."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = b""
+    for y, ft in enumerate(filters):
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        out = np.empty(stride, dtype=np.int64)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (row[x] - pred) % 256
+        raw += bytes([ft]) + out.astype(np.uint8).tobytes()
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filters_gray_and_rgb():
+    from jagular_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 3, 4):
+        img = rng.integers(0, 256, size=(5, 7, ch), dtype=np.uint8)
+        # one row per filter type 0-4 (5 rows)
+        got = decode_png(_png_from_filtered(img, [0, 1, 2, 3, 4]))
+        np.testing.assert_array_equal(got, img)
+
+
+def test_png_encode_decode_roundtrip():
+    from jagular_spark.operators.multimodal import decode_png, encode_png_gray8
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    out = decode_png(encode_png_gray8(img))
+    np.testing.assert_array_equal(out[:, :, 0], img)
+
+
+def test_png_decode_errors():
+    import pytest
+
+    from jagular_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOTAPNG.........")
+
+
+def test_decode_payload_png_luma():
+    from jagular_spark.operators.multimodal import _decode_payload
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    png = _png_from_filtered(img, [0, 2, 1, 4])
+    got = _decode_payload(png, "png", 4, 6)
+    r, g, b = (img[:, :, i].astype(np.int64) for i in range(3))
+    want = ((77 * r + 150 * g + 29 * b) >> 8) / 255.0
+    np.testing.assert_allclose(got, want)
+
+
+def test_wav_pcm16_roundtrip_and_stereo_fold():
+    from jagular_spark.operators.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    mono = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int16)
+    got, sr = decode_wav_pcm16(encode_wav_pcm16(mono, sample_rate=8000))
+    assert sr == 8000
+    np.testing.assert_array_equal(got, mono.astype(np.int32))
+
+    # hand-built stereo RIFF: channels average with floor division
+    import struct
+
+    left = np.array([100, -100, 31000], dtype=np.int16)
+    right = np.array([300, -101, -31000], dtype=np.int16)
+    inter = np.empty(6, dtype="<i2"); inter[0::2] = left; inter[1::2] = right
+    pcm = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, sr = decode_wav_pcm16(payload)
+    assert sr == 44100
+    want = (left.astype(np.int32) + right.astype(np.int32)) // 2
+    np.testing.assert_array_equal(got, want)
