@@ -568,3 +568,63 @@ def png_byte_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, BYTE_STATS_SCHEMA)
+
+
+def wav_encode_audio(media: DataFrame) -> DataFrame:
+    """Re-encode raw8 PCM-byte payloads as REAL mono PCM16 RIFF/WAVE
+    containers with samples = byte − 128 (the same deviation the byte
+    oracle scores) — the audio sink half of the wav round-trip."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b.copy()
+            payloads = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(f"codec {r.codec!r}: wav encode needs raw8 input")
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8).astype(np.int16)
+                payloads.append(
+                    encode_wav_pcm16(buf - 128, sample_rate=int(r.sample_rate) or 16000)
+                )
+            out["payload"] = payloads
+            out["codec"] = "wav"
+            yield out
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def wav_window_byte_stats(media: DataFrame, window: int = 1024) -> DataFrame:
+    """:func:`audio_window_byte_stats` for REAL wav containers: decode
+    through :func:`decode_wav_pcm16`, deviations are the samples
+    themselves — so a byte−128 wav round-trip is verifiable against the
+    raw-byte audio oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "wav":
+                    raise NotImplementedError(f"codec {r.codec!r}: wav_window_byte_stats needs wav")
+                samples, _sr = decode_wav_pcm16(bytes(r.payload))
+                dev_all = samples.astype(np.int64)
+                n_win = len(dev_all) // window
+                if n_win == 0:
+                    continue
+                dev = dev_all[: n_win * window].reshape(n_win, window)
+                sum_dev2 = (dev * dev).sum(axis=1)
+                peak = np.abs(dev).max(axis=1)
+                clipped = (np.abs(dev) >= 127).sum(axis=1)
+                for i in range(n_win):
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "window_idx": i,
+                            "sum_dev2": int(sum_dev2[i]),
+                            "peak_dev": int(peak[i]),
+                            "n_clipped": int(clipped[i]),
+                            "rms": float(np.sqrt(float(sum_dev2[i]) / window) / 128.0),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "audio").mapInPandas(kernel, AUDIO_WINDOW_BYTE_SCHEMA)

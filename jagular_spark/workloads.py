@@ -930,6 +930,30 @@ def docs_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_window_byte_stats(media, window=32)
 
 
+def docs_media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container round-trip under the driver oracle: doc
+    bytes -> PCM16 WAV (samples = byte - 128, stdlib RIFF encoder) ->
+    full WAV decode -> the same windowed integer deviation stats the
+    raw-byte oracle scores."""
+    from jagular_spark.operators.multimodal import (
+        wav_encode_audio,
+        wav_window_byte_stats,
+    )
+
+    docs = _ascii_docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(0).alias("n_frames"),
+        F.lit(8000).alias("sample_rate"),
+    )
+    return wav_window_byte_stats(wav_encode_audio(media), window=32)
+
+
 def docs_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor image resize with an EXACT SQL oracle: each
     doc's UTF-8 bytes become a (n_chars//16)×16 raw8 image, resized to
@@ -1533,6 +1557,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
     "docs_chunking": docs_chunking,
     "docs_media_png_roundtrip": docs_media_png_roundtrip,
+    "docs_media_wav_roundtrip": docs_media_wav_roundtrip,
     "docs_vocab_topdf": docs_vocab_topdf,
     "docs_domain_mixture": docs_domain_mixture,
     "docs_simhash": docs_simhash,
@@ -2280,6 +2305,9 @@ ORACLE_SQL["docs_media_audio"] = """
     SELECT media_id, window_idx, sum_dev2, peak_dev, n_clipped,
            sqrt(CAST(sum_dev2 AS DOUBLE) / 32) / 128 AS rms
     FROM s"""
+
+# wav round-trip is lossless over byte-128 samples: same oracle as raw8
+ORACLE_SQL["docs_media_wav_roundtrip"] = ORACLE_SQL["docs_media_audio"]
 
 # Nearest-neighbor resize to 4x8: per-output-pixel byte fetch with the
 # same trunc(i*in/out) index mapping the kernel uses.
