@@ -47,7 +47,13 @@ def get_spark(
         # the query layer, matching DuckDB's nanos→micros truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # 48g, not 16g: the shingle/explode-heavy queries allocate faster
+        # than a 16g ZGC can reclaim concurrently, and the resulting
+        # allocation stalls injected 2-6x nondeterministic swings
+        # (ngram-jaccard @ sf0.1 measured 4 s steady vs 30 s stalled);
+        # at 48g the same loop holds 3.2-4.6 s. The sandbox has 128 GiB;
+        # on a real cluster this is the executor-memory sizing knob.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         # ZGC: G1's evacuation pauses on a multi-GB local[32] heap were
         # measured at 0.5-3 s and injected 5-50 s of nondeterministic
         # stall into individual queries; ZGC holds the same workload at
