@@ -214,3 +214,54 @@ def stream_interpolate(
         .groupBy(*keys)
         .applyInPandasWithState(kernel, out_schema, state_schema, "append", "NoTimeout")
     )
+
+
+def stream_curation(
+    docs: DataFrame,
+    event_time_col: str,
+    watermark: str = "10 minutes",
+    quality_floor: float = 0.6,
+    lang: str = "en",
+    sample_fraction: float = 0.5,
+) -> DataFrame:
+    """The curation funnel, incremental (batch twin:
+    workloads.docs_curation_funnel minus its near-dup stage): quality
+    score + language ID (stateless row-local expressions), exact
+    content dedup (watermark-bounded ``dropDuplicates`` on the md5 —
+    state is O(in-flight hashes) and evicted past the watermark), and
+    the deterministic md5 hash-sample (stateless).
+
+    The near-dup connected-components stage is deliberately absent: a
+    component is a GLOBAL property of the pair graph (a later doc can
+    join two earlier clusters), so it cannot be emitted incrementally
+    under append semantics — at scale it runs as a periodic batch
+    compaction over the streamed survivor table, which is exactly how
+    the batch operator composes here.
+    """
+    from jagular_spark.operators.sampling import hash_bucket
+    from jagular_spark.operators.text import language_id
+
+    n = F.length(F.col("text")).cast("double")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double") / n
+    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double") / n
+    stop = F.expr(
+        "CAST(size(filter(split(trim(text), '\\\\s+'), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
+    ) / F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    score = F.lit(0.4) * alpha + F.lit(0.3) * stop + F.lit(0.3) * (F.lit(1.0) - digit)
+
+    scored = language_id(
+        docs.withColumn("quality_score", score),
+        keep=("text", "quality_score", event_time_col),
+    )
+    s1 = scored.where(
+        (F.col("quality_score") >= F.lit(quality_floor)) & (F.col("pred_lang") == lang)
+    ).select("doc_id", "text", "quality_score", event_time_col)
+    s2 = (
+        s1.withColumn("__h__", F.md5(F.col("text").cast("binary")))
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicates(["__h__"])
+    )
+    thr = int(sample_fraction * (1 << 32))
+    return s2.where(hash_bucket("doc_id") < F.lit(thr)).select(
+        "doc_id", "quality_score"
+    )

@@ -308,3 +308,79 @@ def test_media_kernels_run_on_streams(spark, tmp_path):
     got2 = {tuple(r) for r in spark.sql("SELECT * FROM rg").collect()}
     want2 = {tuple(r) for r in resize_pixel_grid(media, 4, 4).collect()}
     assert got2 == want2 and len(got2) > 0
+
+
+def test_stream_curation_matches_batch_on_distinct_texts(spark, tmp_path):
+    """The incremental curation composition (quality -> lang -> content
+    dedup -> hash sample) equals the batch replay on a duplicate-free
+    corpus (where dedup is a no-op and every stage is deterministic)."""
+    from jagular_spark.operators.sampling import hash_bucket
+    from jagular_spark.operators.text import language_id
+    from jagular_spark.streaming.pipeline import stream_curation
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("__h__", F.md5(F.col("text").cast("binary")))
+        .withColumn("__n__", F.count(F.lit(1)).over(Window.partitionBy("__h__")))
+        .where(F.col("__n__") == 1)
+        .select("doc_id", "text")
+        .withColumn("event_ts", F.timestamp_micros(F.col("doc_id") * 1000000))
+    )
+    stream = _as_stream(spark, docs, tmp_path, "cur_docs")
+    _run_to_memory(stream_curation(stream, "event_ts"), "curated_stream", "append")
+    got = {
+        (r.doc_id, round(r.quality_score, 12))
+        for r in spark.sql("SELECT * FROM curated_stream").collect()
+    }
+
+    # batch replay of the same stages
+    n = F.length(F.col("text")).cast("double")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double") / n
+    digit = F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / n
+    stop = F.expr(
+        "CAST(size(filter(split(trim(text), '\\\\s+'), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
+    ) / F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    score = F.lit(0.4) * alpha + F.lit(0.3) * stop + F.lit(0.3) * (F.lit(1.0) - digit)
+    s1 = language_id(
+        docs.withColumn("quality_score", score), keep=("quality_score",)
+    ).where((F.col("quality_score") >= 0.6) & (F.col("pred_lang") == "en"))
+    want = {
+        (r.doc_id, round(r.quality_score, 12))
+        for r in s1.where(hash_bucket("doc_id") < int(0.5 * (1 << 32)))
+        .select("doc_id", "quality_score")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_curation_dedup_keeps_first_arrival(spark, tmp_path):
+    """Crafted duplicate texts across micro-batches: the watermarked
+    content dedup keeps the first-arriving copy (the batch funnel's
+    min-id rule under in-order replay)."""
+    from jagular_spark.streaming.pipeline import stream_curation
+
+    # one high-quality english text, duplicated across two doc_ids that
+    # BOTH pass the 50% md5 hash sample (6 and 11 do; e.g. 2 does not)
+    text = "the cat and the dog of the house went to the big market and to the park"
+    rows = [(6, text), (11, text)]
+    schema = "doc_id long, text string"
+    p1, p2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    df1 = spark.createDataFrame(rows[:1], schema).withColumn(
+        "event_ts", F.timestamp_micros(F.col("doc_id") * 1000000)
+    )
+    df2 = spark.createDataFrame(rows[1:], schema).withColumn(
+        "event_ts", F.timestamp_micros(F.col("doc_id") * 1000000)
+    )
+    src = str(tmp_path / "src")
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # append the second file before starting: availableNow processes the
+    # files in order, one per micro-batch
+    df2.coalesce(1).write.mode("append").parquet(src)
+    _run_to_memory(stream_curation(stream, "event_ts"), "curated_dup", "append")
+    kept = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM curated_dup").collect())
+    assert kept == [6]  # first arrival survives, the later duplicate is dropped
