@@ -943,3 +943,190 @@ def ann_topk_ivf_frozen(
     :func:`_ivf_search`): nested-literal argmin assignment,
     inverted-list equi-join on cluster id, window top-k."""
     return _ivf_search(df, probe_filter, cents, k, nprobe, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-ADC product quantization (the memory-bounded 100-TB ANN path)
+# ---------------------------------------------------------------------------
+
+def pq_fit_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.5,
+    salt: str = "",
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces and each gets its own integer Lloyd
+    codebook of ``k`` centroids, fit on the engine-portable md5
+    hash-sample (one collect; same deterministic integer math as the
+    IVF coarse fit — seeds by id, int64 distances, floor-divided
+    updates — so a SQL oracle can replay the fit). Returns
+    ``codebooks[m][k][dim // m]``."""
+    import numpy as np
+
+    from jagular_spark.operators.sampling import hash_sample
+
+    rows = (
+        hash_sample(df, id_col, fit_fraction, salt)
+        .select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.id)
+    if len(rows) < k:
+        raise ValueError(f"fit sample has {len(rows)} rows < k={k}")
+    X = np.array([r.iv for r in rows], dtype=np.int64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [_lloyd_int(X[:, j * d : (j + 1) * d], k, n_iter) for j in range(m)]
+
+
+def _pq_codes(codebooks: Sequence[Sequence[Sequence[int]]]) -> F.Column:
+    """``array<int>`` of per-subspace nearest-codeword indices for the
+    ``iv`` column (first-min ties — the numpy-argmin / ROW_NUMBER
+    ORDER BY d, c tiebreak). One nested-array literal per subspace."""
+    d = len(codebooks[0][0])
+
+    def _dists(j: int, cb) -> F.Column:
+        lit = F.lit([[int(v) for v in c] for c in cb]).cast("array<array<bigint>>")
+        sl = F.slice(F.col("iv"), j * d + 1, d)
+        return F.transform(
+            lit,
+            lambda c: F.aggregate(
+                F.zip_with(sl, c, lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    per = []
+    for j, cb in enumerate(codebooks):
+        per.append(
+            F.array_min(
+                F.zip_with(
+                    _dists(j, cb),
+                    F.sequence(F.lit(0), F.lit(len(cb) - 1)),
+                    lambda dd, i: F.struct(dd.alias("d"), i.alias("i")),
+                )
+            ).getField("i").cast("int")
+        )
+    return F.array(*per)
+
+
+def _pq_dot_tables(codebooks: Sequence[Sequence[Sequence[int]]]) -> F.Column:
+    """Per-probe ADC lookup tables ``T[m][k]``: exact int64 dot of the
+    probe's j-th subvector with every codeword of subspace j (the
+    asymmetric-distance trick: the probe stays full-precision, corpus
+    rows are looked up by code)."""
+    d = len(codebooks[0][0])
+
+    def _table(j: int, cb) -> F.Column:
+        lit = F.lit([[int(v) for v in c] for c in cb]).cast("array<array<bigint>>")
+        sl = F.slice(F.col("iv"), j * d + 1, d)
+        return F.transform(
+            lit,
+            lambda c: F.aggregate(
+                F.zip_with(sl, c, lambda x, cc: x * cc),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    return F.array(*[_table(j, cb) for j, cb in enumerate(codebooks)])
+
+
+def ann_topk_ivf_pq(
+    df: DataFrame,
+    probe_filter: F.Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 3,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iter: int = 2,
+    refine: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """FAISS-style IVFADC: IVF cells bound the candidate set, corpus
+    rows are scored from their m-byte PQ CODES via per-probe ADC dot
+    tables (the serving table never touches the raw vectors), and the
+    ADC top-``refine`` per probe is re-ranked with exact integer dots —
+    a join back to the vector store by id.
+
+    This is the memory-bounded 100-TB serving shape: the scan side
+    carries (id, cell, m small ints) — ~100x smaller than the raw
+    vectors — and full-precision vectors are fetched only for
+    ``refine`` candidates per probe. Every stage is exact int64
+    (integer Lloyd fits on the shared md5 hash-sample, integer ADC,
+    integer re-rank), so the DuckDB oracle replays fit + encode +
+    search end-to-end and the query hash-matches."""
+    cents = ivf_fit_centroids(
+        df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt
+    )
+    books = pq_fit_codebooks(
+        df, m, pq_k, pq_iter, id_col, vec_col, fit_fraction, salt
+    )
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    # serving table: cell + codes only (no raw vectors)
+    corpus_codes = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.array_min(_dist_idx(cents)).getField("i").cast("int").alias("cl"),
+        _pq_codes(books).alias("codes"),
+    )
+    nearest_n = F.slice(
+        F.transform(F.array_sort(_dist_idx(cents)), lambda s: s["i"]), 1, nprobe
+    )
+    probes = base.where(probe_filter).select(
+        F.col("id").alias("query_id"),
+        F.col("iv").alias("iv_a"),
+        F.col("nrm").alias("nrm_a"),
+        _pq_dot_tables(books).alias("t"),
+        F.explode(nearest_n).alias("pcl"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("t"), F.col("codes"),
+            lambda tj, cj: F.element_at(tj, cj + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        corpus_codes.join(
+            F.broadcast(probes),
+            (F.col("pcl") == F.col("cl")) & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("adc", adc)
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id").asc())
+    shortlist = (
+        cand.withColumn("rr", F.row_number().over(rw))
+        .where(F.col("rr") <= refine)
+        .select("query_id", "neighbor_id", "iv_a", "nrm_a")
+    )
+    # exact re-rank: fetch full vectors for the shortlist only
+    store = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("iv").alias("iv_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    scored = (
+        shortlist.join(store, "neighbor_id")
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

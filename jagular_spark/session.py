@@ -47,13 +47,16 @@ def get_spark(
         # the query layer, matching DuckDB's nanos→micros truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        # 48g, not 16g: the shingle/explode-heavy queries allocate faster
+        # 32g, not 16g: the shingle/explode-heavy queries allocate faster
         # than a 16g ZGC can reclaim concurrently, and the resulting
         # allocation stalls injected 2-6x nondeterministic swings
         # (ngram-jaccard @ sf0.1 measured 4 s steady vs 30 s stalled);
-        # at 48g the same loop holds 3.2-4.6 s. The sandbox has 128 GiB;
-        # on a real cluster this is the executor-memory sizing knob.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # a larger heap holds the same loop at 3-5 s. 32g and no higher:
+        # ZGC multi-maps the heap ~1.8 mappings/MB, and the default
+        # vm.max_map_count (65530) caps a safe heap at ~35 g — beyond
+        # that ZGC itself warns of premature OOM. (128 GiB box; on a
+        # real cluster this is the executor-memory sizing knob.)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         # ZGC: G1's evacuation pauses on a multi-GB local[32] heap were
         # measured at 0.5-3 s and injected 5-50 s of nondeterministic
         # stall into individual queries; ZGC holds the same workload at

@@ -1001,6 +1001,21 @@ def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVFADC — the memory-bounded ANN serving shape: the
+    scan side carries only (id, IVF cell, m PQ codes); candidates from
+    nprobe cells are shortlisted by exact-integer ADC dot tables and
+    the top-32 re-ranked with full-precision integer dots. Both fits
+    (IVF coarse + per-subspace PQ codebooks) run on the shared md5
+    half-sample in exact int64, so the DuckDB oracle replays fit +
+    encode + ADC + re-rank end-to-end and hash-matches."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf_pq(
+        emb, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3,
+        m=4, pq_k=16, pq_iter=2, refine=32, fit_fraction=0.5,
+    )
+
+
 # Frozen IVF coarse quantizer: one offline deterministic Lloyd fit
 # (k=8, n_iter=3, on the sf0.01 corpus), floored to ints. Integer
 # centroids make assignment/nprobe/ranking exact BIGINT arithmetic,
@@ -1580,6 +1595,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_crossings_both": events_crossings_both,
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "emb_ann_topk_ivf": emb_ann_topk_ivf,
+    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
     "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
     "docs_media_frames": docs_media_frames,
     "events_audit": events_audit,
@@ -2382,12 +2398,12 @@ ORACLE_SQL["emb_ann_topk_ivf_frozen"] = f"""
 # empty clusters keep their previous centroid), then the same frozen
 # search shape (nprobe=4). Bit-exact vs sim.ivf_fit_centroids +
 # sim.ann_topk_ivf because every quantity on both sides is int64.
-def _ivf_fitted_oracle(
-    k: int = 16, n_iter: int = 3, nprobe: int = 4, fit_fraction: float = 0.5
-) -> str:
-    # fit set = the engine-portable md5 hash-sample (the Spark side's
-    # operators/sampling.hash_bucket construction); the search half
-    # still runs over the FULL corpus
+def _ivf_fit_prefix(k: int, n_iter: int, fit_fraction: float) -> str:
+    """WITH-prefix replaying the sampled integer IVF coarse fit:
+    base → normed → fitset (the engine-portable md5 hash-sample, the
+    Spark side's operators/sampling.hash_bucket construction) →
+    cents0..cents{n_iter}. The search half of each consumer still runs
+    over the FULL corpus."""
     fit_thr = int(fit_fraction * (1 << 32))
     its = []
     for i in range(n_iter):
@@ -2429,7 +2445,13 @@ def _ivf_fitted_oracle(
     ), cents0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, iv AS civ
         FROM (SELECT vec_id, iv FROM fitset ORDER BY vec_id LIMIT {k})
-    ){''.join(its)}
+    ){''.join(its)}"""
+
+
+def _ivf_fitted_oracle(
+    k: int = 16, n_iter: int = 3, nprobe: int = 4, fit_fraction: float = 0.5
+) -> str:
+    return f"""{_ivf_fit_prefix(k, n_iter, fit_fraction)}
     , fdist AS (
         SELECT n.vec_id, n.iv, n.nrm, c.c,
                CAST(list_sum(list_transform(generate_series(1, 64),
@@ -2462,6 +2484,127 @@ def _ivf_fitted_oracle(
 
 
 ORACLE_SQL["emb_ann_topk_ivf"] = _ivf_fitted_oracle()
+
+
+def _pq_fitted_oracle(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    nprobe: int = 4,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iter: int = 2,
+    refine: int = 32,
+    fit_fraction: float = 0.5,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the WHOLE IVFADC pipeline: sampled integer IVF
+    fit (shared prefix), sampled per-subspace integer PQ fits (subspace
+    rides the CTEs as a key column — one Lloyd chain covers all ``m``
+    codebooks), corpus cell assignment + PQ encode, per-probe ADC dot
+    tables, cell-restricted ADC shortlist of ``refine``, exact integer
+    re-rank."""
+    d = dim // m
+    pq_its = []
+    for i in range(pq_iter):
+        pq_its.append(f"""
+    , pd{i} AS (
+        SELECT n.vec_id, n.j, c.c,
+               CAST(list_sum(list_transform(generate_series(1, {d}),
+                    t -> (n.siv[t] - c.civ[t]) * (n.siv[t] - c.civ[t]))) AS BIGINT) AS dd
+        FROM fitsub n JOIN pcents{i} c ON n.j = c.j
+    ), pa{i} AS (
+        SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+            FROM pd{i}
+        ) WHERE rn = 1
+    ), ps{i} AS (
+        SELECT a.j, a.c, t.t, SUM(n.siv[t.t]) AS sv, COUNT(*) AS cnt
+        FROM pa{i} a JOIN fitsub n ON a.vec_id = n.vec_id AND a.j = n.j,
+             UNNEST(generate_series(1, {d})) AS t(t)
+        GROUP BY a.j, a.c, t.t
+    ), pcents{i + 1} AS (
+        SELECT p.j, p.c, COALESCE(u.civ, p.civ) AS civ
+        FROM pcents{i} p LEFT JOIN (
+            SELECT j, c, list(CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY t) AS civ
+            FROM ps{i} GROUP BY j, c
+        ) u ON p.j = u.j AND p.c = u.c
+    )""")
+    return f"""{_ivf_fit_prefix(n_centroids, n_iter, fit_fraction)}
+    , fitsub AS (
+        SELECT vec_id, sj.j, list_slice(iv, sj.j * {d} + 1, sj.j * {d} + {d}) AS siv
+        FROM fitset, UNNEST(generate_series(0, {m - 1})) AS sj(j)
+    ), pcents0 AS (
+        SELECT s.j, CAST(ROW_NUMBER() OVER (PARTITION BY s.j ORDER BY s.vec_id) - 1 AS INT) AS c,
+               s.siv AS civ
+        FROM fitsub s
+        WHERE s.vec_id IN (SELECT vec_id FROM fitset ORDER BY vec_id LIMIT {pq_k})
+    ){''.join(pq_its)}
+    , fdist AS (
+        SELECT n.vec_id, n.nrm, c.c,
+               CAST(list_sum(list_transform(generate_series(1, {dim}),
+                    j -> (n.iv[j] - c.civ[j]) * (n.iv[j] - c.civ[j]))) AS BIGINT) AS d
+        FROM normed n CROSS JOIN cents{n_iter} c
+    ), cells AS (
+        SELECT vec_id, c AS cl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM fdist
+        ) WHERE rn = 1
+    ), allsub AS (
+        SELECT vec_id, sj.j, list_slice(iv, sj.j * {d} + 1, sj.j * {d} + {d}) AS siv
+        FROM normed, UNNEST(generate_series(0, {m - 1})) AS sj(j)
+    ), ecodes AS (
+        SELECT vec_id, j, c AS cj FROM (
+            SELECT n.vec_id, n.j, c.c,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id, n.j ORDER BY
+                        CAST(list_sum(list_transform(generate_series(1, {d}),
+                             t -> (n.siv[t] - c.civ[t]) * (n.siv[t] - c.civ[t]))) AS BIGINT), c.c) AS rn
+            FROM allsub n JOIN pcents{pq_iter} c ON n.j = c.j
+        ) WHERE rn = 1
+    ), pcells AS (
+        SELECT vec_id, c AS pcl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM fdist WHERE vec_id < 20
+        ) WHERE rn <= {nprobe}
+    ), ptab AS (
+        SELECT q.vec_id, c.j, c.c,
+               CAST(list_sum(list_transform(generate_series(1, {d}),
+                    t -> q.siv[t] * c.civ[t])) AS BIGINT) AS tv
+        FROM allsub q JOIN pcents{pq_iter} c ON q.j = c.j
+        WHERE q.vec_id < 20
+    ), adc AS (
+        SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id,
+               CAST(SUM(pt.tv) AS BIGINT) AS adc
+        FROM pcells p
+        JOIN cells t ON p.pcl = t.cl AND t.vec_id != p.vec_id
+        JOIN ecodes e ON e.vec_id = t.vec_id
+        JOIN ptab pt ON pt.vec_id = p.vec_id AND pt.j = e.j AND pt.c = e.cj
+        GROUP BY p.vec_id, t.vec_id
+    ), shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc DESC, neighbor_id ASC) AS rr
+            FROM adc
+        ) WHERE rr <= {refine}
+    ), rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, {dim}),
+                    i -> q.iv[i] * t.iv[i])) AS BIGINT) AS dot,
+               q.nrm AS nrm_a, t.nrm AS nrm_b
+        FROM shortlist s
+        JOIN normed q ON q.vec_id = s.query_id
+        JOIN normed t ON t.vec_id = s.neighbor_id
+    ), rranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM rescored
+    )
+    SELECT query_id, neighbor_id, rank,
+           dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+    FROM rranked WHERE rank <= {k}"""
+
+
+ORACLE_SQL["emb_ann_topk_ivf_pq"] = _pq_fitted_oracle()
 
 # F2 chunked: core-exact halo contract — same oracle as whole-epoch FIR.
 ORACLE_SQL["events_filtfilt_chunked"] = ORACLE_SQL["events_filtfilt"]

@@ -331,3 +331,56 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
         assert nc <= uncapped[k][0]
     # with a cap of 1 every shared gram is a "stop" gram: no pairs at all
     assert sim.ngram_jaccard_pairs(df, min_jaccard=0.1, max_bucket=1).count() == 0
+
+
+def test_ann_topk_ivf_pq_recall_and_exact_scores(spark):
+    """IVFADC on well-separated blobs: candidates come from probed
+    cells, ADC shortlists, exact re-rank — recovered pairs carry
+    EXACTLY the brute-force integer-dot cosine, and recall is high
+    when nprobe covers the blob structure."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from jagular_spark.operators.similarity import ann_topk_bruteforce, ann_topk_ivf_pq
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(scale=10.0, size=(4, 64))
+    vecs = np.concatenate([c + rng.normal(scale=0.5, size=(50, 64)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    probe = F.col("id") < 10
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in ann_topk_bruteforce(df, probe, k=3).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in ann_topk_ivf_pq(
+            df, probe, k=3, n_centroids=8, nprobe=4, n_iter=3,
+            m=4, pq_k=8, pq_iter=2, refine=16, fit_fraction=1.0,
+        ).collect()
+    }
+    common = set(bf) & set(pq)
+    for p in common:
+        assert bf[p] == pq[p]  # exact re-rank -> identical scores
+    assert len(common) / len(bf) >= 0.8
+
+
+def test_pq_fit_deterministic_and_partition_invariant(spark):
+    import numpy as np
+
+    from jagular_spark.operators.similarity import pq_fit_codebooks
+
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(120, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    a = pq_fit_codebooks(df, m=4, k=8, n_iter=2, fit_fraction=1.0)
+    b = pq_fit_codebooks(df.repartition(7), m=4, k=8, n_iter=2, fit_fraction=1.0)
+    assert a == b
+    assert len(a) == 4 and len(a[0]) == 8 and len(a[0][0]) == 16
