@@ -949,6 +949,35 @@ def ann_topk_ivf_frozen(
 # IVF-ADC product quantization (the memory-bounded 100-TB ANN path)
 # ---------------------------------------------------------------------------
 
+def _collect_fit_sample(
+    df: DataFrame, id_col: str, vec_col: str, fit_fraction: float, salt: str
+):
+    """The md5 hash-sample of the integer-scaled vectors as an
+    id-sorted in-memory int64 matrix — one collect, shared by every
+    quantizer fit of a query."""
+    import numpy as np
+
+    from jagular_spark.operators.sampling import hash_sample
+
+    rows = (
+        hash_sample(df, id_col, fit_fraction, salt)
+        .select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.id)
+    return np.array([r.iv for r in rows], dtype=np.int64)
+
+
+def _pq_books_from_sample(X, m: int, k: int, n_iter: int) -> list[list[list[int]]]:
+    if len(X) < k:
+        raise ValueError(f"fit sample has {len(X)} rows < k={k}")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [_lloyd_int(X[:, j * d : (j + 1) * d], k, n_iter) for j in range(m)]
+
+
 def pq_fit_codebooks(
     df: DataFrame,
     m: int = 4,
@@ -966,24 +995,8 @@ def pq_fit_codebooks(
     IVF coarse fit — seeds by id, int64 distances, floor-divided
     updates — so a SQL oracle can replay the fit). Returns
     ``codebooks[m][k][dim // m]``."""
-    import numpy as np
-
-    from jagular_spark.operators.sampling import hash_sample
-
-    rows = (
-        hash_sample(df, id_col, fit_fraction, salt)
-        .select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
-        .collect()
-    )
-    rows.sort(key=lambda r: r.id)
-    if len(rows) < k:
-        raise ValueError(f"fit sample has {len(rows)} rows < k={k}")
-    X = np.array([r.iv for r in rows], dtype=np.int64)
-    dim = X.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d = dim // m
-    return [_lloyd_int(X[:, j * d : (j + 1) * d], k, n_iter) for j in range(m)]
+    X = _collect_fit_sample(df, id_col, vec_col, fit_fraction, salt)
+    return _pq_books_from_sample(X, m, k, n_iter)
 
 
 def _pq_codes(codebooks: Sequence[Sequence[Sequence[int]]]) -> F.Column:
@@ -1069,12 +1082,13 @@ def ann_topk_ivf_pq(
     (integer Lloyd fits on the shared md5 hash-sample, integer ADC,
     integer re-rank), so the DuckDB oracle replays fit + encode +
     search end-to-end and the query hash-matches."""
-    cents = ivf_fit_centroids(
-        df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt
-    )
-    books = pq_fit_codebooks(
-        df, m, pq_k, pq_iter, id_col, vec_col, fit_fraction, salt
-    )
+    # ONE sample collect feeds both quantizer fits (identical math to
+    # the separate ivf_fit_centroids / pq_fit_codebooks calls)
+    X = _collect_fit_sample(df, id_col, vec_col, fit_fraction, salt)
+    if len(X) < n_centroids:
+        raise ValueError(f"fit sample has {len(X)} rows < k={n_centroids}")
+    cents = _lloyd_int(X, n_centroids, n_iter)
+    books = _pq_books_from_sample(X, m, pq_k, pq_iter)
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
     # serving table: cell + codes only (no raw vectors)
     corpus_codes = base.select(
