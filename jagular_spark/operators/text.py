@@ -241,3 +241,79 @@ def domain_mixture(
             "token_share"
         ),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    flag_above: float = 0.3,
+) -> DataFrame:
+    """Intra-document repetition (the Gopher-style duplicate n-gram
+    quality filter): per doc, total vs distinct token n-grams and the
+    duplicate fraction, flagged above ``flag_above``. Pure row-local
+    array lambdas — zero shuffle; the fraction is one double division
+    at the end (identical expression both engines).
+    ``(id, n_grams, n_distinct_grams, dup_frac, is_repetitive)``."""
+    gram = ", ".join(f"t[i + {j}]" for j in range(n))
+    grams = (
+        f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
+        f"if(size(t) >= {n}, "
+        f"   transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {gram})), "
+        f"   cast(array() as array<string>)))[0]"
+    )
+    out = df.select(
+        F.col(id_col),
+        F.expr(f"CAST(size({grams}) AS BIGINT)").alias("n_grams"),
+        F.expr(f"CAST(size(array_distinct({grams})) AS BIGINT)").alias(
+            "n_distinct_grams"
+        ),
+    ).withColumn(
+        "dup_frac",
+        F.when(F.col("n_grams") > 0,
+               (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+               / F.col("n_grams").cast("double")).otherwise(F.lit(0.0)),
+    )
+    return out.withColumn("is_repetitive", F.col("dup_frac") > F.lit(flag_above))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Eval-set decontamination — remove training documents that leak
+    benchmark content: a train doc is contaminated when it shares at
+    least ``min_shared`` distinct ``n``-token shingle hashes with ANY
+    eval document. The eval shingle set is tiny by construction
+    (benchmarks are small), so the plan broadcasts it and the training
+    corpus is scanned ONCE with no shuffle on the big side; the count
+    is a hash aggregate on (train doc, shared hash).
+    ``(id, n_shared, contaminated)`` for every train doc."""
+    from jagular_spark.operators.similarity import doc_shingle_hashes
+
+    tr = doc_shingle_hashes(train, id_col, text_col, n)
+    ev = (
+        doc_shingle_hashes(eval_df, id_col, text_col, n)
+        .select("h").distinct()
+    )
+    shared = (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("h").cast("long").alias("n_shared"))
+    )
+    return (
+        train.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= F.lit(min_shared)).alias(
+                "contaminated"
+            ),
+        )
+    )

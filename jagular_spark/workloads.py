@@ -574,6 +574,25 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.bpe_token_stats(load(spark, sf_dir, "documents"))
 
 
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter: duplicate 3-gram
+    fraction per doc — zero-shuffle row-local expressions. Flag
+    threshold 0.05 (the corpus' dup fractions top out ~0.07, so the
+    boolean branch is actually exercised under the oracle)."""
+    return txt.repetition_stats(load(spark, sf_dir, "documents"), flag_above=0.05)
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: train docs sharing >= 2 distinct
+    8-token shingle hashes with the held-out set (every 50th doc) are
+    flagged. The eval shingle set is broadcast — the training corpus
+    is scanned once, no shuffle on the big side."""
+    docs = load(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return txt.decontaminate(train, eval_df, n=8, min_shared=2)
+
+
 def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: overlapping fixed-token windows per document
     (32-token chunks, stride 24), with an engine-portable md5 chunk
@@ -1571,6 +1590,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
     "docs_chunking": docs_chunking,
+    "docs_repetition": docs_repetition,
+    "docs_decontaminate": docs_decontaminate,
     "docs_media_png_roundtrip": docs_media_png_roundtrip,
     "docs_media_wav_roundtrip": docs_media_wav_roundtrip,
     "docs_vocab_topdf": docs_vocab_topdf,
@@ -2623,6 +2644,53 @@ ORACLE_SQL["events_crossings_chunked"] = f"""
     SELECT o.user_id, o.rn AS seq, CAST(o.value AS DOUBLE) AS value
     FROM led o JOIN thr t ON o.user_id = t.user_id
     WHERE o.value > t.threshold AND o.nv > t.threshold"""
+
+ORACLE_SQL["docs_repetition"] = """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [] END AS grams
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    ), c AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
+        FROM g
+    )
+    SELECT doc_id, n_grams, n_distinct_grams,
+           CASE WHEN n_grams > 0
+                THEN CAST(n_grams - n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END AS dup_frac,
+           (CASE WHEN n_grams > 0
+                THEN CAST(n_grams - n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END) > 0.05 AS is_repetitive
+    FROM c"""
+
+ORACLE_SQL["docs_decontaminate"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, CASE WHEN len(t) >= 8 THEN
+            list_distinct(list_transform(generate_series(1, len(t) - 7),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                  || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))
+            ELSE [] END AS shingles FROM toks
+    ), hashes AS (
+        SELECT doc_id, ('0x' || substr(md5(s.s), 1, 8))::BIGINT % {sim.P} AS h
+        FROM sh, UNNEST(shingles) AS s(s)
+    ), ev AS (
+        SELECT DISTINCT h FROM hashes WHERE doc_id % 50 = 0
+    ), shared AS (
+        SELECT t.doc_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared
+        FROM hashes t JOIN ev USING (h)
+        WHERE t.doc_id % 50 != 0
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+           COALESCE(s.n_shared, 0) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN shared s ON d.doc_id = s.doc_id"""
 
 # Sequence packing: chunk starts every 24 tokens, 32-token windows
 # (ragged tail kept); DuckDB list_slice clamps exactly like Spark slice

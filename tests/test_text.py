@@ -107,3 +107,42 @@ def test_domain_mixture_shares(spark):
     assert shares[("en", "s1")] == (1, 2, 2 / 6)
     assert shares[("fr", "s0")] == (1, 1, 1 / 6)
     assert abs(sum(v[2] for v in shares.values()) - 1.0) < 1e-12
+
+
+def test_repetition_stats_crafted(spark):
+    from jagular_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),    # heavy 3-gram repetition
+            (2, "one two three four"),   # all distinct
+            (3, "x y"),                  # shorter than one gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_grams, r.n_distinct_grams, r.is_repetitive)
+           for r in repetition_stats(df, flag_above=0.3).collect()}
+    # doc1: 7 grams, distinct {abc, bca, cab} = 3 -> dup_frac 4/7 -> flagged
+    assert got[1] == (7, 3, True)
+    assert got[2] == (2, 2, False)
+    assert got[3] == (0, 0, False)
+
+
+def test_decontaminate_crafted(spark):
+    from jagular_spark.operators.text import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, leak + " extra tail words here"),            # contains eval 8-grams
+            (2, "totally unrelated content with many words"),
+            (3, "alpha beta gamma delta only four shared"),  # < 8-gram overlap
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_shared, r.contaminated)
+           for r in decontaminate(train, eval_df, n=8, min_shared=2).collect()}
+    assert got[1][1] is True and got[1][0] >= 2
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
