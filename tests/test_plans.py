@@ -124,3 +124,47 @@ def test_jaccard_exchange_count_pinned(spark):
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     assert n_shuffles == 3, p[:1500]
     assert n_scans == 1  # the documents scan appears ONCE in the plan
+
+
+def test_chunking_and_repetition_have_zero_shuffles(spark):
+    """Sequence chunking (projection + posexplode) and the repetition
+    filter are pure maps over the documents scan — no Exchange."""
+    from jagular_spark.operators.text import chunk_documents, repetition_stats
+
+    docs = _docs(spark)
+    assert "Exchange" not in _formatted(chunk_documents(docs))
+    assert "Exchange" not in _formatted(repetition_stats(docs))
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set must reach the train scan as a broadcast —
+    a sort-merge join here would shuffle the whole training corpus."""
+    from jagular_spark.operators.text import decontaminate
+
+    docs = _docs(spark)
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    p = _formatted(decontaminate(tr, ev))
+    assert "BroadcastHashJoin" in p
+    # the train-side shingle join key must NOT be exchanged for the join
+    # (only the per-doc count aggregate and the final left join shuffle)
+    assert "SortMergeJoin" not in p
+
+
+def test_pq_serving_table_is_narrow(spark):
+    """IVFADC corpus encoding (cell + codes) is one narrow projection
+    over the embeddings scan — no Exchange, no join."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = sim.with_int_norm(emb, "embedding").select(
+        F.col("vec_id").alias("id"), "iv", "nrm"
+    )
+    cents = sim.ivf_fit_centroids(emb, k=4, n_iter=1)
+    books = sim.pq_fit_codebooks(emb, m=4, k=4, n_iter=1, fit_fraction=1.0)
+    plan = _formatted(
+        base.select(
+            F.col("id"),
+            F.array_min(sim._dist_idx(cents)).getField("i").alias("cl"),
+            sim._pq_codes(books).alias("codes"),
+        )
+    )
+    assert "Exchange" not in plan and "Join" not in plan
