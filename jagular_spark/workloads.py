@@ -574,6 +574,19 @@ def docs_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.bpe_token_stats(load(spark, sf_dir, "documents"))
 
 
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the composition sequence packing
+    feeds: identical 32-token windows across the corpus collapse by
+    chunk hash (the cross-document boilerplate near-dup case document-
+    level dedup misses). One hash aggregate over the chunk stream."""
+    ck = txt.chunk_documents(load(spark, sf_dir, "documents"))
+    return ck.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min(F.struct("doc_id", "chunk_idx")).getField("doc_id").alias("canonical_doc"),
+        F.min(F.struct("doc_id", "chunk_idx")).getField("chunk_idx").alias("canonical_chunk"),
+    )
+
+
 def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition filter: duplicate 3-gram
     fraction per doc — zero-shuffle row-local expressions. Flag
@@ -1590,6 +1603,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
     "docs_chunking": docs_chunking,
+    "docs_chunk_dedup": docs_chunk_dedup,
     "docs_repetition": docs_repetition,
     "docs_decontaminate": docs_decontaminate,
     "docs_media_png_roundtrip": docs_media_png_roundtrip,
@@ -2644,6 +2658,25 @@ ORACLE_SQL["events_crossings_chunked"] = f"""
     SELECT o.user_id, o.rn AS seq, CAST(o.value AS DOUBLE) AS value
     FROM led o JOIN thr t ON o.user_id = t.user_id
     WHERE o.value > t.threshold AND o.nv > t.threshold"""
+
+# chunk-level dedup over the same windows; canonical = (min doc, min
+# chunk) lexicographic, matching min(struct) on the Spark side
+ORACLE_SQL["docs_chunk_dedup"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), ck AS (
+        SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+               md5(array_to_string(list_slice(t, s.i * 24 + 1, s.i * 24 + 32), ' ')) AS chunk_hash
+        FROM toks, UNNEST(generate_series(0, (len(t) - 1) // 24)) AS s(i)
+    )
+    SELECT chunk_hash, n_copies,
+           CAST(mp // 4294967296 AS BIGINT) AS canonical_doc,
+           CAST(mp % 4294967296 AS BIGINT) AS canonical_chunk
+    FROM (
+        SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id * 4294967296 + chunk_idx) AS mp
+        FROM ck GROUP BY chunk_hash
+    )"""
 
 ORACLE_SQL["docs_repetition"] = """
     WITH g AS (
