@@ -730,6 +730,53 @@ def events_tetrode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_spike_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike sorting lite — the composition the reference's pipeline
+    feeds into downstream sorters: detect → per-spike integer feature
+    vector (the 8-sample patch in exact 10^-2 quanta via the DECIMAL
+    cast) → deterministic integer k-means (k=4, 2 Lloyd iterations,
+    seeds by packed (channel, peak) id — the shared ``_lloyd_int``
+    kernel) → per-spike cluster assignment. The fit runs driver-side on
+    the detected-spike set (O(spikes) ≪ O(samples) — detections are the
+    sparse output of the funnel, the natural fit-on-sample); assignment
+    is the nested-literal argmin, zero extra shuffles. The DuckDB
+    oracle replays detection (recursive-CTE censor), quantization, the
+    Lloyd chain and the assignment end-to-end."""
+    import numpy as np
+
+    from jagular_spark.operators.similarity import _cent_dists, _lloyd_int
+    from jagular_spark.operators.spikes import detect_spikes
+
+    samples = _rn_samples(spark, sf_dir, max_channel=16).localCheckpoint(eager=False)
+    spikes = detect_spikes(
+        samples, multiplier=2.0, censor_width=5, patch_size=8, polarity="pos"
+    )
+    feats = (
+        spikes.select(
+            F.col("channel_id").cast("long").alias("user_id"),
+            F.col("peak_ts").alias("peak_seq"),
+            F.expr(
+                "transform(waveform, x -> CAST(CAST(x AS DECIMAL(18,4)) * 100 AS BIGINT))"
+            ).alias("iv"),
+        )
+        .distinct()  # two crossings may relocate to one peak (same patch)
+        .withColumn("sid", F.col("user_id") * F.lit(4294967296) + F.col("peak_seq"))
+        .localCheckpoint(eager=False)
+    )
+    rows = feats.select("sid", "iv").collect()
+    rows.sort(key=lambda r: r.sid)
+    X = np.array([r.iv for r in rows], dtype=np.int64)
+    cents = _lloyd_int(X, k=4, n_iter=2)
+    cluster = F.array_min(
+        F.zip_with(
+            _cent_dists(cents),
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    ).getField("i").cast("long")
+    return feats.select("user_id", "peak_seq", cluster.alias("cluster"))
+
+
 def events_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5-W7 sub-sample alignment: detected single-channel waveforms are
     wrapped as 1×N tetrodes and aligned to the parabola-vertex
@@ -1628,6 +1675,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_spikes_roundtrip": events_spikes_roundtrip,
     "events_crossings_chunked": events_crossings_chunked,
     "events_crossings_both": events_crossings_both,
+    "events_spike_clusters": events_spike_clusters,
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "emb_ann_topk_ivf": emb_ann_topk_ivf,
     "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
@@ -2779,6 +2827,61 @@ ORACLE_SQL["docs_domain_mixture"] = """
     SELECT lang, source, n_docs, n_tokens,
            CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
     FROM per"""
+
+def _spike_cluster_oracle(k: int = 4, n_iter: int = 2, dim: int = 8) -> str:
+    """Replay detection → integer patch features → integer Lloyd →
+    assignment (events_spike_clusters)."""
+    its = []
+    for i in range(n_iter):
+        its.append(f"""
+        , kd{i} AS (
+            SELECT n.sid, c.c,
+                   CAST(list_sum(list_transform(generate_series(1, {dim}),
+                        t -> (n.iv[t] - c.civ[t]) * (n.iv[t] - c.civ[t]))) AS BIGINT) AS d
+            FROM wvq n CROSS JOIN kc{i} c
+        ), ka{i} AS (
+            SELECT sid, c FROM (
+                SELECT sid, c, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d, c) AS rn
+                FROM kd{i}
+            ) WHERE rn = 1
+        ), ks{i} AS (
+            SELECT a.c, t.t, SUM(n.iv[t.t]) AS sv, COUNT(*) AS cnt
+            FROM ka{i} a JOIN wvq n USING (sid),
+                 UNNEST(generate_series(1, {dim})) AS t(t)
+            GROUP BY a.c, t.t
+        ), kc{i + 1} AS (
+            SELECT p.c, COALESCE(u.civ, p.civ) AS civ
+            FROM kc{i} p LEFT JOIN (
+                SELECT c, list(CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY t) AS civ
+                FROM ks{i} GROUP BY c
+            ) u ON p.c = u.c
+        )""")
+    return f"""{_detect_cte(2.0, 5, "user_id < 16")}
+        , wvq AS (
+            SELECT DISTINCT user_id, peak_seq,
+                   list_transform(generate_series(0, {dim - 1}), j ->
+                       CAST(CAST((CASE WHEN d.peak_seq - 4 + j BETWEEN 0 AND d.n - 1
+                            THEN d.xs[d.peak_seq - 4 + j + 1] ELSE 0.0 END) AS DECIMAL(18,4))
+                            * 100 AS BIGINT)) AS iv,
+                   user_id * 4294967296 + peak_seq AS sid
+            FROM located d
+        ), kc0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS c, iv AS civ
+            FROM (SELECT sid, iv FROM wvq ORDER BY sid LIMIT {k})
+        ){''.join(its)}
+        , fdist AS (
+            SELECT n.user_id, n.peak_seq, c.c,
+                   CAST(list_sum(list_transform(generate_series(1, {dim}),
+                        t -> (n.iv[t] - c.civ[t]) * (n.iv[t] - c.civ[t]))) AS BIGINT) AS d
+            FROM wvq n CROSS JOIN kc{n_iter} c
+        )
+        SELECT user_id, peak_seq, CAST(c AS BIGINT) AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, peak_seq ORDER BY d, c) AS rn
+            FROM fdist
+        ) WHERE rn = 1"""
+
+
+ORACLE_SQL["events_spike_clusters"] = _spike_cluster_oracle()
 
 # W1 polarity='both' — the two-sided debounce on the constant-centered
 # stream (MAD multiplier 1.0; the dense rn stream makes LEAD the ts+1
