@@ -10,3 +10,27 @@ from jagular_spark.operators.timestamps import (  # noqa: F401
 from jagular_spark.operators.interpolate import interpolate_gaps  # noqa: F401
 from jagular_spark.operators.graph import connected_components, dedup_clusters  # noqa: F401
 from jagular_spark.operators.sampling import hash_sample, stratified_sample  # noqa: F401
+from jagular_spark.operators.text import (  # noqa: F401
+    bpe_token_stats,
+    chunk_documents,
+    decontaminate,
+    domain_mixture,
+    language_id,
+    repetition_stats,
+    vocab_top_df,
+)
+from jagular_spark.operators.similarity import (  # noqa: F401
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_ivf_frozen,
+    ann_topk_ivf_pq,
+    ann_topk_lsh,
+    ivf_fit_centroids,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_lsh,
+    pq_fit_codebooks,
+    simhash,
+    simhash_neardup_pairs,
+)
