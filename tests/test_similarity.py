@@ -384,3 +384,37 @@ def test_pq_fit_deterministic_and_partition_invariant(spark):
     b = pq_fit_codebooks(df.repartition(7), m=4, k=8, n_iter=2, fit_fraction=1.0)
     assert a == b
     assert len(a) == 4 and len(a[0]) == 8 and len(a[0][0]) == 16
+
+
+def test_pq_codes_match_numpy_argmin(spark):
+    """The nested-literal PQ encode must equal the numpy per-subspace
+    argmin (first-min ties) — the same invariant the oracle's
+    ROW_NUMBER replay assumes."""
+    import numpy as np
+
+    from jagular_spark.operators.similarity import (
+        _pq_codes,
+        int_vec,
+        pq_fit_codebooks,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(50, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_fit_codebooks(df, m=4, k=8, n_iter=2, fit_fraction=1.0)
+    got = {
+        r.vec_id: list(r.codes)
+        for r in df.select("vec_id", int_vec("embedding").alias("iv"))
+        .select("vec_id", _pq_codes(books).alias("codes"))
+        .collect()
+    }
+    X = np.floor(vecs * (1 << 20)).astype(np.int64)
+    for i in range(len(vecs)):
+        for j in range(4):
+            sub = X[i, j * 16 : (j + 1) * 16]
+            cb = np.asarray(books[j], dtype=np.int64)
+            d = ((cb - sub[None, :]) ** 2).sum(axis=1)
+            assert got[i][j] == int(d.argmin())
