@@ -33,10 +33,20 @@ def asof_join(
     right_cols: Sequence[str] = ("value",),
     suffix: str = "_asof",
     tolerance: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: all left columns plus ``<ts_col><suffix>`` and
     ``<col><suffix>`` for each of ``right_cols`` (NULL when no right row
-    precedes, or none within ``tolerance``)."""
+    matches, or none within ``tolerance``).
+
+    ``direction`` follows pandas ``merge_asof``: ``backward`` (latest
+    right.ts <= left.ts — the default), ``forward`` (earliest right.ts
+    >= left.ts, a mirrored first-over-following carry), or ``nearest``
+    (whichever of the two is closer; exact-distance ties go backward,
+    matching pandas). All three are the same single-shuffle tagged
+    union — nearest computes both carries over the one exchange."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = list(on)
     rcols = list(right_cols)
     lcols = [c for c in left.columns]
@@ -67,22 +77,55 @@ def asof_join(
         rstruct.alias("__r__"),
     )
     u = l_tagged.unionByName(r_tagged)
-    w = (
+    # backward: right sorts FIRST at equal ts (side asc) so <= holds
+    # under a last-over-preceding; forward mirrors it — right sorts
+    # AFTER left (side desc) so >= holds under a first-over-following.
+    wb = (
         Window.partitionBy(*keys)
         .orderBy(F.col(ts_col).asc(), F.col("__side__").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = (
-        u.select(*lcols, "__side__", F.last("__r__", ignorenulls=True).over(w).alias("__c__"))
-        .where(F.col("__side__") == 1)
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("__side__").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    in_tol = (
-        F.col("__c__").isNotNull()
-        if tolerance is None
-        else F.col("__c__")["__ts__"] >= (F.col(ts_col) - F.lit(tolerance))
-    )
+    carries = []
+    if direction in ("backward", "nearest"):
+        carries.append(F.last("__r__", ignorenulls=True).over(wb).alias("__cb__"))
+    if direction in ("forward", "nearest"):
+        carries.append(F.first("__r__", ignorenulls=True).over(wf).alias("__cf__"))
+    out = u.select(*lcols, "__side__", *carries).where(F.col("__side__") == 1)
+
+    def _in_tol(c: str, back: bool) -> F.Column:
+        if tolerance is None:
+            return F.col(c).isNotNull()
+        bound = (
+            F.col(c)["__ts__"] >= (F.col(ts_col) - F.lit(tolerance))
+            if back
+            else F.col(c)["__ts__"] <= (F.col(ts_col) + F.lit(tolerance))
+        )
+        return F.col(c).isNotNull() & bound
+
+    if direction == "backward":
+        chosen = F.when(_in_tol("__cb__", True), F.col("__cb__"))
+    elif direction == "forward":
+        chosen = F.when(_in_tol("__cf__", False), F.col("__cf__"))
+    else:
+        b = F.when(_in_tol("__cb__", True), F.col("__cb__"))
+        f = F.when(_in_tol("__cf__", False), F.col("__cf__"))
+        # ties at equal distance go BACKWARD (pandas merge_asof)
+        chosen = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(
+                (F.col(ts_col) - b["__ts__"]) <= (f["__ts__"] - F.col(ts_col)), b
+            )
+            .otherwise(f)
+        )
+    out = out.withColumn("__c__", chosen)
     return out.select(
         *lcols,
-        F.when(in_tol, F.col("__c__")["__ts__"]).alias(f"{ts_col}{suffix}"),
-        *[F.when(in_tol, F.col("__c__")[c]).alias(f"{c}{suffix}") for c in rcols],
+        F.col("__c__")["__ts__"].alias(f"{ts_col}{suffix}"),
+        *[F.col("__c__")[c].alias(f"{c}{suffix}") for c in rcols],
     )

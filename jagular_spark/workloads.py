@@ -1568,6 +1568,39 @@ def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-direction-complete as-of: every view matched to the
+    NEAREST purchase in time (backward on exact ties, like
+    merge_asof). Same single-shuffle tagged union, both carries over
+    one exchange; the oracle composes DuckDB's native backward and
+    forward ASOF joins and picks the closer — two independent
+    implementations of the same semantics."""
+    from jagular_spark.operators.asof import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "us", F.col("event_id").alias("view_id"), "value"
+    )
+    w = Window.partitionBy("user_id", "us").orderBy("event_id")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .select("user_id", "us", "value")
+    )
+    out = asof_join(
+        views, purchases, on=["user_id"], ts_col="us",
+        right_cols=("value",), suffix="_p", direction="nearest",
+    )
+    return out.select(
+        "user_id",
+        F.col("us").alias("view_us"),
+        "view_id",
+        F.col("us_p").alias("purchase_us"),
+        F.col("value_p").alias("purchase_value"),
+    )
+
+
 def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation pipeline a training-data user actually
     runs, as one composed query: quality-score filter → language filter
@@ -1690,6 +1723,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_simhash_neardup": docs_simhash_neardup,
     "docs_curation_funnel": docs_curation_funnel,
     "events_asof": events_asof,
+    "events_asof_nearest": events_asof_nearest,
 }
 
 
@@ -2351,6 +2385,37 @@ ORACLE_SQL["events_asof"] = """
     SELECT v.user_id, v.us AS view_us, v.view_id,
            p.us AS purchase_us, p.value AS purchase_value
     FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.us >= p.us"""
+
+# nearest = closer of DuckDB's native backward and forward ASOF joins,
+# backward on exact ties (pandas merge_asof semantics)
+ORACLE_SQL["events_asof_nearest"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id AS view_id, value
+        FROM events WHERE event_type = 'view'
+    ), p0 AS (
+        SELECT user_id, epoch_us(ts) AS us, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                    ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), p AS (
+        SELECT user_id, us, value FROM p0 WHERE rn = 1
+    ), b AS (
+        SELECT v.user_id, v.us, v.view_id, p.us AS bus, p.value AS bval
+        FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.us >= p.us
+    ), f AS (
+        SELECT v.user_id, v.us, v.view_id, p.us AS fus, p.value AS fval
+        FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.us <= p.us
+    )
+    SELECT b.user_id, b.us AS view_us, b.view_id,
+           CASE WHEN b.bus IS NULL THEN f.fus
+                WHEN f.fus IS NULL THEN b.bus
+                WHEN (b.us - b.bus) <= (f.fus - f.us) THEN b.bus
+                ELSE f.fus END AS purchase_us,
+           CASE WHEN b.bus IS NULL THEN f.fval
+                WHEN f.fus IS NULL THEN b.bval
+                WHEN (b.us - b.bus) <= (f.fus - f.us) THEN b.bval
+                ELSE f.fval END AS purchase_value
+    FROM b JOIN f ON b.user_id = f.user_id AND b.us = f.us AND b.view_id = f.view_id"""
 # S11/A9 audit: one hash aggregation per user.
 ORACLE_SQL["events_audit"] = """
     SELECT user_id,

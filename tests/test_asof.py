@@ -118,3 +118,59 @@ def test_asof_join_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_asof_forward_and_nearest_match_pandas(spark):
+    """forward/nearest directions against pandas merge_asof on random
+    keyed timelines, with and without tolerance, including NULL right
+    payloads (the struct carry must keep ts/payload from one row)."""
+    import numpy as np
+    import pandas as pd
+
+    from jagular_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 60),
+            "ts": rng.integers(0, 200, 60),
+            "lv": np.arange(60),
+        }
+    ).drop_duplicates(["k", "ts"])
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40),
+            "ts": rng.integers(0, 200, 40),
+            "value": rng.normal(size=40).round(3),
+        }
+    ).drop_duplicates(["k", "ts"])
+    right.loc[right.index[::7], "value"] = None  # NULL payloads
+
+    ldf = spark.createDataFrame(left.astype({"k": "int64", "ts": "int64"}))
+    rdf = spark.createDataFrame(right.astype({"k": "int64", "ts": "int64"}))
+
+    for direction in ("forward", "nearest"):
+        for tol in (None, 15):
+            got = {
+                (r.k, r.ts): (r.ts_asof, r.value_asof)
+                for r in asof_join(
+                    ldf, rdf, on=["k"], right_cols=["value"],
+                    tolerance=tol, direction=direction,
+                ).collect()
+            }
+            kw = {} if tol is None else {"tolerance": tol}
+            want_df = pd.merge_asof(
+                left.sort_values("ts"),
+                right.sort_values("ts").rename(columns={"ts": "rts"}),
+                left_on="ts", right_on="rts", by="k",
+                direction=direction, **kw,
+            )
+            for row in want_df.itertuples(index=False):
+                w_ts = None if pd.isna(row.rts) else int(row.rts)
+                w_v = None if (pd.isna(row.value) if row.value is not None else True) else row.value
+                g_ts, g_v = got[(row.k, row.ts)]
+                assert g_ts == w_ts, (direction, tol, row.k, row.ts, g_ts, w_ts)
+                # when the matched right row carried a NULL payload the
+                # engine must still report THAT row's ts with NULL value
+                if w_ts is not None and not pd.isna(row.value):
+                    assert g_v == row.value
