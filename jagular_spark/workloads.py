@@ -171,6 +171,33 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-side filter + one global aggregate — the
+    pushdown/pruning showcase (every predicate reaches the parquet
+    scan). Revenue = Σ price·discount in exact 10^-8 BIGINT quanta,
+    split-summed like the other revenue queries so the double
+    recombination is bit-identical across engines at any scale; the
+    discount band compares exact 10^-4 quanta, not doubles."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_q = "CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    prod = f"CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) * ({disc_q})"
+    hi = F.sum(F.expr(f"({prod}) DIV 2147483648"))
+    lo = F.sum(F.expr(f"({prod}) % 2147483648"))
+    revenue = (
+        hi.cast("double") * F.lit(2147483648.0) + lo.cast("double")
+    ) / F.lit(100000000.0)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.expr(disc_q) >= 500)
+            & (F.expr(disc_q) <= 700)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
 def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window (SURVEY W8): row_number per customer by price."""
     orders = load(spark, sf_dir, "orders")
@@ -1664,6 +1691,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
     "events_sessionize": events_sessionize,
     "events_segments": events_segments,
@@ -1845,6 +1873,20 @@ ORACLE_SQL: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "q6_forecast_revenue": """
+        SELECT (CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    * (CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    * (CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) BETWEEN 500 AND 700
+          AND l_quantity < 24.0
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey,
