@@ -106,6 +106,38 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return hashes.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signature_local(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """Row-local MinHash — bit-identical signatures to
+    :func:`minhash_signature` with NO explode and NO shuffle (the min
+    folds over the per-doc distinct-shingle hash array in one
+    projection). The streaming-friendly form: runs unchanged on an
+    unbounded stream. Docs shorter than ``n`` tokens are dropped, same
+    as the groupBy form (they contribute zero shingle rows there)."""
+    gram = ", ".join(f"t[i + {j}]" for j in range(n))
+    hs = (
+        f"transform(array_distinct("
+        f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
+        f"if(size(t) >= {n}, "
+        f"   transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {gram})), "
+        f"   cast(array() as array<string>)))[0]), "
+        f"s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT) % {P})"
+    )
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in keep], F.expr(hs).alias("__hs__")
+    ).where(F.size("__hs__") > 0)
+    sigs = [
+        F.expr(f"array_min(transform(__hs__, h -> ({a} * h + {b}) % {P}))").alias(f"m{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return base.select(F.col(id_col), *[F.col(c) for c in keep], *sigs)
+
+
 def _guarded_ids(col: str = "ids") -> F.Column:
     """Validate ids fit the packed-BIGINT pair encoding (0 ≤ id < 2^31)
     *at runtime* — outside that range ``a * 2^32 + b`` silently corrupts

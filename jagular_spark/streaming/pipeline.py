@@ -265,3 +265,68 @@ def stream_curation(
     return s2.where(hash_bucket("doc_id") < F.lit(thr)).select(
         "doc_id", "quality_score"
     )
+
+
+def stream_lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Incremental MinHash-LSH candidate generation (batch twin:
+    operators.similarity.lsh_candidate_pairs): per arriving doc the
+    row-local signature (no shuffle) bands into 4 bucket keys, and each
+    (band, key) bucket keeps its member ids as GroupState — a new
+    arrival emits one candidate pair against every EARLIER member of
+    the bucket, then joins the state. Emitted pairs are (band, key,
+    id_a < id_b); a pair colliding in several bands is emitted once per
+    band (the batch operator's n_bands count is the same multiset).
+
+    State per bucket is a near-dup cluster's id list — small by
+    construction; a production deployment would add an event-time
+    timeout to retire cold buckets (the dedup window), which changes
+    recall, not mechanics. Within one micro-batch, arrivals are
+    processed in id order (the only deterministic order a replay has).
+    """
+    from jagular_spark.operators.similarity import (
+        _BAND_SHIFT,
+        LSH_BANDS,
+        minhash_signature_local,
+    )
+
+    sig = minhash_signature_local(docs)
+    keys = F.array(
+        *[
+            F.col(f"m{2 * b}") * F.lit(_BAND_SHIFT) + F.col(f"m{2 * b + 1}")
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        F.col("doc_id").alias("id"), F.posexplode(keys).alias("band", "key")
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        band, bkey = key
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for new_id in sorted(int(x) for x in pdf["id"]):
+                for old in seen:
+                    lo, hi = (old, new_id) if old < new_id else (new_id, old)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                seen.append(new_id)
+        state.update((seen,))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "band": int(band),
+                    "key": int(bkey),
+                    "id_a": out_a,
+                    "id_b": out_b,
+                }
+            )
+
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        kernel,
+        "band int, key long, id_a long, id_b long",
+        "ids array<long>",
+        "append",
+        "NoTimeout",
+    )

@@ -384,3 +384,73 @@ def test_stream_curation_dedup_keeps_first_arrival(spark, tmp_path):
     _run_to_memory(stream_curation(stream, "event_ts"), "curated_dup", "append")
     kept = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM curated_dup").collect())
     assert kept == [6]  # first arrival survives, the later duplicate is dropped
+
+
+def test_stream_lsh_candidates_match_batch(spark, tmp_path):
+    """One availableNow pass emits exactly the batch band-bucket
+    combinatorics: the (band-multiset of) pairs equals
+    lsh_candidate_pairs' n_bands counts, and the row-local signature is
+    bit-identical to the groupBy form."""
+    from collections import Counter  # noqa: F401 — multiset compare
+
+    from jagular_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        minhash_signature_local,
+    )
+    from jagular_spark.streaming.pipeline import stream_lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+    sig_g = {tuple(r) for r in minhash_signature(docs).collect()}
+    sig_l = {tuple(r) for r in minhash_signature_local(docs).collect()}
+    assert sig_g == sig_l
+
+    stream = _as_stream(spark, docs, tmp_path, "lshdocs")
+    _run_to_memory(stream_lsh_candidate_pairs(stream), "lsh_cand", "append")
+    got = Counter(
+        (r.id_a, r.id_b) for r in spark.sql("SELECT * FROM lsh_cand").collect()
+    )
+    want = {
+        (r.id_a, r.id_b): r.n_bands for r in lsh_candidate_pairs(minhash_signature(docs)).collect()
+    }
+    assert dict(got) == want and len(want) > 0
+
+
+def test_stream_lsh_candidates_state_across_batches(spark, tmp_path):
+    """A doc arriving in a later micro-batch pairs against bucket
+    members stored in GroupState from earlier batches."""
+    import os
+
+    path = str(tmp_path / "inc")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(path, exist_ok=True)
+    text = "alpha beta gamma delta epsilon zeta"
+    pd.DataFrame({"doc_id": [1], "text": [text]}).to_parquet(f"{path}/a.parquet")
+    collected: list[tuple[int, int]] = []
+
+    from jagular_spark.streaming.pipeline import stream_lsh_candidate_pairs
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+        q = (
+            stream_lsh_candidate_pairs(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: collected.extend(
+                    (r.id_a, r.id_b) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert collected == []  # lone doc, no pairs yet
+
+    pd.DataFrame({"doc_id": [2], "text": [text]}).to_parquet(f"{path}/b.parquet")
+    run_once()
+    # identical text -> identical signature -> collides in ALL 4 bands
+    assert sorted(collected) == [(1, 2)] * 4
