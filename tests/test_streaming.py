@@ -454,3 +454,42 @@ def test_stream_lsh_candidates_state_across_batches(spark, tmp_path):
     run_once()
     # identical text -> identical signature -> collides in ALL 4 bands
     assert sorted(collected) == [(1, 2)] * 4
+
+
+def test_stream_ivfpq_index_maintenance(spark, tmp_path):
+    """Serving-index maintenance is stateless once the quantizers are
+    frozen: arriving vectors get their IVF cell and PQ codes from the
+    same nested-literal expressions, identically to batch — the
+    incremental \"add to index\" half of IVFADC."""
+    from pyspark.sql import functions as F
+
+    from jagular_spark.operators.similarity import (
+        _dist_idx,
+        _pq_codes,
+        int_vec,
+        ivf_fit_centroids,
+        pq_fit_codebooks,
+        with_int_norm,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    cents = ivf_fit_centroids(emb, k=4, n_iter=1, fit_fraction=1.0)
+    books = pq_fit_codebooks(emb, m=4, k=4, n_iter=1, fit_fraction=1.0)
+
+    def encode(df):
+        return df.select(
+            "vec_id", int_vec("embedding").alias("iv")
+        ).select(
+            "vec_id",
+            F.array_min(_dist_idx(cents)).getField("i").cast("int").alias("cl"),
+            _pq_codes(books).alias("codes"),
+        )
+
+    want = {(r.vec_id, r.cl, tuple(r.codes)) for r in encode(emb).collect()}
+    stream = _as_stream(spark, emb, tmp_path, "embstream")
+    _run_to_memory(encode(stream), "ivfpq_idx", "append")
+    got = {
+        (r.vec_id, r.cl, tuple(r.codes))
+        for r in spark.sql("SELECT * FROM ivfpq_idx").collect()
+    }
+    assert got == want and len(got) > 0
