@@ -1,5 +1,6 @@
 from jagular_spark.sources.rec import (  # noqa: F401
     RecConfig,
+    compact_parquet,
     extract_channels,
     file_catalog,
     ns5_header,

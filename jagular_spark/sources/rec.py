@@ -545,3 +545,48 @@ def read_scaled_channel(
     else:
         raw = read_raw_channel(spark, channel_file, timestamps_file, **kwargs)
     return raw.withColumn("uv", F.col("value") * F.lit(float(bit_to_uv)))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 256,
+    order_cols: Sequence[str] | None = None,
+) -> dict:
+    """Small-file compaction — the operational sibling of the
+    per-channel sink (S8): long-running ingest (micro-batches, one
+    file per trigger) accumulates thousands of tiny parquet files, and
+    at warehouse scale the file-listing + task-per-file overhead
+    dominates scans. Rewrites the dataset into ~``target_mb`` output
+    files: ``repartitionByRange(order_cols)`` when an ordering is given
+    (keeps range clustering so downstream ts-predicates still prune row
+    groups), plain round-robin otherwise. Sizing uses the INPUT byte
+    count, so recompression can land under target — the guarantee is
+    file COUNT, not exact size. Writes to ``out_path`` (side-by-side,
+    then swap at the catalog level — never in place)."""
+    import glob as _glob
+    import math
+
+    files = [
+        f for f in _glob.glob(os.path.join(in_path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    in_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(in_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    if order_cols:
+        df = df.repartitionByRange(n_out, *[F.col(c) for c in order_cols])
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    out_files = [
+        f for f in _glob.glob(os.path.join(out_path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and f.endswith(".parquet")
+    ]
+    return {
+        "n_files_in": len(files),
+        "n_files_out": len(out_files),
+        "in_bytes": in_bytes,
+        "target_files": n_out,
+    }

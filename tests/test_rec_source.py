@@ -257,3 +257,20 @@ def test_read_scaled_channel_ns5(spark, tmp_path):
     np.testing.assert_allclose(
         np.array([r.uv for r in rows]), data[:, 0].astype(np.float64) * k
     )
+
+
+def test_compact_parquet(spark, tmp_path):
+    from jagular_spark.sources import compact_parquet
+
+    src = str(tmp_path / "many")
+    # 40 tiny files (one per partition)
+    df = spark.range(0, 40000).selectExpr("id AS ts", "id % 7 AS v")
+    df.repartition(40).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, src, out, target_mb=1024, order_cols=["ts"])
+    assert stats["n_files_in"] >= 40
+    assert stats["n_files_out"] == 1  # tiny data -> one target file
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert b.count() == a.count() == 40000
+    assert b.agg({"v": "sum"}).collect()[0][0] == a.agg({"v": "sum"}).collect()[0][0]
