@@ -1176,3 +1176,55 @@ def ann_topk_ivf_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def knn_classify(
+    df: DataFrame,
+    probe_filter: F.Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label propagation over the embedding space —
+    the semi-supervised labeling / quality-transfer step of a training
+    data pipeline (label a small seed set, vote labels onto the rest).
+    Exact integer dot products decide the neighborhoods (ties broken by
+    neighbor id) and the vote is a count, so the whole result is
+    integer-typed and hash-matches the SQL replay. The probe side is
+    broadcast — the corpus never shuffles; the top-k cut and the vote
+    argmax are two window ranks over the (tiny) candidate set.
+    ``(query_id, true_label, pred_label, votes)``."""
+    base = with_int_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), "iv", F.col(label_col).alias("lbl")
+    )
+    probes = base.where(probe_filter).select(
+        F.col("id").alias("query_id"),
+        F.col("iv").alias("iv_a"),
+        F.col("lbl").cast("long").alias("true_label"),
+    )
+    corpus = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("iv").alias("iv_b"),
+        F.col("lbl").cast("long").alias("nbr_label"),
+    )
+    scored = corpus.join(
+        F.broadcast(probes), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("dot", _int_dot("iv_a", "iv_b"))
+    nw = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("nrank", F.row_number().over(nw)).where(F.col("nrank") <= k)
+    votes = top.groupBy("query_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nbr_label").asc()
+    )
+    return (
+        votes.withColumn("vrank", F.row_number().over(vw))
+        .where(F.col("vrank") == 1)
+        .select(
+            "query_id", "true_label", F.col("nbr_label").alias("pred_label"), "votes"
+        )
+    )

@@ -317,3 +317,87 @@ def decontaminate(
             ),
         )
     )
+
+
+def tfidf_top(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    idf_quanta: int = 1_000_000,
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf — the classic relevance /
+    keyword-extraction scoring, in EXACT integer arithmetic so it
+    hash-matches across engines: idf is the integer surrogate
+    ``(N · idf_quanta) DIV df`` (monotone in N/df; floor-division is
+    identical in Spark ``DIV`` and DuckDB ``//``) and the score is the
+    BIGINT product ``tf · idf_q``. Plan: one explode feeds BOTH the
+    per-(doc, token) tf aggregate and the per-token df aggregate; the
+    tf←df equi-join on token is AQE-broadcast when the vocabulary is
+    small and a plain shuffle join at corpus scale; the corpus size N
+    rides in as a broadcast 1-row aggregate. Ties are (score DESC,
+    token ASC). ``(id, token, tf, df, score, rank)``."""
+    from pyspark.sql import Window
+
+    toks = F.expr(f"split(trim({text_col}), '\\\\s+')")
+    tok = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = (
+        tok.select(id_col, "token").distinct()
+        .groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("idf_q", F.expr(f"(__n__ * CAST({idf_quanta} AS BIGINT)) DIV df"))
+        .withColumn("score", (F.col("tf") * F.col("idf_q")).cast("long"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )
+
+
+def bigram_fluency(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style statistical fluency scoring: fit a token-bigram
+    frequency model on the corpus itself, then score every document by
+    the mean corpus frequency of its bigrams (word-salad / boilerplate
+    scores low, locally-coherent text high). The LM-filtering shape —
+    fit a model with one aggregate, score with one join — with the
+    transcendental log replaced by exact BIGINT sums so both engines
+    hash-match; the only floating step is the single final division.
+
+    Plan: row-local bigram explode → global (bigram → count) model —
+    small next to the corpus, AQE-broadcast when it fits — then join
+    the exploded stream back and hash-aggregate per document. At 100 TB
+    the model table would be materialized once and reused (see the
+    frozen-model streaming twin in streaming/pipeline.py).
+    ``(id, group, n_bigrams, freq_sum, fluency)``."""
+    bgs = F.expr(
+        f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
+        f"if(size(t) >= 2, "
+        f"   transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])), "
+        f"   cast(array() as array<string>)))[0]"
+    )
+    bg = df.select(F.col(id_col), F.col(group_col), F.explode(bgs).alias("bg"))
+    model = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (
+        bg.join(model, "bg")
+        .groupBy(id_col, group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("freq_sum"),
+        )
+        .withColumn(
+            "fluency",
+            F.col("freq_sum").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )

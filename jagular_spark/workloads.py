@@ -1683,6 +1683,53 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(s3, "doc_id", 0.5).select("doc_id", "quality_score")
 
 
+def docs_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by integer-exact tf·idf (keyword
+    extraction / relevance scoring; the idf is the monotone integer
+    surrogate (N·10^6) DIV df so the ranking hash-matches DuckDB)."""
+    return txt.tfidf_top(load(spark, sf_dir, "documents"))
+
+
+def docs_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: corpus-fit token-bigram model,
+    every doc scored by mean bigram corpus frequency (exact BIGINT sums,
+    one final double division)."""
+    return txt.bigram_fluency(load(spark, sf_dir, "documents"))
+
+
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote label propagation (semi-supervised labeling):
+    50 probe vectors classified by their 10 exact-integer-dot nearest
+    neighbors' labels."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.knn_classify(emb, F.col("id") < 50, k=10)
+
+
+def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-limited signal energy per channel: the flagship zero-phase
+    FIR band-pass (shared with events_filtfilt — same bit-exact kernel)
+    followed by a per-channel energy aggregate in integer quanta
+    (q = floor(filtered·10^3); Σq² stays ≪ 2^63 to ~10^6 samples/channel
+    per unit amplitude — document headroom before raising the quanta).
+    The spectral-power summary a recording-QA pass runs after filtering."""
+    from jagular_spark.operators.filtering import filtfilt_segments
+
+    out = filtfilt_segments(_rn_samples(spark, sf_dir), _BP_TAPS)
+    q = F.expr("CAST(floor(filtered * 1000.0) AS BIGINT)")
+    return (
+        out.withColumn("q", q)
+        .groupBy(F.col("channel_id").cast("long").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("power_q"),
+        )
+        .withColumn(
+            "band_power",
+            F.col("power_q").cast("double") / F.col("n").cast("double"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1752,6 +1799,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curation_funnel": docs_curation_funnel,
     "events_asof": events_asof,
     "events_asof_nearest": events_asof_nearest,
+    "docs_tfidf_top": docs_tfidf_top,
+    "docs_bigram_fluency": docs_bigram_fluency,
+    "emb_knn_classify": emb_knn_classify,
+    "events_band_power": events_band_power,
 }
 
 
@@ -3016,3 +3067,97 @@ ORACLE_SQL["events_spikes_roundtrip"] = f"""{_detect_cte(2.0, 5, "user_id < 16")
                CASE WHEN d.peak_seq - 4 + t.j BETWEEN 0 AND d.n - 1
                     THEN d.xs[d.peak_seq - 4 + t.j + 1] ELSE 0.0 END AS wv
         FROM located d, UNNEST(generate_series(0, 7)) AS t(j)"""
+
+# Integer-exact tf·idf: idf_q = (N · 10^6) // df is floor division on
+# both engines; score = tf · idf_q is BIGINT, ties (score DESC, token).
+ORACLE_SQL["docs_tfidf_top"] = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), tfc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+    ), dfc AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY token
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), scored AS (
+        SELECT t.doc_id, t.token, t.tf, d.df,
+               CAST(t.tf * ((nn.n * 1000000) // d.df) AS BIGINT) AS score
+        FROM tfc t JOIN dfc d USING (token) CROSS JOIN nn
+    )
+    SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3"""
+
+# Bigram-LM fluency: model = global bigram counts, score = mean corpus
+# frequency of the doc's bigrams (BIGINT sums, one final division).
+ORACLE_SQL["docs_bigram_fluency"] = """
+    WITH bgs AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM (SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+    ), model AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgs GROUP BY bg
+    ), agg AS (
+        SELECT b.doc_id, b.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(m.cnt) AS BIGINT) AS freq_sum
+        FROM bgs b JOIN model m USING (bg)
+        GROUP BY b.doc_id, b.lang
+    )
+    SELECT doc_id, lang, n_bigrams, freq_sum,
+           CAST(freq_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
+    FROM agg"""
+
+# k-NN label vote: exact integer dots, (dot DESC, neighbor) top-10,
+# (votes DESC, label) argmax — all-integer output.
+ORACLE_SQL["emb_knn_classify"] = f"""
+    WITH base AS (
+        SELECT vec_id, label, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS true_label,
+               c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS nbr_label,
+               CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                    i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot
+        FROM base q JOIN base c ON q.vec_id < 50 AND c.vec_id != q.vec_id
+    ), top AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id ASC) AS nrank
+            FROM scored
+        ) WHERE nrank <= 10
+    ), votes AS (
+        SELECT query_id, true_label, nbr_label, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM top GROUP BY query_id, true_label, nbr_label
+    )
+    SELECT query_id, true_label, nbr_label AS pred_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY votes DESC, nbr_label ASC) AS vrank
+        FROM votes
+    ) WHERE vrank = 1"""
+
+# Band power on the exact FIR chain: quanta floor is identical FLOOR()
+# on both engines; Σq² needs CAST (DuckDB SUM promotes to HUGEINT).
+ORACLE_SQL["events_band_power"] = f"""
+    WITH {_ORDERED_LISTS_CTE}, filt AS (
+        SELECT o.user_id, {_fir_chain_sql(_BP_TAPS)} AS filtered
+        FROM ordered o JOIN lists l ON o.user_id = l.user_id
+    ), qq AS (
+        SELECT user_id, CAST(FLOOR(filtered * 1000.0) AS BIGINT) AS q FROM filt
+    ), agg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q * q) AS BIGINT) AS power_q
+        FROM qq GROUP BY user_id
+    )
+    SELECT user_id, n, power_q,
+           CAST(power_q AS DOUBLE) / CAST(n AS DOUBLE) AS band_power
+    FROM agg"""

@@ -168,3 +168,33 @@ def test_pq_serving_table_is_narrow(spark):
         )
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_new_corpus_ops_plan_shapes(spark):
+    """tfidf / fluency: no cartesian; the only BroadcastNestedLoopJoin
+    allowed is the deliberate 1-row corpus-total broadcast. The model
+    join stays an equi-join (broadcastable by AQE, shuffle at scale)."""
+    from jagular_spark.workloads import docs_bigram_fluency, docs_tfidf_top
+
+    for fn, allow_bnlj in ((docs_tfidf_top, True), (docs_bigram_fluency, False)):
+        p = _formatted(fn(spark, SF))
+        assert "CartesianProduct" not in p, fn.__name__
+        if not allow_bnlj:
+            assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+
+
+def test_knn_classify_corpus_never_shuffles(spark):
+    """The kNN vote broadcasts the probe side; the corpus side must
+    reach the join without an Exchange (scan → project → broadcast
+    join), so the op scales with corpus size shuffle-free."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = sim.knn_classify(emb, F.col("id") < 3, k=5)
+    p = _formatted(df)
+    # exactly ONE shuffle in the whole plan (each node prints twice:
+    # tree + detail) — the corpus reaches the broadcast join straight
+    # from the scan, and the shuffle moves only the top-k survivors
+    shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    assert shuffles == 2, p[:2000]
+    # the top-k cut runs BEFORE that shuffle (partial WindowGroupLimit),
+    # so at most k rows per (query, input partition) are exchanged
+    assert "row_number(), 5, Partial" in p

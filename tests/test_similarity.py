@@ -418,3 +418,26 @@ def test_pq_codes_match_numpy_argmin(spark):
             cb = np.asarray(books[j], dtype=np.int64)
             d = ((cb - sub[None, :]) ** 2).sum(axis=1)
             assert got[i][j] == int(d.argmin())
+
+
+def test_knn_classify_votes_majority_label(spark):
+    import numpy as np
+
+    # 3 tight clusters on distinct axes; labels follow clusters except
+    # one mislabeled probe whose vote must override its own label
+    rows = []
+    rng = np.random.default_rng(7)
+    for cid, axis in enumerate(range(3)):
+        for j in range(8):
+            v = rng.normal(0, 0.01, 6)
+            v[axis] += 1.0
+            rows.append((cid * 8 + j, [float(x) for x in v], cid))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from pyspark.sql import functions as F
+    from jagular_spark.operators.similarity import knn_classify
+
+    out = {r.query_id: r for r in knn_classify(df, F.col("id") < 3, k=5).collect()}
+    assert set(out) == {0, 1, 2}
+    for q in out.values():
+        assert q.pred_label == q.true_label == 0  # probes are cluster 0
+        assert q.votes == 5  # all 5 nearest neighbors share the cluster

@@ -146,3 +146,40 @@ def test_decontaminate_crafted(spark):
     assert got[1][1] is True and got[1][0] >= 2
     assert got[2] == (0, False)
     assert got[3] == (0, False)
+
+
+def test_tfidf_top_ranks_rare_terms_highest(spark):
+    rows = [
+        (0, "common rare common common unique"),
+        (1, "common filler filler words here"),
+        (2, "common more words again filler"),
+        (3, "common words words yet another"),
+    ]
+    out = txt.tfidf_top(_df(spark, rows), top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: "rare"/"unique" (df=1, score 4e6) outrank "common"
+    # (df=4 → tf 3 · idf 1e6 = 3e6) despite the higher tf
+    top0 = sorted(by_doc[0], key=lambda r: r.rank)
+    assert {top0[0].token, top0[1].token} == {"rare", "unique"}
+    # score is the exact integer surrogate tf * ((N * 1e6) DIV df)
+    assert all(r.score == r.tf * ((4 * 1_000_000) // r.df) for r in out)
+    # deterministic ties: equal scores ordered by token ascending
+    assert top0[0].token == "rare"
+
+
+def test_bigram_fluency_scores_coherent_text_higher(spark):
+    # "a b" appears in 3 docs; the shuffled doc's bigrams are unique
+    rows = [
+        (0, "a b c d", "en"),
+        (1, "a b c d", "en"),
+        (2, "a b c d", "en"),
+        (3, "d c b a", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in txt.bigram_fluency(df).collect()}
+    assert out[0].n_bigrams == 3 and out[0].freq_sum == 9
+    assert out[3].freq_sum == 3  # each reversed bigram occurs once
+    assert out[0].fluency > out[3].fluency
+    assert out[0].fluency == out[0].freq_sum / out[0].n_bigrams
