@@ -381,14 +381,41 @@ def bigram_fluency(
     the model table would be materialized once and reused (see the
     frozen-model streaming twin in streaming/pipeline.py).
     ``(id, group, n_bigrams, freq_sum, fluency)``."""
+    bg = bigram_explode(df, id_col, text_col, group_col)
+    return score_bigrams(bg, bigram_model(bg), id_col, group_col)
+
+
+def bigram_explode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Row-local token-bigram explode (shared by the batch fit+score and
+    the frozen-model streaming twin). ``(id, group, bg)``."""
     bgs = F.expr(
         f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
         f"if(size(t) >= 2, "
         f"   transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])), "
         f"   cast(array() as array<string>)))[0]"
     )
-    bg = df.select(F.col(id_col), F.col(group_col), F.explode(bgs).alias("bg"))
-    model = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return df.select(F.col(id_col), F.col(group_col), F.explode(bgs).alias("bg"))
+
+
+def bigram_model(bg: DataFrame) -> DataFrame:
+    """The bigram LM: one global hash aggregate. ``(bg, cnt)``."""
+    return bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def score_bigrams(
+    bg: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Score exploded bigrams against a (bg, cnt) model: inner equi-join
+    (stream-static and stateless when ``bg`` is a stream and ``model``
+    a frozen batch table) + one per-doc hash aggregate."""
     return (
         bg.join(model, "bg")
         .groupBy(id_col, group_col)

@@ -330,3 +330,18 @@ def stream_lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
         "append",
         "NoTimeout",
     )
+
+
+def stream_fluency_score(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Frozen-model LM quality scoring on a document stream: the bigram
+    model is fit offline (operators.text.bigram_model over the training
+    corpus — the CCNet shape: the LM never updates while serving) and
+    arriving docs are scored incrementally. The explode is row-local,
+    the model join is STREAM-STATIC (stateless — no watermark needed for
+    it), and the only stateful piece is the per-doc aggregate; each doc's
+    bigrams arrive in one micro-batch, so any output mode works.
+    Bit-identical to the batch ``bigram_fluency`` when ``model`` is fit
+    on the same corpus (parity test in tests/test_streaming.py)."""
+    from jagular_spark.operators.text import bigram_explode, score_bigrams
+
+    return score_bigrams(bigram_explode(docs), F.broadcast(model))

@@ -493,3 +493,26 @@ def test_stream_ivfpq_index_maintenance(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ivfpq_idx").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_fluency_matches_batch_with_frozen_model(spark, tmp_path):
+    """Frozen-LM scoring: fit the bigram model in batch, score the same
+    corpus as a stream — results must be bit-identical to the batch
+    fit+score (same model, same docs, same integer sums)."""
+    from jagular_spark.operators.text import (
+        bigram_explode,
+        bigram_fluency,
+        bigram_model,
+    )
+    from jagular_spark.streaming.pipeline import stream_fluency_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    model = bigram_model(bigram_explode(docs)).localCheckpoint()
+    stream = _as_stream(spark, docs, tmp_path, "fl_docs")
+    out = stream_fluency_score(stream, model)
+    _run_to_memory(out, "fluency", "complete")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM fluency").collect()}
+    want = {tuple(r) for r in bigram_fluency(docs).collect()}
+    assert got == want and len(got) > 0
