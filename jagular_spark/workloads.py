@@ -198,6 +198,62 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting, adapted to the driver
+    schema): lineitem filtered to returns joins a quarter of orders,
+    customer, and the broadcast nation dim; revenue is the shared
+    split-sum quanta expression; deterministic top-20 by (revenue DESC,
+    custkey)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_disc_price_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the HAVING-subquery becomes
+    an aggregate-then-join — the big-order keylist IS the quantity
+    total, so no re-aggregation after the join (one shuffle agg + two
+    joins, the small agg side broadcast by AQE). Quantities are integral
+    doubles cast to BIGINT, so the sum is exact on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.to_utc_timestamp(F.col("o_orderdate"), "UTC")).alias(
+                "o_orderdate_us"
+            ),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window (SURVEY W8): row_number per customer by price."""
     orders = load(spark, sf_dir, "orders")
@@ -1799,6 +1855,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curation_funnel": docs_curation_funnel,
     "events_asof": events_asof,
     "events_asof_nearest": events_asof_nearest,
+    "q10_returned_items": q10_returned_items,
+    "q18_large_volume_customers": q18_large_volume_customers,
     "docs_tfidf_top": docs_tfidf_top,
     "docs_bigram_fluency": docs_bigram_fluency,
     "emb_knn_classify": emb_knn_classify,
@@ -3161,3 +3219,37 @@ ORACLE_SQL["events_band_power"] = f"""
     SELECT user_id, n, power_q,
            CAST(power_q AS DOUBLE) / CAST(n AS DOUBLE) AS band_power
     FROM agg"""
+
+# Q10/Q18 oracles share the split-sum revenue recombination (see
+# _disc_price_sum: identical expression tree → hash-equal at any sf).
+_REV_SPLIT_SQL = f"""(CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0"""
+
+ORACLE_SQL["q10_returned_items"] = f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name, {_REV_SPLIT_SQL} AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20"""
+
+ORACLE_SQL["q18_large_volume_customers"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100"""
