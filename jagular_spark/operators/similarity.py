@@ -619,14 +619,25 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's LSH
-    bucket, then exact integer-dot ranking within candidates. Trades
+    bucket NEIGHBORHOOD — multi-probe over every bucket within Hamming
+    distance 1 of the probe's own (the standard recall fix for
+    single-bucket LSH: near neighbors that flip one hyperplane sign are
+    still found; measured in the emb_ann_recall driver audit). Trades
     recall for a corpus-partitionable bucket join (no broadcast of the
-    corpus, no all-pairs). The probe branch re-scans with its pushed-down
-    filter (tiny read); the corpus side scans once — no self-join."""
+    corpus, no all-pairs): the probe side fans out ×(n_planes+1) rows —
+    tiny, broadcast — while the corpus side still scans once with its
+    single true bucket. Exact integer-dot ranking within candidates."""
     base = _normed_bucketed(df, id_col, vec_col, n_planes, dim)
-    probes = base.where(probe_filter).select(
-        F.col("id").alias("query_id"), F.col("iv").alias("iv_a"),
-        F.col("nrm").alias("nrm_a"), F.col("bucket").alias("qb"),
+    masks = F.array(F.lit(0), *[F.lit(1 << j) for j in range(n_planes)])
+    probes = (
+        base.where(probe_filter)
+        .select(
+            F.col("id").alias("query_id"), F.col("iv").alias("iv_a"),
+            F.col("nrm").alias("nrm_a"),
+            F.explode(
+                F.transform(masks, lambda m: F.col("bucket").bitwiseXOR(m))
+            ).alias("qb"),
+        )
     )
     corpus = base.select(
         F.col("id").alias("neighbor_id"), F.col("iv").alias("iv_b"),

@@ -753,7 +753,7 @@ def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates restricted to the probe's hyperplane bucket, exact
     integer-dot ranking inside."""
     emb = load(spark, sf_dir, "embeddings")
-    return sim.ann_topk_lsh(emb, F.col("id") < 20, k=5)
+    return sim.ann_topk_lsh(emb, F.col("id") < 20, k=5, n_planes=6)
 
 
 def events_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,6 +1202,57 @@ def emb_ann_topk_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return sim.ann_topk_ivf_frozen(
         emb, F.col("id") < 20, _IVF_FROZEN_CENTS, k=5, nprobe=2
+    )
+
+
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for BOTH approximate ANN serving paths against the
+    exact brute-force top-k, computed inside the engine (and replayed by
+    the oracle), so index quality is a first-class, hash-verified
+    metric instead of an offline eyeball: per (method, probe) the
+    exact/approx result sizes, their overlap, and recall@5. The exact
+    result is materialized once and shared by both comparisons.
+    All-integer counts; recall is the single final division."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = F.col("id") < 20
+    exact = (
+        sim.ann_topk_bruteforce(emb, probes, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    variants = {
+        "lsh": sim.ann_topk_lsh(emb, probes, k=5, n_planes=6),
+        "ivf": sim.ann_topk_ivf_frozen(emb, probes, _IVF_FROZEN_CENTS, k=5, nprobe=2),
+    }
+    ne = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    parts = []
+    for method, ap in variants.items():
+        ap = ap.select("query_id", "neighbor_id")
+        na = ap.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_approx")
+        )
+        nov = (
+            exact.join(ap, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        )
+        parts.append(
+            ne.join(na, "query_id", "left")
+            .join(nov, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                "n_exact",
+                F.coalesce("n_approx", F.lit(0).cast("long")).alias("n_approx"),
+                F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            )
+        )
+    u = parts[0].unionByName(parts[1])
+    return u.withColumn(
+        "recall",
+        F.col("n_overlap").cast("double") / F.col("n_exact").cast("double"),
     )
 
 
@@ -1856,6 +1907,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": events_asof,
     "events_asof_nearest": events_asof_nearest,
     "q10_returned_items": q10_returned_items,
+    "emb_ann_recall": emb_ann_recall,
     "q18_large_volume_customers": q18_large_volume_customers,
     "docs_tfidf_top": docs_tfidf_top,
     "docs_bigram_fluency": docs_bigram_fluency,
@@ -2417,13 +2469,24 @@ def _extension_oracles() -> dict[str, str]:
                CAST(i.iv - r.m AS DOUBLE) AS value_ref
         FROM iv i JOIN ref r ON i.minute = r.minute"""
 
-    plane_terms = []
-    for j in range(8):
-        signs = "[" + ", ".join(str(sim._plane_sign(j, i)) for i in range(64)) + "]"
-        plane_terms.append(
-            f"CAST(list_sum(list_transform(generate_series(1, 64), i -> ({signs}[i]) * iv[i])) AS BIGINT) AS p{j}"
-        )
-    bucket_expr = " + ".join(f"(CASE WHEN p{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    def _lsh_parts(n_planes: int):
+        terms = []
+        for j in range(n_planes):
+            signs = "[" + ", ".join(str(sim._plane_sign(j, i)) for i in range(64)) + "]"
+            terms.append(
+                f"CAST(list_sum(list_transform(generate_series(1, 64), i -> ({signs}[i]) * iv[i])) AS BIGINT) AS p{j}"
+            )
+        bexpr = " + ".join(f"(CASE WHEN p{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes))
+        msks = ", ".join(str(m) for m in [0] + [1 << j for j in range(n_planes)])
+        return terms, bexpr, msks
+
+    plane_terms, bucket_expr, _ = _lsh_parts(8)
+    # the top-k query runs 6 planes (64 buckets): at fixture scale the
+    # 8-plane table is so sparse (~2 vectors/bucket) that even
+    # multi-probe recall collapses — 6 planes keeps the sub-linear
+    # bucket-join shape with usable occupancy (recall audited by
+    # emb_ann_recall)
+    plane_terms6, bucket_expr6, masks6 = _lsh_parts(6)
     pair_dot = (
         "CAST(list_sum(list_transform(generate_series(1, len(q.iv)), "
         "i -> q.iv[i] * c.iv[i])) AS BIGINT)"
@@ -2439,17 +2502,21 @@ def _extension_oracles() -> dict[str, str]:
                         i -> iv[i] * iv[i])) AS BIGINT) AS nrm
             FROM base
         ), proj AS (
-            SELECT vec_id, {', '.join(plane_terms)} FROM base
+            SELECT vec_id, {', '.join(plane_terms6)} FROM base
         ), bucketed AS (
-            SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM proj
+            SELECT vec_id, CAST({bucket_expr6} AS BIGINT) AS bucket FROM proj
+        ), qprobes AS (
+            -- multi-probe: the probe's own bucket + every Hamming-1 flip
+            SELECT b.vec_id, xor(b.bucket, t.m) AS pb
+            FROM bucketed b, UNNEST([{masks6}]) AS t(m)
+            WHERE b.vec_id < 20
         ), scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {pair_dot} AS dot,
                    q.nrm AS nrm_a, c.nrm AS nrm_b
-            FROM normed q
-            JOIN bucketed qb ON qb.vec_id = q.vec_id
-            JOIN bucketed cb ON cb.bucket = qb.bucket AND cb.vec_id != q.vec_id
+            FROM qprobes p
+            JOIN normed q ON q.vec_id = p.vec_id
+            JOIN bucketed cb ON cb.bucket = p.pb AND cb.vec_id != p.vec_id
             JOIN normed c ON c.vec_id = cb.vec_id
-            WHERE q.vec_id < 20
         ), ranked AS (
             SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -3253,3 +3320,42 @@ ORACLE_SQL["q18_large_volume_customers"] = """
     JOIN customer ON c_custkey = o_custkey
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 100"""
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the recall audit from the ALREADY-VERIFIED per-method
+    oracles (brute / LSH / frozen-IVF result sets as subquery CTEs) —
+    the metric layer adds only integer counts + one division."""
+    exact_sql = ORACLE_SQL["emb_ann_topk"]
+    method_sqls = {
+        "lsh": ORACLE_SQL["emb_ann_topk_lsh"],
+        "ivf": ORACLE_SQL["emb_ann_topk_ivf_frozen"],
+    }
+    parts = []
+    for m, msql in method_sqls.items():
+        parts.append(f"""
+    SELECT '{m}' AS method, ne.query_id, ne.n_exact,
+           COALESCE(na.n_approx, CAST(0 AS BIGINT)) AS n_approx,
+           COALESCE(nov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+    FROM (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM ({exact_sql}) e GROUP BY query_id
+    ) ne
+    LEFT JOIN (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+        FROM ({msql}) a GROUP BY query_id
+    ) na ON ne.query_id = na.query_id
+    LEFT JOIN (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM ({exact_sql}) e JOIN ({msql}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    ) nov ON ne.query_id = nov.query_id""")
+    body = "\n    UNION ALL\n".join(parts)
+    return f"""
+    SELECT method, query_id, n_exact, n_approx, n_overlap,
+           CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+    FROM ({body})"""
+
+
+ORACLE_SQL["emb_ann_recall"] = _ann_recall_oracle()

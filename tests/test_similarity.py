@@ -94,11 +94,12 @@ def test_ann_lsh_is_subset_ranked_like_bruteforce(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
-    # candidates come only from the probe's bucket, and the approximate
-    # best can never beat the exact best
+    # candidates come only from the probe's multi-probe neighborhood
+    # (Hamming ≤ 1 in bucket space), and the approximate best can never
+    # beat the exact best
     buckets = {r.vec_id: r.bucket for r in sim.lsh_bucket_assign(emb).collect()}
     for r in approx:
-        assert buckets[r.query_id] == buckets[r.neighbor_id]
+        assert bin(buckets[r.query_id] ^ buckets[r.neighbor_id]).count("1") <= 1
     exact_best = {r.query_id: r.cos for r in exact if r.rank == 1}
     for r in approx:
         if r.rank == 1:
