@@ -1670,6 +1670,98 @@ def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pearson r from integer moments: the literal expression string is fed
+# to BOTH engines (Spark F.expr and DuckDB), so the float tree is
+# identical by construction. Moments stay exact BIGINT; only this final
+# expression is floating.
+_XCORR_R = (
+    "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))"
+)
+_XCORR_CORR = (
+    f"CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    f" * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <= 0"
+    f" THEN NULL ELSE {_XCORR_R} END"
+)
+
+
+def events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel lag correlation (multi-electrode coupling audit):
+    Pearson r between every channel pair of a 4-channel subset at lags
+    −2..+2 samples. The pair alignment is an EQUI-join on the shifted
+    sample index (t_plus = t + lag precomputed on the exploded probe
+    side — a hash join, not a theta join); all five moments accumulate
+    in exact BIGINT quanta (floor(value·10³)); the only float step is
+    the final shared correlation expression."""
+    s = _rn_samples(spark, sf_dir, max_channel=4).select(
+        F.col("channel_id").cast("long").alias("ch"),
+        F.col("ts").alias("t"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("iv"),
+    ).localCheckpoint(eager=False)
+    lags = spark.range(-2, 3).select(F.col("id").cast("long").alias("lag_k"))
+    a = (
+        s.select(F.col("ch").alias("ch_a"), "t", F.col("iv").alias("ia"))
+        .crossJoin(F.broadcast(lags))
+        .withColumn("t_plus", F.col("t") + F.col("lag_k"))
+    )
+    b = s.select(
+        F.col("ch").alias("ch_b"), F.col("t").alias("tb"), F.col("iv").alias("ib")
+    )
+    pr = a.join(
+        b, (F.col("tb") == F.col("t_plus")) & (F.col("ch_a") < F.col("ch_b"))
+    )
+    m = pr.groupBy("ch_a", "ch_b", "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ia").cast("long").alias("sa"),
+        F.sum("ib").cast("long").alias("sb"),
+        F.sum(F.col("ia") * F.col("ia")).cast("long").alias("saa"),
+        F.sum(F.col("ib") * F.col("ib")).cast("long").alias("sbb"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("sab"),
+    )
+    return m.select(
+        "ch_a", "ch_b", "lag_k", "n", "sab", F.expr(_XCORR_CORR).alias("corr")
+    )
+
+
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-channel outlier clipping (winsorize to the exact
+    [p01, p99] band): artifact rejection for recordings / heavy-tail
+    clamping for feature columns. The quantiles are DISCRETE
+    rank-selected order statistics (deterministic ties via (us,
+    event_id)), computed as window aggregates over the SAME partition
+    the rank sort uses — one shuffle total, no quantile-table join back;
+    the clip itself is pure comparison/selection (no float arithmetic),
+    so the result hash-matches trivially."""
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "us", "value")
+    wo = Window.partitionBy("user_id").orderBy("value", "us", "event_id")
+    wp = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = ev.select(
+        "user_id", "event_id", "us", "value",
+        (F.row_number().over(wo) - 1).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    idx_lo = F.floor((F.col("cnt") - 1) * F.lit(0.01)).cast("long")
+    idx_hi = F.floor((F.col("cnt") - 1) * F.lit(0.99)).cast("long")
+    lo = F.max(F.when(F.col("rn") == idx_lo, F.col("value"))).over(wp)
+    hi = F.max(F.when(F.col("rn") == idx_hi, F.col("value"))).over(wp)
+    out = ranked.select(
+        "user_id", "event_id", "us", "value",
+        lo.alias("lo"), hi.alias("hi"),
+    )
+    return out.select(
+        "user_id", "event_id", "us", "value", "lo", "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "value_clipped"
+        ),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the canonical timeseries enrichment Spark
     lacks natively): every 'view' event gets the most recent preceding
@@ -1908,6 +2000,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_nearest": events_asof_nearest,
     "q10_returned_items": q10_returned_items,
     "emb_ann_recall": emb_ann_recall,
+    "events_winsorize": events_winsorize,
+    "events_xcorr": events_xcorr,
     "q18_large_volume_customers": q18_large_volume_customers,
     "docs_tfidf_top": docs_tfidf_top,
     "docs_bigram_fluency": docs_bigram_fluency,
@@ -3359,3 +3453,49 @@ def _ann_recall_oracle() -> str:
 
 
 ORACLE_SQL["emb_ann_recall"] = _ann_recall_oracle()
+
+# Winsorize: discrete rank-selected p01/p99 + pure-comparison clip —
+# no float arithmetic anywhere, so parity is structural.
+ORACLE_SQL["events_winsorize"] = """
+    WITH ranked AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY value, epoch_us(ts), event_id) AS BIGINT) - 1 AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+    ), q AS (
+        SELECT user_id, event_id, us, value,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.01) AS BIGINT)
+                   THEN value END) OVER (PARTITION BY user_id) AS lo,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.99) AS BIGINT)
+                   THEN value END) OVER (PARTITION BY user_id) AS hi
+        FROM ranked
+    )
+    SELECT user_id, event_id, us, value, lo, hi,
+           LEAST(GREATEST(value, lo), hi) AS value_clipped,
+           (value < lo OR value > hi) AS was_clipped
+    FROM q"""
+
+ORACLE_SQL["events_xcorr"] = f"""
+    WITH s AS (
+        SELECT user_id AS ch,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS t,
+               CAST(floor(value * 1000) AS BIGINT) AS iv
+        FROM events WHERE user_id < 4
+    ), lags(lag_k) AS (
+        SELECT CAST(x AS BIGINT) FROM UNNEST([-2, -1, 0, 1, 2]) AS u(x)
+    ), pr AS (
+        SELECT a.ch AS ch_a, b.ch AS ch_b, l.lag_k,
+               a.iv AS ia, b.iv AS ib
+        FROM s a CROSS JOIN lags l
+        JOIN s b ON b.t = a.t + l.lag_k AND a.ch < b.ch
+    ), m AS (
+        SELECT ch_a, ch_b, lag_k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ia) AS BIGINT) AS sa, CAST(SUM(ib) AS BIGINT) AS sb,
+               CAST(SUM(ia * ia) AS BIGINT) AS saa,
+               CAST(SUM(ib * ib) AS BIGINT) AS sbb,
+               CAST(SUM(ia * ib) AS BIGINT) AS sab
+        FROM pr GROUP BY ch_a, ch_b, lag_k
+    )
+    SELECT ch_a, ch_b, lag_k, n, sab, {_XCORR_CORR} AS corr FROM m"""
