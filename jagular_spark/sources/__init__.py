@@ -1,3 +1,7 @@
+from jagular_spark.sources.bucketed import (  # noqa: F401
+    read_table,
+    write_bucketed_table,
+)
 from jagular_spark.sources.rec import (  # noqa: F401
     RecConfig,
     compact_parquet,

@@ -1,0 +1,39 @@
+"""Bucketed-table sink for shuffle-free co-located joins (SURVEY §4 /
+README scale notes: "pre-partition the big fact tables on their join
+key once at ingest, join for free forever").
+
+Spark's bucketing ties file layout to the join hash: two tables
+bucketed by the same key into the same bucket count satisfy the join's
+distribution requirement straight off the scan, so repeated large-fact
+joins skip BOTH Exchanges (verified by plan assertion in
+tests/test_skew_bucketing.py). Sorting within buckets additionally
+removes the per-task Sort of the sort-merge join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+    Bucket metadata only exists through the catalog — a plain
+    ``.parquet(path)`` write cannot carry it — hence ``saveAsTable``."""
+    cols = list(bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *cols)
+    if sort:
+        w = w.sortBy(*cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
