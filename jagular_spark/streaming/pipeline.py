@@ -345,3 +345,37 @@ def stream_fluency_score(docs: DataFrame, model: DataFrame) -> DataFrame:
     from jagular_spark.operators.text import bigram_explode, score_bigrams
 
     return score_bigrams(bigram_explode(docs), F.broadcast(model))
+
+
+def stream_band_energy(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window signal energy per channel — the watermarked
+    window-aggregate shape (the one streaming form the session-window /
+    GroupState ops don't cover): each (channel, window) emits its exact
+    integer energy once the watermark passes the window end. Late
+    samples inside the watermark still land in their window; beyond it
+    they're dropped — the documented trade of bounded state.
+    Quanta match events_band_power (q = floor(value·10³), Σq² BIGINT).
+    ``(key, win_start, win_end, n, power_q)``."""
+    q = F.expr(f"CAST(floor({value_col} * 1000.0) AS BIGINT)")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(q * q).cast("long").alias("power_q"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n",
+            "power_q",
+        )
+    )

@@ -516,3 +516,35 @@ def test_stream_fluency_matches_batch_with_frozen_model(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM fluency").collect()}
     want = {tuple(r) for r in bigram_fluency(docs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_band_energy_matches_batch_windows(spark, tmp_path):
+    """Tumbling-window energy: the streaming watermarked window agg must
+    emit exactly the batch per-(user, minute) integer energy."""
+    from jagular_spark.streaming.pipeline import stream_band_energy
+
+    ev = _events_batch(spark)
+    stream = _as_stream(spark, ev, tmp_path, "be_ev")
+    out = stream_band_energy(stream, window="1 minute", watermark="0 seconds")
+    _run_to_memory(out, "band_energy", "append")
+    got = {
+        (r.user_id, r.win_start, r.win_end, r.n, r.power_q)
+        for r in spark.sql("SELECT * FROM band_energy").collect()
+    }
+    q = F.expr("CAST(floor(value * 1000.0) AS BIGINT)")
+    # append mode emits a window only once the watermark (= max event
+    # time at availableNow completion) passes its END: the stream's
+    # final still-open windows are correctly absent — mirror that
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    want = {
+        tuple(r)
+        for r in ev.groupBy("user_id", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(q * q).cast("long").alias("power_q"),
+        )
+        .select("user_id", F.col("w.start"), F.col("w.end"), "n", "power_q")
+        .where(F.col("end") <= F.lit(max_ts))
+        .collect()
+    }
+    assert got == want and len(got) > 0
