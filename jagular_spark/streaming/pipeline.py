@@ -379,3 +379,40 @@ def stream_band_energy(
             "power_q",
         )
     )
+
+
+def stream_interval_enrich(
+    left: DataFrame,
+    right: DataFrame,
+    tolerance: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the windowed
+    enrichment primitive (as-of's streaming sibling: every left event
+    pairs with ALL right events in its trailing tolerance window;
+    exact as-of needs a global argmax that append streams can't emit
+    incrementally, so the interval form is the honest streaming
+    contract). Both sides carry watermarks and the join condition
+    bounds right's event time to [left − tolerance, left], which lets
+    the state store evict rows older than watermark + tolerance —
+    state stays O(in-flight window), not O(stream).
+    Returns left's columns + ``r_ts`` / ``r_value``.
+    Bit-identical to the batch range join (parity test)."""
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = (
+        right.select(
+            F.col(key_col).alias("r_key"),
+            F.col(ts_col).alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{key_col}") == F.col("r.r_key"))
+        & (F.col("r.r_ts") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col("r.r_ts") <= F.col(f"l.{ts_col}"))
+    )
+    return l.join(r, cond, "inner").drop("r_key")

@@ -548,3 +548,38 @@ def test_stream_band_energy_matches_batch_windows(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_interval_enrich_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join == the batch range join row-for-row
+    (views enriched with every purchase in the trailing 5 minutes)."""
+    from jagular_spark.streaming.pipeline import stream_interval_enrich
+
+    ev = _events_batch(spark)
+    views = ev.where(F.col("event_type") == "view") if "event_type" in ev.columns else ev.where(F.col("event_id") % 2 == 0)
+    buys = ev.where(F.col("event_type") == "purchase") if "event_type" in ev.columns else ev.where(F.col("event_id") % 2 == 1)
+    vs = _as_stream(spark, views, tmp_path, "iv_views")
+    bs = _as_stream(spark, buys, tmp_path, "iv_buys")
+    out = stream_interval_enrich(vs, bs, tolerance="5 minutes", watermark="0 seconds")
+    _run_to_memory(out, "enriched", "append")
+    got = {
+        (r.user_id, r.event_id, r.ts, r.r_ts, r.r_value)
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.ts, r.r_ts, r.r_value)
+        for r in views.alias("l")
+        .join(
+            buys.select(
+                F.col("user_id").alias("r_key"),
+                F.col("ts").alias("r_ts"),
+                F.col("value").alias("r_value"),
+            ).alias("r"),
+            (F.col("l.user_id") == F.col("r.r_key"))
+            & (F.col("r.r_ts") >= F.col("l.ts") - F.expr("INTERVAL 5 minutes"))
+            & (F.col("r.r_ts") <= F.col("l.ts")),
+            "inner",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
