@@ -154,3 +154,106 @@ def test_chunking_matches_python_reference(spark, docs, chunk, stride):
         for i, words in enumerate(docs):
             covered = sum(n for (d, _), (_, n, _) in got.items() if d == i)
             assert covered >= len(words)  # full coverage (overlap counts twice)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key (few → collisions)
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+@SET
+def test_salted_agg_equals_python_groupby(spark, rows, n_salts):
+    from collections import defaultdict
+
+    from jagular_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r.k, r.total, r.n, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"total": ("sum", "v"), "n": ("count", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")},
+            n_salts=n_salts,
+        ).collect()
+    }
+    acc = defaultdict(list)
+    for k, v in rows:
+        acc[k].append(v)
+    want = {(k, sum(vs), len(vs), min(vs), max(vs)) for k, vs in acc.items()}
+    assert got == want
+
+
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 100)), min_size=0, max_size=50
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 100)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    n_salts=st.integers(min_value=1, max_value=4),
+    how=st.sampled_from(["inner", "left"]),
+)
+@SET
+def test_salted_join_equals_python_join(spark, big, small, n_salts, how):
+    from jagular_spark.operators.skew import salted_join
+
+    b = spark.createDataFrame(big, "k long, v long") if big else spark.createDataFrame([], "k long, v long")
+    s = spark.createDataFrame(small, "k long, w long") if small else spark.createDataFrame([], "k long, w long")
+    got = sorted(
+        (r.k, r.v, r.w) for r in salted_join(b, s, ["k"], n_salts=n_salts, how=how).collect()
+    )
+    lut = dict(small)
+    want = []
+    for k, v in big:
+        if k in lut:
+            want.append((k, v, lut[k]))
+        elif how == "left":
+            want.append((k, v, None))
+    assert got == sorted(want)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-500, max_value=500), min_size=1, max_size=80),
+)
+@SET
+def test_winsorize_band_is_exact_order_statistic(spark, vals):
+    """The p01/p99 band must equal numpy's 'lower' (discrete) quantile
+    and every clipped value must sit inside it."""
+    from jagular_spark.workloads import SPARK_QUERIES  # noqa: F401  (import check)
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    rows = [(0, i, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long, value double")
+    wo = Window.partitionBy("user_id").orderBy("value", "us", "event_id")
+    wp = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.select(
+        "user_id", "value",
+        (F.row_number().over(wo) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    lo = F.max(F.when(F.col("rn") == F.floor((F.col("cnt") - 1) * F.lit(0.01)), F.col("value"))).over(wp)
+    hi = F.max(F.when(F.col("rn") == F.floor((F.col("cnt") - 1) * F.lit(0.99)), F.col("value"))).over(wp)
+    out = ranked.select(
+        F.least(F.greatest(F.col("value"), lo), hi).alias("c"), lo.alias("lo"), hi.alias("hi")
+    ).collect()
+    sv = sorted(float(v) for v in vals)
+    n = len(sv)
+    exp_lo = sv[int(np.floor((n - 1) * 0.01))]
+    exp_hi = sv[int(np.floor((n - 1) * 0.99))]
+    for r in out:
+        assert r.lo == exp_lo and r.hi == exp_hi
+        assert exp_lo <= r.c <= exp_hi
