@@ -702,6 +702,43 @@ def docs_vocab_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.vocab_top_df(load(spark, sf_dir, "documents"))
 
 
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing bookkeeping: docs are packed in
+    deterministic doc_id order into 2048-token sequences PER SOURCE
+    SHARD (packing is per-shard in practice, which is exactly what
+    makes the running offset a partitioned window cumsum instead of an
+    unscalable global one). A doc is assigned to the sequence its first
+    token lands in (seq = offset DIV 2048); per (source, seq) we emit
+    doc count, token fill, and whether the tail doc straddles the
+    boundary — the padding/fragmentation audit a packing job reports.
+    All-integer; hash-exact."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = docs.select("source", "doc_id", n_tok.alias("nt")).select(
+        "source",
+        "doc_id",
+        "nt",
+        (F.sum("nt").over(w) - F.col("nt")).alias("off"),
+    )
+    per_doc = base.select(
+        "source",
+        "nt",
+        F.expr("off DIV 2048").alias("seq_id"),
+        # does this doc run past its sequence's right edge?
+        F.expr("((off + nt - 1) DIV 2048) > (off DIV 2048)").alias("straddles"),
+    )
+    return per_doc.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum(F.col("straddles").cast("long")).cast("long").alias("n_straddle"),
+    )
+
+
 def docs_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture bookkeeping per (lang, source) domain: docs,
     exact token totals, token share of the corpus."""
@@ -1964,6 +2001,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_wav_roundtrip": docs_media_wav_roundtrip,
     "docs_vocab_topdf": docs_vocab_topdf,
     "docs_domain_mixture": docs_domain_mixture,
+    "docs_pack_sequences": docs_pack_sequences,
     "docs_simhash": docs_simhash,
     "emb_cosine_neardup": emb_cosine_neardup,
     "emb_ann_topk": emb_ann_topk,
@@ -3499,3 +3537,28 @@ ORACLE_SQL["events_xcorr"] = f"""
         FROM pr GROUP BY ch_a, ch_b, lag_k
     )
     SELECT ch_a, ch_b, lag_k, n, sab, {_XCORR_CORR} AS corr FROM m"""
+
+# Sequence packing: per-shard running token offset (window cumsum),
+# seq assignment by integer floor-division of the start offset.
+ORACLE_SQL["docs_pack_sequences"] = """
+    WITH base AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+        FROM documents
+    ), offs AS (
+        SELECT source, nt,
+               CAST(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+                    AS BIGINT) AS off
+        FROM base
+    ), per_doc AS (
+        SELECT source, nt,
+               off // 2048 AS seq_id,
+               ((off + nt - 1) // 2048) > (off // 2048) AS straddles
+        FROM offs
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+    FROM per_doc GROUP BY source, seq_id"""
