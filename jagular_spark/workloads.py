@@ -222,6 +222,29 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitem joined to the
+    part dim, promo revenue share as the ratio of two split-summed
+    quanta revenues (each recombined exactly as in _disc_price_sum, so
+    the single ratio is bit-identical across engines)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    part = load(spark, sf_dir, "part")
+    promo_q = f"CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_QUANTA} ELSE CAST(0 AS BIGINT) END"
+    hi_p = F.sum(F.expr(f"({promo_q}) DIV 2147483648"))
+    lo_p = F.sum(F.expr(f"({promo_q}) % 2147483648"))
+    hi_a = F.sum(F.expr(f"({_DISC_PRICE_QUANTA}) DIV 2147483648"))
+    lo_a = F.sum(F.expr(f"({_DISC_PRICE_QUANTA}) % 2147483648"))
+    promo = (hi_p.cast("double") * F.lit(2147483648.0) + lo_p.cast("double")) / F.lit(1e8)
+    total = (hi_a.cast("double") * F.lit(2147483648.0) + lo_a.cast("double")) / F.lit(1e8)
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        (F.lit(100.0) * promo / total).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers): the HAVING-subquery becomes
     an aggregate-then-join — the big-order keylist IS the quantity
@@ -2040,6 +2063,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_recall": emb_ann_recall,
     "events_winsorize": events_winsorize,
     "events_xcorr": events_xcorr,
+    "q14_promo_effect": q14_promo_effect,
     "q18_large_volume_customers": q18_large_volume_customers,
     "docs_tfidf_top": docs_tfidf_top,
     "docs_bigram_fluency": docs_bigram_fluency,
@@ -3562,3 +3586,23 @@ ORACLE_SQL["docs_pack_sequences"] = """
            CAST(SUM(nt) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
     FROM per_doc GROUP BY source, seq_id"""
+
+_PROMO_QUANTA = (
+    f"CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_QUANTA} ELSE CAST(0 AS BIGINT) END"
+)
+ORACLE_SQL["q14_promo_effect"] = f"""
+    SELECT 100.0 *
+           ((CAST(CAST(SUM(({_PROMO_QUANTA}) // 2147483648) AS BIGINT) AS DOUBLE)
+                * 2147483648.0
+             + CAST(CAST(SUM(({_PROMO_QUANTA}) % 2147483648) AS BIGINT) AS DOUBLE))
+            / 100000000.0)
+           /
+           ((CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) // 2147483648) AS BIGINT) AS DOUBLE)
+                * 2147483648.0
+             + CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) % 2147483648) AS BIGINT) AS DOUBLE))
+            / 100000000.0) AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'"""
