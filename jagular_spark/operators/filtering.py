@@ -331,3 +331,49 @@ def common_reference_packets(
         )
         .drop("__mean")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    partition_cols: Sequence[str] = ("channel_id",),
+    order_cols: Sequence[str] = (),
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Robust outlier clipping to the exact rank-selected [p_lo, p_hi]
+    band per group (artifact rejection / heavy-tail clamping). The
+    quantiles are DISCRETE order statistics — index floor((cnt−1)·p) of
+    the (value, *order_cols) sort, deterministic ties — computed as
+    window aggregates over the SAME partition the rank sort uses: one
+    shuffle total, no quantile-table join back. The clip itself is pure
+    comparison/selection (no float arithmetic), so cross-engine parity
+    is structural. Appends ``lo``, ``hi``, ``value_clipped``,
+    ``was_clipped`` to the input columns."""
+    keys = list(partition_cols)
+    cols = list(df.columns)
+    wo = Window.partitionBy(*keys).orderBy(value_col, *order_cols)
+    wp = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.select(
+        *cols,
+        (F.row_number().over(wo) - 1).cast("long").alias("__rn__"),
+        F.count(F.lit(1)).over(wp).alias("__cnt__"),
+    )
+    idx_lo = F.floor((F.col("__cnt__") - 1) * F.lit(p_lo)).cast("long")
+    idx_hi = F.floor((F.col("__cnt__") - 1) * F.lit(p_hi)).cast("long")
+    lo = F.max(F.when(F.col("__rn__") == idx_lo, F.col(value_col))).over(wp)
+    hi = F.max(F.when(F.col("__rn__") == idx_hi, F.col(value_col))).over(wp)
+    out = ranked.select(*cols, lo.alias("lo"), hi.alias("hi"))
+    return out.select(
+        *cols,
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi")).alias(
+            "value_clipped"
+        ),
+        (
+            (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
+        ).alias("was_clipped"),
+    )

@@ -338,8 +338,11 @@ def stream_fluency_score(docs: DataFrame, model: DataFrame) -> DataFrame:
     corpus — the CCNet shape: the LM never updates while serving) and
     arriving docs are scored incrementally. The explode is row-local,
     the model join is STREAM-STATIC (stateless — no watermark needed for
-    it), and the only stateful piece is the per-doc aggregate; each doc's
-    bigrams arrive in one micro-batch, so any output mode works.
+    it), and the only stateful piece is the per-doc aggregate. The
+    aggregate carries no watermark, so run the sink in ``update`` or
+    ``complete`` mode (``append`` requires a watermarked aggregation
+    and Spark rejects it here); each doc's bigrams arrive in one
+    micro-batch, so every emitted row is already final.
     Bit-identical to the batch ``bigram_fluency`` when ``model`` is fit
     on the same corpus (parity test in tests/test_streaming.py)."""
     from jagular_spark.operators.text import bigram_explode, score_bigrams

@@ -1792,33 +1792,18 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id)), computed as window aggregates over the SAME partition
     the rank sort uses — one shuffle total, no quantile-table join back;
     the clip itself is pure comparison/selection (no float arithmetic),
-    so the result hash-matches trivially."""
+    so the result hash-matches trivially. Operator:
+    operators/filtering.winsorize (shared with the hypothesis property
+    test, so the driver query and the numpy-checked band are the SAME
+    code path)."""
+    from jagular_spark.operators.filtering import winsorize
+
     ev = _events_us(spark, sf_dir).select("user_id", "event_id", "us", "value")
-    wo = Window.partitionBy("user_id").orderBy("value", "us", "event_id")
-    wp = Window.partitionBy("user_id").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = ev.select(
-        "user_id", "event_id", "us", "value",
-        (F.row_number().over(wo) - 1).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("cnt"),
-    )
-    idx_lo = F.floor((F.col("cnt") - 1) * F.lit(0.01)).cast("long")
-    idx_hi = F.floor((F.col("cnt") - 1) * F.lit(0.99)).cast("long")
-    lo = F.max(F.when(F.col("rn") == idx_lo, F.col("value"))).over(wp)
-    hi = F.max(F.when(F.col("rn") == idx_hi, F.col("value"))).over(wp)
-    out = ranked.select(
-        "user_id", "event_id", "us", "value",
-        lo.alias("lo"), hi.alias("hi"),
-    )
-    return out.select(
-        "user_id", "event_id", "us", "value", "lo", "hi",
-        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
-            "value_clipped"
-        ),
-        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
-            "was_clipped"
-        ),
+    return winsorize(
+        ev,
+        value_col="value",
+        partition_cols=("user_id",),
+        order_cols=("us", "event_id"),
     )
 
 

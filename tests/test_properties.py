@@ -229,27 +229,25 @@ def test_salted_join_equals_python_join(spark, big, small, n_salts, how):
 @SET
 def test_winsorize_band_is_exact_order_statistic(spark, vals):
     """The p01/p99 band must equal numpy's 'lower' (discrete) quantile
-    and every clipped value must sit inside it."""
-    from jagular_spark.workloads import SPARK_QUERIES  # noqa: F401  (import check)
+    and every clipped value must sit inside it — exercised through the
+    SAME operator the driver query uses (operators/filtering.winsorize),
+    so the production code path is what's being checked."""
     from pyspark.sql import functions as F
-    from pyspark.sql import Window
+
+    from jagular_spark.operators.filtering import winsorize
 
     rows = [(0, i, i, float(v)) for i, v in enumerate(vals)]
     df = spark.createDataFrame(rows, "user_id long, event_id long, us long, value double")
-    wo = Window.partitionBy("user_id").orderBy("value", "us", "event_id")
-    wp = Window.partitionBy("user_id").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    out = (
+        winsorize(
+            df,
+            value_col="value",
+            partition_cols=("user_id",),
+            order_cols=("us", "event_id"),
+        )
+        .select(F.col("value_clipped").alias("c"), "lo", "hi")
+        .collect()
     )
-    ranked = df.select(
-        "user_id", "value",
-        (F.row_number().over(wo) - 1).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("cnt"),
-    )
-    lo = F.max(F.when(F.col("rn") == F.floor((F.col("cnt") - 1) * F.lit(0.01)), F.col("value"))).over(wp)
-    hi = F.max(F.when(F.col("rn") == F.floor((F.col("cnt") - 1) * F.lit(0.99)), F.col("value"))).over(wp)
-    out = ranked.select(
-        F.least(F.greatest(F.col("value"), lo), hi).alias("c"), lo.alias("lo"), hi.alias("hi")
-    ).collect()
     sv = sorted(float(v) for v in vals)
     n = len(sv)
     exp_lo = sv[int(np.floor((n - 1) * 0.01))]

@@ -47,16 +47,12 @@ def test_salted_join_spreads_the_hot_key(spark):
     hash to n_salts distinct shuffle keys instead of one."""
     big = _skewed(spark)
     small = spark.range(4).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    from jagular_spark.operators.skew import _salt_col
+
     p = _formatted(salted_join(big, small, ["k"], n_salts=4))
     assert "__salt__" in p  # salt participates in the join condition
     salts = (
-        big.withColumn(
-            "__salt__",
-            F.pmod(
-                F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-                F.lit(4),
-            ),
-        )
+        big.withColumn("__salt__", _salt_col(4))
         .where(F.col("k") == 0)
         .select("__salt__")
         .distinct()
