@@ -10,13 +10,17 @@ from jagular_spark.operators.timestamps import (  # noqa: F401
 from jagular_spark.operators.interpolate import interpolate_gaps  # noqa: F401
 from jagular_spark.operators.graph import connected_components, dedup_clusters  # noqa: F401
 from jagular_spark.operators.sampling import hash_sample, stratified_sample  # noqa: F401
+from jagular_spark.operators.skew import salted_agg, salted_join  # noqa: F401
+from jagular_spark.operators.filtering import winsorize  # noqa: F401
 from jagular_spark.operators.text import (  # noqa: F401
+    bigram_fluency,
     bpe_token_stats,
     chunk_documents,
     decontaminate,
     domain_mixture,
     language_id,
     repetition_stats,
+    tfidf_top,
     vocab_top_df,
 )
 from jagular_spark.operators.similarity import (  # noqa: F401
@@ -26,6 +30,7 @@ from jagular_spark.operators.similarity import (  # noqa: F401
     ann_topk_ivf_pq,
     ann_topk_lsh,
     ivf_fit_centroids,
+    knn_classify,
     lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
