@@ -377,3 +377,62 @@ def winsorize(
             (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
         ).alias("was_clipped"),
     )
+
+
+# Pearson r from integer moments; one literal expression string shared
+# verbatim with the DuckDB oracle so the float tree matches exactly.
+XCORR_CORR_SQL = (
+    "CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <= 0"
+    " THEN NULL ELSE "
+    "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))"
+    " END"
+)
+
+
+def lag_correlation(
+    samples: DataFrame,
+    max_lag: int = 2,
+    ch_col: str = "ch",
+    ts_col: str = "t",
+    value_col: str = "iv",
+) -> DataFrame:
+    """Cross-channel lag correlation (multi-electrode coupling audit):
+    Pearson r between every channel pair at integer lags −max_lag..+max_lag.
+    ``value_col`` must already be integer-quantized — the five moments
+    accumulate in exact BIGINT; the only float step is the final shared
+    correlation expression (XCORR_CORR_SQL). Pair alignment is an
+    EQUI-join on the precomputed shifted index (hash join, not theta);
+    the input lineage is materialized once and feeds both sides.
+    ``(ch_a, ch_b, lag_k, n, sab, corr)``."""
+    s = samples.select(
+        F.col(ch_col).cast("long").alias("ch"),
+        F.col(ts_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("iv"),
+    ).localCheckpoint(eager=False)
+    spark = samples.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag_k")
+    )
+    a = (
+        s.select(F.col("ch").alias("ch_a"), "t", F.col("iv").alias("ia"))
+        .crossJoin(F.broadcast(lags))
+        .withColumn("t_plus", F.col("t") + F.col("lag_k"))
+    )
+    b = s.select(
+        F.col("ch").alias("ch_b"), F.col("t").alias("tb"), F.col("iv").alias("ib")
+    )
+    pr = a.join(b, (F.col("tb") == F.col("t_plus")) & (F.col("ch_a") < F.col("ch_b")))
+    m = pr.groupBy("ch_a", "ch_b", "lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ia").cast("long").alias("sa"),
+        F.sum("ib").cast("long").alias("sb"),
+        F.sum(F.col("ia") * F.col("ia")).cast("long").alias("saa"),
+        F.sum(F.col("ib") * F.col("ib")).cast("long").alias("sbb"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("sab"),
+    )
+    return m.select(
+        "ch_a", "ch_b", "lag_k", "n", "sab", F.expr(XCORR_CORR_SQL).alias("corr")
+    )

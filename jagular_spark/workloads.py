@@ -1730,20 +1730,9 @@ def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Pearson r from integer moments: the literal expression string is fed
-# to BOTH engines (Spark F.expr and DuckDB), so the float tree is
-# identical by construction. Moments stay exact BIGINT; only this final
-# expression is floating.
-_XCORR_R = (
-    "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
-    " / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
-    " * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))"
-)
-_XCORR_CORR = (
-    f"CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
-    f" * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <= 0"
-    f" THEN NULL ELSE {_XCORR_R} END"
-)
+# Pearson r expression shared verbatim with the DuckDB oracle — lives
+# beside the operator (operators/filtering.XCORR_CORR_SQL).
+from jagular_spark.operators.filtering import XCORR_CORR_SQL as _XCORR_CORR  # noqa: E402
 
 
 def events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1754,34 +1743,14 @@ def events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     side — a hash join, not a theta join); all five moments accumulate
     in exact BIGINT quanta (floor(value·10³)); the only float step is
     the final shared correlation expression."""
+    from jagular_spark.operators.filtering import lag_correlation
+
     s = _rn_samples(spark, sf_dir, max_channel=4).select(
-        F.col("channel_id").cast("long").alias("ch"),
+        F.col("channel_id").alias("ch"),
         F.col("ts").alias("t"),
         F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("iv"),
-    ).localCheckpoint(eager=False)
-    lags = spark.range(-2, 3).select(F.col("id").cast("long").alias("lag_k"))
-    a = (
-        s.select(F.col("ch").alias("ch_a"), "t", F.col("iv").alias("ia"))
-        .crossJoin(F.broadcast(lags))
-        .withColumn("t_plus", F.col("t") + F.col("lag_k"))
     )
-    b = s.select(
-        F.col("ch").alias("ch_b"), F.col("t").alias("tb"), F.col("iv").alias("ib")
-    )
-    pr = a.join(
-        b, (F.col("tb") == F.col("t_plus")) & (F.col("ch_a") < F.col("ch_b"))
-    )
-    m = pr.groupBy("ch_a", "ch_b", "lag_k").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("ia").cast("long").alias("sa"),
-        F.sum("ib").cast("long").alias("sb"),
-        F.sum(F.col("ia") * F.col("ia")).cast("long").alias("saa"),
-        F.sum(F.col("ib") * F.col("ib")).cast("long").alias("sbb"),
-        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("sab"),
-    )
-    return m.select(
-        "ch_a", "ch_b", "lag_k", "n", "sab", F.expr(_XCORR_CORR).alias("corr")
-    )
+    return lag_correlation(s, max_lag=2)
 
 
 def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:

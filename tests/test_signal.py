@@ -243,3 +243,30 @@ def test_form_tetrode(spark):
     big = samples.withColumn("value", F.col("value") * 10.0)
     out2 = form_tetrode(big, peaks, tetrode_channels=[4, 5, 6, 7], patch_size=30).collect()
     assert len(out2) == 0
+
+
+def test_lag_correlation_identities(spark):
+    """Crafted invariants: an identical channel pair has r == 1 at lag 0;
+    a pair where b is a shifted copy of a peaks at the shift lag; an
+    anti-correlated pair gives r == -1."""
+    from jagular_spark.operators.filtering import lag_correlation
+
+    base = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3]
+    rows = []
+    for t, v in enumerate(base):
+        rows.append((0, t, v))          # ch 0: base
+        rows.append((1, t, v))          # ch 1: identical
+        rows.append((2, t, -v))         # ch 2: negated
+    # ch 3: base shifted by +1 sample (b[t] = a[t-1])
+    for t, v in enumerate(base[:-1]):
+        rows.append((3, t + 1, v))
+    df = spark.createDataFrame(rows, "ch long, t long, iv long")
+    out = {
+        (r.ch_a, r.ch_b, r.lag_k): r.corr
+        for r in lag_correlation(df, max_lag=2).collect()
+    }
+    assert abs(out[(0, 1, 0)] - 1.0) < 1e-12
+    assert abs(out[(0, 2, 0)] + 1.0) < 1e-12
+    # b (ch 3) is a delayed copy: alignment b.t = a.t + 1 → lag_k == +1
+    peak = max((k for k in out if k[0] == 0 and k[1] == 3), key=lambda k: out[k])
+    assert peak[2] == 1 and abs(out[peak] - 1.0) < 1e-12
