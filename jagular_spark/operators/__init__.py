@@ -9,7 +9,11 @@ from jagular_spark.operators.timestamps import (  # noqa: F401
 )
 from jagular_spark.operators.interpolate import interpolate_gaps  # noqa: F401
 from jagular_spark.operators.graph import connected_components, dedup_clusters  # noqa: F401
-from jagular_spark.operators.sampling import hash_sample, stratified_sample  # noqa: F401
+from jagular_spark.operators.sampling import (  # noqa: F401
+    hash_sample,
+    rebalance_sample,
+    stratified_sample,
+)
 from jagular_spark.operators.skew import salted_agg, salted_join  # noqa: F401
 from jagular_spark.operators.filtering import lag_correlation, winsorize  # noqa: F401
 from jagular_spark.operators.text import (  # noqa: F401

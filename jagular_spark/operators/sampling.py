@@ -58,3 +58,45 @@ def stratified_sample(
     for value, frac in sorted(fractions.items()):
         thr = F.when(strata == F.lit(value), F.lit(int(frac * _HASH_SPACE))).otherwise(thr)
     return df.where(hash_bucket(key_col, salt) < thr)
+
+
+def rebalance_sample(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Mixture REBALANCING: downsample each stratum toward a target
+    composition (the upweight-low-resource-languages step of training
+    data prep). Unlike ``stratified_sample``'s fixed fractions, the
+    per-stratum keep-fraction is COMPUTED from the observed counts:
+    ``f_g = min(1, target_g · N / n_g)`` — strata above their target
+    share shrink, strata at/below keep everything (pure downsampling;
+    no row duplication, so the result stays a subset).
+
+    Determinism/parity: counts are exact BIGINT; the fraction is two
+    float ops (one multiply, one divide) in a fixed tree, floored into
+    the 2^32 integer hash space, and membership is the usual md5
+    threshold — the DuckDB oracle reproduces it bit-for-bit. Plan: one
+    count aggregate (broadcast back), membership stays a scan-level
+    filter on the corpus — the big side never shuffles.
+    """
+    tgt = F.lit(0.0)
+    for value, share in sorted(target_shares.items()):
+        tgt = F.when(F.col(group_col) == F.lit(value), F.lit(share)).otherwise(tgt)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("__n_g__"))
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("__n_tot__"))
+    # fixed float tree: ((target · N) / n_g), clamped, floored into the
+    # integer hash space — mirrored verbatim in the oracle SQL
+    frac = F.least(
+        tgt * F.col("__n_tot__").cast("double") / F.col("__n_g__").cast("double"),
+        F.lit(1.0),
+    )
+    thr = F.floor(frac * F.lit(4294967296.0)).cast("long")
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(tot))
+        .where(hash_bucket(key_col, salt) < thr)
+        .drop("__n_g__", "__n_tot__")
+    )

@@ -1681,6 +1681,21 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+_REBALANCE_TARGETS = {"en": 0.2, "fr": 0.3, "de": 0.2, "es": 0.2, "zh": 0.1}
+
+
+def docs_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing toward a target language composition: the
+    per-language keep-fraction is COMPUTED from observed counts
+    (min(1, target·N/n_g)) — over-represented strata shrink, the rest
+    pass through; membership is the deterministic md5 threshold, so
+    corpus rows never shuffle (operators/sampling.rebalance_sample)."""
+    from jagular_spark.operators.sampling import rebalance_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return rebalance_sample(docs, "lang", _REBALANCE_TARGETS)
+
+
 def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language stratified sample: membership is a
     pure md5 function of ``doc_id`` (reproducible across engines, runs
@@ -2006,6 +2021,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_audit": events_audit,
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_rebalance_sample": docs_rebalance_sample,
     "docs_token_quantiles": docs_token_quantiles,
     "docs_media_audio": docs_media_audio,
     "docs_media_resize": docs_media_resize,
@@ -3560,3 +3576,20 @@ ORACLE_SQL["q14_promo_effect"] = f"""
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-03-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'"""
+
+# Mixture rebalancing: computed per-stratum fraction min(1, t·N/n_g) in
+# the identical float tree, md5-threshold membership.
+_REBALANCE_CASE = "CASE " + " ".join(
+    f"WHEN d.lang = '{k}' THEN {v!r}" for k, v in sorted(_REBALANCE_TARGETS.items())
+) + " ELSE 0.0 END"
+ORACLE_SQL["docs_rebalance_sample"] = f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN tot
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT <
+          CAST(floor(LEAST(({_REBALANCE_CASE}) * CAST(n_tot AS DOUBLE)
+                           / CAST(n_g AS DOUBLE), 1.0) * 4294967296.0) AS BIGINT)"""

@@ -130,3 +130,23 @@ def test_connected_components_matches_union_find(spark, pairs):
         for r in connected_components(edges, small_graph_edges=-1).collect()
     }
     assert got_d == want
+
+
+def test_rebalance_sample_shrinks_only_overrepresented(spark):
+    """min(1, target·N/n_g): strata above target shrink toward it,
+    strata at/below pass through untouched (pure downsampling)."""
+    from jagular_spark.operators.sampling import rebalance_sample
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_sample(df, "lang", {"big": 0.5, "small": 0.5})
+    got = {r.lang: n for r, n in [(r, r["count"]) for r in out.groupBy("lang").count().collect()]}
+    # small (200 docs, 20% < 50% target): all kept
+    assert got["small"] == 200
+    # big (800 docs, 80% > 50% target): fraction = 0.5*1000/800 = 0.625
+    # → ~500 expected under md5 uniformity (σ ≈ 14; ±5σ bound)
+    assert 430 <= got["big"] <= 570
+    # determinism: re-running yields the identical membership
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in rebalance_sample(df, "lang", {"big": 0.5, "small": 0.5}).collect()}
+    assert a == b
