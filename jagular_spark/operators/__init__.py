@@ -15,7 +15,11 @@ from jagular_spark.operators.sampling import (  # noqa: F401
     stratified_sample,
 )
 from jagular_spark.operators.skew import salted_agg, salted_join  # noqa: F401
-from jagular_spark.operators.filtering import lag_correlation, winsorize  # noqa: F401
+from jagular_spark.operators.filtering import (  # noqa: F401
+    lag_correlation,
+    winsorize,
+    winsorize_chunked,
+)
 from jagular_spark.operators.text import (  # noqa: F401
     bigram_fluency,
     bpe_token_stats,

@@ -379,6 +379,74 @@ def winsorize(
     )
 
 
+def winsorize_chunked(
+    df: DataFrame,
+    value_col: str = "value",
+    partition_cols: Sequence[str] = ("channel_id",),
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """:func:`winsorize` with a SCALE-SAFE physical plan — result-
+    identical columns (``lo``, ``hi``, ``value_clipped``,
+    ``was_clipped`` appended; no ``order_cols`` parameter because the
+    rank-``idx`` ORDER STATISTIC VALUE is tiebreak-invariant: every
+    total order consistent with the value order places the same value
+    at index floor((cnt−1)·p)).
+
+    The plain form ranks each group's FULL row stream in one window
+    task — a single giant channel (billions of samples at 100 TB)
+    serializes. Here quantile selection runs on the per-group VALUE
+    HISTOGRAM instead (the classic distributed selection shape):
+
+    1. ``groupBy(keys, value).count()`` — map-side partial combine, so
+       the one full-data shuffle moves ≤ |distinct values| rows per
+       group, not |rows| (quantized signals: ≤ 2^16 per channel);
+    2. a cumulative-count window over the tiny histogram picks
+       ``lo = min{v : cum(v) > idx_lo}`` (and hi) exactly;
+    3. the O(groups) quantile table broadcast-joins back and the clip
+       is the same pure comparison/selection as the plain form.
+
+    Pass 2's window sorts only distinct values — for continuous
+    (all-distinct) data the histogram degenerates to |rows| per group
+    and the plain form's single sort is no worse; this variant targets
+    the quantized-signal regime the reference records in (int16 ADC
+    counts, jagular/filtering.py's artifact bounds).
+    """
+    keys = list(partition_cols)
+    cols = list(df.columns)
+    hist = df.groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c__")
+    )
+    wv = Window.partitionBy(*keys).orderBy(value_col)
+    wg = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        *keys,
+        F.col(value_col).alias("__v__"),
+        F.sum("__c__").over(wv).alias("__cum__"),
+        F.sum("__c__").over(wg).alias("__cnt__"),
+    )
+    idx_lo = F.floor((F.col("__cnt__") - 1) * F.lit(p_lo)).cast("long")
+    idx_hi = F.floor((F.col("__cnt__") - 1) * F.lit(p_hi)).cast("long")
+    qtab = cum.groupBy(*keys).agg(
+        F.min(F.when(F.col("__cum__") > idx_lo, F.col("__v__"))).alias("lo"),
+        F.min(F.when(F.col("__cum__") > idx_hi, F.col("__v__"))).alias("hi"),
+    )
+    out = df.join(F.broadcast(qtab), keys)
+    return out.select(
+        *cols,
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi")).alias(
+            "value_clipped"
+        ),
+        (
+            (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
+        ).alias("was_clipped"),
+    )
+
+
 # Pearson r from integer moments; one literal expression string shared
 # verbatim with the DuckDB oracle so the float tree matches exactly.
 XCORR_CORR_SQL = (

@@ -66,14 +66,22 @@ def rebalance_sample(
     target_shares: dict[str, float],
     key_col: str = "doc_id",
     salt: str = "",
+    default_share: float = 0.0,
 ) -> DataFrame:
     """Mixture REBALANCING: downsample each stratum toward a target
     composition (the upweight-low-resource-languages step of training
     data prep). Unlike ``stratified_sample``'s fixed fractions, the
     per-stratum keep-fraction is COMPUTED from the observed counts:
     ``f_g = min(1, target_g · N / n_g)`` — strata above their target
-    share shrink, strata at/below keep everything (pure downsampling;
-    no row duplication, so the result stays a subset).
+    share shrink, strata at/below their target keep everything (pure
+    downsampling; no row duplication, so the result stays a subset).
+
+    A stratum NOT listed in ``target_shares`` gets ``default_share``
+    (default 0.0 → its rows are DROPPED — a target mixture is a whole
+    composition, so unlisted means unwanted). Pass e.g.
+    ``default_share=1.0 / len(target_shares)`` — or any share — to keep
+    an unexpected new stratum flowing instead; this mirrors
+    ``stratified_sample``'s ``default_fraction`` escape hatch.
 
     Determinism/parity: counts are exact BIGINT; the fraction is two
     float ops (one multiply, one divide) in a fixed tree, floored into
@@ -82,7 +90,7 @@ def rebalance_sample(
     count aggregate (broadcast back), membership stays a scan-level
     filter on the corpus — the big side never shuffles.
     """
-    tgt = F.lit(0.0)
+    tgt = F.lit(float(default_share))
     for value, share in sorted(target_shares.items()):
         tgt = F.when(F.col(group_col) == F.lit(value), F.lit(share)).otherwise(tgt)
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("__n_g__"))

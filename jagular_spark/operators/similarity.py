@@ -63,7 +63,14 @@ def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     corpus across executors regardless of input file layout — smaller
     than the previous exploded-token window shuffle, which also paid a
     per-doc sort and a distinct shuffle), then the shingling, dedup and
-    hashing are all row-local array lambdas. The naive array-lambda
+    hashing are all row-local array lambdas. A/B-measured at sf0.1
+    (r6, 2 runs each): WITH repartition docs_ngram_jaccard {13.3, 16.2} s
+    and docs_minhash_lsh {1.8, 3.3} s; WITHOUT {18.4, 19.7} s and
+    {4.4, 18.7} s — the sf0.1 documents parquet is a single input split,
+    so without the exchange every per-doc O(tokens) shingle/hash runs in
+    ONE task. The exchange pays one corpus-text move to buy 32-way
+    shingle parallelism; at 100 TB the input has many splits and a
+    planner could skip it, but correctness is unaffected either way. The naive array-lambda
     formulation re-runs ``split`` per lambda element (Catalyst
     project-collapse inlines a multiply-referenced alias — O(tokens²)
     string work per doc); binding the token array as a ``transform``
@@ -81,7 +88,10 @@ def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
     return (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(F.col(id_col))
+        # explicit count: AQE's size-based coalescing squeezed the
+        # shingle/md5 stage (CPU-bound, small bytes) to 8 tasks; an
+        # explicit repartition count is exempt from coalescing
+        .repartition(64, F.col(id_col))
         .select(F.col(id_col), F.expr(shingles).alias("__sh__"))
         .select(F.col(id_col), F.array_distinct("__sh__").alias("__shd__"))
         .select(
@@ -142,11 +152,14 @@ def _guarded_ids(col: str = "ids") -> F.Column:
     """Validate ids fit the packed-BIGINT pair encoding (0 ≤ id < 2^31)
     *at runtime* — outside that range ``a * 2^32 + b`` silently corrupts
     pairs, which a comment-only precondition cannot catch at 100 TB.
-    One linear pass per bucket list; raises with the offending value."""
+    Checked via per-bucket array_min/array_max (two aggregate passes,
+    no new array allocation — the r5 per-element CASE ``transform``
+    built a copy of every bucket list); raises with an offending value."""
     return F.expr(
-        f"transform({col}, x -> CASE WHEN x >= 0 AND x < 2147483648 THEN x "
+        f"CASE WHEN array_min({col}) >= 0 AND array_max({col}) < 2147483648 THEN {col} "
         f"ELSE CAST(raise_error(concat('packed-pair id outside [0, 2^31): ', "
-        f"CAST(x AS STRING))) AS BIGINT) END)"
+        f"CAST(IF(array_min({col}) < 0, array_min({col}), array_max({col})) AS STRING))) "
+        f"AS ARRAY<BIGINT>) END"
     )
 
 
@@ -237,19 +250,30 @@ def ngram_jaccard_pairs(
     # requires 0 ≤ id < 2^31 — true for corpus row ids; fold larger key
     # spaces through a dense id first): one long per candidate instead
     # of a struct allocation, and the pair aggregation hashes a single
-    # long — measured ~2× on the explode+agg stages. Self-pair sentinel
-    # entries (x, x) ride the same explode, so ONE aggregation yields
-    # both n_common (a < b) and per-doc shingle counts n_sh (a == b:
-    # each distinct shingle of the doc is in exactly one bucket) — the
-    # whole query is a single linear lineage.
-    entries = F.expr(
-        "concat("
-        "  filter(flatten(transform(ids, x -> transform(ids, "
-        "    y -> CASE WHEN x < y THEN x * 4294967296 + y ELSE -1 END))), p -> p >= 0),"
-        "  transform(ids, x -> x * 4294967296 + x))"
-    )
+    # long. Self-pair sentinel entries (x, x) ride the same explode, so
+    # ONE aggregation yields both n_common (a < b) and per-doc shingle
+    # counts n_sh (a == b: each distinct shingle of the doc is in
+    # exactly one bucket) — the whole query is a single linear lineage.
+    #
+    # Shape note: higher-order-function lambdas are INTERPRETED per
+    # element (no whole-stage codegen inside transform/filter). The r5
+    # nested ``transform(ids, x -> transform(ids, y -> CASE ...))`` +
+    # ``filter`` evaluated ~2·k² interpreted lambdas per bucket and
+    # allocated the full k² intermediate array; measured 8.5 s for the
+    # pair stage at sf0.1. Here the outer iteration is a codegen'd
+    # ``explode`` (one row per id occurrence), the only remaining HOF
+    # is ONE ``filter`` of k value-compares per row, and the packing
+    # arithmetic runs post-explode in codegen. Duplicate-id buckets
+    # (intra-doc shingle hash collisions) keep identical multiplicity
+    # semantics to the nested form: each occurrence row emits its
+    # greater-valued partners plus its own sentinel.
+    ex = bucket.select(F.col("ids"), F.explode("ids").alias("x"))
     agg = (
-        bucket.select(F.explode(entries).alias("p"))
+        ex.select(
+            F.col("x"),
+            F.explode(F.expr("concat(filter(ids, y -> y > x), array(x))")).alias("y"),
+        )
+        .select((F.col("x") * F.lit(4294967296) + F.col("y")).alias("p"))
         .groupBy("p")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(

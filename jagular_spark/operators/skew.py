@@ -16,15 +16,19 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# deterministic-enough spread: a per-row hash of the partition id and
-# the row's position within it. Any assignment is CORRECT (the salt is
-# only ever matched against a replicated small side carrying every salt
-# value); uniformity is all that matters.
-def _salt_col(n_salts: int) -> F.Column:
-    return F.pmod(
-        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
-        F.lit(n_salts),
-    ).cast("int")
+def _salt_col(n_salts: int, columns: Sequence[str]) -> F.Column:
+    """Uniform salt in [0, n_salts), derived from ROW CONTENT
+    (xxhash64 over the given columns) so it is DETERMINISTIC under
+    partial stage re-execution. The earlier form hashed
+    ``spark_partition_id() + monotonically_increasing_id()``, which is
+    re-assigned when a fetch failure recomputes a map task — already-
+    committed reduce outputs keyed on the old salts would then silently
+    duplicate or drop rows, and Catalyst does not mark user expressions
+    INDETERMINATE, so no stage rollback protects it. Content hashing
+    spreads a hot JOIN key as long as the non-key columns vary (they do
+    — identical full rows land on one salt, which only matters if one
+    exact row repeats ~|hot key| times)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in columns]), F.lit(n_salts)).cast("int")
 
 
 def salted_join(
@@ -33,6 +37,7 @@ def salted_join(
     on: Sequence[str],
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join a skew-keyed big side against a small side without any
     hot-key task: every big row gets a uniform salt in [0, n_salts);
@@ -41,12 +46,15 @@ def salted_join(
     becomes (on…, salt), so one hot key spreads over n_salts tasks.
 
     Result-identical to ``big.join(small, on, how)`` for 'inner' and
-    'left' (each big row matches exactly its own salt's replica).
+    'left' (each big row matches exactly its own salt's replica). The
+    salt is a content hash (retry-deterministic — see ``_salt_col``);
+    pass ``salt_cols`` (e.g. a stable row id) to control which columns
+    feed it, default = every big-side column.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = list(on)
-    b = big.withColumn("__salt__", _salt_col(n_salts))
+    b = big.withColumn("__salt__", _salt_col(n_salts, salt_cols or big.columns))
     s = small.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -63,6 +71,7 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 8,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys: phase 1 aggregates
     per (keys…, salt) — the hot key's rows split across n_salts tasks —
@@ -84,7 +93,7 @@ def salted_agg(
         raise ValueError(f"unsupported aggregate fns: {sorted(bad)}")
     ks = list(keys)
     p1 = (
-        df.withColumn("__salt__", _salt_col(n_salts))
+        df.withColumn("__salt__", _salt_col(n_salts, salt_cols or df.columns))
         .groupBy(*ks, "__salt__")
         .agg(*[_AGG_FNS[fn](col).alias(out) for out, (fn, col) in aggs.items()])
     )

@@ -540,12 +540,18 @@ def events_detect_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressing the sequential censor as a recursive CTE.
 
     The sample stream feeds three plan branches (MAD agg, crossings
-    window, extraction range-join) — materialize it once, as in
-    events_tetrode."""
+    window, extraction range-join) — but each branch is a cheap
+    parquet-scan+window, and the censored crossing set has a single
+    consumer, so there is nothing a checkpoint can dedupe. Round 5
+    tried ``localCheckpoint`` on the FULL stream (as events_tetrode
+    does for its 4-channel subset) and the O(samples) block-manager
+    write dominated: 19.5 s vs 5.7 s at sf0.1. At 100 TB a per-query
+    full-stream materialization is exactly the wrong default — let the
+    three branches re-scan parquet (pushed projection, no shuffle)."""
     from jagular_spark.operators.spikes import detect_spikes
 
     out = detect_spikes(
-        _rn_samples(spark, sf_dir).localCheckpoint(eager=False),
+        _rn_samples(spark, sf_dir),
         multiplier=2.0, censor_width=5, patch_size=8, polarity="pos",
     )
     return out.select(
@@ -1791,6 +1797,21 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_winsorize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_winsorize on the SCALE-SAFE physical plan: quantile
+    selection over the per-channel value HISTOGRAM (groupBy with
+    map-side combine → cumulative count over distinct values →
+    broadcast quantile table back) instead of ranking each channel's
+    full row stream in one window task. Same rank-selected [p01, p99]
+    band — the order-statistic value is tiebreak-invariant — so this
+    shares events_winsorize's exact value-hash oracle. Operator:
+    operators/filtering.winsorize_chunked."""
+    from jagular_spark.operators.filtering import winsorize_chunked
+
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "us", "value")
+    return winsorize_chunked(ev, value_col="value", partition_cols=("user_id",))
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the canonical timeseries enrichment Spark
     lacks natively): every 'view' event gets the most recent preceding
@@ -1962,33 +1983,78 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+# Registry order IS the driver's verification order: the correctness
+# harness oracle-checks only the FIRST 50 entries per round, so the dict
+# is ordered by verification debt, not by topic. Block 1 = queries the
+# driver has never seen green (or last saw in r4); block 2 = queries new
+# this round; block 3 = r5-driver-green queries whose code was touched
+# this round (or are flagships) — they must be re-verified; block 4 =
+# r5-driver-green untouched queries (out of window this round, rotate
+# back next round). Keep new/changed queries in the first 50.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- block 1: never driver-verified (r5 additions) or displaced since r4
+    "emb_ann_topk_ivf": emb_ann_topk_ivf,
+    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
+    "emb_ann_recall": emb_ann_recall,
+    "emb_knn_classify": emb_knn_classify,
+    "events_winsorize": events_winsorize,
+    "events_xcorr": events_xcorr,
+    "events_band_power": events_band_power,
+    "events_asof_nearest": events_asof_nearest,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "docs_tfidf_top": docs_tfidf_top,
+    "docs_bigram_fluency": docs_bigram_fluency,
+    "docs_rebalance_sample": docs_rebalance_sample,
+    "events_filtfilt_chunked": events_filtfilt_chunked,
+    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
+    "docs_media_frames": docs_media_frames,
+    "events_audit": events_audit,
+    "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_stratified_sample": docs_stratified_sample,
+    "docs_token_quantiles": docs_token_quantiles,
+    "docs_media_audio": docs_media_audio,
+    "docs_media_resize": docs_media_resize,
+    "docs_simhash_neardup": docs_simhash_neardup,
+    "docs_curation_funnel": docs_curation_funnel,
+    "events_asof": events_asof,
+    # -- block 2: new this round (r6) — inserted here as implemented
+    "events_winsorize_chunked": events_winsorize_chunked,
+    # -- block 3: r5-green but touched this round, plus flagships
+    "events_detect_spikes": events_detect_spikes,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
+    "docs_minhash_lsh": docs_minhash_lsh,
+    "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
-    "events_sessionize": events_sessionize,
+    "events_filtfilt": events_filtfilt,
+    "events_interpolate": events_interpolate,
+    "events_tetrode": events_tetrode,
+    "events_crossings": events_crossings,
+    "events_align": events_align,
+    "events_align_cspline": events_align_cspline,
+    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
+    "events_spikes_roundtrip": events_spikes_roundtrip,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_decontaminate": docs_decontaminate,
+    # -- block 4: r5-driver-green, untouched — out of the 50-entry window
+    # this round; rotate into block 1 next round
     "events_segments": events_segments,
     "events_gap_lengths": events_gap_lengths,
     "events_dedup_first": events_dedup_first,
-    "events_interpolate": events_interpolate,
-    "events_crossings": events_crossings,
     "events_mad_threshold": events_mad_threshold,
     "events_stream_bounds": events_stream_bounds,
     "events_fir_smooth": events_fir_smooth,
-    "events_filtfilt": events_filtfilt,
-    "events_detect_spikes": events_detect_spikes,
-    "docs_exact_dedup": docs_exact_dedup,
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
-    "docs_minhash_lsh": docs_minhash_lsh,
-    "docs_ngram_jaccard": docs_ngram_jaccard,
-    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
     "docs_chunking": docs_chunking,
     "docs_chunk_dedup": docs_chunk_dedup,
     "docs_repetition": docs_repetition,
-    "docs_decontaminate": docs_decontaminate,
     "docs_media_png_roundtrip": docs_media_png_roundtrip,
     "docs_media_wav_roundtrip": docs_media_wav_roundtrip,
     "docs_vocab_topdf": docs_vocab_topdf,
@@ -2004,41 +2070,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_common_ref": events_common_ref,
     "emb_ann_topk_lsh": emb_ann_topk_lsh,
     "events_decimate": events_decimate,
-    "events_tetrode": events_tetrode,
-    "events_align": events_align,
-    "events_align_cspline": events_align_cspline,
-    "docs_media_stats": docs_media_stats,
-    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
-    "events_spikes_roundtrip": events_spikes_roundtrip,
     "events_crossings_chunked": events_crossings_chunked,
     "events_crossings_both": events_crossings_both,
     "events_spike_clusters": events_spike_clusters,
-    "events_filtfilt_chunked": events_filtfilt_chunked,
-    "emb_ann_topk_ivf": emb_ann_topk_ivf,
-    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
-    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
-    "docs_media_frames": docs_media_frames,
-    "events_audit": events_audit,
-    "docs_dedup_clusters": docs_dedup_clusters,
-    "docs_stratified_sample": docs_stratified_sample,
-    "docs_rebalance_sample": docs_rebalance_sample,
-    "docs_token_quantiles": docs_token_quantiles,
-    "docs_media_audio": docs_media_audio,
-    "docs_media_resize": docs_media_resize,
-    "docs_simhash_neardup": docs_simhash_neardup,
-    "docs_curation_funnel": docs_curation_funnel,
-    "events_asof": events_asof,
-    "events_asof_nearest": events_asof_nearest,
-    "q10_returned_items": q10_returned_items,
-    "emb_ann_recall": emb_ann_recall,
-    "events_winsorize": events_winsorize,
-    "events_xcorr": events_xcorr,
-    "q14_promo_effect": q14_promo_effect,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "docs_tfidf_top": docs_tfidf_top,
-    "docs_bigram_fluency": docs_bigram_fluency,
-    "emb_knn_classify": emb_knn_classify,
-    "events_band_power": events_band_power,
+    "docs_media_stats": docs_media_stats,
 }
 
 
@@ -3507,6 +3542,10 @@ ORACLE_SQL["events_winsorize"] = """
            LEAST(GREATEST(value, lo), hi) AS value_clipped,
            (value < lo OR value > hi) AS was_clipped
     FROM q"""
+
+# The chunked (histogram-selection) variant computes the identical
+# rank-selected band — one oracle serves both physical strategies.
+ORACLE_SQL["events_winsorize_chunked"] = ORACLE_SQL["events_winsorize"]
 
 ORACLE_SQL["events_xcorr"] = f"""
     WITH s AS (

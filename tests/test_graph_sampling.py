@@ -150,3 +150,20 @@ def test_rebalance_sample_shrinks_only_overrepresented(spark):
     a = {r.doc_id for r in out.collect()}
     b = {r.doc_id for r in rebalance_sample(df, "lang", {"big": 0.5, "small": 0.5}).collect()}
     assert a == b
+
+
+def test_rebalance_sample_default_share_for_unlisted_strata(spark):
+    """A stratum absent from target_shares is dropped by default
+    (default_share=0.0 — a target mixture is a whole composition), and
+    kept at the requested rate when default_share is passed — the
+    escape hatch for an unexpected new language showing up mid-corpus."""
+    from jagular_spark.operators.sampling import rebalance_sample
+
+    rows = [(i, "en" if i < 500 else "surprise") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    dropped = rebalance_sample(df, "lang", {"en": 1.0})
+    assert dropped.where(F.col("lang") == "surprise").count() == 0
+    kept = rebalance_sample(df, "lang", {"en": 0.25}, default_share=0.25)
+    # surprise: f = min(1, 0.25*1000/500) = 0.5 → ~250 of 500 kept
+    n = kept.where(F.col("lang") == "surprise").count()
+    assert 180 <= n <= 320

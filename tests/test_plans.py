@@ -55,6 +55,26 @@ def test_shingle_hashes_single_exchange(spark):
     assert "Window" not in p and "Generate" in p
 
 
+def test_winsorize_chunked_never_sorts_the_row_stream(spark):
+    """The scale point of winsorize_chunked: the full row stream is
+    never window-sorted — quantiles come from the value histogram
+    (HashAggregate BEFORE any Sort/Window) and rejoin via broadcast,
+    so one giant channel cannot serialize into a single sort task."""
+    from jagular_spark.operators.filtering import winsorize_chunked
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id"), F.col("value")
+    )
+    p = _formatted(winsorize_chunked(ev, partition_cols=("user_id",)))
+    assert "BroadcastHashJoin" in p  # quantile table comes back broadcast
+    # the only Sort feeds the histogram window — it must sit above the
+    # aggregate, i.e. the first Sort in plan order appears after the
+    # first HashAggregate
+    first_sort = p.find("Sort")
+    first_agg = p.find("HashAggregate")
+    assert first_agg != -1 and (first_sort == -1 or first_agg < first_sort), p[:2000]
+
+
 def test_no_cartesian_products_on_flagships(spark):
     from jagular_spark.workloads import SPARK_QUERIES
 

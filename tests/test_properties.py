@@ -255,3 +255,33 @@ def test_winsorize_band_is_exact_order_statistic(spark, vals):
     for r in out:
         assert r.lo == exp_lo and r.hi == exp_hi
         assert exp_lo <= r.c <= exp_hi
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=80),
+)
+@SET
+def test_winsorize_chunked_equals_plain(spark, vals):
+    """The histogram-selection strategy must be row-for-row identical
+    to the full-sort strategy — including on heavy-tie data (the
+    narrow value range here forces duplicate histogram entries)."""
+    from jagular_spark.operators.filtering import winsorize, winsorize_chunked
+
+    rows = [
+        (i % 2, i, i, float(v)) for i, v in enumerate(vals)
+    ]  # two channels, interleaved
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long, value double")
+    plain = {
+        tuple(r)
+        for r in winsorize(
+            df, value_col="value", partition_cols=("user_id",),
+            order_cols=("us", "event_id"),
+        ).collect()
+    }
+    chunked = {
+        tuple(r)
+        for r in winsorize_chunked(
+            df, value_col="value", partition_cols=("user_id",)
+        ).collect()
+    }
+    assert plain == chunked

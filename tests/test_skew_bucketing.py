@@ -52,13 +52,35 @@ def test_salted_join_spreads_the_hot_key(spark):
     p = _formatted(salted_join(big, small, ["k"], n_salts=4))
     assert "__salt__" in p  # salt participates in the join condition
     salts = (
-        big.withColumn("__salt__", _salt_col(4))
+        big.withColumn("__salt__", _salt_col(4, big.columns))
         .where(F.col("k") == 0)
         .select("__salt__")
         .distinct()
         .count()
     )
     assert salts == 4
+
+
+def test_salt_is_retry_deterministic(spark):
+    """The salt must be a pure function of row CONTENT — a recomputed
+    map task (fetch-failure retry) must re-derive identical salts, or
+    salted_join/salted_agg silently duplicate/drop rows at scale. A
+    repartition between two evaluations simulates rows landing in
+    different partitions/positions, which flips partition-id or
+    monotonically_increasing_id derived salts."""
+    from jagular_spark.operators.skew import _salt_col
+
+    big = _skewed(spark, n=2_000)
+    a = {
+        (r.k, r.v, r.s)
+        for r in big.withColumn("s", _salt_col(8, big.columns)).collect()
+    }
+    shuffled = big.repartition(13)
+    b = {
+        (r.k, r.v, r.s)
+        for r in shuffled.withColumn("s", _salt_col(8, shuffled.columns)).collect()
+    }
+    assert a == b
 
 
 def test_salted_agg_matches_plain_groupby(spark):
