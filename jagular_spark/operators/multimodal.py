@@ -182,7 +182,13 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _decode_payload(payload: bytes, codec: str, height: int, width: int) -> np.ndarray:
+def _decode_payload(
+    payload: bytes,
+    codec: str,
+    height: int,
+    width: int,
+    extra_codecs: dict | None = None,
+) -> np.ndarray:
     """Decode one payload to a (height, width) float array in [0, 1].
 
     ``raw8``: raw uint8 row-major grayscale. ``png``: real stdlib
@@ -190,7 +196,18 @@ def _decode_payload(payload: bytes, codec: str, height: int, width: int) -> np.n
     grayscale with the integer luma (77R + 150G + 29B) >> 8.
     JPEG/opus/h264 need external libraries absent from this
     environment — STUB, raises NotImplementedError.
+
+    ``extra_codecs`` is the adapter seam: ``{codec_name: fn(payload,
+    height, width) -> ndarray}``. It is threaded through the operator
+    entry points and CLOSURE-CAPTURED into the Arrow kernels, so
+    cloudpickle ships the decoder table to every Python worker — the
+    correct Spark distribution mechanism (driver-side module state
+    would NOT survive into worker processes). Plugging in a real JPEG
+    decoder is ``decode_image_features(df, extra_codecs={"jpeg":
+    lambda p, h, w: np.asarray(PIL.Image.open(io.BytesIO(p))) / 255.0})``.
     """
+    if extra_codecs and codec in extra_codecs:
+        return extra_codecs[codec](payload, height, width)
     if codec == "raw8":
         need = height * width
         buf = np.frombuffer(payload, dtype=np.uint8)
@@ -213,15 +230,20 @@ def _decode_payload(payload: bytes, codec: str, height: int, width: int) -> np.n
     )
 
 
-def decode_image_features(media: DataFrame) -> DataFrame:
+def decode_image_features(
+    media: DataFrame, extra_codecs: dict | None = None
+) -> DataFrame:
     """Image decode + per-image feature extraction: mean/std/p99 of the
-    decoded pixel array. One Arrow-batched pass, no shuffle."""
+    decoded pixel array. One Arrow-batched pass, no shuffle.
+    ``extra_codecs`` plugs external decoders in (see _decode_payload)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples(index=False):
-                img = _decode_payload(bytes(r.payload), r.codec, r.height, r.width)
+                img = _decode_payload(
+                    bytes(r.payload), r.codec, r.height, r.width, extra_codecs
+                )
                 rows.append(
                     {
                         "media_id": r.media_id,
@@ -272,15 +294,20 @@ def image_byte_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, BYTE_STATS_SCHEMA)
 
 
-def resize_image(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+def resize_image(
+    media: DataFrame, out_h: int, out_w: int, extra_codecs: dict | None = None
+) -> DataFrame:
     """Nearest-neighbor resize to (out_h, out_w), re-encoded as raw8
-    bytes — shape-preserving plumbing for a real resample kernel."""
+    bytes — shape-preserving plumbing for a real resample kernel.
+    ``extra_codecs`` plugs external decoders in (see _decode_payload)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples(index=False):
-                img = _decode_payload(bytes(r.payload), r.codec, r.height, r.width)
+                img = _decode_payload(
+                    bytes(r.payload), r.codec, r.height, r.width, extra_codecs
+                )
                 yi = np.clip((np.arange(out_h) * img.shape[0] / out_h).astype(int), 0, img.shape[0] - 1)
                 xi = np.clip((np.arange(out_w) * img.shape[1] / out_w).astype(int), 0, img.shape[1] - 1)
                 resized = (img[np.ix_(yi, xi)] * 255.0).astype(np.uint8)

@@ -1812,6 +1812,106 @@ def events_winsorize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_chunked(ev, value_col="value", partition_cols=("user_id",))
 
 
+# ---------------------------------------------------------------------------
+# Streaming twins executed FOR the driver: a one-shot availableNow pass
+# through Structured Streaming whose output hash-matches a batch oracle,
+# so the driver's correctness gate exercises streaming execution (state
+# store, memory sink, watermark emission), not just the batch planner.
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+def _run_stream_to_table(sdf: DataFrame, prefix: str) -> str:
+    """Run a streaming DataFrame to completion under availableNow into a
+    uniquely named memory-sink table; return the table name. Unique
+    names keep repeated driver/bench invocations independent."""
+    _STREAM_SEQ[0] += 1
+    name = f"{prefix}_{_STREAM_SEQ[0]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return name
+
+
+def _stream_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source STREAM with the same ``us``
+    (unix-microsecond BIGINT) column the batch queries use — schema
+    comes from a batch read, the nanos/micros encoding dispatch from
+    the shared ``_us`` helper."""
+    batch = load(spark, sf_dir, "events")
+    # the file stream source requires a DIRECTORY; select the single
+    # events file out of the sf dir with a glob filter
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("us", _us(stream))
+
+
+def events_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_sessionize through Structured Streaming: session_window +
+    watermark (streaming/pipeline.stream_sessionize), one availableNow
+    pass, memory sink. Append mode emits exactly the sessions CLOSED by
+    the final watermark — with delay 0 that is every session whose last
+    event precedes the global max event time by >= the 30-min gap, a
+    deterministic subset the DuckDB oracle reproduces with a
+    max-over-table filter on the batch islands. Still-open tail
+    sessions stay in the state store (the streaming-correct behavior:
+    they are not yet complete)."""
+    from jagular_spark.streaming.pipeline import stream_sessionize
+
+    ev = _stream_events_us(spark, sf_dir).select(
+        "user_id", "event_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    out = stream_sessionize(ev, gap="30 minutes", watermark="0 seconds")
+    tbl = _run_stream_to_table(
+        out.select(
+            F.col("user_id"),
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("last_event").alias("session_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+        ),
+        "sessionize_stream",
+    )
+    return spark.table(tbl)
+
+
+def events_censor_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming censor for the driver: threshold exceedances
+    (value > 150) per user, dead-time suppressed with a carried
+    ``last_kept`` GroupState (streaming/pipeline.stream_censor — the
+    reference's sequential censor loop, jagular/spikes.py:334-336, as
+    applyInPandasWithState). Append emission is complete (no watermark
+    holdback), so the oracle is the exact batch censor: a greedy
+    recursive CTE over the DISTINCT exceedance times. No explicit
+    streaming dedup is needed — the kernel itself collapses duplicate
+    timestamps (a duplicate of a kept edge sits at distance 0, inside
+    the dead window; a duplicate of a censored edge is censored for the
+    same reason the original was), so censor(raw) == censor(distinct).
+    Dead-time width: 24 hours of event time (the exceedance stream is
+    sparse — minutes-to-days between hits — so a day-scale dead window
+    is what actually exercises the suppression path)."""
+    from jagular_spark.streaming.pipeline import stream_censor, stream_crossings
+
+    ev = _stream_events_us(spark, sf_dir).select("user_id", "us", "value")
+    x = stream_crossings(ev, threshold=150.0).select("user_id", "us")
+    out = stream_censor(
+        x, width=24 * 3600 * 1_000_000, ts_col="us", partition_cols=("user_id",)
+    )
+    tbl = _run_stream_to_table(
+        out.select(F.col("user_id").cast("long").alias("user_id"), F.col("us")),
+        "censor_stream",
+    )
+    return spark.table(tbl)
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the canonical timeseries enrichment Spark
     lacks natively): every 'view' event gets the most recent preceding
@@ -2021,6 +2121,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": events_asof,
     # -- block 2: new this round (r6) — inserted here as implemented
     "events_winsorize_chunked": events_winsorize_chunked,
+    "events_sessionize_streamed": events_sessionize_streamed,
+    "events_censor_streamed": events_censor_streamed,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,
     "docs_ngram_jaccard": docs_ngram_jaccard,
@@ -3546,6 +3648,51 @@ ORACLE_SQL["events_winsorize"] = """
 # The chunked (histogram-selection) variant computes the identical
 # rank-selected band — one oracle serves both physical strategies.
 ORACLE_SQL["events_winsorize_chunked"] = ORACLE_SQL["events_winsorize"]
+
+# Streaming sessionize (availableNow, append mode): the emitted set is
+# the batch gaps-and-islands sessions CLOSED by the final watermark —
+# last event at least one 30-min gap before the global max event time.
+ORACLE_SQL["events_sessionize_streamed"] = """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+        SELECT user_id, us,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    ), agg AS (
+        SELECT user_id,
+               MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM agg
+    WHERE session_end_us + 1800000000 <= (SELECT MAX(epoch_us(ts)) FROM events)
+"""
+
+# Streaming censor (GroupState dead-time): append emission is complete,
+# so the oracle is the exact greedy censor over distinct exceedances.
+ORACLE_SQL["events_censor_streamed"] = """
+    WITH RECURSIVE x AS (
+        SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us
+        FROM events WHERE value > 150.0
+    ), kept AS (
+        SELECT user_id, us FROM x WHERE NOT EXISTS (
+            SELECT 1 FROM x x2 WHERE x2.user_id = x.user_id AND x2.us < x.us)
+        UNION ALL
+        SELECT x.user_id, x.us
+        FROM x JOIN kept k ON x.user_id = k.user_id AND x.us > k.us + 86400000000
+        WHERE NOT EXISTS (
+            SELECT 1 FROM x x2
+            WHERE x2.user_id = x.user_id AND x2.us > k.us + 86400000000 AND x2.us < x.us)
+    )
+    SELECT user_id, us FROM kept
+"""
 
 ORACLE_SQL["events_xcorr"] = f"""
     WITH s AS (
