@@ -60,8 +60,30 @@ def main() -> None:
             pass
         spark._jvm.System.gc()
 
+    # Environment attribution for slow-looking measurements: JVM GC time
+    # (all collector MXBeans) and host CPU-steal ticks (/proc/stat field
+    # 8 — time the hypervisor ran OTHER guests while we were runnable).
+    # A query that is slow with flat GC/steal deltas is really slow; a
+    # query whose rerun shows a steal burst is the shared-host VM, not a
+    # plan regression — recorded per rerun so BENCH_r{N}.json carries
+    # the evidence instead of leaving the diagnosis to guesswork.
+    def jvm_gc_ms() -> int:
+        try:
+            beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+            return sum(b.getCollectionTime() for b in beans)
+        except Exception:  # pragma: no cover — attribution must never fail a run
+            return -1
+
+    def steal_ticks() -> int:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:  # pragma: no cover
+            return -1
+
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    env: dict[str, dict[str, int | float]] = {}
     total = 0.0
     # This sandbox is a shared-host VM: multi-second CPU-steal bursts were
     # measured injecting 2-4x swings into identical queries. Best-of-two
@@ -82,10 +104,18 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if dt > RERUN_ABOVE:
             hygiene()
+            gc0, st0 = jvm_gc_ms(), steal_ticks()
             t1 = time.perf_counter()
             try:
                 n = fn(spark, sf_dir).count()
-                dt = min(dt, time.perf_counter() - t1)
+                dt2 = time.perf_counter() - t1
+                env[name] = {
+                    "run1_s": round(dt, 3),
+                    "run2_s": round(dt2, 3),
+                    "run2_gc_ms": jvm_gc_ms() - gc0,
+                    "run2_steal_ticks": steal_ticks() - st0,
+                }
+                dt = min(dt, dt2)
             except Exception:  # pragma: no cover — keep the first timing
                 pass
         timings[name] = round(dt, 4)
@@ -101,6 +131,10 @@ def main() -> None:
         # always present so a clean run is distinguishable from a runner
         # that predates fault isolation
         "errors": errors,
+        # per-rerun GC/steal attribution (only queries that tripped the
+        # rerun threshold appear) — separates environment noise from
+        # real plan regressions when comparing rounds
+        "env": env,
     }
     print(json.dumps(out))
 

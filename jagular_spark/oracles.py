@@ -1,0 +1,1948 @@
+"""DuckDB oracle SQL for every driver query — the cross-engine
+correctness gate. Each entry is the ANSI-SQL twin of the same-named
+SPARK_QUERIES entry in workloads.py; the driver (and
+tools/check_oracles.py) runs both sides and compares row count,
+schema, and an order-insensitive value hash. Split out of
+workloads.py (r6) so engine code and oracle text are separately
+reviewable; no behavior change. The cross-engine float/int parity
+playbook lives in workloads.py's module docstring.
+"""
+
+from __future__ import annotations
+
+from jagular_spark.operators import similarity as sim
+from jagular_spark.operators import text as txt
+from jagular_spark.operators.filtering import XCORR_CORR_SQL as _XCORR_CORR
+from jagular_spark.workload_params import (
+    _BP_TAPS,
+    _DISC_PRICE_QUANTA,
+    _IVF_FROZEN_CENTS,
+    _LP_TAPS,
+    _ORDERED_LISTS_CTE,
+    _REBALANCE_TARGETS,
+    _STRATA_FRACTIONS,
+    _fir_chain_sql,
+)
+
+
+def _text_oracles() -> dict[str, str]:
+    ratio = {
+        lang: (
+            f"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"t -> t IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS DOUBLE)"
+            f" / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+        )
+        for lang, words in txt.LANG_STOPWORDS.items()
+    }
+    lang_sql = f"""
+        WITH scored AS (
+            SELECT doc_id, {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
+                   {ratio['de']} AS s_de, {ratio['es']} AS s_es
+            FROM documents
+        )
+        SELECT doc_id, s_en, s_fr, s_de, s_es,
+               CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END AS pred_lang
+        FROM scored"""
+
+    fp_sql = f"""
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % {txt.P}) AS fp_roll,
+               list_min(list_transform(generate_series(1, greatest(1, length(text) - 7)),
+                    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT)) AS fp_min8
+        FROM documents"""
+
+    toks = f"regexp_extract_all(text, '{txt.BPE_TOKEN_RE}')"
+    bpe_sql = f"""
+        SELECT doc_id,
+               CAST(len({toks}) AS BIGINT) AS n_regex_tokens,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform({toks}, t -> CASE WHEN regexp_matches(t, '^[A-Za-z0-9]')
+                        THEN (length(t) + 3) // 4 ELSE CAST(1 AS BIGINT) END)),
+                    (acc, x) -> acc + x) AS BIGINT) AS n_subwords,
+               CAST(len(list_filter({toks}, t -> NOT regexp_matches(t, '^[A-Za-z0-9]'))) AS BIGINT)
+                   AS n_punct
+        FROM documents"""
+
+    case_lang = """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END"""
+    thr_case = (
+        "CASE pred_lang "
+        + " ".join(
+            f"WHEN '{k}' THEN {int(v * (1 << 32))}"
+            for k, v in sorted(_STRATA_FRACTIONS.items())
+        )
+        + " ELSE 0 END"
+    )
+    sample_sql = f"""
+        WITH scored AS (
+            SELECT doc_id, {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
+                   {ratio['de']} AS s_de, {ratio['es']} AS s_es
+            FROM documents
+        ), lang AS (
+            SELECT doc_id, {case_lang} AS pred_lang FROM scored
+        )
+        SELECT doc_id, pred_lang FROM lang
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < {thr_case}"""
+
+    quantiles_sql = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
+                   {ratio['de']} AS s_de, {ratio['es']} AS s_es
+            FROM documents
+        ), lang AS (
+            SELECT doc_id, n_tokens,
+                   CAST(floor(s_en * 10.0) AS BIGINT) AS stop_dec,
+                   {case_lang} AS pred_lang
+            FROM base
+        ), ranked AS (
+            SELECT pred_lang, stop_dec, n_tokens,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY pred_lang, stop_dec
+                        ORDER BY n_tokens, doc_id) AS BIGINT) - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY pred_lang, stop_dec) AS cnt
+            FROM lang
+        )
+        SELECT pred_lang, stop_dec, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.9) AS BIGINT) THEN n_tokens END) AS p90_tokens,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.99) AS BIGINT) THEN n_tokens END) AS p99_tokens
+        FROM ranked GROUP BY pred_lang, stop_dec"""
+
+    return {
+        "docs_language_id": lang_sql,
+        "docs_fingerprint": fp_sql,
+        "docs_bpe_tokens": bpe_sql,
+        "docs_stratified_sample": sample_sql,
+        "docs_token_quantiles": quantiles_sql,
+    }
+
+
+def _sim_hash_sql() -> str:
+    return "('0x' || substr(md5({col}), 1, 8))::BIGINT"
+
+
+def _similarity_oracles() -> dict[str, str]:
+    P = sim.P
+    shingle_cte = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+                list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS shingles FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), hashes AS (
+            SELECT doc_id, {_sim_hash_sql().format(col='s')} % {P} AS h FROM ex
+        )"""
+    sig_cols = ", ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS m{j}"
+        for j, (a, b) in enumerate(zip(sim.MINHASH_A, sim.MINHASH_B))
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band, m{2*b} * 2147483648 + m{2*b+1} AS key FROM sig"
+        for b in range(sim.LSH_BANDS)
+    )
+    minhash_lsh = f"""{shingle_cte}, sig AS (
+            SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id
+        ), buckets AS (
+            {band_selects}
+        )
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+        FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        GROUP BY a.id, b.id"""
+
+    jaccard = f"""{shingle_cte}, sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_common,
+               CAST(sa.n_sh + sb.n_sh - n_common AS BIGINT) AS n_union,
+               n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""
+
+    # LSH-first exact Jaccard: candidates from the minhash band buckets,
+    # common-shingle counting restricted to candidate pairs. The shared
+    # hashes JOIN counts multiplicity products like the engine's
+    # aggregate-over-multiset expression.
+    jaccard_lsh = f"""{shingle_cte}, sig AS (
+            SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id
+        ), buckets AS (
+            {band_selects}
+        ), cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            GROUP BY a.id, b.id
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+        ), common AS (
+            SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN hashes a ON a.doc_id = c.id_a
+            JOIN hashes b ON b.doc_id = c.id_b AND a.h = b.h
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, n_common,
+               CAST(sa.n_sh + sb.n_sh - n_common AS BIGINT) AS n_union,
+               n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""
+
+    def _simhash_sql_for(bits: int) -> str:
+        sum_cols = ", ".join(
+            f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+        )
+        fp = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+        return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+        ), h AS (
+            SELECT doc_id, {_sim_hash_sql().format(col='tok')} AS h FROM toks
+        ), sums AS (
+            SELECT doc_id, {sum_cols} FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums"""
+
+    simhash_sql = _simhash_sql_for(16)
+
+    normed_cte = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+            FROM embeddings
+        ), normed AS (
+            SELECT vec_id, iv,
+                   CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                        i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+            FROM base
+        )"""
+    pair_dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(a.iv)), "
+        "i -> a.iv[i] * b.iv[i])) AS BIGINT)"
+    )
+    neardup = f"""{normed_cte}, scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {pair_dot} AS dot,
+                   a.nrm AS nrm_a, b.nrm AS nrm_b
+            FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+        FROM scored
+        WHERE dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) >= 0.35"""
+
+    probe_dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(q.iv)), "
+        "i -> q.iv[i] * c.iv[i])) AS BIGINT)"
+    )
+    ann = f"""{normed_cte}, scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {probe_dot} AS dot,
+                   q.nrm AS nrm_a, c.nrm AS nrm_b
+            FROM normed q JOIN normed c
+              ON q.vec_id < 20 AND c.vec_id != q.vec_id
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank,
+               dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+        FROM ranked WHERE rank <= 5"""
+
+    plane_terms = []
+    for j in range(8):
+        signs = "[" + ", ".join(str(sim._plane_sign(j, i)) for i in range(64)) + "]"
+        plane_terms.append(
+            f"CAST(list_sum(list_transform(generate_series(1, 64), i -> ({signs}[i]) * iv[i])) AS BIGINT) AS p{j}"
+        )
+    bucket_expr = " + ".join(f"(CASE WHEN p{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    lsh_buckets = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+            FROM embeddings
+        ), proj AS (
+            SELECT vec_id, {', '.join(plane_terms)} FROM base
+        )
+        SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM proj"""
+
+    # Connected-components closure of the jaccard>=0.5 pair graph as a
+    # recursive CTE: reach = transitive closure over symmetric edges,
+    # component label = min reachable id (matches min-label propagation).
+    cluster_sql = f"""{shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1)}, sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), prs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM prs
+            UNION ALL
+            SELECT id_b, id_a FROM prs
+        ), reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), comp AS (
+            SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+               d.doc_id = COALESCE(c.comp, d.doc_id) AS is_canonical
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"""
+
+    # All-pairs Hamming<=1 over 32-bit fingerprints: provably the same
+    # result set as the engine's half-fingerprint banding (pigeonhole).
+    # 32 bits, not 16: a 16-bit space saturates at corpus scale (5000
+    # docs already produced ~700k birthday-collision "pairs" at sf0.1);
+    # at 32 bits survivors are genuine near-dups.
+    simhash_neardup_sql = f"""
+        WITH fps AS ({_simhash_sql_for(32)})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1"""
+
+    return {
+        "docs_minhash_lsh": minhash_lsh,
+        "docs_ngram_jaccard": jaccard,
+        "docs_ngram_jaccard_lsh": jaccard_lsh,
+        "docs_simhash": simhash_sql,
+        "docs_simhash_neardup": simhash_neardup_sql,
+        "docs_dedup_clusters": cluster_sql,
+        "emb_cosine_neardup": neardup,
+        "emb_ann_topk": ann,
+        "emb_lsh_buckets": lsh_buckets,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering, deterministic sampling, corpus stats
+# ---------------------------------------------------------------------------
+
+
+
+def _funnel_oracle() -> str:
+    """DuckDB replay of the whole curation funnel (quality → language →
+    exact dedup → LSH-candidate near-dup closure → hash sample). The
+    near-dup stage mirrors the engine's LSH-first composition: minhash
+    band buckets propose candidate pairs over the survivor set, exact
+    shingle-Jaccard ≥ 0.5 verifies them."""
+    sig_cols = ", ".join(
+        f"MIN(({a} * h + {b}) % {sim.P}) AS m{j}"
+        for j, (a, b) in enumerate(
+            zip(sim.MINHASH_A[: sim.N_MINHASH], sim.MINHASH_B[: sim.N_MINHASH])
+        )
+    )
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band, m{2*b} * 2147483648 + m{2*b+1} AS key FROM sig"
+        for b in range(sim.LSH_BANDS)
+    )
+    ratio = {
+        lang: (
+            f"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"t -> t IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS DOUBLE)"
+            f" / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+        )
+        for lang, words in txt.LANG_STOPWORDS.items()
+    }
+    quality = (
+        "0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE))"
+        " + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        " t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
+        " / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))"
+        " + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+        " / CAST(length(text) AS DOUBLE))"
+    )
+    case_lang = """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END"""
+    return f"""
+        WITH RECURSIVE scored AS (
+            SELECT doc_id, text, {quality} AS quality_score,
+                   {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
+                   {ratio['de']} AS s_de, {ratio['es']} AS s_es
+            FROM documents
+        ), f1 AS (
+            SELECT doc_id, text, quality_score FROM scored
+            WHERE quality_score >= 0.6 AND {case_lang} = 'en'
+        ), d AS (
+            SELECT doc_id, text, quality_score FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS min_id FROM f1
+            ) WHERE doc_id = min_id
+        ), toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d
+        ), sh AS (
+            SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+                list_distinct(list_transform(generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [] END AS shingles FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), hashes AS (
+            SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % {sim.P} AS h FROM ex
+        ), sig AS (
+            SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id
+        ), buckets AS (
+            {band_selects}
+        ), cand AS (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
+            GROUP BY a.id, b.id
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+        ), common AS (
+            SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM cand c
+            JOIN hashes a ON a.doc_id = c.id_a
+            JOIN hashes b ON b.doc_id = c.id_b AND a.h = b.h
+            GROUP BY c.id_a, c.id_b
+        ), prs AS (
+            SELECT id_a, id_b FROM common
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM prs
+            UNION ALL
+            SELECT id_b, id_a FROM prs
+        ), reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), comp AS (
+            SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+        ), kept AS (
+            SELECT d.doc_id, d.quality_score
+            FROM d LEFT JOIN comp c ON d.doc_id = c.id
+            WHERE d.doc_id = COALESCE(c.comp, d.doc_id)
+        )
+        SELECT doc_id, quality_score FROM kept
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < {int(0.5 * (1 << 32))}"""
+
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               (CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0 AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q6_forecast_revenue": """
+        SELECT (CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    * (CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    * (CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) BETWEEN 500 AND 700
+          AND l_quantity < 24.0
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               (CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0 AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               (CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM((CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                        * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0 AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
+    "top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank
+            FROM orders
+        ) WHERE price_rank <= 3
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), sess AS (
+            SELECT user_id, us,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
+    "events_segments": """
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 30.0 * 60000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), seg AS (
+            SELECT user_id, us,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+            FROM flagged
+        )
+        SELECT user_id, segment_id,
+               MIN(us) AS ts_start, MAX(us) + 60000000 AS ts_stop,
+               CAST(COUNT(*) AS BIGINT) AS n_samples
+        FROM seg GROUP BY user_id, segment_id
+    """,
+    "events_gap_lengths": """
+        WITH flagged AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 30.0 * 60000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), seg AS (
+            SELECT user_id, us,
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+            FROM flagged
+        ), segments AS (
+            SELECT user_id, segment_id,
+                   MIN(us) AS ts_start, MAX(us) + 60000000 AS ts_stop
+            FROM seg GROUP BY user_id, segment_id
+        )
+        SELECT user_id, segment_id,
+               ts_stop AS gap_start,
+               LEAD(ts_start) OVER (PARTITION BY user_id ORDER BY ts_start) AS gap_stop,
+               LEAD(ts_start) OVER (PARTITION BY user_id ORDER BY ts_start) - ts_stop AS gap_len
+        FROM segments
+        QUALIFY gap_stop IS NOT NULL
+    """,
+    "events_dedup_first": """
+        SELECT user_id, event_type, event_id, us, value FROM (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                        ORDER BY epoch_us(ts), event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "events_interpolate": """
+        WITH dedup AS (
+            SELECT user_id, minute, value FROM (
+                SELECT user_id, epoch_us(ts) // 60000000 AS minute, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 60000000
+                            ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        ), pairs AS (
+            SELECT user_id, minute AS l_ts, value AS l_v,
+                   LEAD(minute) OVER (PARTITION BY user_id ORDER BY minute) AS r_ts,
+                   LEAD(value)  OVER (PARTITION BY user_id ORDER BY minute) AS r_v
+            FROM dedup
+        ), filled AS (
+            SELECT user_id, CAST(t.ts AS BIGINT) AS minute,
+                   l_v + (r_v - l_v) * ((t.ts - l_ts) / (r_ts - l_ts)) AS value
+            FROM pairs, UNNEST(generate_series(l_ts + 1, r_ts - 1)) AS t(ts)
+            WHERE r_ts - l_ts - 1 BETWEEN 1 AND 5
+        )
+        SELECT user_id, minute, value FROM dedup
+        UNION ALL
+        SELECT user_id, minute, value FROM filled
+    """,
+    "events_crossings": """
+        SELECT user_id, event_id, us, value, next_value FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                   LEAD(value) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS next_value
+            FROM events
+        ) WHERE value > 100.0 AND next_value > 100.0
+    """,
+    "events_fir_smooth": """
+        SELECT user_id, event_id, us, value, smoothed FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                   ((((0.1 * LAG(value, 2) OVER w + 0.2 * LAG(value, 1) OVER w)
+                      + 0.4 * value)
+                      + 0.2 * LEAD(value, 1) OVER w)
+                      + 0.1 * LEAD(value, 2) OVER w) AS smoothed
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ) WHERE smoothed IS NOT NULL
+    """,
+    "events_mad_threshold": """
+        SELECT event_type,
+               CAST(MEDIAN(ABS(value)) AS DOUBLE) AS mad_median,
+               CAST(4.0 * CAST(MEDIAN(ABS(value)) AS DOUBLE) / 0.6745 AS DOUBLE) AS threshold,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    "events_stream_bounds": """
+        SELECT event_type,
+               MIN(epoch_us(ts)) AS ts_first,
+               MAX(epoch_us(ts)) AS ts_last,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "docs_exact_dedup": """
+        SELECT md5(text) AS text_hash,
+               MIN(doc_id) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "docs_token_stats": """
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS n_distinct_tokens,
+               CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS n_token_chars,
+               CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS avg_token_len
+        FROM documents
+    """,
+    "docs_quality": """
+        SELECT doc_id,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS digit_ratio,
+               CAST(length(regexp_replace(text, '[^\\s]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS space_ratio,
+               CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio,
+               0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE))
+             + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+                      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
+             + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE)) AS quality_score
+        FROM documents
+    """,
+}
+
+def _detect_cte(multiplier: float, width: int, chan_pred: str) -> str:
+    """CTE chain replaying the spike-detection pipeline in SQL:
+    per-user rn streams → exact-median MAD threshold → debounced
+    crossings (LEAD) → greedy censor as a RECURSIVE CTE (each iteration
+    keeps, per user, the first crossing strictly more than ``width``
+    after the last kept edge — the reference's sequential loop) →
+    peak re-location as first-argmax over the ±4 center window."""
+    mult = repr(float(multiplier))
+    return f"""
+        WITH RECURSIVE {_ORDERED_LISTS_CTE}, thr AS (
+            SELECT user_id,
+                   ({mult} * CAST(MEDIAN(ABS(value)) AS DOUBLE)) / 0.6745 AS threshold
+            FROM ordered WHERE {chan_pred} GROUP BY user_id
+        ), nxt AS (
+            SELECT user_id, rn, value,
+                   LEAD(value) OVER (PARTITION BY user_id ORDER BY rn) AS next_value
+            FROM ordered WHERE {chan_pred}
+        ), cr AS (
+            SELECT n.user_id, n.rn
+            FROM nxt n JOIN thr t ON n.user_id = t.user_id
+            WHERE n.value > t.threshold AND n.next_value > t.threshold
+        ), kept AS (
+            SELECT c.user_id, c.rn FROM cr c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cr c2 WHERE c2.user_id = c.user_id AND c2.rn < c.rn)
+            UNION ALL
+            SELECT c.user_id, c.rn
+            FROM cr c JOIN kept k ON c.user_id = k.user_id AND c.rn > k.rn + {width}
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cr c2
+                WHERE c2.user_id = c.user_id AND c2.rn > k.rn + {width} AND c2.rn < c.rn)
+        ), located AS (
+            SELECT k.user_id, k.rn AS crossing_seq, l.xs, l.n,
+                   GREATEST(k.rn - 4, 0)
+                     + CAST(list_position(
+                           list_slice(l.xs, GREATEST(k.rn - 4, 0) + 1, LEAST(k.rn + 4, l.n)),
+                           list_max(list_slice(l.xs, GREATEST(k.rn - 4, 0) + 1, LEAST(k.rn + 4, l.n)))
+                       ) AS BIGINT) - 1 AS peak_seq
+            FROM kept k JOIN lists l ON k.user_id = l.user_id
+        )"""
+
+
+def _signal_oracles() -> dict[str, str]:
+    """Exact oracles for the filter/detection chain. The FIR queries
+    reproduce dsp.fir_zero_phase's ascending-tap left fold bit-for-bit;
+    the detection queries replay threshold→crossings→censor→extract with
+    a recursive-CTE censor; align adds the closed-form parabola vertex +
+    np.interp-convention piecewise-linear resample (float32-rounded like
+    the pandas kernel)."""
+    filtfilt = f"""
+        WITH {_ORDERED_LISTS_CTE}
+        SELECT o.user_id, o.rn AS seq, {_fir_chain_sql(_BP_TAPS)} AS filtered
+        FROM ordered o JOIN lists l ON o.user_id = l.user_id"""
+
+    decimate = f"""
+        WITH {_ORDERED_LISTS_CTE}
+        SELECT o.user_id, o.rn AS seq, {_fir_chain_sql(_LP_TAPS)} AS filtered
+        FROM ordered o JOIN lists l ON o.user_id = l.user_id
+        WHERE o.rn % 4 = 0"""
+
+    detect = f"""{_detect_cte(2.0, 5, "TRUE")}
+        SELECT d.user_id, d.crossing_seq, d.peak_seq, CAST(t.j AS BIGINT) AS idx,
+               CASE WHEN d.peak_seq - 4 + t.j BETWEEN 0 AND d.n - 1
+                    THEN d.xs[d.peak_seq - 4 + t.j + 1] ELSE 0.0 END AS wv
+        FROM located d, UNNEST(generate_series(0, 7)) AS t(j)"""
+
+    tetrode = f"""{_detect_cte(1.0, 5, "user_id = 0")}, pk AS (
+            SELECT DISTINCT peak_seq FROM located
+        ), patches AS (
+            SELECT p.peak_seq, l.user_id AS ch, l.xs,
+                   GREATEST(p.peak_seq - 4, 0) AS lo,
+                   LEAST(p.peak_seq + 4, l.n) AS hi
+            FROM pk p, lists l WHERE l.user_id < 4
+        ), ok AS (
+            SELECT peak_seq FROM patches GROUP BY peak_seq
+            HAVING COUNT(*) = 4 AND MIN(hi - lo) > 0
+        )
+        SELECT p.peak_seq, CAST(p.ch * 8 + t.j AS BIGINT) AS idx,
+               CAST(CAST(CASE WHEN t.j < p.hi - p.lo
+                    THEN p.xs[p.lo + t.j + 1] ELSE 0.0 END AS FLOAT) AS DOUBLE) AS wv
+        FROM patches p, ok o, UNNEST(generate_series(0, 7)) AS t(j)
+        WHERE p.peak_seq = o.peak_seq"""
+
+    align = f"""{_detect_cte(2.0, 5, "user_id < 32")}, wvs AS (
+            SELECT user_id, crossing_seq, peak_seq,
+                   list_transform(generate_series(0, 7), j ->
+                       CAST(CAST(CASE WHEN peak_seq - 4 + j BETWEEN 0 AND n - 1
+                            THEN xs[peak_seq - 4 + j + 1] ELSE 0.0 END AS FLOAT) AS DOUBLE)) AS w
+            FROM located
+        ), pk2 AS (
+            SELECT user_id, crossing_seq, peak_seq, w,
+                   CAST(list_position(w, list_max(w)) AS BIGINT) - 1 AS p
+            FROM wvs
+        ), fr AS (
+            SELECT user_id, crossing_seq, peak_seq, w,
+                   CASE WHEN p BETWEEN 1 AND 6
+                             AND ((w[p] - 2.0 * w[p+1]) + w[p+2]) != 0.0
+                        THEN CAST(p AS DOUBLE)
+                             + (w[p] - w[p+2]) / (2.0 * ((w[p] - 2.0 * w[p+1]) + w[p+2]))
+                        ELSE CAST(p AS DOUBLE) END AS frac
+            FROM pk2
+        ), grid AS (
+            SELECT user_id, crossing_seq, peak_seq, w, CAST(t.i AS BIGINT) AS idx,
+                   LEAST(GREATEST(frac + CAST(t.i - 4 AS DOUBLE), 0.0), 7.0) AS q
+            FROM fr, UNNEST(generate_series(0, 7)) AS t(i)
+        )
+        SELECT user_id, peak_seq, idx,
+               CAST(CAST(CASE WHEN q >= 7.0 THEN w[8]
+                    ELSE (w[CAST(FLOOR(q) AS BIGINT) + 2] - w[CAST(FLOOR(q) AS BIGINT) + 1])
+                         * (q - FLOOR(q)) + w[CAST(FLOOR(q) AS BIGINT) + 1]
+               END AS FLOAT) AS DOUBLE) AS av
+        FROM grid"""
+
+    # W6 cspline: the n=8 natural-cubic tridiagonal solve (b=4, a=c=1)
+    # has CONSTANT Thomas coefficients — compute them with the exact
+    # float ops dsp.cubic_spline_eval uses and embed their reprs, so the
+    # unrolled forward sweep / back substitution is bit-identical.
+    _n = 8
+    _cp = [0.0] * (_n - 2)
+    _m = [4.0] * (_n - 2)
+    _cp[0] = 1.0 / 4.0
+    for _i in range(1, _n - 2):
+        _m[_i] = 4.0 - 1.0 * _cp[_i - 1]
+        _cp[_i] = (1.0 / _m[_i]) if _i < _n - 3 else 0.0
+    _rhs = [
+        f"(6.0 * ((w[{_j + 3}] - 2.0 * w[{_j + 2}]) + w[{_j + 1}]))"
+        for _j in range(_n - 2)
+    ]
+    _dp_exprs = [f"({_rhs[0]} / 4.0) AS dp0"] + [
+        f"(({_rhs[_i]} - dp{_i - 1}) / {_m[_i]!r}) AS dp{_i}"
+        for _i in range(1, _n - 2)
+    ]
+    _m_exprs = ["dp5 AS M6"] + [
+        f"(dp{_i} - {_cp[_i]!r} * M{_i + 2}) AS M{_i + 1}"
+        for _i in range(_n - 4, -1, -1)
+    ]
+    _tt = "(q - CAST(j AS DOUBLE))"
+    _u = f"(1.0 - {_tt})"
+    _av = (
+        f"((((Ml[j+1] * (({_u} * {_u}) * {_u})) / 6.0)"
+        f" + ((Ml[j+2] * (({_tt} * {_tt}) * {_tt})) / 6.0))"
+        f" + ((w[j+1] - Ml[j+1] / 6.0) * {_u}))"
+        f" + ((w[j+2] - Ml[j+2] / 6.0) * {_tt})"
+    )
+    align_cspline = f"""{_detect_cte(1.5, 5, "user_id < 16")}, wvs AS (
+            SELECT user_id, crossing_seq, peak_seq,
+                   list_transform(generate_series(0, 7), j ->
+                       CAST(CAST(CASE WHEN peak_seq - 4 + j BETWEEN 0 AND n - 1
+                            THEN xs[peak_seq - 4 + j + 1] ELSE 0.0 END AS FLOAT) AS DOUBLE)) AS w
+            FROM located
+        ), pk2 AS (
+            SELECT user_id, crossing_seq, peak_seq, w,
+                   CAST(list_position(w, list_max(w)) AS BIGINT) - 1 AS p
+            FROM wvs
+        ), fr AS (
+            SELECT user_id, crossing_seq, peak_seq, w,
+                   CASE WHEN p BETWEEN 1 AND 6
+                             AND ((w[p] - 2.0 * w[p+1]) + w[p+2]) != 0.0
+                        THEN CAST(p AS DOUBLE)
+                             + (w[p] - w[p+2]) / (2.0 * ((w[p] - 2.0 * w[p+1]) + w[p+2]))
+                        ELSE CAST(p AS DOUBLE) END AS frac
+            FROM pk2
+        ), spl AS (
+            SELECT user_id, crossing_seq, peak_seq, w, frac,
+                   {', '.join(_dp_exprs)},
+                   {', '.join(_m_exprs)}
+            FROM fr
+        ), msl AS (
+            SELECT user_id, crossing_seq, peak_seq, w, frac,
+                   [0.0, M1, M2, M3, M4, M5, M6, 0.0] AS Ml
+            FROM spl
+        ), grid AS (
+            SELECT user_id, crossing_seq, peak_seq, w, Ml, CAST(t.i AS BIGINT) AS idx,
+                   LEAST(GREATEST(frac + CAST(t.i - 4 AS DOUBLE), 0.0), 7.0) AS q
+            FROM msl, UNNEST(generate_series(0, 7)) AS t(i)
+        ), ev AS (
+            SELECT user_id, peak_seq, idx, w, Ml, q,
+                   LEAST(CAST(FLOOR(q) AS BIGINT), 6) AS j
+            FROM grid
+        )
+        SELECT user_id, peak_seq, idx,
+               CAST(CAST(({_av}) AS FLOAT) AS DOUBLE) AS av
+        FROM ev"""
+
+    return {
+        "events_filtfilt": filtfilt,
+        "events_decimate": decimate,
+        "events_detect_spikes": detect,
+        "events_tetrode": tetrode,
+        "events_align": align,
+        "events_align_cspline": align_cspline,
+    }
+
+
+def _extension_oracles() -> dict[str, str]:
+    """Oracles for the common-ref/ANN/multimodal extension queries."""
+    dedup_cte = """
+        WITH dedup AS (
+            SELECT user_id, minute, value FROM (
+                SELECT user_id, epoch_us(ts) // 60000000 AS minute, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 60000000
+                            ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        )"""
+    common_ref = f"""{dedup_cte}, iv AS (
+            SELECT user_id, minute, CAST(floor(value * 1000) AS BIGINT) AS iv FROM dedup
+        ), ref AS (
+            SELECT minute, AVG(iv) AS m FROM iv GROUP BY minute
+        )
+        SELECT i.user_id, i.minute, i.iv,
+               CAST(i.iv - r.m AS DOUBLE) AS value_ref
+        FROM iv i JOIN ref r ON i.minute = r.minute"""
+
+    def _lsh_parts(n_planes: int):
+        terms = []
+        for j in range(n_planes):
+            signs = "[" + ", ".join(str(sim._plane_sign(j, i)) for i in range(64)) + "]"
+            terms.append(
+                f"CAST(list_sum(list_transform(generate_series(1, 64), i -> ({signs}[i]) * iv[i])) AS BIGINT) AS p{j}"
+            )
+        bexpr = " + ".join(f"(CASE WHEN p{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes))
+        msks = ", ".join(str(m) for m in [0] + [1 << j for j in range(n_planes)])
+        return terms, bexpr, msks
+
+    plane_terms, bucket_expr, _ = _lsh_parts(8)
+    # the top-k query runs 6 planes (64 buckets): at fixture scale the
+    # 8-plane table is so sparse (~2 vectors/bucket) that even
+    # multi-probe recall collapses — 6 planes keeps the sub-linear
+    # bucket-join shape with usable occupancy (recall audited by
+    # emb_ann_recall)
+    plane_terms6, bucket_expr6, masks6 = _lsh_parts(6)
+    pair_dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len(q.iv)), "
+        "i -> q.iv[i] * c.iv[i])) AS BIGINT)"
+    )
+    ann_lsh = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+            FROM embeddings
+        ), normed AS (
+            SELECT vec_id, iv,
+                   CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                        i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+            FROM base
+        ), proj AS (
+            SELECT vec_id, {', '.join(plane_terms6)} FROM base
+        ), bucketed AS (
+            SELECT vec_id, CAST({bucket_expr6} AS BIGINT) AS bucket FROM proj
+        ), qprobes AS (
+            -- multi-probe: the probe's own bucket + every Hamming-1 flip
+            SELECT b.vec_id, xor(b.bucket, t.m) AS pb
+            FROM bucketed b, UNNEST([{masks6}]) AS t(m)
+            WHERE b.vec_id < 20
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {pair_dot} AS dot,
+                   q.nrm AS nrm_a, c.nrm AS nrm_b
+            FROM qprobes p
+            JOIN normed q ON q.vec_id = p.vec_id
+            JOIN bucketed cb ON cb.bucket = p.pb AND cb.vec_id != p.vec_id
+            JOIN normed c ON c.vec_id = cb.vec_id
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank,
+               dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+        FROM ranked WHERE rank <= 5"""
+
+    media_stats = """
+        WITH b AS (
+            SELECT doc_id AS media_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+                        i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum
+            FROM documents WHERE length(text) = strlen(text)
+        )
+        SELECT media_id, n_bytes, byte_sum,
+               CASE WHEN n_bytes = 0 THEN 0.0
+                    ELSE CAST(byte_sum AS DOUBLE) / CAST(n_bytes * 255 AS DOUBLE)
+               END AS mean_px
+        FROM b"""
+
+    masks = ", ".join(str(m) for m in [0] + [1 << j for j in range(8)])
+    neardup_lsh = f"""
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+            FROM embeddings
+        ), normed AS (
+            SELECT vec_id, iv,
+                   CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                        i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+            FROM base
+        ), proj AS (
+            SELECT vec_id, {', '.join(plane_terms)} FROM base
+        ), bucketed AS (
+            SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket FROM proj
+        ), probes AS (
+            SELECT b.vec_id, xor(b.bucket, t.m) AS pb
+            FROM bucketed b, UNNEST([{masks}]) AS t(m)
+        ), scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {pair_dot.replace('q.', 'a.').replace('c.', 'b.')} AS dot,
+                   a.nrm AS nrm_a, b.nrm AS nrm_b
+            FROM probes p
+            JOIN bucketed cb ON cb.bucket = p.pb AND p.vec_id < cb.vec_id
+            JOIN normed a ON a.vec_id = p.vec_id
+            JOIN normed b ON b.vec_id = cb.vec_id
+        )
+        SELECT id_a, id_b,
+               dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+        FROM scored
+        WHERE dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) >= 0.35"""
+
+    return {
+        "events_common_ref": common_ref,
+        "emb_ann_topk_lsh": ann_lsh,
+        "docs_media_stats": media_stats,
+        "emb_cosine_neardup_lsh": neardup_lsh,
+    }
+
+
+ORACLE_SQL.update(_similarity_oracles())
+ORACLE_SQL.update(_text_oracles())
+ORACLE_SQL.update(_extension_oracles())
+ORACLE_SQL.update(_signal_oracles())
+ORACLE_SQL["docs_curation_funnel"] = _funnel_oracle()
+
+# As-of join: the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+# independent implementation of the same semantics, cross-validating
+# the engine's union+window-carry formulation.
+ORACLE_SQL["events_asof"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id AS view_id, value
+        FROM events WHERE event_type = 'view'
+    ), p0 AS (
+        SELECT user_id, epoch_us(ts) AS us, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                    ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), p AS (
+        SELECT user_id, us, value FROM p0 WHERE rn = 1
+    )
+    SELECT v.user_id, v.us AS view_us, v.view_id,
+           p.us AS purchase_us, p.value AS purchase_value
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.us >= p.us"""
+
+# nearest = closer of DuckDB's native backward and forward ASOF joins,
+# backward on exact ties (pandas merge_asof semantics)
+ORACLE_SQL["events_asof_nearest"] = """
+    WITH v AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id AS view_id, value
+        FROM events WHERE event_type = 'view'
+    ), p0 AS (
+        SELECT user_id, epoch_us(ts) AS us, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+                    ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), p AS (
+        SELECT user_id, us, value FROM p0 WHERE rn = 1
+    ), b AS (
+        SELECT v.user_id, v.us, v.view_id, p.us AS bus, p.value AS bval
+        FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.us >= p.us
+    ), f AS (
+        SELECT v.user_id, v.us, v.view_id, p.us AS fus, p.value AS fval
+        FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.us <= p.us
+    )
+    SELECT b.user_id, b.us AS view_us, b.view_id,
+           CASE WHEN b.bus IS NULL THEN f.fus
+                WHEN f.fus IS NULL THEN b.bus
+                WHEN (b.us - b.bus) <= (f.fus - f.us) THEN b.bus
+                ELSE f.fus END AS purchase_us,
+           CASE WHEN b.bus IS NULL THEN f.fval
+                WHEN f.fus IS NULL THEN b.bval
+                WHEN (b.us - b.bus) <= (f.fus - f.us) THEN b.bval
+                ELSE f.fval END AS purchase_value
+    FROM b JOIN f ON b.user_id = f.user_id AND b.us = f.us AND b.view_id = f.view_id"""
+# S11/A9 audit: one hash aggregation per user.
+ORACLE_SQL["events_audit"] = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT epoch_us(ts)) AS BIGINT) AS n_distinct,
+           MIN(epoch_us(ts)) AS ts_min,
+           MAX(epoch_us(ts)) AS ts_max,
+           COUNT(*) != COUNT(DISTINCT epoch_us(ts)) AS has_duplicates
+    FROM events GROUP BY user_id"""
+
+# Frame sampling: every 3rd 16-byte frame, exact integer byte stats.
+ORACLE_SQL["docs_media_frames"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id, text, length(text) AS n_chars
+        FROM documents WHERE length(text) = strlen(text)
+    ), f AS (
+        SELECT media_id, CAST(t.fi AS BIGINT) AS frame_idx,
+               substr(text, CAST(t.fi * 16 + 1 AS BIGINT), 16) AS fr
+        FROM b, UNNEST(generate_series(0, CAST(n_chars // 16 AS BIGINT) - 1, 3)) AS t(fi)
+        WHERE n_chars >= 16
+    )
+    SELECT media_id, frame_idx, CAST(16 AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+                i -> ord(substr(fr, i, 1)))) AS BIGINT) AS byte_sum,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+                i -> ord(substr(fr, i, 1)))) AS DOUBLE) / (16 * 255) AS mean_px
+    FROM f"""
+
+# Audio windowing: every full 32-byte window, exact integer deviation
+# stats; rms is a fixed double chain (/32 and /128 are powers of two,
+# sqrt is IEEE-correctly-rounded, so both engines agree bit-for-bit).
+ORACLE_SQL["docs_media_audio"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents WHERE length(text) = strlen(text)
+    ), w AS (
+        SELECT media_id, CAST(t.wi AS BIGINT) AS window_idx,
+               substr(text, CAST(t.wi * 32 + 1 AS BIGINT), 32) AS seg
+        FROM b, UNNEST(generate_series(0, CAST(n // 32 AS BIGINT) - 1)) AS t(wi)
+        WHERE n >= 32
+    ), s AS (
+        SELECT media_id, window_idx,
+               CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> (ord(substr(seg, i, 1)) - 128) * (ord(substr(seg, i, 1)) - 128))) AS BIGINT) AS sum_dev2,
+               CAST(list_max(list_transform(generate_series(1, 32),
+                    i -> abs(ord(substr(seg, i, 1)) - 128))) AS BIGINT) AS peak_dev,
+               CAST(len(list_filter(generate_series(1, 32),
+                    i -> abs(ord(substr(seg, i, 1)) - 128) >= 127)) AS BIGINT) AS n_clipped
+        FROM w
+    )
+    SELECT media_id, window_idx, sum_dev2, peak_dev, n_clipped,
+           sqrt(CAST(sum_dev2 AS DOUBLE) / 32) / 128 AS rms
+    FROM s"""
+
+# wav round-trip is lossless over byte-128 samples: same oracle as raw8
+ORACLE_SQL["docs_media_wav_roundtrip"] = ORACLE_SQL["docs_media_audio"]
+
+# Nearest-neighbor resize to 4x8: per-output-pixel byte fetch with the
+# same trunc(i*in/out) index mapping the kernel uses.
+ORACLE_SQL["docs_media_resize"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id, text,
+               CAST(length(text) // 16 AS BIGINT) AS h
+        FROM documents WHERE length(text) >= 16 AND length(text) = strlen(text)
+    ), g AS (
+        SELECT media_id, text, h, CAST(t.r AS BIGINT) AS r, CAST(t2.c AS BIGINT) AS c
+        FROM b, UNNEST(generate_series(0, 3)) AS t(r),
+                UNNEST(generate_series(0, 7)) AS t2(c)
+    )
+    SELECT media_id, r, c,
+           CAST(ord(substr(text,
+                CAST(LEAST(CAST(floor(r * h / 4.0) AS BIGINT), h - 1) * 16
+                     + LEAST(CAST(floor(c * 16 / 8.0) AS BIGINT), 15) + 1 AS BIGINT),
+                1)) AS BIGINT) AS px
+    FROM g"""
+
+# IVF with frozen integer centroids: assignment, nprobe selection and
+# ranking replayed in exact BIGINT arithmetic.
+_ivf_cent_rows = ",\n            ".join(
+    f"({ci}, [{', '.join(str(v) for v in c)}])"
+    for ci, c in enumerate(_IVF_FROZEN_CENTS)
+)
+ORACLE_SQL["emb_ann_topk_ivf_frozen"] = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, iv,
+               CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                    i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+        FROM base
+    ), cents(c, civ) AS (
+        VALUES {_ivf_cent_rows}
+    ), dists AS (
+        SELECT n.vec_id, n.iv, n.nrm, c.c,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> (n.iv[i] - c.civ[i]) * (n.iv[i] - c.civ[i]))) AS BIGINT) AS d
+        FROM normed n CROSS JOIN cents c
+    ), corpus AS (
+        SELECT vec_id, iv, nrm, c AS cl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id, iv, nrm, c AS pcl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM dists WHERE vec_id < 20
+        ) WHERE rn <= 2
+    ), scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                    i -> q.iv[i] * t.iv[i])) AS BIGINT) AS dot,
+               q.nrm AS nrm_a, t.nrm AS nrm_b
+        FROM probes q JOIN corpus t ON q.pcl = t.cl AND t.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank,
+           dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+    FROM ranked WHERE rank <= 5"""
+
+# Fitted IVF: the integer-quantized Lloyd fit unrolled as chained CTEs
+# (seeds = 16 smallest vec_ids; per iteration: exact int64 argmin
+# assignment → per-dim integer sums → floor-divided centroid update;
+# empty clusters keep their previous centroid), then the same frozen
+# search shape (nprobe=4). Bit-exact vs sim.ivf_fit_centroids +
+# sim.ann_topk_ivf because every quantity on both sides is int64.
+def _ivf_fit_prefix(k: int, n_iter: int, fit_fraction: float) -> str:
+    """WITH-prefix replaying the sampled integer IVF coarse fit:
+    base → normed → fitset (the engine-portable md5 hash-sample, the
+    Spark side's operators/sampling.hash_bucket construction) →
+    cents0..cents{n_iter}. The search half of each consumer still runs
+    over the FULL corpus."""
+    fit_thr = int(fit_fraction * (1 << 32))
+    its = []
+    for i in range(n_iter):
+        its.append(f"""
+    , d{i} AS (
+        SELECT n.vec_id, c.c,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    j -> (n.iv[j] - c.civ[j]) * (n.iv[j] - c.civ[j]))) AS BIGINT) AS d
+        FROM fitset n CROSS JOIN cents{i} c
+    ), a{i} AS (
+        SELECT vec_id, c FROM (
+            SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ), s{i} AS (
+        SELECT a.c, t.j, SUM(n.iv[t.j]) AS sv, COUNT(*) AS cnt
+        FROM a{i} a JOIN fitset n USING (vec_id), UNNEST(generate_series(1, 64)) AS t(j)
+        GROUP BY a.c, t.j
+    ), cents{i + 1} AS (
+        SELECT p.c, COALESCE(u.civ, p.civ) AS civ
+        FROM cents{i} p LEFT JOIN (
+            SELECT c, list(CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY j) AS civ
+            FROM s{i} GROUP BY c
+        ) u ON p.c = u.c
+    )""")
+    return f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, iv,
+               CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                    i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+        FROM base
+    ), fitset AS (
+        SELECT vec_id, iv FROM normed
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT < {fit_thr}
+    ), cents0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, iv AS civ
+        FROM (SELECT vec_id, iv FROM fitset ORDER BY vec_id LIMIT {k})
+    ){''.join(its)}"""
+
+
+def _ivf_fitted_oracle(
+    k: int = 16, n_iter: int = 3, nprobe: int = 4, fit_fraction: float = 0.5
+) -> str:
+    return f"""{_ivf_fit_prefix(k, n_iter, fit_fraction)}
+    , fdist AS (
+        SELECT n.vec_id, n.iv, n.nrm, c.c,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    j -> (n.iv[j] - c.civ[j]) * (n.iv[j] - c.civ[j]))) AS BIGINT) AS d
+        FROM normed n CROSS JOIN cents{n_iter} c
+    ), corpus AS (
+        SELECT vec_id, iv, nrm, c AS cl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM fdist
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id, iv, nrm, c AS pcl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM fdist WHERE vec_id < 20
+        ) WHERE rn <= {nprobe}
+    ), scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                    i -> q.iv[i] * t.iv[i])) AS BIGINT) AS dot,
+               q.nrm AS nrm_a, t.nrm AS nrm_b
+        FROM probes q JOIN corpus t ON q.pcl = t.cl AND t.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank,
+           dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+    FROM ranked WHERE rank <= 5"""
+
+
+ORACLE_SQL["emb_ann_topk_ivf"] = _ivf_fitted_oracle()
+
+
+def _pq_fitted_oracle(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    nprobe: int = 4,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iter: int = 2,
+    refine: int = 32,
+    fit_fraction: float = 0.5,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of the WHOLE IVFADC pipeline: sampled integer IVF
+    fit (shared prefix), sampled per-subspace integer PQ fits (subspace
+    rides the CTEs as a key column — one Lloyd chain covers all ``m``
+    codebooks), corpus cell assignment + PQ encode, per-probe ADC dot
+    tables, cell-restricted ADC shortlist of ``refine``, exact integer
+    re-rank."""
+    d = dim // m
+    pq_its = []
+    for i in range(pq_iter):
+        pq_its.append(f"""
+    , pd{i} AS (
+        SELECT n.vec_id, n.j, c.c,
+               CAST(list_sum(list_transform(generate_series(1, {d}),
+                    t -> (n.siv[t] - c.civ[t]) * (n.siv[t] - c.civ[t]))) AS BIGINT) AS dd
+        FROM fitsub n JOIN pcents{i} c ON n.j = c.j
+    ), pa{i} AS (
+        SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS rn
+            FROM pd{i}
+        ) WHERE rn = 1
+    ), ps{i} AS (
+        SELECT a.j, a.c, t.t, SUM(n.siv[t.t]) AS sv, COUNT(*) AS cnt
+        FROM pa{i} a JOIN fitsub n ON a.vec_id = n.vec_id AND a.j = n.j,
+             UNNEST(generate_series(1, {d})) AS t(t)
+        GROUP BY a.j, a.c, t.t
+    ), pcents{i + 1} AS (
+        SELECT p.j, p.c, COALESCE(u.civ, p.civ) AS civ
+        FROM pcents{i} p LEFT JOIN (
+            SELECT j, c, list(CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY t) AS civ
+            FROM ps{i} GROUP BY j, c
+        ) u ON p.j = u.j AND p.c = u.c
+    )""")
+    return f"""{_ivf_fit_prefix(n_centroids, n_iter, fit_fraction)}
+    , fitsub AS (
+        SELECT vec_id, sj.j, list_slice(iv, sj.j * {d} + 1, sj.j * {d} + {d}) AS siv
+        FROM fitset, UNNEST(generate_series(0, {m - 1})) AS sj(j)
+    ), pcents0 AS (
+        SELECT s.j, CAST(ROW_NUMBER() OVER (PARTITION BY s.j ORDER BY s.vec_id) - 1 AS INT) AS c,
+               s.siv AS civ
+        FROM fitsub s
+        WHERE s.vec_id IN (SELECT vec_id FROM fitset ORDER BY vec_id LIMIT {pq_k})
+    ){''.join(pq_its)}
+    , fdist AS (
+        SELECT n.vec_id, n.nrm, c.c,
+               CAST(list_sum(list_transform(generate_series(1, {dim}),
+                    j -> (n.iv[j] - c.civ[j]) * (n.iv[j] - c.civ[j]))) AS BIGINT) AS d
+        FROM normed n CROSS JOIN cents{n_iter} c
+    ), cells AS (
+        SELECT vec_id, c AS cl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM fdist
+        ) WHERE rn = 1
+    ), allsub AS (
+        SELECT vec_id, sj.j, list_slice(iv, sj.j * {d} + 1, sj.j * {d} + {d}) AS siv
+        FROM normed, UNNEST(generate_series(0, {m - 1})) AS sj(j)
+    ), ecodes AS (
+        SELECT vec_id, j, c AS cj FROM (
+            SELECT n.vec_id, n.j, c.c,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id, n.j ORDER BY
+                        CAST(list_sum(list_transform(generate_series(1, {d}),
+                             t -> (n.siv[t] - c.civ[t]) * (n.siv[t] - c.civ[t]))) AS BIGINT), c.c) AS rn
+            FROM allsub n JOIN pcents{pq_iter} c ON n.j = c.j
+        ) WHERE rn = 1
+    ), pcells AS (
+        SELECT vec_id, c AS pcl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM fdist WHERE vec_id < 20
+        ) WHERE rn <= {nprobe}
+    ), ptab AS (
+        SELECT q.vec_id, c.j, c.c,
+               CAST(list_sum(list_transform(generate_series(1, {d}),
+                    t -> q.siv[t] * c.civ[t])) AS BIGINT) AS tv
+        FROM allsub q JOIN pcents{pq_iter} c ON q.j = c.j
+        WHERE q.vec_id < 20
+    ), adc AS (
+        SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id,
+               CAST(SUM(pt.tv) AS BIGINT) AS adc
+        FROM pcells p
+        JOIN cells t ON p.pcl = t.cl AND t.vec_id != p.vec_id
+        JOIN ecodes e ON e.vec_id = t.vec_id
+        JOIN ptab pt ON pt.vec_id = p.vec_id AND pt.j = e.j AND pt.c = e.cj
+        GROUP BY p.vec_id, t.vec_id
+    ), shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc DESC, neighbor_id ASC) AS rr
+            FROM adc
+        ) WHERE rr <= {refine}
+    ), rescored AS (
+        SELECT s.query_id, s.neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, {dim}),
+                    i -> q.iv[i] * t.iv[i])) AS BIGINT) AS dot,
+               q.nrm AS nrm_a, t.nrm AS nrm_b
+        FROM shortlist s
+        JOIN normed q ON q.vec_id = s.query_id
+        JOIN normed t ON t.vec_id = s.neighbor_id
+    ), rranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM rescored
+    )
+    SELECT query_id, neighbor_id, rank,
+           dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos
+    FROM rranked WHERE rank <= {k}"""
+
+
+ORACLE_SQL["emb_ann_topk_ivf_pq"] = _pq_fitted_oracle()
+
+# F2 chunked: core-exact halo contract — same oracle as whole-epoch FIR.
+ORACLE_SQL["events_filtfilt_chunked"] = ORACLE_SQL["events_filtfilt"]
+
+# W1 chunked: result is exactly the global-window debounce — the oracle
+# replays threshold + LEAD on the dense rn streams.
+ORACLE_SQL["events_crossings_chunked"] = f"""
+    WITH {_ORDERED_LISTS_CTE}, thr AS (
+        SELECT user_id, CAST(MEDIAN(ABS(value)) AS DOUBLE) / 0.6745 AS threshold
+        FROM ordered GROUP BY user_id
+    ), led AS (
+        SELECT user_id, rn, value,
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY rn) AS nv
+        FROM ordered
+    )
+    SELECT o.user_id, o.rn AS seq, CAST(o.value AS DOUBLE) AS value
+    FROM led o JOIN thr t ON o.user_id = t.user_id
+    WHERE o.value > t.threshold AND o.nv > t.threshold"""
+
+# chunk-level dedup over the same windows; canonical = (min doc, min
+# chunk) lexicographic, matching min(struct) on the Spark side
+ORACLE_SQL["docs_chunk_dedup"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), ck AS (
+        SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+               md5(array_to_string(list_slice(t, s.i * 24 + 1, s.i * 24 + 32), ' ')) AS chunk_hash
+        FROM toks, UNNEST(generate_series(0, (len(t) - 1) // 24)) AS s(i)
+    )
+    SELECT chunk_hash, n_copies,
+           CAST(mp // 4294967296 AS BIGINT) AS canonical_doc,
+           CAST(mp % 4294967296 AS BIGINT) AS canonical_chunk
+    FROM (
+        SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id * 4294967296 + chunk_idx) AS mp
+        FROM ck GROUP BY chunk_hash
+    )"""
+
+ORACLE_SQL["docs_repetition"] = """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [] END AS grams
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    ), c AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
+        FROM g
+    )
+    SELECT doc_id, n_grams, n_distinct_grams,
+           CASE WHEN n_grams > 0
+                THEN CAST(n_grams - n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END AS dup_frac,
+           (CASE WHEN n_grams > 0
+                THEN CAST(n_grams - n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END) > 0.05 AS is_repetitive
+    FROM c"""
+
+ORACLE_SQL["docs_decontaminate"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, CASE WHEN len(t) >= 8 THEN
+            list_distinct(list_transform(generate_series(1, len(t) - 7),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                  || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))
+            ELSE [] END AS shingles FROM toks
+    ), hashes AS (
+        SELECT doc_id, ('0x' || substr(md5(s.s), 1, 8))::BIGINT % {sim.P} AS h
+        FROM sh, UNNEST(shingles) AS s(s)
+    ), ev AS (
+        SELECT DISTINCT h FROM hashes WHERE doc_id % 50 = 0
+    ), shared AS (
+        SELECT t.doc_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared
+        FROM hashes t JOIN ev USING (h)
+        WHERE t.doc_id % 50 != 0
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+           COALESCE(s.n_shared, 0) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN shared s ON d.doc_id = s.doc_id"""
+
+# Sequence packing: chunk starts every 24 tokens, 32-token windows
+# (ragged tail kept); DuckDB list_slice clamps exactly like Spark slice
+# PNG round-trip is lossless: the oracle is the plain raw-byte stats
+ORACLE_SQL["docs_media_png_roundtrip"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum
+        FROM documents WHERE length(text) = strlen(text)
+    )
+    SELECT media_id, n_bytes, byte_sum,
+           CASE WHEN n_bytes = 0 THEN 0.0
+                ELSE CAST(byte_sum AS DOUBLE) / CAST(n_bytes * 255 AS DOUBLE)
+           END AS mean_px
+    FROM b"""
+
+ORACLE_SQL["docs_chunking"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), ck AS (
+        SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+               CAST(s.i * 24 AS BIGINT) AS start_tok,
+               list_slice(t, s.i * 24 + 1, s.i * 24 + 32) AS w
+        FROM toks, UNNEST(generate_series(0, (len(t) - 1) // 24)) AS s(i)
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w, ' ')) AS chunk_hash
+    FROM ck"""
+
+ORACLE_SQL["docs_vocab_topdf"] = """
+    WITH tok AS (
+        SELECT lang AS grp, doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents
+    ), dfc AS (
+        SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY grp, token
+    ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                ORDER BY df DESC, token ASC) AS BIGINT) AS rank
+        FROM dfc
+    )
+    SELECT grp AS lang, token, df, rank FROM r WHERE rank <= 10"""
+
+ORACLE_SQL["docs_domain_mixture"] = """
+    WITH per AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS token_share
+    FROM per"""
+
+def _spike_cluster_oracle(k: int = 4, n_iter: int = 2, dim: int = 8) -> str:
+    """Replay detection → integer patch features → integer Lloyd →
+    assignment (events_spike_clusters)."""
+    its = []
+    for i in range(n_iter):
+        its.append(f"""
+        , kd{i} AS (
+            SELECT n.sid, c.c,
+                   CAST(list_sum(list_transform(generate_series(1, {dim}),
+                        t -> (n.iv[t] - c.civ[t]) * (n.iv[t] - c.civ[t]))) AS BIGINT) AS d
+            FROM wvq n CROSS JOIN kc{i} c
+        ), ka{i} AS (
+            SELECT sid, c FROM (
+                SELECT sid, c, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d, c) AS rn
+                FROM kd{i}
+            ) WHERE rn = 1
+        ), ks{i} AS (
+            SELECT a.c, t.t, SUM(n.iv[t.t]) AS sv, COUNT(*) AS cnt
+            FROM ka{i} a JOIN wvq n USING (sid),
+                 UNNEST(generate_series(1, {dim})) AS t(t)
+            GROUP BY a.c, t.t
+        ), kc{i + 1} AS (
+            SELECT p.c, COALESCE(u.civ, p.civ) AS civ
+            FROM kc{i} p LEFT JOIN (
+                SELECT c, list(CAST(floor(CAST(sv AS DOUBLE) / cnt) AS BIGINT) ORDER BY t) AS civ
+                FROM ks{i} GROUP BY c
+            ) u ON p.c = u.c
+        )""")
+    return f"""{_detect_cte(2.0, 5, "user_id < 16")}
+        , wvq AS (
+            SELECT DISTINCT user_id, peak_seq,
+                   list_transform(generate_series(0, {dim - 1}), j ->
+                       CAST(CAST((CASE WHEN d.peak_seq - 4 + j BETWEEN 0 AND d.n - 1
+                            THEN d.xs[d.peak_seq - 4 + j + 1] ELSE 0.0 END) AS DECIMAL(18,4))
+                            * 100 AS BIGINT)) AS iv,
+                   user_id * 4294967296 + peak_seq AS sid
+            FROM located d
+        ), kc0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS c, iv AS civ
+            FROM (SELECT sid, iv FROM wvq ORDER BY sid LIMIT {k})
+        ){''.join(its)}
+        , fdist AS (
+            SELECT n.user_id, n.peak_seq, c.c,
+                   CAST(list_sum(list_transform(generate_series(1, {dim}),
+                        t -> (n.iv[t] - c.civ[t]) * (n.iv[t] - c.civ[t]))) AS BIGINT) AS d
+            FROM wvq n CROSS JOIN kc{n_iter} c
+        )
+        SELECT user_id, peak_seq, CAST(c AS BIGINT) AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, peak_seq ORDER BY d, c) AS rn
+            FROM fdist
+        ) WHERE rn = 1"""
+
+
+ORACLE_SQL["events_spike_clusters"] = _spike_cluster_oracle()
+
+# W1 polarity='both' — the two-sided debounce on the constant-centered
+# stream (MAD multiplier 1.0; the dense rn stream makes LEAD the ts+1
+# sample, so the step gate is implied)
+ORACLE_SQL["events_crossings_both"] = f"""
+    WITH {_ORDERED_LISTS_CTE}, centered AS (
+        SELECT user_id, rn, value - 245.0 AS value FROM ordered
+    ), thr AS (
+        SELECT user_id, CAST(0.75 * MEDIAN(ABS(value)) AS DOUBLE) / 0.6745 AS threshold
+        FROM centered GROUP BY user_id
+    ), led AS (
+        SELECT user_id, rn, value,
+               LEAD(value) OVER (PARTITION BY user_id ORDER BY rn) AS nv
+        FROM centered
+    )
+    SELECT o.user_id, o.rn AS seq, CAST(o.value AS DOUBLE) AS value
+    FROM led o JOIN thr t ON o.user_id = t.user_id
+    WHERE ABS(o.value) > t.threshold AND ABS(o.nv) > t.threshold"""
+
+# S9 round-trip: a correct sink/scan is invisible — the oracle is the
+# detection oracle itself, scoped to the query's 16-channel subset (the
+# sink surface needs correctness coverage, not full-corpus throughput).
+ORACLE_SQL["events_spikes_roundtrip"] = f"""{_detect_cte(2.0, 5, "user_id < 16")}
+        SELECT d.user_id, d.crossing_seq, d.peak_seq, CAST(t.j AS BIGINT) AS idx,
+               CASE WHEN d.peak_seq - 4 + t.j BETWEEN 0 AND d.n - 1
+                    THEN d.xs[d.peak_seq - 4 + t.j + 1] ELSE 0.0 END AS wv
+        FROM located d, UNNEST(generate_series(0, 7)) AS t(j)"""
+
+# Integer-exact tf·idf: idf_q = (N · 10^6) // df is floor division on
+# both engines; score = tf · idf_q is BIGINT, ties (score DESC, token).
+ORACLE_SQL["docs_tfidf_top"] = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), tfc AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, token
+    ), dfc AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY token
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), scored AS (
+        SELECT t.doc_id, t.token, t.tf, d.df,
+               CAST(t.tf * ((nn.n * 1000000) // d.df) AS BIGINT) AS score
+        FROM tfc t JOIN dfc d USING (token) CROSS JOIN nn
+    )
+    SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3"""
+
+# Bigram-LM fluency: model = global bigram counts, score = mean corpus
+# frequency of the doc's bigrams (BIGINT sums, one final division).
+ORACLE_SQL["docs_bigram_fluency"] = """
+    WITH bgs AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM (SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+    ), model AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bgs GROUP BY bg
+    ), agg AS (
+        SELECT b.doc_id, b.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(m.cnt) AS BIGINT) AS freq_sum
+        FROM bgs b JOIN model m USING (bg)
+        GROUP BY b.doc_id, b.lang
+    )
+    SELECT doc_id, lang, n_bigrams, freq_sum,
+           CAST(freq_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
+    FROM agg"""
+
+# k-NN label vote: exact integer dots, (dot DESC, neighbor) top-10,
+# (votes DESC, label) argmax — all-integer output.
+ORACLE_SQL["emb_knn_classify"] = f"""
+    WITH base AS (
+        SELECT vec_id, label, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)) AS iv
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS true_label,
+               c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS nbr_label,
+               CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                    i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot
+        FROM base q JOIN base c ON q.vec_id < 50 AND c.vec_id != q.vec_id
+    ), top AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dot DESC, neighbor_id ASC) AS nrank
+            FROM scored
+        ) WHERE nrank <= 10
+    ), votes AS (
+        SELECT query_id, true_label, nbr_label, CAST(COUNT(*) AS BIGINT) AS votes
+        FROM top GROUP BY query_id, true_label, nbr_label
+    )
+    SELECT query_id, true_label, nbr_label AS pred_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY votes DESC, nbr_label ASC) AS vrank
+        FROM votes
+    ) WHERE vrank = 1"""
+
+# Band power on the exact FIR chain: quanta floor is identical FLOOR()
+# on both engines; Σq² needs CAST (DuckDB SUM promotes to HUGEINT).
+ORACLE_SQL["events_band_power"] = f"""
+    WITH {_ORDERED_LISTS_CTE}, filt AS (
+        SELECT o.user_id, {_fir_chain_sql(_BP_TAPS)} AS filtered
+        FROM ordered o JOIN lists l ON o.user_id = l.user_id
+    ), qq AS (
+        SELECT user_id, CAST(FLOOR(filtered * 1000.0) AS BIGINT) AS q FROM filt
+    ), agg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q * q) AS BIGINT) AS power_q
+        FROM qq GROUP BY user_id
+    )
+    SELECT user_id, n, power_q,
+           CAST(power_q AS DOUBLE) / CAST(n AS DOUBLE) AS band_power
+    FROM agg"""
+
+# Q10/Q18 oracles share the split-sum revenue recombination (see
+# _disc_price_sum: identical expression tree → hash-equal at any sf).
+_REV_SPLIT_SQL = f"""(CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) // 2147483648) AS BIGINT) AS DOUBLE)
+                    * 2147483648.0
+                + CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) % 2147483648) AS BIGINT) AS DOUBLE))
+                   / 100000000.0"""
+
+ORACLE_SQL["q10_returned_items"] = f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name, {_REV_SPLIT_SQL} AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20"""
+
+ORACLE_SQL["q18_large_volume_customers"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100"""
+
+
+def _ann_recall_oracle() -> str:
+    """Compose the recall audit from the ALREADY-VERIFIED per-method
+    oracles (brute / LSH / frozen-IVF result sets as subquery CTEs) —
+    the metric layer adds only integer counts + one division."""
+    exact_sql = ORACLE_SQL["emb_ann_topk"]
+    method_sqls = {
+        "lsh": ORACLE_SQL["emb_ann_topk_lsh"],
+        "ivf": ORACLE_SQL["emb_ann_topk_ivf_frozen"],
+    }
+    parts = []
+    for m, msql in method_sqls.items():
+        parts.append(f"""
+    SELECT '{m}' AS method, ne.query_id, ne.n_exact,
+           COALESCE(na.n_approx, CAST(0 AS BIGINT)) AS n_approx,
+           COALESCE(nov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+    FROM (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM ({exact_sql}) e GROUP BY query_id
+    ) ne
+    LEFT JOIN (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+        FROM ({msql}) a GROUP BY query_id
+    ) na ON ne.query_id = na.query_id
+    LEFT JOIN (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM ({exact_sql}) e JOIN ({msql}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    ) nov ON ne.query_id = nov.query_id""")
+    body = "\n    UNION ALL\n".join(parts)
+    return f"""
+    SELECT method, query_id, n_exact, n_approx, n_overlap,
+           CAST(n_overlap AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+    FROM ({body})"""
+
+
+ORACLE_SQL["emb_ann_recall"] = _ann_recall_oracle()
+
+# Winsorize: discrete rank-selected p01/p99 + pure-comparison clip —
+# no float arithmetic anywhere, so parity is structural.
+ORACLE_SQL["events_winsorize"] = """
+    WITH ranked AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us, value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY value, epoch_us(ts), event_id) AS BIGINT) - 1 AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+    ), q AS (
+        SELECT user_id, event_id, us, value,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.01) AS BIGINT)
+                   THEN value END) OVER (PARTITION BY user_id) AS lo,
+               MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.99) AS BIGINT)
+                   THEN value END) OVER (PARTITION BY user_id) AS hi
+        FROM ranked
+    )
+    SELECT user_id, event_id, us, value, lo, hi,
+           LEAST(GREATEST(value, lo), hi) AS value_clipped,
+           (value < lo OR value > hi) AS was_clipped
+    FROM q"""
+
+# The chunked (histogram-selection) variant computes the identical
+# rank-selected band — one oracle serves both physical strategies.
+ORACLE_SQL["events_winsorize_chunked"] = ORACLE_SQL["events_winsorize"]
+
+# Streaming sessionize (availableNow, append mode): the emitted set is
+# the batch gaps-and-islands sessions CLOSED by the final watermark —
+# last event at least one 30-min gap before the global max event time.
+ORACLE_SQL["events_sessionize_streamed"] = """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+        SELECT user_id, us,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    ), agg AS (
+        SELECT user_id,
+               MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM agg
+    WHERE session_end_us + 1800000000 <= (SELECT MAX(epoch_us(ts)) FROM events)
+"""
+
+# Streaming censor (GroupState dead-time): append emission is complete,
+# so the oracle is the exact greedy censor over distinct exceedances.
+ORACLE_SQL["events_censor_streamed"] = """
+    WITH RECURSIVE x AS (
+        SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) AS us
+        FROM events WHERE value > 150.0
+    ), kept AS (
+        SELECT user_id, us FROM x WHERE NOT EXISTS (
+            SELECT 1 FROM x x2 WHERE x2.user_id = x.user_id AND x2.us < x.us)
+        UNION ALL
+        SELECT x.user_id, x.us
+        FROM x JOIN kept k ON x.user_id = k.user_id AND x.us > k.us + 86400000000
+        WHERE NOT EXISTS (
+            SELECT 1 FROM x x2
+            WHERE x2.user_id = x.user_id AND x2.us > k.us + 86400000000 AND x2.us < x.us)
+    )
+    SELECT user_id, us FROM kept
+"""
+
+ORACLE_SQL["events_xcorr"] = f"""
+    WITH s AS (
+        SELECT user_id AS ch,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS t,
+               CAST(floor(value * 1000) AS BIGINT) AS iv
+        FROM events WHERE user_id < 4
+    ), lags(lag_k) AS (
+        SELECT CAST(x AS BIGINT) FROM UNNEST([-2, -1, 0, 1, 2]) AS u(x)
+    ), pr AS (
+        SELECT a.ch AS ch_a, b.ch AS ch_b, l.lag_k,
+               a.iv AS ia, b.iv AS ib
+        FROM s a CROSS JOIN lags l
+        JOIN s b ON b.t = a.t + l.lag_k AND a.ch < b.ch
+    ), m AS (
+        SELECT ch_a, ch_b, lag_k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ia) AS BIGINT) AS sa, CAST(SUM(ib) AS BIGINT) AS sb,
+               CAST(SUM(ia * ia) AS BIGINT) AS saa,
+               CAST(SUM(ib * ib) AS BIGINT) AS sbb,
+               CAST(SUM(ia * ib) AS BIGINT) AS sab
+        FROM pr GROUP BY ch_a, ch_b, lag_k
+    )
+    SELECT ch_a, ch_b, lag_k, n, sab, {_XCORR_CORR} AS corr FROM m"""
+
+# Sequence packing: per-shard running token offset (window cumsum),
+# seq assignment by integer floor-division of the start offset.
+ORACLE_SQL["docs_pack_sequences"] = """
+    WITH base AS (
+        SELECT source, doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+        FROM documents
+    ), offs AS (
+        SELECT source, nt,
+               CAST(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+                    AS BIGINT) AS off
+        FROM base
+    ), per_doc AS (
+        SELECT source, nt,
+               off // 2048 AS seq_id,
+               ((off + nt - 1) // 2048) > (off // 2048) AS straddles
+        FROM offs
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+    FROM per_doc GROUP BY source, seq_id"""
+
+_PROMO_QUANTA = (
+    f"CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_QUANTA} ELSE CAST(0 AS BIGINT) END"
+)
+ORACLE_SQL["q14_promo_effect"] = f"""
+    SELECT 100.0 *
+           ((CAST(CAST(SUM(({_PROMO_QUANTA}) // 2147483648) AS BIGINT) AS DOUBLE)
+                * 2147483648.0
+             + CAST(CAST(SUM(({_PROMO_QUANTA}) % 2147483648) AS BIGINT) AS DOUBLE))
+            / 100000000.0)
+           /
+           ((CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) // 2147483648) AS BIGINT) AS DOUBLE)
+                * 2147483648.0
+             + CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) % 2147483648) AS BIGINT) AS DOUBLE))
+            / 100000000.0) AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'"""
+
+# Mixture rebalancing: computed per-stratum fraction min(1, t·N/n_g) in
+# the identical float tree, md5-threshold membership.
+_REBALANCE_CASE = "CASE " + " ".join(
+    f"WHEN d.lang = '{k}' THEN {v!r}" for k, v in sorted(_REBALANCE_TARGETS.items())
+) + " ELSE 0.0 END"
+ORACLE_SQL["docs_rebalance_sample"] = f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN tot
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT <
+          CAST(floor(LEAST(({_REBALANCE_CASE}) * CAST(n_tot AS DOUBLE)
+                           / CAST(n_g AS DOUBLE), 1.0) * 4294967296.0) AS BIGINT)"""
+
