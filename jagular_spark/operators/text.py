@@ -428,3 +428,39 @@ def score_bigrams(
             F.col("freq_sum").cast("double") / F.col("n_bigrams").cast("double"),
         )
     )
+
+
+# PII redaction: dialect-portable regexes (work identically under Java
+# regex and RE2/DuckDB — no lookaround, no backreferences) applied in a
+# FIXED order, since redactions compose (an email contains digit runs a
+# looser phone pattern could claim). Order: email → IPv4 → dashed phone.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4,8}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / dashed phone numbers from a text
+    column — the pre-training privacy pass every large-scale corpus
+    pipeline needs. Appends ``out_col`` (redacted text),
+    ``n_emails``/``n_ips``/``n_phones`` (match counts, taken BEFORE any
+    replacement so counts are independent of redaction order), and
+    ``was_redacted``. All JVM-side ``regexp_replace``/``regexp_count``
+    expressions — no UDF, no shuffle: the redaction is a pure
+    projection that composes with scans at any scale."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return df.select(
+        *df.columns,
+        *counts,
+        red.alias(out_col),
+    ).withColumn("was_redacted", F.col(out_col) != F.col(text_col))

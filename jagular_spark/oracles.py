@@ -1946,3 +1946,114 @@ ORACLE_SQL["docs_rebalance_sample"] = f"""
           CAST(floor(LEAST(({_REBALANCE_CASE}) * CAST(n_tot AS DOUBLE)
                            / CAST(n_g AS DOUBLE), 1.0) * 4294967296.0) AS BIGINT)"""
 
+
+
+# ---------------------------------------------------------------------------
+# r6 relational additions (q4/q12/q13/q17/q19/q22 shapes) + PII redaction
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL["q4_order_priority"] = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+ORACLE_SQL["q12_shipping_classes"] = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus"""
+
+ORACLE_SQL["q13_customer_distribution"] = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+ORACLE_SQL["q17_small_quantity_revenue"] = """
+    WITH pp AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_l
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 10000.0 / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'
+    JOIN pp ON l.l_partkey = pp.pk
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pp.n_l < pp.sum_qty"""
+
+ORACLE_SQL["q19_disjunctive_revenue"] = f"""
+    SELECT {_REV_SPLIT_SQL} AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)"""
+
+ORACLE_SQL["q22_global_sales_opportunity"] = """
+    WITH pos AS (
+        SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                    AS BIGINT) AS tot_q,
+               CAST(COUNT(*) AS BIGINT) AS n_pos
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                     AS BIGINT) AS DOUBLE) / 10000.0 AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT) * pos.n_pos > pos.tot_q
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+# PII redaction: same seeded contact block, same patterns (imported from
+# operators.text.PII_PATTERNS so engine and oracle can never drift), the
+# replacements applied in the same fixed order with the 'g' flag.
+from jagular_spark.operators.text import PII_PATTERNS as _PII
+
+_pii_em, _pii_ip, _pii_ph = (p for _, p, _ in _PII)
+ORACLE_SQL["docs_pii_redaction"] = f'''
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact u' || CAST(doc_id AS VARCHAR)
+                    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                    || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_pii_em}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_pii_ip}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_pii_ph}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_pii_em}', '<EMAIL>', 'g'),
+               '{_pii_ip}', '<IP>', 'g'),
+               '{_pii_ph}', '<PHONE>', 'g') AS redacted,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_pii_em}', '<EMAIL>', 'g'),
+               '{_pii_ip}', '<IP>', 'g'),
+               '{_pii_ph}', '<PHONE>', 'g') != text AS was_redacted
+    FROM seeded'''

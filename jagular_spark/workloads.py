@@ -1665,6 +1665,201 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(s3, "doc_id", 0.5).select("doc_id", "quality_score")
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking, adapted: the slim
+    lineitem has no commit/receipt dates, so 'late' = shipped more than
+    90 days after the order date): a LEFT SEMI join — Catalyst's EXISTS
+    — from a quarter of orders into lineitem on (key, late-predicate),
+    then a tiny priority count. The semi join dedups on the stream side
+    (no row multiplication however many lines match)."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q12_shipping_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classes; the slim schema
+    has no l_shipmode, so classes group by l_linestatus): one year of
+    lineitem joins orders, conditional CASE aggregation splits counts
+    into critical (1-URGENT/2-HIGH) vs other priority. Counts only —
+    exact on both engines."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): customer LEFT
+    OUTER JOIN orders, per-customer order count, then the count-of-
+    counts histogram. Two shuffles (join + first groupBy); the second
+    groupBy input is O(customers) and the histogram O(distinct counts).
+    Pure counts — exact."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitem rows
+    whose quantity is below 20% of their part's average quantity. The
+    correlated AVG subquery becomes a per-part aggregate joined back
+    (AQE broadcasts the O(parts) agg side); the 0.2·avg comparison is
+    the INTEGER cross-multiplication 5·qty·n_l < sum_qty — no float
+    threshold, so cross-engine parity is exact. Output: one row, the
+    quanta-summed extendedprice of qualifying lines divided by 7.0
+    (single final float op)."""
+    li = load(spark, sf_dir, "lineitem")
+    brand = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+    )
+    qual = (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .where(
+            F.col("l_quantity").cast("bigint") * F.lit(5) * F.col("n_l")
+            < F.col("sum_qty")
+        )
+    )
+    total = qual.agg(
+        F.sum(F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+        .cast("long")
+        .alias("q")
+    )
+    return total.select(
+        (F.col("q").cast("double") / F.lit(10000.0) / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    predicate): lineitem joins the broadcast part dim; the three
+    brand/size/quantity disjuncts sit in the join condition, where
+    Catalyst pushes the common l_quantity bound to the scan. Revenue is
+    the shared split-sum quanta expression."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.where(cond).agg(_disc_price_sum().alias("revenue"))
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (prospective customers who never ordered): the
+    scalar AVG subquery becomes a broadcast 1-row aggregate, the NOT
+    EXISTS a LEFT ANTI join, grouped by market segment. This synthetic
+    data has no order-less customers at all, so the anti-join side is
+    the URGENT-priority orders — 'prospects with a balance but no
+    urgent order' — which leaves a real surviving population. The
+    above-average-balance test is the integer cross-multiplication
+    quanta(bal)·n > total_quanta (exact); the output balance sum is
+    quanta-summed with one final division."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bal_q = "CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.expr(bal_q)).cast("long").alias("tot_q"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(pos))
+        .where(F.expr(bal_q) * F.col("n_pos") > F.col("tot_q"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            (F.sum(F.expr(bal_q)).cast("long").cast("double") / F.lit(10000.0)).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus (operators/text.redact_pii): the
+    synthetic documents carry no PII, so the query first APPENDS a
+    deterministic contact block (email, IPv4, dashed phone derived from
+    doc_id — identical string construction in the oracle), then redacts
+    and counts. All JVM-side regexp expressions, zero shuffle — the
+    redaction composes with any scan."""
+    from jagular_spark.operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded).select(
+        "doc_id", "redacted", "n_emails", "n_ips", "n_phones", "was_redacted"
+    )
+
+
 def docs_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 terms by integer-exact tf·idf (keyword
     extraction / relevance scoring; the idf is the monotone integer
@@ -1756,6 +1951,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_winsorize_chunked": events_winsorize_chunked,
     "events_sessionize_streamed": events_sessionize_streamed,
     "events_censor_streamed": events_censor_streamed,
+    "q4_order_priority": q4_order_priority,
+    "q12_shipping_classes": q12_shipping_classes,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "docs_pii_redaction": docs_pii_redaction,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,
     "docs_ngram_jaccard": docs_ngram_jaccard,
@@ -1771,14 +1973,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interpolate": events_interpolate,
     "events_tetrode": events_tetrode,
     "events_crossings": events_crossings,
+    # -- block 4: r5-driver-green, untouched — out of the 50-entry window
+    # this round; rotate into block 1 next round
     "events_align": events_align,
     "events_align_cspline": events_align_cspline,
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "events_spikes_roundtrip": events_spikes_roundtrip,
     "docs_exact_dedup": docs_exact_dedup,
     "docs_decontaminate": docs_decontaminate,
-    # -- block 4: r5-driver-green, untouched — out of the 50-entry window
-    # this round; rotate into block 1 next round
     "events_segments": events_segments,
     "events_gap_lengths": events_gap_lengths,
     "events_dedup_first": events_dedup_first,
