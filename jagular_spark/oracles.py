@@ -2057,3 +2057,12 @@ ORACLE_SQL["docs_pii_redaction"] = f'''
                '{_pii_ip}', '<IP>', 'g'),
                '{_pii_ph}', '<PHONE>', 'g') != text AS was_redacted
     FROM seeded'''
+
+ORACLE_SQL["q1_rollup_summary"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag, l_linestatus"""

@@ -1829,6 +1829,26 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q1_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1's aggregate over a ROLLUP lattice ((flag, status) → (flag) →
+    ()): Catalyst's Expand operator feeds one hash aggregate with
+    grouping-set ids — subtotals and the grand total in a single
+    shuffle, no union of three scans. Counts and integral quantity
+    sums only — exact. NULL group values mark the rolled-up levels on
+    both engines."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("long").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (operators/text.redact_pii): the
     synthetic documents carry no PII, so the query first APPENDS a
@@ -1957,6 +1977,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q1_rollup_summary": q1_rollup_summary,
     "docs_pii_redaction": docs_pii_redaction,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,
@@ -1972,9 +1993,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_filtfilt": events_filtfilt,
     "events_interpolate": events_interpolate,
     "events_tetrode": events_tetrode,
-    "events_crossings": events_crossings,
     # -- block 4: r5-driver-green, untouched — out of the 50-entry window
     # this round; rotate into block 1 next round
+    "events_crossings": events_crossings,
     "events_align": events_align,
     "events_align_cspline": events_align_cspline,
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,

@@ -75,6 +75,40 @@ def test_winsorize_chunked_never_sorts_the_row_stream(spark):
     assert first_agg != -1 and (first_sort == -1 or first_agg < first_sort), p[:2000]
 
 
+def test_relational_subquery_join_shapes(spark):
+    """The r6 relational shapes must compile to the intended physical
+    joins: q4's EXISTS is a LEFT SEMI (stream side never multiplies),
+    q22's NOT EXISTS a LEFT ANTI, q19's part dim a broadcast join, and
+    q1_rollup goes through Expand (one shuffle for the whole lattice,
+    not a union of scans)."""
+    from jagular_spark.workloads import (
+        q1_rollup_summary,
+        q4_order_priority,
+        q19_disjunctive_revenue,
+        q22_global_sales_opportunity,
+    )
+
+    assert "LeftSemi" in _formatted(q4_order_priority(spark, SF))
+    assert "LeftAnti" in _formatted(q22_global_sales_opportunity(spark, SF))
+    assert "BroadcastHashJoin" in _formatted(q19_disjunctive_revenue(spark, SF))
+    p = _formatted(q1_rollup_summary(spark, SF))
+    assert "Expand" in p
+    # exactly one physical scan node (formatted mode prints each node
+    # once in the tree and once as a "(n) Scan parquet" detail header)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_pii_redaction_is_scan_local(spark):
+    """PII redaction must stay a pure projection — zero Exchange, so it
+    composes with any corpus scan at 100 TB."""
+    from jagular_spark.operators.text import redact_pii
+
+    p = _formatted(redact_pii(_docs(spark)))
+    assert "Exchange" not in p, p[:2000]
+
+
 def test_no_cartesian_products_on_flagships(spark):
     from jagular_spark.workloads import SPARK_QUERIES
 
