@@ -2066,3 +2066,11 @@ ORACLE_SQL["q1_rollup_summary"] = """
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY l_returnflag, l_linestatus"""
+
+ORACLE_SQL["events_hourly_rollup"] = """
+    SELECT user_id,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_mv
+    FROM events
+    GROUP BY user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT)"""

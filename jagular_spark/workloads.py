@@ -1829,6 +1829,29 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup (the continuous-aggregate
+    shape time-series stores build materialized views from): per-user
+    per-hour event count and milli-quantized value sum. One hash
+    aggregate with map-side combine — the bucket key is arithmetic on
+    the scan, so the single shuffle moves O(buckets), not O(events);
+    at 100 TB this is the day-one downsampling pass. floor(value·1000)
+    keeps the sum in exact BIGINT on both engines."""
+    ev = _events_us(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.expr("CAST(us DIV 3600000000 AS BIGINT)").alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+            .cast("long")
+            .alias("sum_mv"),
+        )
+    )
+
+
 def q1_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1's aggregate over a ROLLUP lattice ((flag, status) → (flag) →
     ()): Catalyst's Expand operator feeds one hash aggregate with
@@ -1978,6 +2001,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q1_rollup_summary": q1_rollup_summary,
+    "events_hourly_rollup": events_hourly_rollup,
     "docs_pii_redaction": docs_pii_redaction,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,
