@@ -2074,3 +2074,6 @@ ORACLE_SQL["events_hourly_rollup"] = """
            CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_mv
     FROM events
     GROUP BY user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT)"""
+
+# Streamed interpolation emits the complete batch result — same oracle.
+ORACLE_SQL["events_interpolate_streamed"] = ORACLE_SQL["events_interpolate"]

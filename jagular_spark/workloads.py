@@ -1545,6 +1545,41 @@ def events_censor_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl)
 
 
+def events_interpolate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_interpolate through the STREAMING kernel: the deduped
+    per-minute base is staged to a temp directory, re-read as a file
+    stream, and gap-filled by stream_interpolate's GroupState kernel
+    (the reference's cross-block carry, jagular/utils.py:443-446, as
+    applyInPandasWithState). Emission is complete, so the oracle is
+    identical to the batch query's — the driver hash proves the
+    streaming execution path computes the exact batch result."""
+    import tempfile
+
+    from jagular_spark.streaming.pipeline import stream_interpolate
+
+    ev = _events_us(spark, sf_dir)
+    base = dedup_keep_first(
+        ev.withColumn("minute", F.expr("CAST(us DIV 60000000 AS BIGINT)")),
+        ts_col="minute",
+        tiebreak_cols=["us", "event_id"],
+        partition_cols=["user_id"],
+    ).select("user_id", "minute", "value")
+    stage_dir = tempfile.mkdtemp(prefix="jgs_interp_stream_")
+    base.write.mode("overwrite").parquet(stage_dir)
+    stream = spark.readStream.schema(base.schema).parquet(stage_dir)
+    out = stream_interpolate(
+        stream,
+        max_gap_size=5,
+        ts_col="minute",
+        value_cols=("value",),
+        partition_cols=("user_id",),
+    )
+    tbl = _run_stream_to_table(
+        out.select("user_id", "minute", "value"), "interp_stream"
+    )
+    return spark.table(tbl)
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the canonical timeseries enrichment Spark
     lacks natively): every 'view' event gets the most recent preceding
@@ -1994,6 +2029,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_winsorize_chunked": events_winsorize_chunked,
     "events_sessionize_streamed": events_sessionize_streamed,
     "events_censor_streamed": events_censor_streamed,
+    "events_interpolate_streamed": events_interpolate_streamed,
     "q4_order_priority": q4_order_priority,
     "q12_shipping_classes": q12_shipping_classes,
     "q13_customer_distribution": q13_customer_distribution,
