@@ -285,3 +285,37 @@ def test_winsorize_chunked_equals_plain(spark, vals):
         ).collect()
     }
     assert plain == chunked
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet="abz@. 0-127xyzABC%_+",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_pii_redaction_agrees_with_python_re(spark, docs):
+    """The dialect-portability claim, fuzzed: on adversarial text (@,
+    dots, digit runs, dashes), Java regex (Spark) and Python re must
+    agree on match counts AND the redacted string for every
+    PII_PATTERNS entry — the same property that makes the DuckDB (RE2)
+    oracle safe."""
+    import re as pyre
+
+    from jagular_spark.operators.text import PII_PATTERNS, redact_pii
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    for i, t in rows:
+        expected = t
+        for name, pat, token in PII_PATTERNS:
+            assert got[i][f"n_{name}s"] == len(pyre.findall(pat, t)), (name, t)
+        for _, pat, token in PII_PATTERNS:
+            expected = pyre.sub(pat, token, expected)
+        assert got[i].redacted == expected, t
