@@ -1098,6 +1098,57 @@ def _pq_codes(codebooks: Sequence[Sequence[Sequence[int]]]) -> F.Column:
     return F.array(*per)
 
 
+def _encode_corpus_codes(
+    base: DataFrame,
+    cents: Sequence[Sequence[int]],
+    codebooks: Sequence[Sequence[Sequence[int]]],
+) -> DataFrame:
+    """``(neighbor_id, cl, codes)`` serving rows from ``(id, iv)`` via a
+    VECTORIZED Arrow kernel — bit-identical to the JVM-expression form
+    (``array_min(_dist_idx)`` + ``_pq_codes``), which it replaced for
+    throughput: higher-order-function lambdas evaluate interpreted
+    (~(k·dim + m·pq_k·dsub) lambda calls per row) and the centroid/
+    codebook literals made every stage's codegen tree seconds-slow to
+    compile. Here the quantizers ride the CLOSURE into numpy batch
+    matuations: exact int64 arithmetic (|v| ≤ ~1e5 → Σ64 diff² ≤ ~3e12),
+    and ``argmin``'s first-minimum tie-break equals ``array_min`` over
+    ``(d, i)`` structs and the oracle's ``ROW_NUMBER ORDER BY d, c``."""
+    import numpy as np
+    import pandas as pd
+
+    cents_np = np.asarray([[int(v) for v in c] for c in cents], dtype=np.int64)
+    books_np = [
+        np.asarray([[int(v) for v in c] for c in cb], dtype=np.int64)
+        for cb in codebooks
+    ]
+    dsub = books_np[0].shape[1]
+
+    def kernel(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            iv = np.stack(b["iv"].to_numpy()).astype(np.int64)
+            diff = iv[:, None, :] - cents_np[None, :, :]
+            cl = (diff * diff).sum(axis=2).argmin(axis=1)
+            codes = []
+            for j, cb in enumerate(books_np):
+                sl = iv[:, j * dsub : (j + 1) * dsub]
+                dj = sl[:, None, :] - cb[None, :, :]
+                codes.append((dj * dj).sum(axis=2).argmin(axis=1))
+            code_mat = np.stack(codes, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": b["id"].to_numpy(),
+                    "cl": cl.astype(np.int32),
+                    "codes": list(code_mat),
+                }
+            )
+
+    return base.select("id", "iv").mapInPandas(
+        kernel, "neighbor_id long, cl int, codes array<int>"
+    )
+
+
 def _pq_dot_tables(codebooks: Sequence[Sequence[Sequence[int]]]) -> F.Column:
     """Per-probe ADC lookup tables ``T[m][k]``: exact int64 dot of the
     probe's j-th subvector with every codeword of subspace j (the
@@ -1157,12 +1208,10 @@ def ann_topk_ivf_pq(
     cents = _lloyd_int(X, n_centroids, n_iter)
     books = _pq_books_from_sample(X, m, pq_k, pq_iter)
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
-    # serving table: cell + codes only (no raw vectors)
-    corpus_codes = base.select(
-        F.col("id").alias("neighbor_id"),
-        F.array_min(_dist_idx(cents)).getField("i").cast("int").alias("cl"),
-        _pq_codes(books).alias("codes"),
-    )
+    # serving table: cell + codes only (no raw vectors) — encoded by the
+    # vectorized Arrow kernel (see _encode_corpus_codes; bit-identical
+    # to the _dist_idx/_pq_codes JVM expressions)
+    corpus_codes = _encode_corpus_codes(base, cents, books)
     nearest_n = F.slice(
         F.transform(F.array_sort(_dist_idx(cents)), lambda s: s["i"]), 1, nprobe
     )
