@@ -147,6 +147,33 @@ def is_sorted(
     return all(rows[i]["last_ts"] <= rows[i + 1]["first_ts"] for i in range(len(rows) - 1))
 
 
+def sortedness_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    order_cols: Sequence[str] | None = None,
+    partition_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-group sortedness AUDIT as a DataFrame (the reporting twin of
+    :func:`is_sorted`'s global boolean — A5 with provenance semantics):
+    order each group by ``order_cols`` (arrival/provenance order) and
+    count timestamp inversions against that order.
+    ``(…, n_rows, n_inversions, is_sorted)``. One window shuffle per
+    group key; the aggregate is map-side combinable."""
+    keys = _cols(partition_cols)
+    order = _cols(order_cols) or [ts_col]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    inv = (F.lag(ts_col).over(w) > F.col(ts_col)).cast("int")
+    return (
+        df.withColumn("__inv", F.coalesce(inv, F.lit(0)))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__inv").cast("long").alias("n_inversions"),
+        )
+        .withColumn("is_sorted", F.col("n_inversions") == 0)
+    )
+
+
 def check_timestamps(
     df: DataFrame,
     ts_col: str = "ts",

@@ -2077,3 +2077,16 @@ ORACLE_SQL["events_hourly_rollup"] = """
 
 # Streamed interpolation emits the complete batch result — same oracle.
 ORACLE_SQL["events_interpolate_streamed"] = ORACLE_SQL["events_interpolate"]
+
+ORACLE_SQL["events_sortedness"] = """
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 1000000 - event_id) AS p
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN p > us THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           SUM(CASE WHEN p > us THEN 1 ELSE 0 END) = 0 AS is_sorted
+    FROM o GROUP BY user_id"""

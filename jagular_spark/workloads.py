@@ -1864,6 +1864,28 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sortedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (sortedness check, provenance semantics) through the driver:
+    per user, does event time run monotonically in event_id (arrival)
+    order? Inversion counts via one LAG window + map-side-combined
+    aggregate (operators/timestamps.sortedness_stats — the reporting
+    twin of is_sorted's boundary-row global check; reference
+    ``jagular/utils.py`` sanitize/sortedness intent). The fixture's
+    event_id order IS time order (zero inversions — a degenerate
+    audit), so the query audits a deterministic synthetic provenance
+    instead: arrival reversed within each hour, as when per-hour files
+    are read tail-first — real inversions for the count to find."""
+    from jagular_spark.operators.timestamps import sortedness_stats
+
+    ev = _events_us(spark, sf_dir).withColumn(
+        "prov",
+        F.expr("CAST(us DIV 3600000000 AS BIGINT) * 1000000 - event_id"),
+    )
+    return sortedness_stats(
+        ev, ts_col="us", order_cols=["prov"], partition_cols=["user_id"]
+    ).select("user_id", "n_rows", "n_inversions", "is_sorted")
+
+
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time-bucket rollup (the continuous-aggregate
     shape time-series stores build materialized views from): per-user
@@ -2038,6 +2060,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q1_rollup_summary": q1_rollup_summary,
     "events_hourly_rollup": events_hourly_rollup,
+    "events_sortedness": events_sortedness,
     "docs_pii_redaction": docs_pii_redaction,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,
