@@ -504,3 +504,44 @@ def lag_correlation(
     return m.select(
         "ch_a", "ch_b", "lag_k", "n", "sab", F.expr(XCORR_CORR_SQL).alias("corr")
     )
+
+
+# z-score from integer moments; the single float expression is shared
+# VERBATIM with the DuckDB oracle (same tree ⇒ same doubles), with the
+# all-integer numerator n·iv − s and one sqrt:
+#   z = (iv − μ)/σ = (n·iv − s) / sqrt(n·ss − s²)
+ZSCORE_SQL = (
+    "CASE WHEN CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) <= 0 THEN NULL ELSE "
+    "(CAST(n AS DOUBLE) * CAST(iv AS DOUBLE) - CAST(s AS DOUBLE))"
+    " / sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) END"
+)
+
+
+def zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    partition_cols: Sequence[str] = ("channel_id",),
+    quanta: int = 1000,
+) -> DataFrame:
+    """Per-group standard-score normalization (feature scaling /
+    artifact z-thresholding): values quantize to ``floor(v·quanta)``
+    BIGINT, the three moments (n, Σ, Σ²) accumulate exactly as window
+    aggregates over the group — ONE shuffle, no stats-table join back —
+    and the only float arithmetic is the shared ZSCORE_SQL expression.
+    Appends ``iv`` (the quantized value) and ``z`` (NULL for
+    zero-variance groups). Σ² budget: |iv| ≤ q·|v| ⇒ n·max(iv²) must
+    stay under 2^63 — at 100 TB row counts, lower ``quanta`` or switch
+    the moments to the split-sum (DIV/% 2^31) recombination used by the
+    revenue aggregates."""
+    keys = list(partition_cols)
+    cols = list(df.columns)
+    wp = Window.partitionBy(*keys)
+    out = (
+        df.withColumn("iv", F.expr(f"CAST(floor({value_col} * {quanta}) AS BIGINT)"))
+        .withColumn("n", F.count(F.lit(1)).over(wp).cast("long"))
+        .withColumn("s", F.sum("iv").over(wp).cast("long"))
+        .withColumn("ss", F.sum(F.col("iv") * F.col("iv")).over(wp).cast("long"))
+    )
+    return out.select(*cols, "iv", F.expr(ZSCORE_SQL).alias("z"))

@@ -2090,3 +2090,35 @@ ORACLE_SQL["events_sortedness"] = """
            CAST(SUM(CASE WHEN p > us THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
            SUM(CASE WHEN p > us THEN 1 ELSE 0 END) = 0 AS is_sorted
     FROM o GROUP BY user_id"""
+
+ORACLE_SQL["q7_volume_shipping"] = f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {_REV_SPLIT_SQL} AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+from jagular_spark.operators.filtering import ZSCORE_SQL as _ZSCORE  # noqa: E402
+
+ORACLE_SQL["events_zscore"] = f"""
+    WITH m AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(floor(value * 1000) AS BIGINT) AS iv,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS s,
+               CAST(SUM(CAST(floor(value * 1000) AS BIGINT)
+                        * CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS ss
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT user_id, event_id, us, iv, {_ZSCORE} AS z FROM m"""

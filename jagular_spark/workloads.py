@@ -1725,6 +1725,48 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume): supplier-nation ↔
+    customer-nation revenue by ship year for the NATION_1/NATION_2
+    pair, either direction. Five joins — the two nation dims broadcast
+    under distinct aliases, the symmetric pair predicate sits on the
+    joined row (Catalyst pushes each alias's IN-list into its own dim
+    scan), revenue split-summed quanta per (supp, cust, year) group."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_disc_price_sum().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
 def q12_shipping_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipping-mode priority classes; the slim schema
     has no l_shipmode, so classes group by l_linestatus): one year of
@@ -1884,6 +1926,20 @@ def events_sortedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sortedness_stats(
         ev, ts_col="us", order_cols=["prov"], partition_cols=["user_id"]
     ).select("user_id", "n_rows", "n_inversions", "is_sorted")
+
+
+def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel standard-score normalization (feature scaling for
+    training pipelines / z-based artifact thresholds): exact integer
+    moments via window aggregates — one shuffle, no stats join back —
+    and the single float expression shared verbatim with the oracle
+    (operators/filtering.zscore, same ZSCORE_SQL literal both sides)."""
+    from jagular_spark.operators.filtering import zscore
+
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "us", "value")
+    return zscore(ev, value_col="value", partition_cols=("user_id",)).select(
+        "user_id", "event_id", "us", "iv", "z"
+    )
 
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2053,6 +2109,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_censor_streamed": events_censor_streamed,
     "events_interpolate_streamed": events_interpolate_streamed,
     "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
     "q12_shipping_classes": q12_shipping_classes,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -2061,6 +2118,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_rollup_summary": q1_rollup_summary,
     "events_hourly_rollup": events_hourly_rollup,
     "events_sortedness": events_sortedness,
+    "events_zscore": events_zscore,
     "docs_pii_redaction": docs_pii_redaction,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,
