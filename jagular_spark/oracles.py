@@ -2122,3 +2122,13 @@ ORACLE_SQL["events_zscore"] = f"""
         WINDOW w AS (PARTITION BY user_id)
     )
     SELECT user_id, event_id, us, iv, {_ZSCORE} AS z FROM m"""
+
+# Bucketed co-located join: layout changes the PLAN, never the result —
+# the oracle is the plain join on the raw parquet.
+ORACLE_SQL["orders_bucketed_revenue"] = f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {_REV_SPLIT_SQL} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus"""

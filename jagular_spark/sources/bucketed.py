@@ -24,14 +24,19 @@ def write_bucketed_table(
     n_buckets: int = 8,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+    """Persist ``df`` as a bucketed (and bucket-sorted) table.
     Bucket metadata only exists through the catalog — a plain
-    ``.parquet(path)`` write cannot carry it — hence ``saveAsTable``."""
+    ``.parquet(path)`` write cannot carry it — hence ``saveAsTable``.
+    Pass ``path`` to make it an EXTERNAL table (data at an explicit
+    location instead of the session warehouse dir)."""
     cols = list(bucket_cols)
     w = df.write.mode(mode).bucketBy(n_buckets, *cols)
     if sort:
         w = w.sortBy(*cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

@@ -1580,6 +1580,44 @@ def events_interpolate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(tbl)
 
 
+def orders_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located-join machinery (sources/bucketed.py) end-to-end
+    FOR the driver: orders and lineitem are written as bucket-sorted
+    external tables on the same key/count, re-read through the catalog,
+    joined — both Exchanges elided straight off the scans (plan pinned
+    in tests/test_skew_bucketing.py) — and revenue-aggregated by order
+    status. The oracle is the plain join on the raw parquet, proving
+    the bucketed layout changes the PLAN, never the result. This is the
+    'pre-partition the fact tables once at ingest, join for free
+    forever' 100-TB pattern."""
+    import tempfile
+
+    from jagular_spark.sources.bucketed import read_table, write_bucketed_table
+
+    _STREAM_SEQ[0] += 1
+    tag = _STREAM_SEQ[0]
+    stage = tempfile.mkdtemp(prefix="jgs_buckets_")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    t_o, t_l = f"jgs_orders_b{tag}", f"jgs_lineitem_b{tag}"
+    write_bucketed_table(orders, t_o, ["o_orderkey"], path=f"{stage}/orders")
+    write_bucketed_table(li, t_l, ["l_orderkey"], path=f"{stage}/lineitem")
+    return (
+        read_table(spark, t_o)
+        .join(read_table(spark, t_l), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            _disc_price_sum().alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the canonical timeseries enrichment Spark
     lacks natively): every 'view' event gets the most recent preceding
@@ -2119,6 +2157,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sortedness": events_sortedness,
     "events_zscore": events_zscore,
+    "orders_bucketed_revenue": orders_bucketed_revenue,
     "docs_pii_redaction": docs_pii_redaction,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,
