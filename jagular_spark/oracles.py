@@ -2132,3 +2132,42 @@ ORACLE_SQL["orders_bucketed_revenue"] = f"""
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus"""
+
+_NAT_Q = (
+    "CASE WHEN n2.n_name = 'NATION_1' THEN " + _DISC_PRICE_QUANTA
+    + " ELSE CAST(0 AS BIGINT) END"
+)
+ORACLE_SQL["q8_market_share"] = f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           ((CAST(CAST(SUM(({_NAT_Q}) // 2147483648) AS BIGINT) AS DOUBLE)
+                 * 2147483648.0
+             + CAST(CAST(SUM(({_NAT_Q}) % 2147483648) AS BIGINT) AS DOUBLE))
+              / 100000000.0)
+           / ((CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) // 2147483648) AS BIGINT) AS DOUBLE)
+                 * 2147483648.0
+             + CAST(CAST(SUM(({_DISC_PRICE_QUANTA}) % 2147483648) AS BIGINT) AS DOUBLE))
+              / 100000000.0) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey AND n1.n_regionkey = 0
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    GROUP BY CAST(year(o_orderdate) AS BIGINT)
+    ORDER BY o_year"""
+
+ORACLE_SQL["q15_top_supplier"] = f"""
+    WITH rev AS (
+        SELECT l_suppkey AS sk,
+               CAST(SUM({_DISC_PRICE_QUANTA}) AS BIGINT) AS total_q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_q AS DOUBLE) / 100000000.0 AS total_revenue
+    FROM rev JOIN supplier ON sk = s_suppkey
+    WHERE total_q = (SELECT MAX(total_q) FROM rev)
+    ORDER BY s_suppkey"""

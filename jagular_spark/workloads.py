@@ -1805,6 +1805,74 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): for orders shipped to
+    region-0 customers, NATION_1 suppliers' share of revenue per order
+    year — a ratio of two split-summed quanta revenues per year group
+    (numerator conditionally zeroed, single final division — the q14
+    exactness pattern under a GROUP BY). Six-table join; both nation
+    dims and region prune broadcast-side."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cn = nation.where(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nat_q = (
+        f"CASE WHEN supp_nation = 'NATION_1' THEN {_DISC_PRICE_QUANTA} "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    hi_n = F.sum(F.expr(f"({nat_q}) DIV 2147483648"))
+    lo_n = F.sum(F.expr(f"({nat_q}) % 2147483648"))
+    hi_a = F.sum(F.expr(f"({_DISC_PRICE_QUANTA}) DIV 2147483648"))
+    lo_a = F.sum(F.expr(f"({_DISC_PRICE_QUANTA}) % 2147483648"))
+    nat = (hi_n.cast("double") * F.lit(2147483648.0) + lo_n.cast("double")) / F.lit(1e8)
+    allr = (hi_a.cast("double") * F.lit(2147483648.0) + lo_a.cast("double")) / F.lit(1e8)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((nat / allr).alias("mkt_share"), F.count(F.lit(1)).cast("long").alias("n_lines"))
+        .orderBy("o_year")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the WHERE total = (SELECT MAX(...)) — computed as an aggregate
+    joined to its own 1-row max, compared on the EXACT BIGINT quanta
+    total (never on a float). Per-supplier quarterly quanta stay well
+    under 2^63 (~1e15 at sf100); the global split-sum pattern applies
+    above that. AQE broadcasts the 1-row max side."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(F.expr(_DISC_PRICE_QUANTA)).cast("long").alias("total_q")
+    )
+    mx = rev.agg(F.max("total_q").alias("max_q"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_q") == F.col("max_q"))
+        .join(supp, F.col("sk") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_q").cast("double") / F.lit(1e8)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def q12_shipping_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (shipping-mode priority classes; the slim schema
     has no l_shipmode, so classes group by l_linestatus): one year of
@@ -2148,6 +2216,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interpolate_streamed": events_interpolate_streamed,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
     "q12_shipping_classes": q12_shipping_classes,
     "q13_customer_distribution": q13_customer_distribution,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
