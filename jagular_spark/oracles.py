@@ -2171,3 +2171,35 @@ ORACLE_SQL["q15_top_supplier"] = f"""
     FROM rev JOIN supplier ON sk = s_suppkey
     WHERE total_q = (SELECT MAX(total_q) FROM rev)
     ORDER BY s_suppkey"""
+
+# Deterministic HLL: md5 registers, bin()-length ranks, exact-binary-
+# fraction harmonic denominator — the float estimate itself matches.
+ORACLE_SQL["docs_hll_vocab"] = """
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), h AS (
+        SELECT lang, tok,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+        FROM toks
+    ), r AS (
+        SELECT lang, hv % 64 AS register,
+               CAST(CASE WHEN hv // 64 = 0 THEN 27
+                    ELSE 26 - length(bin(hv // 64)) + 1 END AS BIGINT) AS rank
+        FROM h
+    ), regs AS (
+        SELECT lang, register, MAX(rank) AS max_rank
+        FROM r GROUP BY lang, register
+    ), agg AS (
+        SELECT lang,
+               SUM(power(0.5, max_rank)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_registers
+        FROM regs GROUP BY lang
+    ), ex AS (
+        SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+        FROM toks GROUP BY lang
+    )
+    SELECT agg.lang, n_registers,
+           0.709 * 64 * 64 / (s + CAST(64 - n_registers AS DOUBLE)) AS est_distinct,
+           exact_distinct
+    FROM agg JOIN ex ON agg.lang = ex.lang"""

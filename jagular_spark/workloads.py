@@ -2091,6 +2091,30 @@ def q1_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-vocabulary estimate via the engine's
+    DETERMINISTIC HyperLogLog (operators/sketches.py): md5-derived
+    registers, string-length-of-bin leading-bit ranks, and a
+    harmonic-mean estimate whose denominator is a sum of exact binary
+    fractions — so unlike builtin approx_count_distinct (engine-specific
+    HLL++), the whole sketch INCLUDING the float estimate hash-matches
+    the DuckDB replay. Alongside: the exact distinct count, making the
+    sketch's error auditable in the same row."""
+    from jagular_spark.operators.sketches import hll_distinct
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    est = hll_distinct(toks, "tok", ["lang"], m=64)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "lang").select(
+        "lang", "n_registers", "est_distinct", "exact_distinct"
+    )
+
+
 def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (operators/text.redact_pii): the
     synthetic documents carry no PII, so the query first APPENDS a
@@ -2228,6 +2252,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sortedness": events_sortedness,
     "events_zscore": events_zscore,
     "orders_bucketed_revenue": orders_bucketed_revenue,
+    "docs_hll_vocab": docs_hll_vocab,
     "docs_pii_redaction": docs_pii_redaction,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,

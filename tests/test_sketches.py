@@ -1,0 +1,53 @@
+"""Deterministic-HLL sketch: estimate quality, shard-merge law, and
+partition invariance (the estimate is a pure function of the data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jagular_spark.operators.sketches import hll_distinct, hll_register_ranks
+
+
+def _items(spark, n, n_parts=1):
+    return spark.range(n, numPartitions=n_parts).select(
+        F.lit("g").alias("g"), F.concat(F.lit("item_"), F.col("id")).alias("it")
+    )
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """m=64 → standard error 1.04/sqrt(64) ≈ 13%; assert within 3σ for
+    a few cardinalities well above the register count."""
+    for n in (500, 2000, 10_000):
+        est = hll_distinct(_items(spark, n), "it", ["g"]).collect()[0]
+        assert abs(est.est_distinct - n) / n < 0.40, (n, est.est_distinct)
+
+
+def test_hll_is_partition_invariant_and_duplicate_insensitive(spark):
+    """The register table is a max-aggregate: physical layout and row
+    duplication must not change a single register, hence not the
+    estimate."""
+    a = hll_distinct(_items(spark, 3000, 1), "it", ["g"]).collect()[0]
+    b = hll_distinct(_items(spark, 3000, 13), "it", ["g"]).collect()[0]
+    dup = _items(spark, 3000, 7)
+    c = hll_distinct(dup.union(dup).union(dup), "it", ["g"]).collect()[0]
+    assert a.est_distinct == b.est_distinct == c.est_distinct
+    assert a.n_registers == b.n_registers == c.n_registers
+
+
+def test_hll_shard_merge_law(spark):
+    """max-merging two shards' register tables == the register table of
+    the union (the property that makes the sketch distributable)."""
+    s1 = _items(spark, 1500)
+    s2 = spark.range(1000, 4000).select(
+        F.lit("g").alias("g"), F.concat(F.lit("item_"), F.col("id")).alias("it")
+    )
+    merged = (
+        hll_register_ranks(s1, "it", ["g"])
+        .union(hll_register_ranks(s2, "it", ["g"]))
+        .groupBy("g", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    direct = hll_register_ranks(s1.union(s2), "it", ["g"])
+    got = {(r.register, r.max_rank) for r in merged.collect()}
+    want = {(r.register, r.max_rank) for r in direct.collect()}
+    assert got == want
