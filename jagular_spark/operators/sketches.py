@@ -95,3 +95,84 @@ def hll_distinct(
         )
         .drop("__s__")
     )
+
+
+def cms_table(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Count-Min Sketch cell table per group: ``d`` salted md5 hash
+    rows × ``w`` counters, one ``(group, row, cell) → count`` tuple per
+    occupied cell. ALL-INTEGER — the sketch, its merge (cell-wise sum,
+    which is exactly what map-side partial aggregation performs), and
+    every estimate replay identically on any engine. O(explode) + one
+    combinable aggregate; the table is ≤ d·w rows per group regardless
+    of corpus size."""
+    rows = [
+        F.struct(
+            F.lit(j).alias("row"),
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), F.col(item_col))), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(w),
+            ).alias("cell"),
+        )
+        for j in range(d)
+    ]
+    return (
+        df.select(*group_cols, F.explode(F.array(*rows)).alias("rc"))
+        .select(*group_cols, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .groupBy(*group_cols, "row", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a CMS table: re-derive each probe
+    item's d cells, join the sketch (broadcast — it is ≤ d·w rows per
+    group), take the MIN counter. Guaranteed ≥ the true count (all
+    collisions inflate); appends ``cms_count``."""
+    probes = items.select(
+        *items.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"cms{j}:"), F.col(item_col))),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(w),
+                        ).alias("cell"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("rc"),
+    ).select(
+        *items.columns, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell")
+    )
+    joined = probes.join(F.broadcast(sketch), [*group_cols, "row", "cell"])
+    return joined.groupBy(*items.columns).agg(
+        F.min("cnt").cast("long").alias("cms_count")
+    )

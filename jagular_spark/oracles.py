@@ -2203,3 +2203,33 @@ ORACLE_SQL["docs_hll_vocab"] = """
            0.709 * 64 * 64 / (s + CAST(64 - n_registers AS DOUBLE)) AS est_distinct,
            exact_distinct
     FROM agg JOIN ex ON agg.lang = ex.lang"""
+
+# Count-Min Sketch: all-integer cells and estimates — exact replay.
+ORACLE_SQL["docs_cms_heavyhitters"] = """
+    WITH toks AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), cells AS (
+        SELECT lang, tok, j.row,
+               ('0x' || substr(md5('cms' || j.row || ':' || tok), 1, 8))::BIGINT % 256 AS cell
+        FROM toks, (SELECT unnest([0, 1, 2, 3]) AS row) j
+    ), sketch AS (
+        SELECT lang, row, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY lang, row, cell
+    ), top AS (
+        SELECT lang, tok, exact_n, rk FROM (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS exact_n,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY COUNT(*) DESC, tok ASC) AS BIGINT) AS rk
+            FROM toks GROUP BY lang, tok
+        ) WHERE rk <= 5
+    ), probe_cells AS (
+        SELECT t.lang, t.tok, t.exact_n, t.rk, j.row,
+               ('0x' || substr(md5('cms' || j.row || ':' || t.tok), 1, 8))::BIGINT % 256 AS cell
+        FROM top t, (SELECT unnest([0, 1, 2, 3]) AS row) j
+    )
+    SELECT p.lang, p.tok, p.rk, p.exact_n,
+           CAST(MIN(s.cnt) AS BIGINT) AS cms_count
+    FROM probe_cells p
+    JOIN sketch s ON p.lang = s.lang AND p.row = s.row AND p.cell = s.cell
+    GROUP BY p.lang, p.tok, p.rk, p.exact_n"""

@@ -2115,6 +2115,33 @@ def docs_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token frequencies through the engine's ALL-INTEGER
+    Count-Min Sketch (operators/sketches.py): a d=4 × w=256 salted-md5
+    cell table per language (bounded size regardless of corpus scale;
+    map-side partial agg IS the sketch merge), probed for each
+    language's exact top-5 tokens — estimate beside truth, with the
+    CMS ≥ exact guarantee visible in the row. Every value BIGINT, so
+    the DuckDB replay hash-matches trivially."""
+    from jagular_spark.operators.sketches import cms_estimate, cms_table
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    sketch = cms_table(toks, "tok", ["lang"])
+    w = Window.partitionBy("lang").orderBy(F.col("exact_n").desc(), F.col("tok").asc())
+    top = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+    )
+    return cms_estimate(top, sketch, "tok", ["lang"]).select(
+        "lang", "tok", "rk", "exact_n", "cms_count"
+    )
+
+
 def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (operators/text.redact_pii): the
     synthetic documents carry no PII, so the query first APPENDS a
@@ -2253,6 +2280,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zscore": events_zscore,
     "orders_bucketed_revenue": orders_bucketed_revenue,
     "docs_hll_vocab": docs_hll_vocab,
+    "docs_cms_heavyhitters": docs_cms_heavyhitters,
     "docs_pii_redaction": docs_pii_redaction,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,

@@ -51,3 +51,27 @@ def test_hll_shard_merge_law(spark):
     got = {(r.register, r.max_rank) for r in merged.collect()}
     want = {(r.register, r.max_rank) for r in direct.collect()}
     assert got == want
+
+
+def test_cms_overestimates_and_is_partition_invariant(spark):
+    """CMS point estimates are >= the true count (collisions only
+    inflate), exact for most items at this load factor, and a pure
+    function of the data (partition-layout independent)."""
+    from jagular_spark.operators.sketches import cms_estimate, cms_table
+
+    rows = [("g", f"t{i % 50}") for i in range(5000)]  # 50 items x 100
+    df = spark.createDataFrame(rows, "g string, it string")
+    exact = df.groupBy("g", "it").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    for parts in (1, 11):
+        sk = cms_table(df.repartition(parts), "it", ["g"])
+        est = {
+            r.it: r.cms_count
+            for r in cms_estimate(exact, sk, "it", ["g"]).collect()
+        }
+        truth = {r.it: r.n for r in exact.collect()}
+        assert set(est) == set(truth)
+        assert all(est[k] >= truth[k] for k in truth)
+        # d=4 rows x w=256 cells at 50 items: collisions are rare —
+        # at least 90% of estimates should be exact
+        exact_hits = sum(est[k] == truth[k] for k in truth)
+        assert exact_hits >= 45
