@@ -2233,3 +2233,7 @@ ORACLE_SQL["docs_cms_heavyhitters"] = """
     FROM probe_cells p
     JOIN sketch s ON p.lang = s.lang AND p.row = s.row AND p.cell = s.cell
     GROUP BY p.lang, p.tok, p.rk, p.exact_n"""
+
+# Streamed LSH candidates aggregate to the batch operator's
+# (id_a, id_b, n_bands) — same oracle.
+ORACLE_SQL["docs_lsh_candidates_streamed"] = ORACLE_SQL["docs_minhash_lsh"]

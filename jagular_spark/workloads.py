@@ -1618,6 +1618,32 @@ def orders_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_lsh_candidates_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING MinHash-LSH candidate generation for the
+    driver (streaming/pipeline.stream_lsh_candidate_pairs): per
+    arriving doc, the row-local (shuffle-free) signature bands into
+    bucket keys whose member lists live in GroupState — each arrival
+    pairs against every earlier member, one emission per shared band.
+    A one-shot availableNow pass emits every in-bucket pair exactly
+    once per band, so the per-pair band count aggregated from the
+    memory sink equals the batch operator's n_bands — the query shares
+    docs_minhash_lsh's oracle verbatim."""
+    import tempfile
+
+    from jagular_spark.streaming.pipeline import stream_lsh_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="jgs_lsh_stream_")
+    docs.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    tbl = _run_stream_to_table(stream_lsh_candidate_pairs(stream), "lsh_stream")
+    return (
+        spark.table(tbl)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the canonical timeseries enrichment Spark
     lacks natively): every 'view' event gets the most recent preceding
@@ -2265,6 +2291,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize_streamed": events_sessionize_streamed,
     "events_censor_streamed": events_censor_streamed,
     "events_interpolate_streamed": events_interpolate_streamed,
+    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,

@@ -100,6 +100,17 @@ def test_relational_subquery_join_shapes(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
 
 
+def test_q7_q8_broadcast_their_dims(spark):
+    """The multi-join shapes must broadcast every nation/region dim —
+    no shuffle exchange for a ≤25-row table."""
+    from jagular_spark.workloads import q7_volume_shipping, q8_market_share
+
+    for fn in (q7_volume_shipping, q8_market_share):
+        p = _formatted(fn(spark, SF))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
 def test_pii_redaction_is_scan_local(spark):
     """PII redaction must stay a pure projection — zero Exchange, so it
     composes with any corpus scan at 100 TB."""
