@@ -2237,3 +2237,26 @@ ORACLE_SQL["docs_cms_heavyhitters"] = """
 # Streamed LSH candidates aggregate to the batch operator's
 # (id_a, id_b, n_bands) — same oracle.
 ORACLE_SQL["docs_lsh_candidates_streamed"] = ORACLE_SQL["docs_minhash_lsh"]
+
+ORACLE_SQL["events_rolling_stats"] = """
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CAST(floor(value * 1000) AS BIGINT) AS iv,
+           CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS win_sum,
+           CAST(MIN(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS win_min,
+           CAST(MAX(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS win_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)"""
+
+# Set-op composition of three gate queries, reusing their oracles as
+# subqueries so engine and oracle compose the same verified pieces.
+ORACLE_SQL["docs_survivor_setops"] = f"""
+    SELECT doc_id FROM (
+        SELECT doc_id FROM ({ORACLE_SQL["docs_quality"]}) WHERE quality_score >= 0.6
+        INTERSECT
+        SELECT doc_id FROM ({ORACLE_SQL["docs_repetition"]}) WHERE NOT is_repetitive
+    )
+    EXCEPT ALL
+    SELECT doc_id FROM ({ORACLE_SQL["docs_decontaminate"]}) WHERE contaminated
+    ORDER BY doc_id"""
