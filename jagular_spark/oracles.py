@@ -2260,3 +2260,8 @@ ORACLE_SQL["docs_survivor_setops"] = f"""
     EXCEPT ALL
     SELECT doc_id FROM ({ORACLE_SQL["docs_decontaminate"]}) WHERE contaminated
     ORDER BY doc_id"""
+
+# Salted two-phase aggregation and compaction are result-identical to
+# the plain rollup — all three share one oracle.
+ORACLE_SQL["events_salted_hourly"] = ORACLE_SQL["events_hourly_rollup"]
+ORACLE_SQL["events_compacted_roundtrip"] = ORACLE_SQL["events_hourly_rollup"]

@@ -2111,6 +2111,68 @@ def docs_survivor_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good.intersect(unrep).exceptAll(flagged).orderBy("doc_id")
 
 
+def events_salted_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation machinery (operators/skew.salted_agg)
+    driven end-to-end: the SAME per-user per-hour rollup as
+    events_hourly_rollup, but aggregated through the two-phase salted
+    path — phase 1 per (keys, content-hash salt), phase 2 merging the
+    ≤ n_salts partials. Result-identical by construction (salting only
+    changes the physical key distribution), so it shares
+    events_hourly_rollup's oracle verbatim — the driver hash proves the
+    salted plan computes exactly the plain aggregate."""
+    from jagular_spark.operators.skew import salted_agg
+
+    ev = _events_us(spark, sf_dir).select(
+        "user_id",
+        F.expr("CAST(us DIV 3600000000 AS BIGINT)").alias("hour_bucket"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("mv"),
+    )
+    out = salted_agg(
+        ev,
+        ["user_id", "hour_bucket"],
+        {"n_events": ("count", "mv"), "sum_mv": ("sum", "mv")},
+        n_salts=8,
+    )
+    return out.select(
+        "user_id",
+        "hour_bucket",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_mv").cast("long").alias("sum_mv"),
+    )
+
+
+def events_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (sources/rec.compact_parquet — S8's
+    operational sibling) driven end-to-end: the events table is first
+    shattered into many tiny per-trigger-style files, compacted back
+    into range-clustered files ordered by (user_id, ts), and the
+    compacted copy is aggregated — sharing events_hourly_rollup's
+    oracle verbatim, since compaction must never change a row."""
+    import tempfile
+
+    from jagular_spark.sources.rec import compact_parquet
+
+    ev = load(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="jgs_compact_")
+    shattered, compacted = f"{stage}/shards", f"{stage}/compacted"
+    ev.repartition(64).write.mode("overwrite").parquet(shattered)
+    compact_parquet(spark, shattered, compacted, target_mb=256, order_cols=["user_id"])
+    back = spark.read.parquet(compacted)
+    return (
+        back.withColumn("us", _us(back))
+        .groupBy(
+            "user_id",
+            F.expr("CAST(us DIV 3600000000 AS BIGINT)").alias("hour_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("CAST(floor(value * 1000) AS BIGINT)"))
+            .cast("long")
+            .alias("sum_mv"),
+        )
+    )
+
+
 def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-channel standard-score normalization (feature scaling for
     training pipelines / z-based artifact thresholds): exact integer
@@ -2326,10 +2388,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bigram_fluency": docs_bigram_fluency,
     "docs_rebalance_sample": docs_rebalance_sample,
     "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
-    "docs_media_frames": docs_media_frames,
     "events_audit": events_audit,
     "docs_dedup_clusters": docs_dedup_clusters,
-    "docs_token_quantiles": docs_token_quantiles,
     "docs_simhash_neardup": docs_simhash_neardup,
     "docs_curation_funnel": docs_curation_funnel,
     "events_asof": events_asof,
@@ -2352,6 +2412,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_rollup": events_hourly_rollup,
     "events_sortedness": events_sortedness,
     "events_zscore": events_zscore,
+    "events_salted_hourly": events_salted_hourly,
+    "events_compacted_roundtrip": events_compacted_roundtrip,
     "events_rolling_stats": events_rolling_stats,
     "docs_survivor_setops": docs_survivor_setops,
     "orders_bucketed_revenue": orders_bucketed_revenue,
@@ -2367,6 +2429,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-green in r4 (displaced in r5, judge-verified since); the
     # never-driver-checked entries above keep their slots
     "events_filtfilt_chunked": events_filtfilt_chunked,
+    "docs_media_frames": docs_media_frames,
+    "docs_token_quantiles": docs_token_quantiles,
     "docs_media_audio": docs_media_audio,
     "docs_media_resize": docs_media_resize,
     "docs_stratified_sample": docs_stratified_sample,
