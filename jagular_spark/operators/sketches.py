@@ -176,3 +176,63 @@ def cms_estimate(
     return joined.groupBy(*items.columns).agg(
         F.min("cnt").cast("long").alias("cms_count")
     )
+
+
+def _bloom_pos(item_col: str, j: int, m_bits: int) -> F.Column:
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{j}:"), F.col(item_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m_bits),
+    )
+
+
+def bloom_bits(
+    df: DataFrame, item_col: str, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Deterministic Bloom filter as a SPARSE BITSET: ``k`` salted-md5
+    positions per item, kept as distinct ``(bit)`` rows — ≤ m_bits rows
+    total however large the input, mergeable by plain union+distinct.
+    Like the HLL/CMS siblings, every value is an exact integer, so the
+    filter — including its false positives — replays identically on any
+    engine."""
+    return (
+        df.select(
+            F.explode(
+                F.array(*[_bloom_pos(item_col, j, m_bits) for j in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    items: DataFrame,
+    bits: DataFrame,
+    item_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Membership probe: an item is ``maybe_present`` iff ALL ``k`` of
+    its bits are set (no false negatives; false-positive rate
+    ≈ fill^k, and deterministic here). The bitset broadcasts — the
+    probe side never shuffles. Appends ``maybe_present``."""
+    probes = items.select(
+        *items.columns,
+        F.posexplode(
+            F.array(*[_bloom_pos(item_col, j, m_bits) for j in range(k)])
+        ).alias("__j__", "bit"),
+    )
+    hit = probes.join(F.broadcast(bits), "bit")
+    agg = hit.groupBy(*items.columns).agg(
+        F.count_distinct("__j__").cast("int").alias("__kj__")
+    )
+    return (
+        items.join(agg, items.columns, "left")
+        .withColumn("maybe_present", F.coalesce(F.col("__kj__"), F.lit(0)) == k)
+        .drop("__kj__")
+    )

@@ -2265,3 +2265,42 @@ ORACLE_SQL["docs_survivor_setops"] = f"""
 # the plain rollup — all three share one oracle.
 ORACLE_SQL["events_salted_hourly"] = ORACLE_SQL["events_hourly_rollup"]
 ORACLE_SQL["events_compacted_roundtrip"] = ORACLE_SQL["events_hourly_rollup"]
+
+# Deterministic Bloom decontamination: the bitset, probes, and even the
+# false positives replay exactly.
+ORACLE_SQL["docs_bloom_decontaminate"] = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, CASE WHEN len(t) >= 8 THEN
+            list_distinct(list_transform(generate_series(1, len(t) - 7),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+                  || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))
+            ELSE [] END AS shingles FROM toks
+    ), hashes AS (
+        SELECT doc_id, ('0x' || substr(md5(s.s), 1, 8))::BIGINT % {sim.P} AS h
+        FROM sh, UNNEST(shingles) AS s(s)
+    ), hd AS (
+        SELECT DISTINCT doc_id, h FROM hashes
+    ), bits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5('bf' || j.j || ':' || CAST(h AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bit
+        FROM (SELECT DISTINCT h FROM hashes WHERE doc_id % 50 = 0),
+             (SELECT UNNEST([0, 1, 2]) AS j) j
+    ), probes AS (
+        SELECT doc_id, h, j.j AS j,
+               ('0x' || substr(md5('bf' || j.j || ':' || CAST(h AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bit
+        FROM hd, (SELECT UNNEST([0, 1, 2]) AS j) j
+        WHERE doc_id % 50 != 0
+    ), matched AS (
+        SELECT p.doc_id, p.h, COUNT(DISTINCT p.j) AS kj
+        FROM probes p JOIN bits b ON p.bit = b.bit
+        GROUP BY p.doc_id, p.h
+    ), per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_maybe
+        FROM matched WHERE kj = 3 GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(m.n_maybe, 0) AS n_maybe,
+           COALESCE(m.n_maybe, 0) >= 2 AS bloom_flagged
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN per_doc m ON d.doc_id = m.doc_id"""

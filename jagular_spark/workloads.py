@@ -2281,6 +2281,43 @@ def docs_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a DETERMINISTIC Bloom filter
+    (operators/sketches.bloom_bits/bloom_probe): the eval set's 8-token
+    shingle hashes populate a 4096-bit sparse bitset (≤ 4096 rows
+    however big the benchmark — the memory-bounded alternative to
+    broadcasting the raw shingle set), train shingles probe it, and a
+    doc is flagged at ≥ 2 maybe-present shingles. No false negatives —
+    every exactly-contaminated doc is flagged — while the false
+    positives are THEMSELVES deterministic (salted md5 bits), so the
+    oracle replays the filter bit-for-bit, false positives included."""
+    from jagular_spark.operators.sketches import bloom_bits, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    hashes = sim.doc_shingle_hashes(docs, n=8)
+    ev = hashes.where(F.col("doc_id") % 50 == 0).select("h").distinct()
+    bits = bloom_bits(ev, "h")
+    train = (
+        hashes.where(F.col("doc_id") % 50 != 0).select("doc_id", "h").distinct()
+    )
+    probed = bloom_probe(train, bits, "h")
+    per_doc = (
+        probed.where(F.col("maybe_present"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_maybe"))
+    )
+    return (
+        docs.where(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_maybe", F.lit(0).cast("long")).alias("n_maybe"),
+            (F.coalesce("n_maybe", F.lit(0)) >= 2).alias("bloom_flagged"),
+        )
+    )
+
+
 def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the corpus (operators/text.redact_pii): the
     synthetic documents carry no PII, so the query first APPENDS a
@@ -2390,7 +2427,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
     "events_audit": events_audit,
     "docs_dedup_clusters": docs_dedup_clusters,
-    "docs_simhash_neardup": docs_simhash_neardup,
     "docs_curation_funnel": docs_curation_funnel,
     "events_asof": events_asof,
     # -- block 2: new this round (r6) — inserted here as implemented
@@ -2419,6 +2455,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_bucketed_revenue": orders_bucketed_revenue,
     "docs_hll_vocab": docs_hll_vocab,
     "docs_cms_heavyhitters": docs_cms_heavyhitters,
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_pii_redaction": docs_pii_redaction,
     # -- block 3: r5-green but touched this round, plus flagships
     "events_detect_spikes": events_detect_spikes,
@@ -2430,6 +2467,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never-driver-checked entries above keep their slots
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "docs_media_frames": docs_media_frames,
+    "docs_simhash_neardup": docs_simhash_neardup,
     "docs_token_quantiles": docs_token_quantiles,
     "docs_media_audio": docs_media_audio,
     "docs_media_resize": docs_media_resize,

@@ -75,3 +75,19 @@ def test_cms_overestimates_and_is_partition_invariant(spark):
         # at least 90% of estimates should be exact
         exact_hits = sum(est[k] == truth[k] for k in truth)
         assert exact_hits >= 45
+
+
+def test_bloom_no_false_negatives_and_probe_shape(spark):
+    """Every inserted item must probe maybe_present (no false
+    negatives); a disjoint probe set shows only the (deterministic)
+    false-positive residue, bounded well below certainty at this fill."""
+    from jagular_spark.operators.sketches import bloom_bits, bloom_probe
+
+    ins = spark.range(500).select(F.concat(F.lit("in_"), F.col("id")).alias("it"))
+    out = spark.range(500).select(F.concat(F.lit("out_"), F.col("id")).alias("it"))
+    bits = bloom_bits(ins, "it")
+    hit = bloom_probe(ins, bits, "it")
+    assert hit.where(~F.col("maybe_present")).count() == 0
+    # fill = |bits|/4096; fp rate ≈ fill^3 — assert < 20% observed
+    fp = bloom_probe(out, bits, "it").where(F.col("maybe_present")).count()
+    assert fp < 100, fp
