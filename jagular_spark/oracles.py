@@ -20,6 +20,8 @@ from jagular_spark.workload_params import (
     _LP_TAPS,
     _ORDERED_LISTS_CTE,
     _REBALANCE_TARGETS,
+    _SPIKE_FIT_FRACTION,
+    _SPIKE_FIT_SALT,
     _STRATA_FRACTIONS,
     _fir_chain_sql,
 )
@@ -1541,8 +1543,12 @@ ORACLE_SQL["docs_domain_mixture"] = """
     FROM per"""
 
 def _spike_cluster_oracle(k: int = 4, n_iter: int = 2, dim: int = 8) -> str:
-    """Replay detection → integer patch features → integer Lloyd →
-    assignment (events_spike_clusters)."""
+    """Replay detection → integer patch features → md5 fit-sample →
+    integer Lloyd → assignment over ALL spikes (events_spike_clusters).
+    The ``fitw`` CTE mirrors ``hash_sample(feats, "sid", fraction,
+    salt)`` bit-for-bit: the Lloyd chain sees only the sample, the
+    final assignment sees every spike."""
+    fit_thr = int(_SPIKE_FIT_FRACTION * (1 << 32))
     its = []
     for i in range(n_iter):
         its.append(f"""
@@ -1550,7 +1556,7 @@ def _spike_cluster_oracle(k: int = 4, n_iter: int = 2, dim: int = 8) -> str:
             SELECT n.sid, c.c,
                    CAST(list_sum(list_transform(generate_series(1, {dim}),
                         t -> (n.iv[t] - c.civ[t]) * (n.iv[t] - c.civ[t]))) AS BIGINT) AS d
-            FROM wvq n CROSS JOIN kc{i} c
+            FROM fitw n CROSS JOIN kc{i} c
         ), ka{i} AS (
             SELECT sid, c FROM (
                 SELECT sid, c, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d, c) AS rn
@@ -1558,7 +1564,7 @@ def _spike_cluster_oracle(k: int = 4, n_iter: int = 2, dim: int = 8) -> str:
             ) WHERE rn = 1
         ), ks{i} AS (
             SELECT a.c, t.t, SUM(n.iv[t.t]) AS sv, COUNT(*) AS cnt
-            FROM ka{i} a JOIN wvq n USING (sid),
+            FROM ka{i} a JOIN fitw n USING (sid),
                  UNNEST(generate_series(1, {dim})) AS t(t)
             GROUP BY a.c, t.t
         ), kc{i + 1} AS (
@@ -1577,9 +1583,13 @@ def _spike_cluster_oracle(k: int = 4, n_iter: int = 2, dim: int = 8) -> str:
                             * 100 AS BIGINT)) AS iv,
                    user_id * 4294967296 + peak_seq AS sid
             FROM located d
+        ), fitw AS (
+            SELECT * FROM wvq
+            WHERE ('0x' || substr(md5('{_SPIKE_FIT_SALT}' || CAST(sid AS VARCHAR)), 1, 8))::BIGINT
+                  < {fit_thr}
         ), kc0 AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS c, iv AS civ
-            FROM (SELECT sid, iv FROM wvq ORDER BY sid LIMIT {k})
+            FROM (SELECT sid, iv FROM fitw ORDER BY sid LIMIT {k})
         ){''.join(its)}
         , fdist AS (
             SELECT n.user_id, n.peak_seq, c.c,

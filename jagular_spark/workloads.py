@@ -853,16 +853,22 @@ def events_spike_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector (the 8-sample patch in exact 10^-2 quanta via the DECIMAL
     cast) → deterministic integer k-means (k=4, 2 Lloyd iterations,
     seeds by packed (channel, peak) id — the shared ``_lloyd_int``
-    kernel) → per-spike cluster assignment. The fit runs driver-side on
-    the detected-spike set (O(spikes) ≪ O(samples) — detections are the
-    sparse output of the funnel, the natural fit-on-sample); assignment
-    is the nested-literal argmin, zero extra shuffles. The DuckDB
-    oracle replays detection (recursive-CTE censor), quantization, the
-    Lloyd chain and the assignment end-to-end."""
+    kernel) → per-spike cluster assignment. The fit follows the
+    ``ivf_fit_centroids`` fit-on-sample discipline: only the
+    engine-portable md5 hash-sample of detections
+    (``_SPIKE_FIT_FRACTION``/``_SPIKE_FIT_SALT``) is collected for the
+    driver-side Lloyd loop — detections over a 100 TB corpus are
+    billions of rows, so the collect must be fraction-bounded, never
+    O(all detections). Assignment is the nested-literal argmin over the
+    FULL detection set, zero extra shuffles. The DuckDB oracle replays
+    detection (recursive-CTE censor), quantization, the identical
+    md5-sampled Lloyd chain and the assignment end-to-end."""
     import numpy as np
 
+    from jagular_spark.operators.sampling import hash_sample
     from jagular_spark.operators.similarity import _cent_dists, _lloyd_int
     from jagular_spark.operators.spikes import detect_spikes
+    from jagular_spark.workload_params import _SPIKE_FIT_FRACTION, _SPIKE_FIT_SALT
 
     samples = _rn_samples(spark, sf_dir, max_channel=16).localCheckpoint(eager=False)
     spikes = detect_spikes(
@@ -880,8 +886,14 @@ def events_spike_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sid", F.col("user_id") * F.lit(4294967296) + F.col("peak_seq"))
         .localCheckpoint(eager=False)
     )
-    rows = feats.select("sid", "iv").collect()
+    rows = (
+        hash_sample(feats, "sid", _SPIKE_FIT_FRACTION, _SPIKE_FIT_SALT)
+        .select("sid", "iv")
+        .collect()
+    )
     rows.sort(key=lambda r: r.sid)
+    if len(rows) < 4:
+        raise ValueError(f"spike fit sample has {len(rows)} rows < k=4")
     X = np.array([r.iv for r in rows], dtype=np.int64)
     cents = _lloyd_int(X, k=4, n_iter=2)
     cluster = F.array_min(

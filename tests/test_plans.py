@@ -263,3 +263,48 @@ def test_knn_classify_corpus_never_shuffles(spark):
     # the top-k cut runs BEFORE that shuffle (partial WindowGroupLimit),
     # so at most k rows per (query, input partition) are exchanged
     assert "row_number(), 5, Partial" in p
+
+
+def test_spike_cluster_fit_collect_is_sampled():
+    """events_spike_clusters' only collect must run on the md5
+    hash-sample of detections, never the full detection set — at
+    100 TB detections are billions of rows, so an unsampled collect
+    in the fit path is a driver OOM. Pin the source shape: the sole
+    .collect() call is reached through hash_sample(...)."""
+    import inspect
+
+    from jagular_spark import workloads
+
+    src = inspect.getsource(workloads.events_spike_clusters)
+    collects = src.count(".collect()")
+    assert collects == 1, f"expected exactly one collect, got {collects}"
+    assert "hash_sample(feats" in src, "fit collect must be hash-sampled"
+    # the collect chains off the sampled frame, not off bare feats
+    assert "feats.select(\"sid\", \"iv\").collect()" not in src.replace("\n", "")
+
+
+def test_spike_cluster_fit_sample_is_proper_subset(spark):
+    """The deterministic fit sample keeps >= k rows (Lloyd needs k
+    seeds) and is a strict subset on the shipped fixtures."""
+    from pyspark.sql import functions as F
+
+    from jagular_spark.operators.sampling import hash_sample
+    from jagular_spark.operators.spikes import detect_spikes
+    from jagular_spark.workload_params import _SPIKE_FIT_FRACTION, _SPIKE_FIT_SALT
+    from jagular_spark.workloads import _rn_samples
+
+    samples = _rn_samples(spark, SF, max_channel=16)
+    spikes = detect_spikes(
+        samples, multiplier=2.0, censor_width=5, patch_size=8, polarity="pos"
+    )
+    feats = (
+        spikes.select(
+            F.col("channel_id").cast("long").alias("user_id"),
+            F.col("peak_ts").alias("peak_seq"),
+        )
+        .distinct()
+        .withColumn("sid", F.col("user_id") * F.lit(4294967296) + F.col("peak_seq"))
+    )
+    total = feats.count()
+    kept = hash_sample(feats, "sid", _SPIKE_FIT_FRACTION, _SPIKE_FIT_SALT).count()
+    assert 4 <= kept < total, (kept, total)
