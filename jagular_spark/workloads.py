@@ -2421,62 +2421,7 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r5-driver-green untouched queries (out of window this round, rotate
 # back next round). Keep new/changed queries in the first 50.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- block 1: never driver-verified (r5 additions) or displaced since r4
-    "emb_ann_topk_ivf": emb_ann_topk_ivf,
-    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
-    "emb_ann_recall": emb_ann_recall,
-    "emb_knn_classify": emb_knn_classify,
-    "events_winsorize": events_winsorize,
-    "events_xcorr": events_xcorr,
-    "events_band_power": events_band_power,
-    "events_asof_nearest": events_asof_nearest,
-    "q10_returned_items": q10_returned_items,
-    "q14_promo_effect": q14_promo_effect,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "docs_tfidf_top": docs_tfidf_top,
-    "docs_bigram_fluency": docs_bigram_fluency,
-    "docs_rebalance_sample": docs_rebalance_sample,
-    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
-    "events_audit": events_audit,
-    "docs_dedup_clusters": docs_dedup_clusters,
-    "docs_curation_funnel": docs_curation_funnel,
-    "events_asof": events_asof,
-    # -- block 2: new this round (r6) — inserted here as implemented
-    "events_winsorize_chunked": events_winsorize_chunked,
-    "events_sessionize_streamed": events_sessionize_streamed,
-    "events_censor_streamed": events_censor_streamed,
-    "events_interpolate_streamed": events_interpolate_streamed,
-    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,
-    "q4_order_priority": q4_order_priority,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q15_top_supplier": q15_top_supplier,
-    "q12_shipping_classes": q12_shipping_classes,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "q1_rollup_summary": q1_rollup_summary,
-    "events_hourly_rollup": events_hourly_rollup,
-    "events_sortedness": events_sortedness,
-    "events_zscore": events_zscore,
-    "events_salted_hourly": events_salted_hourly,
-    "events_compacted_roundtrip": events_compacted_roundtrip,
-    "events_rolling_stats": events_rolling_stats,
-    "docs_survivor_setops": docs_survivor_setops,
-    "orders_bucketed_revenue": orders_bucketed_revenue,
-    "docs_hll_vocab": docs_hll_vocab,
-    "docs_cms_heavyhitters": docs_cms_heavyhitters,
-    "docs_bloom_decontaminate": docs_bloom_decontaminate,
-    "docs_pii_redaction": docs_pii_redaction,
-    # -- block 3: r5-green but touched this round, plus flagships
-    "events_detect_spikes": events_detect_spikes,
-    "docs_ngram_jaccard": docs_ngram_jaccard,
-    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
-    "docs_minhash_lsh": docs_minhash_lsh,
-    # -- demoted from block 1 to keep the window at 50: these four were
-    # driver-green in r4 (displaced in r5, judge-verified since); the
-    # never-driver-checked entries above keep their slots
+    # -- block 1: stalest — last driver-verified r4; rotate-in first (r7)
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "docs_media_frames": docs_media_frames,
     "docs_simhash_neardup": docs_simhash_neardup,
@@ -2484,23 +2429,19 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_audio": docs_media_audio,
     "docs_media_resize": docs_media_resize,
     "docs_stratified_sample": docs_stratified_sample,
+    # -- block 2: touched this round (r7) — sampled k-means fit
+    "events_spike_clusters": events_spike_clusters,
+    # -- block 3: last driver-verified r5 — inside the 50-entry window
     "events_sessionize": events_sessionize,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
-    "top3_orders_per_customer": top3_orders_per_customer,
     "events_filtfilt": events_filtfilt,
     "events_interpolate": events_interpolate,
     "events_tetrode": events_tetrode,
-    # -- block 4: r5-driver-green, untouched — out of the 50-entry window
-    # this round; rotate into block 1 next round
     "events_crossings": events_crossings,
     "events_align": events_align,
     "events_align_cspline": events_align_cspline,
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "events_spikes_roundtrip": events_spikes_roundtrip,
-    "docs_exact_dedup": docs_exact_dedup,
     "docs_decontaminate": docs_decontaminate,
     "events_segments": events_segments,
     "events_gap_lengths": events_gap_lengths,
@@ -2530,8 +2471,66 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_decimate": events_decimate,
     "events_crossings_chunked": events_crossings_chunked,
     "events_crossings_both": events_crossings_both,
-    "events_spike_clusters": events_spike_clusters,
     "docs_media_stats": docs_media_stats,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    # -- block 4 (out of window): r5-verified, deferred to r8 — the most
+    # static shapes, double-verified r4+r5
+    "q5_region_revenue": q5_region_revenue,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "docs_exact_dedup": docs_exact_dedup,
+    # -- block 5 (out of window): driver-green in r6 — rotate into the
+    # window in r8
+    "emb_ann_topk_ivf": emb_ann_topk_ivf,
+    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
+    "emb_ann_recall": emb_ann_recall,
+    "emb_knn_classify": emb_knn_classify,
+    "events_winsorize": events_winsorize,
+    "events_xcorr": events_xcorr,
+    "events_band_power": events_band_power,
+    "events_asof_nearest": events_asof_nearest,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "docs_tfidf_top": docs_tfidf_top,
+    "docs_bigram_fluency": docs_bigram_fluency,
+    "docs_rebalance_sample": docs_rebalance_sample,
+    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
+    "events_audit": events_audit,
+    "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_curation_funnel": docs_curation_funnel,
+    "events_asof": events_asof,
+    "events_winsorize_chunked": events_winsorize_chunked,
+    "events_sessionize_streamed": events_sessionize_streamed,
+    "events_censor_streamed": events_censor_streamed,
+    "events_interpolate_streamed": events_interpolate_streamed,
+    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q12_shipping_classes": q12_shipping_classes,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q1_rollup_summary": q1_rollup_summary,
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_sortedness": events_sortedness,
+    "events_zscore": events_zscore,
+    "events_salted_hourly": events_salted_hourly,
+    "events_compacted_roundtrip": events_compacted_roundtrip,
+    "events_rolling_stats": events_rolling_stats,
+    "docs_survivor_setops": docs_survivor_setops,
+    "orders_bucketed_revenue": orders_bucketed_revenue,
+    "docs_hll_vocab": docs_hll_vocab,
+    "docs_cms_heavyhitters": docs_cms_heavyhitters,
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,
+    "docs_pii_redaction": docs_pii_redaction,
+    "events_detect_spikes": events_detect_spikes,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
+    "docs_minhash_lsh": docs_minhash_lsh,
 }
 
 
