@@ -154,9 +154,13 @@ def _guarded_ids(col: str = "ids") -> F.Column:
     pairs, which a comment-only precondition cannot catch at 100 TB.
     Checked via per-bucket array_min/array_max (two aggregate passes,
     no new array allocation — the r5 per-element CASE ``transform``
-    built a copy of every bucket list); raises with an offending value."""
+    built a copy of every bucket list); raises with an offending value.
+    Empty (or all-NULL) lists pass through untouched — array_min/max
+    return NULL there, and falling through to raise_error on a list
+    with nothing out of range would be a false alarm."""
     return F.expr(
-        f"CASE WHEN array_min({col}) >= 0 AND array_max({col}) < 2147483648 THEN {col} "
+        f"CASE WHEN size({col}) = 0 OR array_min({col}) IS NULL THEN {col} "
+        f"WHEN array_min({col}) >= 0 AND array_max({col}) < 2147483648 THEN {col} "
         f"ELSE CAST(raise_error(concat('packed-pair id outside [0, 2^31): ', "
         f"CAST(IF(array_min({col}) < 0, array_min({col}), array_max({col})) AS STRING))) "
         f"AS ARRAY<BIGINT>) END"

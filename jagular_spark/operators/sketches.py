@@ -46,7 +46,11 @@ def hll_register_ranks(
     ``length(bin(w))`` trick — no float log anywhere): for
     ``w = h div m`` over ``b = 32 - log2(m)`` bits,
     ``rank = b - length(bin(w)) + 1`` and all-zero w gets ``b + 1``.
-    Map-side combinable max = the HLL shard-merge law."""
+    Map-side combinable max = the HLL shard-merge law.
+
+    Precondition: ``item_col`` must be non-null — a NULL item hashes to
+    a NULL register row, which would distort ``n_registers`` in the
+    estimate. Filter or coalesce NULLs before sketching."""
     import math
 
     b = 32 - int(math.log2(m))
@@ -142,9 +146,12 @@ def cms_estimate(
     w: int = 256,
 ) -> DataFrame:
     """Point-frequency estimates from a CMS table: re-derive each probe
-    item's d cells, join the sketch (broadcast — it is ≤ d·w rows per
-    group), take the MIN counter. Guaranteed ≥ the true count (all
-    collisions inflate); appends ``cms_count``."""
+    item's d cells, LEFT-join the sketch (broadcast — it is ≤ d·w rows
+    per group; an unoccupied cell counts as 0, the standard CMS
+    estimator), take the MIN counter. Guaranteed ≥ the true count (all
+    collisions inflate) and every probe item gets a row — an item with
+    any empty cell estimates exactly 0 (it was certainly never
+    inserted). Appends ``cms_count``."""
     probes = items.select(
         *items.columns,
         F.explode(
@@ -172,9 +179,9 @@ def cms_estimate(
     ).select(
         *items.columns, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell")
     )
-    joined = probes.join(F.broadcast(sketch), [*group_cols, "row", "cell"])
+    joined = probes.join(F.broadcast(sketch), [*group_cols, "row", "cell"], "left")
     return joined.groupBy(*items.columns).agg(
-        F.min("cnt").cast("long").alias("cms_count")
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count")
     )
 
 
@@ -220,19 +227,29 @@ def bloom_probe(
     """Membership probe: an item is ``maybe_present`` iff ALL ``k`` of
     its bits are set (no false negatives; false-positive rate
     ≈ fill^k, and deterministic here). The bitset broadcasts — the
-    probe side never shuffles. Appends ``maybe_present``."""
-    probes = items.select(
-        *items.columns,
+    probe side never shuffles. Appends ``maybe_present``.
+
+    The hit-count join uses a generated row id, not the item columns,
+    so NULLs in carried columns cannot break the no-false-negative
+    guarantee (an equality re-join on the item columns would miss its
+    own aggregate row for any NULL-carrying item). The id never
+    crosses a shuffle-retry boundary outside this one plan, so
+    ``monotonically_increasing_id`` is safe here. A NULL ``item_col``
+    itself hashes to NULL bits and probes ``maybe_present = false`` —
+    consistent with insertion, where a NULL item sets no bits."""
+    wid = items.withColumn("__rid__", F.monotonically_increasing_id())
+    probes = wid.select(
+        "__rid__",
         F.posexplode(
             F.array(*[_bloom_pos(item_col, j, m_bits) for j in range(k)])
         ).alias("__j__", "bit"),
     )
     hit = probes.join(F.broadcast(bits), "bit")
-    agg = hit.groupBy(*items.columns).agg(
+    agg = hit.groupBy("__rid__").agg(
         F.count_distinct("__j__").cast("int").alias("__kj__")
     )
     return (
-        items.join(agg, items.columns, "left")
+        wid.join(agg, "__rid__", "left")
         .withColumn("maybe_present", F.coalesce(F.col("__kj__"), F.lit(0)) == k)
-        .drop("__kj__")
+        .drop("__kj__", "__rid__")
     )

@@ -2239,9 +2239,9 @@ ORACLE_SQL["docs_cms_heavyhitters"] = """
         FROM top t, (SELECT unnest([0, 1, 2, 3]) AS row) j
     )
     SELECT p.lang, p.tok, p.rk, p.exact_n,
-           CAST(MIN(s.cnt) AS BIGINT) AS cms_count
+           CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_count
     FROM probe_cells p
-    JOIN sketch s ON p.lang = s.lang AND p.row = s.row AND p.cell = s.cell
+    LEFT JOIN sketch s ON p.lang = s.lang AND p.row = s.row AND p.cell = s.cell
     GROUP BY p.lang, p.tok, p.rk, p.exact_n"""
 
 # Streamed LSH candidates aggregate to the batch operator's

@@ -1465,14 +1465,40 @@ def events_winsorize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STREAM_SEQ = [0]
+_STREAM_TBL: dict[str, str] = {}
+
+# One staging directory per (prefix, sf_dir) per session — overwritten
+# on re-invocation instead of leaking a fresh mkdtemp full of table
+# copies per bench/driver run; removed at interpreter exit.
+_STAGE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _stage_dir(prefix: str, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (prefix, sf_dir)
+    if key not in _STAGE_DIRS:
+        d = tempfile.mkdtemp(prefix=f"jgs_{prefix}_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _STAGE_DIRS[key] = d
+    return _STAGE_DIRS[key]
 
 
 def _run_stream_to_table(sdf: DataFrame, prefix: str) -> str:
     """Run a streaming DataFrame to completion under availableNow into a
     uniquely named memory-sink table; return the table name. Unique
-    names keep repeated driver/bench invocations independent."""
+    names keep repeated driver/bench invocations independent; the
+    PREVIOUS invocation's sink table for the same prefix is dropped so
+    repeated runs don't accumulate full result copies in driver
+    memory."""
+    spark = sdf.sparkSession
+    if prefix in _STREAM_TBL:
+        spark.catalog.dropTempView(_STREAM_TBL[prefix])
     _STREAM_SEQ[0] += 1
     name = f"{prefix}_{_STREAM_SEQ[0]}"
+    _STREAM_TBL[prefix] = name
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -1480,7 +1506,12 @@ def _run_stream_to_table(sdf: DataFrame, prefix: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout with the query STILL
+    # RUNNING — returning then would read a partial memory-sink table
+    # and silently produce wrong results; fail loudly instead.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"stream {name} did not finish within 300s")
     return name
 
 
@@ -1565,8 +1596,6 @@ def events_interpolate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState). Emission is complete, so the oracle is
     identical to the batch query's — the driver hash proves the
     streaming execution path computes the exact batch result."""
-    import tempfile
-
     from jagular_spark.streaming.pipeline import stream_interpolate
 
     ev = _events_us(spark, sf_dir)
@@ -1576,7 +1605,7 @@ def events_interpolate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["us", "event_id"],
         partition_cols=["user_id"],
     ).select("user_id", "minute", "value")
-    stage_dir = tempfile.mkdtemp(prefix="jgs_interp_stream_")
+    stage_dir = _stage_dir("interp_stream", sf_dir)
     base.write.mode("overwrite").parquet(stage_dir)
     stream = spark.readStream.schema(base.schema).parquet(stage_dir)
     out = stream_interpolate(
@@ -1602,13 +1631,14 @@ def orders_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucketed layout changes the PLAN, never the result. This is the
     'pre-partition the fact tables once at ingest, join for free
     forever' 100-TB pattern."""
-    import tempfile
+    import hashlib
 
     from jagular_spark.sources.bucketed import read_table, write_bucketed_table
 
-    _STREAM_SEQ[0] += 1
-    tag = _STREAM_SEQ[0]
-    stage = tempfile.mkdtemp(prefix="jgs_buckets_")
+    # fixed table names per sf_dir + overwrite: repeated runs replace
+    # the bucketed copies instead of accumulating catalog entries
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    stage = _stage_dir("buckets", sf_dir)
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
@@ -1640,12 +1670,10 @@ def docs_lsh_candidates_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per band, so the per-pair band count aggregated from the
     memory sink equals the batch operator's n_bands — the query shares
     docs_minhash_lsh's oracle verbatim."""
-    import tempfile
-
     from jagular_spark.streaming.pipeline import stream_lsh_candidate_pairs
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    stage = tempfile.mkdtemp(prefix="jgs_lsh_stream_")
+    stage = _stage_dir("lsh_stream", sf_dir)
     docs.write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(docs.schema).parquet(stage)
     tbl = _run_stream_to_table(stream_lsh_candidate_pairs(stream), "lsh_stream")
@@ -2160,12 +2188,10 @@ def events_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     into range-clustered files ordered by (user_id, ts), and the
     compacted copy is aggregated — sharing events_hourly_rollup's
     oracle verbatim, since compaction must never change a row."""
-    import tempfile
-
     from jagular_spark.sources.rec import compact_parquet
 
     ev = load(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="jgs_compact_")
+    stage = _stage_dir("compact", sf_dir)
     shattered, compacted = f"{stage}/shards", f"{stage}/compacted"
     ev.repartition(64).write.mode("overwrite").parquet(shattered)
     compact_parquet(spark, shattered, compacted, target_mb=256, order_cols=["user_id"])

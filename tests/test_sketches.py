@@ -91,3 +91,35 @@ def test_bloom_no_false_negatives_and_probe_shape(spark):
     # fill = |bits|/4096; fp rate ≈ fill^3 — assert < 20% observed
     fp = bloom_probe(out, bits, "it").where(F.col("maybe_present")).count()
     assert fp < 100, fp
+
+
+def test_cms_absent_probe_estimates_zero(spark):
+    """A probe item never inserted must still get a row, with
+    cms_count = 0 when any of its d cells is empty — the standard CMS
+    estimator (an inner join would silently drop it, and min over
+    occupied cells only would overestimate)."""
+    from jagular_spark.operators.sketches import cms_estimate, cms_table
+
+    df = spark.createDataFrame([("g", "present")], "g string, it string")
+    sk = cms_table(df, "it", ["g"])
+    probes = spark.createDataFrame(
+        [("g", "present"), ("g", "never_inserted_xyz")], "g string, it string"
+    )
+    est = {r.it: r.cms_count for r in cms_estimate(probes, sk, "it", ["g"]).collect()}
+    assert est["present"] >= 1
+    assert est["never_inserted_xyz"] == 0
+
+
+def test_bloom_probe_null_carried_column_keeps_guarantee(spark):
+    """A NULL in a carried (non-item) column must not produce a false
+    negative — the hit-count aggregate re-attaches by row id, not by
+    equality on item columns."""
+    from jagular_spark.operators.sketches import bloom_bits, bloom_probe
+
+    ins = spark.createDataFrame(
+        [("a", None), ("b", "meta")], "it string, extra string"
+    )
+    bits = bloom_bits(ins, "it")
+    res = bloom_probe(ins, bits, "it")
+    assert res.where(~F.col("maybe_present")).count() == 0
+    assert res.count() == 2
