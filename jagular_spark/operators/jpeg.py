@@ -1,0 +1,489 @@
+"""Baseline JPEG codec, pure Python + numpy, from the public ITU T.81
+spec (and the JFIF container convention). No external codec library —
+this makes the multimodal image operators (decode_image_features,
+resize_image, frame sampling) work on real JPEG corpora instead of only
+raw8/PNG fixtures.
+
+Scope — baseline sequential DCT, the profile that covers the
+overwhelming majority of training-corpus JPEGs:
+
+- decode: 8-bit precision, 1-4 components, interleaved single scan,
+  Huffman entropy coding, chroma subsampling with any sampling factors
+  in 1..2 (4:4:4, 4:2:2, 4:2:0, ...), restart markers (DRI/RSTn).
+  Progressive (SOF2), arithmetic coding and 12-bit inputs raise
+  ``NotImplementedError`` with the marker that triggered it.
+- encode: single-component (grayscale) baseline with the T.81 Annex K
+  example tables — enough to synthesize deterministic test payloads
+  and act as the sink twin (the decoder is the production direction).
+
+Everything is deterministic integer/float math in a fixed order: the
+same payload decodes to the same pixels on every worker, partition
+layout and architecture (the IDCT is float64 matrix algebra with one
+final rounding — numpy's rounding is IEEE-defined), which is what lets
+the driver hash-verify queries built on top of this codec.
+
+Reference parity note: the reference engine (kemerelab/jagular) has no
+media operators — this module serves the builder-brief multimodal
+requirement, not reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tables from ITU T.81 Annex K (public example tables)
+# ---------------------------------------------------------------------------
+
+# K.1 — luminance quantization table, natural (row-major) order
+QUANT_LUM_K1 = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+# Zig-zag scan order: ZIGZAG[k] = natural index of the k-th scanned coef
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# K.3 / K.5 — Huffman table specs as (BITS counts per length 1..16, HUFFVAL)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 C.2: canonical code assignment. Returns
+    ``{symbol: (code, length)}``."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Decoder-direction table: ``{(length, code): symbol}``."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+def quant_table(quality: int) -> np.ndarray:
+    """Annex-K luminance table scaled by the (public) libjpeg quality
+    convention: scale = 5000/Q below 50 else 200 - 2Q, each entry
+    ``clip((base*scale + 50) // 100, 1, 255)``."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    tbl = (QUANT_LUM_K1 * scale + 50) // 100
+    return np.clip(tbl, 1, 255).astype(np.int64)
+
+
+# Orthonormal 8x8 DCT-II basis: F = A @ block @ A.T ; block = A.T @ F @ A
+_A = np.zeros((8, 8), dtype=np.float64)
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (grayscale baseline)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    """Magnitude category: smallest t with |v| < 2^t."""
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray8(img: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JFIF encode of an (h, w) uint8 grayscale image with the
+    Annex-K example tables. Deterministic: fixed tables, fixed float64
+    DCT, banker's-free rounding via ``np.rint``."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_jpeg_gray8 expects an (h, w) grayscale array")
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt = quant_table(quality)
+    dc_codes = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _huff_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+    # pad to multiples of 8 by edge replication (standard practice)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    if ph > h:
+        padded[h:, :w] = img[h - 1 : h, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+
+    # all blocks at once: (n_blocks, 8, 8) -> DCT -> quantize
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+    q = np.rint(coefs / qt).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, ZIGZAG]  # (n_blocks, 64) in zig-zag order
+
+    bw = _BitWriter()
+    pred = 0
+    for blk in zz:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = int(nz[-1]) + 1 if nz.size else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_qt = qt.reshape(64)[ZIGZAG]
+    out += seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in zz_qt))
+    out += seg(
+        0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )  # SOF0: 1 component, 1x1 sampling, qtable 0
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder (baseline sequential, multi-component)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-segment bit reader with byte unstuffing; stops at any
+    marker and records it."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(d):
+                # past the segment: feed 0 bits (spec allows — a correct
+                # stream never reads them into decoded values)
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed FF
+                    self.pos += 2
+                else:  # a real marker terminates the segment
+                    self.marker = 0xFF00 | nxt
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def align_restart(self) -> None:
+        """Consume an RSTn marker between restart intervals."""
+        self.nbits = 0
+        self.acc = 0
+        if self.marker is not None and 0xFFD0 <= self.marker <= 0xFFD7:
+            self.pos += 2
+            self.marker = None
+
+
+def _extend(v: int, t: int) -> int:
+    """F.2.2.1 EXTEND: map t received bits to a signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_huff(br: _BitReader, lut: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = lut.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline-sequential JPEG. Returns ``(planes, h, w)``
+    where ``planes`` is a list of (h, w) uint8 arrays, one per
+    component, each upsampled to full resolution (nearest neighbor for
+    subsampled chroma) and cropped to the frame size. Components are in
+    frame order (Y, Cb, Cr for 3-component JFIF)."""
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_luts: dict[int, dict] = {}
+    ac_luts: dict[int, dict] = {}
+    frame = None  # (h, w, comps) ; comps = list of (cid, hs, vs, tq)
+    restart_interval = 0
+
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = struct.unpack(">H", d[pos : pos + 2])[0]
+        if marker in (0xFFD8, 0xFF01) or 0xFFD0 <= marker <= 0xFFD7:
+            pos += 2
+            continue
+        if marker == 0xFFD9:
+            break
+        (length,) = struct.unpack(">H", d[pos + 2 : pos + 4])
+        body = d[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables (Pq=1)")
+                tbl = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = tbl
+                qtables[tq] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xFFC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                lut = _huff_lookup(bits, vals)
+                (dc_luts if tc == 0 else ac_luts)[th] = lut
+                i += 17 + n
+        elif marker == 0xFFC0 or marker == 0xFFC1:  # SOF0/1 baseline+ext seq
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9,
+                        0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:04X}: progressive/"
+                "lossless/arithmetic not supported)"
+            )
+        elif marker == 0xFFDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan_sel.append((cs, tdta >> 4, tdta & 0xF))
+            data_pos = pos + 2 + length
+            return _decode_scan(
+                d, data_pos, frame, scan_sel, qtables, dc_luts, ac_luts,
+                restart_interval,
+            )
+        pos += 2 + length
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(d, pos, frame, scan_sel, qtables, dc_luts, ac_luts, dri):
+    h, w, comps = frame
+    if len(scan_sel) != len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) baseline")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    order = []  # per-MCU block schedule: (comp_idx, bx_off, by_off)
+    sel_by_cid = {s[0]: s for s in scan_sel}
+    per_comp = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if cid not in sel_by_cid:
+            raise ValueError("scan component not in frame")
+        _, td, ta = sel_by_cid[cid]
+        cw, ch = mcux * hs * 8, mcuy * vs * 8
+        per_comp.append(
+            {
+                "hs": hs, "vs": vs,
+                "qt": qtables[tq],
+                "dc": dc_luts[td], "ac": ac_luts[ta],
+                "coef": np.zeros((ch // 8, cw // 8, 64), dtype=np.int64),
+                "pred": 0,
+            }
+        )
+        for v in range(vs):
+            for u in range(hs):
+                order.append((ci, u, v))
+
+    br = _BitReader(d, pos)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if dri and m and m % dri == 0:
+            br.align_restart()
+            for pc in per_comp:
+                pc["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for ci, u, v in order:
+            pc = per_comp[ci]
+            blk = np.zeros(64, dtype=np.int64)
+            t = _decode_huff(br, pc["dc"])
+            diff = _extend(br.bits(t), t) if t else 0
+            pc["pred"] += diff
+            blk[0] = pc["pred"]
+            k = 1
+            while k <= 63:
+                rs = _decode_huff(br, pc["ac"])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                blk[k] = _extend(br.bits(s), s)
+                k += 1
+            by, bx = my * pc["vs"] + v, mx * pc["hs"] + u
+            pc["coef"][by, bx] = blk
+
+    planes = []
+    for pc in per_comp:
+        nby, nbx, _ = pc["coef"].shape
+        zz = pc["coef"].reshape(-1, 64)
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        deq = (nat * pc["qt"].reshape(64)).reshape(-1, 8, 8).astype(np.float64)
+        # IDCT: block = A.T @ F @ A
+        pix = np.einsum("xu,nuv,vy->nxy", _A.T, deq, _A)
+        pix = np.clip(np.rint(pix) + 128, 0, 255).astype(np.uint8)
+        full = (
+            pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        # upsample to frame resolution (nearest) then crop
+        ry, rx = vmax // pc["vs"], hmax // pc["hs"]
+        if ry > 1 or rx > 1:
+            full = np.repeat(np.repeat(full, ry, axis=0), rx, axis=1)
+        planes.append(full[:h, :w])
+    return planes, h, w
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Decode to a single (h, w) uint8 grayscale plane: the Y component
+    for YCbCr JPEGs (JFIF Y IS the luma), the sole component for
+    grayscale ones."""
+    planes, h, w = decode_jpeg(bytes(payload))
+    return planes[0]

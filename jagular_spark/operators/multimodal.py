@@ -3,13 +3,15 @@ pipelines: opaque ``binary`` payloads + typed metadata, processed with
 Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side machinery — schemas, batch iteration, vectorized numpy
-decode, partition-invariant results — is real and tested. Three codecs
-are REAL, stdlib-only implementations of their public specs: ``raw8``
-(raw uint8 grayscale / PCM bytes), ``png`` (zlib inflate + all five
-scanline filters, :func:`decode_png`/:func:`encode_png_gray8`), and
-``wav`` PCM16 RIFF (:func:`decode_wav_pcm16`/:func:`encode_wav_pcm16`).
-Codecs needing external libraries absent from this container
-(JPEG/opus/h264) raise ``NotImplementedError`` with a clear message;
+decode, partition-invariant results — is real and tested. Four codecs
+are REAL, stdlib/numpy-only implementations of their public specs:
+``raw8`` (raw uint8 grayscale / PCM bytes), ``png`` (zlib inflate + all
+five scanline filters, :func:`decode_png`/:func:`encode_png_gray8`),
+``wav`` PCM16 RIFF (:func:`decode_wav_pcm16`/:func:`encode_wav_pcm16`),
+and ``jpeg`` baseline-sequential (operators/jpeg.py — Huffman + IDCT
+from ITU T.81, decode incl. chroma subsampling + restart markers;
+grayscale encode as the sink twin). Codecs needing external libraries
+absent from this container (opus/h264) raise ``NotImplementedError``;
 swapping one in touches exactly one function (`_decode_payload`) — the
 distributed plan is unchanged.
 
@@ -194,8 +196,10 @@ def _decode_payload(
     ``raw8``: raw uint8 row-major grayscale. ``png``: real stdlib
     decode (:func:`decode_png`); multi-channel images reduce to
     grayscale with the integer luma (77R + 150G + 29B) >> 8.
-    JPEG/opus/h264 need external libraries absent from this
-    environment — STUB, raises NotImplementedError.
+    ``jpeg``: real baseline-sequential decode (operators/jpeg.py, pure
+    numpy from the public T.81 spec) — the Y plane is the grayscale.
+    opus/h264 need external libraries absent from this environment —
+    STUB, raises NotImplementedError.
 
     ``extra_codecs`` is the adapter seam: ``{codec_name: fn(payload,
     height, width) -> ndarray}``. It is threaded through the operator
@@ -208,6 +212,10 @@ def _decode_payload(
     """
     if extra_codecs and codec in extra_codecs:
         return extra_codecs[codec](payload, height, width)
+    if codec == "jpeg":
+        from jagular_spark.operators.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(bytes(payload)) / np.float64(255.0)
     if codec == "raw8":
         need = height * width
         buf = np.frombuffer(payload, dtype=np.uint8)
@@ -226,7 +234,7 @@ def _decode_payload(
         return gray / np.float64(255.0)
     raise NotImplementedError(
         f"codec {codec!r}: compressed-media decoding needs an external decoder "
-        "(PIL/ffmpeg), unavailable in this environment; raw8/png are implemented"
+        "(ffmpeg), unavailable in this environment; raw8/png/jpeg are implemented"
     )
 
 
@@ -595,6 +603,92 @@ def png_byte_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, BYTE_STATS_SCHEMA)
+
+
+def jpeg_encode_images(media: DataFrame, quality: int = 100) -> DataFrame:
+    """Re-encode raw8 grayscale payloads as REAL baseline JPEG
+    containers (operators/jpeg.encode_jpeg_gray8) — the media sink half
+    of the JPEG round-trip. Same media schema out, codec='jpeg'."""
+    from jagular_spark.operators.jpeg import encode_jpeg_gray8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b.copy()
+            payloads = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(f"codec {r.codec!r}: jpeg encode needs raw8 input")
+                h, w = int(r.height), int(r.width)
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)[: h * w]
+                if len(buf) < h * w:
+                    buf = np.pad(buf, (0, h * w - len(buf)))
+                payloads.append(encode_jpeg_gray8(buf.reshape(h, w), quality))
+            out["payload"] = payloads
+            out["codec"] = "jpeg"
+            yield out
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+JPEG_ROUNDTRIP_SCHEMA = (
+    "media_id long, height int, width int, n_px bigint, orig_sum bigint, "
+    "mean_px double, roundtrip_ok boolean"
+)
+
+
+def jpeg_roundtrip_stats(media: DataFrame, quality: int = 100, tol: int = 2) -> DataFrame:
+    """raw8 → baseline JPEG → full decode, scored in ONE narrow Arrow
+    map: encode each grayscale payload (encode_jpeg_gray8), decode it
+    back through the production ``_decode_payload`` jpeg path, and emit
+    exact integer stats of the ORIGINAL pixels plus ``roundtrip_ok`` =
+    dims survived AND max |decoded − original| ≤ ``tol``.
+
+    JPEG is lossy, so unlike the PNG round-trip the decoded bytes
+    cannot hash-match a raw-byte oracle; what IS oracle-exact is the
+    original-pixel statistics and the tolerance flag (at quality 100
+    the Annex-K table scales to all-ones, bounding the round-trip error
+    to IDCT rounding — empirically ≤ 1, asserted ≤ ``tol`` with
+    margin). A broken Huffman/DCT path flips the flag and the driver
+    hash goes red, while the spec-level decoder checks (hand-built
+    T.81 streams) live in tests/test_jpeg.py."""
+    from jagular_spark.operators.jpeg import encode_jpeg_gray8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(
+                        f"codec {r.codec!r}: jpeg_roundtrip_stats needs raw8 input"
+                    )
+                h, w = int(r.height), int(r.width)
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)[: h * w]
+                if len(buf) < h * w:
+                    buf = np.pad(buf, (0, h * w - len(buf)))
+                orig = buf.reshape(h, w)
+                dec01 = _decode_payload(
+                    encode_jpeg_gray8(orig, quality), "jpeg", h, w
+                )
+                dec = np.rint(dec01 * 255.0).astype(np.int64)
+                ok = dec.shape == (h, w) and bool(
+                    np.abs(dec - orig.astype(np.int64)).max(initial=0) <= tol
+                )
+                s = int(orig.sum(dtype=np.int64))
+                n = h * w
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "height": h,
+                        "width": w,
+                        "n_px": n,
+                        "orig_sum": s,
+                        "mean_px": float(s) / float(n * 255) if n else 0.0,
+                        "roundtrip_ok": ok,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, JPEG_ROUNDTRIP_SCHEMA)
 
 
 def wav_encode_audio(media: DataFrame) -> DataFrame:

@@ -1504,6 +1504,29 @@ ORACLE_SQL["docs_media_png_roundtrip"] = """
            END AS mean_px
     FROM b"""
 
+# JPEG round-trip: lossy, so the oracle scores the ORIGINAL pixel
+# statistics (zero padding adds nothing to the sum) and the constant
+# tolerance flag the kernel asserts; a codec bug flips roundtrip_ok and
+# breaks the hash. Dims: width 24, height = ceil(bytes/24) (min 1).
+ORACLE_SQL["docs_media_jpeg_stats"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+                    i -> ord(substr(text, i, 1)))), 0) AS BIGINT) AS byte_sum
+        FROM documents WHERE length(text) = strlen(text)
+    )
+    SELECT media_id,
+           CAST(GREATEST(1, CAST(ceil(n_bytes / 24.0) AS BIGINT)) AS INT) AS height,
+           24 AS width,
+           GREATEST(1, CAST(ceil(n_bytes / 24.0) AS BIGINT)) * 24 AS n_px,
+           byte_sum AS orig_sum,
+           CAST(byte_sum AS DOUBLE)
+               / CAST(GREATEST(1, CAST(ceil(n_bytes / 24.0) AS BIGINT)) * 24 * 255
+                      AS DOUBLE) AS mean_px,
+           TRUE AS roundtrip_ok
+    FROM b"""
+
 ORACLE_SQL["docs_chunking"] = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

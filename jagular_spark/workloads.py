@@ -1013,6 +1013,33 @@ def docs_media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_byte_stats(png_encode_images(media))
 
 
+def docs_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG round-trip under the driver oracle: doc bytes
+    become a 24-wide raw8 grayscale image (zero-padded tail), go
+    through a full T.81 encode (Huffman + forward DCT, quality 100 →
+    all-ones quant table) and a full production decode, and the kernel
+    emits exact integer stats of the original pixels plus a
+    ``roundtrip_ok`` tolerance flag (|err| ≤ 2; actual bound is the
+    IDCT rounding ±1). JPEG is lossy, so the flag — not the decoded
+    bytes — is the hash-verified signal; the spec-level decoder vectors
+    live in tests/test_jpeg.py."""
+    from jagular_spark.operators.multimodal import jpeg_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    nb = F.length(F.encode("text", "UTF-8"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(24).alias("width"),
+        F.greatest(F.lit(1), F.ceil(nb / F.lit(24))).cast("int").alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return jpeg_roundtrip_stats(media, quality=100, tol=2)
+
+
 def events_crossings_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 at huge-epoch scale: the range-chunked crossings variant
     (1-row halo per chunk) over the dense per-user rn streams, with a
@@ -2455,7 +2482,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_audio": docs_media_audio,
     "docs_media_resize": docs_media_resize,
     "docs_stratified_sample": docs_stratified_sample,
-    # -- block 2: touched this round (r7) — sampled k-means fit
+    # -- block 2: new/touched this round (r7) — JPEG codec, sampled fit
+    "docs_media_jpeg_stats": docs_media_jpeg_stats,
     "events_spike_clusters": events_spike_clusters,
     # -- block 3: last driver-verified r5 — inside the 50-entry window
     "events_sessionize": events_sessionize,
@@ -2499,9 +2527,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_crossings_both": events_crossings_both,
     "docs_media_stats": docs_media_stats,
     "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
     # -- block 4 (out of window): r5-verified, deferred to r8 — the most
     # static shapes, double-verified r4+r5
+    "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
     "docs_exact_dedup": docs_exact_dedup,

@@ -1,0 +1,241 @@
+"""Baseline JPEG codec: spec-derived decoder vectors (streams built BY
+HAND from ITU T.81, independent of the encoder), round-trip bounds,
+chroma subsampling, restart markers, and the Spark plumbing."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from jagular_spark.operators.jpeg import (
+    ZIGZAG,
+    decode_jpeg,
+    decode_jpeg_gray,
+    encode_jpeg_gray8,
+    quant_table,
+)
+
+# ---------------------------------------------------------------------------
+# Hand-built stream helpers (test-local on purpose: they must not share
+# code with the encoder under test)
+# ---------------------------------------------------------------------------
+
+# One custom DC Huffman table reused across vectors: five 3-bit codes
+#   000 -> category 0, 001 -> 7, 010 -> 8, 011 -> 9, 100 -> 10
+DC_BITS = [0, 0, 5] + [0] * 13
+DC_VALS = [0, 7, 8, 9, 10]
+DC_CODE = {0: ("000", 3), 7: ("001", 3), 8: ("010", 3), 9: ("011", 3), 10: ("100", 3)}
+# AC table: single 1-bit code 0 -> EOB
+AC_BITS = [1] + [0] * 15
+AC_VALS = [0x00]
+
+
+class Bits:
+    def __init__(self):
+        self.s = ""
+
+    def put(self, pattern: str):
+        self.s += pattern
+
+    def put_val(self, v: int, t: int):
+        """T.81 F.1.2.1: negative values send v + 2^t - 1 in t bits."""
+        if t == 0:
+            return
+        enc = v if v >= 0 else v + (1 << t) - 1
+        self.s += format(enc, f"0{t}b")
+
+    def tobytes(self) -> bytes:
+        s = self.s + "1" * (-len(self.s) % 8)
+        raw = bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing
+
+
+def seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def dqt_all_ones() -> bytes:
+    return seg(0xFFDB, bytes([0x00]) + b"\x01" * 64)
+
+
+def dht() -> bytes:
+    return seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) + seg(
+        0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+
+
+def sof0(h: int, w: int, comps: list[tuple[int, int, int]]) -> bytes:
+    body = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs in comps:
+        body += bytes([cid, (hs << 4) | vs, 0])
+    return seg(0xFFC0, body)
+
+
+def sos(cids: list[int]) -> bytes:
+    body = bytes([len(cids)])
+    for cid in cids:
+        body += bytes([cid, 0x00])
+    return body[:0] + seg(0xFFDA, body + bytes([0, 63, 0]))
+
+
+def dc_block(bits: Bits, diff: int):
+    """One DC-only block: category code, diff bits, then EOB."""
+    t = abs(diff).bit_length()
+    code, _ = DC_CODE[t]
+    bits.put(code)
+    bits.put_val(diff, t)
+    bits.put("0")  # EOB
+
+
+# ---------------------------------------------------------------------------
+# Spec vectors
+# ---------------------------------------------------------------------------
+
+
+def test_hand_built_dc_only_grayscale():
+    """8x8, all-ones quant table, single DC coefficient 400: with the
+    orthonormal DCT the reconstruction is the constant 400/8 + 128 =
+    178. The stream is written by hand from T.81 — any decoder bug in
+    marker parsing, Huffman assignment, EXTEND, dequant or IDCT breaks
+    this, independent of our encoder."""
+    bits = Bits()
+    dc_block(bits, 400)
+    stream = (
+        b"\xff\xd8" + dqt_all_ones() + sof0(8, 8, [(1, 1, 1)]) + dht()
+        + sos([1]) + bits.tobytes() + b"\xff\xd9"
+    )
+    out = decode_jpeg_gray(stream)
+    assert out.shape == (8, 8)
+    assert (out == 178).all()
+
+
+def test_hand_built_negative_dc_and_extend():
+    """DC diff -224 (category 8, sent as -224 + 255 = 31 per EXTEND):
+    constant plane -224/8 + 128 = 100."""
+    bits = Bits()
+    dc_block(bits, -224)
+    stream = (
+        b"\xff\xd8" + dqt_all_ones() + sof0(8, 8, [(1, 1, 1)]) + dht()
+        + sos([1]) + bits.tobytes() + b"\xff\xd9"
+    )
+    assert (decode_jpeg_gray(stream) == 100).all()
+
+
+def test_hand_built_420_color_constant():
+    """16x16 4:2:0 three-component stream: one MCU = 4 Y blocks + Cb +
+    Cr. Constant planes Y=100, Cb=30, Cr=200 via DC-only blocks (later
+    Y blocks have diff 0 — DC is differential per component). Exercises
+    the MCU block schedule, per-component predictors and the 2x2
+    nearest-neighbor chroma upsample."""
+    bits = Bits()
+    dc_block(bits, -224)  # Y block 0: (100-128)*8
+    for _ in range(3):
+        dc_block(bits, 0)  # Y blocks 1-3: same DC
+    dc_block(bits, -784)  # Cb: (30-128)*8
+    dc_block(bits, 576)  # Cr: (200-128)*8
+    stream = (
+        b"\xff\xd8" + dqt_all_ones()
+        + sof0(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)]) + dht()
+        + sos([1, 2, 3]) + bits.tobytes() + b"\xff\xd9"
+    )
+    planes, h, w = decode_jpeg(stream)
+    assert (h, w) == (16, 16) and len(planes) == 3
+    assert (planes[0] == 100).all()
+    assert planes[1].shape == (16, 16) and (planes[1] == 30).all()
+    assert (planes[2] == 200).all()
+
+
+def test_hand_built_restart_markers():
+    """16x8 grayscale, DRI=1: an RST0 between the two MCUs resets the
+    DC predictor, so the second block's diff is absolute again."""
+    b1, b2 = Bits(), Bits()
+    dc_block(b1, 400)  # MCU 0 -> 178
+    dc_block(b2, -80)  # MCU 1 after reset -> round(-80/8)+128 = 118
+    stream = (
+        b"\xff\xd8" + dqt_all_ones() + sof0(8, 16, [(1, 1, 1)]) + dht()
+        + seg(0xFFDD, struct.pack(">H", 1))
+        + sos([1]) + b1.tobytes() + b"\xff\xd0" + b2.tobytes() + b"\xff\xd9"
+    )
+    out = decode_jpeg_gray(stream)
+    assert out.shape == (8, 16)
+    assert (out[:, :8] == 178).all() and (out[:, 8:] == 118).all()
+
+
+def test_progressive_raises_not_implemented():
+    stream = (
+        b"\xff\xd8" + dqt_all_ones()
+        + seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(stream + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# Encoder/decoder round-trip properties
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_q100_error_bounded_by_idct_rounding():
+    """Quality 100 scales the Annex-K table to all ones, so the only
+    loss is forward/inverse DCT rounding: |err| <= 1 per pixel."""
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8), (13, 21), (24, 24), (1, 100)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg_gray(encode_jpeg_gray8(img, 100))
+        assert out.shape == shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_roundtrip_q85_smooth_content():
+    """Lossy quality on smooth content stays visually exact-ish: small
+    max error, tiny mean error, and a smaller payload than quality 100."""
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    p85, p100 = encode_jpeg_gray8(img, 85), encode_jpeg_gray8(img, 100)
+    out = decode_jpeg_gray(p85)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 3 and err.mean() < 0.5
+    assert len(p85) < len(p100)
+
+
+def test_encode_deterministic_and_byte_stuffed_streams_decode():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    p1, p2 = encode_jpeg_gray8(img, 100), encode_jpeg_gray8(img, 100)
+    assert p1 == p2
+    # a corpus of random payloads will contain stuffed 0xFF bytes
+    assert b"\xff\x00" in p1
+    assert decode_jpeg_gray(p1).shape == (40, 40)
+
+
+def test_quality_scaling_matches_public_formula():
+    assert (quant_table(100) == 1).all()
+    assert (quant_table(50) >= quant_table(75)).all()
+    assert quant_table(1).max() == 255
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_features_on_jpeg_codec(spark):
+    """The production decode seam accepts codec='jpeg' natively: image
+    features computed from a JPEG payload match the raw8 features of
+    the same pixels to within the q100 rounding bound."""
+    from jagular_spark.operators.multimodal import decode_image_features
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    rows = [
+        (1, "image", "jpeg", bytearray(encode_jpeg_gray8(img, 100)), 24, 16, 1, 0),
+        (2, "image", "raw8", bytearray(img.tobytes()), 24, 16, 1, 0),
+    ]
+    from jagular_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in decode_image_features(df).collect()}
+    assert got[1].height == 16 and got[1].width == 24
+    assert abs(got[1].mean - got[2].mean) <= 1.5 / 255

@@ -60,37 +60,43 @@ def test_partitioning_invariance(spark):
 
 
 def test_compressed_codec_raises_stub_error():
+    # opus/h264 still need external decoders; jpeg is now real
+    # (operators/jpeg.py) and routes to the baseline decoder
     with pytest.raises(NotImplementedError, match="raw8"):
-        mm._decode_payload(b"\xff\xd8\xff", "jpeg", 4, 4)
+        mm._decode_payload(b"\x00" * 16, "h264", 4, 4)
+    with pytest.raises(ValueError, match="SOI"):
+        mm._decode_payload(b"\x00\x01\x02", "jpeg", 4, 4)
 
 
 def test_extra_codec_adapter_plugs_into_the_pipeline(spark):
     """The swap-one-function claim, proven end-to-end: a fake 'jpeg'
     decoder registered via ``extra_codecs`` is closure-captured into
     the Arrow kernel and runs in the Python WORKERS (full
-    decode_image_features pass over a 'jpeg'-tagged frame), while the
-    unregistered path still raises the honest stub error."""
+    decode_image_features pass over an 'opus'-tagged frame), while the
+    unregistered path still raises the honest stub error. The adapter
+    also takes PRECEDENCE over built-in codecs (checked first in
+    _decode_payload), so a user can override e.g. the jpeg path."""
     h, w = 6, 5
 
-    def fake_jpeg(payload: bytes, height: int, width: int):
+    def fake_decode(payload: bytes, height: int, width: int):
         # deterministic fake: byte-sum seeds a constant image
         v = (sum(payload) % 256) / 255.0
         return np.full((height, width), v)
 
-    rows = [(1, "image", "jpeg", bytearray(b"\x01\x02\x03"), w, h, 1, 0)]
+    rows = [(1, "image", "opus", bytearray(b"\x01\x02\x03"), w, h, 1, 0)]
     media = spark.createDataFrame(
         rows,
         "media_id long, kind string, codec string, payload binary, "
         "width int, height int, n_frames int, sample_rate int",
     )
-    out = mm.decode_image_features(media, extra_codecs={"jpeg": fake_jpeg}).collect()
+    out = mm.decode_image_features(media, extra_codecs={"opus": fake_decode}).collect()
     assert len(out) == 1
     expected = (6 % 256) / 255.0
     assert out[0].mean == pytest.approx(expected)
     assert out[0].std == pytest.approx(0.0)
     assert (out[0].height, out[0].width) == (h, w)
     # without the adapter the same frame still hits the stub boundary
-    with pytest.raises(Exception, match="jpeg"):
+    with pytest.raises(Exception, match="opus"):
         mm.decode_image_features(media).collect()
 
 
