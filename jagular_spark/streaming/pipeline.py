@@ -76,6 +76,7 @@ def stream_censor(
     ts_col: str = "ts",
     partition_cols: Sequence[str] = ("channel_id",),
     max_out_of_order: int = 0,
+    event_time_col: str | None = None,
 ) -> DataFrame:
     """Dead-time suppression with carried state (batch twin:
     operators.spikes.censor): keep the first crossing per group, drop
@@ -86,11 +87,20 @@ def stream_censor(
     Rows are processed in ts order *within* each micro-batch; an edge
     arriving in a later batch with an earlier ts than an already-kept
     edge cannot retract it (document-level caveat shared by any
-    at-least-once streaming dead-time filter) — bound disorder with the
-    upstream watermark.
+    at-least-once streaming dead-time filter).
+
+    Late-data policy: Spark does NOT watermark-filter the input of
+    arbitrary stateful ops (``applyInPandasWithState``) — that is the
+    operator's job. Pass ``event_time_col`` (a timestamp column on a
+    stream that carries ``withWatermark``) and the kernel drops rows
+    whose event time is behind the current watermark
+    (``GroupState.getCurrentWatermarkMs``) before censoring — proven
+    across micro-batches in tests/test_streaming.py. Without it,
+    every row reaches the censor regardless of lateness.
     """
     keys = list(partition_cols)
-    fields = dict(crossings.select(*keys, ts_col).dtypes)
+    in_cols = [*keys, ts_col] + ([event_time_col] if event_time_col else [])
+    fields = dict(crossings.select(*in_cols).dtypes)
     out_schema = ", ".join(f"{k} {fields[k]}" for k in keys) + f", {ts_col} {fields[ts_col]}"
 
     def kernel(
@@ -98,6 +108,11 @@ def stream_censor(
     ) -> Iterator[pd.DataFrame]:
         last_kept = state.get[0] if state.exists else None
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        if event_time_col is not None:
+            wm_ms = state.getCurrentWatermarkMs()
+            if wm_ms > 0:
+                et_ms = pdf[event_time_col].to_numpy().astype("datetime64[ms]").astype("int64")
+                pdf = pdf[et_ms >= wm_ms]
         keep = []
         for i, t in enumerate(pdf[ts_col].to_numpy()):
             if last_kept is None or t - last_kept > width:
@@ -109,7 +124,7 @@ def stream_censor(
         yield out
 
     return (
-        crossings.select(*keys, ts_col)
+        crossings.select(*in_cols)
         .groupBy(*keys)
         .applyInPandasWithState(kernel, out_schema, "last_kept long", "append", "NoTimeout")
     )

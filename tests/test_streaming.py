@@ -583,3 +583,139 @@ def test_stream_interval_enrich_matches_batch_range_join(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Real micro-batch triggers with late / out-of-order data: the
+# availableNow replays above prove batch parity; these prove the
+# WATERMARK POLICY — what gets dropped — across >= 3 distinct
+# micro-batches under a processingTime trigger.
+# ---------------------------------------------------------------------------
+
+
+def _mins(m):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 0, 0) + datetime.timedelta(minutes=m)
+
+
+def _multi_batch_run(spark, tmp_path, name, build, feeds, output_mode="append"):
+    """Drive a stream through len(feeds) micro-batches: one parquet
+    file per feed, maxFilesPerTrigger=1 + processingTime trigger, with
+    processAllAvailable() as the deterministic batch barrier."""
+    src = str(tmp_path / f"{name}_src")
+    feeds = [f.coalesce(1) for f in feeds]  # one file == one micro-batch
+    schema = feeds[0].schema
+    feeds[0].write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for f in feeds[1:]:
+            f.write.mode("append").parquet(src)
+            q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= len(feeds), f"expected >= {len(feeds)} micro-batches"
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_sessionize_multibatch_drops_late_rows_per_watermark(spark, tmp_path):
+    """stream_sessionize under a processingTime trigger, three
+    micro-batches, with late rows straddling the watermark:
+
+    - batch 1: user 1 events at minutes 0,1,2 + user 99 clock-advancer
+      at 60 -> watermark after the batch = 50 (delay 10m)
+    - batch 2: a LATE minute-1 duplicate-session event (behind the
+      50-min watermark -> DROPPED), an accepted event at 52, a user-99
+      advancer at 120 -> the [0..2] session closes with n_events = 3,
+      proving the late row never joined it
+    - batch 3: late user-1 event at 53 (behind the 110-min watermark ->
+      DROPPED even though it would merge with the open [52] session),
+      advancer at 125 -> the [52] session closes with n_events = 1
+
+    Advancers live on their own key so they can't merge into user 1's
+    sessions; the still-open tails are correctly NOT emitted in append
+    mode."""
+    from jagular_spark.streaming import stream_sessionize
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(u, _mins(m)) for u, m in pairs], "user_id long, ts timestamp"
+        )
+
+    out = _multi_batch_run(
+        spark,
+        tmp_path,
+        "sess_mb",
+        lambda s: stream_sessionize(s, gap="30 minutes", watermark="10 minutes"),
+        [
+            rows([(1, 0), (1, 1), (1, 2), (99, 60)]),
+            rows([(1, 1), (1, 52), (99, 120)]),
+            rows([(1, 53), (99, 125)]),
+        ],
+    )
+    got = {(r.user_id, r.session_start, r.n_events) for r in out.collect()}
+    assert got == {(1, _mins(0), 3), (1, _mins(52), 1), (99, _mins(60), 1)}, got
+
+
+def test_censor_multibatch_state_and_watermark_drops(spark, tmp_path):
+    """stream_censor across three micro-batches with a watermark on the
+    crossings stream:
+
+    - batch 1: channel 0 ts 100 kept (GroupState last_kept = 100);
+      channel-99 advancer pushes the watermark to minute 50
+    - batch 2: ts 90 arrives out-of-order but within the watermark ->
+      reaches the kernel, censored against carried state (90 < 100);
+      ts 140 kept (140 - 100 > width); advancer -> watermark min 110
+    - batch 3: ts 5000 carries event time minute 20 (far behind the
+      watermark): censor logic ALONE would keep it (5000 - 140 >
+      width), so its absence proves the operator's watermark drop —
+      Spark does NOT late-filter applyInPandasWithState input, so the
+      kernel enforces it via getCurrentWatermarkMs (event_time_col);
+      ts 180 kept (180 - 140 > width)
+
+    Channel-0 kept set exactly {100, 140, 180}: state carries across
+    batches, within-watermark disorder is censored by the kernel, and
+    behind-watermark rows are dropped per the documented policy."""
+    from jagular_spark.streaming import stream_censor
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [(ch, int(t), _mins(m)) for ch, t, m in pairs],
+            "channel_id int, ts long, event_time timestamp",
+        )
+
+    def build(stream):
+        wm = stream.withWatermark("event_time", "10 minutes")
+        return stream_censor(
+            wm,
+            width=30,
+            ts_col="ts",
+            partition_cols=("channel_id",),
+            event_time_col="event_time",
+        )
+
+    out = _multi_batch_run(
+        spark,
+        tmp_path,
+        "censor_mb",
+        build,
+        [
+            rows([(0, 100, 0), (99, 1, 60)]),
+            rows([(0, 90, 55), (0, 140, 55), (99, 2, 120)]),
+            rows([(0, 5000, 20), (0, 180, 115)]),
+        ],
+    )
+    kept = sorted(r.ts for r in out.where("channel_id = 0").collect())
+    assert kept == [100, 140, 180], kept
