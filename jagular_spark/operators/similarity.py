@@ -489,6 +489,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     n_blocks: int = 8,
+    max_block_rows: int | None = 4096,
 ) -> DataFrame:
     """All-pairs cosine near-dup detection as a **block-nested-loop
     matmul**: vectors are packed into ``n_blocks`` hash blocks
@@ -500,13 +501,29 @@ def cosine_neardup_pairs(
     are bit-identical to the naive pairwise formula (and the oracle).
     ``(id_a, id_b, cos)`` for cos ≥ threshold.
 
+    Row-size bound: each block is ONE ``collect_list`` row, and Spark
+    caps a row well below 2 GiB — so ``max_block_rows`` (default 4096)
+    raises the effective block count to ``ceil(n / max_block_rows)``
+    when the corpus outgrows ``n_blocks`` partitions of that size. A
+    uniform hash keeps blocks balanced, so a row stays
+    ~``max_block_rows · dim · 8`` bytes (a few MB at dim 64) no matter
+    the corpus. The extra ``count()`` is one cheap job; pass
+    ``max_block_rows=None`` to skip it and pin ``n_blocks``.
+    Block-count choice never changes the RESULT (blocks only pack the
+    id space; the grid covers every unordered pair exactly once) —
+    property-tested chunked == unchunked.
+
     At 100 TB scale, combine with :func:`lsh_bucket_assign` blocking to
     avoid the quadratic block grid."""
+    import math
+
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    if max_block_rows is not None:
+        n_blocks = max(n_blocks, math.ceil(base.count() / max_block_rows))
     packed = (
         base.withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
         .groupBy("blk")

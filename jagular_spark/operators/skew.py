@@ -45,20 +45,43 @@ def salted_join(
     range — cost n_salts × |small|, the standard trade); the join key
     becomes (on…, salt), so one hot key spreads over n_salts tasks.
 
-    Result-identical to ``big.join(small, on, how)`` for 'inner' and
-    'left' (each big row matches exactly its own salt's replica). The
-    salt is a content hash (retry-deterministic — see ``_salt_col``);
-    pass ``salt_cols`` (e.g. a stable row id) to control which columns
-    feed it, default = every big-side column.
+    Result-identical to ``big.join(small, on, how)`` for every
+    supported ``how`` (inner/left/right/full_outer), property-tested
+    against the unsalted join on skewed data:
+
+    - inner/left: each big row matches exactly its own salt's replica,
+      so no correction is needed.
+    - right/full_outer: a small row with NO big match would otherwise
+      surface once per replica (n_salts copies of the null-padded
+      row); a match marker on the big side lets a post-filter keep
+      only such a row's salt-0 replica, restoring exact multiplicity.
+      Matched replicas need no correction (each matches disjoint big
+      rows), and unmatched BIG rows carry the marker, so full_outer's
+      left-null-padded rows always survive.
+
+    The salt is a content hash (retry-deterministic — see
+    ``_salt_col``); pass ``salt_cols`` (e.g. a stable row id) to
+    control which columns feed it, default = every big-side column.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if how not in ("inner", "left", "right", "full_outer", "full", "outer"):
+        raise ValueError(
+            f"salted_join supports inner/left/right/full_outer, got {how!r}"
+        )
     keys = list(on)
     b = big.withColumn("__salt__", _salt_col(n_salts, salt_cols or big.columns))
     s = small.withColumn(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return b.join(s, keys + ["__salt__"], how).drop("__salt__")
+    if how in ("inner", "left"):
+        return b.join(s, keys + ["__salt__"], how).drop("__salt__")
+    b = b.withColumn("__matched_big__", F.lit(1))
+    joined = b.join(s, keys + ["__salt__"], how)
+    return (
+        joined.where(
+            F.col("__matched_big__").isNotNull() | (F.col("__salt__") == 0)
+        )
+        .drop("__salt__", "__matched_big__")
+    )
 
 
 _AGG_FNS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}

@@ -442,3 +442,20 @@ def test_knn_classify_votes_majority_label(spark):
     for q in out.values():
         assert q.pred_label == q.true_label == 0  # probes are cluster 0
         assert q.votes == 5  # all 5 nearest neighbors share the cluster
+
+
+def test_cosine_neardup_block_count_invariance(spark):
+    """The block/chunk layout must never change the pair set: a tiny
+    max_block_rows (forcing many small collect_list rows) produces
+    exactly the pinned-n_blocks result. This pins the 2-GiB-row
+    mitigation as a pure repacking."""
+    from jagular_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(
+        map(tuple, cosine_neardup_pairs(emb, max_block_rows=None, n_blocks=4).collect())
+    )
+    b = sorted(
+        map(tuple, cosine_neardup_pairs(emb, max_block_rows=16).collect())
+    )
+    assert a == b and len(a) > 0

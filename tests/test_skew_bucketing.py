@@ -143,3 +143,23 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salted_join_matches_plain_right_and_full_outer(spark):
+    """right/full_outer need the multiplicity correction: an unmatched
+    small row must surface exactly ONCE (not once per salt replica).
+    Compared as multisets against the unsalted join, with small-side
+    keys that miss big entirely (50..79) and a duplicated small row."""
+    big = _skewed(spark)
+    small = spark.range(30, 80).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    dup = spark.createDataFrame([(60, 600)], "k long, w long")
+    small = small.union(dup)  # k=60 twice, both unmatched in big
+    for how in ("right", "full_outer"):
+        got = sorted(
+            map(tuple, salted_join(big, small, ["k"], n_salts=4, how=how).collect())
+        )
+        want = sorted(map(tuple, big.join(small, ["k"], how).collect()))
+        assert got == want, how
+        assert len(got) > 0
