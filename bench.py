@@ -81,9 +81,35 @@ def main() -> None:
         except Exception:  # pragma: no cover
             return -1
 
+    def calibrate() -> dict[str, float]:
+        """Fixed CPU probes timed in ms — a machine-speed fingerprint
+        for THIS run, so cross-round comparisons can separate 'the
+        whole VM is slower today' from a real plan regression. r6→r7
+        analysis showed untouched control queries inflating 1.5-2.3x
+        alongside the 'regressed' ANN family — exactly what these
+        probes now quantify per artifact. Best-of-3 each:
+        a numpy matmul (BLAS / memory bandwidth) and a pure-Python
+        loop (interpreter speed, the mapInPandas-adjacent cost)."""
+        import numpy as _np
+
+        a = _np.arange(512 * 512, dtype=_np.float64).reshape(512, 512) / 1e6
+        m = min(
+            _time_it(lambda: a @ a) for _ in range(3)
+        )
+        p = min(
+            _time_it(lambda: sum(i * i for i in range(200_000))) for _ in range(3)
+        )
+        return {"matmul_512_ms": round(m * 1e3, 2), "pyloop_200k_ms": round(p * 1e3, 2)}
+
+    def _time_it(fn) -> float:
+        t = time.perf_counter()
+        fn()
+        return time.perf_counter() - t
+
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     env: dict[str, dict[str, int | float]] = {}
+    env["calibration_start"] = calibrate()
     total = 0.0
     # This sandbox is a shared-host VM: multi-second CPU-steal bursts were
     # measured injecting 2-4x swings into identical queries. Best-of-two
@@ -122,6 +148,7 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    env["calibration_end"] = calibrate()
     out = {
         "metric": "workload_total_wall",
         "value": round(total, 4),
