@@ -46,6 +46,10 @@ def get_spark(
         # rejects natively; read as raw nano longs (converted to micros at
         # the query layer, matching DuckDB's nanos→micros truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # lets Catalyst offer predicates to Python data sources
+        # (jagular_rec prunes .rec files by catalog ts bounds with it;
+        # without it the source still reads correctly, just unpruned)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         # 32g, not 16g: the shingle/explode-heavy queries allocate faster
         # than a 16g ZGC can reclaim concurrently, and the resulting
