@@ -2190,6 +2190,116 @@ ORACLE_SQL["q8_market_share"] = f"""
     GROUP BY CAST(year(o_orderdate) AS BIGINT)
     ORDER BY o_year"""
 
+# Q2 shape: avg price is one double division of two exact BIGINTs —
+# identical expression tree both engines, so the =min compare is exact
+_FP4_PRICE = "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+ORACLE_SQL["q2_min_price_supplier"] = f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, p_name,
+               CAST(CAST(SUM({_FP4_PRICE}) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS avg_price
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 0
+        WHERE p_size = 15
+        GROUP BY l_partkey, l_suppkey, p_name
+    ), mn AS (
+        SELECT l_partkey AS mpk, MIN(avg_price) AS min_price FROM ps GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name AS nation,
+           l_partkey AS p_partkey, p_name,
+           avg_price / 10000.0 AS supply_price
+    FROM ps
+    JOIN mn ON l_partkey = mpk AND avg_price = min_price
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 0
+    ORDER BY s_acctbal DESC, s_name, p_partkey"""
+
+ORACLE_SQL["q9_product_profit"] = f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {_REV_SPLIT_SQL} AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+    ORDER BY nation, o_year DESC"""
+
+ORACLE_SQL["q11_important_parts"] = f"""
+    WITH per_part AS (
+        SELECT l_partkey, CAST(SUM({_FP4_PRICE}) AS BIGINT) AS value_q
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(value_q AS DOUBLE) / 10000.0 AS part_value
+    FROM per_part
+    WHERE value_q * 10000 > (SELECT CAST(SUM(value_q) AS BIGINT) FROM per_part)
+    ORDER BY part_value DESC, p_partkey"""
+
+ORACLE_SQL["q16_supplier_counts"] = """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 15, 23)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, CAST(p_size AS BIGINT)
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+ORACLE_SQL["q20_dominant_suppliers"] = """
+    WITH scoped AS (
+        SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%blue%'
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+    ), ps AS (
+        SELECT l_partkey, l_suppkey, CAST(SUM(q) AS BIGINT) AS qty_ps
+        FROM scoped GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+        SELECT l_partkey AS tpk, CAST(SUM(q) AS BIGINT) AS qty_p
+        FROM scoped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM ps JOIN pt ON l_partkey = tpk
+        WHERE qty_ps * 4 > qty_p
+    )
+    ORDER BY s_name"""
+
+ORACLE_SQL["q21_waiting_suppliers"] = """
+    WITH l1 AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' AND o_orderstatus = 'F'
+    ), waiting AS (
+        SELECT l1.l_orderkey, l1.l_suppkey FROM l1
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R'
+        )
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waiting
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name"""
+
 ORACLE_SQL["q15_top_supplier"] = f"""
     WITH rev AS (
         SELECT l_suppkey AS sk,

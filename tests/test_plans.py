@@ -308,3 +308,24 @@ def test_spike_cluster_fit_sample_is_proper_subset(spark):
     total = feats.count()
     kept = hash_sample(feats, "sid", _SPIKE_FIT_FRACTION, _SPIKE_FIT_SALT).count()
     assert 4 <= kept < total, (kept, total)
+
+
+def test_new_tpch_shapes_no_cartesian(spark):
+    """q2/q9/q11/q16/q20/q21: no CartesianProduct anywhere; the only
+    BroadcastNestedLoopJoin allowed is q11's deliberate 1-row total
+    broadcast (scalar subquery)."""
+    from jagular_spark import workloads as w
+
+    for fn, allow_bnlj in [
+        (w.q2_min_price_supplier, False),
+        (w.q9_product_profit, False),
+        (w.q11_important_parts, True),
+        (w.q16_supplier_counts, False),
+        (w.q20_dominant_suppliers, False),
+        # the <> terms ride as residual conditions on equi hash joins
+        (w.q21_waiting_suppliers, False),
+    ]:
+        p = _formatted(fn(spark, SF))
+        assert "CartesianProduct" not in p, fn.__name__
+        if not allow_bnlj:
+            assert "BroadcastNestedLoopJoin" not in p, fn.__name__
