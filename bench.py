@@ -1,8 +1,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line as the LAST stdout line:
+  {"metric": "workload_total_wall", "value": N, "unit": "sec", "sf": ...,
+   "n_queries": N, "n_errors": N, "detail_file": "BENCH_r{N}_local.json"}
+
+The per-query timing map + env attribution block grew past 10 KB (110
+queries), and the driver captures only a ~4 KB stdout tail — rounds
+2/3/5/6/7 recorded "parsed": null because the headline was truncated
+away. The full detail (queries/errors/env) now goes to a round-numbered
+sibling file so the artifact the acceptance gate reads is always the
+tiny final line.
 """
 
 from __future__ import annotations
@@ -149,7 +157,7 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
     env["calibration_end"] = calibrate()
-    out = {
+    detail = {
         "metric": "workload_total_wall",
         "value": round(total, 4),
         "unit": "sec",
@@ -163,7 +171,39 @@ def main() -> None:
         # real plan regressions when comparing rounds
         "env": env,
     }
-    print(json.dumps(out))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_file = f"BENCH_r{_next_round(repo):02d}_local.json"
+    try:
+        with open(os.path.join(repo, detail_file), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # pragma: no cover — detail is best-effort
+        print(f"# detail write failed: {e}", file=sys.stderr)
+        detail_file = ""
+    # Compact headline LAST so the driver's bounded tail capture always
+    # contains a parseable JSON line (per-query detail lives in the file).
+    print(json.dumps({
+        "metric": "workload_total_wall",
+        "value": round(total, 4),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail_file": detail_file,
+    }))
+
+
+def _next_round(repo: str) -> int:
+    """Current round number = 1 + the highest CORRECTNESS_r{N}.json on
+    disk (the driver writes round N's correctness AFTER running bench,
+    so at bench time the newest artifact is round N-1's)."""
+    import re
+
+    best = 0
+    for name in os.listdir(repo):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
 
 
 if __name__ == "__main__":

@@ -229,27 +229,31 @@ def bloom_probe(
     ≈ fill^k, and deterministic here). The bitset broadcasts — the
     probe side never shuffles. Appends ``maybe_present``.
 
-    The hit-count join uses a generated row id, not the item columns,
-    so NULLs in carried columns cannot break the no-false-negative
-    guarantee (an equality re-join on the item columns would miss its
-    own aggregate row for any NULL-carrying item). The id never
-    crosses a shuffle-retry boundary outside this one plan, so
-    ``monotonically_increasing_id`` is safe here. A NULL ``item_col``
-    itself hashes to NULL bits and probes ``maybe_present = false`` —
-    consistent with insertion, where a NULL item sets no bits."""
-    wid = items.withColumn("__rid__", F.monotonically_increasing_id())
-    probes = wid.select(
-        "__rid__",
-        F.posexplode(
-            F.array(*[_bloom_pos(item_col, j, m_bits) for j in range(k)])
-        ).alias("__j__", "bit"),
-    )
-    hit = probes.join(F.broadcast(bits), "bit")
-    agg = hit.groupBy("__rid__").agg(
-        F.count_distinct("__j__").cast("int").alias("__kj__")
-    )
-    return (
-        wid.join(agg, "__rid__", "left")
-        .withColumn("maybe_present", F.coalesce(F.col("__kj__"), F.lit(0)) == k)
-        .drop("__kj__", "__rid__")
-    )
+    ONE LINEAR PLAN, no row ids: each of the ``k`` probe positions is
+    resolved by its own broadcast LEFT join against the (distinct)
+    bitset — a probe matches at most one bit row, so row multiplicity
+    is preserved exactly and there is nothing nondeterministic to
+    mispair. (An earlier formulation tagged rows with
+    ``monotonically_increasing_id`` and re-joined an aggregate back —
+    two plan branches evaluating the nondeterministic id
+    independently, which can mispair hit counts whenever the probe set
+    has an upstream shuffle, breaking the no-false-negative
+    guarantee.) NULLs in carried columns never touch a join key, and a
+    NULL ``item_col`` itself hashes to NULL positions and probes
+    ``maybe_present = false`` — consistent with insertion, where a
+    NULL item sets no bits."""
+    uniq = bits.select("bit").distinct()
+    out = items
+    hit_cols = []
+    for j in range(k):
+        bcol = f"__bloom_hit_{j}__"
+        out = out.join(
+            F.broadcast(uniq.select(F.col("bit").alias(bcol))),
+            _bloom_pos(item_col, j, m_bits) == F.col(bcol),
+            "left",
+        )
+        hit_cols.append(bcol)
+    pred = F.lit(True)
+    for bcol in hit_cols:
+        pred = pred & F.col(bcol).isNotNull()
+    return out.withColumn("maybe_present", pred).drop(*hit_cols)

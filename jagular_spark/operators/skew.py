@@ -51,13 +51,25 @@ def salted_join(
 
     - inner/left: each big row matches exactly its own salt's replica,
       so no correction is needed.
-    - right/full_outer: a small row with NO big match would otherwise
-      surface once per replica (n_salts copies of the null-padded
-      row); a match marker on the big side lets a post-filter keep
-      only such a row's salt-0 replica, restoring exact multiplicity.
-      Matched replicas need no correction (each matches disjoint big
-      rows), and unmatched BIG rows carry the marker, so full_outer's
-      left-null-padded rows always survive.
+    - right/full_outer: because this is an EQUI-join, a small row is
+      null-padded in the plain join iff its KEY never appears in big
+      at all. So the result is assembled as (salted inner part) ∪
+      (small rows anti-joined against big's distinct keys,
+      null-padded once each) — and for full_outer additionally ∪
+      (big rows anti-joined against small's distinct keys). An
+      earlier formulation kept the salt-0 replica of any unmatched
+      small REPLICA, which is wrong when a matched key's big rows all
+      hash to non-zero salts (its salt-0 replica is unmatched yet the
+      key has matches → a spurious null-padded row); deciding per KEY
+      via anti-join is replica-independent. Null join keys match
+      nothing in either the equi-join or the anti-join, so NULL-keyed
+      rows null-pad exactly once, as in the plain join.
+
+    Cost note (100 TB): the right/full_outer path adds one
+    column-pruned distinct over big's key columns (map-side combined,
+    so a hot key contributes one partial per input partition); the
+    small-side anti-join for full_outer broadcasts. inner/left add
+    nothing beyond the salt itself.
 
     The salt is a content hash (retry-deterministic — see
     ``_salt_col``); pass ``salt_cols`` (e.g. a stable row id) to
@@ -74,14 +86,27 @@ def salted_join(
     )
     if how in ("inner", "left"):
         return b.join(s, keys + ["__salt__"], how).drop("__salt__")
-    b = b.withColumn("__matched_big__", F.lit(1))
-    joined = b.join(s, keys + ["__salt__"], how)
-    return (
-        joined.where(
-            F.col("__matched_big__").isNotNull() | (F.col("__salt__") == 0)
-        )
-        .drop("__salt__", "__matched_big__")
+
+    big_nonkey = [c for c in big.columns if c not in keys]
+    small_nonkey = [c for c in small.columns if c not in keys]
+    out = b.join(s, keys + ["__salt__"], "inner").drop("__salt__")
+    # small rows whose key never appears in big → one null-padded row each
+    pad_small = small.join(big.select(*keys).distinct(), keys, "left_anti").select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(big.schema[c].dataType).alias(c) for c in big_nonkey],
+        *[F.col(c) for c in small_nonkey],
     )
+    out = out.unionByName(pad_small)
+    if how in ("full_outer", "full", "outer"):
+        pad_big = big.join(
+            F.broadcast(small.select(*keys).distinct()), keys, "left_anti"
+        ).select(
+            *[F.col(k) for k in keys],
+            *[F.col(c) for c in big_nonkey],
+            *[F.lit(None).cast(small.schema[c].dataType).alias(c) for c in small_nonkey],
+        )
+        out = out.unionByName(pad_big)
+    return out
 
 
 _AGG_FNS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}

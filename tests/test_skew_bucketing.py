@@ -163,3 +163,45 @@ def test_salted_join_matches_plain_right_and_full_outer(spark):
         want = sorted(map(tuple, big.join(small, ["k"], how).collect()))
         assert got == want, how
         assert len(got) > 0
+
+
+def test_salted_join_outer_sparse_salt_coverage(spark):
+    """Regression for the salt-coverage bug: with exactly ONE big row
+    per matched key, that row's content hash occupies a single salt, so
+    3 of 4 small replicas are unmatched — an implementation that keeps
+    any unmatched replica at salt 0 emits a spurious null-padded row
+    for every matched key whose lone big row hashed to salt != 0.
+    Null-padding must be decided per small ROW (key-level), never per
+    replica. Also covers NULL join keys (match nothing, pad once)."""
+    big = spark.createDataFrame(
+        [(k, 2 * k) for k in range(1, 41)], "k long, v long"
+    )
+    small = spark.createDataFrame(
+        [(k, 10 * k) for k in range(1, 41)]
+        + [(100, 1000), (101, 1010), (None, -1)],
+        "k long, w long",
+    )
+    for how in ("right", "full_outer"):
+        got = sorted(
+            map(
+                lambda r: tuple(None if x is None else x for x in r),
+                salted_join(big, small, ["k"], n_salts=4, how=how).collect(),
+            )
+        , key=str)
+        want = sorted(
+            map(
+                lambda r: tuple(None if x is None else x for x in r),
+                big.join(small, ["k"], how).collect(),
+            )
+        , key=str)
+        assert got == want, how
+    # full_outer must also surface big-only keys — add some
+    big2 = big.union(spark.createDataFrame([(200, 400), (None, -2)], "k long, v long"))
+    got = sorted(
+        map(tuple, salted_join(big2, small, ["k"], n_salts=4, how="full_outer").collect()),
+        key=str,
+    )
+    want = sorted(
+        map(tuple, big2.join(small, ["k"], "full_outer").collect()), key=str
+    )
+    assert got == want

@@ -45,17 +45,28 @@ def value_repr(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # first arg is the sf dir only if it IS a directory; a bare query
+    # name as the first arg is a filter (common invocation mistake)
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
+    unknown = only - set(SPARK_QUERIES)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        return 1
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = []
+    executed = 0
     for name, fn in SPARK_QUERIES.items():
         if only and name not in only:
             continue
+        executed += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -92,7 +103,9 @@ def main() -> int:
             print(f"FAIL {name}: " + " | ".join(problems[:3]))
         else:
             print(f"OK   {name}: rows={len(sdf)}")
-    print(f"\n{len(SPARK_QUERIES) - len(failures)}/{len(SPARK_QUERIES)} queries match")
+    # report what THIS run executed, not the registry size — a filtered
+    # run must not claim it proved the whole registry
+    print(f"\n{executed - len(failures)}/{executed} queries match")
     return 1 if failures else 0
 
 
