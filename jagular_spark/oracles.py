@@ -17,6 +17,7 @@ from jagular_spark.workload_params import (
     _BP_TAPS,
     _DISC_PRICE_QUANTA,
     _IVF_FROZEN_CENTS,
+    _JACCARD_MAX_BUCKET,
     _LP_TAPS,
     _ORDERED_LISTS_CTE,
     _REBALANCE_TARGETS,
@@ -288,11 +289,19 @@ def _similarity_oracles() -> dict[str, str]:
     # Connected-components closure of the jaccard>=0.5 pair graph as a
     # recursive CTE: reach = transitive closure over symmetric edges,
     # component label = min reachable id (matches min-label propagation).
-    cluster_sql = f"""{shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1)}, sizes AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+    # Mirrors the engine's _JACCARD_MAX_BUCKET stop-shingle cutoff:
+    # hashes whose bucket exceeds the cap are removed from every doc's
+    # shingle multiset before sizes/common (exactly what dropping the
+    # bucket before pair gen AND the size sentinels does Spark-side).
+    cluster_sql = f"""{shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1)}, fhashes AS (
+            SELECT * FROM hashes WHERE h IN (
+                SELECT h FROM hashes GROUP BY h HAVING COUNT(*) <= {_JACCARD_MAX_BUCKET}
+            )
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM fhashes GROUP BY doc_id
         ), common AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+            FROM fhashes a JOIN fhashes b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         ), prs AS (
             SELECT id_a, id_b FROM common

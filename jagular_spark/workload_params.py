@@ -77,3 +77,13 @@ _SPIKE_FIT_SALT = "spkfit"
 
 _REBALANCE_TARGETS = {"en": 0.2, "fr": 0.3, "de": 0.2, "es": 0.2, "zh": 0.1}
 
+# Stop-shingle cutoff for the flagship exact-Jaccard dedup pass: a
+# shingle hash shared by more than this many document occurrences is
+# dropped from EVERY document's shingle set before the Jaccard (engine
+# and oracle mirror the same cutoff), bounding per-bucket pair fanout
+# at k² ≤ 400 instead of the unbounded 10^12-pair blowup one
+# boilerplate phrase in 10^6 docs would cause. At sf0.01 no bucket
+# reaches the cutoff (max observed 7); at sf0.1, 59 buckets drop —
+# the mirror is exercised by the local sf0.1 oracle run.
+_JACCARD_MAX_BUCKET = 20
+

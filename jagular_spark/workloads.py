@@ -1359,12 +1359,26 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join shuffle per diameter round), then every document labeled
     with its component-minimum ``cluster_id`` and a canonical flag —
     the keep-list of a corpus-scale dedup pass. DuckDB oracle replays
-    the closure with a recursive CTE."""
+    the closure with a recursive CTE (mirroring the stop-shingle
+    cutoff)."""
     from jagular_spark.operators.graph import dedup_clusters
 
     docs = load(spark, sf_dir, "documents")
-    pairs = sim.ngram_jaccard_pairs(docs, min_jaccard=0.5)
-    return dedup_clusters(docs, pairs)
+    return dedup_clusters(docs, _dedup_cluster_pairs(docs))
+
+
+def _dedup_cluster_pairs(docs: DataFrame) -> DataFrame:
+    """Pair generation for the flagship cluster-dedup query, with the
+    heavy-hitter guard ENGAGED: ``_JACCARD_MAX_BUCKET`` caps per-bucket
+    pair fanout at k², so one boilerplate stop-shingle can never
+    generate an unbounded candidate set (similarity.py documents the
+    10^12-pair failure mode this prevents). Split out so the plan test
+    can pin the guard on the exact path the workload wires."""
+    from jagular_spark.workload_params import _JACCARD_MAX_BUCKET
+
+    return sim.ngram_jaccard_pairs(
+        docs, min_jaccard=0.5, max_bucket=_JACCARD_MAX_BUCKET
+    )
 
 
 def docs_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

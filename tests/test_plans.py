@@ -329,3 +329,69 @@ def test_new_tpch_shapes_no_cartesian(spark):
         assert "CartesianProduct" not in p, fn.__name__
         if not allow_bnlj:
             assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+
+
+def test_dedup_cluster_pairs_guard_engaged(spark):
+    """The flagship cluster-dedup pair generator must run with the
+    stop-shingle guard ACTIVE (no unbounded k² fanout from a single
+    heavy-hitter shingle: one phrase in 10^6 docs → 10^12 pairs
+    without it). Behavioral pin on the exact path docs_dedup_clusters
+    wires — the operator's lazy localCheckpoint truncates the visible
+    plan, so the filter cannot be asserted from the explain string:
+    > _JACCARD_MAX_BUCKET identical docs put every shingle in an
+    over-cap bucket, so the guarded path must emit ZERO pairs where
+    the unguarded operator emits k·(k-1)/2."""
+    from jagular_spark.workload_params import _JACCARD_MAX_BUCKET
+    from jagular_spark.workloads import _dedup_cluster_pairs
+
+    k = _JACCARD_MAX_BUCKET + 5
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate sentence repeated in every document") for i in range(k)],
+        "doc_id long, text string",
+    )
+    assert _dedup_cluster_pairs(docs).count() == 0
+    assert sim.ngram_jaccard_pairs(docs, min_jaccard=0.5).count() == k * (k - 1) // 2
+
+
+def test_partition_count_invariance(spark):
+    """Cluster-shape proxy: flagship queries must produce IDENTICAL
+    results at different shuffle-partition counts — the cheapest
+    available stand-in for 'the same answer comes out of a
+    1000-executor cluster as out of local[32]'. Every salt, sample and
+    tiebreak in the engine is content-derived, so nothing may depend on
+    which partition a row lands in."""
+    import pandas as pd
+
+    from jagular_spark.workloads import (
+        docs_curation_funnel,
+        docs_ngram_jaccard,
+        events_salted_hourly,
+        events_sessionize,
+    )
+
+    def canon(df):
+        pdf = df.toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        for c in pdf.columns:
+            if pdf[c].dtype == object:
+                pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for fn in (
+            events_sessionize,
+            docs_ngram_jaccard,
+            docs_curation_funnel,
+            events_salted_hourly,
+        ):
+            frames = []
+            for n in ("7", "64"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                frames.append(canon(fn(spark, SF)))
+            a, b = frames
+            pd.testing.assert_frame_equal(a, b, check_exact=True), fn.__name__
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
