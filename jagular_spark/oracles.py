@@ -1131,6 +1131,74 @@ ORACLE_SQL["docs_media_audio"] = """
 # wav round-trip is lossless over byte-128 samples: same oracle as raw8
 ORACLE_SQL["docs_media_wav_roundtrip"] = ORACLE_SQL["docs_media_audio"]
 
+
+def _mulaw_roundtrip_lut() -> list[int]:
+    """decode(encode((b-128)*256)) for every byte b, from a scalar
+    G.711 implementation written independently of the vectorized codec
+    in operators/audio_codecs.py — the oracle's ground truth for the
+    mu-law roundtrip query."""
+    out = []
+    for b in range(256):
+        x = (b - 128) * 256
+        s = 0x80 if x < 0 else 0
+        m = min(abs(x), 32635) + 132
+        e = (m >> 7).bit_length() - 1
+        code = ~(s | (e << 4) | ((m >> (e + 3)) & 0xF)) & 0xFF
+        c = ~code & 0xFF
+        t = ((((c & 0xF) << 3) + 132) << ((c >> 4) & 7)) - 132
+        out.append(-t if c & 0x80 else t)
+    return out
+
+
+# mu-law is stateless: the decoded sample is a pure function of the
+# input byte, so the lossy roundtrip replays EXACTLY via the lookup.
+_MULAW_LUT = "[" + ", ".join(str(v) for v in _mulaw_roundtrip_lut()) + "]"
+ORACLE_SQL["docs_media_mulaw_roundtrip"] = f"""
+    WITH lut AS (SELECT {_MULAW_LUT} AS l), b AS (
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents WHERE length(text) = strlen(text)
+    ), w AS (
+        SELECT media_id, CAST(t.wi AS BIGINT) AS window_idx,
+               substr(text, CAST(t.wi * 32 + 1 AS BIGINT), 32) AS seg
+        FROM b, UNNEST(generate_series(0, CAST(n // 32 AS BIGINT) - 1)) AS t(wi)
+        WHERE n >= 32
+    ), s AS (
+        SELECT media_id, window_idx,
+               CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> l[ord(substr(seg, i, 1)) + 1] * l[ord(substr(seg, i, 1)) + 1])) AS BIGINT) AS sum_dec2,
+               CAST(list_max(list_transform(generate_series(1, 32),
+                    i -> abs(l[ord(substr(seg, i, 1)) + 1]))) AS BIGINT) AS peak_dec,
+               CAST(list_sum(list_transform(generate_series(1, 32),
+                    i -> (l[ord(substr(seg, i, 1)) + 1] - (ord(substr(seg, i, 1)) - 128) * 256)
+                       * (l[ord(substr(seg, i, 1)) + 1] - (ord(substr(seg, i, 1)) - 128) * 256))) AS BIGINT) AS sum_err2
+        FROM w, lut
+    )
+    SELECT media_id, window_idx, sum_dec2, peak_dec, sum_err2,
+           sqrt(CAST(sum_dec2 AS DOUBLE) / 32) / 32768 AS rms
+    FROM s"""
+
+# ADPCM is stateful (not per-sample SQL-expressible); the oracle checks
+# exact original-sample stats, the 4-bit rate law, and hardcodes the
+# decode_exact invariant the kernel computes bit-exactly (any codec bug
+# flips it and the driver hash goes red).
+ORACLE_SQL["docs_media_adpcm_roundtrip"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id, text, length(text) AS n
+        FROM documents WHERE length(text) = strlen(text) AND length(text) >= 1
+    ), s AS (
+        SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+               CAST((n + 1) // 2 AS BIGINT) AS n_adpcm_bytes,
+               CAST(list_sum(list_transform(generate_series(1, n),
+                    i -> (ord(substr(text, i, 1)) - 128) * 256)) AS BIGINT) AS orig_sum,
+               CAST(list_max(list_transform(generate_series(1, n),
+                    i -> abs((ord(substr(text, i, 1)) - 128) * 256))) AS BIGINT) AS orig_peak
+        FROM b
+    )
+    SELECT media_id, n_samples, n_adpcm_bytes, orig_sum, orig_peak,
+           CAST(orig_sum AS DOUBLE) / n_samples AS mean_sample,
+           TRUE AS decode_exact
+    FROM s"""
+
 # Nearest-neighbor resize to 4x8: per-output-pixel byte fetch with the
 # same trunc(i*in/out) index mapping the kernel uses.
 ORACLE_SQL["docs_media_resize"] = """

@@ -1194,6 +1194,50 @@ def docs_media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_window_byte_stats(wav_encode_audio(media), window=32)
 
 
+def docs_media_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-audio roundtrip, HASH-EXACT under the driver oracle:
+    doc bytes -> int16 PCM ((byte-128)*256, spanning the full mu-law
+    chord range) -> G.711 mu-law compress -> expand -> windowed integer
+    stats of the DECODED samples. mu-law is stateless, so every decoded
+    value is a pure integer function of the input byte and the DuckDB
+    oracle replays the compress/expand chain exactly (256-entry lookup
+    built from an independent scalar G.711 implementation) — unlike the
+    JPEG/ADPCM roundtrips there is no tolerance flag anywhere; the
+    lossy codec output itself is hash-verified."""
+    from jagular_spark.operators.audio_codecs import mulaw_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return mulaw_roundtrip_stats(media, window=32)
+
+
+def docs_media_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful-codec roundtrip: doc bytes -> int16 PCM -> IMA
+    ADPCM encode (4-bit adaptive differential, 89-entry step table) ->
+    decode through the packed nibble stream. The per-payload contract
+    the oracle verifies: exact original-sample stats, the 4-bit rate
+    law (n_adpcm_bytes = ceil(n/2)), and ``decode_exact`` — decoder
+    output equals the encoder's internal reconstruction bit-for-bit,
+    the codec's defining invariant (corpus-independent, no calibrated
+    tolerance). Python-loop kernel (state recursion), so the corpus is
+    spread across executor threads like the JPEG query."""
+    from jagular_spark.operators.audio_codecs import adpcm_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return adpcm_roundtrip_stats(media.repartition(64, "media_id"))
+
+
 def docs_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor image resize with an EXACT SQL oracle: each
     doc's UTF-8 bytes become a (n_chars//16)×16 raw8 image, resized to
@@ -2717,6 +2761,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotation math: 110 queries / 50 driver slots is a ~2.2-round
     # rotation period; the r5-verified entries displaced below block 3
     # are the double-verified static shapes, first in line for r8.
+    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,
+    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,
     "docs_media_jpeg_stats": docs_media_jpeg_stats,
     "events_spike_clusters": events_spike_clusters,
     "q2_min_price_supplier": q2_min_price_supplier,
