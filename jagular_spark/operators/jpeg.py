@@ -52,6 +52,21 @@ QUANT_LUM_K1 = np.array(
     dtype=np.int64,
 )
 
+# K.2 — chrominance quantization table, natural (row-major) order
+QUANT_CHROM_K2 = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
 # Zig-zag scan order: ZIGZAG[k] = natural index of the k-th scanned coef
 ZIGZAG = np.array(
     [
@@ -66,6 +81,28 @@ ZIGZAG = np.array(
 # K.3 / K.5 — Huffman table specs as (BITS counts per length 1..16, HUFFVAL)
 DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_LUM_VALS = list(range(12))
+
+# K.4 / K.6 — chrominance Huffman table specs
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
 
 AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 AC_LUM_VALS = [
@@ -105,14 +142,24 @@ def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]
     return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
 
 
-def quant_table(quality: int) -> np.ndarray:
-    """Annex-K luminance table scaled by the (public) libjpeg quality
+def _scaled_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """Annex-K base table scaled by the (public) libjpeg quality
     convention: scale = 5000/Q below 50 else 200 - 2Q, each entry
     ``clip((base*scale + 50) // 100, 1, 255)``."""
     q = min(max(int(quality), 1), 100)
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    tbl = (QUANT_LUM_K1 * scale + 50) // 100
+    tbl = (base * scale + 50) // 100
     return np.clip(tbl, 1, 255).astype(np.int64)
+
+
+def quant_table(quality: int) -> np.ndarray:
+    """Quality-scaled K.1 luminance table."""
+    return _scaled_table(QUANT_LUM_K1, quality)
+
+
+def quant_table_chroma(quality: int) -> np.ndarray:
+    """Quality-scaled K.2 chrominance table (same scaling law)."""
+    return _scaled_table(QUANT_CHROM_K2, quality)
 
 
 # Orthonormal 8x8 DCT-II basis: F = A @ block @ A.T ; block = A.T @ F @ A
@@ -156,6 +203,64 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+def _emit_block(bw: _BitWriter, blk: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    """Entropy-code one 64-coef zig-zag block (F.1.2: differential DC,
+    run/size AC with ZRL and EOB). Returns the new DC predictor."""
+    diff = int(blk[0]) - pred
+    pred = int(blk[0])
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return pred
+
+
+def _pad_replicate(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate ``plane`` up to (ph, pw) as float64."""
+    h, w = plane.shape
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    if ph > h:
+        padded[h:, :w] = plane[h - 1 : h, :]
+    if pw > w:
+        padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def _dct_quant(padded: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantize every 8x8 block of a level-shifted plane;
+    returns zig-zag coefs indexed ``(by, bx, 64)``."""
+    ph, pw = padded.shape
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coefs = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+    q = np.rint(coefs / qt).astype(np.int64)
+    return q.reshape(-1, 64)[:, ZIGZAG].reshape(ph // 8, pw // 8, 64)
+
+
 def encode_jpeg_gray8(img: np.ndarray, quality: int = 85) -> bytes:
     """Baseline JFIF encode of an (h, w) uint8 grayscale image with the
     Annex-K example tables. Deterministic: fixed tables, fixed float64
@@ -172,52 +277,12 @@ def encode_jpeg_gray8(img: np.ndarray, quality: int = 85) -> bytes:
 
     # pad to multiples of 8 by edge replication (standard practice)
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = img
-    if ph > h:
-        padded[h:, :w] = img[h - 1 : h, :]
-    if pw > w:
-        padded[:, w:] = padded[:, w - 1 : w]
-
-    # all blocks at once: (n_blocks, 8, 8) -> DCT -> quantize
-    blocks = (
-        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        - 128.0
-    )
-    coefs = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
-    q = np.rint(coefs / qt).astype(np.int64)
-    zz = q.reshape(-1, 64)[:, ZIGZAG]  # (n_blocks, 64) in zig-zag order
+    zz = _dct_quant(_pad_replicate(img, ph, pw), qt).reshape(-1, 64)
 
     bw = _BitWriter()
     pred = 0
     for blk in zz:
-        diff = int(blk[0]) - pred
-        pred = int(blk[0])
-        t = _category(diff)
-        code, ln = dc_codes[t]
-        bw.write(code, ln)
-        if t:
-            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-        run = 0
-        nz = np.nonzero(blk[1:])[0]
-        last = int(nz[-1]) + 1 if nz.size else 0
-        for k in range(1, last + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            s = _category(v)
-            code, ln = ac_codes[(run << 4) | s]
-            bw.write(code, ln)
-            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-            run = 0
-        if last < 63:
-            code, ln = ac_codes[0x00]  # EOB
-            bw.write(code, ln)
+        pred = _emit_block(bw, blk, pred, dc_codes, ac_codes)
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -233,6 +298,91 @@ def encode_jpeg_gray8(img: np.ndarray, quality: int = 85) -> bytes:
     out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF full-range RGB -> (Y, Cb, Cr) uint8 planes (the public
+    JFIF 1.02 matrix; one np.rint per plane)."""
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    to8 = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return to8(y), to8(cb), to8(cr)
+
+
+def encode_jpeg_color420(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JFIF encode of an (h, w, 3) uint8 RGB image with 4:2:0
+    chroma subsampling — the layout that dominates real corpora (the
+    decoder already handles it; this closes the encode direction).
+
+    Pipeline per T.81/JFIF: RGB -> YCbCr (JFIF matrix), chroma planes
+    2x2 box-averaged (np.rint, deterministic), every plane
+    edge-replicated to the 16x16 MCU grid, K.1/K.2 quality-scaled
+    quant tables, K.3-K.6 Huffman tables, interleaved scan with the
+    MCU block schedule Y00 Y01 Y10 Y11 Cb Cr and per-component DC
+    predictors."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg_color420 expects an (h, w, 3) RGB array")
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    y, cb, cr = rgb_to_ycbcr(rgb)
+
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    ph, pw = mcuy * 16, mcux * 16
+    ypad = _pad_replicate(y, ph, pw)
+    # 2x2 box-average chroma downsample on the padded planes (so every
+    # chroma sample averages real or edge-replicated pixels)
+    down = lambda p: np.rint(  # noqa: E731
+        _pad_replicate(p, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    )
+    cbd, crd = down(cb), down(cr)
+
+    qy, qc = quant_table(quality), quant_table_chroma(quality)
+    zzy = _dct_quant(ypad, qy)            # (2*mcuy, 2*mcux, 64)
+    zzcb = _dct_quant(cbd, qc)            # (mcuy, mcux, 64)
+    zzcr = _dct_quant(crd, qc)
+
+    dc_l = _huff_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _huff_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _huff_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_c = _huff_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+    bw = _BitWriter()
+    py = pcb = pcr = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(2):
+                for u in range(2):
+                    py = _emit_block(bw, zzy[2 * my + v, 2 * mx + u], py, dc_l, ac_l)
+            pcb = _emit_block(bw, zzcb[my, mx], pcb, dc_c, ac_c)
+            pcr = _emit_block(bw, zzcr[my, mx], pcr, dc_c, ac_c)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in qy.reshape(64)[ZIGZAG]))
+    out += seg(0xFFDB, bytes([0x01]) + bytes(int(v) for v in qc.reshape(64)[ZIGZAG]))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])   # Y: 2x2 sampling, qtable 0
+        + bytes([2, 0x11, 1])   # Cb: 1x1, qtable 1
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    out += seg(0xFFC4, bytes([0x01]) + bytes(DC_CHROM_BITS) + bytes(DC_CHROM_VALS))
+    out += seg(0xFFC4, bytes([0x11]) + bytes(AC_CHROM_BITS) + bytes(AC_CHROM_VALS))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))  # SOS
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -645,12 +645,16 @@ def jpeg_roundtrip_stats(media: DataFrame, quality: int = 100, tol: int = 2) -> 
 
     JPEG is lossy, so unlike the PNG round-trip the decoded bytes
     cannot hash-match a raw-byte oracle; what IS oracle-exact is the
-    original-pixel statistics and the tolerance flag (at quality 100
-    the Annex-K table scales to all-ones, bounding the round-trip error
-    to IDCT rounding — empirically ≤ 1, asserted ≤ ``tol`` with
-    margin). A broken Huffman/DCT path flips the flag and the driver
-    hash goes red, while the spec-level decoder checks (hand-built
-    T.81 streams) live in tests/test_jpeg.py."""
+    original-pixel statistics and the tolerance flag. ``tol`` is
+    CORPUS-CALIBRATED, not spec-derived: at quality 100 the Annex-K
+    table scales to all-ones and the residual is quantization (±0.5
+    per coefficient) + IDCT rounding — empirically ≤ 1 on the shipped
+    doc-byte corpora, but adversarial 8x8 blocks can exceed any fixed
+    small bound (worst case ~±7), so a flag flip on NEW data is
+    data-dependent, not necessarily a Huffman/DCT regression. A codec
+    bug on the shipped corpora flips the flag and the driver hash goes
+    red; the spec-level decoder checks (hand-built T.81 streams) live
+    in tests/test_jpeg.py."""
     from jagular_spark.operators.jpeg import encode_jpeg_gray8
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -689,6 +693,102 @@ def jpeg_roundtrip_stats(media: DataFrame, quality: int = 100, tol: int = 2) -> 
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, JPEG_ROUNDTRIP_SCHEMA)
+
+
+JPEG_COLOR_ROUNDTRIP_SCHEMA = (
+    "media_id long, height int, width int, n_bytes long, orig_sum long, "
+    "mean_byte double, y_ok boolean, chroma_ok boolean"
+)
+
+
+def jpeg_color_roundtrip_stats(
+    media: DataFrame, quality: int = 100, tol: int = 2
+) -> DataFrame:
+    """raw8 bytes reshaped to (h, w, 3) RGB → 4:2:0 color JPEG encode
+    (operators/jpeg.encode_jpeg_color420) → full production decode →
+    exact integer stats of the ORIGINAL bytes plus two roundtrip
+    flags: ``y_ok`` (luma plane within ``tol`` of the JFIF Y of the
+    input) and ``chroma_ok`` (decoded Cb/Cr, sampled at the 2x2 grid
+    corners the nearest-neighbor upsample replicates, within ``tol``
+    of the encoder-side box-averaged chroma). Exercises the chroma MCU
+    schedule, the K.2/K.4/K.6 chroma tables and both DC predictor
+    chains end to end. ``tol`` is corpus-calibrated (see
+    jpeg_roundtrip_stats); media rows carry width as the RGB width and
+    height rows of w*3 bytes each."""
+    from jagular_spark.operators.jpeg import (
+        _pad_replicate,
+        encode_jpeg_color420,
+        rgb_to_ycbcr,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(
+                        f"codec {r.codec!r}: jpeg_color_roundtrip_stats needs raw8"
+                    )
+                h, w = int(r.height), int(r.width)
+                need = h * w * 3
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)[:need]
+                if len(buf) < need or h == 0:
+                    continue
+                rgb = buf.reshape(h, w, 3)
+                planes, dh, dw = _jpeg_decode_planes(
+                    encode_jpeg_color420(rgb, quality)
+                )
+                y, cb, cr = rgb_to_ycbcr(rgb)
+                ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+                down = lambda p: np.rint(  # noqa: E731
+                    _pad_replicate(p, ph, pw)
+                    .reshape(ph // 2, 2, pw // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+                ch, cw = (h + 1) // 2, (w + 1) // 2
+                y_ok = (
+                    (dh, dw) == (h, w)
+                    and len(planes) == 3
+                    and np.abs(
+                        planes[0].astype(np.int64) - y.astype(np.int64)
+                    ).max(initial=0)
+                    <= tol
+                )
+                chroma_ok = bool(
+                    len(planes) == 3
+                    and np.abs(
+                        planes[1][0::2, 0::2].astype(np.float64)[:ch, :cw]
+                        - down(cb)[:ch, :cw]
+                    ).max(initial=0)
+                    <= tol
+                    and np.abs(
+                        planes[2][0::2, 0::2].astype(np.float64)[:ch, :cw]
+                        - down(cr)[:ch, :cw]
+                    ).max(initial=0)
+                    <= tol
+                )
+                s = int(buf.sum(dtype=np.int64))
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "height": h,
+                        "width": w,
+                        "n_bytes": need,
+                        "orig_sum": s,
+                        "mean_byte": float(s) / float(need),
+                        "y_ok": bool(y_ok),
+                        "chroma_ok": chroma_ok,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, JPEG_COLOR_ROUNDTRIP_SCHEMA)
+
+
+def _jpeg_decode_planes(payload: bytes):
+    from jagular_spark.operators.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
 
 
 def wav_encode_audio(media: DataFrame) -> DataFrame:

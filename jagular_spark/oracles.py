@@ -1604,6 +1604,27 @@ ORACLE_SQL["docs_media_jpeg_stats"] = """
            TRUE AS roundtrip_ok
     FROM b"""
 
+# Color 4:2:0 roundtrip: exact byte stats over the (n//48)*48 bytes the
+# kernel consumes; the y_ok/chroma_ok tolerance flags are the
+# hash-verified codec signal (TRUE for a correct codec on this corpus).
+ORACLE_SQL["docs_media_jpeg_color"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) // 48 AS BIGINT) AS h,
+               CAST((length(text) // 48) * 48 AS BIGINT) AS n_bytes,
+               text
+        FROM documents WHERE length(text) = strlen(text) AND length(text) >= 48
+    ), s AS (
+        SELECT media_id, h, n_bytes,
+               CAST(list_sum(list_transform(generate_series(1, n_bytes),
+                    i -> ord(substr(text, i, 1)))) AS BIGINT) AS orig_sum
+        FROM b
+    )
+    SELECT media_id, CAST(h AS INT) AS height, 16 AS width, n_bytes,
+           orig_sum, CAST(orig_sum AS DOUBLE) / n_bytes AS mean_byte,
+           TRUE AS y_ok, TRUE AS chroma_ok
+    FROM s"""
+
 ORACLE_SQL["docs_chunking"] = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

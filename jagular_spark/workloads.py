@@ -1045,6 +1045,35 @@ def docs_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_roundtrip_stats(media.repartition(64, "media_id"), quality=100, tol=2)
 
 
+def docs_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 COLOR baseline-JPEG roundtrip under the driver oracle: doc
+    bytes become a (h, 16, 3) RGB image, go through the full color
+    encode (chroma MCU schedule, K.2/K.4/K.6 chroma tables, three DC
+    predictor chains) and the production multi-component decode; the
+    kernel emits exact integer stats of the original bytes plus the
+    y_ok/chroma_ok tolerance flags (see jpeg_color_roundtrip_stats —
+    quality 100, so the residual is quantization + IDCT rounding)."""
+    from jagular_spark.operators.multimodal import jpeg_color_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    nb = F.length(F.encode("text", "UTF-8"))
+    media = docs.where(nb >= 48).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(16).alias("width"),
+        (nb / F.lit(48)).cast("int").alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    # Python codec kernel dominates — spread across executor threads
+    # (same measured pattern as docs_media_jpeg_stats)
+    return jpeg_color_roundtrip_stats(
+        media.repartition(64, "media_id"), quality=100, tol=2
+    )
+
+
 def events_crossings_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 at huge-epoch scale: the range-chunked crossings variant
     (1-row halo per chunk) over the dense per-user rn streams, with a
@@ -2763,6 +2792,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # are the double-verified static shapes, first in line for r8.
     "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,
+    "docs_media_jpeg_color": docs_media_jpeg_color,
     "docs_media_jpeg_stats": docs_media_jpeg_stats,
     "events_spike_clusters": events_spike_clusters,
     "q2_min_price_supplier": q2_min_price_supplier,

@@ -239,3 +239,80 @@ def test_decode_image_features_on_jpeg_codec(spark):
     got = {r.media_id: r for r in decode_image_features(df).collect()}
     assert got[1].height == 16 and got[1].width == 24
     assert abs(got[1].mean - got[2].mean) <= 1.5 / 255
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 color encoder
+# ---------------------------------------------------------------------------
+
+
+def test_color420_constant_image_exact():
+    """A constant RGB image has DC-only blocks in all three components;
+    at quality 100 every plane must decode to exactly the JFIF YCbCr of
+    the input (IDCT of a constant is exact up to the one final rint)."""
+    from jagular_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color420,
+        rgb_to_ycbcr,
+    )
+
+    rgb = np.empty((32, 48, 3), dtype=np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 200, 30, 90
+    planes, h, w = decode_jpeg(encode_jpeg_color420(rgb, quality=100))
+    assert (h, w) == (32, 48) and len(planes) == 3
+    y, cb, cr = rgb_to_ycbcr(rgb)
+    for got, want in zip(planes, (y, cb, cr)):
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_color420_roundtrip_bound_across_shapes():
+    """Random and gradient images at several non-multiple-of-16 shapes:
+    q100 roundtrip error <= 2 on the luma plane and on the chroma
+    subsample grid (vs the encoder's box-averaged chroma)."""
+    from jagular_spark.operators.jpeg import (
+        _pad_replicate,
+        decode_jpeg,
+        encode_jpeg_color420,
+        rgb_to_ycbcr,
+    )
+
+    rng = np.random.default_rng(5)
+    for h, w in [(16, 16), (17, 23), (5, 100), (64, 8)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        planes, dh, dw = decode_jpeg(encode_jpeg_color420(img, quality=100))
+        assert (dh, dw) == (h, w)
+        y, cb, cr = rgb_to_ycbcr(img)
+        assert np.abs(planes[0].astype(int) - y.astype(int)).max() <= 2
+        ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        for plane, full in ((planes[1], cb), (planes[2], cr)):
+            down = np.rint(
+                _pad_replicate(full, ph, pw)
+                .reshape(ph // 2, 2, pw // 2, 2)
+                .mean(axis=(1, 3))
+            )
+            err = np.abs(plane[0::2, 0::2].astype(float)[:ch, :cw] - down[:ch, :cw])
+            assert err.max() <= 2
+
+
+def test_color420_stream_structure():
+    """The emitted container declares exactly the 4:2:0 layout: SOF0
+    with 3 components sampled 2x2/1x1/1x1, two quant tables, four
+    Huffman tables, one interleaved SOS."""
+    from jagular_spark.operators.jpeg import encode_jpeg_color420
+
+    p = encode_jpeg_color420(np.zeros((16, 16, 3), dtype=np.uint8), quality=85)
+    i = p.index(b"\xff\xc0")
+    # marker(2) len(2) prec(1) h(2) w(2) nc(1) then 3x(id, hv, tq)
+    assert p[i + 9] == 3
+    comps = [(p[i + 10 + 3 * c], p[i + 11 + 3 * c], p[i + 12 + 3 * c]) for c in range(3)]
+    assert comps == [(1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    assert p.count(b"\xff\xdb") >= 2 and p.count(b"\xff\xc4") >= 4
+
+
+def test_chroma_quality_scaling():
+    from jagular_spark.operators.jpeg import quant_table_chroma
+
+    assert (quant_table_chroma(100) == 1).all()
+    assert quant_table_chroma(50)[0, 0] == 17  # K.2 base at scale 100
+    assert quant_table_chroma(1).max() == 255
