@@ -2777,7 +2777,82 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r5-driver-green untouched queries (out of window this round, rotate
 # back next round). Keep new/changed queries in the first 50.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- block 1: stalest — last driver-verified r4; rotate-in first (r7)
+    # -- block 1 (r8): stalest — last driver-verified r5, now at the
+    # 2-round staleness limit; rotate-in first
+    "emb_ann_topk_lsh": emb_ann_topk_lsh,
+    "events_decimate": events_decimate,
+    "events_crossings_chunked": events_crossings_chunked,
+    "events_crossings_both": events_crossings_both,
+    "docs_media_stats": docs_media_stats,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "docs_exact_dedup": docs_exact_dedup,
+    # -- block 2: new/changed this round (r8) — mu-law/ADPCM audio
+    # codecs, 4:2:0 color JPEG encode, gray-encoder refactor (touches
+    # jpeg_stats), stop-shingle guard engaged on dedup_clusters (oracle
+    # changed too), bloom_probe linear-plan rewrite
+    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,
+    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,
+    "docs_media_jpeg_color": docs_media_jpeg_color,
+    "docs_media_jpeg_stats": docs_media_jpeg_stats,
+    "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,
+    # -- block 3: last driver-verified r6 — rotate into the window
+    # (34 of 48; the 14 deferred to block 4 are the static TPC-H
+    # shapes + minhash, first in line for r9)
+    "emb_ann_topk_ivf": emb_ann_topk_ivf,
+    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
+    "emb_ann_recall": emb_ann_recall,
+    "emb_knn_classify": emb_knn_classify,
+    "events_winsorize": events_winsorize,
+    "events_xcorr": events_xcorr,
+    "events_band_power": events_band_power,
+    "events_asof_nearest": events_asof_nearest,
+    "docs_tfidf_top": docs_tfidf_top,
+    "docs_bigram_fluency": docs_bigram_fluency,
+    "docs_rebalance_sample": docs_rebalance_sample,
+    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
+    "events_audit": events_audit,
+    "docs_curation_funnel": docs_curation_funnel,
+    "events_asof": events_asof,
+    "events_winsorize_chunked": events_winsorize_chunked,
+    "events_sessionize_streamed": events_sessionize_streamed,
+    "events_censor_streamed": events_censor_streamed,
+    "events_interpolate_streamed": events_interpolate_streamed,
+    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_sortedness": events_sortedness,
+    "events_zscore": events_zscore,
+    "events_salted_hourly": events_salted_hourly,
+    "events_compacted_roundtrip": events_compacted_roundtrip,
+    "events_rolling_stats": events_rolling_stats,
+    "docs_survivor_setops": docs_survivor_setops,
+    "orders_bucketed_revenue": orders_bucketed_revenue,
+    "docs_hll_vocab": docs_hll_vocab,
+    "docs_cms_heavyhitters": docs_cms_heavyhitters,
+    "docs_pii_redaction": docs_pii_redaction,
+    "events_detect_spikes": events_detect_spikes,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
+    # -- block 4 (out of window): r6-verified, deferred to r9 — the
+    # most static shapes (TPC-H, double-verified) + minhash
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q12_shipping_classes": q12_shipping_classes,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q1_rollup_summary": q1_rollup_summary,
+    "docs_minhash_lsh": docs_minhash_lsh,
+    # -- block 5 (out of window): driver-green in r7 — rotate in r9/r10
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "docs_media_frames": docs_media_frames,
     "docs_simhash_neardup": docs_simhash_neardup,
@@ -2785,15 +2860,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_audio": docs_media_audio,
     "docs_media_resize": docs_media_resize,
     "docs_stratified_sample": docs_stratified_sample,
-    # -- block 2: new/touched this round (r7) — JPEG codec, sampled fit,
-    # the six remaining TPC-H shapes (22/22 now registered). NOTE the
-    # rotation math: 110 queries / 50 driver slots is a ~2.2-round
-    # rotation period; the r5-verified entries displaced below block 3
-    # are the double-verified static shapes, first in line for r8.
-    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,
-    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,
-    "docs_media_jpeg_color": docs_media_jpeg_color,
-    "docs_media_jpeg_stats": docs_media_jpeg_stats,
     "events_spike_clusters": events_spike_clusters,
     "q2_min_price_supplier": q2_min_price_supplier,
     "q9_product_profit": q9_product_profit,
@@ -2801,7 +2867,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_counts": q16_supplier_counts,
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
-    # -- block 3: last driver-verified r5 — inside the 50-entry window
     "events_sessionize": events_sessionize,
     "q6_forecast_revenue": q6_forecast_revenue,
     "events_filtfilt": events_filtfilt,
@@ -2837,70 +2902,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_fingerprint": docs_fingerprint,
     "docs_bpe_tokens": docs_bpe_tokens,
     "events_common_ref": events_common_ref,
-    "emb_ann_topk_lsh": emb_ann_topk_lsh,
-    "events_decimate": events_decimate,
-    "events_crossings_chunked": events_crossings_chunked,
-    "events_crossings_both": events_crossings_both,
-    "docs_media_stats": docs_media_stats,
-    "q1_pricing_summary": q1_pricing_summary,
-    # -- block 4 (out of window): r5-verified, deferred to r8 — the most
-    # static shapes, double-verified r4+r5
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_region_revenue": q5_region_revenue,
-    "top3_orders_per_customer": top3_orders_per_customer,
-    "docs_exact_dedup": docs_exact_dedup,
-    # -- block 5 (out of window): driver-green in r6 — rotate into the
-    # window in r8
-    "emb_ann_topk_ivf": emb_ann_topk_ivf,
-    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
-    "emb_ann_recall": emb_ann_recall,
-    "emb_knn_classify": emb_knn_classify,
-    "events_winsorize": events_winsorize,
-    "events_xcorr": events_xcorr,
-    "events_band_power": events_band_power,
-    "events_asof_nearest": events_asof_nearest,
-    "q10_returned_items": q10_returned_items,
-    "q14_promo_effect": q14_promo_effect,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "docs_tfidf_top": docs_tfidf_top,
-    "docs_bigram_fluency": docs_bigram_fluency,
-    "docs_rebalance_sample": docs_rebalance_sample,
-    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
-    "events_audit": events_audit,
-    "docs_dedup_clusters": docs_dedup_clusters,
-    "docs_curation_funnel": docs_curation_funnel,
-    "events_asof": events_asof,
-    "events_winsorize_chunked": events_winsorize_chunked,
-    "events_sessionize_streamed": events_sessionize_streamed,
-    "events_censor_streamed": events_censor_streamed,
-    "events_interpolate_streamed": events_interpolate_streamed,
-    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,
-    "q4_order_priority": q4_order_priority,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q15_top_supplier": q15_top_supplier,
-    "q12_shipping_classes": q12_shipping_classes,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "q1_rollup_summary": q1_rollup_summary,
-    "events_hourly_rollup": events_hourly_rollup,
-    "events_sortedness": events_sortedness,
-    "events_zscore": events_zscore,
-    "events_salted_hourly": events_salted_hourly,
-    "events_compacted_roundtrip": events_compacted_roundtrip,
-    "events_rolling_stats": events_rolling_stats,
-    "docs_survivor_setops": docs_survivor_setops,
-    "orders_bucketed_revenue": orders_bucketed_revenue,
-    "docs_hll_vocab": docs_hll_vocab,
-    "docs_cms_heavyhitters": docs_cms_heavyhitters,
-    "docs_bloom_decontaminate": docs_bloom_decontaminate,
-    "docs_pii_redaction": docs_pii_redaction,
-    "events_detect_spikes": events_detect_spikes,
-    "docs_ngram_jaccard": docs_ngram_jaccard,
-    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
-    "docs_minhash_lsh": docs_minhash_lsh,
 }
 
 
