@@ -3,17 +3,20 @@ pipelines: opaque ``binary`` payloads + typed metadata, processed with
 Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side machinery — schemas, batch iteration, vectorized numpy
-decode, partition-invariant results — is real and tested. Four codecs
+decode, partition-invariant results — is real and tested. Six codecs
 are REAL, stdlib/numpy-only implementations of their public specs:
 ``raw8`` (raw uint8 grayscale / PCM bytes), ``png`` (zlib inflate + all
 five scanline filters, :func:`decode_png`/:func:`encode_png_gray8`),
 ``wav`` PCM16 RIFF (:func:`decode_wav_pcm16`/:func:`encode_wav_pcm16`),
-and ``jpeg`` baseline-sequential (operators/jpeg.py — Huffman + IDCT
-from ITU T.81, decode incl. chroma subsampling + restart markers;
-grayscale encode as the sink twin). Codecs needing external libraries
-absent from this container (opus/h264) raise ``NotImplementedError``;
-swapping one in touches exactly one function (`_decode_payload`) — the
-distributed plan is unchanged.
+``jpeg`` baseline-sequential (operators/jpeg.py — Huffman + DCT from
+ITU T.81, decode incl. chroma subsampling + restart markers; grayscale
+AND 4:2:0 color encode), plus the lossy audio pair in
+operators/audio_codecs.py: ``ulaw`` (G.711 companding) and
+``adpcm_ima`` (IMA 4-bit adaptive differential), both decodable in
+:func:`audio_window_features`. Codecs genuinely needing external
+libraries absent from this container (opus/h264) raise
+``NotImplementedError``; swapping one in touches exactly one function
+(`_decode_payload`) — the distributed plan is unchanged.
 
 Scale notes: payloads stay packed in Arrow buffers end-to-end (no Python
 per-row loops — numpy ``frombuffer`` per batch); decode is a narrow map
@@ -407,23 +410,38 @@ def video_frame_byte_stats(media: DataFrame, every_k: int = 10) -> DataFrame:
 
 
 def audio_window_features(media: DataFrame, window: int = 1024) -> DataFrame:
-    """Windowed audio features over raw8 PCM bytes or real ``wav``
-    (PCM16 RIFF) containers: RMS, peak, clipped count per window —
-    vectorized reshape per batch, no per-sample loop."""
+    """Windowed audio features over raw8 PCM bytes, real ``wav`` (PCM16
+    RIFF) containers, or REAL compressed-audio payloads — ``ulaw``
+    (G.711 companded bytes) and ``adpcm_ima`` (packed 4-bit IMA nibble
+    stream, sample count in ``n_frames``) decode through
+    operators/audio_codecs.py. RMS, peak, clipped count per window —
+    vectorized reshape per batch; only ADPCM (stateful by nature) loops
+    per sample."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jagular_spark.operators.audio_codecs import (
+            adpcm_ima_decode,
+            mulaw_decode,
+        )
+
         for b in batches:
             rows = []
             for r in b.itertuples(index=False):
                 if r.codec == "wav":
                     samples, _sr = decode_wav_pcm16(bytes(r.payload))
                     centered_all = samples.astype(np.float64) / 32768.0
+                elif r.codec == "ulaw":
+                    samples = mulaw_decode(np.frombuffer(bytes(r.payload), dtype=np.uint8))
+                    centered_all = samples.astype(np.float64) / 32768.0
+                elif r.codec == "adpcm_ima":
+                    samples = adpcm_ima_decode(bytes(r.payload), int(r.n_frames))
+                    centered_all = samples.astype(np.float64) / 32768.0
                 elif r.codec == "raw8":
                     buf = np.frombuffer(bytes(r.payload), dtype=np.uint8).astype(np.float64)
                     centered_all = (buf - 128.0) / 128.0
                 else:
                     raise NotImplementedError(
-                        f"codec {r.codec!r}: only raw8/wav decodable here"
+                        f"codec {r.codec!r}: only raw8/wav/ulaw/adpcm_ima decodable here"
                     )
                 n_win = len(centered_all) // window
                 if n_win == 0:

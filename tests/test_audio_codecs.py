@@ -110,6 +110,44 @@ def test_adpcm_tracks_smooth_signal():
     assert float(err[200:].mean()) < 200.0
 
 
+def test_audio_window_features_decodes_compressed_codecs(spark):
+    """The production audio feature kernel decodes real ulaw and
+    adpcm_ima payloads: features computed from the compressed stream
+    match the features of the decoded samples computed directly."""
+    from jagular_spark.operators.audio_codecs import (
+        adpcm_ima_encode,
+        mulaw_encode,
+    )
+    from jagular_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_window_features,
+    )
+
+    rng = np.random.default_rng(11)
+    pcm = (rng.integers(-90, 90, 256) * 256).astype(np.int16)
+    ulaw = mulaw_encode(pcm).tobytes()
+    adpcm, recon = adpcm_ima_encode(pcm)
+    rows = [
+        (1, "audio", "ulaw", bytearray(ulaw), 0, 0, len(pcm), 8000),
+        (2, "audio", "adpcm_ima", bytearray(adpcm), 0, 0, len(pcm), 8000),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r.media_id, r.window_idx): r
+        for r in audio_window_features(df, window=128).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    from jagular_spark.operators.audio_codecs import mulaw_decode
+
+    for mid, samples in ((1, mulaw_decode(np.frombuffer(ulaw, np.uint8))), (2, recon)):
+        c = samples.astype(np.float64) / 32768.0
+        for wi in (0, 1):
+            seg = c[wi * 128 : (wi + 1) * 128]
+            r = got[(mid, wi)]
+            assert abs(r.rms - float(np.sqrt((seg**2).mean()))) < 1e-12
+            assert abs(r.peak - float(np.abs(seg).max())) < 1e-12
+
+
 def test_roundtrip_operators_end_to_end(spark):
     """Both Arrow-kernel operators over a tiny media frame: schema,
     window math, rate law and the decode_exact invariant."""
