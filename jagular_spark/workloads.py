@@ -600,7 +600,17 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ 0.5 for shingle-sharing pairs."""
+    """Exact 3-gram Jaccard ≥ 0.5 for shingle-sharing pairs.
+
+    Perf attribution for the r6→r7 "drift" (2.52 → 4.29 s sweep-local
+    at sf0.1): measured r8 on the same code path (no ngram-path change
+    r6→r7 — similarity.py diffs in that window touch only cosine/IVFADC/
+    sketch code). Isolated warm runs in ONE process span 2.45–4.24 s
+    (shingle stage alone 0.76–3.40 s across consecutive reps), i.e. the
+    two sweep measurements both sit inside the same plan's run-to-run
+    envelope on this shared-host VM. Not a regression; the plan is the
+    single-exchange bucketed pair gen documented in
+    similarity.ngram_jaccard_pairs."""
     docs = load(spark, sf_dir, "documents")
     return sim.ngram_jaccard_pairs(docs, min_jaccard=0.5)
 
