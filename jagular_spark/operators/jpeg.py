@@ -4,17 +4,22 @@ this makes the multimodal image operators (decode_image_features,
 resize_image, frame sampling) work on real JPEG corpora instead of only
 raw8/PNG fixtures.
 
-Scope — baseline sequential DCT, the profile that covers the
-overwhelming majority of training-corpus JPEGs:
+Scope — baseline sequential AND progressive DCT, the two profiles that
+cover effectively all training-corpus JPEGs:
 
-- decode: 8-bit precision, 1-4 components, interleaved single scan,
-  Huffman entropy coding, chroma subsampling with any sampling factors
-  in 1..2 (4:4:4, 4:2:2, 4:2:0, ...), restart markers (DRI/RSTn).
-  Progressive (SOF2), arithmetic coding and 12-bit inputs raise
-  ``NotImplementedError`` with the marker that triggered it.
-- encode: single-component (grayscale) baseline with the T.81 Annex K
-  example tables — enough to synthesize deterministic test payloads
-  and act as the sink twin (the decoder is the production direction).
+- decode: 8-bit precision, 1-4 components, Huffman entropy coding,
+  chroma subsampling with any sampling factors in 1..2 (4:4:4, 4:2:2,
+  4:2:0, ...), restart markers (DRI/RSTn); baseline interleaved scans
+  (SOF0/1) and progressive multi-scan streams (SOF2: spectral
+  selection + successive approximation, DC/AC first + refinement,
+  EOBn end-of-band runs, interleaved-DC and non-interleaved scans).
+  Arithmetic coding, lossless/hierarchical SOFs and 12-bit inputs
+  raise ``NotImplementedError`` with the marker that triggered it.
+- encode: grayscale and 4:2:0 color, baseline (Annex-K example
+  tables) and progressive (standard scan scripts with per-scan
+  two-pass optimal Huffman tables per Annex K.2) — deterministic test
+  payloads and the sink twin (the decoder is the production
+  direction).
 
 Everything is deterministic integer/float math in a fixed order: the
 same payload decodes to the same pixels on every worker, partition
@@ -389,6 +394,398 @@ def encode_jpeg_color420(rgb: np.ndarray, quality: int = 85) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (SOF2) — spectral selection + successive approximation
+# with per-scan two-pass optimal Huffman tables (T.81 K.2 code-length
+# assignment + K.3 16-bit limit adjustment). The Annex-K example AC tables
+# have no EOBn (n >= 1) symbols — they are sequential-profile tables — so
+# progressive scans build their own tables from actual symbol frequencies,
+# exactly the strategy mandated for progressive encoders in practice.
+# ---------------------------------------------------------------------------
+
+# Standard progressive scan scripts (the public libjpeg jcparam.c shape):
+# (component indices, Ss, Se, Ah, Al)
+_GRAY_PROG_SCRIPT = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_COLOR_PROG_SCRIPT = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _optimal_huffman(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """T.81 K.2 optimal code-length assignment + K.3 adjustment to the
+    16-bit limit. Returns (BITS[1..16], HUFFVAL). A reserved 257th
+    symbol guarantees no real symbol is assigned the all-ones code."""
+    f = [0] * 257
+    for s, c in freq.items():
+        f[s] = c
+    f[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        live = [i for i in range(257) if f[i] > 0]
+        if len(live) < 2:
+            break
+        v1 = min(live, key=lambda i: (f[i], -i))
+        v2 = min((i for i in live if i != v1), key=lambda i: (f[i], -i))
+        f[v1] += f[v2]
+        f[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # K.3: fold code lengths > 16 down
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # retire the reserved symbol's code point
+    vals = sorted((s for s in range(256) if codesize[s] > 0),
+                  key=lambda s: (codesize[s], s))
+    return bits[1:17], vals
+
+
+class _SymCounter:
+    """Pass-1 emitter: counts Huffman symbols, ignores raw bits."""
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _SymWriter:
+    """Pass-2 emitter: writes codes + raw bits to a shared _BitWriter."""
+
+    def __init__(self, bw: _BitWriter, codes: dict[int, tuple[int, int]]) -> None:
+        self.bw = bw
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+def _k_dc_first(blocks, zz_list, al, outs) -> None:
+    """DC first scan kernel: differential coding of DC >> Al (arithmetic
+    shift — the T.81 DC point transform) over the interleaved block
+    schedule. ``outs[ci]`` is that component's table emitter."""
+    preds: dict[int, int] = {}
+    for ci, by, bx in blocks:
+        v = int(zz_list[ci][by, bx, 0]) >> al
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        t = _category(diff)
+        outs[ci].sym(t)
+        outs[ci].bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _k_dc_refine(blocks, zz_list, al, sink) -> None:
+    """DC refinement: one raw bit per block — bit Al of the (arithmetic-
+    shifted) DC value. No Huffman symbols at all."""
+    for ci, by, bx in blocks:
+        sink.bits((int(zz_list[ci][by, bx, 0]) >> al) & 1, 1)
+
+
+def _k_ac_first(blocks, zz, ss, se, al, out) -> None:
+    """AC first scan over band [Ss, Se] at precision Al: run/size coding
+    with EOBn end-of-band runs (G.1.2.2). Point transform for AC is
+    sign-magnitude: v = sign(c) * (|c| >> Al)."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.sym(r << 4)
+            out.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for by, bx in blocks:
+        blk = zz[by, bx]
+        vals = {}
+        last = -1
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            v = abs(c) >> al
+            if v:
+                vals[k] = v if c > 0 else -v
+                last = k
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for k in range(ss, last + 1):
+            v = vals.get(k, 0)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                out.sym(0xF0)
+                run -= 16
+            s = _category(v)
+            out.sym((run << 4) | s)
+            out.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _k_ac_refine(blocks, zz, ss, se, al, out) -> None:
+    """AC refinement scan (G.1.2.3): newly-significant coefficients are
+    run/1-coded with a sign bit; already-nonzero ("history")
+    coefficients contribute correction bits that ride, in walk order,
+    behind the next emitted symbol (or behind the EOBn covering their
+    block) — the exact ordering the decoder's correction-bit walk
+    consumes."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.sym(r << 4)
+            out.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pending:
+            out.bits(b, 1)
+        pending = []
+
+    for by, bx in blocks:
+        blk = zz[by, bx]
+        absv = {}
+        eob = -1
+        for k in range(ss, se + 1):
+            t = abs(int(blk[k])) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k
+        r = 0
+        br_bits: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs are needed only while another newly-significant
+            # coefficient remains (k <= eob); trailing zeros fold into
+            # the EOB run instead
+            while r > 15 and k <= eob:
+                flush()
+                out.sym(0xF0)
+                r -= 16
+                for b in br_bits:
+                    out.bits(b, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            flush()
+            out.sym((r << 4) | 1)
+            out.bits(1 if int(blk[k]) > 0 else 0, 1)
+            for b in br_bits:
+                out.bits(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            pending.extend(br_bits)
+            if eobrun == 0x7FFF or len(pending) > 937:
+                flush()
+    flush()
+
+
+def _encode_progressive(zz_list, comps_meta, h, w, qts, script) -> bytes:
+    """Assemble a progressive JFIF stream from per-component zig-zag
+    coefficient arrays (MCU-padded grids) and a scan script.
+    ``comps_meta`` = [(cid, hs, vs, tq)]; ``qts`` = {tq: natural-order
+    table}. Component index 0 uses Huffman slot 0 (luma), others slot 1
+    (chroma); every scan carries its own optimized DHT."""
+    hmax = max(c[1] for c in comps_meta)
+    vmax = max(c[2] for c in comps_meta)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    true_grid = []
+    for cid, hs, vs, tq in comps_meta:
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        true_grid.append(((cw + 7) // 8, (ch + 7) // 8))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq in sorted(qts):
+        zz_qt = qts[tq].reshape(64)[ZIGZAG]
+        out += seg(0xFFDB, bytes([tq]) + bytes(int(v) for v in zz_qt))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps_meta))
+    for cid, hs, vs, tq in comps_meta:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += seg(0xFFC2, sof)
+
+    for cis, ss, se, ah, al in script:
+        if ss == 0 and len(cis) > 1:  # interleaved DC scan
+            order = []
+            for ci in cis:
+                _, hs, vs, _ = comps_meta[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        order.append((ci, u, v))
+            blocks = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci, u, v in order:
+                    _, hs, vs, _ = comps_meta[ci]
+                    blocks.append((ci, my * vs + v, mx * hs + u))
+        else:
+            ci = cis[0]
+            nbx, nby = true_grid[ci]
+            blocks = [(ci, by, bx) for by in range(nby) for bx in range(nbx)]
+
+        tbl_of = {ci: (0 if ci == 0 else 1) for ci in cis}
+        dht = b""
+        if ss == 0 and ah > 0:  # DC refinement: raw bits, no tables
+            bw = _BitWriter()
+            sink = _SymWriter(bw, {})
+            _k_dc_refine(blocks, zz_list, al, sink)
+            entropy = bw.flush()
+        else:
+            # pass 1: count symbols per table slot
+            counters = {t: _SymCounter() for t in set(tbl_of.values())}
+            if ss == 0:
+                _k_dc_first(blocks, zz_list, al,
+                            {ci: counters[tbl_of[ci]] for ci in cis})
+            else:
+                band = [(by, bx) for _, by, bx in blocks]
+                kern = _k_ac_first if ah == 0 else _k_ac_refine
+                kern(band, zz_list[cis[0]], ss, se, al, counters[tbl_of[cis[0]]])
+            # pass 2: build tables, emit DHT + entropy
+            bw = _BitWriter()
+            writers = {}
+            tc = 0 if ss == 0 else 1
+            for t, cnt in sorted(counters.items()):
+                freq = cnt.freq or {0: 1}
+                bits, vals = _optimal_huffman(freq)
+                dht += seg(0xFFC4, bytes([(tc << 4) | t]) + bytes(bits) + bytes(vals))
+                writers[t] = _SymWriter(bw, _huff_codes(bits, vals))
+            if ss == 0:
+                _k_dc_first(blocks, zz_list, al,
+                            {ci: writers[tbl_of[ci]] for ci in cis})
+            else:
+                band = [(by, bx) for _, by, bx in blocks]
+                kern = _k_ac_first if ah == 0 else _k_ac_refine
+                kern(band, zz_list[cis[0]], ss, se, al, writers[tbl_of[cis[0]]])
+            entropy = bw.flush()
+
+        sos = bytes([len(cis)])
+        for ci in cis:
+            td = tbl_of[ci] if ss == 0 and ah == 0 else 0
+            ta = tbl_of[ci] if ss != 0 else 0
+            sos += bytes([comps_meta[ci][0], (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += dht + seg(0xFFDA, sos) + entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray8_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """Progressive (SOF2) JFIF encode of an (h, w) uint8 grayscale
+    image: same DCT/quantization as :func:`encode_jpeg_gray8`, coded
+    with the standard 6-scan successive-approximation script. The
+    quantized coefficients are bit-identical to the baseline encoder's,
+    so decoding both yields identical pixels."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_jpeg_gray8_progressive expects (h, w) grayscale")
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt = quant_table(quality)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    zz = _dct_quant(_pad_replicate(img, ph, pw), qt)
+    return _encode_progressive([zz], [(1, 1, 1, 0)], h, w, {0: qt},
+                               _GRAY_PROG_SCRIPT)
+
+
+def encode_jpeg_color420_progressive(rgb: np.ndarray, quality: int = 85) -> bytes:
+    """Progressive (SOF2) 4:2:0 color encode: same subsampling,
+    DCT and quantization as :func:`encode_jpeg_color420`, coded with
+    the standard 10-scan color script (interleaved DC scans exercise
+    the multi-component progressive path; per-component AC scans the
+    non-interleaved one)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg_color420_progressive expects (h, w, 3) RGB")
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    y, cb, cr = rgb_to_ycbcr(rgb)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    ph, pw = mcuy * 16, mcux * 16
+    ypad = _pad_replicate(y, ph, pw)
+    down = lambda p: np.rint(  # noqa: E731
+        _pad_replicate(p, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    )
+    qy, qc = quant_table(quality), quant_table_chroma(quality)
+    zzy = _dct_quant(ypad, qy)
+    zzcb = _dct_quant(down(cb), qc)
+    zzcr = _dct_quant(down(cr), qc)
+    return _encode_progressive(
+        [zzy, zzcb, zzcr],
+        [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)],
+        h, w, {0: qy, 1: qc}, _COLOR_PROG_SCRIPT,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decoder (baseline sequential, multi-component)
 # ---------------------------------------------------------------------------
 
@@ -466,11 +863,12 @@ def _decode_huff(br: _BitReader, lut: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline-sequential JPEG. Returns ``(planes, h, w)``
-    where ``planes`` is a list of (h, w) uint8 arrays, one per
-    component, each upsampled to full resolution (nearest neighbor for
-    subsampled chroma) and cropped to the frame size. Components are in
-    frame order (Y, Cb, Cr for 3-component JFIF)."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
+    JPEG. Returns ``(planes, h, w)`` where ``planes`` is a list of
+    (h, w) uint8 arrays, one per component, each upsampled to full
+    resolution (nearest neighbor for subsampled chroma) and cropped to
+    the frame size. Components are in frame order (Y, Cb, Cr for
+    3-component JFIF)."""
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -480,6 +878,8 @@ def decode_jpeg(payload: bytes):
     ac_luts: dict[int, dict] = {}
     frame = None  # (h, w, comps) ; comps = list of (cid, hs, vs, tq)
     restart_interval = 0
+    progressive = False
+    prog_state: _ProgState | None = None
 
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
@@ -523,11 +923,21 @@ def decode_jpeg(payload: bytes):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9,
+        elif marker == 0xFFC2:  # SOF2: progressive DCT, Huffman
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+            progressive = True
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9,
                         0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:04X}: progressive/"
-                "lossless/arithmetic not supported)"
+                f"non-baseline JPEG (SOF marker 0x{marker:04X}: "
+                "lossless/arithmetic/hierarchical not supported)"
             )
         elif marker == 0xFFDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -540,11 +950,24 @@ def decode_jpeg(payload: bytes):
                 cs, tdta = body[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0xF))
             data_pos = pos + 2 + length
-            return _decode_scan(
-                d, data_pos, frame, scan_sel, qtables, dc_luts, ac_luts,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    d, data_pos, frame, scan_sel, qtables, dc_luts, ac_luts,
+                    restart_interval,
+                )
+            if prog_state is None:
+                prog_state = _ProgState(frame)
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                d, data_pos, prog_state, scan_sel, dc_luts, ac_luts,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval,
             )
+            continue
         pos += 2 + length
+    if progressive and prog_state is not None:
+        h, w, comps = frame
+        coefs = [prog_state.coef[ci] for ci in range(len(comps))]
+        return _reconstruct(coefs, comps, qtables, h, w)
     raise ValueError("no SOS scan found")
 
 
@@ -610,13 +1033,23 @@ def _decode_scan(d, pos, frame, scan_sel, qtables, dc_luts, ac_luts, dri):
             by, bx = my * pc["vs"] + v, mx * pc["hs"] + u
             pc["coef"][by, bx] = blk
 
+    coefs = [pc["coef"] for pc in per_comp]
+    return _reconstruct(coefs, comps, qtables, h, w)
+
+
+def _reconstruct(coefs, comps, qtables, h, w):
+    """Dequantize + IDCT + upsample + crop: the shared tail of the
+    baseline and progressive decoders. ``coefs[ci]`` is the (nby, nbx,
+    64) zig-zag coefficient array of component ``ci``."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
-    for pc in per_comp:
-        nby, nbx, _ = pc["coef"].shape
-        zz = pc["coef"].reshape(-1, 64)
+    for (cid, hs, vs, tq), coef in zip(comps, coefs):
+        nby, nbx, _ = coef.shape
+        zz = coef.reshape(-1, 64)
         nat = np.zeros_like(zz)
         nat[:, ZIGZAG] = zz
-        deq = (nat * pc["qt"].reshape(64)).reshape(-1, 8, 8).astype(np.float64)
+        deq = (nat * qtables[tq].reshape(64)).reshape(-1, 8, 8).astype(np.float64)
         # IDCT: block = A.T @ F @ A
         pix = np.einsum("xu,nuv,vy->nxy", _A.T, deq, _A)
         pix = np.clip(np.rint(pix) + 128, 0, 255).astype(np.uint8)
@@ -624,11 +1057,203 @@ def _decode_scan(d, pos, frame, scan_sel, qtables, dc_luts, ac_luts, dri):
             pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         )
         # upsample to frame resolution (nearest) then crop
-        ry, rx = vmax // pc["vs"], hmax // pc["hs"]
+        ry, rx = vmax // vs, hmax // hs
         if ry > 1 or rx > 1:
             full = np.repeat(np.repeat(full, ry, axis=0), rx, axis=1)
         planes.append(full[:h, :w])
     return planes, h, w
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (SOF2, spectral selection + successive approximation,
+# T.81 G.2)
+# ---------------------------------------------------------------------------
+
+
+class _ProgState:
+    """Cross-scan coefficient accumulators for one progressive frame.
+
+    Coefficients live on the MCU-padded block grid of each component
+    (so interleaved DC scans index it directly); non-interleaved scans
+    touch only the component's true ceil(comp_dim/8) sub-grid, per
+    T.81 A.2.2. ``eobrun`` persists only within one scan (reset at scan
+    start and at restart markers)."""
+
+    def __init__(self, frame) -> None:
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        self.mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        self.mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        self.hmax, self.vmax = hmax, vmax
+        self.coef: list[np.ndarray] = []
+        self.true_grid: list[tuple[int, int]] = []  # (nbx, nby) per comp
+        for cid, hs, vs, tq in comps:
+            self.coef.append(
+                np.zeros((self.mcuy * vs, self.mcux * hs, 64), dtype=np.int64)
+            )
+            cw = (w * hs + hmax - 1) // hmax
+            ch = (h * vs + vmax - 1) // vmax
+            self.true_grid.append(((cw + 7) // 8, (ch + 7) // 8))
+        self.comps = comps
+
+
+def _next_marker_pos(d: bytes, pos: int) -> int:
+    """Skip the remainder of an entropy segment: first position of a
+    real (non-stuffed, non-restart) marker at or after ``pos``."""
+    n = len(d)
+    while pos + 1 < n:
+        if d[pos] == 0xFF and d[pos + 1] != 0x00:
+            if 0xD0 <= d[pos + 1] <= 0xD7:  # stray RST: part of the segment
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive_scan(
+    d, pos, st: _ProgState, scan_sel, dc_luts, ac_luts, ss, se, ah, al, dri
+):
+    """Decode one progressive scan into ``st.coef`` and return the
+    stream position of the next marker.
+
+    Four T.81 G.2 paths: DC first (Ss=0, Ah=0 — differential, value
+    << Al), DC refinement (one bit per block, OR 1<<Al), AC first
+    (spectral band with EOBn end-of-band runs), AC refinement (the
+    G.1.2.3 correction-bit walk). DC scans may interleave any component
+    subset; AC scans are single-component over the true block grid."""
+    cid_to_ci = {c[0]: i for i, c in enumerate(st.comps)}
+    sel = [(cid_to_ci[cs], td, ta) for cs, td, ta in scan_sel]
+    br = _BitReader(d, pos)
+
+    if ss == 0:  # DC scan (Se must be 0 per spec)
+        if se != 0:
+            raise ValueError("DC progressive scan with Se != 0")
+        if len(sel) > 1:
+            # interleaved: frame MCU geometry, each component contributes
+            # hs*vs blocks per MCU in raster order
+            order = []
+            for ci, td, ta in sel:
+                _, hs, vs, _ = st.comps[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        order.append((ci, td, u, v))
+            n_mcu = st.mcux * st.mcuy
+            preds = {ci: 0 for ci, _, _ in sel}
+            for m in range(n_mcu):
+                if dri and m and m % dri == 0:
+                    br.align_restart()
+                    preds = {ci: 0 for ci, _, _ in sel}
+                my, mx = divmod(m, st.mcux)
+                for ci, td, u, v in order:
+                    _, hs, vs, _ = st.comps[ci]
+                    by, bx = my * vs + v, mx * hs + u
+                    if ah == 0:
+                        t = _decode_huff(br, dc_luts[td])
+                        diff = _extend(br.bits(t), t) if t else 0
+                        preds[ci] += diff
+                        st.coef[ci][by, bx, 0] = preds[ci] << al
+                    else:
+                        if br.bit():
+                            st.coef[ci][by, bx, 0] |= 1 << al
+        else:
+            ci, td, ta = sel[0]
+            nbx, nby = st.true_grid[ci]
+            pred = 0
+            for m in range(nbx * nby):
+                if dri and m and m % dri == 0:
+                    br.align_restart()
+                    pred = 0
+                by, bx = divmod(m, nbx)
+                if ah == 0:
+                    t = _decode_huff(br, dc_luts[td])
+                    diff = _extend(br.bits(t), t) if t else 0
+                    pred += diff
+                    st.coef[ci][by, bx, 0] = pred << al
+                else:
+                    if br.bit():
+                        st.coef[ci][by, bx, 0] |= 1 << al
+        return _next_marker_pos(d, br.pos)
+
+    # AC scan: single component, band [Ss, Se]
+    if len(sel) != 1:
+        raise ValueError("interleaved AC progressive scan is not legal (T.81)")
+    ci, td, ta = sel[0]
+    lut = ac_luts[ta]
+    nbx, nby = st.true_grid[ci]
+    coef = st.coef[ci]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    for m in range(nbx * nby):
+        if dri and m and m % dri == 0:
+            br.align_restart()
+            eobrun = 0
+        by, bx = divmod(m, nbx)
+        blk = coef[by, bx]
+        if ah == 0:  # first pass over this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_huff(br, lut)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run past end of band")
+                blk[k] = _extend(br.bits(s), s) << al
+                k += 1
+        else:  # refinement pass (G.1.2.3 correction-bit walk)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huff(br, lut)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # ZRL: skip 16 zero-history slots with corrections
+                    else:
+                        if s != 1:
+                            raise ValueError("AC refinement size must be 1")
+                        newval = p1 if br.bit() else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            if br.bit() and not (blk[k] & p1):
+                                blk[k] += p1 if blk[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("AC refinement run past band end")
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB run covers this block's tail: correction bits only
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+    return _next_marker_pos(d, br.pos)
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:

@@ -8,9 +8,10 @@ are REAL, stdlib/numpy-only implementations of their public specs:
 ``raw8`` (raw uint8 grayscale / PCM bytes), ``png`` (zlib inflate + all
 five scanline filters, :func:`decode_png`/:func:`encode_png_gray8`),
 ``wav`` PCM16 RIFF (:func:`decode_wav_pcm16`/:func:`encode_wav_pcm16`),
-``jpeg`` baseline-sequential (operators/jpeg.py — Huffman + DCT from
-ITU T.81, decode incl. chroma subsampling + restart markers; grayscale
-AND 4:2:0 color encode), plus the lossy audio pair in
+``jpeg`` baseline-sequential AND progressive (operators/jpeg.py —
+Huffman + DCT from ITU T.81, decode incl. chroma subsampling, restart
+markers and SOF2 multi-scan successive approximation; grayscale and
+4:2:0 color encode in both profiles), plus the lossy audio pair in
 operators/audio_codecs.py: ``ulaw`` (G.711 companding) and
 ``adpcm_ima`` (IMA 4-bit adaptive differential), both decodable in
 :func:`audio_window_features`. Codecs genuinely needing external
@@ -654,10 +655,14 @@ JPEG_ROUNDTRIP_SCHEMA = (
 )
 
 
-def jpeg_roundtrip_stats(media: DataFrame, quality: int = 100, tol: int = 2) -> DataFrame:
+def jpeg_roundtrip_stats(
+    media: DataFrame, quality: int = 100, tol: int = 2, progressive: bool = False
+) -> DataFrame:
     """raw8 → baseline JPEG → full decode, scored in ONE narrow Arrow
-    map: encode each grayscale payload (encode_jpeg_gray8), decode it
-    back through the production ``_decode_payload`` jpeg path, and emit
+    map: encode each grayscale payload (encode_jpeg_gray8, or the
+    SOF2 multi-scan ``encode_jpeg_gray8_progressive`` when
+    ``progressive=True``), decode it back through the production
+    ``_decode_payload`` jpeg path, and emit
     exact integer stats of the ORIGINAL pixels plus ``roundtrip_ok`` =
     dims survived AND max |decoded − original| ≤ ``tol``.
 
@@ -673,7 +678,12 @@ def jpeg_roundtrip_stats(media: DataFrame, quality: int = 100, tol: int = 2) -> 
     bug on the shipped corpora flips the flag and the driver hash goes
     red; the spec-level decoder checks (hand-built T.81 streams) live
     in tests/test_jpeg.py."""
-    from jagular_spark.operators.jpeg import encode_jpeg_gray8
+    from jagular_spark.operators.jpeg import (
+        encode_jpeg_gray8,
+        encode_jpeg_gray8_progressive,
+    )
+
+    enc = encode_jpeg_gray8_progressive if progressive else encode_jpeg_gray8
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -688,9 +698,7 @@ def jpeg_roundtrip_stats(media: DataFrame, quality: int = 100, tol: int = 2) -> 
                 if len(buf) < h * w:
                     buf = np.pad(buf, (0, h * w - len(buf)))
                 orig = buf.reshape(h, w)
-                dec01 = _decode_payload(
-                    encode_jpeg_gray8(orig, quality), "jpeg", h, w
-                )
+                dec01 = _decode_payload(enc(orig, quality), "jpeg", h, w)
                 dec = np.rint(dec01 * 255.0).astype(np.int64)
                 ok = dec.shape == (h, w) and bool(
                     np.abs(dec - orig.astype(np.int64)).max(initial=0) <= tol

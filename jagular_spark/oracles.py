@@ -1604,6 +1604,11 @@ ORACLE_SQL["docs_media_jpeg_stats"] = """
            TRUE AS roundtrip_ok
     FROM b"""
 
+# Progressive twin: identical oracle — the encoder writes the same
+# quantized coefficients under a multi-scan script, so the decoded
+# pixels (hence the tolerance flag) must match the baseline path.
+ORACLE_SQL["docs_media_jpeg_progressive"] = ORACLE_SQL["docs_media_jpeg_stats"]
+
 # Color 4:2:0 roundtrip: exact byte stats over the (n//48)*48 bytes the
 # kernel consumes; the y_ok/chroma_ok tolerance flags are the
 # hash-verified codec signal (TRUE for a correct codec on this corpus).

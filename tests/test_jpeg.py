@@ -163,12 +163,21 @@ def test_hand_built_restart_markers():
     assert (out[:, :8] == 178).all() and (out[:, 8:] == 118).all()
 
 
-def test_progressive_raises_not_implemented():
+def test_lossless_sof_raises_not_implemented():
+    stream = (
+        b"\xff\xd8" + dqt_all_ones()
+        + seg(0xFFC3, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    )
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(stream + b"\xff\xd9")
+
+
+def test_progressive_sof2_without_scan_is_invalid():
     stream = (
         b"\xff\xd8" + dqt_all_ones()
         + seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="no SOS"):
         decode_jpeg(stream + b"\xff\xd9")
 
 
@@ -316,3 +325,142 @@ def test_chroma_quality_scaling():
     assert (quant_table_chroma(100) == 1).all()
     assert quant_table_chroma(50)[0, 0] == 17  # K.2 base at scale 100
     assert quant_table_chroma(1).max() == 255
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) codec
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_gray_decodes_identical_to_baseline():
+    """The progressive encoder writes the SAME quantized coefficients
+    as the baseline encoder under a 6-scan successive-approximation
+    script, so full decode of both streams must be pixel-identical —
+    this exercises DC first/refine, AC first (both bands) and AC
+    refinement end to end."""
+    from jagular_spark.operators.jpeg import (
+        encode_jpeg_gray8,
+        encode_jpeg_gray8_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (13, 21), (24, 24), (1, 100), (64, 64)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (100, 85):
+            base = decode_jpeg_gray(encode_jpeg_gray8(img, q))
+            prog = decode_jpeg_gray(encode_jpeg_gray8_progressive(img, q))
+            assert prog.shape == shape
+            assert (prog == base).all(), (shape, q)
+
+
+def test_progressive_gray_sparse_exercises_eob_runs():
+    """A mostly-flat image makes whole blocks land in EOBn runs
+    (n >= 1) across blocks, plus ZRL paths inside the lone busy block."""
+    from jagular_spark.operators.jpeg import (
+        encode_jpeg_gray8,
+        encode_jpeg_gray8_progressive,
+    )
+
+    img = np.full((48, 48), 130, dtype=np.uint8)
+    img[20, 5] = 255  # one busy block in a sea of EOB blocks
+    img[40:, 40:] = 131
+    p = encode_jpeg_gray8_progressive(img, 100)
+    base = decode_jpeg_gray(encode_jpeg_gray8(img, 100))
+    assert (decode_jpeg_gray(p) == base).all()
+
+
+def test_progressive_gray_gradient_smooth():
+    from jagular_spark.operators.jpeg import (
+        encode_jpeg_gray8,
+        encode_jpeg_gray8_progressive,
+    )
+
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    for q in (100, 85, 40):
+        base = decode_jpeg_gray(encode_jpeg_gray8(img, q))
+        prog = decode_jpeg_gray(encode_jpeg_gray8_progressive(img, q))
+        assert (prog == base).all()
+
+
+def test_progressive_color_decodes_identical_to_baseline():
+    """10-scan color script: interleaved DC scans (3 components, two
+    Huffman slots), per-component non-interleaved AC scans over the
+    true block grids. Decoded planes must match the baseline color
+    stream exactly on every visible pixel."""
+    from jagular_spark.operators.jpeg import (
+        encode_jpeg_color420,
+        encode_jpeg_color420_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape in [(16, 16), (17, 23), (32, 48), (9, 40)]:
+        rgb = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        for q in (100, 85):
+            bp, hb, wb = decode_jpeg(encode_jpeg_color420(rgb, q))
+            pp, hp, wp = decode_jpeg(encode_jpeg_color420_progressive(rgb, q))
+            assert (hb, wb) == (hp, wp) == shape
+            assert len(bp) == len(pp) == 3
+            for pb, ppl in zip(bp, pp):
+                assert (pb == ppl).all(), (shape, q)
+
+
+def test_progressive_stream_structure():
+    """Container shape: SOF2 marker, one SOS per scan in the script,
+    per-scan DHTs, Ss/Se/Ah/Al bytes of the first scan."""
+    from jagular_spark.operators.jpeg import encode_jpeg_gray8_progressive
+
+    p = encode_jpeg_gray8_progressive(np.zeros((16, 16), dtype=np.uint8), 85)
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+    assert p.count(b"\xff\xda") == 6  # 6-scan grayscale script
+    i = p.index(b"\xff\xda")
+    ln = struct.unpack(">H", p[i + 2 : i + 4])[0]
+    ns = p[i + 4]
+    assert ns == 1
+    ss, se, ahal = p[i + 4 + 1 + 2 * ns : i + 4 + 4 + 2 * ns]
+    assert (ss, se, ahal) == (0, 0, 0x01)  # DC first, Al=1
+    assert ln == 2 + 1 + 2 * ns + 3
+
+
+def test_optimal_huffman_tables_are_canonical():
+    """K.2/K.3 table builder: lengths <= 16, Kraft sum <= 1, no
+    all-ones code assigned, single-symbol table gets a 1-bit code."""
+    from jagular_spark.operators.jpeg import _huff_codes, _optimal_huffman
+
+    bits, vals = _optimal_huffman({0: 5})
+    assert sum(bits) == 1 and vals == [0]
+    codes = _huff_codes(bits, vals)
+    assert codes[0] == (0, 1)
+
+    freq = {s: (s % 7) + 1 for s in range(180)}
+    bits, vals = _optimal_huffman(freq)
+    assert sum(bits) == 180 and sorted(vals) == sorted(freq)
+    codes = _huff_codes(bits, vals)
+    assert max(ln for _, ln in codes.values()) <= 16
+    kraft = sum(2.0 ** -ln for _, ln in codes.values())
+    assert kraft <= 1.0
+    for code, ln in codes.values():
+        assert code != (1 << ln) - 1  # reserved symbol keeps all-ones free
+    # canonical: codes are unique and prefix-free by construction
+    assert len({(ln, c) for c, ln in codes.values()}) == len(codes)
+
+
+def test_progressive_through_production_decode_path(spark):
+    """decode_image_features (the production mapInPandas kernel) must
+    accept a progressive payload through _decode_payload."""
+    from jagular_spark.operators.jpeg import encode_jpeg_gray8_progressive
+    from jagular_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    payload = encode_jpeg_gray8_progressive(img, 100)
+    rows = [(1, "image", "jpeg", bytearray(payload), 24, 24, 1, 0)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = decode_image_features(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    exp = img.astype(np.float64) / 255.0
+    assert abs(r.mean - float(exp.mean())) < 2e-2  # q100 IDCT rounding only
