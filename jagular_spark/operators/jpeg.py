@@ -9,8 +9,9 @@ cover effectively all training-corpus JPEGs:
 
 - decode: 8-bit precision, 1-4 components, Huffman entropy coding,
   chroma subsampling with any sampling factors in 1..2 (4:4:4, 4:2:2,
-  4:2:0, ...), restart markers (DRI/RSTn); baseline interleaved scans
-  (SOF0/1) and progressive multi-scan streams (SOF2: spectral
+  4:2:0, ...), restart markers (DRI/RSTn); baseline interleaved AND
+  multi-scan non-interleaved streams (SOF0/1, one SOS per component
+  subset) and progressive multi-scan streams (SOF2: spectral
   selection + successive approximation, DC/AC first + refinement,
   EOBn end-of-band runs, interleaved-DC and non-interleaved scans).
   Arithmetic coding, lossless/hierarchical SOFs and 12-bit inputs
@@ -897,13 +898,19 @@ def decode_jpeg(payload: bytes):
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables (Pq=1)")
-                tbl = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                if pq == 0:  # 8-bit entries
+                    tbl = np.frombuffer(
+                        body[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 65
+                else:  # Pq=1: 16-bit big-endian entries (B.2.4.1)
+                    tbl = np.frombuffer(
+                        body[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 129
                 nat = np.empty(64, dtype=np.int64)
                 nat[ZIGZAG] = tbl
                 qtables[tq] = nat.reshape(8, 8)
-                i += 65
         elif marker == 0xFFC4:  # DHT
             i = 0
             while i < len(body):
@@ -951,10 +958,22 @@ def decode_jpeg(payload: bytes):
                 scan_sel.append((cs, tdta >> 4, tdta & 0xF))
             data_pos = pos + 2 + length
             if not progressive:
-                return _decode_scan(
-                    d, data_pos, frame, scan_sel, qtables, dc_luts, ac_luts,
+                if ns == len(frame[2]) and prog_state is None:
+                    # the overwhelmingly common case: ONE interleaved
+                    # scan covering every component — decode and return
+                    return _decode_scan(
+                        d, data_pos, frame, scan_sel, qtables, dc_luts,
+                        ac_luts, restart_interval,
+                    )
+                # multi-scan baseline (one SOS per component subset):
+                # accumulate coefficients across scans, reconstruct at EOI
+                if prog_state is None:
+                    prog_state = _ProgState(frame)
+                pos = _decode_baseline_scan_into(
+                    d, data_pos, prog_state, scan_sel, dc_luts, ac_luts,
                     restart_interval,
                 )
+                continue
             if prog_state is None:
                 prog_state = _ProgState(frame)
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
@@ -964,17 +983,42 @@ def decode_jpeg(payload: bytes):
             )
             continue
         pos += 2 + length
-    if progressive and prog_state is not None:
+    if prog_state is not None:
         h, w, comps = frame
         coefs = [prog_state.coef[ci] for ci in range(len(comps))]
         return _reconstruct(coefs, comps, qtables, h, w)
     raise ValueError("no SOS scan found")
 
 
+def _decode_block_baseline(br, blk, pred, dc_lut, ac_lut) -> int:
+    """Full-spectrum baseline block decode (F.2.2): differential DC +
+    run/size AC with ZRL and EOB into ``blk`` (64 zig-zag coefs).
+    Returns the updated DC predictor."""
+    t = _decode_huff(br, dc_lut)
+    diff = _extend(br.bits(t), t) if t else 0
+    pred += diff
+    blk[0] = pred
+    k = 1
+    while k <= 63:
+        rs = _decode_huff(br, ac_lut)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        blk[k] = _extend(br.bits(s), s)
+        k += 1
+    return pred
+
+
 def _decode_scan(d, pos, frame, scan_sel, qtables, dc_luts, ac_luts, dri):
     h, w, comps = frame
     if len(scan_sel) != len(comps):
-        raise NotImplementedError("multi-scan (non-interleaved) baseline")
+        raise ValueError("interleaved baseline scan must cover all components")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1011,30 +1055,56 @@ def _decode_scan(d, pos, frame, scan_sel, qtables, dc_luts, ac_luts, dri):
         my, mx = divmod(m, mcux)
         for ci, u, v in order:
             pc = per_comp[ci]
-            blk = np.zeros(64, dtype=np.int64)
-            t = _decode_huff(br, pc["dc"])
-            diff = _extend(br.bits(t), t) if t else 0
-            pc["pred"] += diff
-            blk[0] = pc["pred"]
-            k = 1
-            while k <= 63:
-                rs = _decode_huff(br, pc["ac"])
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                blk[k] = _extend(br.bits(s), s)
-                k += 1
             by, bx = my * pc["vs"] + v, mx * pc["hs"] + u
-            pc["coef"][by, bx] = blk
+            pc["pred"] = _decode_block_baseline(
+                br, pc["coef"][by, bx], pc["pred"], pc["dc"], pc["ac"]
+            )
 
     coefs = [pc["coef"] for pc in per_comp]
     return _reconstruct(coefs, comps, qtables, h, w)
+
+
+def _decode_baseline_scan_into(d, pos, st, scan_sel, dc_luts, ac_luts, dri):
+    """One baseline scan of a MULTI-SCAN stream (T.81 A.2: each SOS
+    covers a component subset; ns=1 scans walk the component's true
+    block grid non-interleaved) accumulated into ``st.coef``. Returns
+    the position of the next marker."""
+    cid_to_ci = {c[0]: i for i, c in enumerate(st.comps)}
+    sel = [(cid_to_ci[cs], td, ta) for cs, td, ta in scan_sel]
+    br = _BitReader(d, pos)
+    if len(sel) > 1:  # interleaved over the subset: frame MCU geometry
+        order = []
+        for ci, td, ta in sel:
+            _, hs, vs, _ = st.comps[ci]
+            for v in range(vs):
+                for u in range(hs):
+                    order.append((ci, td, ta, u, v))
+        preds = {ci: 0 for ci, _, _ in sel}
+        for m in range(st.mcux * st.mcuy):
+            if dri and m and m % dri == 0:
+                br.align_restart()
+                preds = {ci: 0 for ci, _, _ in sel}
+            my, mx = divmod(m, st.mcux)
+            for ci, td, ta, u, v in order:
+                _, hs, vs, _ = st.comps[ci]
+                by, bx = my * vs + v, mx * hs + u
+                preds[ci] = _decode_block_baseline(
+                    br, st.coef[ci][by, bx], preds[ci],
+                    dc_luts[td], ac_luts[ta],
+                )
+    else:
+        ci, td, ta = sel[0]
+        nbx, nby = st.true_grid[ci]
+        pred = 0
+        for m in range(nbx * nby):
+            if dri and m and m % dri == 0:
+                br.align_restart()
+                pred = 0
+            by, bx = divmod(m, nbx)
+            pred = _decode_block_baseline(
+                br, st.coef[ci][by, bx], pred, dc_luts[td], ac_luts[ta]
+            )
+    return _next_marker_pos(d, br.pos)
 
 
 def _reconstruct(coefs, comps, qtables, h, w):

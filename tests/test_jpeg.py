@@ -464,3 +464,130 @@ def test_progressive_through_production_decode_path(spark):
     r = got[0]
     exp = img.astype(np.float64) / 255.0
     assert abs(r.mean - float(exp.mean())) < 2e-2  # q100 IDCT rounding only
+
+
+def _multi_scan_baseline_color(rgb: np.ndarray, quality: int, groups) -> bytes:
+    """Test-side writer for a MULTI-SCAN baseline 4:2:0 stream: same
+    coefficients as encode_jpeg_color420, but one SOS per component
+    group (non-interleaved when the group is a single component, T.81
+    A.2). Lets the decoder's multi-scan baseline path be checked
+    against the interleaved stream's pixels."""
+    from jagular_spark.operators.jpeg import (
+        AC_CHROM_BITS, AC_CHROM_VALS, AC_LUM_BITS, AC_LUM_VALS,
+        DC_CHROM_BITS, DC_CHROM_VALS, DC_LUM_BITS, DC_LUM_VALS, ZIGZAG,
+        _BitWriter, _dct_quant, _emit_block, _huff_codes, _pad_replicate,
+        quant_table, quant_table_chroma, rgb_to_ycbcr,
+    )
+
+    h, w = rgb.shape[:2]
+    y, cb, cr = rgb_to_ycbcr(rgb)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    ph, pw = mcuy * 16, mcux * 16
+    down = lambda p: np.rint(  # noqa: E731
+        _pad_replicate(p, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    )
+    qy, qc = quant_table(quality), quant_table_chroma(quality)
+    zz = [
+        _dct_quant(_pad_replicate(y, ph, pw), qy),
+        _dct_quant(down(cb), qc),
+        _dct_quant(down(cr), qc),
+    ]
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    dc_codes = [_huff_codes(DC_LUM_BITS, DC_LUM_VALS),
+                _huff_codes(DC_CHROM_BITS, DC_CHROM_VALS)]
+    ac_codes = [_huff_codes(AC_LUM_BITS, AC_LUM_VALS),
+                _huff_codes(AC_CHROM_BITS, AC_CHROM_VALS)]
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0x00]) + bytes(int(v) for v in qy.reshape(64)[ZIGZAG]))
+    out += seg(0xFFDB, bytes([0x01]) + bytes(int(v) for v in qc.reshape(64)[ZIGZAG]))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    out += seg(0xFFC4, bytes([0x01]) + bytes(DC_CHROM_BITS) + bytes(DC_CHROM_VALS))
+    out += seg(0xFFC4, bytes([0x11]) + bytes(AC_CHROM_BITS) + bytes(AC_CHROM_VALS))
+
+    for group in groups:
+        bw = _BitWriter()
+        if len(group) == 1:
+            ci = group[0]
+            hs, vs = sampling[ci]
+            cw = (w * hs + 1) // 2
+            ch = (h * vs + 1) // 2
+            nbx, nby = (cw + 7) // 8, (ch + 7) // 8
+            tbl = 0 if ci == 0 else 1
+            pred = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    pred = _emit_block(bw, zz[ci][by, bx], pred,
+                                       dc_codes[tbl], ac_codes[tbl])
+        else:
+            preds = {ci: 0 for ci in group}
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci in group:
+                    hs, vs = sampling[ci]
+                    tbl = 0 if ci == 0 else 1
+                    for v in range(vs):
+                        for u in range(hs):
+                            preds[ci] = _emit_block(
+                                bw, zz[ci][my * vs + v, mx * hs + u],
+                                preds[ci], dc_codes[tbl], ac_codes[tbl],
+                            )
+        body = bytes([len(group)])
+        for ci in group:
+            tbl = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (tbl << 4) | tbl])
+        out += seg(0xFFDA, body + bytes([0, 63, 0])) + bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multi_scan_baseline_matches_interleaved():
+    """A baseline stream split into one scan per component (and a
+    2-scan [Y], [Cb+Cr] variant) must decode to exactly the pixels of
+    the standard interleaved stream — Y padding blocks differ only
+    outside the crop."""
+    from jagular_spark.operators.jpeg import encode_jpeg_color420
+
+    rng = np.random.default_rng(17)
+    for shape in [(16, 16), (17, 23), (32, 48)]:
+        rgb = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        base_planes, h, w = decode_jpeg(encode_jpeg_color420(rgb, 85))
+        for groups in ([(0,), (1,), (2,)], [(0,), (1, 2)]):
+            ms = _multi_scan_baseline_color(rgb, 85, groups)
+            planes, hm, wm = decode_jpeg(ms)
+            assert (hm, wm) == (h, w)
+            for a, b in zip(base_planes, planes):
+                assert (a == b).all(), (shape, groups)
+
+
+def test_16bit_quant_table_pq1():
+    """DQT with Pq=1 (16-bit big-endian entries, B.2.4.1): a DC-only
+    block scaled by a 300-entry table — representable only in 16 bits —
+    decodes to the expected constant. Uses a test-local DC table with
+    the small categories (000..111 -> cat 0..7)."""
+    dc16 = seg(
+        0xFFC4, bytes([0x00]) + bytes([0, 0, 8] + [0] * 13) + bytes(range(8))
+    ) + seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    qt16 = seg(0xFFDB, bytes([0x10]) + struct.pack(">64H", *([300] * 64)))
+
+    def stream(diff: int) -> bytes:
+        bits = Bits()
+        t = abs(diff).bit_length()
+        bits.put(format(t, "03b"))
+        bits.put_val(diff, t)
+        bits.put("0")  # EOB
+        return (
+            b"\xff\xd8" + qt16 + sof0(8, 8, [(1, 1, 1)]) + dc16
+            + sos([1]) + bits.tobytes() + b"\xff\xd9"
+        )
+
+    # 2 * 300 / 8 + 128 = 203 exactly ; -2 * 300 / 8 + 128 = 53 exactly
+    assert (decode_jpeg_gray(stream(2)) == 203).all()
+    assert (decode_jpeg_gray(stream(-2)) == 53).all()
