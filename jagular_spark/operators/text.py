@@ -464,3 +464,67 @@ def redact_pii(
         *counts,
         red.alias(out_col),
     ).withColumn("was_redacted", F.col(out_col) != F.col(text_col))
+
+
+def repeated_kgram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring span detection — the corpus-level
+    "substring dedup" pass (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): find every maximal token span
+    whose k-token windows ALL occur >= ``min_count`` times across the
+    corpus (including intra-document repeats), i.e. the spans a
+    dedup pass would cut before training.
+
+    Shape (scale path): one narrow map emits (id, pos, window-hash)
+    via a single ``transform`` lambda binding the token array once
+    (the O(tokens^2) project-collapse trap documented in
+    similarity.doc_shingle_hashes); one groupBy(hash) marks duplicated
+    windows — the ONLY corpus-wide exchange, keyed on a uniform md5
+    hash so no skew; a semi-join brings the flag back to (id, pos)
+    rows; maximal spans are gaps-and-islands per document (pos -
+    row_number), one partitioned window + one aggregate. No all-pairs
+    stage anywhere: cost is O(total windows) regardless of how many
+    documents share a span, which is what makes the pass viable at
+    100 TB (the published pass uses a suffix array on one machine; the
+    windowed-hash formulation is its shuffle-parallel equivalent for
+    fixed k).
+
+    Returns one row per maximal duplicated span: (id, span_start,
+    span_len, n_windows), token-indexed, span_len in tokens."""
+    win_expr = (
+        f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
+        f"if(size(t) >= {k}, "
+        f"   transform(sequence(0, size(t) - {k}), "
+        f"             i -> md5(concat_ws(' ', slice(t, i + 1, {k})))), "
+        f"   cast(array() as array<string>)))[0]"
+    )
+    wins = df.select(
+        F.col(id_col), F.expr(win_expr).alias("__ws__")
+    ).select(F.col(id_col), F.posexplode("__ws__").alias("pos", "h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .where(F.col("__cnt__") >= min_count)
+        .select("h")
+    )
+    from pyspark.sql import Window
+
+    marked = wins.join(dup, "h").select(id_col, "pos")
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    return (
+        marked.withColumn("__grp__", grp)
+        .groupBy(id_col, "__grp__")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("span_len"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_len", "n_windows")
+    )

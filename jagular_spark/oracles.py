@@ -1630,6 +1630,31 @@ ORACLE_SQL["docs_media_jpeg_color"] = """
            TRUE AS y_ok, TRUE AS chroma_ok
     FROM s"""
 
+# Substring dedup: duplicated 8-token windows (count >= 2 corpus-wide,
+# intra-doc repeats included) merged to maximal spans per document via
+# gaps-and-islands — mirrors text.repeated_kgram_spans exactly.
+ORACLE_SQL["docs_substring_dedup"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), win AS (
+        SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+               md5(array_to_string(list_slice(t, s.i + 1, s.i + 8), ' ')) AS h
+        FROM toks, UNNEST(generate_series(0, len(t) - 8)) AS s(i)
+        WHERE len(t) >= 8
+    ), dup AS (
+        SELECT h FROM win GROUP BY h HAVING count(*) >= 2
+    ), d AS (
+        SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM d
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp"""
+
 ORACLE_SQL["docs_chunking"] = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

@@ -624,6 +624,17 @@ def docs_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ngram_jaccard_pairs_lsh(docs, min_jaccard=0.5)
 
 
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact repeated-substring spans (the Lee et al. 2022
+    substring-dedup pass): maximal token spans whose 8-token windows
+    all repeat >= 2 times corpus-wide — the byte ranges a training-data
+    dedup pass would cut. One uniform-hash groupBy + a semi-join + one
+    per-doc window: no all-pairs stage (see
+    operators/text.repeated_kgram_spans)."""
+    docs = load(spark, sf_dir, "documents")
+    return txt.repeated_kgram_spans(docs, k=8, min_count=2)
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit frequency-weighted SimHash fingerprint per document."""
     docs = load(spark, sf_dir, "documents")
@@ -2841,6 +2852,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_jpeg_stats": docs_media_jpeg_stats,
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
+    "docs_substring_dedup": docs_substring_dedup,
     # -- block 3: last driver-verified r6 — rotate into the window
     # (34 of 48; the 14 deferred to block 4 are the static TPC-H
     # shapes + minhash, first in line for r9)
@@ -2874,12 +2886,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_bucketed_revenue": orders_bucketed_revenue,
     "docs_hll_vocab": docs_hll_vocab,
     "docs_cms_heavyhitters": docs_cms_heavyhitters,
-    "docs_pii_redaction": docs_pii_redaction,
     "events_detect_spikes": events_detect_spikes,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     # -- block 4 (out of window): r6-verified, deferred to r9 — the
     # most static shapes (TPC-H, double-verified) + minhash +
-    # ngram_jaccard_lsh (untouched; bumped by the new progressive query)
+    # ngram_jaccard_lsh / pii_redaction (untouched; bumped by the new
+    # progressive-JPEG and substring-dedup queries)
+    "docs_pii_redaction": docs_pii_redaction,
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
     "q10_returned_items": q10_returned_items,
     "q14_promo_effect": q14_promo_effect,

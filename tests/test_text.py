@@ -183,3 +183,48 @@ def test_bigram_fluency_scores_coherent_text_higher(spark):
     assert out[3].freq_sum == 3  # each reversed bigram occurs once
     assert out[0].fluency > out[3].fluency
     assert out[0].fluency == out[0].freq_sum / out[0].n_bigrams
+
+
+def test_repeated_kgram_spans_semantics(spark):
+    """Hand-built corpus: doc 1 and doc 2 share one 10-token run (k=4
+    -> 7 duplicated windows merged into ONE maximal span per doc); doc
+    3 repeats a 4-token phrase intra-document (both occurrences
+    flagged); doc 4 is unique (no rows); doc 5 is shorter than k (no
+    rows, no sequence error)."""
+    from jagular_spark.operators.text import repeated_kgram_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"intro one two {shared} outro"),
+        (2, f"{shared} different tail here"),
+        (3, "x y z w junk1 junk2 junk3 x y z w end"),
+        (4, "totally unique words nothing repeats in here at all"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start): (r.span_len, r.n_windows)
+        for r in repeated_kgram_spans(df, k=4).collect()
+    }
+    # doc 1: shared run starts at token 3, 10 tokens -> windows 3..9
+    assert got[(1, 3)] == (10, 7)
+    # doc 2: same run at token 0
+    assert got[(2, 0)] == (10, 7)
+    # doc 3: "x y z w" at 0 and at 7, one window each
+    assert got[(3, 0)] == (4, 1) and got[(3, 7)] == (4, 1)
+    assert {d for d, _ in got} == {1, 2, 3}
+
+
+def test_repeated_kgram_spans_partition_invariant(spark):
+    """Same hashes at 1 and 7 input partitions — the operator's output
+    is a pure function of the corpus, not the layout."""
+    from jagular_spark.operators.text import repeated_kgram_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(
+        map(tuple, repeated_kgram_spans(docs, k=8).collect())
+    )
+    b = sorted(
+        map(tuple, repeated_kgram_spans(docs.repartition(7), k=8).collect())
+    )
+    assert a == b and len(a) > 0
