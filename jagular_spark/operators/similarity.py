@@ -1009,6 +1009,73 @@ def _ivf_search(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    threshold: float = 0.35,
+    fit_fraction: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus by clustering + within-cluster
+    cosine pruning. K-means (the integer-quantized, hash-sampled
+    :func:`ivf_fit_centroids` — same fit the IVF index uses) partitions
+    the corpus; inside each cluster, any vector with a SMALLER-id
+    neighbor at cosine ≥ ``threshold`` is dropped (the deterministic
+    keep-one-representative policy — the paper keeps one random point
+    per duplicate group; min-id is the reproducible equivalent).
+
+    Returns ``(vec_id, cluster, kept)`` for every corpus vector.
+
+    Scale shape: assignment is a narrow literal-centroid argmin
+    projection (zero shuffles, like _ivf_search); the pairwise stage is
+    an EQUI-JOIN ON THE CLUSTER ID — the exact structure SemDeDup
+    exists to exploit: k grows with the corpus so per-cluster pair
+    counts stay bounded, and no cross-cluster pair is ever
+    materialized. Exact integer dots keep the whole fitted pipeline
+    SQL-replayable (the oracle unrolls the Lloyd fit as chained CTEs,
+    the same prefix the IVF oracle uses)."""
+    cents = ivf_fit_centroids(
+        df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt
+    )
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    argmin = F.array_min(_dist_idx(cents)).getField("i").cast("long")
+    # three consumers (two pair-join sides + the final keep-list join):
+    # materialize the assignment once instead of re-running the
+    # centroid argmin over the corpus three times
+    assigned = base.withColumn("cluster", argmin).localCheckpoint(eager=False)
+    a = assigned.select(
+        "cluster", F.col("id").alias("id_a"),
+        F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        "cluster", F.col("id").alias("id_b"),
+        F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+        .where(F.col("cos") >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__dropped__", F.lit(True))
+    )
+    return (
+        assigned.select("id", "cluster")
+        .join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("__dropped__"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ann_topk_ivf_frozen(
     df: DataFrame,
     probe_filter: F.Column,

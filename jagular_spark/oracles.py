@@ -1359,6 +1359,41 @@ def _ivf_fitted_oracle(
 
 ORACLE_SQL["emb_ann_topk_ivf"] = _ivf_fitted_oracle()
 
+# SemDeDup: same sampled Lloyd fit prefix as the IVF oracle, full-corpus
+# argmin assignment, within-cluster pairwise cosine (id_a < id_b), drop
+# any vector with a smaller-id neighbor >= threshold.
+def _semantic_dedup_oracle(
+    k: int = 16, n_iter: int = 3, threshold: float = 0.35,
+    fit_fraction: float = 0.5,
+) -> str:
+    return f"""{_ivf_fit_prefix(k, n_iter, fit_fraction)}
+    , fdist AS (
+        SELECT n.vec_id, n.iv, n.nrm, c.c,
+               CAST(list_sum(list_transform(generate_series(1, 64),
+                    j -> (n.iv[j] - c.civ[j]) * (n.iv[j] - c.civ[j]))) AS BIGINT) AS d
+        FROM normed n CROSS JOIN cents{n_iter} c
+    ), corpus AS (
+        SELECT vec_id, iv, nrm, CAST(c AS BIGINT) AS cl FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM fdist
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
+                    i -> a.iv[i] * b.iv[i])) AS BIGINT) AS dot,
+               a.nrm AS nrm_a, b.nrm AS nrm_b
+        FROM corpus a JOIN corpus b ON a.cl = b.cl AND a.vec_id < b.vec_id
+    ), dropped AS (
+        SELECT DISTINCT id_b AS vec_id FROM pairs
+        WHERE dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE)))
+              >= {threshold}
+    )
+    SELECT c.vec_id, c.cl AS cluster, d.vec_id IS NULL AS kept
+    FROM corpus c LEFT JOIN dropped d USING (vec_id)"""
+
+
+ORACLE_SQL["emb_semantic_dedup"] = _semantic_dedup_oracle()
+
 
 def _pq_fitted_oracle(
     k: int = 5,

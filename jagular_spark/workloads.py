@@ -1366,6 +1366,21 @@ def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: the IVF integer k-means
+    (same sampled fit as emb_ann_topk_ivf) partitions vectors into 16
+    clusters; within each cluster any vector with a smaller-id
+    neighbor at cosine >= 0.35 is dropped. Emits the full
+    (vec_id, cluster, kept) verdict table — the keep-list a semantic
+    dedup pass feeds downstream. Pairwise work is an equi-join on the
+    cluster id (never cross-cluster); the oracle replays fit +
+    assignment + pruning in exact int64."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        emb, n_centroids=16, n_iter=3, threshold=0.35, fit_fraction=0.5
+    )
+
+
 def emb_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-style IVFADC — the memory-bounded ANN serving shape: the
     scan side carries only (id, IVF cell, m PQ codes); candidates from
@@ -2853,6 +2868,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_substring_dedup": docs_substring_dedup,
+    "emb_semantic_dedup": emb_semantic_dedup,
     # -- block 3: last driver-verified r6 — rotate into the window
     # (34 of 48; the 14 deferred to block 4 are the static TPC-H
     # shapes + minhash, first in line for r9)
@@ -2885,13 +2901,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_survivor_setops": docs_survivor_setops,
     "orders_bucketed_revenue": orders_bucketed_revenue,
     "docs_hll_vocab": docs_hll_vocab,
-    "docs_cms_heavyhitters": docs_cms_heavyhitters,
     "events_detect_spikes": events_detect_spikes,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     # -- block 4 (out of window): r6-verified, deferred to r9 — the
     # most static shapes (TPC-H, double-verified) + minhash +
-    # ngram_jaccard_lsh / pii_redaction (untouched; bumped by the new
-    # progressive-JPEG and substring-dedup queries)
+    # ngram_jaccard_lsh / pii_redaction / cms_heavyhitters (untouched;
+    # bumped by the new progressive-JPEG, substring-dedup and
+    # semantic-dedup queries)
+    "docs_cms_heavyhitters": docs_cms_heavyhitters,
     "docs_pii_redaction": docs_pii_redaction,
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
     "q10_returned_items": q10_returned_items,

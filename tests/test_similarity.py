@@ -459,3 +459,43 @@ def test_cosine_neardup_block_count_invariance(spark):
         map(tuple, cosine_neardup_pairs(emb, max_block_rows=16).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_semantic_dedup_semantics_and_consistency(spark):
+    """SemDeDup verdict table: every corpus vector appears exactly
+    once; a dropped vector must have a smaller-id same-cluster
+    neighbor at cosine >= threshold (checked against the exact
+    all-pairs cosine set restricted to the cluster assignment); the
+    min-id vector of every cluster is always kept."""
+    from jagular_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, n_centroids=4, n_iter=2, threshold=0.35,
+                         fit_fraction=0.5).collect()
+    n = emb.count()
+    assert len(out) == n and len({r.vec_id for r in out}) == n
+    cluster_of = {r.vec_id: r.cluster for r in out}
+    close = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(emb, threshold=0.35).collect()
+        if cluster_of[r.id_a] == cluster_of[r.id_b]
+    }
+    has_smaller_neighbor = {b for _, b in close}
+    for r in out:
+        assert r.kept == (r.vec_id not in has_smaller_neighbor), r
+    # min-id per cluster can never have a smaller-id neighbor
+    for cl in set(cluster_of.values()):
+        m = min(v for v, c in cluster_of.items() if c == cl)
+        assert next(r.kept for r in out if r.vec_id == m)
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    from jagular_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, semantic_dedup(emb).collect()))
+    b = sorted(map(tuple, semantic_dedup(emb.repartition(7)).collect()))
+    assert a == b and len(a) > 0
