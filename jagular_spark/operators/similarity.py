@@ -245,6 +245,27 @@ def ngram_jaccard_pairs(
     document's shingle set before the Jaccard, so scores stay
     consistent (not silently underestimated) while the candidate
     volume is bounded by ``max_bucket · n_shingles``."""
+    counts = _ngram_pair_counts(df, id_col, text_col, n, max_bucket)
+    out = (
+        counts
+        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("long"))
+        .withColumn("jaccard", F.col("n_common") / F.col("n_union"))
+        .where(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+    return out.select("id_a", "id_b", "n_common", "n_union", "jaccard")
+
+
+def _ngram_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """The single-exchange bucketed pair generator shared by the
+    Jaccard and containment finishers: ``(id_a, id_b, n_common, n_a,
+    n_b)`` for every pair sharing >= 1 (non-stop) shingle. See
+    ngram_jaccard_pairs for the shape rationale."""
     hashes = doc_shingle_hashes(df, id_col, text_col, n)
     bucket = hashes.groupBy("h").agg(F.collect_list(id_col).alias("ids"))
     if max_bucket is not None:
@@ -297,14 +318,41 @@ def ngram_jaccard_pairs(
     sb = agg.where(F.col("id_a") == F.col("id_b")).select(
         F.col("id_a").alias("id_b"), F.col("cnt").alias("n_b")
     )
-    out = (
+    return (
         common.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
-        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("long"))
-        .withColumn("jaccard", F.col("n_common") / F.col("n_union"))
-        .where(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", "n_common", "n_a", "n_b")
     )
-    return out.select("id_a", "id_b", "n_common", "n_union", "jaccard")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT — the asymmetric dedup metric Jaccard
+    misses: containment(A in B) = |A ∩ B| / |A| flags a short document
+    embedded verbatim in a much longer one (quotes, mirrors,
+    boilerplate wrappers), where Jaccard = |∩|/|∪| stays tiny because
+    the union is dominated by the long side. A pair is emitted when
+    EITHER direction's containment >= ``min_containment``; both
+    directions ship so the consumer can tell subset from superset.
+    Same single-exchange bucketed pair generator (and the same
+    ``max_bucket`` stop-shingle guard) as ngram_jaccard_pairs.
+    ``(id_a, id_b, n_common, n_a, n_b, containment)`` with containment
+    = max of the two directions."""
+    counts = _ngram_pair_counts(df, id_col, text_col, n, max_bucket)
+    cont = F.greatest(
+        F.col("n_common") / F.col("n_a"), F.col("n_common") / F.col("n_b")
+    )
+    return (
+        counts.withColumn("containment", cont)
+        .where(F.col("containment") >= F.lit(min_containment))
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+    )
 
 
 def ngram_jaccard_pairs_lsh(

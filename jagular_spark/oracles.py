@@ -179,6 +179,23 @@ def _similarity_oracles() -> dict[str, str]:
         JOIN sizes sb ON id_b = sb.doc_id
         WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""
 
+    # Asymmetric containment: same shingle/common machinery, max of the
+    # two per-side ratios — flags subset/superset duplication Jaccard
+    # dilutes away.
+    containment = f"""{shingle_cte}, sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               GREATEST(n_common / sa.n_sh, n_common / sb.n_sh) AS containment
+        FROM common
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE GREATEST(n_common / sa.n_sh, n_common / sb.n_sh) >= 0.8"""
+
     # LSH-first exact Jaccard: candidates from the minhash band buckets,
     # common-shingle counting restricted to candidate pairs. The shared
     # hashes JOIN counts multiplicity products like the engine's
@@ -339,6 +356,7 @@ def _similarity_oracles() -> dict[str, str]:
     return {
         "docs_minhash_lsh": minhash_lsh,
         "docs_ngram_jaccard": jaccard,
+        "docs_ngram_containment": containment,
         "docs_ngram_jaccard_lsh": jaccard_lsh,
         "docs_simhash": simhash_sql,
         "docs_simhash_neardup": simhash_neardup_sql,

@@ -615,6 +615,16 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ngram_jaccard_pairs(docs, min_jaccard=0.5)
 
 
+def docs_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment >= 0.8: max(|∩|/|A|, |∩|/|B|) —
+    flags a short document embedded in a longer one (quotes, mirrors,
+    boilerplate wrappers), which symmetric Jaccard dilutes below any
+    usable threshold. Same single-exchange bucketed pair generator as
+    docs_ngram_jaccard."""
+    docs = load(spark, sf_dir, "documents")
+    return sim.ngram_containment_pairs(docs, min_containment=0.8)
+
+
 def docs_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-first exact Jaccard ≥ 0.5: MinHash-LSH banding proposes
     candidates, exact shingle-multiset Jaccard verifies candidates only
@@ -2869,6 +2879,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_substring_dedup": docs_substring_dedup,
     "emb_semantic_dedup": emb_semantic_dedup,
+    "docs_ngram_containment": docs_ngram_containment,
     # -- block 3: last driver-verified r6 — rotate into the window
     # (34 of 48; the 14 deferred to block 4 are the static TPC-H
     # shapes + minhash, first in line for r9)
@@ -2900,14 +2911,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rolling_stats": events_rolling_stats,
     "docs_survivor_setops": docs_survivor_setops,
     "orders_bucketed_revenue": orders_bucketed_revenue,
-    "docs_hll_vocab": docs_hll_vocab,
     "events_detect_spikes": events_detect_spikes,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     # -- block 4 (out of window): r6-verified, deferred to r9 — the
     # most static shapes (TPC-H, double-verified) + minhash +
-    # ngram_jaccard_lsh / pii_redaction / cms_heavyhitters (untouched;
-    # bumped by the new progressive-JPEG, substring-dedup and
-    # semantic-dedup queries)
+    # ngram_jaccard_lsh / pii_redaction / cms_heavyhitters / hll_vocab
+    # (untouched; bumped by the new progressive-JPEG, substring-dedup,
+    # semantic-dedup and containment queries)
+    "docs_hll_vocab": docs_hll_vocab,
     "docs_cms_heavyhitters": docs_cms_heavyhitters,
     "docs_pii_redaction": docs_pii_redaction,
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,

@@ -499,3 +499,40 @@ def test_semantic_dedup_partition_invariant(spark):
     a = sorted(map(tuple, semantic_dedup(emb).collect()))
     b = sorted(map(tuple, semantic_dedup(emb.repartition(7)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a 10x-longer one: containment
+    of the short side is ~1.0 while Jaccard is ~0.1 — the pair must
+    appear in the containment output and NOT in jaccard >= 0.5."""
+    from jagular_spark.operators.similarity import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"w{i}" for i in range(12))
+    filler = " ".join(f"z{i}" for i in range(120))
+    rows = [(1, short), (2, f"{filler} {short}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = ngram_containment_pairs(df, min_containment=0.8).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment == 1.0  # every shingle of doc 1 is in doc 2
+    assert r.n_common == r.n_a == 10  # 12 tokens -> 10 3-gram shingles
+    assert ngram_jaccard_pairs(df, min_jaccard=0.5).collect() == []
+
+
+def test_ngram_containment_respects_max_bucket(spark):
+    """The stop-shingle guard composes with the containment finisher:
+    dropping the heavy bucket removes its contribution from BOTH
+    n_common and the per-doc sizes."""
+    from jagular_spark.operators.similarity import ngram_containment_pairs
+
+    shared = "s1 s2 s3"  # one shingle shared by every doc
+    rows = [(i, f"{shared} u{i}a u{i}b u{i}c") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with_guard = ngram_containment_pairs(df, min_containment=0.1, max_bucket=3)
+    assert with_guard.collect() == []  # only the stop shingle connected them
+    no_guard = ngram_containment_pairs(df, min_containment=0.1).collect()
+    assert len(no_guard) == 10  # all C(5,2) pairs share the stop shingle
