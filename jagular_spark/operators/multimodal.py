@@ -721,6 +721,85 @@ def jpeg_roundtrip_stats(
     return media.mapInPandas(kernel, JPEG_ROUNDTRIP_SCHEMA)
 
 
+MJPEG_ROUNDTRIP_SCHEMA = (
+    "media_id long, frame_idx long, height int, width int, orig_sum bigint, "
+    "mean_px double, frame_ok boolean"
+)
+
+
+def mjpeg_roundtrip_stats(
+    media: DataFrame,
+    quality: int = 100,
+    tol: int = 2,
+    frame_h: int = 16,
+    frame_w: int = 16,
+) -> DataFrame:
+    """REAL compressed-VIDEO roundtrip: raw8 bytes become consecutive
+    (frame_h, frame_w) grayscale frames, each baseline-JPEG encoded,
+    packed into a RIFF/AVI Motion-JPEG container
+    (operators/mjpeg.encode_avi_mjpeg), then the container is parsed
+    back (header dims/fps/frame-count verified) and every frame decoded
+    through the production ``_decode_payload`` jpeg path. Emits one row
+    per frame with exact integer stats of the ORIGINAL frame bytes plus
+    ``frame_ok`` = container fields survived AND |decoded − original| ≤
+    ``tol`` (corpus-calibrated, see jpeg_roundtrip_stats). One narrow
+    Arrow map — payloads never shuffle."""
+    from jagular_spark.operators.jpeg import encode_jpeg_gray8
+    from jagular_spark.operators.mjpeg import decode_avi_mjpeg, encode_avi_mjpeg
+
+    fsz = frame_h * frame_w
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(
+                        f"codec {r.codec!r}: mjpeg_roundtrip_stats needs raw8 input"
+                    )
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                nf = len(buf) // fsz
+                if nf == 0:
+                    continue
+                origs = [
+                    buf[i * fsz : (i + 1) * fsz].reshape(frame_h, frame_w)
+                    for i in range(nf)
+                ]
+                avi = encode_avi_mjpeg(
+                    [encode_jpeg_gray8(p, quality) for p in origs],
+                    frame_w, frame_h, fps=10,
+                )
+                payloads, w, h, fps = decode_avi_mjpeg(avi)
+                dims_ok = (
+                    (w, h, fps) == (frame_w, frame_h, 10) and len(payloads) == nf
+                )
+                for i, (jp, orig) in enumerate(zip(payloads, origs)):
+                    dec01 = _decode_payload(jp, "jpeg", frame_h, frame_w)
+                    dec = np.rint(dec01 * 255.0).astype(np.int64)
+                    ok = (
+                        dims_ok
+                        and dec.shape == (frame_h, frame_w)
+                        and bool(
+                            np.abs(dec - orig.astype(np.int64)).max(initial=0) <= tol
+                        )
+                    )
+                    s = int(orig.sum(dtype=np.int64))
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "height": frame_h,
+                            "width": frame_w,
+                            "orig_sum": s,
+                            "mean_px": float(s) / float(fsz * 255),
+                            "frame_ok": ok,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, MJPEG_ROUNDTRIP_SCHEMA)
+
+
 JPEG_COLOR_ROUNDTRIP_SCHEMA = (
     "media_id long, height int, width int, n_bytes long, orig_sum long, "
     "mean_byte double, y_ok boolean, chroma_ok boolean"

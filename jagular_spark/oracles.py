@@ -1662,6 +1662,26 @@ ORACLE_SQL["docs_media_jpeg_stats"] = """
 # pixels (hence the tolerance flag) must match the baseline path.
 ORACLE_SQL["docs_media_jpeg_progressive"] = ORACLE_SQL["docs_media_jpeg_stats"]
 
+# MJPEG video roundtrip: one row per 256-byte (16x16) frame with exact
+# original-byte stats; the frame_ok flag (container header survival +
+# per-pixel tolerance) is the hash-verified codec signal.
+ORACLE_SQL["docs_media_mjpeg_video"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) // 256 AS BIGINT) AS nf, text
+        FROM documents WHERE length(text) = strlen(text) AND length(text) >= 256
+    ), f AS (
+        SELECT media_id, CAST(s.i AS BIGINT) AS frame_idx,
+               CAST(list_sum(list_transform(
+                        generate_series(s.i * 256 + 1, s.i * 256 + 256),
+                        j -> ord(substr(text, j, 1)))) AS BIGINT) AS orig_sum
+        FROM b, UNNEST(generate_series(0, nf - 1)) AS s(i)
+    )
+    SELECT media_id, frame_idx, 16 AS height, 16 AS width, orig_sum,
+           CAST(orig_sum AS DOUBLE) / (256 * 255) AS mean_px,
+           TRUE AS frame_ok
+    FROM f"""
+
 # Color 4:2:0 roundtrip: exact byte stats over the (n//48)*48 bytes the
 # kernel consumes; the y_ok/chroma_ok tolerance flags are the
 # hash-verified codec signal (TRUE for a correct codec on this corpus).

@@ -1107,6 +1107,35 @@ def docs_media_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_media_mjpeg_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video roundtrip under the driver oracle: doc
+    bytes become 16x16 grayscale frames, every frame is baseline-JPEG
+    encoded, the frames are packed into a RIFF/AVI Motion-JPEG
+    container, the container is parsed back and each frame decoded
+    through the production jpeg path — per-frame exact original-byte
+    stats + a frame_ok flag covering container header survival AND the
+    pixel tolerance. Only inter-frame codecs needing external libs
+    (H.264) remain stubbed."""
+    from jagular_spark.operators.multimodal import mjpeg_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    nb = F.length(F.encode("text", "UTF-8"))
+    media = docs.where(nb >= 256).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        (nb / F.lit(256)).cast("int").alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    # Python codec kernel dominates — spread across executor threads
+    return mjpeg_roundtrip_stats(
+        media.repartition(64, "media_id"), quality=100, tol=2
+    )
+
+
 def docs_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 COLOR baseline-JPEG roundtrip under the driver oracle: doc
     bytes become a (h, 16, 3) RGB image, go through the full color
@@ -2880,6 +2909,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_substring_dedup": docs_substring_dedup,
     "emb_semantic_dedup": emb_semantic_dedup,
     "docs_ngram_containment": docs_ngram_containment,
+    "docs_media_mjpeg_video": docs_media_mjpeg_video,
     # -- block 3: last driver-verified r6 — rotate into the window
     # (34 of 48; the 14 deferred to block 4 are the static TPC-H
     # shapes + minhash, first in line for r9)
@@ -2908,16 +2938,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zscore": events_zscore,
     "events_salted_hourly": events_salted_hourly,
     "events_compacted_roundtrip": events_compacted_roundtrip,
-    "events_rolling_stats": events_rolling_stats,
     "docs_survivor_setops": docs_survivor_setops,
     "orders_bucketed_revenue": orders_bucketed_revenue,
     "events_detect_spikes": events_detect_spikes,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     # -- block 4 (out of window): r6-verified, deferred to r9 — the
     # most static shapes (TPC-H, double-verified) + minhash +
-    # ngram_jaccard_lsh / pii_redaction / cms_heavyhitters / hll_vocab
-    # (untouched; bumped by the new progressive-JPEG, substring-dedup,
-    # semantic-dedup and containment queries)
+    # ngram_jaccard_lsh / pii_redaction / cms_heavyhitters / hll_vocab /
+    # rolling_stats (untouched; bumped by the new progressive-JPEG,
+    # substring-dedup, semantic-dedup, containment and MJPEG queries)
+    "events_rolling_stats": events_rolling_stats,
     "docs_hll_vocab": docs_hll_vocab,
     "docs_cms_heavyhitters": docs_cms_heavyhitters,
     "docs_pii_redaction": docs_pii_redaction,

@@ -280,3 +280,70 @@ def test_wav_pcm16_roundtrip_and_stereo_fold():
     assert sr == 44100
     want = (left.astype(np.int32) + right.astype(np.int32)) // 2
     np.testing.assert_array_equal(got, want)
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """RIFF/AVI MJPEG: frame payloads come back byte-identical (incl.
+    the odd-length pad rule), header dims/fps/count survive, and the
+    spec-level header layout is right (avih at fixed offsets, strf
+    biCompression MJPG, idx1 present)."""
+    import struct
+
+    import numpy as np
+
+    from jagular_spark.operators.jpeg import encode_jpeg_gray8
+    from jagular_spark.operators.mjpeg import decode_avi_mjpeg, encode_avi_mjpeg
+
+    rng = np.random.default_rng(2)
+    frames = [
+        encode_jpeg_gray8(rng.integers(0, 256, (16, 24), dtype=np.uint8), 100)
+        for _ in range(4)
+    ]
+    frames[1] = frames[1] + b"\x00" * (1 - len(frames[1]) % 2)  # force odd
+    avi = encode_avi_mjpeg(frames, 24, 16, fps=25)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    (riff_size,) = struct.unpack("<I", avi[4:8])
+    assert riff_size == len(avi) - 8
+    assert b"MJPG" in avi and b"idx1" in avi and b"movi" in avi
+    out, w, h, fps = decode_avi_mjpeg(avi)
+    assert (w, h, fps) == (24, 16, 25)
+    assert out == frames
+
+
+def test_avi_mjpeg_rejects_non_mjpg_and_garbage():
+    import pytest
+
+    from jagular_spark.operators.mjpeg import decode_avi_mjpeg, encode_avi_mjpeg
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"nonsense")
+    avi = bytearray(encode_avi_mjpeg([b"\xff\xd8fake\xff\xd9"], 8, 8))
+    i = avi.index(b"MJPG", avi.index(b"strf"))  # strf biCompression
+    avi[i : i + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_avi_mjpeg(bytes(avi))
+
+
+def test_mjpeg_roundtrip_stats_operator(spark):
+    """End-to-end video kernel: 3 frames of known bytes through
+    JPEG-encode → AVI → parse → production decode; exact per-frame
+    sums, all frames ok, trailing partial frame ignored."""
+    import numpy as np
+
+    from jagular_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        mjpeg_roundtrip_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    buf = rng.integers(0, 256, 3 * 256 + 100, dtype=np.uint8)  # 3 frames + tail
+    rows = [(7, "video", "raw8", bytearray(buf.tobytes()), 16, 16, 3, 0)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.frame_idx: r for r in mjpeg_roundtrip_stats(df).collect()}
+    assert set(got) == {0, 1, 2}
+    for i in range(3):
+        seg = buf[i * 256 : (i + 1) * 256]
+        r = got[i]
+        assert r.orig_sum == int(seg.sum(dtype=np.int64))
+        assert r.frame_ok and (r.height, r.width) == (16, 16)
+        assert abs(r.mean_px - r.orig_sum / (256 * 255)) < 1e-15
