@@ -14,10 +14,12 @@ markers and SOF2 multi-scan successive approximation; grayscale and
 4:2:0 color encode in both profiles), plus the lossy audio pair in
 operators/audio_codecs.py: ``ulaw`` (G.711 companding) and
 ``adpcm_ima`` (IMA 4-bit adaptive differential), both decodable in
-:func:`audio_window_features`. Codecs genuinely needing external
-libraries absent from this container (opus/h264) raise
-``NotImplementedError``; swapping one in touches exactly one function
-(`_decode_payload`) — the distributed plan is unchanged.
+:func:`audio_window_features`. Video rides a REAL RIFF/AVI Motion-JPEG
+container (operators/mjpeg.py, :func:`mjpeg_roundtrip_stats`). Codecs
+genuinely needing external libraries absent from this container
+(opus/h264) raise ``NotImplementedError``; swapping one in touches
+exactly one function (`_decode_payload`) — the distributed plan is
+unchanged.
 
 Scale notes: payloads stay packed in Arrow buffers end-to-end (no Python
 per-row loops — numpy ``frombuffer`` per batch); decode is a narrow map

@@ -395,3 +395,31 @@ def test_partition_count_invariance(spark):
             pd.testing.assert_frame_equal(a, b, check_exact=True), fn.__name__
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_semantic_dedup_no_cartesian_and_bounded_collect(spark):
+    """SemDeDup's pairwise stage must be an equi-join on the cluster id
+    — no CartesianProduct / BroadcastNestedLoopJoin anywhere — and the
+    centroid assignment a literal projection (the centroid table never
+    appears as a join side). The only collect is the hash-sampled fit
+    inside ivf_fit_centroids (pinned by the ivf fit tests)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _formatted(sim.semantic_dedup(emb, n_centroids=4, n_iter=1))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_substring_dedup_shuffle_budget(spark):
+    """Repeated-kgram spans: the dup decision is ONE uniform-hash
+    aggregate and the span merge ONE per-doc window — the corpus-wide
+    exchanges stay O(1) in duplication density (no pair join, no
+    cartesian)."""
+    from jagular_spark.operators.text import repeated_kgram_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _formatted(repeated_kgram_spans(docs, k=8))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # hash-join of window rows against the dup-hash set, never a
+    # row-multiplying join: the join key is the window hash itself
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
