@@ -238,9 +238,17 @@ def _decode_payload(
             r, g, b = (img[:, :, i].astype(np.int64) for i in range(3))
             gray = (77 * r + 150 * g + 29 * b) >> 8
         return gray / np.float64(255.0)
+    if codec == "gif":
+        from jagular_spark.operators.gif import decode_gif
+
+        frames, _w, _h = decode_gif(bytes(payload))
+        f = frames[0].astype(np.int64)  # palette RGB -> integer luma
+        gray = (77 * f[:, :, 0] + 150 * f[:, :, 1] + 29 * f[:, :, 2]) >> 8
+        return gray / np.float64(255.0)
     raise NotImplementedError(
         f"codec {codec!r}: compressed-media decoding needs an external decoder "
-        "(ffmpeg), unavailable in this environment; raw8/png/jpeg are implemented"
+        "(ffmpeg), unavailable in this environment; raw8/png/jpeg/gif are "
+        "implemented"
     )
 
 
@@ -613,6 +621,47 @@ def png_byte_stats(media: DataFrame) -> DataFrame:
                 buf = img[:, :, 0].ravel()
                 n = int(buf.size)
                 s = int(buf.sum(dtype=np.int64))
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "n_bytes": n,
+                        "byte_sum": s,
+                        "mean_px": float(s) / float(n * 255) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, BYTE_STATS_SCHEMA)
+
+
+def gif_roundtrip_stats(media: DataFrame) -> DataFrame:
+    """raw8 → REAL GIF89a container (identity gray palette, GIF-LZW
+    compress, operators/gif.py) → full production decode
+    (``_decode_payload`` gif path: sub-block unwrap, LZW decompress,
+    palette → integer luma) → exact integer stats of the DECODED
+    pixels. GIF is lossless and the gray palette makes luma the
+    identity, so the oracle is the plain raw-byte statistics — any
+    LZW/palette/framing bug breaks the hash."""
+    from jagular_spark.operators.gif import encode_gif_gray8
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(
+                        f"codec {r.codec!r}: gif_roundtrip_stats needs raw8 input"
+                    )
+                h, w = int(r.height), int(r.width)
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)[: h * w]
+                if len(buf) < h * w:
+                    buf = np.pad(buf, (0, h * w - len(buf)))
+                dec01 = _decode_payload(
+                    encode_gif_gray8(buf.reshape(h, w)), "gif", h, w
+                )
+                dec = np.rint(dec01 * np.float64(255.0)).astype(np.int64)
+                n = int(dec.size)
+                s = int(dec.sum())
                 rows.append(
                     {
                         "media_id": r.media_id,

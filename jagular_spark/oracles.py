@@ -1662,6 +1662,10 @@ ORACLE_SQL["docs_media_jpeg_stats"] = """
 # pixels (hence the tolerance flag) must match the baseline path.
 ORACLE_SQL["docs_media_jpeg_progressive"] = ORACLE_SQL["docs_media_jpeg_stats"]
 
+# GIF roundtrip is lossless with an identity gray palette — the oracle
+# is the same plain raw-byte statistics as PNG's.
+ORACLE_SQL["docs_media_gif_roundtrip"] = ORACLE_SQL["docs_media_png_roundtrip"]
+
 # MJPEG video roundtrip: one row per 256-byte (16x16) frame with exact
 # original-byte stats; the frame_ok flag (container header survival +
 # per-pixel tolerance) is the hash-verified codec signal.

@@ -1044,6 +1044,30 @@ def docs_media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_byte_stats(png_encode_images(media))
 
 
+def docs_media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF round-trip under the driver oracle: doc bytes → raw8
+    image → GIF89a container (identity gray palette + GIF-LZW,
+    operators/gif.py) → full production decode (sub-block unwrap, LZW,
+    palette luma) → exact integer byte stats. Lossless, so the oracle
+    is the plain raw-byte statistics — any LZW width/reset or framing
+    bug breaks the hash."""
+    from jagular_spark.operators.multimodal import gif_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length(F.encode("text", "UTF-8")).cast("int").alias("width"),
+        F.lit(1).alias("height"),
+        F.lit(1).alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    # Python LZW dominates — spread across executor threads
+    return gif_roundtrip_stats(media.repartition(64, "media_id"))
+
+
 def docs_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG round-trip under the driver oracle: doc bytes
     become a 24-wide raw8 grayscale image (zero-padded tail), go
@@ -2910,6 +2934,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_semantic_dedup": emb_semantic_dedup,
     "docs_ngram_containment": docs_ngram_containment,
     "docs_media_mjpeg_video": docs_media_mjpeg_video,
+    "docs_media_gif_roundtrip": docs_media_gif_roundtrip,
     # -- block 3: last driver-verified r6 — rotate into the window
     # (34 of 48; the 14 deferred to block 4 are the static TPC-H
     # shapes + minhash, first in line for r9)
@@ -2937,7 +2962,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sortedness": events_sortedness,
     "events_zscore": events_zscore,
     "events_salted_hourly": events_salted_hourly,
-    "events_compacted_roundtrip": events_compacted_roundtrip,
     "docs_survivor_setops": docs_survivor_setops,
     "orders_bucketed_revenue": orders_bucketed_revenue,
     "events_detect_spikes": events_detect_spikes,
@@ -2945,8 +2969,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- block 4 (out of window): r6-verified, deferred to r9 — the
     # most static shapes (TPC-H, double-verified) + minhash +
     # ngram_jaccard_lsh / pii_redaction / cms_heavyhitters / hll_vocab /
-    # rolling_stats (untouched; bumped by the new progressive-JPEG,
-    # substring-dedup, semantic-dedup, containment and MJPEG queries)
+    # rolling_stats / compacted_roundtrip (untouched; bumped by the new
+    # progressive-JPEG, substring-dedup, semantic-dedup, containment,
+    # MJPEG and GIF queries)
+    "events_compacted_roundtrip": events_compacted_roundtrip,
     "events_rolling_stats": events_rolling_stats,
     "docs_hll_vocab": docs_hll_vocab,
     "docs_cms_heavyhitters": docs_cms_heavyhitters,
