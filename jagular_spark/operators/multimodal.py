@@ -3,7 +3,7 @@ pipelines: opaque ``binary`` payloads + typed metadata, processed with
 Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side machinery — schemas, batch iteration, vectorized numpy
-decode, partition-invariant results — is real and tested. Six codecs
+decode, partition-invariant results — is real and tested. Seven codecs
 are REAL, stdlib/numpy-only implementations of their public specs:
 ``raw8`` (raw uint8 grayscale / PCM bytes), ``png`` (zlib inflate + all
 five scanline filters, :func:`decode_png`/:func:`encode_png_gray8`),
@@ -14,7 +14,8 @@ markers and SOF2 multi-scan successive approximation; grayscale and
 4:2:0 color encode in both profiles), plus the lossy audio pair in
 operators/audio_codecs.py: ``ulaw`` (G.711 companding) and
 ``adpcm_ima`` (IMA 4-bit adaptive differential), both decodable in
-:func:`audio_window_features`. Video rides a REAL RIFF/AVI Motion-JPEG
+:func:`audio_window_features`, and ``gif`` (GIF89a LZW + palettes +
+interlace, operators/gif.py). Video rides a REAL RIFF/AVI Motion-JPEG
 container (operators/mjpeg.py, :func:`mjpeg_roundtrip_stats`). Codecs
 genuinely needing external libraries absent from this container
 (opus/h264) raise ``NotImplementedError``; swapping one in touches
