@@ -448,12 +448,20 @@ def audio_window_features(media: DataFrame, window: int = 1024) -> DataFrame:
                 elif r.codec == "adpcm_ima":
                     samples = adpcm_ima_decode(bytes(r.payload), int(r.n_frames))
                     centered_all = samples.astype(np.float64) / 32768.0
+                elif r.codec == "flac":
+                    from jagular_spark.operators.flac import decode_flac
+
+                    samples, _sr = decode_flac(bytes(r.payload))
+                    if samples.ndim == 2:  # stereo: feature over the mixdown
+                        samples = (samples[:, 0] + samples[:, 1]) // 2
+                    centered_all = samples.astype(np.float64) / 32768.0
                 elif r.codec == "raw8":
                     buf = np.frombuffer(bytes(r.payload), dtype=np.uint8).astype(np.float64)
                     centered_all = (buf - 128.0) / 128.0
                 else:
                     raise NotImplementedError(
-                        f"codec {r.codec!r}: only raw8/wav/ulaw/adpcm_ima decodable here"
+                        f"codec {r.codec!r}: only raw8/wav/ulaw/adpcm_ima/flac "
+                        "decodable here"
                     )
                 n_win = len(centered_all) // window
                 if n_win == 0:
@@ -674,6 +682,52 @@ def gif_roundtrip_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(kernel, BYTE_STATS_SCHEMA)
+
+
+def flac_roundtrip_byte_stats(media: DataFrame, window: int = 1024) -> DataFrame:
+    """raw8 PCM bytes → int16 samples (byte − 128) → REAL FLAC encode
+    (operators/flac.py: fixed predictors + Rice residuals, CRC-8/16) →
+    full FLAC decode → the same windowed integer deviation stats the
+    raw-byte audio oracle scores. FLAC is lossless, so the oracle is
+    exactly :func:`audio_window_byte_stats`'s — any predictor / Rice /
+    framing / CRC bug breaks the hash."""
+    from jagular_spark.operators.flac import decode_flac, encode_flac_pcm16
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(
+                        f"codec {r.codec!r}: flac_roundtrip_byte_stats needs raw8"
+                    )
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8).astype(np.int16)
+                payload = encode_flac_pcm16(
+                    buf - 128, sample_rate=int(r.sample_rate) or 16000
+                )
+                samples, _sr = decode_flac(payload)
+                dev_all = samples.astype(np.int64)
+                n_win = len(dev_all) // window
+                if n_win == 0:
+                    continue
+                dev = dev_all[: n_win * window].reshape(n_win, window)
+                sum_dev2 = (dev * dev).sum(axis=1)
+                peak = np.abs(dev).max(axis=1)
+                clipped = (np.abs(dev) >= 127).sum(axis=1)
+                for i in range(n_win):
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "window_idx": i,
+                            "sum_dev2": int(sum_dev2[i]),
+                            "peak_dev": int(peak[i]),
+                            "n_clipped": int(clipped[i]),
+                            "rms": float(np.sqrt(float(sum_dev2[i]) / window) / 128.0),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, AUDIO_WINDOW_BYTE_SCHEMA)
 
 
 def jpeg_encode_images(media: DataFrame, quality: int = 100) -> DataFrame:

@@ -1148,6 +1148,8 @@ ORACLE_SQL["docs_media_audio"] = """
 
 # wav round-trip is lossless over byte-128 samples: same oracle as raw8
 ORACLE_SQL["docs_media_wav_roundtrip"] = ORACLE_SQL["docs_media_audio"]
+# FLAC round-trip is lossless over the same samples: same oracle again
+ORACLE_SQL["docs_media_flac_roundtrip"] = ORACLE_SQL["docs_media_audio"]
 
 
 def _mulaw_roundtrip_lut() -> list[int]:

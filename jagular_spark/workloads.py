@@ -1338,6 +1338,33 @@ def docs_media_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_window_byte_stats(wav_encode_audio(media), window=32)
 
 
+def docs_media_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-compressed-audio roundtrip under the driver
+    oracle: doc bytes -> int16 PCM (byte - 128) -> full FLAC encode
+    (fixed predictors, Rice residuals, CRC-8/16 — the format speech
+    corpora actually ship) -> full FLAC decode -> the same windowed
+    integer deviation stats the raw-byte oracle scores. Lossless, so
+    the oracle is identical to the raw-audio one: any predictor / Rice
+    / framing bug breaks the hash."""
+    from jagular_spark.operators.multimodal import flac_roundtrip_byte_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.lit(0).alias("n_frames"),
+        F.lit(8000).alias("sample_rate"),
+    )
+    # Python codec kernel dominates — spread across executor threads
+    return flac_roundtrip_byte_stats(
+        media.repartition(64, "media_id"), window=32
+    )
+
+
 def docs_media_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-audio roundtrip, HASH-EXACT under the driver oracle:
     doc bytes -> int16 PCM ((byte-128)*256, spanning the full mu-law
@@ -2935,6 +2962,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_containment": docs_ngram_containment,
     "docs_media_mjpeg_video": docs_media_mjpeg_video,
     "docs_media_gif_roundtrip": docs_media_gif_roundtrip,
+    "docs_media_flac_roundtrip": docs_media_flac_roundtrip,
     # -- block 3: last driver-verified r6 — rotate into the window
     # (34 of 48; the 14 deferred to block 4 are the static TPC-H
     # shapes + minhash, first in line for r9)
@@ -2962,16 +2990,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sortedness": events_sortedness,
     "events_zscore": events_zscore,
     "events_salted_hourly": events_salted_hourly,
-    "docs_survivor_setops": docs_survivor_setops,
-    "orders_bucketed_revenue": orders_bucketed_revenue,
     "events_detect_spikes": events_detect_spikes,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     # -- block 4 (out of window): r6-verified, deferred to r9 — the
     # most static shapes (TPC-H, double-verified) + minhash +
     # ngram_jaccard_lsh / pii_redaction / cms_heavyhitters / hll_vocab /
-    # rolling_stats / compacted_roundtrip (untouched; bumped by the new
-    # progressive-JPEG, substring-dedup, semantic-dedup, containment,
-    # MJPEG and GIF queries)
+    # rolling_stats / compacted_roundtrip / survivor_setops /
+    # bucketed_revenue (untouched; bumped by the new progressive-JPEG,
+    # substring-dedup, semantic-dedup, containment, MJPEG, GIF and FLAC
+    # queries)
+    "docs_survivor_setops": docs_survivor_setops,
+    "orders_bucketed_revenue": orders_bucketed_revenue,
     "events_compacted_roundtrip": events_compacted_roundtrip,
     "events_rolling_stats": events_rolling_stats,
     "docs_hll_vocab": docs_hll_vocab,
