@@ -61,6 +61,7 @@ class _LZWWriter:
 def lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
     """GIF LZW: emit CLEAR, build the string table greedily, bump the
     code width when the next code no longer fits, reset at 4096."""
+    indices = np.asarray(indices, dtype=np.uint8)  # tobytes() below is 1 B/px
     clear = 1 << min_code_size
     end = clear + 1
     bw = _LZWWriter()

@@ -319,3 +319,58 @@ def test_pii_redaction_agrees_with_python_re(spark, docs):
         for _, pat, token in PII_PATTERNS:
             expected = pyre.sub(pat, token, expected)
         assert got[i].redacted == expected, t
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=1, max_size=2000),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+def test_gif_lzw_roundtrip_property(data, mcs):
+    """GIF-LZW compress/decompress is the identity for any index
+    stream, across code sizes (incl. width growth and 4096 resets)."""
+    import numpy as np
+
+    from jagular_spark.operators.gif import lzw_compress, lzw_decompress
+
+    idx = (np.frombuffer(data, dtype=np.uint8) % (1 << mcs)).astype(np.uint8)
+    blocks = lzw_compress(idx, mcs)
+    raw = bytearray()
+    pos = 0
+    while blocks[pos] != 0:
+        n = blocks[pos]
+        raw += blocks[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+    assert (lzw_decompress(bytes(raw), mcs, len(idx)) == idx).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=3000
+    ),
+    block=st.sampled_from([256, 1024, 4096]),
+)
+def test_flac_roundtrip_property(samples, block):
+    """FLAC encode/decode is lossless for any int16 signal at any
+    block size (multi-frame, predictor selection, Rice escapes)."""
+    import numpy as np
+
+    from jagular_spark.operators.flac import decode_flac, encode_flac_pcm16
+
+    x = np.array(samples, dtype=np.int16)
+    y, _ = decode_flac(encode_flac_pcm16(x, block_size=block))
+    assert y.shape == x.shape and (y == x.astype(np.int64)).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.binary(min_size=64, max_size=1200))
+def test_gif_image_roundtrip_property(data):
+    import numpy as np
+
+    from jagular_spark.operators.gif import decode_gif_gray, encode_gif_gray8
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    w = max(1, len(buf) // 8)
+    img = buf[: 8 * w].reshape(8, w)
+    assert (decode_gif_gray(encode_gif_gray8(img)) == img).all()
