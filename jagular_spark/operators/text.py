@@ -466,6 +466,21 @@ def redact_pii(
     ).withColumn("was_redacted", F.col(out_col) != F.col(text_col))
 
 
+def window_hash_expr(text_col: str, k: int) -> str:
+    """SQL expression: the md5 hash of every k-token sliding window of
+    ``text_col`` as an array (row-local; binds the token array once via
+    the transform-wrapper idiom; the size guard keeps ``sequence`` from
+    descending on short docs). Shared by the batch and streaming
+    substring-dedup paths."""
+    return (
+        f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
+        f"if(size(t) >= {k}, "
+        f"   transform(sequence(0, size(t) - {k}), "
+        f"             i -> md5(concat_ws(' ', slice(t, i + 1, {k})))), "
+        f"   cast(array() as array<string>)))[0]"
+    )
+
+
 def repeated_kgram_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -496,13 +511,7 @@ def repeated_kgram_spans(
 
     Returns one row per maximal duplicated span: (id, span_start,
     span_len, n_windows), token-indexed, span_len in tokens."""
-    win_expr = (
-        f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
-        f"if(size(t) >= {k}, "
-        f"   transform(sequence(0, size(t) - {k}), "
-        f"             i -> md5(concat_ws(' ', slice(t, i + 1, {k})))), "
-        f"   cast(array() as array<string>)))[0]"
-    )
+    win_expr = window_hash_expr(text_col, k)
     # repartition spreads the O(tokens·k) window hashing across executor
     # threads regardless of input split count (same measured pattern as
     # similarity.doc_shingle_hashes); the lazy localCheckpoint

@@ -1734,6 +1734,10 @@ ORACLE_SQL["docs_substring_dedup"] = """
            CAST(COUNT(*) AS BIGINT) AS n_windows
     FROM isl GROUP BY doc_id, grp"""
 
+# The streamed twin emits the same duplicated-window marks, merged by
+# the same span aggregate — identical oracle.
+ORACLE_SQL["docs_substring_dedup_streamed"] = ORACLE_SQL["docs_substring_dedup"]
+
 ORACLE_SQL["docs_chunking"] = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

@@ -347,6 +347,69 @@ def stream_lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_dup_kgram_marks(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Incremental duplicated-k-gram detection (batch twin:
+    operators.text.repeated_kgram_spans' dup-mark stage): per arriving
+    doc the row-local window hashes explode (no shuffle before the
+    stateful groupBy); each hash keeps its occurrences as GroupState.
+    The FIRST occurrence is buffered; when the second arrives both are
+    emitted (the retroactive mark), and every later arrival emits
+    immediately — so the emitted (doc_id, pos) multiset equals the
+    batch operator's duplicated-window marks. The span merge
+    (gaps-and-islands per doc) runs on the sink table, a pure batch
+    aggregate.
+
+    State per hash is ≤ 1 buffered occurrence after the dup flag flips
+    (two longs + a bool) — bounded; a production deployment would add
+    an event-time timeout to retire cold hashes (the dedup horizon).
+    Within one micro-batch, arrivals process in (doc_id, pos) order
+    (the deterministic replay order)."""
+    from jagular_spark.operators.text import window_hash_expr
+
+    wins = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.expr(window_hash_expr("text", k))).alias("pos", "h"),
+    )
+
+    def kernel(key, pdfs, state: GroupState):
+        if state.exists:
+            buf_docs, buf_poss, emitted = state.get
+            buffered = list(zip(buf_docs, buf_poss))
+        else:
+            buffered, emitted = [], False
+        out_d: list[int] = []
+        out_p: list[int] = []
+        for pdf in pdfs:
+            arrivals = sorted(
+                (int(d), int(p)) for d, p in zip(pdf["doc_id"], pdf["pos"])
+            )
+            for doc, pos in arrivals:
+                if emitted:
+                    out_d.append(doc)
+                    out_p.append(pos)
+                else:
+                    buffered.append((doc, pos))
+                    if len(buffered) >= 2:
+                        for bd, bp in buffered:
+                            out_d.append(bd)
+                            out_p.append(bp)
+                        buffered = []
+                        emitted = True
+        state.update(
+            ([d for d, _ in buffered], [p for _, p in buffered], emitted)
+        )
+        if out_d:
+            yield pd.DataFrame({"doc_id": out_d, "pos": out_p})
+
+    return wins.groupBy("h").applyInPandasWithState(
+        kernel,
+        "doc_id long, pos long",
+        "docs array<long>, poss array<long>, emitted boolean",
+        "append",
+        "NoTimeout",
+    )
+
+
 def stream_fluency_score(docs: DataFrame, model: DataFrame) -> DataFrame:
     """Frozen-model LM quality scoring on a document stream: the bigram
     model is fit offline (operators.text.bigram_model over the training

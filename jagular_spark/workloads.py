@@ -1960,6 +1960,40 @@ def docs_lsh_candidates_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_substring_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of docs_substring_dedup: arriving docs explode
+    into per-hash window occurrences; GroupState buffers a hash's first
+    occurrence and emits retroactively when the hash turns duplicate
+    (streaming/pipeline.stream_dup_kgram_marks). One availableNow pass
+    emits exactly the batch operator's duplicated-window marks, and the
+    gaps-and-islands span merge runs as a batch aggregate over the
+    memory sink — so the query shares docs_substring_dedup's oracle
+    verbatim."""
+    from jagular_spark.streaming.pipeline import stream_dup_kgram_marks
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = _stage_dir("ssd_stream", sf_dir)
+    docs.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    tbl = _run_stream_to_table(stream_dup_kgram_marks(stream, k=8), "ssd_stream")
+    from pyspark.sql import Window
+
+    marked = spark.table(tbl)
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        marked.withColumn("__grp__", grp)
+        .groupBy("doc_id", "__grp__")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(8)).cast("long").alias("span_len"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows")
+    )
+
+
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the canonical timeseries enrichment Spark
     lacks natively): every 'view' event gets the most recent preceding
@@ -2963,6 +2997,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_mjpeg_video": docs_media_mjpeg_video,
     "docs_media_gif_roundtrip": docs_media_gif_roundtrip,
     "docs_media_flac_roundtrip": docs_media_flac_roundtrip,
+    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
     # -- block 3: last driver-verified r6 — rotate into the window
     # (34 of 48; the 14 deferred to block 4 are the static TPC-H
     # shapes + minhash, first in line for r9)
@@ -2988,7 +3023,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,
     "events_hourly_rollup": events_hourly_rollup,
     "events_sortedness": events_sortedness,
-    "events_zscore": events_zscore,
     "events_salted_hourly": events_salted_hourly,
     "events_detect_spikes": events_detect_spikes,
     "docs_ngram_jaccard": docs_ngram_jaccard,
@@ -2996,9 +3030,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # most static shapes (TPC-H, double-verified) + minhash +
     # ngram_jaccard_lsh / pii_redaction / cms_heavyhitters / hll_vocab /
     # rolling_stats / compacted_roundtrip / survivor_setops /
-    # bucketed_revenue (untouched; bumped by the new progressive-JPEG,
-    # substring-dedup, semantic-dedup, containment, MJPEG, GIF and FLAC
-    # queries)
+    # bucketed_revenue / zscore (untouched; bumped by the new
+    # progressive-JPEG, substring-dedup (+streamed twin), semantic-dedup,
+    # containment, MJPEG, GIF and FLAC queries)
+    "events_zscore": events_zscore,
     "docs_survivor_setops": docs_survivor_setops,
     "orders_bucketed_revenue": orders_bucketed_revenue,
     "events_compacted_roundtrip": events_compacted_roundtrip,

@@ -228,3 +228,18 @@ def test_repeated_kgram_spans_partition_invariant(spark):
         map(tuple, repeated_kgram_spans(docs.repartition(7), k=8).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_substring_dedup_streamed_equals_batch(spark):
+    """The availableNow streamed composition (GroupState retroactive
+    dup marks -> batch span merge) must equal the batch operator
+    row-for-row."""
+    from jagular_spark.workloads import (
+        docs_substring_dedup,
+        docs_substring_dedup_streamed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(tuple, docs_substring_dedup(spark, sf).collect()))
+    streamed = sorted(map(tuple, docs_substring_dedup_streamed(spark, sf).collect()))
+    assert streamed == batch and len(batch) > 0
