@@ -108,3 +108,35 @@ def rebalance_sample(
         .where(hash_bucket(key_col, salt) < thr)
         .drop("__n_g__", "__n_tot__")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the step a pretraining
+    pipeline runs before writing training shards: every row gets a
+    pseudorandom (but salt-reproducible) shard and position so that
+    readers streaming shard files see a uniformly mixed corpus.
+
+    Scale shape: NO global sort. The shard is a row-local hash bucket
+    (uniform, so shards balance), and the position is a rank within the
+    shard ordered by a SECOND independent hash — one window per shard
+    partition, fully parallel. A global row_number would funnel 100 TB
+    through one task; per-shard ranking is the standard distributed
+    formulation and changes nothing a shard-local reader can observe.
+    Ties (hash collisions) break by key, so the layout is a pure
+    function of (corpus, salt) — retry- and partition-count-invariant.
+
+    ``(…input cols…, shard, pos_in_shard)``."""
+    from pyspark.sql import Window
+
+    shard = F.pmod(hash_bucket(key_col, salt), F.lit(n_shards)).cast("long")
+    order = hash_bucket(key_col, salt + "#pos")
+    w = Window.partitionBy("shard").orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("long"))
+    )

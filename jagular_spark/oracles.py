@@ -1738,6 +1738,23 @@ ORACLE_SQL["docs_substring_dedup"] = """
 # the same span aggregate — identical oracle.
 ORACLE_SQL["docs_substring_dedup_streamed"] = ORACLE_SQL["docs_substring_dedup"]
 
+# Deterministic shuffle+shard: shard = salted md5 bucket mod 8,
+# position = rank within shard by an independent salted hash (key
+# tiebreak) — mirrors sampling.shuffle_shards exactly.
+ORACLE_SQL["docs_shuffle_shards"] = """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('train-mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 8 AS shard,
+               ('0x' || substr(md5('train-mix-v1#pos' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS ord
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1
+                AS BIGINT) AS pos_in_shard
+    FROM h"""
+
 ORACLE_SQL["docs_chunking"] = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents

@@ -1611,6 +1611,18 @@ def _dedup_cluster_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding (the pre-shard-write
+    step of a pretraining pipeline): shard = row-local md5 bucket,
+    position = rank within shard by an independent salted hash — one
+    per-shard window, NO global sort (operators/sampling.shuffle_shards).
+    Reproducible across runs, engines and partitionings."""
+    from jagular_spark.operators.sampling import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=8, salt="train-mix-v1")
+
+
 def docs_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing toward a target language composition: the
     per-language keep-fraction is COMPUTED from observed counts
@@ -2998,6 +3010,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_gif_roundtrip": docs_media_gif_roundtrip,
     "docs_media_flac_roundtrip": docs_media_flac_roundtrip,
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
+    "docs_shuffle_shards": docs_shuffle_shards,
     # -- block 3: last driver-verified r6 — rotate into the window
     # (34 of 48; the 14 deferred to block 4 are the static TPC-H
     # shapes + minhash, first in line for r9)

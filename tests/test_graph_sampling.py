@@ -167,3 +167,29 @@ def test_rebalance_sample_default_share_for_unlisted_strata(spark):
     # surprise: f = min(1, 0.25*1000/500) = 0.5 → ~250 of 500 kept
     n = kept.where(F.col("lang") == "surprise").count()
     assert 180 <= n <= 320
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    """Shard assignment is a pure salted-hash function (partition-count
+    invariant); positions are contiguous 0..n_s-1 within each shard;
+    shards are roughly balanced; a different salt yields a different
+    permutation."""
+    from jagular_spark.operators.sampling import shuffle_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    a = sorted(map(tuple, shuffle_shards(docs, "doc_id", 8, "s1").collect()))
+    b = sorted(
+        map(tuple, shuffle_shards(docs.repartition(7), "doc_id", 8, "s1").collect())
+    )
+    assert a == b and len(a) > 0
+    by_shard = {}
+    for doc_id, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    n = len(a)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+        assert len(poss) > n // 8 // 4  # no empty/starved shard
+    c = sorted(map(tuple, shuffle_shards(docs, "doc_id", 8, "s2").collect()))
+    assert c != a  # salt changes the permutation
