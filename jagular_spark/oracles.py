@@ -164,11 +164,20 @@ def _similarity_oracles() -> dict[str, str]:
         FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
         GROUP BY a.id, b.id"""
 
-    jaccard = f"""{shingle_cte}, sizes AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+    # Mirrors the engine's _JACCARD_MAX_BUCKET stop-shingle cutoff (the
+    # r9 guard on the standalone call site): over-cap hashes are removed
+    # from every doc's shingle multiset before sizes AND common — exactly
+    # what dropping the bucket from both the pair stream and the size
+    # sentinels does Spark-side.
+    jaccard = f"""{shingle_cte}, fhashes AS (
+            SELECT * FROM hashes WHERE h IN (
+                SELECT h FROM hashes GROUP BY h HAVING COUNT(*) <= {_JACCARD_MAX_BUCKET}
+            )
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM fhashes GROUP BY doc_id
         ), common AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+            FROM fhashes a JOIN fhashes b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT id_a, id_b, n_common,
@@ -182,11 +191,15 @@ def _similarity_oracles() -> dict[str, str]:
     # Asymmetric containment: same shingle/common machinery, max of the
     # two per-side ratios — flags subset/superset duplication Jaccard
     # dilutes away.
-    containment = f"""{shingle_cte}, sizes AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hashes GROUP BY doc_id
+    containment = f"""{shingle_cte}, fhashes AS (
+            SELECT * FROM hashes WHERE h IN (
+                SELECT h FROM hashes GROUP BY h HAVING COUNT(*) <= {_JACCARD_MAX_BUCKET}
+            )
+        ), sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM fhashes GROUP BY doc_id
         ), common AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-            FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+            FROM fhashes a JOIN fhashes b ON a.h = b.h AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,

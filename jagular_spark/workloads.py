@@ -610,9 +610,25 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     two sweep measurements both sit inside the same plan's run-to-run
     envelope on this shared-host VM. Not a regression; the plan is the
     single-exchange bucketed pair gen documented in
-    similarity.ngram_jaccard_pairs."""
+    similarity.ngram_jaccard_pairs.
+
+    r9: the stop-shingle guard is ENGAGED on this standalone call site
+    (same recipe as docs_dedup_clusters in r8) — without it, one
+    boilerplate shingle shared by 10^6 docs alone generates 10^12
+    candidate pairs; the oracle mirrors the cutoff exactly."""
     docs = load(spark, sf_dir, "documents")
-    return sim.ngram_jaccard_pairs(docs, min_jaccard=0.5)
+    return _ngram_jaccard_guarded(docs)
+
+
+def _ngram_jaccard_guarded(docs: DataFrame) -> DataFrame:
+    """The exact pair generator docs_ngram_jaccard wires, with the
+    ``_JACCARD_MAX_BUCKET`` heavy-hitter guard ACTIVE. Split out so the
+    plan test can pin the guard on the workload's exact path."""
+    from jagular_spark.workload_params import _JACCARD_MAX_BUCKET
+
+    return sim.ngram_jaccard_pairs(
+        docs, min_jaccard=0.5, max_bucket=_JACCARD_MAX_BUCKET
+    )
 
 
 def docs_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,9 +636,21 @@ def docs_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags a short document embedded in a longer one (quotes, mirrors,
     boilerplate wrappers), which symmetric Jaccard dilutes below any
     usable threshold. Same single-exchange bucketed pair generator as
-    docs_ngram_jaccard."""
+    docs_ngram_jaccard — and, r9, the same ``_JACCARD_MAX_BUCKET``
+    stop-shingle guard engaged on the standalone call site (oracle
+    mirrors the cutoff)."""
     docs = load(spark, sf_dir, "documents")
-    return sim.ngram_containment_pairs(docs, min_containment=0.8)
+    return _ngram_containment_guarded(docs)
+
+
+def _ngram_containment_guarded(docs: DataFrame) -> DataFrame:
+    """docs_ngram_containment's exact pair generator with the
+    stop-shingle guard ACTIVE (pinned by the plan test)."""
+    from jagular_spark.workload_params import _JACCARD_MAX_BUCKET
+
+    return sim.ngram_containment_pairs(
+        docs, min_containment=0.8, max_bucket=_JACCARD_MAX_BUCKET
+    )
 
 
 def docs_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

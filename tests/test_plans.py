@@ -353,6 +353,31 @@ def test_dedup_cluster_pairs_guard_engaged(spark):
     assert sim.ngram_jaccard_pairs(docs, min_jaccard=0.5).count() == k * (k - 1) // 2
 
 
+def test_standalone_ngram_pair_guards_engaged(spark):
+    """r9: the two STANDALONE exact pair queries (the ones most likely
+    to be pointed at a raw corpus) must also run with the stop-shingle
+    guard active — same behavioral pin as the cluster path: over-cap
+    boilerplate buckets emit ZERO pairs on the exact call sites the
+    workloads wire, while the unguarded operators emit k·(k-1)/2."""
+    from jagular_spark.workload_params import _JACCARD_MAX_BUCKET
+    from jagular_spark.workloads import (
+        _ngram_containment_guarded,
+        _ngram_jaccard_guarded,
+    )
+
+    k = _JACCARD_MAX_BUCKET + 5
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate sentence repeated in every document") for i in range(k)],
+        "doc_id long, text string",
+    )
+    assert _ngram_jaccard_guarded(docs).count() == 0
+    assert _ngram_containment_guarded(docs).count() == 0
+    assert (
+        sim.ngram_containment_pairs(docs, min_containment=0.8).count()
+        == k * (k - 1) // 2
+    )
+
+
 def test_partition_count_invariance(spark):
     """Cluster-shape proxy: flagship queries must produce IDENTICAL
     results at different shuffle-partition counts — the cheapest
