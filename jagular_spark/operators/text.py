@@ -487,6 +487,7 @@ def repeated_kgram_spans(
     text_col: str = "text",
     k: int = 8,
     min_count: int = 2,
+    hash_partitions: int | None = None,
 ) -> DataFrame:
     """Exact repeated-substring span detection — the corpus-level
     "substring dedup" pass (Lee et al. 2022, "Deduplicating Training
@@ -514,14 +515,24 @@ def repeated_kgram_spans(
     win_expr = window_hash_expr(text_col, k)
     # repartition spreads the O(tokens·k) window hashing across executor
     # threads regardless of input split count (same measured pattern as
-    # similarity.doc_shingle_hashes); the lazy localCheckpoint
-    # materializes the window stream ONCE for its two consumers (the
-    # dup-hash aggregate and the flag-back join) instead of re-hashing
-    # the corpus per branch. A/B at sf0.1 (3 runs each): plain
-    # {7.5, 3.0, 3.8} s, +repartition {2.1, 1.3, 1.2} s,
-    # +checkpoint too {1.0-2.9} s with the outliers gone.
+    # similarity.doc_shingle_hashes); the width follows the session's
+    # shuffle parallelism unless overridden, so the hash stage scales
+    # with the cluster instead of capping at a constant task count. The
+    # lazy localCheckpoint materializes the window stream ONCE for its
+    # two consumers (the dup-hash aggregate and the flag-back join)
+    # instead of re-hashing the corpus per branch; at warehouse scale
+    # prefer a staged parquet table for the same role (checkpoint blocks
+    # are lineage-truncated, so an executor loss forfeits them).
+    # A/B at sf0.1 (3 runs each): plain {7.5, 3.0, 3.8} s,
+    # +repartition(64) {2.1, 1.3, 1.2} s, +checkpoint too {1.0-2.9} s
+    # with the outliers gone; width 32 (session default) measures the
+    # same band.
+    if hash_partitions is None:
+        hash_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     wins = (
-        df.repartition(64, id_col)
+        df.repartition(hash_partitions, id_col)
         .select(F.col(id_col), F.expr(win_expr).alias("__ws__"))
         .select(F.col(id_col), F.posexplode("__ws__").alias("pos", "h"))
         .localCheckpoint(eager=False)

@@ -390,6 +390,7 @@ def test_partition_count_invariance(spark):
     from jagular_spark.workloads import (
         docs_curation_funnel,
         docs_ngram_jaccard,
+        docs_substring_dedup,
         events_salted_hourly,
         events_sessionize,
     )
@@ -411,6 +412,9 @@ def test_partition_count_invariance(spark):
             docs_ngram_jaccard,
             docs_curation_funnel,
             events_salted_hourly,
+            # r9: repeated_kgram_spans' hash-stage width now follows the
+            # session shuffle parallelism — results must not depend on it
+            docs_substring_dedup,
         ):
             frames = []
             for n in ("7", "64"):
