@@ -1066,6 +1066,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     fit_fraction: float = 0.5,
     salt: str = "",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedding corpus by clustering + within-cluster
@@ -1085,26 +1086,55 @@ def semantic_dedup(
     counts stay bounded, and no cross-cluster pair is ever
     materialized. Exact integer dots keep the whole fitted pipeline
     SQL-replayable (the oracle unrolls the Lloyd fit as chained CTEs,
-    the same prefix the IVF oracle uses)."""
+    the same prefix the IVF oracle uses).
+
+    ``max_cluster`` is the hot-cluster guard: the within-cluster join
+    is quadratic in cluster size, and near-duplicate-heavy corpora —
+    precisely where dedup runs — produce exactly the degenerate hot
+    clusters that blow it up (the premise "k grows with the corpus"
+    holds only if someone sizes k). With the guard, every cluster is
+    deterministically sub-split into rank-contiguous cells of AT MOST
+    ``max_cluster`` vectors (rank by an independent salted md5 hash,
+    ties by id — partition-count-invariant and oracle-replayable), and
+    pairs are examined only within a cell: per-cell fanout is hard-
+    bounded by ``max_cluster``², total pair volume by
+    ``n·max_cluster/2``. The trade (documented SemDeDup-style
+    approximation) is that cross-cell near-dups inside one oversized
+    cluster are not examined — at scale you size ``n_centroids`` ≈
+    corpus/expected-cluster and keep the guard as the skew backstop.
+    The rank window funnels a hot cluster through one sort task
+    (O(n log n)) — linear-ish, vs the k² join it prevents."""
     cents = ivf_fit_centroids(
         df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt
     )
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
     argmin = F.array_min(_dist_idx(cents)).getField("i").cast("long")
+    assigned = base.withColumn("cluster", argmin)
+    if max_cluster is not None:
+        from jagular_spark.operators.sampling import hash_bucket
+
+        sw = Window.partitionBy("cluster").orderBy(
+            hash_bucket("id", salt + "#sub").asc(), F.col("id").asc()
+        )
+        sub = F.floor((F.row_number().over(sw) - 1) / F.lit(max_cluster)).cast(
+            "long"
+        )
+    else:
+        sub = F.lit(0).cast("long")
     # three consumers (two pair-join sides + the final keep-list join):
     # materialize the assignment once instead of re-running the
     # centroid argmin over the corpus three times
-    assigned = base.withColumn("cluster", argmin).localCheckpoint(eager=False)
+    assigned = assigned.withColumn("sub", sub).localCheckpoint(eager=False)
     a = assigned.select(
-        "cluster", F.col("id").alias("id_a"),
+        "cluster", "sub", F.col("id").alias("id_a"),
         F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a"),
     )
     b = assigned.select(
-        "cluster", F.col("id").alias("id_b"),
+        "cluster", "sub", F.col("id").alias("id_b"),
         F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b"),
     )
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "sub"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("dot", _int_dot("iv_a", "iv_b"))
         .withColumn("cos", _cos())

@@ -21,6 +21,7 @@ from jagular_spark.workload_params import (
     _LP_TAPS,
     _ORDERED_LISTS_CTE,
     _REBALANCE_TARGETS,
+    _SEMDEDUP_MAX_CLUSTER,
     _SPIKE_FIT_FRACTION,
     _SPIKE_FIT_SALT,
     _STRATA_FRACTIONS,
@@ -1397,25 +1398,40 @@ ORACLE_SQL["emb_ann_topk_ivf"] = _ivf_fitted_oracle()
 # any vector with a smaller-id neighbor >= threshold.
 def _semantic_dedup_oracle(
     k: int = 16, n_iter: int = 3, threshold: float = 0.35,
-    fit_fraction: float = 0.5,
+    fit_fraction: float = 0.5, max_cluster: int | None = None,
 ) -> str:
+    # Mirrors the engine's hot-cluster guard: rank every vector within
+    # its cluster by the salted md5 hash (ties by id — the exact
+    # hash_bucket construction), then sub-split into cells of at most
+    # max_cluster; pairs are examined only within a (cluster, sub) cell.
+    if max_cluster is None:
+        sub_expr = "CAST(0 AS BIGINT)"
+    else:
+        sub_expr = (
+            "CAST((ROW_NUMBER() OVER (PARTITION BY cl ORDER BY "
+            "('0x' || substr(md5('#sub' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, "
+            f"vec_id) - 1) // {max_cluster} AS BIGINT)"
+        )
     return f"""{_ivf_fit_prefix(k, n_iter, fit_fraction)}
     , fdist AS (
         SELECT n.vec_id, n.iv, n.nrm, c.c,
                CAST(list_sum(list_transform(generate_series(1, 64),
                     j -> (n.iv[j] - c.civ[j]) * (n.iv[j] - c.civ[j]))) AS BIGINT) AS d
         FROM normed n CROSS JOIN cents{n_iter} c
-    ), corpus AS (
+    ), corpus0 AS (
         SELECT vec_id, iv, nrm, CAST(c AS BIGINT) AS cl FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
             FROM fdist
         ) WHERE rn = 1
+    ), corpus AS (
+        SELECT vec_id, iv, nrm, cl, {sub_expr} AS sub FROM corpus0
     ), pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                CAST(list_sum(list_transform(generate_series(1, len(a.iv)),
                     i -> a.iv[i] * b.iv[i])) AS BIGINT) AS dot,
                a.nrm AS nrm_a, b.nrm AS nrm_b
-        FROM corpus a JOIN corpus b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        FROM corpus a JOIN corpus b
+          ON a.cl = b.cl AND a.sub = b.sub AND a.vec_id < b.vec_id
     ), dropped AS (
         SELECT DISTINCT id_b AS vec_id FROM pairs
         WHERE dot / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE)))
@@ -1425,7 +1441,9 @@ def _semantic_dedup_oracle(
     FROM corpus c LEFT JOIN dropped d USING (vec_id)"""
 
 
-ORACLE_SQL["emb_semantic_dedup"] = _semantic_dedup_oracle()
+ORACLE_SQL["emb_semantic_dedup"] = _semantic_dedup_oracle(
+    max_cluster=_SEMDEDUP_MAX_CLUSTER
+)
 
 
 def _pq_fitted_oracle(

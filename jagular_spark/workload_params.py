@@ -87,3 +87,13 @@ _REBALANCE_TARGETS = {"en": 0.2, "fr": 0.3, "de": 0.2, "es": 0.2, "zh": 0.1}
 # the mirror is exercised by the local sf0.1 oracle run.
 _JACCARD_MAX_BUCKET = 20
 
+# Hot-cluster cap for SemDeDup: clusters larger than this are
+# deterministically sub-split into rank-contiguous cells of at most
+# this many vectors before the within-cluster pair join (engine and
+# oracle mirror the same split), hard-bounding per-cell pair fanout at
+# cap² — the skew backstop for near-duplicate-heavy corpora where one
+# k-means cell otherwise goes quadratic. At sf0.01 (~200 vectors / 16
+# centroids) most cells sit under the cap; at sf0.1 (~2000 vectors)
+# the split engages on every populated cell, exercising the mirror.
+_SEMDEDUP_MAX_CLUSTER = 64
+

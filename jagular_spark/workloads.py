@@ -1492,10 +1492,22 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, cluster, kept) verdict table — the keep-list a semantic
     dedup pass feeds downstream. Pairwise work is an equi-join on the
     cluster id (never cross-cluster); the oracle replays fit +
-    assignment + pruning in exact int64."""
+    assignment + pruning in exact int64.
+
+    r9: the hot-cluster guard is ENGAGED (``_SEMDEDUP_MAX_CLUSTER``):
+    oversized clusters sub-split into rank-bounded cells before the
+    pair join, so no cell's pair set exceeds cap² even on a
+    duplicate-heavy corpus. Sizing note for real deployments: keep
+    ``n_centroids`` ≈ corpus_size / target_cluster_size (the SemDeDup
+    paper scales k with the corpus — 50k clusters for LAION-440M); the
+    pinned k=16 here is the sf-scale equivalent, and the cap is the
+    backstop for skew the fit doesn't capture."""
+    from jagular_spark.workload_params import _SEMDEDUP_MAX_CLUSTER
+
     emb = load(spark, sf_dir, "embeddings")
     return sim.semantic_dedup(
-        emb, n_centroids=16, n_iter=3, threshold=0.35, fit_fraction=0.5
+        emb, n_centroids=16, n_iter=3, threshold=0.35, fit_fraction=0.5,
+        max_cluster=_SEMDEDUP_MAX_CLUSTER,
     )
 
 

@@ -438,6 +438,27 @@ def test_semantic_dedup_no_cartesian_and_bounded_collect(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_semantic_dedup_max_cluster_guard(spark):
+    """r9 hot-cluster guard: with N identical vectors (one degenerate
+    cluster — the near-duplicate-heavy shape SemDeDup is run on), the
+    guarded path must examine pairs only inside rank-bounded cells of
+    at most max_cluster vectors. Behavioral pin: identical vectors are
+    mutually cosine-1, so each cell keeps exactly its min-hash-rank
+    member — kept == ceil(N/m) proves the split into ceil(N/m) hard-
+    bounded cells, where the unguarded operator keeps exactly 1."""
+    import math
+
+    N, m = 50, 8
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 64) for i in range(N)],
+        "vec_id long, embedding array<double>",
+    )
+    guarded = sim.semantic_dedup(emb, n_centroids=4, n_iter=1, max_cluster=m)
+    assert guarded.where("kept").count() == math.ceil(N / m)
+    unguarded = sim.semantic_dedup(emb, n_centroids=4, n_iter=1)
+    assert unguarded.where("kept").count() == 1
+
+
 def test_substring_dedup_shuffle_budget(spark):
     """Repeated-kgram spans: the dup decision is ONE uniform-hash
     aggregate and the span merge ONE per-doc window — the corpus-wide
