@@ -559,3 +559,51 @@ def repeated_kgram_spans(
         )
         .select(id_col, "span_start", "span_len", "n_windows")
     )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply substring-dedup spans to the corpus — the OUTPUT half of
+    the Lee et al. 2022 pass (reference behavior: the published pass
+    deletes the repeated byte ranges and emits the deduplicated text;
+    :func:`repeated_kgram_spans` only *detects* them). Every token
+    whose 0-based position falls inside any ``[span_start, span_start +
+    span_len)`` range of its document is removed and the survivors are
+    re-joined with single spaces (the same whitespace normalization the
+    detection pass applies). Documents with no spans pass through
+    (normalized) untouched. The cut-everywhere policy is deterministic;
+    to keep one canonical occurrence corpus-wide, pre-filter ``spans``
+    to exempt it before calling.
+
+    Scale shape: spans aggregate per doc (one shuffle on the uniform
+    corpus key), then ONE equi-join back to the docs — no explode of
+    the token stream, no second corpus-wide exchange. The surgery
+    itself is a row-local ``filter`` HOF over the token array: the
+    token array and span list bind once per row (arrays referenced from
+    the previous projection, not rebuilt inside the lambda), so the
+    per-row cost is O(tokens · spans_in_doc) interpreted compares with
+    spans_in_doc small by construction (maximal spans are disjoint).
+
+    ``(id, n_spans, n_tokens_cut, clean_text)``."""
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("__spans__")
+    )
+    kept = F.expr(
+        "filter(__t__, (x, i) -> __spans__ IS NULL OR NOT exists(__spans__, "
+        "s -> i >= s.span_start AND i < s.span_start + s.span_len))"
+    )
+    return (
+        docs.join(agg, id_col, "left")
+        .withColumn("__t__", F.expr(f"split(trim({text_col}), '\\\\s+')"))
+        .withColumn("__k__", kept)
+        .select(
+            F.col(id_col),
+            F.coalesce(F.size("__spans__"), F.lit(0)).cast("long").alias("n_spans"),
+            (F.size("__t__") - F.size("__k__")).cast("long").alias("n_tokens_cut"),
+            F.concat_ws(" ", F.col("__k__")).alias("clean_text"),
+        )
+    )

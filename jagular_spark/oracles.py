@@ -1769,6 +1769,48 @@ ORACLE_SQL["docs_substring_dedup"] = """
 # the same span aggregate — identical oracle.
 ORACLE_SQL["docs_substring_dedup_streamed"] = ORACLE_SQL["docs_substring_dedup"]
 
+# Applied substring dedup: the detection CTEs above, then token-indexed
+# surgery — every token whose 0-based position falls inside any span of
+# its doc is dropped, survivors re-joined with single spaces. DuckDB
+# lambda indexes are 1-BASED, hence the i - 1. Mirrors text.cut_spans.
+ORACLE_SQL["docs_substring_dedup_applied"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), win AS (
+        SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+               md5(array_to_string(list_slice(t, s.i + 1, s.i + 8), ' ')) AS h
+        FROM toks, UNNEST(generate_series(0, len(t) - 8)) AS s(i)
+        WHERE len(t) >= 8
+    ), dup AS (
+        SELECT h FROM win GROUP BY h HAVING count(*) >= 2
+    ), d AS (
+        SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)
+    ), isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM d
+    ), spans AS (
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS a,
+               CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS l
+        FROM isl GROUP BY doc_id, grp
+    ), sp AS (
+        SELECT doc_id, list(struct_pack(a := a, l := l)) AS sps,
+               CAST(COUNT(*) AS BIGINT) AS n_spans
+        FROM spans GROUP BY doc_id
+    ), cut AS (
+        SELECT t.doc_id, t.t, p.n_spans,
+               CASE WHEN p.sps IS NULL THEN t.t
+                    ELSE list_filter(t.t, (x, i) ->
+                         len(list_filter(p.sps, q ->
+                             i - 1 >= q.a AND i - 1 < q.a + q.l)) = 0)
+               END AS kept
+        FROM toks t LEFT JOIN sp p USING (doc_id)
+    )
+    SELECT doc_id, COALESCE(n_spans, 0) AS n_spans,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_cut,
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text
+    FROM cut"""
+
 # Deterministic shuffle+shard: shard = salted md5 bucket mod 8,
 # position = rank within shard by an independent salted hash (key
 # tiebreak) — mirrors sampling.shuffle_shards exactly.

@@ -673,6 +673,19 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.repeated_kgram_spans(docs, k=8, min_count=2)
 
 
+def docs_substring_dedup_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al pass END-TO-END: detect repeated-substring spans
+    (docs_substring_dedup) and then CUT them, emitting the deduplicated
+    corpus a training pipeline would actually shard — one row per
+    document with the span count, tokens removed, and the cleaned text
+    (operators/text.cut_spans: span aggregate + one equi-join + a
+    row-local token-filter HOF; no second corpus exchange). Oracle
+    replays detection + surgery in DuckDB string/list ops."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = txt.repeated_kgram_spans(docs, k=8, min_count=2)
+    return txt.cut_spans(docs, spans.select("doc_id", "span_start", "span_len"))
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit frequency-weighted SimHash fingerprint per document."""
     docs = load(spark, sf_dir, "documents")
@@ -3044,6 +3057,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_substring_dedup": docs_substring_dedup,
+    "docs_substring_dedup_applied": docs_substring_dedup_applied,
     "emb_semantic_dedup": emb_semantic_dedup,
     "docs_ngram_containment": docs_ngram_containment,
     "docs_media_mjpeg_video": docs_media_mjpeg_video,

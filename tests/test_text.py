@@ -215,6 +215,38 @@ def test_repeated_kgram_spans_semantics(spark):
     assert {d for d, _ in got} == {1, 2, 3}
 
 
+def test_cut_spans_semantics(spark):
+    """Token surgery on the hand-built corpus: spans from
+    repeated_kgram_spans are CUT (every covered token dropped,
+    survivors re-joined with single spaces); span-free docs pass
+    through whitespace-normalized; a fully-covered doc yields empty
+    text, not NULL."""
+    from jagular_spark.operators.text import cut_spans, repeated_kgram_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"intro one two {shared} outro"),
+        (2, f"{shared} different tail here"),
+        (3, "totally unique words nothing repeats in here at all"),
+        (4, shared),
+        (5, f"  {shared}  "),  # whole doc duplicated + stray whitespace
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_kgram_spans(df, k=4).select(
+        "doc_id", "span_start", "span_len"
+    )
+    got = {r.doc_id: r for r in cut_spans(df, spans).collect()}
+    assert got[1].clean_text == "intro one two outro"
+    assert (got[1].n_spans, got[1].n_tokens_cut) == (1, 10)
+    assert got[2].clean_text == "different tail here"
+    # no spans: normalized passthrough, zero cuts
+    assert got[3].n_spans == 0 and got[3].n_tokens_cut == 0
+    assert got[3].clean_text == rows[2][1]
+    # docs 4/5 are entirely the duplicated run -> empty string out
+    assert got[4].clean_text == "" and got[4].n_tokens_cut == 10
+    assert got[5].clean_text == "" and got[5].n_tokens_cut == 10
+
+
 def test_repeated_kgram_spans_partition_invariant(spark):
     """Same hashes at 1 and 7 input partitions — the operator's output
     is a pure function of the corpus, not the layout."""
