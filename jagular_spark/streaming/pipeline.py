@@ -18,6 +18,7 @@ evicts state for event times older than the lateness bound.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Iterator, Sequence
 from typing import Any
 
@@ -347,64 +348,152 @@ def stream_lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def stream_dup_kgram_marks(docs: DataFrame, k: int = 8) -> DataFrame:
+def stream_dup_kgram_marks(
+    docs: DataFrame,
+    k: int = 8,
+    n_buckets: int = 256,
+    horizon_ms: int | None = 600_000,
+) -> DataFrame:
     """Incremental duplicated-k-gram detection (batch twin:
     operators.text.repeated_kgram_spans' dup-mark stage): per arriving
     doc the row-local window hashes explode (no shuffle before the
-    stateful groupBy); each hash keeps its occurrences as GroupState.
-    The FIRST occurrence is buffered; when the second arrives both are
-    emitted (the retroactive mark), and every later arrival emits
-    immediately — so the emitted (doc_id, pos) multiset equals the
-    batch operator's duplicated-window marks. The span merge
+    stateful groupBy); a hash's FIRST occurrence is buffered, the
+    second arrival emits both (the retroactive mark), every later one
+    emits immediately — so the emitted (doc_id, pos) multiset equals
+    the batch operator's duplicated-window marks. The span merge
     (gaps-and-islands per doc) runs on the sink table, a pure batch
     aggregate.
 
-    State per hash is ≤ 1 buffered occurrence after the dup flag flips
-    (two longs + a bool) — bounded; a production deployment would add
-    an event-time timeout to retire cold hashes (the dedup horizon).
-    Within one micro-batch, arrivals process in (doc_id, pos) order
-    (the deterministic replay order)."""
+    Scale shape (r9 rework of the r8 per-hash-group version, which was
+    the worst bench query at 17.2 s sf0.1 and carried NoTimeout state
+    per distinct corpus hash — trillions of rows at 100 TB):
+
+    - **Bucketed state, not per-hash groups.** Grouping keys are
+      ``xxhash64(h) % n_buckets``, so the Python stateful kernel runs
+      ``n_buckets`` times per micro-batch instead of once per distinct
+      hash (~O(corpus tokens) calls), and the per-bucket batch is
+      processed with vectorized pandas masks — the emission set for a
+      batch is {arrivals whose hash is known-dup, buffered, or occurs
+      ≥2× in the batch} plus the retroactive buffered firsts, which
+      needs no per-row Python loop. (A pre-shuffle per-hash aggregation
+      is NOT available here: Structured Streaming forbids a streaming
+      aggregate upstream of applyInPandasWithState, so row volume into
+      the shuffle is unchanged — the win is group-call volume.)
+    - **Dedup horizon.** ``horizon_ms`` bounds state: entries not
+      touched within the horizon are pruned when the bucket's state is
+      LOADED (per-entry last-seen, before any arrival is matched) — so
+      state holds only hashes seen within the horizon, the standard
+      streaming dedup contract (duplicates farther apart than the
+      horizon are treated as fresh; sizing the horizon IS sizing the
+      state). A single-occurrence (buffered) hash is exactly as
+      evictable as an emitted one. Eviction piggy-backs on bucket
+      invocations rather than engine timeouts, deliberately: the
+      bucket count is fixed and small, so live traffic touches every
+      bucket each micro-batch and pruning is continuous, while a
+      ProcessingTimeTimeout would force an availableNow replay to keep
+      scheduling empty drain batches until every registered timeout
+      fires (measured: 30+ extra epochs on a one-file replay). A
+      fully-idle stream leaves at most one horizon-window of entries
+      behind, reclaimed on the next arrival. ``horizon_ms=None``
+      disables pruning (exact, unbounded — only for bounded replays).
+      An availableNow replay processes everything in one micro-batch,
+      so no horizon can elapse mid-run and the output is
+      batch-identical regardless of the setting.
+
+    Full-string md5 hashes ride into state (no 64-bit truncation — a
+    truncation collision would merge two distinct windows and break the
+    batch-oracle hash match)."""
     from jagular_spark.operators.text import window_hash_expr
 
     wins = docs.select(
         F.col("doc_id"),
         F.posexplode(F.expr(window_hash_expr("text", k))).alias("pos", "h"),
-    )
+    ).withColumn("b", F.pmod(F.xxhash64("h"), F.lit(n_buckets)).cast("int"))
 
     def kernel(key, pdfs, state: GroupState):
+        now = state.getCurrentProcessingTimeMs()
+        # state: parallel arrays; emitted entries carry (-1, -1) stubs.
+        # Horizon pruning happens at LOAD, before any arrival is
+        # matched: an entry unseen for longer than the horizon must not
+        # retro-emit or insta-mark, however late the bucket's next
+        # invocation lands.
+        cut = now - horizon_ms if horizon_ms is not None else None
+        buf: dict[str, tuple[int, int, int]] = {}  # h -> (doc, pos, last_seen)
+        known: dict[str, int] = {}  # h -> last_seen
         if state.exists:
-            buf_docs, buf_poss, emitted = state.get
-            buffered = list(zip(buf_docs, buf_poss))
-        else:
-            buffered, emitted = [], False
-        out_d: list[int] = []
-        out_p: list[int] = []
-        for pdf in pdfs:
-            arrivals = sorted(
-                (int(d), int(p)) for d, p in zip(pdf["doc_id"], pdf["pos"])
-            )
-            for doc, pos in arrivals:
-                if emitted:
-                    out_d.append(doc)
-                    out_p.append(pos)
+            hs, bd, bp, em, ls = state.get
+            for i, h in enumerate(hs):
+                if cut is not None and ls[i] <= cut:
+                    continue
+                if em[i]:
+                    known[h] = ls[i]
                 else:
-                    buffered.append((doc, pos))
-                    if len(buffered) >= 2:
-                        for bd, bp in buffered:
-                            out_d.append(bd)
-                            out_p.append(bp)
-                        buffered = []
-                        emitted = True
-        state.update(
-            ([d for d, _ in buffered], [p for _, p in buffered], emitted)
-        )
-        if out_d:
-            yield pd.DataFrame({"doc_id": out_d, "pos": out_p})
+                    buf[h] = (bd[i], bp[i], ls[i])
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            # vectorized emission set: arrivals whose hash is known-dup,
+            # buffered, or occurs >= 2x in this batch (no per-row loop)
+            cnt = pdf["h"].value_counts()
+            known_set = set(known)
+            buf_set = set(buf)
+            hser = pdf["h"]
+            dup_mask = (
+                hser.isin(known_set) | hser.isin(buf_set) | hser.map(cnt).ge(2)
+            )
+            emit = pdf.loc[dup_mask, ["doc_id", "pos"]]
+            if len(emit):
+                yield emit
+            batch_hashes = set(cnt.index)
+            # retroactive firsts: buffered hashes that arrived again
+            touched = batch_hashes & buf_set
+            if touched:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [buf[h][0] for h in touched],
+                        "pos": [buf[h][1] for h in touched],
+                    }
+                )
+                for h in touched:
+                    del buf[h]
+                    known[h] = now
+            for h in batch_hashes & known_set:
+                known[h] = now
+            # remaining batch hashes are new: singletons buffer their one
+            # row; >= 2x hashes (already emitted above) become known
+            new_single = pdf.loc[~dup_mask]
+            buf.update(
+                zip(
+                    new_single["h"].tolist(),
+                    zip(
+                        new_single["doc_id"].tolist(),
+                        new_single["pos"].tolist(),
+                        itertools.repeat(now),
+                    ),
+                )
+            )
+            known.update(
+                dict.fromkeys(batch_hashes - known.keys() - buf.keys(), now)
+            )
+        if buf or known:
+            hs = list(buf) + list(known)
+            state.update(
+                (
+                    hs,
+                    [buf[h][0] for h in buf] + [-1] * len(known),
+                    [buf[h][1] for h in buf] + [-1] * len(known),
+                    [False] * len(buf) + [True] * len(known),
+                    [buf[h][2] for h in buf] + list(known.values()),
+                )
+            )
+        elif state.exists:
+            state.remove()
 
-    return wins.groupBy("h").applyInPandasWithState(
+    return wins.groupBy("b").applyInPandasWithState(
         kernel,
         "doc_id long, pos long",
-        "docs array<long>, poss array<long>, emitted boolean",
+        "hs array<string>, bd array<long>, bp array<long>, "
+        "em array<boolean>, ls array<long>",
         "append",
         "NoTimeout",
     )

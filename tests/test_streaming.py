@@ -719,3 +719,38 @@ def test_censor_multibatch_state_and_watermark_drops(spark, tmp_path):
     )
     kept = sorted(r.ts for r in out.where("channel_id = 0").collect())
     assert kept == [100, 140, 180], kept
+
+
+def test_dup_kgram_horizon_evicts_single_occurrence_state(spark, tmp_path):
+    """The dedup horizon (r9): a hash buffered as a SINGLE occurrence
+    in batch 1 must be evicted once the horizon elapses — a duplicate
+    arriving later is treated as fresh, so NOTHING is emitted (no
+    retroactive first, no insta-mark). Control: the same two-batch feed
+    with a wide horizon emits both occurrences, proving cross-batch
+    retroactive marking still works and the eviction is the horizon's
+    doing. Pins that buffered (never-emitted) entries are exactly as
+    evictable as emitted ones."""
+    from jagular_spark.streaming.pipeline import stream_dup_kgram_marks
+
+    def rows(doc_id):
+        return spark.createDataFrame(
+            [(doc_id, "alpha bravo charlie delta")], "doc_id long, text string"
+        )
+
+    # wide horizon: batch-2 duplicate retro-emits batch-1's buffered mark
+    out = _multi_batch_run(
+        spark, tmp_path, "kg_wide",
+        lambda s: stream_dup_kgram_marks(s, k=4, n_buckets=4, horizon_ms=3_600_000),
+        [rows(1), rows(2)],
+    )
+    assert {(r.doc_id, r.pos) for r in out.collect()} == {(1, 0), (2, 0)}
+
+    # 1 ms horizon: the buffered single-occurrence entry from batch 1 is
+    # pruned at batch-2 state load (batches are >= 1 s apart under the
+    # processingTime trigger), so the batch-2 arrival re-buffers fresh
+    out = _multi_batch_run(
+        spark, tmp_path, "kg_tiny",
+        lambda s: stream_dup_kgram_marks(s, k=4, n_buckets=4, horizon_ms=1),
+        [rows(1), rows(2)],
+    )
+    assert out.count() == 0
