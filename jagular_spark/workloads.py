@@ -3033,73 +3033,10 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r5-driver-green untouched queries (out of window this round, rotate
 # back next round). Keep new/changed queries in the first 50.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- block 1 (r8): stalest — last driver-verified r5, now at the
-    # 2-round staleness limit; rotate-in first
-    "emb_ann_topk_lsh": emb_ann_topk_lsh,
-    "events_decimate": events_decimate,
-    "events_crossings_chunked": events_crossings_chunked,
-    "events_crossings_both": events_crossings_both,
-    "docs_media_stats": docs_media_stats,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_region_revenue": q5_region_revenue,
-    "top3_orders_per_customer": top3_orders_per_customer,
-    "docs_exact_dedup": docs_exact_dedup,
-    # -- block 2: new/changed this round (r8) — mu-law/ADPCM audio
-    # codecs, 4:2:0 color JPEG encode, gray-encoder refactor (touches
-    # jpeg_stats), stop-shingle guard engaged on dedup_clusters (oracle
-    # changed too), bloom_probe linear-plan rewrite
-    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,
-    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,
-    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,
-    "docs_media_jpeg_color": docs_media_jpeg_color,
-    "docs_media_jpeg_stats": docs_media_jpeg_stats,
-    "docs_dedup_clusters": docs_dedup_clusters,
-    "docs_bloom_decontaminate": docs_bloom_decontaminate,
-    "docs_substring_dedup": docs_substring_dedup,
-    "docs_substring_dedup_applied": docs_substring_dedup_applied,
-    "emb_semantic_dedup": emb_semantic_dedup,
-    "docs_ngram_containment": docs_ngram_containment,
-    "docs_media_mjpeg_video": docs_media_mjpeg_video,
-    "docs_media_gif_roundtrip": docs_media_gif_roundtrip,
-    "docs_media_flac_roundtrip": docs_media_flac_roundtrip,
-    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
-    "docs_shuffle_shards": docs_shuffle_shards,
-    # -- block 3: last driver-verified r6 — rotate into the window
-    # (34 of 48; the 14 deferred to block 4 are the static TPC-H
-    # shapes + minhash, first in line for r9)
-    "emb_ann_topk_ivf": emb_ann_topk_ivf,
-    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
-    "emb_ann_recall": emb_ann_recall,
-    "emb_knn_classify": emb_knn_classify,
-    "events_winsorize": events_winsorize,
-    "events_xcorr": events_xcorr,
-    "events_band_power": events_band_power,
-    "events_asof_nearest": events_asof_nearest,
-    "docs_tfidf_top": docs_tfidf_top,
-    "docs_bigram_fluency": docs_bigram_fluency,
-    "docs_rebalance_sample": docs_rebalance_sample,
-    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
-    "events_audit": events_audit,
-    "docs_curation_funnel": docs_curation_funnel,
-    "events_asof": events_asof,
-    "events_winsorize_chunked": events_winsorize_chunked,
-    "events_sessionize_streamed": events_sessionize_streamed,
-    "events_censor_streamed": events_censor_streamed,
-    "events_interpolate_streamed": events_interpolate_streamed,
-    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,
-    "events_hourly_rollup": events_hourly_rollup,
-    "events_sortedness": events_sortedness,
-    "events_salted_hourly": events_salted_hourly,
-    "events_detect_spikes": events_detect_spikes,
-    "docs_ngram_jaccard": docs_ngram_jaccard,
-    # -- block 4 (out of window): r6-verified, deferred to r9 — the
-    # most static shapes (TPC-H, double-verified) + minhash +
-    # ngram_jaccard_lsh / pii_redaction / cms_heavyhitters / hll_vocab /
-    # rolling_stats / compacted_roundtrip / survivor_setops /
-    # bucketed_revenue / zscore (untouched; bumped by the new
-    # progressive-JPEG, substring-dedup (+streamed twin), semantic-dedup,
-    # containment, MJPEG, GIF and FLAC queries)
+    # -- block 1 (r9): stalest — last driver-verified r6, at the
+    # 2-round staleness limit (the r8 verdict's deferred block 4:
+    # sketches, PII, set-ops, bucketed join, compaction, rolling
+    # stats, z-score, minhash/ngram-LSH + the static TPC-H shapes)
     "events_zscore": events_zscore,
     "docs_survivor_setops": docs_survivor_setops,
     "orders_bucketed_revenue": orders_bucketed_revenue,
@@ -3123,7 +3060,22 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q1_rollup_summary": q1_rollup_summary,
     "docs_minhash_lsh": docs_minhash_lsh,
-    # -- block 5 (out of window): driver-green in r7 — rotate in r9/r10
+    # -- block 2: new/changed this round (r9) — stop-shingle guard
+    # engaged on the standalone ngram pair queries (oracles changed
+    # too), repeated_kgram_spans width parameterized, NEW cut_spans
+    # end-to-end query, streamed substring-dedup bucketed-state +
+    # horizon rework, semantic-dedup hot-cluster guard (oracle changed)
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_ngram_containment": docs_ngram_containment,
+    "docs_substring_dedup": docs_substring_dedup,
+    "docs_substring_dedup_applied": docs_substring_dedup_applied,
+    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
+    "emb_semantic_dedup": emb_semantic_dedup,
+    # -- block 3: q2/q11 carry the r8 local-drift attribution task
+    # (re-verify under the driver), then r7-green rotations (19 of 49;
+    # the rest are block 4, first in line for r10)
+    "q2_min_price_supplier": q2_min_price_supplier,
+    "q11_important_parts": q11_important_parts,
     "events_filtfilt_chunked": events_filtfilt_chunked,
     "docs_media_frames": docs_media_frames,
     "docs_simhash_neardup": docs_simhash_neardup,
@@ -3132,9 +3084,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_resize": docs_media_resize,
     "docs_stratified_sample": docs_stratified_sample,
     "events_spike_clusters": events_spike_clusters,
-    "q2_min_price_supplier": q2_min_price_supplier,
     "q9_product_profit": q9_product_profit,
-    "q11_important_parts": q11_important_parts,
     "q16_supplier_counts": q16_supplier_counts,
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -3145,6 +3095,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tetrode": events_tetrode,
     "events_crossings": events_crossings,
     "events_align": events_align,
+    # ---- driver window ends here (first 50 entries) ----
+    # -- block 4 (out of window): r7-green remainder, rotate in r10
     "events_align_cspline": events_align_cspline,
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "events_spikes_roundtrip": events_spikes_roundtrip,
@@ -3173,6 +3125,53 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_fingerprint": docs_fingerprint,
     "docs_bpe_tokens": docs_bpe_tokens,
     "events_common_ref": events_common_ref,
+    # -- block 5 (out of window): driver-green in r8 — the freshest
+    # verifications; rotate back r10/r11
+    "emb_ann_topk_lsh": emb_ann_topk_lsh,
+    "events_decimate": events_decimate,
+    "events_crossings_chunked": events_crossings_chunked,
+    "events_crossings_both": events_crossings_both,
+    "docs_media_stats": docs_media_stats,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "docs_exact_dedup": docs_exact_dedup,
+    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,
+    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,
+    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,
+    "docs_media_jpeg_color": docs_media_jpeg_color,
+    "docs_media_jpeg_stats": docs_media_jpeg_stats,
+    "docs_dedup_clusters": docs_dedup_clusters,
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,
+    "docs_media_mjpeg_video": docs_media_mjpeg_video,
+    "docs_media_gif_roundtrip": docs_media_gif_roundtrip,
+    "docs_media_flac_roundtrip": docs_media_flac_roundtrip,
+    "docs_shuffle_shards": docs_shuffle_shards,
+    "emb_ann_topk_ivf": emb_ann_topk_ivf,
+    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
+    "emb_ann_recall": emb_ann_recall,
+    "emb_knn_classify": emb_knn_classify,
+    "events_winsorize": events_winsorize,
+    "events_xcorr": events_xcorr,
+    "events_band_power": events_band_power,
+    "events_asof_nearest": events_asof_nearest,
+    "docs_tfidf_top": docs_tfidf_top,
+    "docs_bigram_fluency": docs_bigram_fluency,
+    "docs_rebalance_sample": docs_rebalance_sample,
+    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
+    "events_audit": events_audit,
+    "docs_curation_funnel": docs_curation_funnel,
+    "events_asof": events_asof,
+    "events_winsorize_chunked": events_winsorize_chunked,
+    "events_sessionize_streamed": events_sessionize_streamed,
+    "events_censor_streamed": events_censor_streamed,
+    "events_interpolate_streamed": events_interpolate_streamed,
+    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_sortedness": events_sortedness,
+    "events_salted_hourly": events_salted_hourly,
+    "events_detect_spikes": events_detect_spikes,
 }
 
 
