@@ -906,6 +906,89 @@ def mjpeg_roundtrip_stats(
     return media.mapInPandas(kernel, MJPEG_ROUNDTRIP_SCHEMA)
 
 
+def mpeg1_roundtrip_stats(
+    media: DataFrame,
+    qscale: int = 1,
+    tol: int = 8,
+    frame_h: int = 16,
+    frame_w: int = 16,
+    flat_quant: int | None = 16,
+) -> DataFrame:
+    """REAL inter-format VIDEO roundtrip — MPEG-1 (ISO 11172-2)
+    I-frame-only elementary stream, not a container of stills: raw8
+    bytes become consecutive grayscale frames, ALL frames encode into
+    ONE stream (sequence header + GOP + per-frame I pictures, intra DC
+    DPCM chains, run-level AC VLCs, §2.4.4.1 dequant with mismatch
+    control — operators/mpeg1.py), the stream decodes back and every
+    frame is compared. Emits one row per frame with exact integer
+    stats of the ORIGINAL frame bytes plus ``frame_ok`` = stream dims/
+    frame-count survived AND |decoded − original| ≤ ``tol``
+    (corpus-calibrated: quantizer + oddification + IDCT rounding;
+    ``flat_quant`` ships a flat custom intra matrix — the
+    load_intra_quantizer_matrix path — for a tighter bound than the
+    default perceptual matrix). One narrow Arrow map — payloads never
+    shuffle. Same output schema as mjpeg_roundtrip_stats."""
+    import numpy as _np
+
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_intra,
+        encode_mpeg1_intra,
+    )
+
+    fsz = frame_h * frame_w
+    quant = (
+        None
+        if flat_quant is None
+        else _np.full(64, int(flat_quant), dtype=_np.int64)
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(
+                        f"codec {r.codec!r}: mpeg1_roundtrip_stats needs raw8 input"
+                    )
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                nf = len(buf) // fsz
+                if nf == 0:
+                    continue
+                origs = [
+                    buf[i * fsz : (i + 1) * fsz].reshape(frame_h, frame_w)
+                    for i in range(nf)
+                ]
+                stream = encode_mpeg1_intra(origs, qscale, quant)
+                dec_frames, w, h = decode_mpeg1_intra(stream)
+                dims_ok = (w, h) == (frame_w, frame_h) and len(dec_frames) == nf
+                for i, (dec, orig) in enumerate(zip(dec_frames, origs)):
+                    ok = (
+                        dims_ok
+                        and dec.shape == (frame_h, frame_w)
+                        and bool(
+                            np.abs(
+                                dec.astype(np.int64) - orig.astype(np.int64)
+                            ).max(initial=0)
+                            <= tol
+                        )
+                    )
+                    s = int(orig.sum(dtype=np.int64))
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "height": frame_h,
+                            "width": frame_w,
+                            "orig_sum": s,
+                            "mean_px": float(s) / float(fsz * 255),
+                            "frame_ok": ok,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, MJPEG_ROUNDTRIP_SCHEMA)
+
+
 JPEG_COLOR_ROUNDTRIP_SCHEMA = (
     "media_id long, height int, width int, n_bytes long, orig_sum long, "
     "mean_byte double, y_ok boolean, chroma_ok boolean"

@@ -1719,6 +1719,10 @@ ORACLE_SQL["docs_media_mjpeg_video"] = """
            TRUE AS frame_ok
     FROM f"""
 
+# MPEG-1 intra video shares MJPEG's frame geometry and output shape —
+# identical oracle; the codec signal is the hash-verified frame_ok.
+ORACLE_SQL["docs_media_mpeg1_video"] = ORACLE_SQL["docs_media_mjpeg_video"]
+
 # Color 4:2:0 roundtrip: exact byte stats over the (n//48)*48 bytes the
 # kernel consumes; the y_ok/chroma_ok tolerance flags are the
 # hash-verified codec signal (TRUE for a correct codec on this corpus).

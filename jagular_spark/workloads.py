@@ -1201,6 +1201,38 @@ def docs_media_mjpeg_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_media_mpeg1_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL inter-format video codec under the driver oracle (r9): doc
+    bytes become 16x16 grayscale frames and ALL of a doc's frames are
+    encoded into ONE MPEG-1 (ISO 11172-2) I-frame-only elementary
+    stream — sequence/GOP/picture/slice/macroblock syntax, intra DC
+    DPCM, run-level AC VLCs, flat custom intra quant matrix via the
+    load_intra_quantizer_matrix path — then the stream is parsed back
+    and every frame decoded (operators/mpeg1.py). frame_ok covers
+    stream-header survival AND the per-pixel tolerance. Unlike MJPEG
+    (stills in a RIFF box), this is a genuine video elementary-stream
+    format; only motion-compensated inter coding (P/B) stays out of
+    scope. Same frame geometry as docs_media_mjpeg_video, so the
+    queries share one oracle."""
+    from jagular_spark.operators.multimodal import mpeg1_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    nb = F.length(F.encode("text", "UTF-8"))
+    media = docs.where(nb >= 256).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        (nb / F.lit(256)).cast("int").alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return mpeg1_roundtrip_stats(
+        media.repartition(64, "media_id"), qscale=1, tol=8, flat_quant=16
+    )
+
+
 def docs_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 COLOR baseline-JPEG roundtrip under the driver oracle: doc
     bytes become a (h, 16, 3) RGB image, go through the full color
@@ -3085,6 +3117,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_substring_dedup_applied": docs_substring_dedup_applied,
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
     "emb_semantic_dedup": emb_semantic_dedup,
+    "docs_media_mpeg1_video": docs_media_mpeg1_video,
     # -- block 3: q2/q11 carry the r8 local-drift attribution task
     # (re-verify under the driver), then r7-green rotations (19 of 49;
     # the rest are block 4, first in line for r10)
@@ -3108,9 +3141,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interpolate": events_interpolate,
     "events_tetrode": events_tetrode,
     "events_crossings": events_crossings,
-    "events_align": events_align,
     # ---- driver window ends here (first 50 entries) ----
     # -- block 4 (out of window): r7-green remainder, rotate in r10
+    "events_align": events_align,
     "events_align_cspline": events_align_cspline,
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
     "events_spikes_roundtrip": events_spikes_roundtrip,
