@@ -283,22 +283,37 @@ def stream_curation(
     )
 
 
-def stream_lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def stream_lsh_candidate_pairs(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    horizon_ms: int | None = 600_000,
+) -> DataFrame:
     """Incremental MinHash-LSH candidate generation (batch twin:
     operators.similarity.lsh_candidate_pairs): per arriving doc the
-    row-local signature (no shuffle) bands into 4 bucket keys, and each
-    (band, key) bucket keeps its member ids as GroupState — a new
-    arrival emits one candidate pair against every EARLIER member of
-    the bucket, then joins the state. Emitted pairs are (band, key,
+    row-local signature (no shuffle) bands into 4 bucket keys; each
+    (band, key) bucket keeps its member ids in state — a new arrival
+    emits one candidate pair against every EARLIER member of the
+    bucket, then joins the state. Emitted pairs are (band, key,
     id_a < id_b); a pair colliding in several bands is emitted once per
     band (the batch operator's n_bands count is the same multiset).
 
-    State per bucket is a near-dup cluster's id list — small by
-    construction; a production deployment would add an event-time
-    timeout to retire cold buckets (the dedup window), which changes
-    recall, not mechanics. Within one micro-batch, arrivals are
-    processed in id order (the only deterministic order a replay has).
-    """
+    Scale shape (r9, same rework as stream_dup_kgram_marks): grouping
+    keys are ``xxhash64(band, key) % n_buckets`` — the Python stateful
+    kernel runs ``n_buckets`` times per micro-batch instead of once
+    per distinct (band, key) (~4 × corpus size), and the per-(band,
+    key) pair loops touch only that bucket's members (near-dup
+    clusters — small by construction). State is flat membership rows
+    ``(band, key, member id, last_seen)`` where last_seen is the
+    BUCKET's last activity; whole buckets idle for longer than
+    ``horizon_ms`` are pruned when state loads (the dedup window: a
+    bucket untouched for a horizon no longer generates pairs against
+    its ancient members — it changes recall against old history, not
+    mechanics), so state holds one horizon-window of bucket
+    membership, not the stream's history. ``horizon_ms=None`` disables pruning (bounded replays).
+    Within one micro-batch, arrivals are processed in id order (the
+    only deterministic order a replay has); an availableNow replay is
+    one batch, so its output is batch-identical regardless of the
+    horizon."""
     from jagular_spark.operators.similarity import (
         _BAND_SHIFT,
         LSH_BANDS,
@@ -314,35 +329,72 @@ def stream_lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
     bands = sig.select(
         F.col("doc_id").alias("id"), F.posexplode(keys).alias("band", "key")
+    ).withColumn(
+        "b", F.pmod(F.xxhash64("band", "key"), F.lit(n_buckets)).cast("int")
     )
 
     def kernel(key, pdfs, state: GroupState):
-        seen: list[int] = list(state.get[0]) if state.exists else []
-        band, bkey = key
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for pdf in pdfs:
-            for new_id in sorted(int(x) for x in pdf["id"]):
+        now = state.getCurrentProcessingTimeMs()
+        cut = now - horizon_ms if horizon_ms is not None else None
+        members: dict[tuple[int, int], list[int]] = {}
+        last: dict[tuple[int, int], int] = {}
+        if state.exists:
+            mb, mk, mid, mls = state.get
+            for i in range(len(mb)):
+                if cut is not None and mls[i] <= cut:
+                    continue
+                bk = (mb[i], mk[i])
+                members.setdefault(bk, []).append(mid[i])
+                last[bk] = max(last.get(bk, 0), mls[i])
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            pdf = pdf.sort_values("id", kind="mergesort")
+            out_band: list[int] = []
+            out_key: list[int] = []
+            out_a: list[int] = []
+            out_b: list[int] = []
+            for band, bkey, new_id in zip(
+                pdf["band"].tolist(), pdf["key"].tolist(), pdf["id"].tolist()
+            ):
+                bk = (int(band), int(bkey))
+                seen = members.setdefault(bk, [])
                 for old in seen:
                     lo, hi = (old, new_id) if old < new_id else (new_id, old)
+                    out_band.append(bk[0])
+                    out_key.append(bk[1])
                     out_a.append(lo)
                     out_b.append(hi)
-                seen.append(new_id)
-        state.update((seen,))
-        if out_a:
-            yield pd.DataFrame(
-                {
-                    "band": int(band),
-                    "key": int(bkey),
-                    "id_a": out_a,
-                    "id_b": out_b,
-                }
-            )
+                seen.append(int(new_id))
+                last[bk] = now
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "band": out_band,
+                        "key": out_key,
+                        "id_a": out_a,
+                        "id_b": out_b,
+                    }
+                )
+        if members:
+            mb2: list[int] = []
+            mk2: list[int] = []
+            mid2: list[int] = []
+            mls2: list[int] = []
+            for bk, ids in members.items():
+                for i in ids:
+                    mb2.append(bk[0])
+                    mk2.append(bk[1])
+                    mid2.append(i)
+                    mls2.append(last[bk])
+            state.update((mb2, mk2, mid2, mls2))
+        elif state.exists:
+            state.remove()
 
-    return bands.groupBy("band", "key").applyInPandasWithState(
+    return bands.groupBy("b").applyInPandasWithState(
         kernel,
         "band int, key long, id_a long, id_b long",
-        "ids array<long>",
+        "mb array<int>, mk array<long>, mid array<long>, mls array<long>",
         "append",
         "NoTimeout",
     )

@@ -754,3 +754,30 @@ def test_dup_kgram_horizon_evicts_single_occurrence_state(spark, tmp_path):
         [rows(1), rows(2)],
     )
     assert out.count() == 0
+
+
+def test_lsh_candidates_horizon_evicts_idle_buckets(spark, tmp_path):
+    """LSH bucket membership past the dedup window must not pair: two
+    identical docs arriving in separate micro-batches pair under a
+    wide horizon (state crossed batches) but NOT under a 1 ms horizon
+    (the idle bucket's membership was pruned at state load)."""
+    from jagular_spark.streaming.pipeline import stream_lsh_candidate_pairs
+
+    text = "alpha beta gamma delta epsilon zeta"
+
+    def rows(doc_id):
+        return spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+
+    out = _multi_batch_run(
+        spark, tmp_path, "lshh_wide",
+        lambda s: stream_lsh_candidate_pairs(s, n_buckets=4, horizon_ms=3_600_000),
+        [rows(1), rows(2)],
+    )
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+    out = _multi_batch_run(
+        spark, tmp_path, "lshh_tiny",
+        lambda s: stream_lsh_candidate_pairs(s, n_buckets=4, horizon_ms=1),
+        [rows(1), rows(2)],
+    )
+    assert out.count() == 0
