@@ -488,6 +488,7 @@ def repeated_kgram_spans(
     k: int = 8,
     min_count: int = 2,
     hash_partitions: int | None = None,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact repeated-substring span detection — the corpus-level
     "substring dedup" pass (Lee et al. 2022, "Deduplicating Training
@@ -511,7 +512,16 @@ def repeated_kgram_spans(
     fixed k).
 
     Returns one row per maximal duplicated span: (id, span_start,
-    span_len, n_windows), token-indexed, span_len in tokens."""
+    span_len, n_windows), token-indexed, span_len in tokens.
+
+    ``keep_first=False`` (default) marks EVERY occurrence of a
+    duplicated window — the detection report. ``keep_first=True``
+    exempts the corpus-minimum (id, pos) occurrence of each window,
+    the published pass's "remove all but one occurrence" policy: the
+    spans then cut every repeat while one canonical copy survives
+    (compose with :func:`cut_spans`). Same single uniform-hash
+    exchange — the first-occurrence key is a MIN aggregate (packed
+    ``id·2³² + pos`` BIGINT, map-side combinable), not a window sort."""
     win_expr = window_hash_expr(text_col, k)
     # repartition spreads the O(tokens·k) window hashing across executor
     # threads regardless of input split count (same measured pattern as
@@ -537,15 +547,31 @@ def repeated_kgram_spans(
         .select(F.col(id_col), F.posexplode("__ws__").alias("pos", "h"))
         .localCheckpoint(eager=False)
     )
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("__cnt__"))
-        .where(F.col("__cnt__") >= min_count)
-        .select("h")
-    )
     from pyspark.sql import Window
 
-    marked = wins.join(dup, "h").select(id_col, "pos")
+    if keep_first:
+        pk = F.col(id_col) * F.lit(4294967296) + F.col("pos")
+        dup = (
+            wins.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt__"),
+                F.min(pk).alias("__first__"),
+            )
+            .where(F.col("__cnt__") >= min_count)
+        )
+        marked = (
+            wins.join(dup, "h")
+            .where(pk != F.col("__first__"))
+            .select(id_col, "pos")
+        )
+    else:
+        dup = (
+            wins.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__cnt__"))
+            .where(F.col("__cnt__") >= min_count)
+            .select("h")
+        )
+        marked = wins.join(dup, "h").select(id_col, "pos")
     grp = F.col("pos") - F.row_number().over(
         Window.partitionBy(id_col).orderBy("pos")
     )

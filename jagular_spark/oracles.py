@@ -1777,7 +1777,11 @@ ORACLE_SQL["docs_substring_dedup_streamed"] = ORACLE_SQL["docs_substring_dedup"]
 # surgery — every token whose 0-based position falls inside any span of
 # its doc is dropped, survivors re-joined with single spaces. DuckDB
 # lambda indexes are 1-BASED, hence the i - 1. Mirrors text.cut_spans.
-ORACLE_SQL["docs_substring_dedup_applied"] = """
+# The template parameterizes the dup CTE so the keep-first variant
+# (exempt the corpus-minimum packed doc_id*2^32+pos occurrence of each
+# window — mirrors repeated_kgram_spans(keep_first=True)) shares the
+# rest of the replay verbatim.
+_SSD_APPLIED_TEMPLATE = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
     ), win AS (
@@ -1785,11 +1789,7 @@ ORACLE_SQL["docs_substring_dedup_applied"] = """
                md5(array_to_string(list_slice(t, s.i + 1, s.i + 8), ' ')) AS h
         FROM toks, UNNEST(generate_series(0, len(t) - 8)) AS s(i)
         WHERE len(t) >= 8
-    ), dup AS (
-        SELECT h FROM win GROUP BY h HAVING count(*) >= 2
-    ), d AS (
-        SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)
-    ), isl AS (
+    ), {marks}, isl AS (
         SELECT doc_id, pos,
                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
         FROM d
@@ -1814,6 +1814,24 @@ ORACLE_SQL["docs_substring_dedup_applied"] = """
            CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_cut,
            COALESCE(array_to_string(kept, ' '), '') AS clean_text
     FROM cut"""
+
+ORACLE_SQL["docs_substring_dedup_applied"] = _SSD_APPLIED_TEMPLATE.format(
+    marks="""dup AS (
+        SELECT h FROM win GROUP BY h HAVING count(*) >= 2
+    ), d AS (
+        SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)
+    )"""
+)
+
+ORACLE_SQL["docs_substring_dedup_keepfirst"] = _SSD_APPLIED_TEMPLATE.format(
+    marks="""dup AS (
+        SELECT h, MIN(doc_id * 4294967296 + pos) AS firstkey
+        FROM win GROUP BY h HAVING count(*) >= 2
+    ), d AS (
+        SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)
+        WHERE w.doc_id * 4294967296 + w.pos <> dup.firstkey
+    )"""
+)
 
 # Deterministic shuffle+shard: shard = salted md5 bucket mod 8,
 # position = rank within shard by an independent salted hash (key

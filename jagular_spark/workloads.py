@@ -686,6 +686,20 @@ def docs_substring_dedup_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.cut_spans(docs, spans.select("doc_id", "span_start", "span_len"))
 
 
+def docs_substring_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al pass with the PAPER's keep policy: every repeated
+    8-token window is cut from all occurrences EXCEPT the
+    corpus-minimum (doc_id, pos) one, so exactly one canonical copy of
+    each repeated passage survives into the emitted corpus — what
+    docs_substring_dedup_applied (cut-everywhere) deliberately does
+    not promise. First-occurrence selection is a packed-BIGINT MIN on
+    the same single uniform-hash exchange (no window sort); surgery is
+    cut_spans. Oracle replays detection + min-key exemption + surgery."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = txt.repeated_kgram_spans(docs, k=8, min_count=2, keep_first=True)
+    return txt.cut_spans(docs, spans.select("doc_id", "span_start", "span_len"))
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit frequency-weighted SimHash fingerprint per document."""
     docs = load(spark, sf_dir, "documents")
@@ -3115,6 +3129,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_containment": docs_ngram_containment,
     "docs_substring_dedup": docs_substring_dedup,
     "docs_substring_dedup_applied": docs_substring_dedup_applied,
+    "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
     "emb_semantic_dedup": emb_semantic_dedup,
     "docs_media_mpeg1_video": docs_media_mpeg1_video,
@@ -3140,9 +3155,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_filtfilt": events_filtfilt,
     "events_interpolate": events_interpolate,
     "events_tetrode": events_tetrode,
-    "events_crossings": events_crossings,
     # ---- driver window ends here (first 50 entries) ----
     # -- block 4 (out of window): r7-green remainder, rotate in r10
+    "events_crossings": events_crossings,
     "events_align": events_align,
     "events_align_cspline": events_align_cspline,
     "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,

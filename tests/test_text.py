@@ -247,6 +247,39 @@ def test_cut_spans_semantics(spark):
     assert got[5].clean_text == "" and got[5].n_tokens_cut == 10
 
 
+def test_keep_first_exempts_canonical_occurrence(spark):
+    """keep_first=True: the corpus-minimum (doc_id, pos) occurrence of
+    each duplicated window is NOT marked, so after cut_spans exactly
+    one copy of the repeated run survives (in the smallest doc_id) and
+    every other copy is cut — the published Lee-et-al keep policy.
+    Default mode on the same corpus cuts every copy."""
+    from jagular_spark.operators.text import cut_spans, repeated_kgram_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"intro one two {shared} outro"),
+        (2, f"{shared} different tail here"),
+        (3, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans_kf = repeated_kgram_spans(df, k=4, keep_first=True).select(
+        "doc_id", "span_start", "span_len"
+    )
+    got = {r.doc_id: r for r in cut_spans(df, spans_kf).collect()}
+    # doc 1 holds the min (doc_id, pos) occurrence of every shared
+    # window -> fully exempt; docs 2 and 3 lose the run
+    assert got[1].clean_text == f"intro one two {shared} outro"
+    assert got[1].n_tokens_cut == 0
+    assert got[2].clean_text == "different tail here"
+    assert got[3].clean_text == ""
+    # default policy cuts every copy, including doc 1's
+    spans_all = repeated_kgram_spans(df, k=4).select(
+        "doc_id", "span_start", "span_len"
+    )
+    got_all = {r.doc_id: r for r in cut_spans(df, spans_all).collect()}
+    assert got_all[1].clean_text == "intro one two outro"
+
+
 def test_repeated_kgram_spans_partition_invariant(spark):
     """Same hashes at 1 and 7 input partitions — the operator's output
     is a pure function of the corpus, not the layout."""
