@@ -11,6 +11,8 @@ trees on both engines.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -316,6 +318,93 @@ def decontaminate(
                 "contaminated"
             ),
         )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 25,
+    quanta: int = 1_000_000,
+) -> DataFrame:
+    """BM25 top-k term retrieval over the corpus — the lexical-search
+    complement to the ANN stack: score every document against a fixed
+    query-term set with Okapi BM25 (k1 = 1.2, b = 0.75) and return the
+    k best, rank-ordered.
+
+    Cross-engine-exact numerics (the repo's oracle discipline): the
+    per-term weight idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl)) is
+    cleared of fractions by multiplying through by 10·avgdl·N — with
+    k1 = 6/5, b = 3/4 the weight becomes idf · (22·tf·T) /
+    (10·tf·T + 3·T + 9·dl·N), ALL-INTEGER numerator and denominator
+    (T = corpus token count, N = corpus docs) — and the transcendental
+    ln in idf is replaced by the integer rational surrogate
+    ((2N − 2df + 1)·quanta) DIV (2df + 1), i.e. the ln's argument
+    scaled to clear the +0.5s (monotone per term, so ordering within a
+    term matches classic BM25; the classic ln is a one-expression swap
+    where cross-engine hash-exactness is not required). The only float
+    steps are one int64→double cast pair and a fixed left-associated
+    sum of the per-term weights — bit-identical IEEE ops in Spark and
+    DuckDB. tf = 0 terms contribute exactly 0 (zero numerator), so no
+    branch is needed.
+
+    Scale shape: tf and dl are ROW-LOCAL array ops (no explode, no
+    per-term shuffle); N, T and every per-term df come from ONE corpus
+    aggregate broadcast back as a 1-row table; the only ordering work
+    is the top-k itself, which Spark executes as TakeOrderedAndProject
+    (per-partition heap + driver merge of k·partitions rows, never a
+    global sort). Ties break by ascending id.
+
+    ``(id, dl, score, rank)``."""
+    from pyspark.sql import Window
+
+    terms = list(query_terms)
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = F.expr(f"split(trim({text_col}), '\\\\s+')")
+    base = df.select(F.col(id_col), toks.alias("__t__"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.sum(F.size("__t__")).cast("long").alias("__tt__"),
+    ]
+    for j, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.array_contains("__t__", F.lit(t)).cast("long"))
+            .cast("long")
+            .alias(f"__df{j}__")
+        )
+    stats = base.agg(*aggs)
+    scored = base.crossJoin(F.broadcast(stats)).withColumn(
+        "__dl__", F.size("__t__").cast("long")
+    )
+    for j, t in enumerate(terms):
+        scored = scored.withColumn(
+            f"__tf{j}__",
+            F.expr(f"CAST(size(filter(__t__, x -> x = '{t}')) AS BIGINT)"),
+        )
+    parts = []
+    for j in range(len(terms)):
+        idf = (
+            f"(((2 * __n__ - 2 * __df{j}__ + 1) * CAST({quanta} AS BIGINT))"
+            f" DIV (2 * __df{j}__ + 1))"
+        )
+        parts.append(
+            f"(CAST({idf} AS DOUBLE) * CAST(__tf{j}__ * 22 * __tt__ AS DOUBLE)"
+            f" / CAST(10 * __tf{j}__ * __tt__ + 3 * __tt__ + 9 * __dl__ * __n__"
+            f" AS DOUBLE))"
+        )
+    top = (
+        scored.withColumn("score", F.expr(" + ".join(parts)))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(id_col, F.col("__dl__").alias("dl"), "score", "rank")
     )
 
 

@@ -1823,6 +1823,52 @@ ORACLE_SQL["docs_substring_dedup_applied"] = _SSD_APPLIED_TEMPLATE.format(
     )"""
 )
 
+def _bm25_oracle() -> str:
+    """DuckDB replay of bm25_topk: identical integer weight clearing
+    (22·tf·T over 10·tf·T + 3·T + 9·dl·N), the same rational idf
+    surrogate via //, the same fixed left-associated double sum, same
+    (score DESC, doc_id) tiebreaks."""
+    from jagular_spark.workload_params import _BM25_K, _BM25_QUANTA, _BM25_TERMS
+
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{j}"
+        for j, t in enumerate(_BM25_TERMS)
+    )
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(t, x -> x = '{t}')) AS BIGINT) AS tf{j}"
+        for j, t in enumerate(_BM25_TERMS)
+    )
+    parts = " + ".join(
+        f"(CAST(((2 * n - 2 * df{j} + 1) * CAST({_BM25_QUANTA} AS BIGINT))"
+        f" // (2 * df{j} + 1) AS DOUBLE)"
+        f" * CAST(tf{j} * 22 * tt AS DOUBLE)"
+        f" / CAST(10 * tf{j} * tt + 3 * tt + 9 * dl * n AS DOUBLE))"
+        for j in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len(t)) AS BIGINT) AS tt,
+               {df_cols}
+        FROM toks
+    ), rows_ AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, {tf_cols} FROM toks
+    ), scored AS (
+        SELECT doc_id, dl, {parts} AS score FROM rows_ CROSS JOIN stats
+    ), top AS (
+        SELECT doc_id, dl, score FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+    )
+    SELECT doc_id, dl, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+    FROM top"""
+
+
+ORACLE_SQL["docs_bm25_search"] = _bm25_oracle()
+
+
 ORACLE_SQL["docs_substring_dedup_keepfirst"] = _SSD_APPLIED_TEMPLATE.format(
     marks="""dup AS (
         SELECT h, MIN(doc_id * 4294967296 + pos) AS firstkey

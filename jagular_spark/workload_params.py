@@ -97,3 +97,10 @@ _JACCARD_MAX_BUCKET = 20
 # the split engages on every populated cell, exercising the mirror.
 _SEMDEDUP_MAX_CLUSTER = 64
 
+# BM25 retrieval query: fixed query-term set (shared by the Spark
+# operator call and the DuckDB oracle so both score the identical
+# query) and the idf integer quanta.
+_BM25_TERMS = ("hash", "join", "vector", "stream")
+_BM25_K = 25
+_BM25_QUANTA = 1_000_000
+

@@ -700,6 +700,20 @@ def docs_substring_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFram
     return txt.cut_spans(docs, spans.select("doc_id", "span_start", "span_len"))
 
 
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval (the term-search complement to the ANN
+    stack): Okapi BM25 over the corpus for a fixed query-term set,
+    with the repo's cross-engine-exact numerics — all-integer
+    numerator/denominator per term weight, rational integer idf
+    surrogate, one fixed-order double sum (operators/text.bm25_topk).
+    Plan: row-local tf/dl, ONE corpus aggregate broadcast back,
+    TakeOrderedAndProject top-k — no explode, no per-term shuffle."""
+    from jagular_spark.workload_params import _BM25_K, _BM25_QUANTA, _BM25_TERMS
+
+    docs = load(spark, sf_dir, "documents")
+    return txt.bm25_topk(docs, _BM25_TERMS, k=_BM25_K, quanta=_BM25_QUANTA)
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit frequency-weighted SimHash fingerprint per document."""
     docs = load(spark, sf_dir, "documents")
@@ -3133,6 +3147,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
     "emb_semantic_dedup": emb_semantic_dedup,
     "docs_media_mpeg1_video": docs_media_mpeg1_video,
+    "docs_bm25_search": docs_bm25_search,
     # -- block 3: q2/q11 carry the r8 local-drift attribution task
     # (re-verify under the driver), then r7-green rotations (19 of 49;
     # the rest are block 4, first in line for r10)
@@ -3154,9 +3169,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "events_filtfilt": events_filtfilt,
     "events_interpolate": events_interpolate,
-    "events_tetrode": events_tetrode,
     # ---- driver window ends here (first 50 entries) ----
     # -- block 4 (out of window): r7-green remainder, rotate in r10
+    "events_tetrode": events_tetrode,
     "events_crossings": events_crossings,
     "events_align": events_align,
     "events_align_cspline": events_align_cspline,

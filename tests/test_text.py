@@ -308,3 +308,49 @@ def test_substring_dedup_streamed_equals_batch(spark):
     batch = sorted(map(tuple, docs_substring_dedup(spark, sf).collect()))
     streamed = sorted(map(tuple, docs_substring_dedup_streamed(spark, sf).collect()))
     assert streamed == batch and len(batch) > 0
+
+
+def test_bm25_topk_semantics(spark):
+    """BM25 ordering on a hand-built corpus: rarer query terms weigh
+    more (idf), repeated terms saturate (tf normalization), longer
+    docs are penalized (length norm), zero-match docs are excluded."""
+    from jagular_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "rare word here"),             # has the rare term
+        (2, "common stuff common filler"),  # common only
+        (3, "common words and padding text galore making this doc long common"),
+        (4, "nothing relevant at all"),
+        (5, "common rare"),                # both terms, short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["rare", "common"], k=10).collect()
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # doc 5 (both terms, shortest) first; doc 4 (no match) excluded
+    assert ranked[0] == 5
+    assert 4 not in ranked
+    # doc 1 (rare term) outranks docs with only the common term
+    assert ranked.index(1) < ranked.index(2)
+    assert ranked.index(1) < ranked.index(3)
+    # shorter common-only doc outranks the long one (length norm;
+    # doc 3 has 2x 'common' but 12 tokens vs doc 2's 2x in 4 tokens)
+    assert ranked.index(2) < ranked.index(3)
+    # ranks are 1..n, scores strictly ordered with id tiebreak
+    got = sorted(out, key=lambda r: r.rank)
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    assert all(
+        (a.score, -a.doc_id) >= (b.score, -b.doc_id)
+        for a, b in zip(got, got[1:])
+    )
+
+
+def test_bm25_topk_partition_invariant(spark):
+    from jagular_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [tuple(r) for r in bm25_topk(docs, ["hash", "join"], k=15).collect()]
+    b = [
+        tuple(r)
+        for r in bm25_topk(docs.repartition(7), ["hash", "join"], k=15).collect()
+    ]
+    assert a == b and len(a) == 15
