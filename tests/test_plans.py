@@ -473,3 +473,33 @@ def test_substring_dedup_shuffle_budget(spark):
     # hash-join of window rows against the dup-hash set, never a
     # row-multiplying join: the join key is the window hash itself
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_bm25_plan_topk_no_cartesian(spark):
+    """BM25 must run as row-local scoring + ONE broadcast 1-row stats
+    aggregate + TakeOrderedAndProject (per-partition heap top-k, never
+    a global sort); the only nested-loop join allowed is the 1-row
+    stats broadcast."""
+    from jagular_spark.operators.text import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _formatted(bm25_topk(docs, ["hash", "join"], k=10))
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    # no explode anywhere: tf/dl are array expressions
+    assert "Generate" not in p
+
+
+def test_cut_spans_single_join_no_explode(spark):
+    """cut_spans: span aggregate + ONE equi-join back to the corpus;
+    the surgery is a projection (no token explode, no cartesian)."""
+    from jagular_spark.operators.text import cut_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    spans = spark.createDataFrame(
+        [(1, 0, 8)], "doc_id long, span_start long, span_len long"
+    )
+    p = _formatted(cut_spans(docs, spans))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate" not in p
