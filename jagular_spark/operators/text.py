@@ -321,6 +321,95 @@ def decontaminate(
     )
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher / MassiveText quality-rule bundle (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as per-document pass flags + the combined
+    keep decision — the published rule-based filter stage of a
+    pretraining pipeline (complementing the continuous
+    ``quality_scores`` heuristic):
+
+    r1  50 ≤ word count ≤ 100 000
+    r2  3 ≤ mean word length ≤ 10
+    r3  symbol-to-word ratio (# or ellipsis) ≤ 0.1
+    r4  ≤ 90% of lines start with a bullet (- * •)  [paper: "90% of
+        lines should NOT start with a bullet point" ⇒ bullets ≤ 10%]
+    r5  ≤ 30% of lines end with an ellipsis
+    r6  ≥ 80% of words contain ≥ 1 alphabetic character
+    r7  ≥ 2 distinct members of the required stop-word set present
+
+    All thresholds compare as INTEGER cross-multiplications (10·sym ≤
+    words, 10·alpha ≥ 8·words, 3·words ≤ chars ≤ 10·words, …) — no
+    float anywhere, so the flags hash-match any conformant replay.
+    Pure row-local projection: zero shuffles, composes with any scan.
+
+    ``(id, n_words, word_chars, n_lines, n_symbols, n_alpha_words,
+    n_bullet_lines, n_ellipsis_lines, n_stops_present, r1..r7 boolean,
+    keep boolean)``."""
+    t = f"split(trim({text_col}), '\\\\s+')"
+    lines = f"split({text_col}, '\\n')"
+    stops_sum = " + ".join(
+        f"CAST(array_contains(__t__, '{w}') AS BIGINT)" for w in GOPHER_STOPS
+    )
+    out = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.expr(t).alias("__t__"),
+            F.expr(lines).alias("__l__"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__t__").cast("long").alias("n_words"),
+            F.expr(
+                "aggregate(__t__, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+            ).alias("word_chars"),
+            F.size("__l__").cast("long").alias("n_lines"),
+            (
+                F.regexp_count(F.col(text_col), F.lit("#"))
+                + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+                + F.regexp_count(F.col(text_col), F.lit("…"))
+            ).cast("long").alias("n_symbols"),
+            F.expr(
+                "CAST(size(filter(__t__, x -> x rlike '[A-Za-z]')) AS BIGINT)"
+            ).alias("n_alpha_words"),
+            F.expr(
+                "CAST(size(filter(__l__, l -> startswith(ltrim(l), '-') OR "
+                "startswith(ltrim(l), '*') OR startswith(ltrim(l), '•'))) AS BIGINT)"
+            ).alias("n_bullet_lines"),
+            F.expr(
+                "CAST(size(filter(__l__, l -> endswith(rtrim(l), '...') OR "
+                "endswith(rtrim(l), '…'))) AS BIGINT)"
+            ).alias("n_ellipsis_lines"),
+            F.expr(f"CAST({stops_sum} AS BIGINT)").alias("n_stops_present"),
+        )
+    )
+    r = {
+        "r1_word_count": (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000),
+        "r2_mean_word_len": (
+            (F.lit(3) * F.col("n_words") <= F.col("word_chars"))
+            & (F.col("word_chars") <= F.lit(10) * F.col("n_words"))
+        ),
+        "r3_symbol_ratio": F.lit(10) * F.col("n_symbols") <= F.col("n_words"),
+        "r4_bullet_lines": F.lit(10) * F.col("n_bullet_lines") <= F.col("n_lines"),
+        "r5_ellipsis_lines": F.lit(10) * F.col("n_ellipsis_lines")
+        <= F.lit(3) * F.col("n_lines"),
+        "r6_alpha_words": F.lit(10) * F.col("n_alpha_words")
+        >= F.lit(8) * F.col("n_words"),
+        "r7_stop_words": F.col("n_stops_present") >= 2,
+    }
+    for name, cond in r.items():
+        out = out.withColumn(name, cond)
+    keep = None
+    for name in r:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: Sequence[str],

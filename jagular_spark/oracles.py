@@ -1869,6 +1869,61 @@ def _bm25_oracle() -> str:
 ORACLE_SQL["docs_bm25_search"] = _bm25_oracle()
 
 
+def _gopher_oracle() -> str:
+    """DuckDB replay of text.gopher_rules — same token/line splits,
+    same integer cross-multiplied thresholds."""
+    stops_sum = " + ".join(
+        f"CAST(list_contains(t, '{w}') AS BIGINT)" for w in txt.GOPHER_STOPS
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(text), '\\s+') AS t,
+               string_split(text, chr(10)) AS l
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(t, x -> strlen(x))) AS BIGINT)
+                   AS word_chars,
+               CAST(len(l) AS BIGINT) AS n_lines,
+               CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                   + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+                   + CAST(len(regexp_extract_all(text, '…')) AS BIGINT)
+                   AS n_symbols,
+               CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                    AS BIGINT) AS n_alpha_words,
+               CAST(len(list_filter(l, x -> starts_with(ltrim(x), '-') OR
+                    starts_with(ltrim(x), '*') OR starts_with(ltrim(x), '•')))
+                    AS BIGINT) AS n_bullet_lines,
+               CAST(len(list_filter(l, x -> ends_with(rtrim(x), '...') OR
+                    ends_with(rtrim(x), '…'))) AS BIGINT) AS n_ellipsis_lines,
+               CAST({stops_sum} AS BIGINT) AS n_stops_present
+        FROM base
+    )
+    SELECT *,
+           (r1_word_count AND r2_mean_word_len AND r3_symbol_ratio AND
+            r4_bullet_lines AND r5_ellipsis_lines AND r6_alpha_words AND
+            r7_stop_words) AS keep
+    FROM (
+        SELECT doc_id, n_words, word_chars, n_lines, n_symbols,
+               n_alpha_words, n_bullet_lines, n_ellipsis_lines,
+               n_stops_present,
+               (n_words >= 50 AND n_words <= 100000) AS r1_word_count,
+               (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
+                   AS r2_mean_word_len,
+               (10 * n_symbols <= n_words) AS r3_symbol_ratio,
+               (10 * n_bullet_lines <= n_lines) AS r4_bullet_lines,
+               (10 * n_ellipsis_lines <= 3 * n_lines) AS r5_ellipsis_lines,
+               (10 * n_alpha_words >= 8 * n_words) AS r6_alpha_words,
+               (n_stops_present >= 2) AS r7_stop_words
+        FROM m
+    )"""
+
+
+ORACLE_SQL["docs_gopher_rules"] = _gopher_oracle()
+
+
 ORACLE_SQL["docs_substring_dedup_keepfirst"] = _SSD_APPLIED_TEMPLATE.format(
     marks="""dup AS (
         SELECT h, MIN(doc_id * 4294967296 + pos) AS firstkey

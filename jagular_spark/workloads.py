@@ -700,6 +700,17 @@ def docs_substring_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFram
     return txt.cut_spans(docs, spans.select("doc_id", "span_start", "span_len"))
 
 
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText rule-based quality filter (published
+    thresholds: word count, mean word length, symbol ratio, bullet /
+    ellipsis line shares, alphabetic-word share, required stop words)
+    as per-document flags + the combined keep bit — all thresholds as
+    integer cross-multiplications, zero shuffles
+    (operators/text.gopher_rules)."""
+    docs = load(spark, sf_dir, "documents")
+    return txt.gopher_rules(docs)
+
+
 def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical top-k retrieval (the term-search complement to the ANN
     stack): Okapi BM25 over the corpus for a fixed query-term set,
@@ -3148,6 +3159,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_semantic_dedup": emb_semantic_dedup,
     "docs_media_mpeg1_video": docs_media_mpeg1_video,
     "docs_bm25_search": docs_bm25_search,
+    "docs_gopher_rules": docs_gopher_rules,
     # -- block 3: q2/q11 carry the r8 local-drift attribution task
     # (re-verify under the driver), then r7-green rotations (19 of 49;
     # the rest are block 4, first in line for r10)
@@ -3168,9 +3180,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": events_sessionize,
     "q6_forecast_revenue": q6_forecast_revenue,
     "events_filtfilt": events_filtfilt,
-    "events_interpolate": events_interpolate,
     # ---- driver window ends here (first 50 entries) ----
     # -- block 4 (out of window): r7-green remainder, rotate in r10
+    "events_interpolate": events_interpolate,
     "events_tetrode": events_tetrode,
     "events_crossings": events_crossings,
     "events_align": events_align,

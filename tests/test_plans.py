@@ -37,11 +37,14 @@ def test_q1_pushdown_and_pruning(spark):
 def test_doc_local_ops_have_zero_shuffles(spark):
     """simhash, language ID and stratified sampling are pure maps over
     the documents scan — NO Exchange may appear in their plans."""
+    from jagular_spark.operators.text import gopher_rules
+
     docs = _docs(spark)
     for df in (
         sim.simhash(docs),
         language_id(docs),
         stratified_sample(language_id(docs), "pred_lang", {"en": 0.5}, key_col="doc_id"),
+        gopher_rules(docs),
     ):
         p = _formatted(df)
         assert "Exchange" not in p, p[:2000]

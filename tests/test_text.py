@@ -354,3 +354,38 @@ def test_bm25_topk_partition_invariant(spark):
         for r in bm25_topk(docs.repartition(7), ["hash", "join"], k=15).collect()
     ]
     assert a == b and len(a) == 15
+
+
+def test_gopher_rules_crafted(spark):
+    """Each rule trips on a purpose-built doc: short doc (r1), long
+    gibberish words (r2), symbol-heavy (r3), bullet list (r4),
+    ellipsis trailers (r5), numeric tokens (r6), no stop words (r7) —
+    and a clean 60-word prose doc passes everything."""
+    from jagular_spark.operators.text import gopher_rules
+
+    clean = " ".join(
+        ["the data and the model have to be of use with care that works"] * 5
+    )
+    rows = [
+        (0, clean),
+        (1, "too short to keep the and of"),                     # r1
+        (2, " ".join(["pneumonoultramicroscopics"] * 60) + " the of and"),  # r2
+        (3, " ".join(["# the of and to"] * 12)),                 # r3 (12 '#' / 60 words)
+        (4, "\n".join(["- item the of and to be that"] * 5)),    # r4 (all lines bullets)
+        (5, "\n".join(["the of and to be that have with..."] * 5)),  # r5
+        (6, " ".join(["12345"] * 58) + " the of"),               # r6
+        (7, " ".join(["zork"] * 60)),                            # r7
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[0].keep, got[0]
+    assert not got[1].r1_word_count and not got[1].keep
+    assert not got[2].r2_mean_word_len and not got[2].keep
+    assert not got[3].r3_symbol_ratio and not got[3].keep
+    assert not got[4].r4_bullet_lines and not got[4].keep
+    assert not got[5].r5_ellipsis_lines and not got[5].keep
+    assert not got[6].r6_alpha_words and not got[6].keep
+    assert not got[7].r7_stop_words and not got[7].keep
+    # integer evidence columns are exact
+    assert got[3].n_symbols == 12 and got[3].n_words == 60
+    assert got[4].n_bullet_lines == 5 and got[4].n_lines == 5
