@@ -374,3 +374,36 @@ def test_gif_image_roundtrip_property(data):
     w = max(1, len(buf) // 8)
     img = buf[: 8 * w].reshape(8, w)
     assert (decode_gif_gray(encode_gif_gray8(img)) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.binary(min_size=64, max_size=1500),
+    qscale=st.integers(min_value=1, max_value=4),
+    w=st.integers(min_value=9, max_value=40),
+)
+def test_mpeg1_intra_roundtrip_property(data, qscale, w):
+    """MPEG-1 intra encode/decode stays within the quantizer error
+    bound for arbitrary byte content, dims and qscale (flat-16 matrix:
+    recon step 2·qscale, + oddification + IDCT rounding). Exercises
+    the DC DPCM chains, run-level VLCs incl. 16-bit escapes (random
+    bytes produce |level| > 127), padding and multi-slice layout."""
+    import numpy as np
+
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_intra,
+        encode_mpeg1_intra,
+    )
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    h = max(1, len(buf) // w)
+    img = buf[: h * w].reshape(h, w)
+    flat = np.full(64, 16, dtype=np.int64)
+    frames, dw, dh = decode_mpeg1_intra(
+        encode_mpeg1_intra([img], qscale=qscale, intra_quant=flat)
+    )
+    assert (dw, dh) == (w, h) and len(frames) == 1
+    err = np.abs(frames[0].astype(int) - img.astype(int)).max()
+    # error scales with the quantizer step: 2*qscale per coefficient
+    # plus oddification/rounding; empirical bound with margin
+    assert err <= 6 * qscale + 4, (err, qscale, w, h)
