@@ -667,6 +667,7 @@ def repeated_kgram_spans(
     min_count: int = 2,
     hash_partitions: int | None = None,
     keep_first: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact repeated-substring span detection — the corpus-level
     "substring dedup" pass (Lee et al. 2022, "Deduplicating Training
@@ -723,8 +724,13 @@ def repeated_kgram_spans(
         df.repartition(hash_partitions, id_col)
         .select(F.col(id_col), F.expr(win_expr).alias("__ws__"))
         .select(F.col(id_col), F.posexplode("__ws__").alias("pos", "h"))
-        .localCheckpoint(eager=False)
     )
+    if checkpoint:
+        # checkpoint=False trades the re-hash of the corpus per branch
+        # for fault tolerance: lineage-truncated blocks die with their
+        # executor, so a warehouse deployment stages the window stream
+        # to parquet (or disables this) instead
+        wins = wins.localCheckpoint(eager=False)
     from pyspark.sql import Window
 
     if keep_first:
