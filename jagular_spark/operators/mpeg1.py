@@ -364,12 +364,70 @@ def encode_mpeg1_intra(
     elementary stream (sequence header [+ custom intra matrix] + GOP +
     one I picture per frame + sequence_end_code). One slice per
     macroblock row; frames pad edge-replicated to 16-pixel multiples;
-    Cb/Cr are flat 128."""
+    Cb/Cr are flat 128 (see :func:`encode_mpeg1_intra_color` for real
+    4:2:0 chroma)."""
     if not frames:
         raise ValueError("encode_mpeg1_intra needs at least one frame")
+    h, w = frames[0].shape
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    flat = np.full((mb_h * 8, mb_w * 8), 128.0)
+    planes = []
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        ypad = np.pad(
+            f.astype(np.float64),
+            ((0, mb_h * 16 - h), (0, mb_w * 16 - w)),
+            mode="edge",
+        )
+        planes.append((ypad, flat, flat))
+    return _encode_intra_planes(planes, w, h, qscale, intra_quant)
+
+
+def encode_mpeg1_intra_color(
+    frames_rgb: list[np.ndarray],
+    qscale: int = 1,
+    intra_quant: np.ndarray | None = None,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB frames as an I-frame-only MPEG-1
+    stream with REAL 4:2:0 chroma: JFIF-matrix RGB→YCbCr (shared with
+    the JPEG stack), 2x2 box-averaged chroma downsample on the padded
+    planes, and genuinely-coded Cb/Cr blocks (DC DPCM chains + AC
+    run-level codes carry real coefficients, not the gray path's flat
+    stubs)."""
+    from jagular_spark.operators.jpeg import rgb_to_ycbcr
+
+    if not frames_rgb:
+        raise ValueError("encode_mpeg1_intra_color needs at least one frame")
+    h, w = frames_rgb[0].shape[:2]
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    ph, pw = mb_h * 16, mb_w * 16
+    planes = []
+    for f in frames_rgb:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share one (h, w, 3) shape")
+        y, cb, cr = rgb_to_ycbcr(np.asarray(f, dtype=np.uint8))
+        pad = lambda p: np.pad(  # noqa: E731
+            p.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+        )
+        down = lambda p: np.rint(  # noqa: E731
+            pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        )
+        planes.append((pad(y), down(cb), down(cr)))
+    return _encode_intra_planes(planes, w, h, qscale, intra_quant)
+
+
+def _encode_intra_planes(
+    planes: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    w: int,
+    h: int,
+    qscale: int,
+    intra_quant: np.ndarray | None,
+) -> bytes:
+    """Shared syntax writer: each frame is (ypad, cbpad, crpad) with Y
+    padded to the 16-grid and chroma to the 8-grid."""
     if not 1 <= qscale <= 31:
         raise ValueError("qscale must be in 1..31")
-    h, w = frames[0].shape
     q = DEFAULT_INTRA_QUANT if intra_quant is None else np.asarray(
         intra_quant, dtype=np.int64
     ).reshape(64)
@@ -397,14 +455,7 @@ def encode_mpeg1_intra(
     bw.write(0, 25)  # time_code
     bw.write(1, 1)  # closed_gop
     bw.write(0, 1)  # broken_link
-    for t, frame in enumerate(frames):
-        if frame.shape != (h, w):
-            raise ValueError("all frames must share one shape")
-        pad = np.pad(
-            frame.astype(np.float64),
-            ((0, mb_h * 16 - h), (0, mb_w * 16 - w)),
-            mode="edge",
-        )
+    for t, (ypad, cbpad, crpad) in enumerate(planes):
         bw.start_code(PIC_START)
         bw.write(t, 10)  # temporal_reference
         bw.write(1, 3)  # picture_coding_type: I
@@ -420,7 +471,7 @@ def encode_mpeg1_intra(
                 bw.write(1, 1)  # macroblock_type: intra
                 for by in range(2):
                     for bx in range(2):
-                        blk = pad[
+                        blk = ypad[
                             row * 16 + by * 8 : row * 16 + by * 8 + 8,
                             col * 16 + bx * 8 : col * 16 + bx * 8 + 8,
                         ]
@@ -428,15 +479,18 @@ def encode_mpeg1_intra(
                         _write_dc(bw, int(zz[0]) - dc_y, DC_LUM_CODES)
                         dc_y = int(zz[0])
                         _write_ac(bw, zz)
-                # flat-128 chroma: DC level 128, no AC
-                for pred in ("cb", "cr"):
+                for plane, pred in ((cbpad, "cb"), (crpad, "cr")):
+                    blk = plane[
+                        row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
+                    ]
+                    zz = _quant_intra(_fdct(blk), q, qscale)
                     prev = dc_cb if pred == "cb" else dc_cr
-                    _write_dc(bw, 128 - prev, DC_CHROM_CODES)
+                    _write_dc(bw, int(zz[0]) - prev, DC_CHROM_CODES)
                     if pred == "cb":
-                        dc_cb = 128
+                        dc_cb = int(zz[0])
                     else:
-                        dc_cr = 128
-                    bw.write(EOB_CODE, EOB_LEN)
+                        dc_cr = int(zz[0])
+                    _write_ac(bw, zz)
     bw.start_code(SEQ_END)
     return bw.bytes()
 
@@ -445,7 +499,17 @@ def decode_mpeg1_intra(data: bytes):
     """Decode an I-frame-only MPEG-1 video elementary stream produced
     by any conformant intra encoder (this module's, in tests). Returns
     ``(frames, width, height)`` — frames are uint8 (height, width) Y
-    planes (flat chroma is decoded and discarded)."""
+    planes (chroma is decoded but not returned; use
+    :func:`decode_mpeg1_intra_color` for the full 4:2:0 planes)."""
+    planes, w, h = decode_mpeg1_intra_color(data)
+    return [y for y, _cb, _cr in planes], w, h
+
+
+def decode_mpeg1_intra_color(data: bytes):
+    """Full-plane decode: returns ``(frames, width, height)`` where
+    each frame is ``(y, cb, cr)`` — y uint8 (h, w); cb/cr uint8 at the
+    4:2:0 half resolution, cropped to (ceil(h/2), ceil(w/2)) from the
+    macroblock grid the same way Y crops to (h, w)."""
     br = _BitReader(data)
     code = br.next_start_code()
     if code != SEQ_START:
@@ -469,7 +533,7 @@ def decode_mpeg1_intra(data: bytes):
         for _ in range(64):
             br.bits(8)
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
-    frames: list[np.ndarray] = []
+    frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     code = br.next_start_code()
     while code != SEQ_END:
         if code == GOP_START:
@@ -485,6 +549,8 @@ def decode_mpeg1_intra(data: bytes):
         if br.bits(1):
             raise ValueError("mpeg1: extra_bit_picture payload unsupported")
         plane = np.zeros((mb_h * 16, mb_w * 16), dtype=np.float64)
+        cbp = np.zeros((mb_h * 8, mb_w * 8), dtype=np.float64)
+        crp = np.zeros((mb_h * 8, mb_w * 8), dtype=np.float64)
         code = br.next_start_code()
         while 0x00000101 <= code <= 0x000001AF:
             row = (code & 0xFF) - 1
@@ -529,7 +595,16 @@ def decode_mpeg1_intra(data: bytes):
                         dc_cr += d
                         zz[0] = dc_cr
                     _read_ac(br, zz)
+                    blk = _idct(_dequant_intra(zz, q, qscale))
+                    tgt = cbp if pred == "cb" else crp
+                    tgt[
+                        row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
+                    ] = blk
                 col += 1
             code = br.next_start_code()
-        frames.append(np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8))
+        to8 = lambda p, hh, ww: np.clip(  # noqa: E731
+            np.rint(p[:hh, :ww]), 0, 255
+        ).astype(np.uint8)
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        frames.append((to8(plane, h, w), to8(cbp, ch, cw), to8(crp, ch, cw)))
     return frames, w, h

@@ -994,6 +994,112 @@ JPEG_COLOR_ROUNDTRIP_SCHEMA = (
     "mean_byte double, y_ok boolean, chroma_ok boolean"
 )
 
+MPEG1_COLOR_SCHEMA = (
+    "media_id long, frame_idx long, height int, width int, orig_sum long, "
+    "mean_px double, y_ok boolean, chroma_ok boolean"
+)
+
+
+def mpeg1_color_roundtrip_stats(
+    media: DataFrame,
+    qscale: int = 1,
+    tol: int = 8,
+    frame_h: int = 16,
+    frame_w: int = 16,
+    flat_quant: int | None = 16,
+) -> DataFrame:
+    """COLOR MPEG-1 intra video roundtrip: raw8 bytes become
+    consecutive (frame_h, frame_w, 3) RGB frames, ALL frames encode
+    into ONE 4:2:0 I-frame-only elementary stream with genuinely-coded
+    chroma (operators/mpeg1.encode_mpeg1_intra_color), the stream
+    decodes back to (Y, Cb, Cr) planes, and per frame two flags are
+    verified: ``y_ok`` (decoded luma within ``tol`` of the JFIF Y of
+    the input) and ``chroma_ok`` (decoded half-res Cb/Cr within
+    ``tol`` of the encoder-side box-averaged reference) — the chroma
+    DC DPCM chains and chroma AC paths carry real data end to end.
+    One narrow Arrow map; payloads never shuffle."""
+    import numpy as _np
+
+    from jagular_spark.operators.jpeg import rgb_to_ycbcr
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_intra_color,
+        encode_mpeg1_intra_color,
+    )
+
+    fsz = frame_h * frame_w * 3
+    quant = (
+        None
+        if flat_quant is None
+        else _np.full(64, int(flat_quant), dtype=_np.int64)
+    )
+    ph, pw = (frame_h + 15) // 16 * 16, (frame_w + 15) // 16 * 16
+    ch, cw = (frame_h + 1) // 2, (frame_w + 1) // 2
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(
+                        f"codec {r.codec!r}: mpeg1_color_roundtrip_stats needs raw8"
+                    )
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                nf = len(buf) // fsz
+                if nf == 0:
+                    continue
+                origs = [
+                    buf[i * fsz : (i + 1) * fsz].reshape(frame_h, frame_w, 3)
+                    for i in range(nf)
+                ]
+                stream = encode_mpeg1_intra_color(origs, qscale, quant)
+                dec, w, h = decode_mpeg1_intra_color(stream)
+                dims_ok = (w, h) == (frame_w, frame_h) and len(dec) == nf
+                for i, (planes, rgb) in enumerate(zip(dec, origs)):
+                    y, cb, cr = rgb_to_ycbcr(rgb)
+                    pad = lambda p: np.pad(  # noqa: E731
+                        p.astype(np.float64),
+                        ((0, ph - frame_h), (0, pw - frame_w)),
+                        mode="edge",
+                    )
+                    down = lambda p: np.rint(  # noqa: E731
+                        pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                    )
+                    y_ok = bool(
+                        dims_ok
+                        and np.abs(
+                            planes[0].astype(np.int64) - y.astype(np.int64)
+                        ).max(initial=0)
+                        <= tol
+                    )
+                    chroma_ok = bool(
+                        dims_ok
+                        and np.abs(
+                            planes[1].astype(np.float64) - down(cb)[:ch, :cw]
+                        ).max(initial=0)
+                        <= tol
+                        and np.abs(
+                            planes[2].astype(np.float64) - down(cr)[:ch, :cw]
+                        ).max(initial=0)
+                        <= tol
+                    )
+                    frame_bytes = buf[i * fsz : (i + 1) * fsz]
+                    s = int(frame_bytes.sum(dtype=np.int64))
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "height": frame_h,
+                            "width": frame_w,
+                            "orig_sum": s,
+                            "mean_px": float(s) / float(fsz * 255),
+                            "y_ok": y_ok,
+                            "chroma_ok": chroma_ok,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, MPEG1_COLOR_SCHEMA)
+
 
 def jpeg_color_roundtrip_stats(
     media: DataFrame, quality: int = 100, tol: int = 2

@@ -1723,6 +1723,25 @@ ORACLE_SQL["docs_media_mjpeg_video"] = """
 # identical oracle; the codec signal is the hash-verified frame_ok.
 ORACLE_SQL["docs_media_mpeg1_video"] = ORACLE_SQL["docs_media_mjpeg_video"]
 
+# Color MPEG-1: one row per 768-byte (16x16 RGB) frame; exact original
+# byte stats + the hash-verified y_ok/chroma_ok codec flags.
+ORACLE_SQL["docs_media_mpeg1_color"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) // 768 AS BIGINT) AS nf, text
+        FROM documents WHERE length(text) = strlen(text) AND length(text) >= 768
+    ), f AS (
+        SELECT media_id, CAST(s.i AS BIGINT) AS frame_idx,
+               CAST(list_sum(list_transform(
+                        generate_series(s.i * 768 + 1, s.i * 768 + 768),
+                        j -> ord(substr(text, j, 1)))) AS BIGINT) AS orig_sum
+        FROM b, UNNEST(generate_series(0, nf - 1)) AS s(i)
+    )
+    SELECT media_id, frame_idx, 16 AS height, 16 AS width, orig_sum,
+           CAST(orig_sum AS DOUBLE) / (768 * 255) AS mean_px,
+           TRUE AS y_ok, TRUE AS chroma_ok
+    FROM f"""
+
 # Color 4:2:0 roundtrip: exact byte stats over the (n//48)*48 bytes the
 # kernel consumes; the y_ok/chroma_ok tolerance flags are the
 # hash-verified codec signal (TRUE for a correct codec on this corpus).

@@ -1272,6 +1272,34 @@ def docs_media_mpeg1_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_media_mpeg1_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR MPEG-1 intra video under the driver oracle: doc bytes
+    become 16x16 RGB frames (768 B each), all of a doc's frames encode
+    into one 4:2:0 I-frame-only elementary stream with REAL chroma
+    coding (JFIF RGB→YCbCr + 2x2 box downsample, chroma DC DPCM +
+    AC run-level codes carrying live data), then the stream decodes to
+    (Y, Cb, Cr) planes verified per frame against the luma and the
+    encoder-side box-averaged chroma references
+    (multimodal.mpeg1_color_roundtrip_stats)."""
+    from jagular_spark.operators.multimodal import mpeg1_color_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    nb = F.length(F.encode("text", "UTF-8"))
+    media = docs.where(nb >= 768).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        (nb / F.lit(768)).cast("int").alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return mpeg1_color_roundtrip_stats(
+        media.repartition(64, "media_id"), qscale=1, tol=8, flat_quant=16
+    )
+
+
 def docs_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 COLOR baseline-JPEG roundtrip under the driver oracle: doc
     bytes become a (h, 16, 3) RGB image, go through the full color
@@ -3158,6 +3186,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
     "emb_semantic_dedup": emb_semantic_dedup,
     "docs_media_mpeg1_video": docs_media_mpeg1_video,
+    "docs_media_mpeg1_color": docs_media_mpeg1_color,
     "docs_bm25_search": docs_bm25_search,
     "docs_gopher_rules": docs_gopher_rules,
     # -- block 3: q2/q11 carry the r8 local-drift attribution task
@@ -3179,9 +3208,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "events_sessionize": events_sessionize,
     "q6_forecast_revenue": q6_forecast_revenue,
-    "events_filtfilt": events_filtfilt,
     # ---- driver window ends here (first 50 entries) ----
     # -- block 4 (out of window): r7-green remainder, rotate in r10
+    "events_filtfilt": events_filtfilt,
     "events_interpolate": events_interpolate,
     "events_tetrode": events_tetrode,
     "events_crossings": events_crossings,

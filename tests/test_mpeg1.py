@@ -99,3 +99,40 @@ def test_determinism():
     rng = np.random.default_rng(9)
     f = rng.integers(0, 256, size=(24, 40)).astype(np.uint8)
     assert encode_mpeg1_intra([f]) == encode_mpeg1_intra([f])
+
+
+def test_color_roundtrip_real_chroma():
+    """4:2:0 color path: decoded Y matches the JFIF luma and decoded
+    half-res Cb/Cr match the encoder-side box-averaged references
+    within the flat-16 quantizer bound; a saturated-color frame proves
+    the chroma blocks carry real data (flat-128 stubs would miss by
+    ~100)."""
+    from jagular_spark.operators.jpeg import rgb_to_ycbcr
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_intra_color,
+        encode_mpeg1_intra_color,
+    )
+
+    rng = np.random.default_rng(13)
+    noise = rng.integers(0, 256, size=(20, 30, 3)).astype(np.uint8)
+    red = np.zeros((20, 30, 3), dtype=np.uint8)
+    red[:, :, 0] = 220  # strongly chromatic: Cr ≈ 222, Cb ≈ 91
+    flat = np.full(64, 16, dtype=np.int64)
+    frames, w, h = decode_mpeg1_intra_color(
+        encode_mpeg1_intra_color([noise, red], qscale=1, intra_quant=flat)
+    )
+    assert (w, h) == (30, 20) and len(frames) == 2
+    ph, pw, ch, cw = 32, 32, 10, 15
+    for planes, rgb in zip(frames, [noise, red]):
+        y, cb, cr = rgb_to_ycbcr(rgb)
+        pad = lambda p: np.pad(
+            p.astype(np.float64), ((0, ph - 20), (0, pw - 30)), mode="edge"
+        )
+        down = lambda p: np.rint(
+            pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        )
+        assert np.abs(planes[0].astype(int) - y.astype(int)).max() <= 8
+        assert np.abs(planes[1].astype(float) - down(cb)[:ch, :cw]).max() <= 8
+        assert np.abs(planes[2].astype(float) - down(cr)[:ch, :cw]).max() <= 8
+    # the red frame's chroma is far from 128 -> real chroma coding
+    assert abs(int(frames[1][2].mean()) - 128) > 50
