@@ -495,6 +495,49 @@ def _encode_intra_planes(
     return bw.bytes()
 
 
+def intra_expected_reconstruction(
+    frames: list[np.ndarray],
+    qscale: int = 1,
+    intra_quant: np.ndarray | None = None,
+) -> list[np.ndarray]:
+    """Encoder-internal reconstruction: the exact uint8 Y frames a
+    conformant decoder must produce for
+    ``decode_mpeg1_intra(encode_mpeg1_intra(frames, qscale, matrix))``.
+
+    Runs the identical per-block pipeline the codec uses — edge-pad to
+    the 16 grid, float DCT, §2.4.4.1 quant/dequant (truncating
+    division + odd-ification), float IDCT, crop, round, clip — through
+    the SAME functions, so equality is bit-exact, not approximate.
+    Block levels are per-block independent (the DC DPCM is wire-format
+    only and the VLCs are lossless), which is what makes this a
+    provable invariant rather than an empirical error bound; the test
+    suite pins decode == this, mirroring the audio-codec discipline
+    (``audio_codecs.py`` pins decode == encoder-internal
+    reconstruction bit-exactly)."""
+    q = DEFAULT_INTRA_QUANT if intra_quant is None else np.asarray(
+        intra_quant, dtype=np.int64
+    ).reshape(64)
+    h, w = frames[0].shape
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    out = []
+    for f in frames:
+        ypad = np.pad(
+            f.astype(np.float64),
+            ((0, mb_h * 16 - h), (0, mb_w * 16 - w)),
+            mode="edge",
+        )
+        rec = np.zeros_like(ypad)
+        for r in range(mb_h * 2):
+            for c in range(mb_w * 2):
+                blk = ypad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+                zz = _quant_intra(_fdct(blk), q, qscale)
+                rec[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = _idct(
+                    _dequant_intra(zz, q, qscale)
+                )
+        out.append(np.clip(np.rint(rec[:h, :w]), 0, 255).astype(np.uint8))
+    return out
+
+
 def decode_mpeg1_intra(data: bytes):
     """Decode an I-frame-only MPEG-1 video elementary stream produced
     by any conformant intra encoder (this module's, in tests). Returns

@@ -336,8 +336,10 @@ def gopher_rules(
     r1  50 ≤ word count ≤ 100 000
     r2  3 ≤ mean word length ≤ 10
     r3  symbol-to-word ratio (# or ellipsis) ≤ 0.1
-    r4  ≤ 90% of lines start with a bullet (- * •)  [paper: "90% of
-        lines should NOT start with a bullet point" ⇒ bullets ≤ 10%]
+    r4  ≤ 90% of lines start with a bullet (- * •)  [paper SSA1.1
+        removes docs with MORE THAN 90% bullet lines, so keep ⇔
+        10·bullets ≤ 9·lines; an earlier revision inverted this to
+        bullets ≤ 10%, wrongly rejecting 11-90% bullet docs]
     r5  ≤ 30% of lines end with an ellipsis
     r6  ≥ 80% of words contain ≥ 1 alphabetic character
     r7  ≥ 2 distinct members of the required stop-word set present
@@ -395,7 +397,8 @@ def gopher_rules(
             & (F.col("word_chars") <= F.lit(10) * F.col("n_words"))
         ),
         "r3_symbol_ratio": F.lit(10) * F.col("n_symbols") <= F.col("n_words"),
-        "r4_bullet_lines": F.lit(10) * F.col("n_bullet_lines") <= F.col("n_lines"),
+        "r4_bullet_lines": F.lit(10) * F.col("n_bullet_lines")
+        <= F.lit(9) * F.col("n_lines"),
         "r5_ellipsis_lines": F.lit(10) * F.col("n_ellipsis_lines")
         <= F.lit(3) * F.col("n_lines"),
         "r6_alpha_words": F.lit(10) * F.col("n_alpha_words")
@@ -430,10 +433,26 @@ def bm25_topk(
     (10·tf·T + 3·T + 9·dl·N), ALL-INTEGER numerator and denominator
     (T = corpus token count, N = corpus docs) — and the transcendental
     ln in idf is replaced by the integer rational surrogate
-    ((2N − 2df + 1)·quanta) DIV (2df + 1), i.e. the ln's argument
-    scaled to clear the +0.5s (monotone per term, so ordering within a
-    term matches classic BM25; the classic ln is a one-expression swap
-    where cross-engine hash-exactness is not required). The only float
+    ((2N − 2df + 1)·quanta) DIV (2df + 1), i.e. the ln's ARGUMENT
+    scaled to clear the +0.5s, not its logarithm.
+
+    **Ranking caveat — read before using for relevance work.** The
+    surrogate is monotone per term, so ordering within a SINGLE term
+    matches classic BM25 exactly. But across terms it changes how
+    scores MIX: the surrogate grows linearly in N/df where ln grows
+    logarithmically, so rare terms weigh far more against common
+    terms than classic BM25 gives them, and multi-term rankings CAN
+    differ from Okapi's (a doc strong on a rare term beats a doc
+    strong on two common terms earlier than ln-BM25 would rank it;
+    ``tests/test_text.py::test_bm25_surrogate_vs_ln_ranking`` pins a
+    crafted case where the two orders diverge). The surrogate exists
+    for one reason: cross-engine hash-exactness against the DuckDB
+    oracle (no transcendental is bit-reproducible across engines).
+    For fidelity to the published formula swap the idf expression for
+    ``ln((2N − 2df + 1) / (2df + 1))`` — a one-expression change; use
+    that as the default wherever an oracle hash is not required.
+
+    The only float
     steps are one int64→double cast pair and a fixed left-associated
     sum of the per-term weights — bit-identical IEEE ops in Spark and
     DuckDB. tf = 0 terms contribute exactly 0 (zero numerator), so no
@@ -699,8 +718,11 @@ def repeated_kgram_spans(
     the published pass's "remove all but one occurrence" policy: the
     spans then cut every repeat while one canonical copy survives
     (compose with :func:`cut_spans`). Same single uniform-hash
-    exchange — the first-occurrence key is a MIN aggregate (packed
-    ``id·2³² + pos`` BIGINT, map-side combinable), not a window sort."""
+    exchange — the first-occurrence key is ``MIN(struct(id, pos))``
+    (Spark structs order lexicographically by field), map-side
+    combinable, not a window sort. The struct form is total-order
+    correct for ANY id domain — an earlier packed ``id·2³² + pos``
+    BIGINT mis-ordered negative ids and overflowed at id ≥ 2³¹."""
     win_expr = window_hash_expr(text_col, k)
     # repartition spreads the O(tokens·k) window hashing across executor
     # threads regardless of input split count (same measured pattern as
@@ -734,7 +756,7 @@ def repeated_kgram_spans(
     from pyspark.sql import Window
 
     if keep_first:
-        pk = F.col(id_col) * F.lit(4294967296) + F.col("pos")
+        pk = F.struct(F.col(id_col), F.col("pos"))
         dup = (
             wins.groupBy("h")
             .agg(

@@ -1723,22 +1723,24 @@ ORACLE_SQL["docs_media_mjpeg_video"] = """
 # identical oracle; the codec signal is the hash-verified frame_ok.
 ORACLE_SQL["docs_media_mpeg1_video"] = ORACLE_SQL["docs_media_mjpeg_video"]
 
-# Color MPEG-1: one row per 768-byte (16x16 RGB) frame; exact original
-# byte stats + the hash-verified y_ok/chroma_ok codec flags.
+# Color MPEG-1: one row per 192-byte (8x8 RGB) frame — sized so real
+# corpus docs qualify (the former 768 B gate matched zero docs at
+# every shipped sf); exact original byte stats + the hash-verified
+# y_ok/chroma_ok codec flags.
 ORACLE_SQL["docs_media_mpeg1_color"] = """
     WITH b AS (
         SELECT doc_id AS media_id,
-               CAST(length(text) // 768 AS BIGINT) AS nf, text
-        FROM documents WHERE length(text) = strlen(text) AND length(text) >= 768
+               CAST(length(text) // 192 AS BIGINT) AS nf, text
+        FROM documents WHERE length(text) = strlen(text) AND length(text) >= 192
     ), f AS (
         SELECT media_id, CAST(s.i AS BIGINT) AS frame_idx,
                CAST(list_sum(list_transform(
-                        generate_series(s.i * 768 + 1, s.i * 768 + 768),
+                        generate_series(s.i * 192 + 1, s.i * 192 + 192),
                         j -> ord(substr(text, j, 1)))) AS BIGINT) AS orig_sum
         FROM b, UNNEST(generate_series(0, nf - 1)) AS s(i)
     )
-    SELECT media_id, frame_idx, 16 AS height, 16 AS width, orig_sum,
-           CAST(orig_sum AS DOUBLE) / (768 * 255) AS mean_px,
+    SELECT media_id, frame_idx, 8 AS height, 8 AS width, orig_sum,
+           CAST(orig_sum AS DOUBLE) / (192 * 255) AS mean_px,
            TRUE AS y_ok, TRUE AS chroma_ok
     FROM f"""
 
@@ -1932,7 +1934,7 @@ def _gopher_oracle() -> str:
                (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
                    AS r2_mean_word_len,
                (10 * n_symbols <= n_words) AS r3_symbol_ratio,
-               (10 * n_bullet_lines <= n_lines) AS r4_bullet_lines,
+               (10 * n_bullet_lines <= 9 * n_lines) AS r4_bullet_lines,
                (10 * n_ellipsis_lines <= 3 * n_lines) AS r5_ellipsis_lines,
                (10 * n_alpha_words >= 8 * n_words) AS r6_alpha_words,
                (n_stops_present >= 2) AS r7_stop_words

@@ -8,9 +8,15 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from jagular_spark.workloads import ORACLE_SQL, SPARK_QUERIES, TABLES
+from jagular_spark.workloads import (
+    EXPECT_EMPTY,
+    ORACLE_SQL,
+    SPARK_QUERIES,
+    TABLES,
+)
 
 SF = "/root/testdata/sf0.001"
+SF_CONTRACT = "/root/testdata/sf0.01"  # the driver's correctness sf
 
 
 @pytest.fixture(scope="module")
@@ -33,3 +39,46 @@ def test_all_oracles_plan(con):
         except Exception as e:  # noqa: BLE001
             bad.append((name, str(e).splitlines()[0]))
     assert not bad, bad
+
+
+def test_vacuity_guard_logic():
+    """tools/check_oracles fails a 0-vs-0 'match' unless the query is
+    allowlisted — the r9 docs_media_mpeg1_color lesson (its 768 B gate
+    matched zero docs at every shipped sf, so a never-executed color
+    path carried a green correctness row for a full round)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from check_oracles import vacuity_problem
+
+    assert vacuity_problem(0, 0, "docs_media_mpeg1_color") is not None
+    assert vacuity_problem(1, 1, "docs_media_mpeg1_color") is None
+    assert vacuity_problem(0, 5, "anything") is None  # rowcount catches it
+    try:
+        EXPECT_EMPTY.add("__vacuity_test__")
+        assert vacuity_problem(0, 0, "__vacuity_test__") is None
+    finally:
+        EXPECT_EMPTY.discard("__vacuity_test__")
+
+
+def test_no_oracle_is_vacuous_at_contract_sf():
+    """Registry-wide vacuity sweep: every oracle selects >= 1 row at
+    the driver's correctness scale factor (sf0.01) unless declared in
+    EXPECT_EMPTY. Oracle-side only (DuckDB, ~13 s for all queries) —
+    the Spark side is covered by rowcount equality in the harness, so
+    a non-empty oracle forces a non-empty Spark result there."""
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_CONTRACT}/{t}.parquet'"
+        )
+    empty = [
+        name
+        for name, sql in ORACLE_SQL.items()
+        if name not in EXPECT_EMPTY
+        and c.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0] == 0
+    ]
+    assert not empty, f"vacuous oracles at sf0.01: {empty}"

@@ -280,6 +280,29 @@ def test_keep_first_exempts_canonical_occurrence(spark):
     assert got_all[1].clean_text == "intro one two outro"
 
 
+def test_keep_first_ordering_survives_hostile_id_domain(spark):
+    """The canonical-occurrence MIN is a struct(id, pos) aggregate, so
+    it orders correctly for NEGATIVE doc_ids and ids >= 2^31 — the r9
+    packed id*2^32+pos BIGINT mis-ordered the former and overflowed on
+    the latter, silently keeping the wrong copy."""
+    from jagular_spark.operators.text import cut_spans, repeated_kgram_spans
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (-5, shared),                       # corpus-min id: the keeper
+        (2**31 + 7, f"{shared} tail here"),  # packed form overflowed here
+        (3, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_kgram_spans(df, k=4, keep_first=True).select(
+        "doc_id", "span_start", "span_len"
+    )
+    got = {r.doc_id: r for r in cut_spans(df, spans).collect()}
+    assert got[-5].n_tokens_cut == 0 and got[-5].clean_text == shared
+    assert got[2**31 + 7].clean_text == "tail here"
+    assert got[3].clean_text == ""
+
+
 def test_repeated_kgram_spans_partition_invariant(spark):
     """Same hashes at 1 and 7 input partitions — the operator's output
     is a pure function of the corpus, not the layout."""
@@ -344,6 +367,40 @@ def test_bm25_topk_semantics(spark):
     )
 
 
+def test_bm25_surrogate_vs_ln_ranking(spark):
+    """Documents (does not hide) the engine's cross-term divergence
+    from classic ln-idf BM25: the hash-exact rational idf surrogate
+    grows LINEARLY in N/df where ln grows logarithmically, so a doc
+    strong on one rare term can outrank a doc strong on a commoner
+    term even when ln-BM25 orders them the other way. Crafted corpus
+    (N=10 docs, 10 tokens each, df_rare=1, df_common=2, tf_common=3):
+    the engine ranks the rare-term doc FIRST while the ln replay
+    ranks the common-term doc first — both assertions pinned, per the
+    bm25_topk docstring's fidelity caveat."""
+    import math
+
+    from jagular_spark.operators.text import bm25_topk
+
+    fill = [f"f{i}a f{i}b f{i}c f{i}d f{i}e f{i}f f{i}g f{i}h f{i}i f{i}j"
+            for i in range(10)]
+    rows = [
+        (0, "rare " + " ".join(fill[0].split()[:9])),          # A: rare x1
+        (1, "common common common " + " ".join(fill[1].split()[:7])),  # B
+        (2, "common " + " ".join(fill[2].split()[:9])),        # df_common=2
+    ] + [(i, fill[i]) for i in range(3, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bm25_topk(df, ["rare", "common"], k=10).collect()}
+    # engine (surrogate idf): rare-term doc A beats common-term doc B
+    assert out[0].score > out[1].score, (out[0], out[1])
+    # ln-idf replay of the SAME tf/length normalization flips the pair
+    N, T = 10, 100
+    tfpart = lambda tf, dl: 22 * tf * T / (10 * tf * T + 3 * T + 9 * dl * N)  # noqa: E731
+    lnidf = lambda dfreq: math.log((2 * N - 2 * dfreq + 1) / (2 * dfreq + 1))  # noqa: E731
+    score_a_ln = lnidf(1) * tfpart(1, 10)
+    score_b_ln = lnidf(2) * tfpart(3, 10)
+    assert score_b_ln > score_a_ln, (score_a_ln, score_b_ln)
+
+
 def test_bm25_topk_partition_invariant(spark):
     from jagular_spark.operators.text import bm25_topk
 
@@ -375,6 +432,13 @@ def test_gopher_rules_crafted(spark):
         (5, "\n".join(["the of and to be that have with..."] * 5)),  # r5
         (6, " ".join(["12345"] * 58) + " the of"),               # r6
         (7, " ".join(["zork"] * 60)),                            # r7
+        # 50% bullet lines sits INSIDE the published keep band (paper
+        # SSA1.1 removes only >90% bullet docs) — regression for the
+        # r9 inversion that rejected everything over 10%
+        (8, "\n".join(
+            ["- the quality data pipeline holds and that with have",
+             "the quality data pipeline holds and that with have more"] * 5
+        )),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in gopher_rules(df).collect()}
@@ -386,6 +450,8 @@ def test_gopher_rules_crafted(spark):
     assert not got[5].r5_ellipsis_lines and not got[5].keep
     assert not got[6].r6_alpha_words and not got[6].keep
     assert not got[7].r7_stop_words and not got[7].keep
+    assert got[8].r4_bullet_lines and got[8].keep, got[8]
     # integer evidence columns are exact
     assert got[3].n_symbols == 12 and got[3].n_words == 60
     assert got[4].n_bullet_lines == 5 and got[4].n_lines == 5
+    assert got[8].n_bullet_lines == 5 and got[8].n_lines == 10

@@ -86,3 +86,22 @@ def test_curation_funnel_stage_monotonicity(spark):
         assert int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) < thr
     # quality floor holds on the carried score column
     assert all(r.quality_score >= 0.6 for r in out)
+
+
+def test_media_query_partition_count_invariance(spark):
+    """A media workload's result is a pure function of the data, not
+    of the session's shuffle parallelism — _codec_spread reads
+    spark.sql.shuffle.partitions (the r10 fix for the hardcoded
+    repartition(64) on every media call site), so run the de-vacuated
+    color MPEG-1 query at two different widths and require identical
+    row sets."""
+    name = "docs_media_mpeg1_color"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = sorted(map(tuple, SPARK_QUERIES[name](spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, SPARK_QUERIES[name](spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert len(a) > 0 and a == b

@@ -5,6 +5,12 @@ dir, compares row count, column-name set, and an order-insensitive
 value hash (columns sorted by name, rows sorted, values stringified
 with float repr). Exit code 1 on any mismatch.
 
+Vacuity guard (r10): a query whose Spark AND oracle outputs are BOTH
+empty fails the run unless it is listed in workloads.EXPECT_EMPTY —
+a 0-rows-vs-0-rows green proves nothing about the operator (the r9
+docs_media_mpeg1_color row certified a color codec the driver had
+never executed on a single frame).
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
@@ -19,7 +25,25 @@ import duckdb
 import pandas as pd
 
 from jagular_spark.session import get_spark
-from jagular_spark.workloads import ORACLE_SQL, SPARK_QUERIES, TABLES
+from jagular_spark.workloads import (
+    EXPECT_EMPTY,
+    ORACLE_SQL,
+    SPARK_QUERIES,
+    TABLES,
+)
+
+
+def vacuity_problem(n_spark: int, n_oracle: int, name: str) -> str | None:
+    """r10 vacuity guard: a 0-rows-vs-0-rows 'match' certifies nothing
+    about the operator, so it is a FAILURE unless the query declares
+    EXPECT_EMPTY membership."""
+    if n_spark == 0 and n_oracle == 0 and name not in EXPECT_EMPTY:
+        return (
+            "vacuous: 0 rows on BOTH engines (a 0-vs-0 match "
+            "certifies nothing; add to EXPECT_EMPTY only if the "
+            "query is genuinely expected to select nothing)"
+        )
+    return None
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -84,6 +108,9 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
+        vac = vacuity_problem(len(sdf), len(odf), name)
+        if vac:
+            problems.append(vac)
         if len(sdf) != len(odf):
             problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
