@@ -1089,9 +1089,14 @@ def _codec_spread(media: DataFrame) -> DataFrame:
     local[32] harness both widths measure the same band (see the A/B
     note there); on a real cluster the session value tracks executor
     count while a constant would not."""
-    n = int(
-        media.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    raw = media.sparkSession.conf.get("spark.sql.shuffle.partitions", "")
+    try:
+        n = int(raw)
+    except ValueError:
+        # Deployments that set the conf to a non-numeric value (e.g.
+        # "auto" under Databricks AQE conventions) should fall back to
+        # the cluster's parallelism, not crash at query-build time.
+        n = media.sparkSession.sparkContext.defaultParallelism
     return media.repartition(n, "media_id")
 
 
@@ -3157,12 +3162,13 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Registry order IS the driver's verification order: the correctness
 # harness oracle-checks only the FIRST 50 entries per round, so the dict
-# is ordered by verification debt, not by topic. Block 1 = queries the
-# driver has never seen green (or last saw in r4); block 2 = queries new
-# this round; block 3 = r5-driver-green queries whose code was touched
-# this round (or are flagships) — they must be re-verified; block 4 =
-# r5-driver-green untouched queries (out of window this round, rotate
-# back next round). Keep new/changed queries in the first 50.
+# is ordered by verification debt, not by topic. Policy: (a) queries
+# whose operator code changed this round and queries NEW this round go
+# in the window unconditionally; (b) the rest of the window is filled
+# stalest-first (oldest last-driver-green round); (c) no query may go
+# more than 2 rounds without driver verification — rotate before that.
+# r11 window = the 33 r7-green block-4 queries the r10 round failed to
+# rotate (the r10 verdict's #1 task), + touched/new, + oldest r8-green.
 # Queries allowed to return 0 rows on both engines at sf0.01. The
 # correctness harness (tools/check_oracles.py) FAILS any other query
 # whose Spark and oracle outputs are both empty: a 0-vs-0 green
@@ -3173,70 +3179,10 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- block 1 (r9): stalest — last driver-verified r6, at the
-    # 2-round staleness limit (the r8 verdict's deferred block 4:
-    # sketches, PII, set-ops, bucketed join, compaction, rolling
-    # stats, z-score, minhash/ngram-LSH + the static TPC-H shapes)
-    "events_zscore": events_zscore,
-    "docs_survivor_setops": docs_survivor_setops,
-    "orders_bucketed_revenue": orders_bucketed_revenue,
-    "events_compacted_roundtrip": events_compacted_roundtrip,
-    "events_rolling_stats": events_rolling_stats,
-    "docs_hll_vocab": docs_hll_vocab,
-    "docs_cms_heavyhitters": docs_cms_heavyhitters,
-    "docs_pii_redaction": docs_pii_redaction,
-    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
-    "q10_returned_items": q10_returned_items,
-    "q14_promo_effect": q14_promo_effect,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q4_order_priority": q4_order_priority,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q15_top_supplier": q15_top_supplier,
-    "q12_shipping_classes": q12_shipping_classes,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "q1_rollup_summary": q1_rollup_summary,
-    "docs_minhash_lsh": docs_minhash_lsh,
-    # -- block 2: new/changed this round (r9) — stop-shingle guard
-    # engaged on the standalone ngram pair queries (oracles changed
-    # too), repeated_kgram_spans width parameterized, NEW cut_spans
-    # end-to-end query, streamed substring-dedup bucketed-state +
-    # horizon rework, semantic-dedup hot-cluster guard (oracle changed)
-    "docs_ngram_jaccard": docs_ngram_jaccard,
-    "docs_ngram_containment": docs_ngram_containment,
-    "docs_substring_dedup": docs_substring_dedup,
-    "docs_substring_dedup_applied": docs_substring_dedup_applied,
-    "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,
-    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
-    "emb_semantic_dedup": emb_semantic_dedup,
-    "docs_media_mpeg1_video": docs_media_mpeg1_video,
-    "docs_media_mpeg1_color": docs_media_mpeg1_color,
-    "docs_bm25_search": docs_bm25_search,
-    "docs_gopher_rules": docs_gopher_rules,
-    # -- block 3: q2/q11 carry the r8 local-drift attribution task
-    # (re-verify under the driver), then r7-green rotations (19 of 49;
-    # the rest are block 4, first in line for r10)
-    "q2_min_price_supplier": q2_min_price_supplier,
-    "q11_important_parts": q11_important_parts,
-    "events_filtfilt_chunked": events_filtfilt_chunked,
-    "docs_media_frames": docs_media_frames,
-    "docs_simhash_neardup": docs_simhash_neardup,
-    "docs_token_quantiles": docs_token_quantiles,
-    "docs_media_audio": docs_media_audio,
-    "docs_media_resize": docs_media_resize,
-    "docs_stratified_sample": docs_stratified_sample,
-    "events_spike_clusters": events_spike_clusters,
-    "q9_product_profit": q9_product_profit,
-    "q16_supplier_counts": q16_supplier_counts,
-    "q20_dominant_suppliers": q20_dominant_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "events_sessionize": events_sessionize,
-    "q6_forecast_revenue": q6_forecast_revenue,
-    # ---- driver window ends here (first 50 entries) ----
-    # -- block 4 (out of window): r7-green remainder, rotate in r10
+    # -- block 1 (r11 window): the 33 queries last driver-green in r7
+    # (3 driver rounds stale after the r10 window shipped identical to
+    # r9's — the r10 verdict's #1 task). All green in the local r10
+    # 128-query re-run; this block restores the DRIVER's own signal.
     "events_filtfilt": events_filtfilt,
     "events_interpolate": events_interpolate,
     "events_tetrode": events_tetrode,
@@ -3270,8 +3216,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_fingerprint": docs_fingerprint,
     "docs_bpe_tokens": docs_bpe_tokens,
     "events_common_ref": events_common_ref,
-    # -- block 5 (out of window): driver-green in r8 — the freshest
-    # verifications; rotate back r10/r11
+    # -- block 2 (r11 window): touched this round — bm25_topk grew the
+    # idf="rational"|"ln" parameter (rational default, output-identical,
+    # but the touched-code rule says re-verify under the driver)
+    "docs_bm25_search": docs_bm25_search,
+    # -- block 3 (r11 window): oldest r8-driver-green backfill (16) —
+    # next-stalest after block 1
     "emb_ann_topk_lsh": emb_ann_topk_lsh,
     "events_decimate": events_decimate,
     "events_crossings_chunked": events_crossings_chunked,
@@ -3288,6 +3238,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_jpeg_color": docs_media_jpeg_color,
     "docs_media_jpeg_stats": docs_media_jpeg_stats,
     "docs_dedup_clusters": docs_dedup_clusters,
+    # ---- driver window ends here (first 50 entries) ----
+    # -- block 4 (out of window): r8-driver-green remainder — first in
+    # line for the r12 window
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_media_mjpeg_video": docs_media_mjpeg_video,
     "docs_media_gif_roundtrip": docs_media_gif_roundtrip,
@@ -3317,6 +3270,57 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sortedness": events_sortedness,
     "events_salted_hourly": events_salted_hourly,
     "events_detect_spikes": events_detect_spikes,
+    # -- block 5 (out of window): r9/r10-driver-green — the freshest
+    # verifications, last in the rotation queue
+    "events_zscore": events_zscore,
+    "docs_survivor_setops": docs_survivor_setops,
+    "orders_bucketed_revenue": orders_bucketed_revenue,
+    "events_compacted_roundtrip": events_compacted_roundtrip,
+    "events_rolling_stats": events_rolling_stats,
+    "docs_hll_vocab": docs_hll_vocab,
+    "docs_cms_heavyhitters": docs_cms_heavyhitters,
+    "docs_pii_redaction": docs_pii_redaction,
+    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q4_order_priority": q4_order_priority,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q12_shipping_classes": q12_shipping_classes,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q1_rollup_summary": q1_rollup_summary,
+    "docs_minhash_lsh": docs_minhash_lsh,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_ngram_containment": docs_ngram_containment,
+    "docs_substring_dedup": docs_substring_dedup,
+    "docs_substring_dedup_applied": docs_substring_dedup_applied,
+    "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,
+    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
+    "emb_semantic_dedup": emb_semantic_dedup,
+    "docs_media_mpeg1_video": docs_media_mpeg1_video,
+    "docs_media_mpeg1_color": docs_media_mpeg1_color,
+    "docs_gopher_rules": docs_gopher_rules,
+    "q2_min_price_supplier": q2_min_price_supplier,
+    "q11_important_parts": q11_important_parts,
+    "events_filtfilt_chunked": events_filtfilt_chunked,
+    "docs_media_frames": docs_media_frames,
+    "docs_simhash_neardup": docs_simhash_neardup,
+    "docs_token_quantiles": docs_token_quantiles,
+    "docs_media_audio": docs_media_audio,
+    "docs_media_resize": docs_media_resize,
+    "docs_stratified_sample": docs_stratified_sample,
+    "events_spike_clusters": events_spike_clusters,
+    "q9_product_profit": q9_product_profit,
+    "q16_supplier_counts": q16_supplier_counts,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "events_sessionize": events_sessionize,
+    "q6_forecast_revenue": q6_forecast_revenue,
 }
 
 
