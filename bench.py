@@ -114,49 +114,128 @@ def main() -> None:
         fn()
         return time.perf_counter() - t
 
-    timings: dict[str, float | None] = {}
-    errors: dict[str, str] = {}
-    env: dict[str, dict[str, int | float]] = {}
-    env["calibration_start"] = calibrate()
-    total = 0.0
     # This sandbox is a shared-host VM: multi-second CPU-steal bursts were
     # measured injecting 2-4x swings into identical queries. Best-of-two
     # (second run only when the first looks slow) reports the machine's
     # actual capability instead of whichever run a burst landed on.
     RERUN_ABOVE = 2.5
-    for name, fn in SPARK_QUERIES.items():
-        hygiene()
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            n = df.count()  # force full execution
-        except Exception as e:  # noqa: BLE001 — record and continue
-            timings[name] = None
-            errors[name] = f"{type(e).__name__}: {e}"[:500]
-            print(f"# {name}: FAILED {type(e).__name__}", file=sys.stderr)
-            continue
-        dt = time.perf_counter() - t0
-        if dt > RERUN_ABOVE:
-            hygiene()
-            gc0, st0 = jvm_gc_ms(), steal_ticks()
-            t1 = time.perf_counter()
-            try:
-                n = fn(spark, sf_dir).count()
-                dt2 = time.perf_counter() - t1
-                env[name] = {
-                    "run1_s": round(dt, 3),
-                    "run2_s": round(dt2, 3),
-                    "run2_gc_ms": jvm_gc_ms() - gc0,
-                    "run2_steal_ticks": steal_ticks() - st0,
-                }
-                dt = min(dt, dt2)
-            except Exception:  # pragma: no cover — keep the first timing
-                pass
-        timings[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+    # Always-probed queries (run1/run2 + GC/steal attribution even when
+    # fast): docs_media_wav_roundtrip's r8→r9→r10 excursion history
+    # (1.0 → 2.28 → 1.11 s, code untouched) was closed by inference, not
+    # measurement — the r10 verdict asked for a standing probe so any
+    # future excursion arrives with its attribution attached.
+    PROBE_ALWAYS = {"docs_media_wav_roundtrip"}
 
-    env["calibration_end"] = calibrate()
+    def run_pass(tag: str) -> dict:
+        timings: dict[str, float | None] = {}
+        errors: dict[str, str] = {}
+        env: dict[str, dict[str, int | float]] = {}
+        env["calibration_start"] = calibrate()
+        st_pass0, t_pass0 = steal_ticks(), time.perf_counter()
+        total = 0.0
+        for name, fn in SPARK_QUERIES.items():
+            hygiene()
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()  # force full execution
+            except Exception as e:  # noqa: BLE001 — record and continue
+                timings[name] = None
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"# [{tag}] {name}: FAILED {type(e).__name__}", file=sys.stderr)
+                continue
+            dt = time.perf_counter() - t0
+            if dt > RERUN_ABOVE or name in PROBE_ALWAYS:
+                hygiene()
+                gc0, st0 = jvm_gc_ms(), steal_ticks()
+                t1 = time.perf_counter()
+                try:
+                    n = fn(spark, sf_dir).count()
+                    dt2 = time.perf_counter() - t1
+                    env[name] = {
+                        "run1_s": round(dt, 3),
+                        "run2_s": round(dt2, 3),
+                        "run2_gc_ms": jvm_gc_ms() - gc0,
+                        "run2_steal_ticks": steal_ticks() - st0,
+                    }
+                    dt = min(dt, dt2)
+                except Exception:  # pragma: no cover — keep the first timing
+                    pass
+            timings[name] = round(dt, 4)
+            total += dt
+            print(f"# [{tag}] {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        env["calibration_end"] = calibrate()
+        return {
+            "timings": timings,
+            "errors": errors,
+            "env": env,
+            "total": total,
+            "wall_s": time.perf_counter() - t_pass0,
+            "steal_ticks": steal_ticks() - st_pass0,
+        }
+
+    def contamination(p: dict) -> dict:
+        """Host-contamination verdict for one pass. Two independent
+        signals (either trips it): (a) the fixed CPU probes degrade >3x
+        between pass start and end — the r10 round's 1.22x 'regression'
+        rode a 40x in-run matmul degradation; (b) hypervisor steal
+        exceeds 5% of the pass's total CPU capacity — r10's contaminated
+        queries carried 1,000-2,300 steal ticks each vs single digits
+        on the clean r9 run."""
+        cs = p["env"].get("calibration_start", {})
+        ce = p["env"].get("calibration_end", {})
+        ratios = [
+            ce[k] / cs[k]
+            for k in ("matmul_512_ms", "pyloop_200k_ms")
+            if cs.get(k, 0) and ce.get(k)
+        ]
+        calib_ratio = max(ratios) if ratios else 1.0
+        ncpu = os.cpu_count() or 1
+        capacity_ticks = max(p["wall_s"], 1e-9) * 100.0 * ncpu  # USER_HZ=100
+        steal_frac = (
+            p["steal_ticks"] / capacity_ticks if p["steal_ticks"] >= 0 else 0.0
+        )
+        return {
+            "calibration_ratio": round(calib_ratio, 2),
+            "steal_ticks": p["steal_ticks"],
+            "steal_fraction": round(steal_frac, 4),
+            "contaminated": calib_ratio > 3.0 or steal_frac > 0.05,
+        }
+
+    passes = [run_pass("pass1")]
+    verdicts = [contamination(passes[0])]
+    if verdicts[0]["contaminated"]:
+        # A contaminated pass measures the neighbors, not the code —
+        # re-run ONCE so a noisy host cannot silently set the
+        # round-over-round reference point (r10 verdict task #2).
+        print(
+            f"# pass1 CONTAMINATED ({verdicts[0]}) — re-running once",
+            file=sys.stderr,
+        )
+        passes.append(run_pass("pass2"))
+        verdicts.append(contamination(passes[1]))
+
+    # Merge: per-query best-of across passes (same convention as the
+    # in-pass RERUN_ABOVE min); a query errors only if it erred in
+    # EVERY pass.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
+    total = 0.0
+    for name in SPARK_QUERIES:
+        vals = [p["timings"].get(name) for p in passes]
+        ok = [v for v in vals if v is not None]
+        if ok:
+            timings[name] = min(ok)
+            total += timings[name]
+        else:
+            timings[name] = None
+            for p in passes:
+                if name in p["errors"]:
+                    errors[name] = p["errors"][name]
+    env = dict(passes[-1]["env"])
+    if len(passes) > 1:
+        env["pass1"] = passes[0]["env"]
+    contaminated = all(v["contaminated"] for v in verdicts)
     detail = {
         "metric": "workload_total_wall",
         "value": round(total, 4),
@@ -170,6 +249,14 @@ def main() -> None:
         # rerun threshold appear) — separates environment noise from
         # real plan regressions when comparing rounds
         "env": env,
+        # host-contamination verdict per pass + the final call: true
+        # only if EVERY pass (incl. the one forced re-run) was noisy,
+        # i.e. the reported numbers could not be measured cleanly
+        "contamination": {
+            "passes": verdicts,
+            "reran": len(passes) > 1,
+            "contaminated": contaminated,
+        },
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     detail_file = f"BENCH_r{_next_round(repo):02d}_local.json"
@@ -188,22 +275,35 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "contaminated": contaminated,
         "detail_file": detail_file,
     }))
 
 
 def _next_round(repo: str) -> int:
-    """Current round number = 1 + the highest CORRECTNESS_r{N}.json on
-    disk (the driver writes round N's correctness AFTER running bench,
-    so at bench time the newest artifact is round N-1's)."""
+    """Current round number, robust to the driver's artifact ordering.
+
+    The r10 assumption ("correctness is written AFTER bench, so newest
+    CORRECTNESS is round N-1's") was wrong for the driver — it wrote
+    CORRECTNESS_r10.json BEFORE running bench, so the r10 driver detail
+    landed in BENCH_r11_local.json (preserved as
+    BENCH_r10_driver_detail.json). Using BOTH artifact families fixes
+    either ordering: BENCH_r{N}.json is built FROM bench stdout so it
+    can never exist while round N's bench is still running (→ N_bench+1
+    is a floor), and CORRECTNESS_r{N}.json existing means round N has
+    started (→ N_corr is a floor). max() of the two floors is the
+    current round under either write order."""
     import re
 
-    best = 0
+    n_corr = n_bench = 0
     for name in os.listdir(repo):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", name)
         if m:
-            best = max(best, int(m.group(1)))
-    return best + 1
+            n_corr = max(n_corr, int(m.group(1)))
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
+        if m:
+            n_bench = max(n_bench, int(m.group(1)))
+    return max(n_corr, n_bench + 1, 1)
 
 
 if __name__ == "__main__":
