@@ -517,7 +517,12 @@ def intra_expected_reconstruction(
     q = DEFAULT_INTRA_QUANT if intra_quant is None else np.asarray(
         intra_quant, dtype=np.int64
     ).reshape(64)
+    if not frames:
+        raise ValueError("intra_expected_reconstruction needs at least one frame")
     h, w = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one shape")
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     out = []
     for f in frames:

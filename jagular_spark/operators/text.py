@@ -420,6 +420,7 @@ def bm25_topk(
     text_col: str = "text",
     k: int = 25,
     quanta: int = 1_000_000,
+    idf: str = "rational",
 ) -> DataFrame:
     """BM25 top-k term retrieval over the corpus — the lexical-search
     complement to the ANN stack: score every document against a fixed
@@ -448,9 +449,13 @@ def bm25_topk(
     crafted case where the two orders diverge). The surrogate exists
     for one reason: cross-engine hash-exactness against the DuckDB
     oracle (no transcendental is bit-reproducible across engines).
-    For fidelity to the published formula swap the idf expression for
-    ``ln((2N − 2df + 1) / (2df + 1))`` — a one-expression change; use
-    that as the default wherever an oracle hash is not required.
+    For fidelity to the published formula pass ``idf="ln"``: the idf
+    becomes ``ln((2N − 2df + 1) / (2df + 1))`` — exactly Robertson's
+    ``ln((N − df + 0.5) / (df + 0.5))`` with the halves cleared — and
+    everything else (tf shape, length normalization, top-k, ties) is
+    unchanged. Use ``"ln"`` wherever an oracle hash is not required;
+    ``"rational"`` stays the default because it is what every
+    registry oracle mirrors.
 
     The only float
     steps are one int64→double cast pair and a fixed left-associated
@@ -471,6 +476,8 @@ def bm25_topk(
     terms = list(query_terms)
     if not terms:
         raise ValueError("bm25_topk needs at least one query term")
+    if idf not in ("rational", "ln"):
+        raise ValueError(f"idf must be 'rational' or 'ln', got {idf!r}")
     toks = F.expr(f"split(trim({text_col}), '\\\\s+')")
     base = df.select(F.col(id_col), toks.alias("__t__"))
     aggs = [
@@ -494,12 +501,19 @@ def bm25_topk(
         )
     parts = []
     for j in range(len(terms)):
-        idf = (
-            f"(((2 * __n__ - 2 * __df{j}__ + 1) * CAST({quanta} AS BIGINT))"
-            f" DIV (2 * __df{j}__ + 1))"
-        )
+        if idf == "rational":
+            idf_expr = (
+                f"CAST((((2 * __n__ - 2 * __df{j}__ + 1)"
+                f" * CAST({quanta} AS BIGINT))"
+                f" DIV (2 * __df{j}__ + 1)) AS DOUBLE)"
+            )
+        else:  # "ln" — Robertson idf with the +0.5s cleared of fractions
+            idf_expr = (
+                f"LN(CAST(2 * __n__ - 2 * __df{j}__ + 1 AS DOUBLE)"
+                f" / CAST(2 * __df{j}__ + 1 AS DOUBLE))"
+            )
         parts.append(
-            f"(CAST({idf} AS DOUBLE) * CAST(__tf{j}__ * 22 * __tt__ AS DOUBLE)"
+            f"({idf_expr} * CAST(__tf{j}__ * 22 * __tt__ AS DOUBLE)"
             f" / CAST(10 * __tf{j}__ * __tt__ + 3 * __tt__ + 9 * __dl__ * __n__"
             f" AS DOUBLE))"
         )

@@ -46,13 +46,22 @@ def test_vacuity_guard_logic():
     allowlisted — the r9 docs_media_mpeg1_color lesson (its 768 B gate
     matched zero docs at every shipped sf, so a never-executed color
     path carried a green correctness row for a full round)."""
+    import importlib.util
     import os
-    import sys
 
-    sys.path.insert(
-        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    # explicit-location import: does NOT touch sys.path, so the tools
+    # dir cannot shadow same-named modules in later test imports
+    spec = importlib.util.spec_from_file_location(
+        "check_oracles_under_test",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "tools",
+            "check_oracles.py",
+        ),
     )
-    from check_oracles import vacuity_problem
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    vacuity_problem = mod.vacuity_problem
 
     assert vacuity_problem(0, 0, "docs_media_mpeg1_color") is not None
     assert vacuity_problem(1, 1, "docs_media_mpeg1_color") is None
@@ -64,21 +73,24 @@ def test_vacuity_guard_logic():
         EXPECT_EMPTY.discard("__vacuity_test__")
 
 
-def test_no_oracle_is_vacuous_at_contract_sf():
+@pytest.mark.parametrize("sf_dir", [SF_CONTRACT, "/root/testdata/sf0.1"])
+def test_no_oracle_is_vacuous(sf_dir):
     """Registry-wide vacuity sweep: every oracle selects >= 1 row at
-    the driver's correctness scale factor (sf0.01) unless declared in
-    EXPECT_EMPTY. Oracle-side only (DuckDB, ~13 s for all queries) —
-    the Spark side is covered by rowcount equality in the harness, so
-    a non-empty oracle forces a non-empty Spark result there."""
+    the driver's correctness sf (0.01) AND the bench sf (0.1) unless
+    declared in EXPECT_EMPTY — a gate can go vacuous at one sf and not
+    the other (the r9 mpeg1-color 768 B gate matched zero docs at
+    EVERY shipped sf; a threshold picked differently could match at
+    0.01 and zero at 0.1 where the bench would silently measure
+    nothing). Oracle-side only (DuckDB) — the Spark side is covered by
+    rowcount equality in the harness, so a non-empty oracle forces a
+    non-empty Spark result there."""
     c = duckdb.connect()
     for t in TABLES:
-        c.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_CONTRACT}/{t}.parquet'"
-        )
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     empty = [
         name
         for name, sql in ORACLE_SQL.items()
         if name not in EXPECT_EMPTY
         and c.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0] == 0
     ]
-    assert not empty, f"vacuous oracles at sf0.01: {empty}"
+    assert not empty, f"vacuous oracles at {sf_dir}: {empty}"

@@ -3,6 +3,8 @@ by the DuckDB oracle harness; these check semantic properties)."""
 
 from __future__ import annotations
 
+import pytest
+
 from jagular_spark.operators import text as txt
 
 
@@ -399,6 +401,44 @@ def test_bm25_surrogate_vs_ln_ranking(spark):
     score_a_ln = lnidf(1) * tfpart(1, 10)
     score_b_ln = lnidf(2) * tfpart(3, 10)
     assert score_b_ln > score_a_ln, (score_a_ln, score_b_ln)
+
+
+def test_bm25_ln_idf_variant(spark):
+    """idf="ln" (r10 verdict task #4: the docstring promised the
+    published-formula variant; now it is a parameter). On the same
+    crafted corpus as test_bm25_surrogate_vs_ln_ranking, the engine's
+    ln path must (a) numerically reproduce that test's Python ln
+    replay for both pinned docs and (b) flip the pair order relative
+    to the rational default — doc B (common term, tf=3) above doc A
+    (rare term, tf=1), the opposite of the surrogate's ranking."""
+    import math
+
+    from jagular_spark.operators.text import bm25_topk
+
+    fill = [f"f{i}a f{i}b f{i}c f{i}d f{i}e f{i}f f{i}g f{i}h f{i}i f{i}j"
+            for i in range(10)]
+    rows = [
+        (0, "rare " + " ".join(fill[0].split()[:9])),
+        (1, "common common common " + " ".join(fill[1].split()[:7])),
+        (2, "common " + " ".join(fill[2].split()[:9])),
+    ] + [(i, fill[i]) for i in range(3, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in bm25_topk(df, ["rare", "common"], k=10, idf="ln").collect()
+    }
+    N, T = 10, 100
+    tfpart = lambda tf, dl: 22 * tf * T / (10 * tf * T + 3 * T + 9 * dl * N)  # noqa: E731
+    lnidf = lambda dfreq: math.log((2 * N - 2 * dfreq + 1) / (2 * dfreq + 1))  # noqa: E731
+    assert out[0].score == pytest.approx(lnidf(1) * tfpart(1, 10), rel=1e-12)
+    assert out[1].score == pytest.approx(lnidf(2) * tfpart(3, 10), rel=1e-12)
+    # the published formula orders B above A — opposite of the
+    # rational surrogate (pinned in the test above)
+    assert out[1].score > out[0].score
+    assert out[1].rank < out[0].rank
+    # bad variant name fails fast
+    with pytest.raises(ValueError, match="rational"):
+        bm25_topk(df, ["rare"], idf="nope")
 
 
 def test_bm25_topk_partition_invariant(spark):
