@@ -1075,7 +1075,10 @@ def semantic_dedup(
     the corpus; inside each cluster, any vector with a SMALLER-id
     neighbor at cosine ≥ ``threshold`` is dropped (the deterministic
     keep-one-representative policy — the paper keeps one random point
-    per duplicate group; min-id is the reproducible equivalent).
+    per duplicate group; min-id is the reproducible equivalent). The
+    boundary is INCLUSIVE: a pair at exactly ``threshold`` is a
+    duplicate (pinned both sides in
+    ``tests/test_spec_boundaries.py::test_semdedup_threshold_boundary``).
 
     Returns ``(vec_id, cluster, kept)`` for every corpus vector.
 

@@ -335,7 +335,13 @@ def gopher_rules(
 
     r1  50 ≤ word count ≤ 100 000
     r2  3 ≤ mean word length ≤ 10
-    r3  symbol-to-word ratio (# or ellipsis) ≤ 0.1
+    r3  symbol-to-word ratio ≤ 0.1 for the hash symbol AND ≤ 0.1 for
+        the ellipsis, as TWO separate checks — the paper removes docs
+        whose ratio exceeds 0.1 "for either the hash symbol or the
+        ellipsis".  [an earlier revision summed the two counts into
+        one ratio, wrongly rejecting docs with e.g. 6% hashes + 6%
+        ellipses — each inside the published bound — the same
+        mirrored-misreading class as the r4 inversion below]
     r4  ≤ 90% of lines start with a bullet (- * •)  [paper SSA1.1
         removes docs with MORE THAN 90% bullet lines, so keep ⇔
         10·bullets ≤ 9·lines; an earlier revision inverted this to
@@ -349,9 +355,9 @@ def gopher_rules(
     float anywhere, so the flags hash-match any conformant replay.
     Pure row-local projection: zero shuffles, composes with any scan.
 
-    ``(id, n_words, word_chars, n_lines, n_symbols, n_alpha_words,
-    n_bullet_lines, n_ellipsis_lines, n_stops_present, r1..r7 boolean,
-    keep boolean)``."""
+    ``(id, n_words, word_chars, n_lines, n_hash, n_ellipsis,
+    n_alpha_words, n_bullet_lines, n_ellipsis_lines, n_stops_present,
+    r1..r7 boolean, keep boolean)``."""
     t = f"split(trim({text_col}), '\\\\s+')"
     lines = f"split({text_col}, '\\n')"
     stops_sum = " + ".join(
@@ -371,11 +377,13 @@ def gopher_rules(
                 "aggregate(__t__, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
             ).alias("word_chars"),
             F.size("__l__").cast("long").alias("n_lines"),
+            F.regexp_count(F.col(text_col), F.lit("#"))
+            .cast("long")
+            .alias("n_hash"),
             (
-                F.regexp_count(F.col(text_col), F.lit("#"))
-                + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+                F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
                 + F.regexp_count(F.col(text_col), F.lit("…"))
-            ).cast("long").alias("n_symbols"),
+            ).cast("long").alias("n_ellipsis"),
             F.expr(
                 "CAST(size(filter(__t__, x -> x rlike '[A-Za-z]')) AS BIGINT)"
             ).alias("n_alpha_words"),
@@ -396,7 +404,10 @@ def gopher_rules(
             (F.lit(3) * F.col("n_words") <= F.col("word_chars"))
             & (F.col("word_chars") <= F.lit(10) * F.col("n_words"))
         ),
-        "r3_symbol_ratio": F.lit(10) * F.col("n_symbols") <= F.col("n_words"),
+        "r3_symbol_ratio": (
+            (F.lit(10) * F.col("n_hash") <= F.col("n_words"))
+            & (F.lit(10) * F.col("n_ellipsis") <= F.col("n_words"))
+        ),
         "r4_bullet_lines": F.lit(10) * F.col("n_bullet_lines")
         <= F.lit(9) * F.col("n_lines"),
         "r5_ellipsis_lines": F.lit(10) * F.col("n_ellipsis_lines")

@@ -1909,9 +1909,10 @@ def _gopher_oracle() -> str:
                    AS word_chars,
                CAST(len(l) AS BIGINT) AS n_lines,
                CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-                   + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+                   AS n_hash,
+               CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
                    + CAST(len(regexp_extract_all(text, '…')) AS BIGINT)
-                   AS n_symbols,
+                   AS n_ellipsis,
                CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
                     AS BIGINT) AS n_alpha_words,
                CAST(len(list_filter(l, x -> starts_with(ltrim(x), '-') OR
@@ -1927,13 +1928,16 @@ def _gopher_oracle() -> str:
             r4_bullet_lines AND r5_ellipsis_lines AND r6_alpha_words AND
             r7_stop_words) AS keep
     FROM (
-        SELECT doc_id, n_words, word_chars, n_lines, n_symbols,
+        SELECT doc_id, n_words, word_chars, n_lines, n_hash, n_ellipsis,
                n_alpha_words, n_bullet_lines, n_ellipsis_lines,
                n_stops_present,
                (n_words >= 50 AND n_words <= 100000) AS r1_word_count,
                (3 * n_words <= word_chars AND word_chars <= 10 * n_words)
                    AS r2_mean_word_len,
-               (10 * n_symbols <= n_words) AS r3_symbol_ratio,
+               -- paper: remove if ratio > 0.1 for EITHER symbol — two
+               -- separate checks, not a summed count
+               (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words)
+                   AS r3_symbol_ratio,
                (10 * n_bullet_lines <= 9 * n_lines) AS r4_bullet_lines,
                (10 * n_ellipsis_lines <= 3 * n_lines) AS r5_ellipsis_lines,
                (10 * n_alpha_words >= 8 * n_words) AS r6_alpha_words,

@@ -3218,9 +3218,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_common_ref": events_common_ref,
     # -- block 2 (r11 window): touched this round — bm25_topk grew the
     # idf="rational"|"ln" parameter (rational default, output-identical,
-    # but the touched-code rule says re-verify under the driver)
+    # but the touched-code rule says re-verify under the driver), and
+    # the spec-boundary audit found + fixed a second mirrored
+    # misreading: Gopher r3 summed hash+ellipsis counts where the
+    # paper checks the two ratios SEPARATELY (engine + oracle fixed
+    # together, schema now carries n_hash / n_ellipsis)
     "docs_bm25_search": docs_bm25_search,
-    # -- block 3 (r11 window): oldest r8-driver-green backfill (16) —
+    "docs_gopher_rules": docs_gopher_rules,
+    # -- block 3 (r11 window): oldest r8-driver-green backfill (15) —
     # next-stalest after block 1
     "emb_ann_topk_lsh": emb_ann_topk_lsh,
     "events_decimate": events_decimate,
@@ -3237,10 +3242,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_jpeg_progressive": docs_media_jpeg_progressive,
     "docs_media_jpeg_color": docs_media_jpeg_color,
     "docs_media_jpeg_stats": docs_media_jpeg_stats,
-    "docs_dedup_clusters": docs_dedup_clusters,
     # ---- driver window ends here (first 50 entries) ----
     # -- block 4 (out of window): r8-driver-green remainder — first in
     # line for the r12 window
+    "docs_dedup_clusters": docs_dedup_clusters,
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_media_mjpeg_video": docs_media_mjpeg_video,
     "docs_media_gif_roundtrip": docs_media_gif_roundtrip,
@@ -3304,7 +3309,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_semantic_dedup": emb_semantic_dedup,
     "docs_media_mpeg1_video": docs_media_mpeg1_video,
     "docs_media_mpeg1_color": docs_media_mpeg1_color,
-    "docs_gopher_rules": docs_gopher_rules,
     "q2_min_price_supplier": q2_min_price_supplier,
     "q11_important_parts": q11_important_parts,
     "events_filtfilt_chunked": events_filtfilt_chunked,

@@ -1,0 +1,315 @@
+"""Spec-vs-oracle boundary pins (r10 verdict task #3).
+
+The Gopher r4 inversion stayed green for two rounds because the DuckDB
+oracle mirrored the same misreading — a hash-match verifies
+engine ≡ oracle, never engine ≡ published-spec. These tests pin every
+published threshold the repo implements against the PAPER's number,
+with a crafted input just INSIDE and just OUTSIDE each bound, so a
+mirrored misreading cannot survive:
+
+- Gopher / MassiveText rules r1-r7 (Rae et al. 2021, arXiv:2112.11446
+  §A1.1) — both sides of all seven thresholds, plus the r3 regression
+  this audit itself found (hash and ellipsis ratios are SEPARATE
+  checks in the paper; an earlier revision summed them).
+- BM25 constants (Robertson/Okapi, k1 = 1.2, b = 0.75) — the engine's
+  integer 22/10/3/9 algebra replayed against the published float
+  formula.
+- Lee et al. 2022 substring-dedup span semantics — window length k and
+  occurrence count min_count, both sides.
+- SemDeDup (Abbas et al. 2023) keep rule — cosine threshold boundary,
+  both sides, inclusive-≥ drop pinned.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jagular_spark.operators.text import bm25_topk, gopher_rules
+
+
+def _gopher_one(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return gopher_rules(df).collect()[0]
+
+
+def _words(*groups):
+    out = []
+    for word, n in groups:
+        out.extend([word] * n)
+    return " ".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule boundaries — the paper's numbers, not the oracle's
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_r1_word_count_boundaries(spark):
+    """Paper: remove docs with <50 or >100,000 words — so exactly 50
+    and exactly 100,000 are KEPT."""
+    base = [("the", 1), ("of", 1)]
+    keep_lo = _gopher_one(spark, _words(*base, ("word", 48)))       # 50
+    rej_lo = _gopher_one(spark, _words(*base, ("word", 47)))        # 49
+    keep_hi = _gopher_one(spark, _words(*base, ("word", 99_998)))   # 100000
+    rej_hi = _gopher_one(spark, _words(*base, ("word", 99_999)))    # 100001
+    assert keep_lo.n_words == 50 and keep_lo.r1_word_count and keep_lo.keep
+    assert rej_lo.n_words == 49 and not rej_lo.r1_word_count and not rej_lo.keep
+    assert keep_hi.n_words == 100_000 and keep_hi.r1_word_count and keep_hi.keep
+    assert rej_hi.n_words == 100_001 and not rej_hi.r1_word_count and not rej_hi.keep
+
+
+def test_gopher_r2_mean_word_length_boundaries(spark):
+    """Paper: remove docs whose mean word length is outside [3, 10] —
+    means of exactly 3.0 and exactly 10.0 are KEPT."""
+    # exactly 3.0: 50 words x 3 chars = 150 chars
+    keep3 = _gopher_one(spark, _words(("the", 1), ("and", 1), ("abc", 48)))
+    assert keep3.word_chars == 150 and keep3.n_words == 50
+    assert keep3.r2_mean_word_len and keep3.keep
+    # just below 3.0: one 3-char word swapped for a 2-char word
+    rej3 = _gopher_one(spark, _words(("the", 1), ("and", 1), ("of", 1), ("abc", 47)))
+    assert rej3.word_chars == 149 and not rej3.r2_mean_word_len and not rej3.keep
+    # exactly 10.0: 50 words totalling 500 chars (3+4+47*10+23)
+    keep10 = _gopher_one(
+        spark,
+        _words(("the", 1), ("have", 1), ("abcdefghij", 47), ("a" * 23, 1)),
+    )
+    assert keep10.word_chars == 500 and keep10.n_words == 50
+    assert keep10.r2_mean_word_len and keep10.keep
+    # just above 10.0: 501 chars
+    rej10 = _gopher_one(
+        spark,
+        _words(("the", 1), ("have", 1), ("abcdefghij", 47), ("a" * 24, 1)),
+    )
+    assert rej10.word_chars == 501 and not rej10.r2_mean_word_len and not rej10.keep
+
+
+def test_gopher_r3_hash_ratio_boundaries(spark):
+    """Paper: remove if hash-to-word ratio > 0.1 — exactly 10% KEPT."""
+    keep = _gopher_one(spark, _words(("the", 1), ("of", 1), ("#", 5), ("word", 43)))
+    assert keep.n_hash == 5 and keep.n_words == 50
+    assert keep.r3_symbol_ratio and keep.keep
+    rej = _gopher_one(spark, _words(("the", 1), ("of", 1), ("#", 6), ("word", 42)))
+    assert rej.n_hash == 6 and not rej.r3_symbol_ratio and not rej.keep
+
+
+def test_gopher_r3_ellipsis_ratio_boundaries(spark):
+    """Paper: remove if ellipsis-to-word ratio > 0.1 — exactly 10%
+    KEPT. Ellipses sit mid-line so r5 (line-ending ellipsis) is not
+    engaged."""
+    keep = _gopher_one(spark, _words(("the", 1), ("of", 1), ("...", 5), ("word", 43)))
+    assert keep.n_ellipsis == 5 and keep.n_words == 50
+    assert keep.r3_symbol_ratio and keep.keep
+    rej = _gopher_one(spark, _words(("the", 1), ("of", 1), ("...", 6), ("word", 42)))
+    assert rej.n_ellipsis == 6 and not rej.r3_symbol_ratio and not rej.keep
+
+
+def test_gopher_r3_separate_ratios_regression(spark):
+    """THE BUG THIS AUDIT FOUND (fixed with the gopher-r4 treatment —
+    engine + oracle together): the paper removes when the ratio
+    exceeds 0.1 "for either the hash symbol or the ellipsis" — two
+    SEPARATE checks. A doc with 6% hashes and 6% ellipses is inside
+    the published bound on both counts and must be KEPT; the earlier
+    summed-count revision (12% combined > 10%) wrongly rejected it."""
+    doc = _gopher_one(
+        spark, _words(("the", 1), ("of", 1), ("#", 3), ("...", 3), ("word", 42))
+    )
+    assert doc.n_hash == 3 and doc.n_ellipsis == 3 and doc.n_words == 50
+    assert doc.r3_symbol_ratio and doc.keep
+
+
+def test_gopher_r4_bullet_line_boundaries(spark):
+    """Paper SSA1.1: remove docs with MORE THAN 90% bullet lines —
+    exactly 90% KEPT (regression class: the r9 inversion)."""
+    bullet = "- the pipeline holds value here"
+    plain = "of and that have with something more extra"
+    keep = _gopher_one(spark, "\n".join([bullet] * 9 + [plain]))
+    assert keep.n_bullet_lines == 9 and keep.n_lines == 10
+    assert keep.r4_bullet_lines and keep.keep
+    # 10/10 bullet lines -> 100% > 90%
+    rej = _gopher_one(spark, "\n".join([bullet] * 9 + ["- " + plain]))
+    assert rej.n_bullet_lines == 10 and rej.n_lines == 10
+    assert not rej.r4_bullet_lines and not rej.keep
+
+
+def test_gopher_r5_ellipsis_line_boundaries(spark):
+    """Paper: remove docs with MORE THAN 30% of lines ending in an
+    ellipsis — exactly 30% KEPT."""
+    plain = "the of brown fox jumps over it"
+    dots = plain + "..."
+    keep = _gopher_one(spark, "\n".join([dots] * 3 + [plain] * 7))
+    assert keep.n_ellipsis_lines == 3 and keep.n_lines == 10
+    assert keep.r5_ellipsis_lines and keep.keep
+    rej = _gopher_one(spark, "\n".join([dots] * 4 + [plain] * 6))
+    assert rej.n_ellipsis_lines == 4 and not rej.r5_ellipsis_lines and not rej.keep
+
+
+def test_gopher_r6_alpha_word_boundaries(spark):
+    """Paper: remove docs where LESS THAN 80% of words have at least
+    one alphabetic character — exactly 80% KEPT."""
+    keep = _gopher_one(spark, _words(("the", 1), ("of", 1), ("word", 38), ("123", 10)))
+    assert keep.n_alpha_words == 40 and keep.n_words == 50
+    assert keep.r6_alpha_words and keep.keep
+    rej = _gopher_one(spark, _words(("the", 1), ("of", 1), ("word", 37), ("123", 11)))
+    assert rej.n_alpha_words == 39 and not rej.r6_alpha_words and not rej.keep
+
+
+def test_gopher_r7_stop_word_boundaries(spark):
+    """Paper: remove docs that do not contain at least TWO of the
+    required stop words — 2 distinct members keep, and repetition of
+    ONE member does not count as two."""
+    keep = _gopher_one(spark, _words(("the", 1), ("of", 1), ("word", 48)))
+    assert keep.n_stops_present == 2 and keep.r7_stop_words and keep.keep
+    rej = _gopher_one(spark, _words(("the", 2), ("word", 48)))
+    assert rej.n_stops_present == 1 and not rej.r7_stop_words and not rej.keep
+
+
+# ---------------------------------------------------------------------------
+# BM25 constants — the integer algebra IS k1=1.2, b=0.75
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_integer_algebra_is_k1_12_b_075(spark):
+    """The engine's 22/10/3/9 integer weight was derived from Okapi
+    BM25 with k1 = 1.2, b = 0.75 by clearing fractions. Replay the
+    PUBLISHED formula — idf(df) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf = ln((N−df+0.5)/(df+0.5)) — in Python and assert the
+    engine's ln path reproduces it, doc by doc. A wrong constant in
+    the derivation (any of 22/10/3/9) shifts every score and fails
+    this regardless of what the oracle mirrors."""
+    rows = [
+        (0, "rare pad0 fill0 word more yet other end open shut"),
+        (1, "common common pad1 fill word more yet other end close"),
+        (2, "common pad2 fill word more yet other end open shut"),
+        (3, "rare rare rare pad3 fill more yet other end close"),
+        (4, "w4a w4b w4c w4d w4e w4f w4g w4h w4i w4j"),
+        (5, "w5a w5b w5c w5d w5e w5f w5g w5h w5i w5j"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in bm25_topk(df, ["rare", "common"], k=10, idf="ln").collect()
+    }
+    N, T = 6, 60
+    avgdl = T / N
+    k1, b = 1.2, 0.75
+    tf = {  # per doc: (tf_rare, tf_common, dl); every dl is 10
+        0: (1, 0, 10), 1: (0, 2, 10), 2: (0, 1, 10),
+        3: (3, 0, 10), 4: (0, 0, 10), 5: (0, 0, 10),
+    }
+    df_rare, df_common = 2, 2  # idf = ln((6-2+0.5)/(2+0.5)) = ln(1.8) > 0
+
+    def okapi(tf_t, dfreq, dl):
+        if tf_t == 0:
+            return 0.0
+        idf = math.log((N - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * tf_t * (k1 + 1) / (tf_t + k1 * (1 - b + b * dl / avgdl))
+
+    matched = 0
+    for doc_id, (tr, tc, dl) in tf.items():
+        expected = okapi(tr, df_rare, dl) + okapi(tc, df_common, dl)
+        if expected <= 0:
+            assert doc_id not in got  # score>0 filter
+        else:
+            assert got[doc_id].score == pytest.approx(expected, rel=1e-9), (
+                doc_id, got[doc_id].score, expected,
+            )
+            matched += 1
+    assert matched == 4  # the equality check is not vacuous
+
+
+# ---------------------------------------------------------------------------
+# Lee et al. 2022 substring-dedup span semantics
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_window_length_boundary(spark):
+    """A duplicated run of exactly k tokens is detected (one k-window);
+    a run of k-1 tokens shares NO k-window and is invisible — the
+    published pass only sees duplicates at or above the window
+    length."""
+    from jagular_spark.operators.text import repeated_kgram_spans
+
+    k = 4
+    rows4 = [(0, "p q r s tail0 end0"), (1, "head1 x p q r s")]
+    out4 = repeated_kgram_spans(
+        spark.createDataFrame(rows4, "doc_id long, text string"), k=k
+    ).collect()
+    got = {(r.doc_id): (r.span_start, r.span_len) for r in out4}
+    assert got == {0: (0, 4), 1: (2, 4)}, got
+    rows3 = [(0, "p q r tail0 end0 pad0"), (1, "head1 x y z p q r")]
+    out3 = repeated_kgram_spans(
+        spark.createDataFrame(rows3, "doc_id long, text string"), k=k
+    ).collect()
+    assert out3 == []
+
+
+def test_substring_dedup_min_count_boundary(spark):
+    """A window occurring exactly min_count times is marked; one below
+    is not (>= semantics, both sides)."""
+    from jagular_spark.operators.text import repeated_kgram_spans
+
+    rows = [
+        (0, "a b c d pad0 end0"),
+        (1, "x y a b c d tail"),
+        (2, "a b c d pad2 end2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the shared window occurs 3 times: min_count=3 marks all three
+    out3 = repeated_kgram_spans(df, k=4, min_count=3).collect()
+    assert {r.doc_id for r in out3} == {0, 1, 2}
+    # min_count=4 marks nothing (3 < 4)
+    out4 = repeated_kgram_spans(df, k=4, min_count=4).collect()
+    assert out4 == []
+
+
+def test_substring_dedup_keep_first_exempts_one_copy(spark):
+    """Published policy: remove all but ONE occurrence. keep_first=True
+    must exempt exactly the corpus-minimum (id, pos) occurrence."""
+    from jagular_spark.operators.text import repeated_kgram_spans
+
+    rows = [(0, "a b c d pad0 end0"), (1, "x y a b c d tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_kgram_spans(df, k=4, min_count=2, keep_first=True).collect()
+    assert [(r.doc_id, r.span_start, r.span_len) for r in out] == [(1, 2, 4)]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup keep rule — cosine threshold, both sides
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_threshold_boundary(spark):
+    """Within a cluster, a pair at cosine EXACTLY the threshold is a
+    duplicate (inclusive ≥, documented in the operator) and the larger
+    id is dropped; a pair strictly below keeps both. Vectors are
+    chosen so the integer-quantized cosine is IEEE-exact: (1,0) vs
+    (4,3) → 4/5 = 0.8; (1,0) vs (3,4) → 3/5 = 0.6."""
+    from jagular_spark.operators.similarity import semantic_dedup
+
+    rows = [(0, [1.0, 0.0]), (1, [4.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    at = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            df, n_centroids=1, n_iter=1, threshold=0.8, fit_fraction=1.0
+        ).collect()
+    }
+    assert at == {0: True, 1: False}  # cos == threshold -> dropped
+    above = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            df, n_centroids=1, n_iter=1, threshold=0.8000001, fit_fraction=1.0
+        ).collect()
+    }
+    assert above == {0: True, 1: True}  # cos < threshold -> both kept
+    rows_lo = [(0, [1.0, 0.0]), (1, [3.0, 4.0])]
+    df_lo = spark.createDataFrame(rows_lo, "vec_id long, embedding array<float>")
+    lo = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            df_lo, n_centroids=1, n_iter=1, threshold=0.8, fit_fraction=1.0
+        ).collect()
+    }
+    assert lo == {0: True, 1: True}

@@ -492,6 +492,6 @@ def test_gopher_rules_crafted(spark):
     assert not got[7].r7_stop_words and not got[7].keep
     assert got[8].r4_bullet_lines and got[8].keep, got[8]
     # integer evidence columns are exact
-    assert got[3].n_symbols == 12 and got[3].n_words == 60
+    assert got[3].n_hash == 12 and got[3].n_words == 60
     assert got[4].n_bullet_lines == 5 and got[4].n_lines == 5
     assert got[8].n_bullet_lines == 5 and got[8].n_lines == 10
