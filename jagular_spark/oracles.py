@@ -387,12 +387,18 @@ def _similarity_oracles() -> dict[str, str]:
 
 
 
-def _funnel_oracle() -> str:
+def _funnel_oracle(
+    prefix_ctes: str = "",
+    corpus: str = "documents",
+    final_cols: str = "doc_id, quality_score",
+) -> str:
     """DuckDB replay of the whole curation funnel (quality → language →
     exact dedup → LSH-candidate near-dup closure → hash sample). The
     near-dup stage mirrors the engine's LSH-first composition: minhash
     band buckets propose candidate pairs over the survivor set, exact
-    shingle-Jaccard ≥ 0.5 verifies them."""
+    shingle-Jaccard ≥ 0.5 verifies them. ``prefix_ctes``/``corpus``
+    let the v2 variant swap the raw documents table for the keep-first
+    substring-cut corpus; ``final_cols`` selects the output shape."""
     sig_cols = ", ".join(
         f"MIN(({a} * h + {b}) % {sim.P}) AS m{j}"
         for j, (a, b) in enumerate(
@@ -425,11 +431,11 @@ def _funnel_oracle() -> str:
                     WHEN s_de >= s_es THEN 'de'
                     ELSE 'es' END"""
     return f"""
-        WITH RECURSIVE scored AS (
+        WITH RECURSIVE {prefix_ctes}scored AS (
             SELECT doc_id, text, {quality} AS quality_score,
                    {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
                    {ratio['de']} AS s_de, {ratio['es']} AS s_es
-            FROM documents
+            FROM {corpus}
         ), f1 AS (
             SELECT doc_id, text, quality_score FROM scored
             WHERE quality_score >= 0.6 AND {case_lang} = 'en'
@@ -481,11 +487,11 @@ def _funnel_oracle() -> str:
         ), comp AS (
             SELECT a AS id, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
         ), kept AS (
-            SELECT d.doc_id, d.quality_score
+            SELECT d.doc_id, d.text, d.quality_score
             FROM d LEFT JOIN comp c ON d.doc_id = c.id
             WHERE d.doc_id = COALESCE(c.comp, d.doc_id)
         )
-        SELECT doc_id, quality_score FROM kept
+        SELECT {final_cols} FROM kept
         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT < {int(0.5 * (1 << 32))}"""
 
 
@@ -1056,6 +1062,54 @@ ORACLE_SQL.update(_text_oracles())
 ORACLE_SQL.update(_extension_oracles())
 ORACLE_SQL.update(_signal_oracles())
 ORACLE_SQL["docs_curation_funnel"] = _funnel_oracle()
+
+# v2: the funnel over the keep-first substring-cut corpus (Lee et al.
+# detection + canonical-occurrence exemption + surgery as prefix CTEs
+# — the same SQL as docs_substring_dedup_keepfirst, CTEs suffixed '0'
+# to avoid colliding with the funnel's toks/d — then documents the
+# surgery emptied are dropped and the whole funnel runs on the cut
+# text, emitting the cleaned text alongside the score).
+_SSD_KEEPFIRST_PREFIX = """toks0 AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), win0 AS (
+        SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
+               md5(array_to_string(list_slice(t, s.i + 1, s.i + 8), ' ')) AS h
+        FROM toks0, UNNEST(generate_series(0, len(t) - 8)) AS s(i)
+        WHERE len(t) >= 8
+    ), dup0 AS (
+        SELECT h, MIN(doc_id * 4294967296 + pos) AS firstkey
+        FROM win0 GROUP BY h HAVING count(*) >= 2
+    ), d0 AS (
+        SELECT w.doc_id, w.pos FROM win0 w JOIN dup0 USING (h)
+        WHERE w.doc_id * 4294967296 + w.pos <> dup0.firstkey
+    ), isl0 AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM d0
+    ), spans0 AS (
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS a,
+               CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS l
+        FROM isl0 GROUP BY doc_id, grp
+    ), sp0 AS (
+        SELECT doc_id, list(struct_pack(a := a, l := l)) AS sps
+        FROM spans0 GROUP BY doc_id
+    ), cleaned0 AS (
+        SELECT t.doc_id, array_to_string(
+            CASE WHEN p.sps IS NULL THEN t.t
+                 ELSE list_filter(t.t, (x, i) ->
+                      len(list_filter(p.sps, q ->
+                          i - 1 >= q.a AND i - 1 < q.a + q.l)) = 0)
+            END, ' ') AS text
+        FROM toks0 t LEFT JOIN sp0 p USING (doc_id)
+    ), base0 AS (
+        SELECT doc_id, text FROM cleaned0 WHERE length(text) > 0
+    ), """
+
+ORACLE_SQL["docs_curation_funnel_v2"] = _funnel_oracle(
+    prefix_ctes=_SSD_KEEPFIRST_PREFIX,
+    corpus="base0",
+    final_cols="doc_id, text AS clean_text, quality_score",
+)
 
 # As-of join: the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
 # independent implementation of the same semantics, cross-validating

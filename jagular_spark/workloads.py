@@ -2255,10 +2255,38 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified elsewhere; this query verifies their COMPOSITION
     (stage ordering, survivor-set threading) against one DuckDB oracle
     that replays the whole funnel."""
+    docs = load(spark, sf_dir, "documents")
+    return _curation_funnel(docs)
+
+
+def docs_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with the Lee-et-al substring-dedup SURGERY stage in
+    front — the full "clean corpus out" pipeline: detect repeated
+    8-token windows corpus-wide, cut every occurrence except the
+    corpus-minimum canonical one (keep_first), drop documents the
+    surgery emptied, then run the whole curation funnel (quality →
+    language → exact dedup → LSH near-dup closure → 50% hash sample)
+    over the CUT text. Emits the surviving documents WITH their
+    cleaned text — what a training pipeline would actually shard.
+    Every stage is individually hash-verified elsewhere; this query
+    pins the composition, including that quality/language/dedup
+    decisions are made on post-surgery text, not the raw corpus."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = txt.repeated_kgram_spans(docs, k=8, min_count=2, keep_first=True)
+    cleaned = (
+        txt.cut_spans(docs, spans.select("doc_id", "span_start", "span_len"))
+        .where(F.length("clean_text") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    return _curation_funnel(cleaned, with_text=True)
+
+
+def _curation_funnel(docs: DataFrame, with_text: bool = False) -> DataFrame:
+    """Shared funnel body (see docs_curation_funnel): ``docs`` is any
+    (doc_id, text) corpus — raw documents for v1, the keep-first
+    substring-cut corpus for v2."""
     from jagular_spark.operators.graph import dedup_clusters
     from jagular_spark.operators.sampling import hash_sample
-
-    docs = load(spark, sf_dir, "documents")
     n = F.length(F.col("text")).cast("double")
     alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double") / n
     digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double") / n
@@ -2298,7 +2326,12 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s3 = s2.join(kept, "doc_id")
 
-    return hash_sample(s3, "doc_id", 0.5).select("doc_id", "quality_score")
+    sampled = hash_sample(s3, "doc_id", 0.5)
+    if with_text:
+        return sampled.select(
+            "doc_id", F.col("text").alias("clean_text"), "quality_score"
+        )
+    return sampled.select("doc_id", "quality_score")
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3225,7 +3258,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # together, schema now carries n_hash / n_ellipsis)
     "docs_bm25_search": docs_bm25_search,
     "docs_gopher_rules": docs_gopher_rules,
-    # -- block 3 (r11 window): oldest r8-driver-green backfill (15) —
+    # NEW this round: the funnel composed over the keep-first
+    # substring-cut corpus — end-to-end "clean corpus out"
+    "docs_curation_funnel_v2": docs_curation_funnel_v2,
+    # -- block 3 (r11 window): oldest r8-driver-green backfill (14) —
     # next-stalest after block 1
     "emb_ann_topk_lsh": emb_ann_topk_lsh,
     "events_decimate": events_decimate,
@@ -3241,10 +3277,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,
     "docs_media_jpeg_progressive": docs_media_jpeg_progressive,
     "docs_media_jpeg_color": docs_media_jpeg_color,
-    "docs_media_jpeg_stats": docs_media_jpeg_stats,
     # ---- driver window ends here (first 50 entries) ----
     # -- block 4 (out of window): r8-driver-green remainder — first in
     # line for the r12 window
+    "docs_media_jpeg_stats": docs_media_jpeg_stats,
     "docs_dedup_clusters": docs_dedup_clusters,
     "docs_bloom_decontaminate": docs_bloom_decontaminate,
     "docs_media_mjpeg_video": docs_media_mjpeg_video,
