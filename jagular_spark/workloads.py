@@ -692,9 +692,11 @@ def docs_substring_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFram
     corpus-minimum (doc_id, pos) one, so exactly one canonical copy of
     each repeated passage survives into the emitted corpus — what
     docs_substring_dedup_applied (cut-everywhere) deliberately does
-    not promise. First-occurrence selection is a packed-BIGINT MIN on
-    the same single uniform-hash exchange (no window sort); surgery is
-    cut_spans. Oracle replays detection + min-key exemption + surgery."""
+    not promise. First-occurrence selection is a MIN(struct(id, pos))
+    on the same single uniform-hash exchange (no window sort; total-
+    order correct for any id domain — see repeated_kgram_spans);
+    surgery is cut_spans. Oracle replays detection + min-key exemption
+    + surgery."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     spans = txt.repeated_kgram_spans(docs, k=8, min_count=2, keep_first=True)
     return txt.cut_spans(docs, spans.select("doc_id", "span_start", "span_len"))

@@ -132,6 +132,7 @@ def test_no_cartesian_products_on_flagships(spark):
         "emb_cosine_neardup_lsh",
         "docs_ngram_jaccard",
         "q5_region_revenue",
+        "docs_curation_funnel_v2",
     ):
         p = _formatted(SPARK_QUERIES[name](spark, SF))
         assert "CartesianProduct" not in p, name
