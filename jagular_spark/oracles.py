@@ -1077,11 +1077,11 @@ _SSD_KEEPFIRST_PREFIX = """toks0 AS (
         FROM toks0, UNNEST(generate_series(0, len(t) - 8)) AS s(i)
         WHERE len(t) >= 8
     ), dup0 AS (
-        SELECT h, MIN(doc_id * 4294967296 + pos) AS firstkey
+        SELECT h, MIN(struct_pack(id := doc_id, pos := pos)) AS firstkey
         FROM win0 GROUP BY h HAVING count(*) >= 2
     ), d0 AS (
         SELECT w.doc_id, w.pos FROM win0 w JOIN dup0 USING (h)
-        WHERE w.doc_id * 4294967296 + w.pos <> dup0.firstkey
+        WHERE struct_pack(id := w.doc_id, pos := w.pos) <> dup0.firstkey
     ), isl0 AS (
         SELECT doc_id, pos,
                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
@@ -2004,12 +2004,17 @@ ORACLE_SQL["docs_gopher_rules"] = _gopher_oracle()
 
 
 ORACLE_SQL["docs_substring_dedup_keepfirst"] = _SSD_APPLIED_TEMPLATE.format(
+    # MIN over a struct orders lexicographically by field in DuckDB
+    # exactly as Spark's MIN(struct(id, pos)) does — total-order
+    # correct for ANY id domain, matching the engine's r10 fix (the
+    # previous packed doc_id*2^32+pos key was only equivalent on
+    # small non-negative ids)
     marks="""dup AS (
-        SELECT h, MIN(doc_id * 4294967296 + pos) AS firstkey
+        SELECT h, MIN(struct_pack(id := doc_id, pos := pos)) AS firstkey
         FROM win GROUP BY h HAVING count(*) >= 2
     ), d AS (
         SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)
-        WHERE w.doc_id * 4294967296 + w.pos <> dup.firstkey
+        WHERE struct_pack(id := w.doc_id, pos := w.pos) <> dup.firstkey
     )"""
 )
 

@@ -264,6 +264,48 @@ def test_substring_dedup_min_count_boundary(spark):
     assert out4 == []
 
 
+def test_keepfirst_oracle_matches_engine_on_hostile_ids(spark):
+    """Cross-engine keep-first on a hostile id domain (id ≥ 2³¹ and a
+    negative id): the engine's MIN(struct(id, pos)) and the oracle's
+    MIN(struct_pack(...)) must agree. The oracle's previous packed
+    doc_id·2³² + pos key did not merely mis-order here — it OVERFLOWED
+    int64 at id ≥ 2³¹ (DuckDB raises out-of-range), so this test fails
+    loudly against any packed-key regression on either side."""
+    import duckdb
+    import pandas as pd
+
+    from jagular_spark.oracles import ORACLE_SQL
+    from jagular_spark.operators.text import cut_spans, repeated_kgram_spans
+
+    shared = "a b c d e f g h"
+    rows = [
+        (2**31 + 7, shared + " tailA tailB"),
+        (-5, "pre1 pre2 " + shared),
+        (0, shared + " end0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_kgram_spans(docs, k=8, min_count=2, keep_first=True)
+    eng = {
+        r.doc_id: (r.n_spans, r.n_tokens_cut, r.clean_text)
+        for r in cut_spans(
+            docs, spans.select("doc_id", "span_start", "span_len")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ora = {
+        int(r[0]): (int(r[1]), int(r[2]), r[3])
+        for r in con.execute(
+            ORACLE_SQL["docs_substring_dedup_keepfirst"]
+        ).fetchall()
+    }
+    assert eng == ora, (eng, ora)
+    # the canonical (exempted) occurrence is doc -5's — struct order
+    # puts (-5, 2) below (0, 0) and (2^31+7, 0)
+    assert eng[-5][1] == 0 and shared in eng[-5][2]
+    assert eng[0][1] == 8 and eng[2**31 + 7][1] == 8
+
+
 def test_substring_dedup_keep_first_exempts_one_copy(spark):
     """Published policy: remove all but ONE occurrence. keep_first=True
     must exempt exactly the corpus-minimum (id, pos) occurrence."""
