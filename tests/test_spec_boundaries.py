@@ -317,6 +317,39 @@ def test_substring_dedup_keep_first_exempts_one_copy(spark):
     assert [(r.doc_id, r.span_start, r.span_len) for r in out] == [(1, 2, 4)]
 
 
+def test_decontaminate_min_shared_boundary(spark):
+    """Decontamination flags a train doc at >= min_shared DISTINCT
+    shared shingle hashes — a doc sharing exactly min_shared is
+    contaminated, one sharing min_shared-1 is not, and a repeated
+    instance of the SAME shingle does not count twice (distinctness,
+    both sides)."""
+    from jagular_spark.operators.text import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "e1 e2 e3 e4 f1 f2 f3 f4 g1 g2 g3 g4")],
+        "doc_id long, text string",
+    )
+    # shingles are 4-token windows; craft exact distinct-overlap counts
+    train = spark.createDataFrame(
+        [
+            # shares the two disjoint windows (e1..e4) and (f1..f4) -> 2
+            (0, "e1 e2 e3 e4 zz0 f1 f2 f3 f4"),
+            # shares only (e1..e4) -> 1
+            (1, "e1 e2 e3 e4 zz1 qq1 rr1 ss1 tt1"),
+            # shares (e1..e4) TWICE (same hash) -> still 1 distinct
+            (2, "e1 e2 e3 e4 zz2 e1 e2 e3 e4"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shared, r.contaminated)
+        for r in decontaminate(train, ev, n=4, min_shared=2).collect()
+    }
+    assert got[0] == (2, True)
+    assert got[1] == (1, False)
+    assert got[2] == (1, False)
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup keep rule — cosine threshold, both sides
 # ---------------------------------------------------------------------------
