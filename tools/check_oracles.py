@@ -82,6 +82,14 @@ def main() -> int:
         return 1
     spark = get_spark("oracle_check")
     con = duckdb.connect()
+    # DuckDB's default memory_limit is ~80% of RAM and its buffer pool
+    # grows greedily across a long sweep; next to the 32g Spark JVM
+    # that OOM-killed the 129-query sf0.1 run (the heavy funnel-v2
+    # oracle arrived with ~100 GB already resident). Cap it and give
+    # it a spill directory so big oracle intermediates go to disk
+    # instead of the OOM killer.
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -129,7 +137,8 @@ def main() -> int:
             failures.append((name, "; ".join(problems[:3])))
             print(f"FAIL {name}: " + " | ".join(problems[:3]))
         else:
-            print(f"OK   {name}: rows={len(sdf)}")
+            print(f"OK   {name}: rows={len(sdf)}", flush=True)
+        del sdf, odf  # long sweeps: release the big frames eagerly
     # report what THIS run executed, not the registry size — a filtered
     # run must not claim it proved the whole registry
     print(f"\n{executed - len(failures)}/{executed} queries match")
