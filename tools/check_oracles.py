@@ -70,6 +70,8 @@ def value_repr(df: pd.DataFrame) -> list[tuple]:
 
 def main() -> int:
     args = sys.argv[1:]
+    batched = "--batched" in args
+    args = [a for a in args if a != "--batched"]
     # first arg is the sf dir only if it IS a directory; a bare query
     # name as the first arg is a filter (common invocation mistake)
     if args and os.path.isdir(args[0]):
@@ -80,6 +82,8 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {sorted(unknown)}")
         return 1
+    if batched:
+        return _run_batched(sf_dir, only)
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     # DuckDB's default memory_limit is ~80% of RAM and its buffer pool
@@ -138,11 +142,56 @@ def main() -> int:
             print(f"FAIL {name}: " + " | ".join(problems[:3]))
         else:
             print(f"OK   {name}: rows={len(sdf)}", flush=True)
-        del sdf, odf  # long sweeps: release the big frames eagerly
+        # Long sweeps at big sf: canon/value_repr build millions of
+        # transient Python strings per large frame; the allocator
+        # retains those pages, so RSS grows monotonically (~GBs/query
+        # at sf0.1) even though nothing is referenced. Eager del+gc
+        # bounds the live set; --batched bounds the retention itself.
+        del sdf, odf
+        import gc
+
+        gc.collect()
     # report what THIS run executed, not the registry size — a filtered
     # run must not claim it proved the whole registry
     print(f"\n{executed - len(failures)}/{executed} queries match")
     return 1 if failures else 0
+
+
+def _run_batched(sf_dir: str, only: set[str], chunk: int = 20) -> int:
+    """Full-sweep mode for big scale factors: re-exec this script in
+    fresh subprocesses of ``chunk`` queries each. The single-process
+    sweep retains allocator pages from the per-query canonicalization
+    strings (millions of transient Python strings per large frame at
+    sf0.1) and grows ~GBs/query until the OOM killer fires; a fresh
+    process per chunk bounds retention at one chunk's worth. Spark
+    startup (~30 s) re-pays per chunk — the price of surviving."""
+    import subprocess
+
+    names = [n for n in SPARK_QUERIES if not only or n in only]
+    rc = 0
+    matched = 0
+    for i in range(0, len(names), chunk):
+        batch = names[i : i + chunk]
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, *batch],
+            capture_output=True,
+            text=True,
+        )
+        import re
+
+        for line in r.stdout.splitlines():
+            # progress-bar \r junk can prefix a status line; anchor on
+            # the status token anywhere in the line
+            m = re.search(r"\b(OK   |FAIL |SKIP )([a-z0-9_]+.*)", line)
+            if m:
+                print(m.group(1) + m.group(2), flush=True)
+        m = re.search(r"(\d+)/(\d+) queries match", r.stdout)
+        if m:
+            matched += int(m.group(1))
+        if r.returncode != 0:
+            rc = 1
+    print(f"\n{matched}/{len(names)} queries match (batched)")
+    return rc
 
 
 if __name__ == "__main__":
