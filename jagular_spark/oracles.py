@@ -1071,12 +1071,12 @@ ORACLE_SQL["docs_curation_funnel"] = _funnel_oracle()
 # text, emitting the cleaned text alongside the score).
 _SSD_KEEPFIRST_PREFIX = """toks0 AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), win0 AS (
+    ), win0 AS MATERIALIZED (
         SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
                md5(array_to_string(list_slice(t, s.i + 1, s.i + 8), ' ')) AS h
         FROM toks0, UNNEST(generate_series(0, len(t) - 8)) AS s(i)
         WHERE len(t) >= 8
-    ), dup0 AS (
+    ), dup0 AS MATERIALIZED (
         SELECT h, MIN(struct_pack(id := doc_id, pos := pos)) AS firstkey
         FROM win0 GROUP BY h HAVING count(*) >= 2
     ), d0 AS (
@@ -1101,7 +1101,7 @@ _SSD_KEEPFIRST_PREFIX = """toks0 AS (
                           i - 1 >= q.a AND i - 1 < q.a + q.l)) = 0)
             END, ' ') AS text
         FROM toks0 t LEFT JOIN sp0 p USING (doc_id)
-    ), base0 AS (
+    ), base0 AS MATERIALIZED (
         SELECT doc_id, text FROM cleaned0 WHERE length(text) > 0
     ), """
 
@@ -1825,7 +1825,7 @@ ORACLE_SQL["docs_media_jpeg_color"] = """
 ORACLE_SQL["docs_substring_dedup"] = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), win AS (
+    ), win AS MATERIALIZED (
         SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
                md5(array_to_string(list_slice(t, s.i + 1, s.i + 8), ' ')) AS h
         FROM toks, UNNEST(generate_series(0, len(t) - 8)) AS s(i)
@@ -1853,13 +1853,18 @@ ORACLE_SQL["docs_substring_dedup_streamed"] = ORACLE_SQL["docs_substring_dedup"]
 # its doc is dropped, survivors re-joined with single spaces. DuckDB
 # lambda indexes are 1-BASED, hence the i - 1. Mirrors text.cut_spans.
 # The template parameterizes the dup CTE so the keep-first variant
-# (exempt the corpus-minimum packed doc_id*2^32+pos occurrence of each
-# window — mirrors repeated_kgram_spans(keep_first=True)) shares the
-# rest of the replay verbatim.
+# (exempt the corpus-minimum struct(id, pos) occurrence of each window
+# — mirrors repeated_kgram_spans(keep_first=True)) shares the rest of
+# the replay verbatim. The window CTE is MATERIALIZED: it is consumed
+# by both the dup aggregate and the flag-back join, and DuckDB's
+# re-inlining of the window expansion per consumer turned the r11
+# struct-MIN variant from seconds into minutes (and the composed
+# funnel-v2 oracle into an OOM) at sf0.1 — one forced materialization
+# restores single-scan cost, mirroring the engine's localCheckpoint.
 _SSD_APPLIED_TEMPLATE = """
     WITH toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), win AS (
+    ), win AS MATERIALIZED (
         SELECT doc_id, CAST(s.i AS BIGINT) AS pos,
                md5(array_to_string(list_slice(t, s.i + 1, s.i + 8), ' ')) AS h
         FROM toks, UNNEST(generate_series(0, len(t) - 8)) AS s(i)
