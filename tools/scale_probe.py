@@ -1,0 +1,135 @@
+"""Measured scaling curves for the headline corpus operators.
+
+SCALE.md argues the designs are O(corpus) by plan properties (pinned
+in tests/test_plans.py); this probe MEASURES it: synthesize corpora at
+1x / 4x / 16x the sf0.1 document count (5k -> 80k docs, same token
+distribution and duplication structure at every size), run each
+operator end-to-end, and report wall-time growth vs data growth. An
+operator whose time ratio tracks the size ratio (within Spark's fixed
+per-job overhead) is corpus-linear; a quadratic pair stage would show
+a 16x step between adjacent sizes.
+
+Usage: python tools/scale_probe.py [--sizes 5000,20000,80000]
+Writes /tmp parquet only; prints one JSON line per operator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from jagular_spark.session import get_spark
+
+WORDS = [f"w{i:03d}" for i in range(400)]
+
+
+def synth_docs(spark, n_docs: int, path: str) -> None:
+    """Deterministic corpus with the duplication structure the dedup
+    operators exist for: ~60-token docs from a 400-word vocabulary
+    (hash-derived, partition-parallel — no driver-side generation);
+    every 10th doc embeds one of 50 shared 12-token passages so
+    substring dedup / minhash have real corpus-wide repeats whose
+    FREQUENCY scales with the corpus, as near-dup density does in a
+    real crawl."""
+    if os.path.exists(path):
+        return
+    vocab = F.array(*[F.lit(w) for w in WORDS])
+    passage_vocab = F.array(*[F.lit(f"p{i:02d}t{j:02d}") for i in range(50) for j in range(12)])
+    base = spark.range(0, n_docs, 1, 32).select(F.col("id").alias("doc_id"))
+
+    def elem(seed, i):
+        return F.element_at(
+            vocab, ((F.xxhash64(seed, i) % 400 + 400) % 400 + 1).cast("int")
+        )
+
+    # every doc_id%10==1 doc is a NEAR-DUP of doc_id-1 (same first 54
+    # tokens, own last 6): shingle Jaccard ~0.8, so the LSH verify
+    # stage sees a pair volume that grows linearly with the corpus
+    is_neardup = F.col("doc_id") % 10 == 1
+    base_id = F.when(is_neardup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    body = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.when(is_neardup & (i >= 54), elem(F.col("doc_id"), i)).otherwise(
+            elem(base_id, i)
+        ),
+    )
+    passage = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda j: F.element_at(
+            passage_vocab,
+            (((F.col("doc_id") / 10).cast("long") % 50) * 12 + j + 1).cast("int"),
+        ),
+    )
+    text = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat_ws(" ", F.concat(passage, body)),
+    ).otherwise(F.concat_ws(" ", body))
+    base.select("doc_id", text.alias("text")).write.mode("overwrite").parquet(path)
+
+
+def probe(spark, sizes: list[int]) -> list[dict]:
+    from jagular_spark.operators.similarity import ngram_jaccard_pairs_lsh
+    from jagular_spark.operators.text import (
+        cut_spans,
+        gopher_rules,
+        repeated_kgram_spans,
+    )
+
+    ops = {
+        "gopher_rules": lambda d: gopher_rules(d),
+        "substring_dedup_keepfirst": lambda d: cut_spans(
+            d,
+            repeated_kgram_spans(d, k=8, min_count=2, keep_first=True).select(
+                "doc_id", "span_start", "span_len"
+            ),
+        ),
+        "ngram_jaccard_pairs_lsh": lambda d: ngram_jaccard_pairs_lsh(
+            d, min_jaccard=0.5
+        ),
+    }
+    out = []
+    for op_name, fn in ops.items():
+        times = []
+        for n in sizes:
+            path = f"/tmp/scale_probe_docs_{n}"
+            synth_docs(spark, n, path)
+            docs = spark.read.parquet(path)
+            fn(docs).count()  # warm (codegen + file listing)
+            best, rows = None, 0
+            for _ in range(2):  # this VM's steal bursts: best-of-2
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                rows = fn(docs).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.append((n, round(best, 3), rows))
+        rec = {"op": op_name, "points": times}
+        for (n0, t0_, _), (n1, t1_, _) in zip(times, times[1:]):
+            rec[f"time_ratio_{n1}v{n0}"] = round(t1_ / max(t0_, 1e-9), 2)
+            rec[f"size_ratio_{n1}v{n0}"] = round(n1 / n0, 2)
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
+def main() -> None:
+    sizes = [5000, 20000, 80000]
+    for a in sys.argv[1:]:
+        if a.startswith("--sizes"):
+            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    probe(spark, sizes)
+    for n in sizes:
+        shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
