@@ -88,6 +88,24 @@ def test_curation_funnel_stage_monotonicity(spark):
     assert all(r.quality_score >= 0.6 for r in out)
 
 
+def test_funnel_v2_partition_count_invariance(spark):
+    """The r11 'clean corpus out' composition (keep-first substring
+    surgery -> full funnel) is a pure function of the data: its
+    detection hash width, LSH banding, connected components and hash
+    sample must all be independent of the session's shuffle
+    parallelism. Run at two widths, require identical row sets."""
+    name = "docs_curation_funnel_v2"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = sorted(map(tuple, SPARK_QUERIES[name](spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(map(tuple, SPARK_QUERIES[name](spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert len(a) > 0 and a == b
+
+
 def test_media_query_partition_count_invariance(spark):
     """A media workload's result is a pure function of the data, not
     of the session's shuffle parallelism — _codec_spread reads
