@@ -74,6 +74,76 @@ def synth_docs(spark, n_docs: int, path: str) -> None:
     base.select("doc_id", text.alias("text")).write.mode("overwrite").parquet(path)
 
 
+def synth_samples(spark, n_channels: int, m: int, path: str) -> None:
+    """Dense per-channel sample streams: sinusoid + hash noise, a
+    spike bump every ~997 samples (so detection volume scales with
+    the corpus), and a timestamp gap every 100 samples (so segment
+    volume does too). Generated distributed — no driver-side data."""
+    if os.path.exists(path):
+        return
+    total = n_channels * m
+    base = spark.range(0, total, 1, 32).select(
+        (F.col("id") / m).cast("int").alias("channel_id"),
+        F.lit(0).cast("long").alias("segment_id"),
+        (F.col("id") % m).alias("i"),
+    )
+    noise = ((F.xxhash64("channel_id", "i") % 1000 + 1000) % 1000) / 1000.0 * 0.2
+    # 3-sample-wide bumps (~1 per 999 samples): the consecutive-crossing
+    # rule (W1) needs >= 2 adjacent supra-threshold samples, so
+    # single-sample impulses would never detect
+    bump = (F.col("i") / 3).cast("long")
+    spike = F.when(
+        (F.xxhash64(bump, F.col("channel_id")) % 333 + 333) % 333 == 0, F.lit(4.0)
+    ).otherwise(F.lit(0.0))
+    value = F.sin(F.col("i") * (6.283185307 / 50.0)) * 0.5 + noise + spike
+    ts = (F.col("i") + (F.col("i") / 100).cast("long") * 5).cast("long")
+    base.select(
+        "channel_id", "segment_id", ts.alias("ts"), value.alias("value")
+    ).write.mode("overwrite").parquet(path)
+
+
+def probe_events(spark, channel_sizes: list[int], m: int = 6250) -> list[dict]:
+    import numpy as np  # noqa: F401 — filtering needs it transitively
+
+    from jagular_spark.operators.filtering import filtfilt_segments
+    from jagular_spark.operators.spikes import detect_spikes
+    from jagular_spark.operators.timestamps import contiguous_segments
+    from jagular_spark.workload_params import _BP_TAPS
+
+    ops = {
+        "filtfilt_segments": lambda d: filtfilt_segments(d, _BP_TAPS),
+        "detect_spikes": lambda d: detect_spikes(
+            d, multiplier=2.0, censor_width=5, patch_size=8, polarity="pos"
+        ),
+        "contiguous_segments": lambda d: contiguous_segments(
+            d, partition_cols=["channel_id"], step=1.0
+        ),
+    }
+    out = []
+    for op_name, fn in ops.items():
+        times = []
+        for n in channel_sizes:
+            path = f"/tmp/scale_probe_samples_{n}"
+            synth_samples(spark, n, m, path)
+            df = spark.read.parquet(path)
+            fn(df).count()  # warm
+            best, rows = None, 0
+            for _ in range(2):
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                rows = fn(df).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.append((n * m, round(best, 3), rows))
+        rec = {"op": op_name, "points": times}
+        for (n0, t0_, _), (n1, t1_, _) in zip(times, times[1:]):
+            rec[f"time_ratio_{n1}v{n0}"] = round(t1_ / max(t0_, 1e-9), 2)
+            rec[f"size_ratio_{n1}v{n0}"] = round(n1 / n0, 2)
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def probe(spark, sizes: list[int]) -> list[dict]:
     from jagular_spark.operators.similarity import ngram_jaccard_pairs_lsh
     from jagular_spark.operators.text import (
@@ -127,8 +197,12 @@ def main() -> None:
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     probe(spark, sizes)
+    chans = [64, 256, 1024]
+    probe_events(spark, chans)
     for n in sizes:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
+    for n in chans:
+        shutil.rmtree(f"/tmp/scale_probe_samples_{n}", ignore_errors=True)
 
 
 if __name__ == "__main__":
