@@ -165,6 +165,77 @@ def test_gopher_r7_stop_word_boundaries(spark):
     assert rej.n_stops_present == 1 and not rej.r7_stop_words and not rej.keep
 
 
+def _gopher_reference(text: str) -> dict:
+    """Independent pure-Python implementation of the seven rules,
+    written from the PAPER's wording (not from the engine or the
+    oracle) — the third implementation that makes a mirrored
+    misreading in engine+oracle visible."""
+    import re
+
+    words = re.split(r"\s+", text.strip())
+    lines = text.split("\n")
+    n_words = len(words)
+    word_chars = sum(len(w) for w in words)
+    n_hash = text.count("#")
+    n_ellipsis = len(re.findall(r"\.\.\.", text)) + text.count("…")
+    n_alpha = sum(1 for w in words if re.search(r"[A-Za-z]", w))
+    n_bullet = sum(
+        1 for line in lines if line.lstrip().startswith(("-", "*", "•"))
+    )
+    n_ell_lines = sum(
+        1 for line in lines if line.rstrip().endswith(("...", "…"))
+    )
+    stops = sum(1 for s in ("the", "be", "to", "of", "and", "that", "have", "with") if s in words)
+    return {
+        "r1_word_count": 50 <= n_words <= 100_000,
+        "r2_mean_word_len": 3 <= word_chars / n_words <= 10,
+        "r3_symbol_ratio": n_hash / n_words <= 0.1 and n_ellipsis / n_words <= 0.1,
+        "r4_bullet_lines": n_bullet / len(lines) <= 0.9,
+        "r5_ellipsis_lines": n_ell_lines / len(lines) <= 0.3,
+        "r6_alpha_words": n_alpha / n_words >= 0.8,
+        "r7_stop_words": stops >= 2,
+    }
+
+
+def test_gopher_rules_match_independent_python_reference(spark):
+    """Engine flags == an independent float-arithmetic Python replay
+    of the paper's rules on a seeded 200-doc random corpus mixing
+    every trigger ingredient (bullets, ellipses, hashes, numerics,
+    stop words, short/long words, multi-line). The engine's integer
+    cross-multiplications must agree with the reference's float
+    ratios at every generated point — and the generator is biased to
+    land near thresholds (ratios cluster around 0.1/0.3/0.8/0.9)."""
+    import random
+
+    rng = random.Random(11)
+    pool = ["the", "of", "and", "word", "data", "12345", "#", "...",
+            "pneumonoultramicro", "ab", "x"]
+    docs = []
+    for i in range(200):
+        n_lines = rng.randint(1, 6)
+        lines = []
+        for _ in range(n_lines):
+            n = rng.randint(3, 30)
+            toks = [rng.choice(pool) for _ in range(n)]
+            line = " ".join(toks)
+            r = rng.random()
+            if r < 0.25:
+                line = "- " + line
+            elif r < 0.4:
+                line = line + "..."
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    mismatches = []
+    for doc_id, text in docs:
+        ref = _gopher_reference(text)
+        for rule, want in ref.items():
+            if bool(got[doc_id][rule]) != want:
+                mismatches.append((doc_id, rule, want, text[:80]))
+    assert not mismatches, mismatches[:5]
+
+
 # ---------------------------------------------------------------------------
 # BM25 constants — the integer algebra IS k1=1.2, b=0.75
 # ---------------------------------------------------------------------------
