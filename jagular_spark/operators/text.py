@@ -764,9 +764,9 @@ def repeated_kgram_spans(
     # with the outliers gone; width 32 (session default) measures the
     # same band.
     if hash_partitions is None:
-        hash_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        from jagular_spark.session import shuffle_width
+
+        hash_partitions = shuffle_width(df.sparkSession)
     wins = (
         df.repartition(hash_partitions, id_col)
         .select(F.col(id_col), F.expr(win_expr).alias("__ws__"))

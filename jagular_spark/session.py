@@ -82,3 +82,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_width(spark: SparkSession) -> int:
+    """The session's shuffle parallelism as an int, tolerating
+    non-numeric conf values.
+
+    Operators that repartition by hash (codec spread, k-gram hashing)
+    want one task per post-shuffle core, i.e. the session's
+    ``spark.sql.shuffle.partitions``. Some deployments set that conf to
+    a non-numeric token (e.g. ``"auto"`` under Databricks AQE
+    conventions); a raw ``int(...)`` would then raise at plan-build
+    time. Fall back to the cluster's ``defaultParallelism``, which
+    tracks executor count the same way the session default does.
+    """
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
+    try:
+        return int(raw)
+    except ValueError:
+        return spark.sparkContext.defaultParallelism

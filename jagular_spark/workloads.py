@@ -1091,15 +1091,9 @@ def _codec_spread(media: DataFrame) -> DataFrame:
     local[32] harness both widths measure the same band (see the A/B
     note there); on a real cluster the session value tracks executor
     count while a constant would not."""
-    raw = media.sparkSession.conf.get("spark.sql.shuffle.partitions", "")
-    try:
-        n = int(raw)
-    except ValueError:
-        # Deployments that set the conf to a non-numeric value (e.g.
-        # "auto" under Databricks AQE conventions) should fall back to
-        # the cluster's parallelism, not crash at query-build time.
-        n = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n, "media_id")
+    from jagular_spark.session import shuffle_width
+
+    return media.repartition(shuffle_width(media.sparkSession), "media_id")
 
 
 def docs_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
