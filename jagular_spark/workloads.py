@@ -3196,8 +3196,36 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in the window unconditionally; (b) the rest of the window is filled
 # stalest-first (oldest last-driver-green round); (c) no query may go
 # more than 2 rounds without driver verification — rotate before that.
-# r11 window = the 33 r7-green block-4 queries the r10 round failed to
-# rotate (the r10 verdict's #1 task), + touched/new, + oldest r8-green.
+#
+# Since r12 the order is DERIVED, not hand-maintained (the r11
+# verdict's #1 task): jagular_spark/rotation.py computes per-query
+# last-driver-green from the CORRECTNESS_r*.json artifacts (rounds
+# < REGISTRY_ROUND only, so the derivation is stable after the
+# current round's own results land) and orders the whole registry
+# stalest-first with ROUND_TOUCHED forced into the window. The dict
+# below is the output of `python tools/rotate_window.py`;
+# tests/test_rotation.py pins the shipped order to the derivation,
+# and `tools/rotate_window.py --check` verifies it from the CLI.
+REGISTRY_ROUND = 12
+
+# Queries whose OPERATOR CODE changed this round (window policy a).
+# Output-identical refactors pinned by unit tests do not consume
+# window slots — e.g. r12's session.shuffle_width extraction leaves
+# every _codec_spread caller's plan byte-identical on numeric confs
+# (tests/test_session.py), so the media family is not charged here;
+# repeated_kgram_spans' default-width expression changed in the same
+# commit, so its consumers ARE (conservative: the old "200" string
+# fallback was dead on any live session, but the window is cheap
+# insurance against exactly this kind of "provably equivalent"
+# reasoning being wrong).
+ROUND_TOUCHED: set[str] = {
+    "docs_substring_dedup",
+    "docs_substring_dedup_applied",
+    "docs_substring_dedup_keepfirst",
+    "docs_substring_dedup_streamed",
+    "docs_curation_funnel_v2",
+}
+
 # Queries allowed to return 0 rows on both engines at sf0.01. The
 # correctness harness (tools/check_oracles.py) FAILS any other query
 # whose Spark and oracle outputs are both empty: a 0-vs-0 green
@@ -3208,155 +3236,137 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- block 1 (r11 window): the 33 queries last driver-green in r7
-    # (3 driver rounds stale after the r10 window shipped identical to
-    # r9's — the r10 verdict's #1 task). All green in the local r10
-    # 128-query re-run; this block restores the DRIVER's own signal.
-    "events_filtfilt": events_filtfilt,
-    "events_interpolate": events_interpolate,
-    "events_tetrode": events_tetrode,
-    "events_crossings": events_crossings,
-    "events_align": events_align,
-    "events_align_cspline": events_align_cspline,
-    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,
-    "events_spikes_roundtrip": events_spikes_roundtrip,
-    "docs_decontaminate": docs_decontaminate,
-    "events_segments": events_segments,
-    "events_gap_lengths": events_gap_lengths,
-    "events_dedup_first": events_dedup_first,
-    "events_mad_threshold": events_mad_threshold,
-    "events_stream_bounds": events_stream_bounds,
-    "events_fir_smooth": events_fir_smooth,
-    "docs_token_stats": docs_token_stats,
-    "docs_quality": docs_quality,
-    "docs_chunking": docs_chunking,
-    "docs_chunk_dedup": docs_chunk_dedup,
-    "docs_repetition": docs_repetition,
-    "docs_media_png_roundtrip": docs_media_png_roundtrip,
-    "docs_media_wav_roundtrip": docs_media_wav_roundtrip,
-    "docs_vocab_topdf": docs_vocab_topdf,
-    "docs_domain_mixture": docs_domain_mixture,
-    "docs_pack_sequences": docs_pack_sequences,
-    "docs_simhash": docs_simhash,
-    "emb_cosine_neardup": emb_cosine_neardup,
-    "emb_ann_topk": emb_ann_topk,
-    "emb_lsh_buckets": emb_lsh_buckets,
-    "docs_language_id": docs_language_id,
-    "docs_fingerprint": docs_fingerprint,
-    "docs_bpe_tokens": docs_bpe_tokens,
-    "events_common_ref": events_common_ref,
-    # -- block 2 (r11 window): touched this round — bm25_topk grew the
-    # idf="rational"|"ln" parameter (rational default, output-identical,
-    # but the touched-code rule says re-verify under the driver), and
-    # the spec-boundary audit found + fixed a second mirrored
-    # misreading: Gopher r3 summed hash+ellipsis counts where the
-    # paper checks the two ratios SEPARATELY (engine + oracle fixed
-    # together, schema now carries n_hash / n_ellipsis)
-    "docs_bm25_search": docs_bm25_search,
-    "docs_gopher_rules": docs_gopher_rules,
-    # NEW this round: the funnel composed over the keep-first
-    # substring-cut corpus — end-to-end "clean corpus out"
-    "docs_curation_funnel_v2": docs_curation_funnel_v2,
-    # -- block 3 (r11 window): oldest r8-driver-green backfill (14) —
-    # next-stalest after block 1
-    "emb_ann_topk_lsh": emb_ann_topk_lsh,
-    "events_decimate": events_decimate,
-    "events_crossings_chunked": events_crossings_chunked,
-    "events_crossings_both": events_crossings_both,
-    "docs_media_stats": docs_media_stats,
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_shipping_priority": q3_shipping_priority,
-    "q5_region_revenue": q5_region_revenue,
-    "top3_orders_per_customer": top3_orders_per_customer,
-    "docs_exact_dedup": docs_exact_dedup,
-    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,
-    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,
-    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,
-    "docs_media_jpeg_color": docs_media_jpeg_color,
-    # ---- driver window ends here (first 50 entries) ----
-    # -- block 4 (out of window): r8-driver-green remainder — first in
-    # line for the r12 window
-    "docs_media_jpeg_stats": docs_media_jpeg_stats,
-    "docs_dedup_clusters": docs_dedup_clusters,
-    "docs_bloom_decontaminate": docs_bloom_decontaminate,
-    "docs_media_mjpeg_video": docs_media_mjpeg_video,
-    "docs_media_gif_roundtrip": docs_media_gif_roundtrip,
-    "docs_media_flac_roundtrip": docs_media_flac_roundtrip,
-    "docs_shuffle_shards": docs_shuffle_shards,
-    "emb_ann_topk_ivf": emb_ann_topk_ivf,
-    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,
-    "emb_ann_recall": emb_ann_recall,
-    "emb_knn_classify": emb_knn_classify,
-    "events_winsorize": events_winsorize,
-    "events_xcorr": events_xcorr,
-    "events_band_power": events_band_power,
-    "events_asof_nearest": events_asof_nearest,
-    "docs_tfidf_top": docs_tfidf_top,
-    "docs_bigram_fluency": docs_bigram_fluency,
-    "docs_rebalance_sample": docs_rebalance_sample,
-    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,
-    "events_audit": events_audit,
-    "docs_curation_funnel": docs_curation_funnel,
-    "events_asof": events_asof,
-    "events_winsorize_chunked": events_winsorize_chunked,
-    "events_sessionize_streamed": events_sessionize_streamed,
-    "events_censor_streamed": events_censor_streamed,
-    "events_interpolate_streamed": events_interpolate_streamed,
-    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,
-    "events_hourly_rollup": events_hourly_rollup,
-    "events_sortedness": events_sortedness,
-    "events_salted_hourly": events_salted_hourly,
-    "events_detect_spikes": events_detect_spikes,
-    # -- block 5 (out of window): r9/r10-driver-green — the freshest
-    # verifications, last in the rotation queue
-    "events_zscore": events_zscore,
-    "docs_survivor_setops": docs_survivor_setops,
-    "orders_bucketed_revenue": orders_bucketed_revenue,
-    "events_compacted_roundtrip": events_compacted_roundtrip,
-    "events_rolling_stats": events_rolling_stats,
-    "docs_hll_vocab": docs_hll_vocab,
-    "docs_cms_heavyhitters": docs_cms_heavyhitters,
-    "docs_pii_redaction": docs_pii_redaction,
-    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,
-    "q10_returned_items": q10_returned_items,
-    "q14_promo_effect": q14_promo_effect,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q4_order_priority": q4_order_priority,
-    "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q15_top_supplier": q15_top_supplier,
-    "q12_shipping_classes": q12_shipping_classes,
-    "q13_customer_distribution": q13_customer_distribution,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "q1_rollup_summary": q1_rollup_summary,
-    "docs_minhash_lsh": docs_minhash_lsh,
-    "docs_ngram_jaccard": docs_ngram_jaccard,
-    "docs_ngram_containment": docs_ngram_containment,
-    "docs_substring_dedup": docs_substring_dedup,
-    "docs_substring_dedup_applied": docs_substring_dedup_applied,
-    "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,
-    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,
-    "emb_semantic_dedup": emb_semantic_dedup,
-    "docs_media_mpeg1_video": docs_media_mpeg1_video,
-    "docs_media_mpeg1_color": docs_media_mpeg1_color,
-    "q2_min_price_supplier": q2_min_price_supplier,
-    "q11_important_parts": q11_important_parts,
-    "events_filtfilt_chunked": events_filtfilt_chunked,
-    "docs_media_frames": docs_media_frames,
-    "docs_simhash_neardup": docs_simhash_neardup,
-    "docs_token_quantiles": docs_token_quantiles,
-    "docs_media_audio": docs_media_audio,
-    "docs_media_resize": docs_media_resize,
-    "docs_stratified_sample": docs_stratified_sample,
-    "events_spike_clusters": events_spike_clusters,
-    "q9_product_profit": q9_product_profit,
-    "q16_supplier_counts": q16_supplier_counts,
-    "q20_dominant_suppliers": q20_dominant_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "events_sessionize": events_sessionize,
-    "q6_forecast_revenue": q6_forecast_revenue,
+    # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
+    "docs_bigram_fluency": docs_bigram_fluency,  # last green r8
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r8
+    "docs_curation_funnel": docs_curation_funnel,  # last green r8
+    "docs_dedup_clusters": docs_dedup_clusters,  # last green r8
+    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r8
+    "docs_media_flac_roundtrip": docs_media_flac_roundtrip,  # last green r8
+    "docs_media_gif_roundtrip": docs_media_gif_roundtrip,  # last green r8
+    "docs_media_jpeg_stats": docs_media_jpeg_stats,  # last green r8
+    "docs_media_mjpeg_video": docs_media_mjpeg_video,  # last green r8
+    "docs_rebalance_sample": docs_rebalance_sample,  # last green r8
+    "docs_shuffle_shards": docs_shuffle_shards,  # last green r8
+    "docs_tfidf_top": docs_tfidf_top,  # last green r8
+    "emb_ann_recall": emb_ann_recall,  # last green r8
+    "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r8
+    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,  # last green r8
+    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r8
+    "emb_knn_classify": emb_knn_classify,  # last green r8
+    "events_asof": events_asof,  # last green r8
+    "events_asof_nearest": events_asof_nearest,  # last green r8
+    "events_audit": events_audit,  # last green r8
+    "events_band_power": events_band_power,  # last green r8
+    "events_censor_streamed": events_censor_streamed,  # last green r8
+    "events_detect_spikes": events_detect_spikes,  # last green r8
+    "events_hourly_rollup": events_hourly_rollup,  # last green r8
+    "events_interpolate_streamed": events_interpolate_streamed,  # last green r8
+    "events_salted_hourly": events_salted_hourly,  # last green r8
+    "events_sessionize_streamed": events_sessionize_streamed,  # last green r8
+    "events_sortedness": events_sortedness,  # last green r8
+    "events_winsorize": events_winsorize,  # last green r8
+    "events_winsorize_chunked": events_winsorize_chunked,  # last green r8
+    "events_xcorr": events_xcorr,  # last green r8
+    "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r10
+    "docs_hll_vocab": docs_hll_vocab,  # last green r10
+    "docs_media_audio": docs_media_audio,  # last green r10
+    "docs_media_frames": docs_media_frames,  # last green r10
+    "docs_media_mpeg1_color": docs_media_mpeg1_color,  # last green r10
+    "docs_media_mpeg1_video": docs_media_mpeg1_video,  # last green r10
+    "docs_media_resize": docs_media_resize,  # last green r10
+    "docs_minhash_lsh": docs_minhash_lsh,  # last green r10
+    "docs_ngram_containment": docs_ngram_containment,  # last green r10
+    "docs_ngram_jaccard": docs_ngram_jaccard,  # last green r10
+    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,  # last green r10
+    "docs_pii_redaction": docs_pii_redaction,  # last green r10
+    "docs_simhash_neardup": docs_simhash_neardup,  # last green r10
+    "docs_stratified_sample": docs_stratified_sample,  # last green r10
+    "docs_substring_dedup": docs_substring_dedup,  # last green r10
+    "docs_substring_dedup_applied": docs_substring_dedup_applied,  # last green r10
+    "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,  # last green r10
+    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r10
+    "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r11
+    # ---- driver window ends here ----
+    "docs_survivor_setops": docs_survivor_setops,  # last green r10
+    "docs_token_quantiles": docs_token_quantiles,  # last green r10
+    "emb_semantic_dedup": emb_semantic_dedup,  # last green r10
+    "events_compacted_roundtrip": events_compacted_roundtrip,  # last green r10
+    "events_filtfilt_chunked": events_filtfilt_chunked,  # last green r10
+    "events_rolling_stats": events_rolling_stats,  # last green r10
+    "events_sessionize": events_sessionize,  # last green r10
+    "events_spike_clusters": events_spike_clusters,  # last green r10
+    "events_zscore": events_zscore,  # last green r10
+    "orders_bucketed_revenue": orders_bucketed_revenue,  # last green r10
+    "q10_returned_items": q10_returned_items,  # last green r10
+    "q11_important_parts": q11_important_parts,  # last green r10
+    "q12_shipping_classes": q12_shipping_classes,  # last green r10
+    "q13_customer_distribution": q13_customer_distribution,  # last green r10
+    "q14_promo_effect": q14_promo_effect,  # last green r10
+    "q15_top_supplier": q15_top_supplier,  # last green r10
+    "q16_supplier_counts": q16_supplier_counts,  # last green r10
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,  # last green r10
+    "q18_large_volume_customers": q18_large_volume_customers,  # last green r10
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,  # last green r10
+    "q1_rollup_summary": q1_rollup_summary,  # last green r10
+    "q20_dominant_suppliers": q20_dominant_suppliers,  # last green r10
+    "q21_waiting_suppliers": q21_waiting_suppliers,  # last green r10
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,  # last green r10
+    "q2_min_price_supplier": q2_min_price_supplier,  # last green r10
+    "q4_order_priority": q4_order_priority,  # last green r10
+    "q6_forecast_revenue": q6_forecast_revenue,  # last green r10
+    "q7_volume_shipping": q7_volume_shipping,  # last green r10
+    "q8_market_share": q8_market_share,  # last green r10
+    "q9_product_profit": q9_product_profit,  # last green r10
+    "docs_bm25_search": docs_bm25_search,  # last green r11
+    "docs_bpe_tokens": docs_bpe_tokens,  # last green r11
+    "docs_chunk_dedup": docs_chunk_dedup,  # last green r11
+    "docs_chunking": docs_chunking,  # last green r11
+    "docs_decontaminate": docs_decontaminate,  # last green r11
+    "docs_domain_mixture": docs_domain_mixture,  # last green r11
+    "docs_exact_dedup": docs_exact_dedup,  # last green r11
+    "docs_fingerprint": docs_fingerprint,  # last green r11
+    "docs_gopher_rules": docs_gopher_rules,  # last green r11
+    "docs_language_id": docs_language_id,  # last green r11
+    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
+    "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r11
+    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,  # last green r11
+    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,  # last green r11
+    "docs_media_png_roundtrip": docs_media_png_roundtrip,  # last green r11
+    "docs_media_stats": docs_media_stats,  # last green r11
+    "docs_media_wav_roundtrip": docs_media_wav_roundtrip,  # last green r11
+    "docs_pack_sequences": docs_pack_sequences,  # last green r11
+    "docs_quality": docs_quality,  # last green r11
+    "docs_repetition": docs_repetition,  # last green r11
+    "docs_simhash": docs_simhash,  # last green r11
+    "docs_token_stats": docs_token_stats,  # last green r11
+    "docs_vocab_topdf": docs_vocab_topdf,  # last green r11
+    "emb_ann_topk": emb_ann_topk,  # last green r11
+    "emb_ann_topk_lsh": emb_ann_topk_lsh,  # last green r11
+    "emb_cosine_neardup": emb_cosine_neardup,  # last green r11
+    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,  # last green r11
+    "emb_lsh_buckets": emb_lsh_buckets,  # last green r11
+    "events_align": events_align,  # last green r11
+    "events_align_cspline": events_align_cspline,  # last green r11
+    "events_common_ref": events_common_ref,  # last green r11
+    "events_crossings": events_crossings,  # last green r11
+    "events_crossings_both": events_crossings_both,  # last green r11
+    "events_crossings_chunked": events_crossings_chunked,  # last green r11
+    "events_decimate": events_decimate,  # last green r11
+    "events_dedup_first": events_dedup_first,  # last green r11
+    "events_filtfilt": events_filtfilt,  # last green r11
+    "events_fir_smooth": events_fir_smooth,  # last green r11
+    "events_gap_lengths": events_gap_lengths,  # last green r11
+    "events_interpolate": events_interpolate,  # last green r11
+    "events_mad_threshold": events_mad_threshold,  # last green r11
+    "events_segments": events_segments,  # last green r11
+    "events_spikes_roundtrip": events_spikes_roundtrip,  # last green r11
+    "events_stream_bounds": events_stream_bounds,  # last green r11
+    "events_tetrode": events_tetrode,  # last green r11
+    "q1_pricing_summary": q1_pricing_summary,  # last green r11
+    "q3_shipping_priority": q3_shipping_priority,  # last green r11
+    "q5_region_revenue": q5_region_revenue,  # last green r11
+    "top3_orders_per_customer": top3_orders_per_customer,  # last green r11
 }
 
 

@@ -1,0 +1,105 @@
+"""The driver-window rotation is mechanical (r11 verdict task #1):
+the shipped SPARK_QUERIES order must equal the derivation from the
+CORRECTNESS_r*.json artifacts + ROUND_TOUCHED, and the first 50 must
+be the stalest queries modulo the touched-forcing rule.
+
+No Spark session needed — pure registry/artifact checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from jagular_spark.rotation import (
+    WINDOW_SIZE,
+    last_green_rounds,
+    query_green,
+    window_order,
+)
+
+
+def _registry():
+    from jagular_spark.workloads import (
+        REGISTRY_ROUND,
+        ROUND_TOUCHED,
+        SPARK_QUERIES,
+    )
+
+    return REGISTRY_ROUND, ROUND_TOUCHED, SPARK_QUERIES
+
+
+def test_shipped_order_matches_derivation():
+    rnd, touched, registry = _registry()
+    last = last_green_rounds(rnd)
+    assert last, "no CORRECTNESS_r*.json artifacts found at repo root"
+    assert list(registry) == window_order(registry, last, touched)
+
+
+def test_window_is_stalest_modulo_touched():
+    # every non-touched query OUTSIDE the window is at least as fresh
+    # as every non-touched query INSIDE it — i.e. the rotation budget
+    # went to the stalest queries.
+    rnd, touched, registry = _registry()
+    last = last_green_rounds(rnd)
+    names = list(registry)
+    inside = [n for n in names[:WINDOW_SIZE] if n not in touched]
+    outside = [n for n in names[WINDOW_SIZE:] if n not in touched]
+    if inside and outside:
+        assert max(last.get(n, 0) for n in inside) <= min(
+            last.get(n, 0) for n in outside
+        )
+
+
+def test_touched_queries_are_in_window():
+    _, touched, registry = _registry()
+    window = set(list(registry)[:WINDOW_SIZE])
+    assert touched <= window
+
+
+def test_registry_round_is_current():
+    # REGISTRY_ROUND must be bumped past every artifact the driver has
+    # already written, or the derivation would exclude fresh greens
+    # and re-rotate already-verified queries.
+    rnd, _, _ = _registry()
+    all_rounds = last_green_rounds(10**9)
+    assert rnd >= max(all_rounds.values()) + 1
+
+
+# ---- pure window_order semantics ----------------------------------------
+
+LAST = {"a": 8, "b": 10, "c": 8, "d": 11, "e": 10}
+NAMES = ["d", "b", "a", "e", "c"]
+
+
+def test_window_order_stalest_first_ties_by_name():
+    assert window_order(NAMES, LAST, size=3) == ["a", "c", "b", "e", "d"]
+
+
+def test_window_order_new_queries_lead():
+    # absent from LAST = never driver-green = round 0 = stalest
+    assert window_order(NAMES + ["z"], LAST, size=3)[0] == "z"
+
+
+def test_window_order_forces_touched_into_window():
+    order = window_order(NAMES, LAST, touched={"d"}, size=3)
+    assert "d" in order[:3]
+    # the displaced slot comes from the freshest would-be fill
+    assert order[:3] == ["a", "c", "d"]
+
+
+def test_window_order_touched_overflow_grows_window():
+    order = window_order(NAMES, LAST, touched=set(NAMES), size=2)
+    assert order == ["a", "c", "b", "e", "d"]
+
+
+def test_window_order_unknown_touched_raises():
+    with pytest.raises(ValueError):
+        window_order(NAMES, LAST, touched={"nope"})
+
+
+def test_query_green_predicate():
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    assert query_green(ok)
+    assert query_green({**ok, "hash_match": None})  # rows-only check
+    assert not query_green({**ok, "hash_match": False})
+    assert not query_green({**ok, "rows_match": False})
+    assert not query_green({**ok, "err": "boom"})
