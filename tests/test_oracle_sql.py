@@ -85,6 +85,12 @@ def test_no_oracle_is_vacuous(sf_dir):
     rowcount equality in the harness, so a non-empty oracle forces a
     non-empty Spark result there."""
     c = duckdb.connect()
+    # same caps as tools/check_oracles.py: the funnel-v2 oracle at
+    # sf0.1 OOM-killed an uncapped DuckDB next to a resident Spark JVM
+    # (and under pytest a session-scoped Spark fixture is usually
+    # alive), so bound the buffer pool and give it a spill directory
+    c.execute("SET memory_limit='40GB'")
+    c.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     empty = [

@@ -179,17 +179,31 @@ def _run_batched(sf_dir: str, only: set[str], chunk: int = 20) -> int:
         )
         import re
 
+        seen: set[str] = set()
         for line in r.stdout.splitlines():
             # progress-bar \r junk can prefix a status line; anchor on
             # the status token anywhere in the line
             m = re.search(r"\b(OK   |FAIL |SKIP )([a-z0-9_]+.*)", line)
             if m:
+                seen.add(m.group(2).split(":")[0].strip())
                 print(m.group(1) + m.group(2), flush=True)
+        # a chunk killed mid-run (e.g. OOM) reports neither OK nor FAIL
+        # for the queries it never reached — surface them explicitly so
+        # the final tally accounts for every query
+        for name in batch:
+            if name not in seen:
+                print(f"FAIL {name}: not executed (chunk died before it)",
+                      flush=True)
+                rc = 1
         m = re.search(r"(\d+)/(\d+) queries match", r.stdout)
         if m:
             matched += int(m.group(1))
         if r.returncode != 0:
             rc = 1
+            tail = "\n".join(r.stderr.splitlines()[-15:])
+            if tail:
+                print(f"# chunk {i // chunk} stderr tail:\n{tail}",
+                      flush=True)
     print(f"\n{matched}/{len(names)} queries match (batched)")
     return rc
 

@@ -50,8 +50,11 @@ def synth_docs(spark, n_docs: int, path: str) -> None:
         )
 
     # every doc_id%10==1 doc is a NEAR-DUP of doc_id-1 (same first 54
-    # tokens, own last 6): shingle Jaccard ~0.8, so the LSH verify
-    # stage sees a pair volume that grows linearly with the corpus
+    # body tokens, own last 6). doc_id-1 is always a passage-carrying
+    # doc (doc_id%10==0) whose full text is passage+body = 72 tokens,
+    # so the realized shingle Jaccard vs its base is ~0.68 — above the
+    # 0.5 probe threshold, and the LSH verify stage still sees a pair
+    # volume that grows linearly with the corpus
     is_neardup = F.col("doc_id") % 10 == 1
     base_id = F.when(is_neardup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
     body = F.transform(
@@ -144,6 +147,98 @@ def probe_events(spark, channel_sizes: list[int], m: int = 6250) -> list[dict]:
     return out
 
 
+def synth_embeddings(spark, n_vecs: int, path: str) -> None:
+    """Cluster-structured 64-dim float32 corpus, generated distributed
+    (hash-derived, no driver-side data): 32 latent clusters whose
+    centers are fixed ACROSS sizes, per-vector noise at ~0.8x the
+    center scale so intra-cluster cosines straddle the 0.35 SemDeDup
+    threshold, and every 10th vector a tight near-dup of its
+    predecessor (tiny perturbation, cosine ~0.99) — so near-dup
+    density, like a real crawl's, grows linearly with the corpus."""
+    if os.path.exists(path):
+        return
+    base = spark.range(0, n_vecs, 1, 32).select(F.col("id").alias("vec_id"))
+    is_neardup = F.col("vec_id") % 10 == 1
+    src = F.when(is_neardup, F.col("vec_id") - 1).otherwise(F.col("vec_id"))
+    cluster = F.pmod(F.xxhash64(src), F.lit(32))
+
+    def unit(seed_a, seed_b, scale):
+        return (
+            (F.pmod(F.xxhash64(seed_a, seed_b), F.lit(2000)) - 1000) / 1000.0 * scale
+        )
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda g: (
+            unit(cluster, g, 1.0)
+            + unit(src, g + 64, 0.8)
+            + F.when(is_neardup, unit(F.col("vec_id"), g + 128, 0.02)).otherwise(
+                F.lit(0.0)
+            )
+        ).cast("float"),
+    )
+    base.select("vec_id", vec.alias("embedding")).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def probe_embeddings(spark, sizes: list[int]) -> list[dict]:
+    """ANN-family scaling curves (r11 verdict task #4). The fit sample
+    is held at a FIXED ABSOLUTE size (fit_fraction = 2000/N) — the
+    100-TB deployment shape, where the sampled quantizer fit does not
+    grow with the corpus — so the measured curve isolates the
+    distributed stages: assignment projection (O(N·k·d) narrow map),
+    inverted-list candidate equi-join, and for SemDeDup the
+    guard-bounded within-cell pair join (<= N·max_cluster/2 pairs)."""
+    from jagular_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_pq,
+        semantic_dedup,
+    )
+    from jagular_spark.workload_params import _SEMDEDUP_MAX_CLUSTER
+
+    def ff(n):
+        return min(0.5, 2000 / n)
+
+    ops = {
+        "ann_topk_ivf": lambda d, n: ann_topk_ivf(
+            d, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3,
+            fit_fraction=ff(n),
+        ),
+        "ann_topk_ivf_pq": lambda d, n: ann_topk_ivf_pq(
+            d, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3,
+            m=4, pq_k=16, pq_iter=2, refine=32, fit_fraction=ff(n),
+        ),
+        "semantic_dedup_guarded": lambda d, n: semantic_dedup(
+            d, n_centroids=16, n_iter=3, threshold=0.35, fit_fraction=ff(n),
+            max_cluster=_SEMDEDUP_MAX_CLUSTER,
+        ),
+    }
+    out = []
+    for op_name, fn in ops.items():
+        times = []
+        for n in sizes:
+            path = f"/tmp/scale_probe_emb_{n}"
+            synth_embeddings(spark, n, path)
+            emb = spark.read.parquet(path)
+            fn(emb, n).count()  # warm
+            best, rows = None, 0
+            for _ in range(2):
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                rows = fn(emb, n).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.append((n, round(best, 3), rows))
+        rec = {"op": op_name, "points": times}
+        for (n0, t0_, _), (n1, t1_, _) in zip(times, times[1:]):
+            rec[f"time_ratio_{n1}v{n0}"] = round(t1_ / max(t0_, 1e-9), 2)
+            rec[f"size_ratio_{n1}v{n0}"] = round(n1 / n0, 2)
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
 def probe(spark, sizes: list[int]) -> list[dict]:
     from jagular_spark.operators.similarity import ngram_jaccard_pairs_lsh
     from jagular_spark.operators.text import (
@@ -199,10 +294,14 @@ def main() -> None:
     probe(spark, sizes)
     chans = [64, 256, 1024]
     probe_events(spark, chans)
+    emb_sizes = [4000, 16000, 64000]
+    probe_embeddings(spark, emb_sizes)
     for n in sizes:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
     for n in chans:
         shutil.rmtree(f"/tmp/scale_probe_samples_{n}", ignore_errors=True)
+    for n in emb_sizes:
+        shutil.rmtree(f"/tmp/scale_probe_emb_{n}", ignore_errors=True)
 
 
 if __name__ == "__main__":
