@@ -781,3 +781,77 @@ def test_lsh_candidates_horizon_evicts_idle_buckets(spark, tmp_path):
         [rows(1), rows(2)],
     )
     assert out.count() == 0
+
+
+def test_sessionize_streamed_rocksdb_state_store_matches_memory(spark, tmp_path):
+    """SCALE.md prescribes the RocksDB state store for warehouse-scale
+    streaming (state no longer bounded by executor heap); prove the
+    documented config actually works: the same multi-batch
+    stream_sessionize run under
+    spark.sql.streaming.stateStore.providerClass = RocksDB yields the
+    exact result set of the default (HDFS-backed in-memory) provider,
+    and the query's state-operator metrics prove RocksDB really
+    engaged (customMetrics carries rocksdb* counters)."""
+    from jagular_spark.streaming import stream_sessionize
+
+    ev = _events_batch(spark).where(F.col("user_id") < 20)
+    # deterministic 3-file split -> 3 micro-batches with carried state
+    feeds = [
+        ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(1)
+        for i in range(3)
+    ]
+
+    def run(name, provider=None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            src = str(tmp_path / f"{name}_src")
+            feeds[0].write.mode("overwrite").parquet(src)
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                stream_sessionize(stream, gap="30 minutes", watermark="0 seconds")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(processingTime="1 seconds")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                for f in feeds[1:]:
+                    f.write.mode("append").parquet(src)
+                    q.processAllAvailable()
+                metrics = (
+                    q.recentProgress[-1]["stateOperators"][0]["customMetrics"]
+                    if q.recentProgress
+                    else {}
+                )
+            finally:
+                q.stop()
+            rows = {
+                (r.user_id, r.session_start, r.n_events)
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+            }
+            return rows, metrics
+        finally:
+            if provider:
+                if old:
+                    spark.conf.set(key, old)
+                else:
+                    spark.conf.unset(key)
+
+    base_rows, base_metrics = run("sess_mem_prov")
+    rocks_rows, rocks_metrics = run(
+        "sess_rocks_prov",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    assert rocks_rows == base_rows
+    assert len(rocks_rows) > 0
+    assert any(k.startswith("rocksdb") for k in rocks_metrics), rocks_metrics
+    assert not any(k.startswith("rocksdb") for k in base_metrics)

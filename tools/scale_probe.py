@@ -223,7 +223,10 @@ def probe_embeddings(spark, sizes: list[int]) -> list[dict]:
             emb = spark.read.parquet(path)
             fn(emb, n).count()  # warm
             best, rows = None, 0
-            for _ in range(2):
+            # best-of-3 (not 2): these queries are short enough that a
+            # single host steal burst can outlast two runs — a one-off
+            # 19 s reading at 64k re-measured at 4.9-6.0 s over 3 runs
+            for _ in range(3):
                 spark._jvm.System.gc()
                 t0 = time.perf_counter()
                 rows = fn(emb, n).count()
