@@ -1,15 +1,22 @@
-"""MPEG-1 Video (ISO/IEC 11172-2) intra-only codec, pure numpy — the
-I-frame half of the standard, from the public spec: real sequence /
-GOP / picture / slice / macroblock syntax, intra DC size VLCs with
-per-component DPCM predictors, the 2-D run-level AC table (B.5c subset
-+ the always-legal ESCAPE form), default or custom intra quantizer
-matrices, the §2.4.4.1 reconstruction arithmetic (truncating integer
-dequant + odd-ification mismatch control), and the float IDCT shared
-with the JPEG stack. Inter prediction (P/B pictures) needs motion
-estimation outside this scope — streams here are GOPs of I pictures
-only, which is a valid, decodable-by-anything MPEG-1 elementary
-stream (it is exactly what editing-friendly "I-frame only" encoders
-emit).
+"""MPEG-1 Video (ISO/IEC 11172-2) codec, pure numpy: I pictures plus
+forward-predicted P pictures, from the public spec. Intra side: real
+sequence / GOP / picture / slice / macroblock syntax, intra DC size
+VLCs with per-component DPCM predictors, the 2-D run-level AC table
+(B.5c subset + the always-legal ESCAPE form), default or custom intra
+quantizer matrices, the §2.4.4.1 reconstruction arithmetic
+(truncating integer dequant + odd-ification mismatch control), and
+the float IDCT shared with the JPEG stack. Inter side
+(:func:`encode_mpeg1_video`): P pictures with full-pel forward motion
+compensation (exhaustive even-offset search against the encoder's own
+reconstruction, so there is no encoder/decoder drift), macroblock
+modes pred-mc / pred-c / pred-m / intra / skipped (tables B.2b, B.1
+address-increment VLCs incl. escape), coded_block_pattern (table
+B.3), motion vector VLCs with ±32 differential folding (table B.4,
+forward_f_code = 1), and the §2.4.4.2/§2.4.4.3 non-intra
+reconstruction (((2·L + sgn L)·q·W) DIV 16, odd-ification, flat-16
+default non-intra matrix). B pictures (bidirectional) remain out of
+scope — they need a reordering buffer and backward references; the
+decoder rejects them explicitly.
 
 Grayscale input: Y carries the frame, Cb/Cr are coded as flat 128
 planes (zero-diff DC, empty AC — a few bits per block).
