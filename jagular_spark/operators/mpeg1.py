@@ -564,7 +564,10 @@ def decode_mpeg1_intra_color(data: bytes):
     """Full-plane decode: returns ``(frames, width, height)`` where
     each frame is ``(y, cb, cr)`` — y uint8 (h, w); cb/cr uint8 at the
     4:2:0 half resolution, cropped to (ceil(h/2), ceil(w/2)) from the
-    macroblock grid the same way Y crops to (h, w)."""
+    macroblock grid the same way Y crops to (h, w). Despite the
+    historical name this is the GENERAL decoder — it also decodes the
+    forward-predicted P pictures :func:`encode_mpeg1_video` emits
+    (B pictures are rejected: no backward reference support)."""
     br = _BitReader(data)
     code = br.next_start_code()
     if code != SEQ_START:
@@ -584,11 +587,17 @@ def decode_mpeg1_intra_color(data: bytes):
         nat = np.zeros(64, dtype=np.int64)
         nat[ZIGZAG] = vals
         q = nat
-    if br.bits(1):  # load_non_intra_quantizer_matrix (unused for intra)
-        for _ in range(64):
-            br.bits(8)
+    qn = DEFAULT_NON_INTRA_QUANT
+    if br.bits(1):  # load_non_intra_quantizer_matrix
+        vals = np.array([br.bits(8) for _ in range(64)], dtype=np.int64)
+        nat = np.zeros(64, dtype=np.int64)
+        nat[ZIGZAG] = vals
+        qn = nat
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    ph, pw = mb_h * 16, mb_w * 16
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    # reference planes (previous decoded picture), int64
+    ref_y = ref_cb = ref_cr = None
     code = br.next_start_code()
     while code != SEQ_END:
         if code == GOP_START:
@@ -598,14 +607,56 @@ def decode_mpeg1_intra_color(data: bytes):
         if code != PIC_START:
             raise ValueError(f"mpeg1: unexpected start code {code:#010x}")
         br.bits(10)  # temporal_reference
-        if br.bits(3) != 1:
-            raise ValueError("mpeg1: only I pictures supported (intra codec)")
+        ptype = br.bits(3)
+        if ptype not in (1, 2):
+            raise ValueError(
+                "mpeg1: only I and P pictures supported (no backward refs)"
+            )
         br.bits(16)  # vbv_delay
+        full_pel, f = 1, 1
+        if ptype == 2:
+            if ref_y is None:
+                raise ValueError("mpeg1: P picture with no reference")
+            full_pel = br.bits(1)
+            f = br.bits(3)
+            if f == 0:
+                raise ValueError("mpeg1: forward_f_code 0 is forbidden")
         if br.bits(1):
             raise ValueError("mpeg1: extra_bit_picture payload unsupported")
-        plane = np.zeros((mb_h * 16, mb_w * 16), dtype=np.float64)
-        cbp = np.zeros((mb_h * 8, mb_w * 8), dtype=np.float64)
-        crp = np.zeros((mb_h * 8, mb_w * 8), dtype=np.float64)
+        plane = np.zeros((ph, pw), dtype=np.float64)
+        cbp_pl = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+        crp = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+
+        def copy_mb(row, col):
+            plane[row * 16 : row * 16 + 16, col * 16 : col * 16 + 16] = ref_y[
+                row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+            ]
+            cbp_pl[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = ref_cb[
+                row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
+            ]
+            crp[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = ref_cr[
+                row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
+            ]
+
+        def read_addr_inc():
+            inc = 0
+            while True:
+                code, ln = 0, 0
+                while ln < 11:
+                    code = (code << 1) | br.bits(1)
+                    ln += 1
+                    if (ln, code) == (MB_STUFFING[1], MB_STUFFING[0]):
+                        code, ln = 0, 0
+                        continue
+                    if (ln, code) == (MB_ADDR_ESC[1], MB_ADDR_ESC[0]):
+                        inc += 33
+                        code, ln = 0, 0
+                        continue
+                    v = _MB_ADDR_DECODE.get((ln, code))
+                    if v is not None:
+                        return inc + v
+                raise ValueError("mpeg1: bad macroblock_address_increment")
+
         code = br.next_start_code()
         while 0x00000101 <= code <= 0x000001AF:
             row = (code & 0xFF) - 1
@@ -613,53 +664,650 @@ def decode_mpeg1_intra_color(data: bytes):
             while br.bits(1):  # extra_information_slice
                 br.bits(8)
             dc_y = dc_cb = dc_cr = 128
-            col = 0
-            while col < mb_w:
-                # macroblock_address_increment (always 1 from the intra
-                # encoder; stuffing '00000001111' tolerated)
-                while True:
-                    probe = br.bits(1)
-                    if probe == 1:
-                        break
-                    rest = br.bits(10)
-                    if rest == 0b0001111:  # macroblock_stuffing
-                        continue
-                    raise ValueError("mpeg1: non-unit MB address increment")
-                if br.bits(1) != 1:  # macroblock_type
-                    if br.bits(1) != 1:
+            pmv = (0, 0)
+            col = -1
+            while col < mb_w - 1:
+                inc = read_addr_inc()
+                for _ in range(inc - 1):  # skipped MBs (P only)
+                    if ptype == 1:
+                        raise ValueError("mpeg1: skipped MB in I picture")
+                    col += 1
+                    copy_mb(row, col)
+                    pmv = (0, 0)
+                    dc_y = dc_cb = dc_cr = 128
+                col += 1
+                # macroblock_type
+                if ptype == 1:
+                    if br.bits(1) == 1:
+                        mtype = "intra"
+                    elif br.bits(1) == 1:
+                        mtype = "intra_q"
+                    else:
                         raise ValueError("mpeg1: bad I-picture MB type")
-                    qscale = br.bits(5)  # intra + quant
-                for by in range(2):
-                    for bx in range(2):
+                else:
+                    mtype = _read_vlc(br, _MB_P_DECODE, "P macroblock_type", 6)
+                if mtype.endswith("_q"):
+                    qscale = br.bits(5)
+                    mtype = mtype[:-2]
+                intra = mtype == "intra"
+                has_mv = mtype in ("mc", "mc_coded")
+                coded = mtype in ("coded", "mc_coded")
+                if intra:
+                    pmv = (0, 0)
+                    for by in range(2):
+                        for bx in range(2):
+                            zz = np.zeros(64, dtype=np.int64)
+                            dc_y += _read_dc(br, _DC_LUM_DECODE)
+                            zz[0] = dc_y
+                            _read_ac(br, zz)
+                            blk = _idct(_dequant_intra(zz, q, qscale))
+                            plane[
+                                row * 16 + by * 8 : row * 16 + by * 8 + 8,
+                                col * 16 + bx * 8 : col * 16 + bx * 8 + 8,
+                            ] = blk
+                    for pred in ("cb", "cr"):
                         zz = np.zeros(64, dtype=np.int64)
-                        dc_y += _read_dc(br, _DC_LUM_DECODE)
-                        zz[0] = dc_y
+                        d = _read_dc(br, _DC_CHROM_DECODE)
+                        if pred == "cb":
+                            dc_cb += d
+                            zz[0] = dc_cb
+                        else:
+                            dc_cr += d
+                            zz[0] = dc_cr
                         _read_ac(br, zz)
                         blk = _idct(_dequant_intra(zz, q, qscale))
-                        plane[
-                            row * 16 + by * 8 : row * 16 + by * 8 + 8,
-                            col * 16 + bx * 8 : col * 16 + bx * 8 + 8,
+                        tgt = cbp_pl if pred == "cb" else crp
+                        tgt[
+                            row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
                         ] = blk
-                for pred in ("cb", "cr"):
-                    zz = np.zeros(64, dtype=np.int64)
-                    d = _read_dc(br, _DC_CHROM_DECODE)
-                    if pred == "cb":
-                        dc_cb += d
-                        zz[0] = dc_cb
-                    else:
-                        dc_cr += d
-                        zz[0] = dc_cr
-                    _read_ac(br, zz)
-                    blk = _idct(_dequant_intra(zz, q, qscale))
-                    tgt = cbp if pred == "cb" else crp
+                    continue
+                # non-intra (P): prediction + optional residual
+                dc_y = dc_cb = dc_cr = 128
+                if has_mv:
+                    mvx = _fold_mv(pmv[1] + _read_mv(br, f), f)
+                    mvy = _fold_mv(pmv[0] + _read_mv(br, f), f)
+                    pmv = (mvy, mvx)
+                else:
+                    mvy = mvx = 0
+                    pmv = (0, 0)  # no-vector P MB resets the predictor
+                # half-pel units (full_pel doubles); chroma = luma / 2
+                # truncating toward zero (§2.4.4.2)
+                hvy = mvy << 1 if full_pel else mvy
+                hvx = mvx << 1 if full_pel else mvx
+                cvy = int(hvy / 2)
+                cvx = int(hvx / 2)
+                pred_y = _mc_block(ref_y, row * 16, col * 16, hvy, hvx, 16)
+                pred_cb = _mc_block(ref_cb, row * 8, col * 8, cvy, cvx, 8)
+                pred_cr = _mc_block(ref_cr, row * 8, col * 8, cvy, cvx, 8)
+                cbp = (
+                    _read_vlc(br, _CBP_DECODE, "coded_block_pattern", 9)
+                    if coded
+                    else 0
+                )
+                rec_y = pred_y.astype(np.float64)
+                for b in range(4):
+                    if cbp & (32 >> b):
+                        zz = np.zeros(64, dtype=np.int64)
+                        _read_ac_nonintra(br, zz)
+                        by, bx = divmod(b, 2)
+                        rec_y[
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] += _idct(_dequant_non_intra(zz, qn, qscale))
+                plane[
+                    row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+                ] = np.clip(rec_y, 0, 255)
+                for bit, pred_c, tgt in (
+                    (2, pred_cb, cbp_pl),
+                    (1, pred_cr, crp),
+                ):
+                    rec_c = pred_c.astype(np.float64)
+                    if cbp & bit:
+                        zz = np.zeros(64, dtype=np.int64)
+                        _read_ac_nonintra(br, zz)
+                        rec_c += _idct(_dequant_non_intra(zz, qn, qscale))
                     tgt[
                         row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
-                    ] = blk
-                col += 1
+                    ] = np.clip(rec_c, 0, 255)
             code = br.next_start_code()
         to8 = lambda p, hh, ww: np.clip(  # noqa: E731
             np.rint(p[:hh, :ww]), 0, 255
         ).astype(np.uint8)
+        ref_y = np.clip(np.rint(plane), 0, 255).astype(np.int64)
+        ref_cb = np.clip(np.rint(cbp_pl), 0, 255).astype(np.int64)
+        ref_cr = np.clip(np.rint(crp), 0, 255).astype(np.int64)
         ch, cw = (h + 1) // 2, (w + 1) // 2
-        frames.append((to8(plane, h, w), to8(cbp, ch, cw), to8(crp, ch, cw)))
+        frames.append((to8(plane, h, w), to8(cbp_pl, ch, cw), to8(crp, ch, cw)))
     return frames, w, h
+
+
+def decode_mpeg1_video(data: bytes):
+    """Grayscale view of the general decoder: ``(frames, width,
+    height)`` with uint8 Y planes, for streams of I and P pictures."""
+    planes, w, h = decode_mpeg1_intra_color(data)
+    return [y for y, _cb, _cr in planes], w, h
+
+
+
+# ---------------------------------------------------------------------------
+# P pictures (forward prediction) — ISO 11172-2 §2.4.3.4/§2.4.4.2-3
+# ---------------------------------------------------------------------------
+
+# Default non-intra quantizer matrix (§2.4.2.3): flat 16.
+DEFAULT_NON_INTRA_QUANT = np.full(64, 16, dtype=np.int64)
+
+# macroblock_address_increment VLCs (table B.1); ESCAPE adds 33 and
+# may repeat. Values 1..33.
+MB_ADDR_INC_CODES: dict[int, tuple[int, int]] = {
+    1: (0b1, 1), 2: (0b011, 3), 3: (0b010, 3), 4: (0b0011, 4),
+    5: (0b0010, 4), 6: (0b00011, 5), 7: (0b00010, 5),
+    8: (0b0000111, 7), 9: (0b0000110, 7), 10: (0b00001011, 8),
+    11: (0b00001010, 8), 12: (0b00001001, 8), 13: (0b00001000, 8),
+    14: (0b00000111, 8), 15: (0b00000110, 8), 16: (0b0000010111, 10),
+    17: (0b0000010110, 10), 18: (0b0000010101, 10),
+    19: (0b0000010100, 10), 20: (0b0000010011, 10),
+    21: (0b0000010010, 10), 22: (0b00000100011, 11),
+    23: (0b00000100010, 11), 24: (0b00000100001, 11),
+    25: (0b00000100000, 11), 26: (0b00000011111, 11),
+    27: (0b00000011110, 11), 28: (0b00000011101, 11),
+    29: (0b00000011100, 11), 30: (0b00000011011, 11),
+    31: (0b00000011010, 11), 32: (0b00000011001, 11),
+    33: (0b00000011000, 11),
+}
+MB_ADDR_ESC = (0b00000001000, 11)  # macroblock_escape
+MB_STUFFING = (0b00000001111, 11)
+
+# P-picture macroblock_type VLCs (table B.2b). Flags per entry:
+# (quant, motion_forward, coded).
+MB_P_CODES: dict[str, tuple[int, int]] = {
+    "mc_coded": (0b1, 1),          # MF + CBP
+    "coded": (0b01, 2),            # CBP only (vector = 0)
+    "mc": (0b001, 3),              # MF only (no coefficients)
+    "intra": (0b00011, 5),
+    "mc_coded_q": (0b00010, 5),    # + quantizer_scale
+    "coded_q": (0b00001, 5),
+    "intra_q": (0b000001, 6),
+}
+
+# coded_block_pattern VLCs (table B.3), cbp value 1..63; bit 32 = Y0,
+# 16 = Y1, 8 = Y2, 4 = Y3, 2 = Cb, 1 = Cr.
+CBP_CODES: dict[int, tuple[int, int]] = {
+    60: (0b111, 3), 4: (0b1101, 4), 8: (0b1100, 4), 16: (0b1011, 4),
+    32: (0b1010, 4), 12: (0b10011, 5), 48: (0b10010, 5),
+    20: (0b10001, 5), 40: (0b10000, 5), 28: (0b01111, 5),
+    44: (0b01110, 5), 52: (0b01101, 5), 56: (0b01100, 5),
+    1: (0b01011, 5), 61: (0b01010, 5), 2: (0b01001, 5),
+    62: (0b01000, 5), 24: (0b001111, 6), 36: (0b001110, 6),
+    3: (0b001101, 6), 63: (0b001100, 6), 5: (0b0010111, 7),
+    9: (0b0010110, 7), 17: (0b0010101, 7), 33: (0b0010100, 7),
+    6: (0b0010011, 7), 10: (0b0010010, 7), 18: (0b0010001, 7),
+    34: (0b0010000, 7), 7: (0b00011111, 8), 11: (0b00011110, 8),
+    19: (0b00011101, 8), 35: (0b00011100, 8), 13: (0b00011011, 8),
+    49: (0b00011010, 8), 21: (0b00011001, 8), 41: (0b00011000, 8),
+    14: (0b00010111, 8), 50: (0b00010110, 8), 22: (0b00010101, 8),
+    42: (0b00010100, 8), 15: (0b00010011, 8), 51: (0b00010010, 8),
+    23: (0b00010001, 8), 43: (0b00010000, 8), 25: (0b00001111, 8),
+    37: (0b00001110, 8), 26: (0b00001101, 8), 38: (0b00001100, 8),
+    29: (0b00001011, 8), 45: (0b00001010, 8), 53: (0b00001001, 8),
+    57: (0b00001000, 8), 30: (0b00000111, 8), 46: (0b00000110, 8),
+    54: (0b00000101, 8), 58: (0b00000100, 8), 31: (0b000000111, 9),
+    47: (0b000000110, 9), 55: (0b000000101, 9), 59: (0b000000100, 9),
+    27: (0b000000011, 9), 39: (0b000000010, 9),
+}
+
+# motion_code VLCs (table B.4) for |code| 0..16; a sign bit follows
+# nonzero codes.
+MV_CODES: dict[int, tuple[int, int]] = {
+    0: (0b1, 1), 1: (0b01, 2), 2: (0b001, 3), 3: (0b0001, 4),
+    4: (0b000011, 6), 5: (0b0000101, 7), 6: (0b0000100, 7),
+    7: (0b0000011, 7), 8: (0b000001011, 9), 9: (0b000001010, 9),
+    10: (0b000001001, 9), 11: (0b0000010001, 10),
+    12: (0b0000010000, 10), 13: (0b0000001111, 10),
+    14: (0b0000001110, 10), 15: (0b0000001101, 10),
+    16: (0b0000001100, 10),
+}
+
+_MB_ADDR_DECODE = {(ln, c): v for v, (c, ln) in MB_ADDR_INC_CODES.items()}
+_MB_P_DECODE = {(ln, c): k for k, (c, ln) in MB_P_CODES.items()}
+_CBP_DECODE = {(ln, c): v for v, (c, ln) in CBP_CODES.items()}
+_MV_DECODE = {(ln, c): v for v, (c, ln) in MV_CODES.items()}
+
+
+def _read_vlc(br: _BitReader, table: dict, what: str, max_len: int = 12) -> int:
+    code, ln = 0, 0
+    while ln < max_len:
+        code = (code << 1) | br.bits(1)
+        ln += 1
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError(f"mpeg1: bad {what} code")
+
+
+def _quant_non_intra(coef: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray:
+    """Encoder-side non-intra quantization matched to the §2.4.4.2
+    recon ((2L + sgn L)·qscale·W) DIV 16: L = trunc(8·c / (qscale·W)),
+    truncation toward zero (the +sgn in the recon supplies the half
+    step back), saturated to the ±255 escape-code limit. Applies to
+    ALL 64 coefficients — non-intra DC has no special path."""
+    zz = coef.reshape(64)[ZIGZAG]
+    qzz = q.reshape(64)[ZIGZAG].astype(np.float64)
+    lv = np.fix(8.0 * zz / (qscale * qzz)).astype(np.int64)
+    np.clip(lv, -255, 255, out=lv)
+    return lv
+
+
+def _dequant_non_intra(zz: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray:
+    """§2.4.4.2/3 non-intra reconstruction: ((2L + sgn L)·qscale·W)
+    DIV 16 truncating toward zero, odd-ification mismatch control,
+    zero stays zero, [-2048, 2047] saturation."""
+    qzz = q.reshape(64)[ZIGZAG].astype(np.int64)
+    z = zz.astype(np.int64)
+    num = (2 * z + np.sign(z)) * qscale * qzz
+    rec = np.sign(num) * (np.abs(num) // 16)
+    even = (rec != 0) & (rec % 2 == 0)
+    rec[even] -= np.sign(rec[even])
+    np.clip(rec, -2048, 2047, out=rec)
+    out = np.zeros(64, dtype=np.float64)
+    out[ZIGZAG] = rec
+    return out.reshape(8, 8)
+
+
+def _write_ac_nonintra(bw: _BitWriter, zz: np.ndarray) -> None:
+    """Run-level code ALL 64 coefficients of a non-intra block + EOB.
+    First-coefficient special case (table B.5c note): the pair
+    (run 0, |level| 1) codes as '1 s' — EOB cannot occur first, so the
+    '1' prefix is unambiguous there."""
+    first, run = True, 0
+    for i in range(64):
+        lv = int(zz[i])
+        if lv == 0:
+            run += 1
+            continue
+        if first and run == 0 and abs(lv) == 1:
+            bw.write(0b1, 1)
+            bw.write(1 if lv < 0 else 0, 1)
+        else:
+            ent = AC_CODES.get((run, abs(lv)))
+            if ent is not None:
+                code, ln = ent
+                bw.write(code, ln)
+                bw.write(1 if lv < 0 else 0, 1)
+            else:
+                bw.write(ESC_CODE, ESC_LEN)
+                bw.write(run, 6)
+                if -127 <= lv <= 127:
+                    bw.write(lv & 0xFF, 8)
+                elif 128 <= lv <= 255:
+                    bw.write(0x00, 8)
+                    bw.write(lv, 8)
+                elif -255 <= lv <= -128:
+                    bw.write(0x80, 8)
+                    bw.write(lv + 256, 8)
+                else:
+                    raise ValueError("mpeg1: |level| > 255 not representable")
+        first = False
+        run = 0
+    bw.write(EOB_CODE, EOB_LEN)
+
+
+def _read_ac_nonintra(br: _BitReader, zz: np.ndarray) -> None:
+    """Decode a non-intra block: dct_coeff_first (special '1 s' form
+    for (0, ±1); EOB impossible) then dct_coeff_next until EOB."""
+    i = -1
+    first = True
+    while True:
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | br.bits(1)
+            ln += 1
+            if first and ln == 1 and code == 1:
+                run, lv = 0, (-1 if br.bits(1) else 1)
+                break
+            if not first and ln == EOB_LEN and code == EOB_CODE:
+                return
+            if ln == ESC_LEN and code == ESC_CODE:
+                run = br.bits(6)
+                v = br.bits(8)
+                if v == 0x00:
+                    lv = br.bits(8)
+                elif v == 0x80:
+                    lv = br.bits(8) - 256
+                else:
+                    lv = v if v < 128 else v - 256
+                break
+            rl = _AC_DECODE.get((ln, code))
+            if rl is not None:
+                run, lv = rl
+                if br.bits(1):
+                    lv = -lv
+                break
+            if ln > 17:
+                raise ValueError("mpeg1: bad AC code")
+        first = False
+        i += run + 1
+        if i > 63:
+            raise ValueError("mpeg1: AC coefficient index overflow")
+        zz[i] = lv
+
+
+def _write_mv(bw: _BitWriter, diff: int) -> None:
+    """motion_horizontal/vertical_code for forward_f_code = 1 (no
+    residual bits): the folded differential IS the motion_code."""
+    code, ln = MV_CODES[abs(diff)]
+    bw.write(code, ln)
+    if diff:
+        bw.write(1 if diff < 0 else 0, 1)
+
+
+def _read_mv(br: _BitReader, f: int) -> int:
+    """Read motion_code (+ residual for f > 1) and return the signed
+    delta in vector units: delta = (|code|-1)·f + residual + 1."""
+    mag = _read_vlc(br, _MV_DECODE, "motion")
+    if mag == 0:
+        return 0
+    sign = -1 if br.bits(1) else 1
+    residual = br.bits(_F_RSIZE[f]) if f > 1 else 0
+    return sign * ((mag - 1) * f + residual + 1)
+
+
+_F_RSIZE = {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6}
+
+
+def _fold_mv(diff: int, f: int = 1) -> int:
+    """Fold a vector differential into [-16f, 16f-1] (mod 32f)."""
+    lo, hi = -16 * f, 16 * f - 1
+    if diff > hi:
+        diff -= 32 * f
+    elif diff < lo:
+        diff += 32 * f
+    return diff
+
+
+def _mc_block(ref: np.ndarray, y0: int, x0: int, mvy_h: int, mvx_h: int,
+              size: int) -> np.ndarray:
+    """size×size forward prediction from ``ref`` (int64 plane) at
+    half-pel vector (mvy_h, mvx_h) relative to (y0, x0). Half-pel
+    samples are the §2.4.4.2 rounded integer averages
+    ((a+b+1)>>1 / (a+b+c+d+2)>>2)."""
+    iy, hy = mvy_h >> 1, mvy_h & 1
+    ix, hx = mvx_h >> 1, mvx_h & 1
+    r, c = y0 + iy, x0 + ix
+    a = ref[r : r + size, c : c + size]
+    if not hy and not hx:
+        return a.copy()
+    if hy and hx:
+        b = ref[r : r + size, c + 1 : c + size + 1]
+        d = ref[r + 1 : r + size + 1, c : c + size]
+        e = ref[r + 1 : r + size + 1, c + 1 : c + size + 1]
+        return (a + b + d + e + 2) >> 2
+    if hx:
+        b = ref[r : r + size, c + 1 : c + size + 1]
+    else:
+        b = ref[r + 1 : r + size + 1, c : c + size]
+    return (a + b + 1) >> 1
+
+
+def _motion_search(ref: np.ndarray, cur: np.ndarray, y0: int, x0: int,
+                   search: int) -> tuple[int, int, int]:
+    """Exhaustive EVEN full-pel search (deterministic first-best,
+    (0,0) evaluated first): even luma vectors keep the derived chroma
+    vector (luma/2) at full-pel too, so no half-pel interpolation path
+    is exercised by this encoder (the decoder still implements it).
+    Returns (mvy, mvx, sad)."""
+    ph, pw = ref.shape
+    base = ref[y0 : y0 + 16, x0 : x0 + 16]
+    best = (0, 0, int(np.abs(cur - base).sum()))
+    for dy in range(-search, search + 1, 2):
+        for dx in range(-search, search + 1, 2):
+            if dy == 0 and dx == 0:
+                continue
+            r, c = y0 + dy, x0 + dx
+            if not (0 <= r <= ph - 16 and 0 <= c <= pw - 16):
+                continue
+            sad = int(np.abs(cur - ref[r : r + 16, c : c + 16]).sum())
+            if sad < best[2]:
+                best = (dy, dx, sad)
+    return best
+
+
+def _code_intra_y_blocks(bw, ypad, row, col, dc_y, q, qscale):
+    """Write the 4 intra luma blocks of one macroblock; returns
+    (new dc predictor, 16×16 float reconstruction)."""
+    rec = np.zeros((16, 16), dtype=np.float64)
+    for by in range(2):
+        for bx in range(2):
+            blk = ypad[
+                row * 16 + by * 8 : row * 16 + by * 8 + 8,
+                col * 16 + bx * 8 : col * 16 + bx * 8 + 8,
+            ]
+            zz = _quant_intra(_fdct(blk), q, qscale)
+            _write_dc(bw, int(zz[0]) - dc_y, DC_LUM_CODES)
+            dc_y = int(zz[0])
+            _write_ac(bw, zz)
+            rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct(
+                _dequant_intra(zz, q, qscale)
+            )
+    return dc_y, rec
+
+
+def _code_intra_chroma_flat(bw, dc_cb, dc_cr):
+    """Flat-128 Cb/Cr blocks (gray video path): DC diff vs predictor,
+    empty AC."""
+    for pred_val, codes in ((dc_cb, DC_CHROM_CODES), (dc_cr, DC_CHROM_CODES)):
+        _write_dc(bw, 128 - pred_val, codes)
+        bw.write(EOB_CODE, EOB_LEN)
+    return 128, 128
+
+
+def _write_addr_inc(bw, inc: int) -> None:
+    while inc > 33:
+        bw.write(*MB_ADDR_ESC)
+        inc -= 33
+    bw.write(*MB_ADDR_INC_CODES[inc])
+
+
+def _encode_video(
+    frames: list[np.ndarray],
+    qscale: int,
+    intra_period: int,
+    search: int,
+    intra_quant: np.ndarray | None,
+):
+    """Shared I+P encoder (grayscale). Returns (bytes, recon uint8
+    frames) — the recon list is the decoder-must-produce output AND
+    the prediction reference chain, so parity is drift-free by
+    construction."""
+    if not frames:
+        raise ValueError("encode_mpeg1_video needs at least one frame")
+    if not 1 <= qscale <= 31:
+        raise ValueError("qscale must be in 1..31")
+    if intra_period < 1:
+        raise ValueError("intra_period must be >= 1")
+    if not 0 <= search <= 8 or search % 2:
+        raise ValueError("search must be even and within ±8 (f_code 1)")
+    h, w = frames[0].shape
+    q_i = DEFAULT_INTRA_QUANT if intra_quant is None else np.asarray(
+        intra_quant, dtype=np.int64
+    ).reshape(64)
+    q_n = DEFAULT_NON_INTRA_QUANT
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    ph, pw = mb_h * 16, mb_w * 16
+    bw = _BitWriter()
+    bw.start_code(SEQ_START)
+    bw.write(w, 12)
+    bw.write(h, 12)
+    bw.write(0b0001, 4)
+    bw.write(_PIC_RATE_CODE, 4)
+    bw.write(0x3FFFF, 18)
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)
+    if intra_quant is None:
+        bw.write(0, 1)
+    else:
+        bw.write(1, 1)
+        for v in q_i.reshape(64)[ZIGZAG]:
+            bw.write(int(v), 8)
+    bw.write(0, 1)
+    bw.start_code(GOP_START)
+    bw.write(0, 25)
+    bw.write(1, 1)  # closed_gop
+    bw.write(0, 1)
+    ref: np.ndarray | None = None
+    recons: list[np.ndarray] = []
+    for t, f in enumerate(frames):
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        ypad = np.pad(
+            f.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+        )
+        bw.start_code(PIC_START)
+        bw.write(t, 10)
+        is_i = ref is None or t % intra_period == 0
+        bw.write(1 if is_i else 2, 3)
+        bw.write(0xFFFF, 16)
+        if not is_i:
+            bw.write(1, 1)  # full_pel_forward_vector
+            bw.write(1, 3)  # forward_f_code
+        bw.write(0, 1)  # extra_bit_picture
+        rec_plane = np.zeros((ph, pw), dtype=np.float64)
+        for row in range(mb_h):
+            bw.start_code(0x00000100 + row + 1)
+            bw.write(qscale, 5)
+            bw.write(0, 1)
+            dc_y = dc_cb = dc_cr = 128
+            pmv = (0, 0)
+            pending = 0  # address-increment run over skipped MBs
+            for col in range(mb_w):
+                cur = ypad[row * 16 : row * 16 + 16, col * 16 : col * 16 + 16]
+                if is_i:
+                    _write_addr_inc(bw, 1)
+                    bw.write(1, 1)  # intra
+                    dc_y, rec = _code_intra_y_blocks(
+                        bw, ypad, row, col, dc_y, q_i, qscale
+                    )
+                    dc_cb, dc_cr = _code_intra_chroma_flat(bw, dc_cb, dc_cr)
+                    rec_plane[
+                        row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+                    ] = rec
+                    continue
+                mvy, mvx, sad = _motion_search(
+                    ref, cur.astype(np.int64), row * 16, col * 16, search
+                )
+                # classic variance test: predict only when the residual
+                # beats the mean-removed energy of the block itself
+                intra_cost = int(np.abs(cur - np.rint(cur.mean())).sum())
+                if sad > intra_cost:
+                    _write_addr_inc(bw, pending + 1)
+                    pending = 0
+                    bw.write(*MB_P_CODES["intra"])
+                    dc_y, rec = _code_intra_y_blocks(
+                        bw, ypad, row, col, dc_y, q_i, qscale
+                    )
+                    dc_cb, dc_cr = _code_intra_chroma_flat(bw, dc_cb, dc_cr)
+                    rec_plane[
+                        row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+                    ] = rec
+                    pmv = (0, 0)  # predictors reset after intra
+                    continue
+                pred = ref[
+                    row * 16 + mvy : row * 16 + mvy + 16,
+                    col * 16 + mvx : col * 16 + mvx + 16,
+                ]
+                resid = cur - pred
+                zzs = []
+                cbp = 0
+                for b in range(4):
+                    by, bx = divmod(b, 2)
+                    zz = _quant_non_intra(
+                        _fdct(resid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
+                        q_n,
+                        qscale,
+                    )
+                    zzs.append(zz)
+                    if np.any(zz):
+                        cbp |= 32 >> b
+                # chroma is flat on both sides: residual 0, bits 2/1 clear
+                zero_mv = mvy == 0 and mvx == 0
+                last = col == mb_w - 1
+                if cbp == 0 and zero_mv and 0 < col and not last:
+                    # skipped: decoder copies co-located, resets PMV + DC
+                    pending += 1
+                    rec_plane[
+                        row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+                    ] = pred
+                    pmv = (0, 0)
+                    dc_y = dc_cb = dc_cr = 128
+                    continue
+                _write_addr_inc(bw, pending + 1)
+                pending = 0
+                if cbp == 0:
+                    bw.write(*MB_P_CODES["mc"])
+                    _write_mv(bw, _fold_mv(mvx - pmv[1]))  # horizontal first
+                    _write_mv(bw, _fold_mv(mvy - pmv[0]))
+                    pmv = (mvy, mvx)
+                elif zero_mv:
+                    bw.write(*MB_P_CODES["coded"])  # no vector -> PMV reset
+                    bw.write(*CBP_CODES[cbp])
+                    pmv = (0, 0)
+                else:
+                    bw.write(*MB_P_CODES["mc_coded"])
+                    _write_mv(bw, _fold_mv(mvx - pmv[1]))  # horizontal first
+                    _write_mv(bw, _fold_mv(mvy - pmv[0]))
+                    bw.write(*CBP_CODES[cbp])
+                    pmv = (mvy, mvx)
+                rec = pred.astype(np.float64).copy()
+                for b in range(4):
+                    if cbp & (32 >> b):
+                        _write_ac_nonintra(bw, zzs[b])
+                        by, bx = divmod(b, 2)
+                        rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] += _idct(
+                            _dequant_non_intra(zzs[b], q_n, qscale)
+                        )
+                rec_plane[
+                    row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+                ] = np.clip(rec, 0, 255)
+                dc_y = dc_cb = dc_cr = 128  # non-intra MB resets DC preds
+        ref = np.clip(np.rint(rec_plane), 0, 255).astype(np.int64)
+        recons.append(ref[:h, :w].astype(np.uint8))
+    bw.start_code(SEQ_END)
+    return bw.bytes(), recons
+
+
+def encode_mpeg1_video(
+    frames: list[np.ndarray],
+    qscale: int = 1,
+    intra_period: int = 4,
+    search: int = 8,
+    intra_quant: np.ndarray | None = None,
+) -> bytes:
+    """Encode grayscale uint8 frames as an MPEG-1 elementary stream of
+    I and forward-predicted P pictures: every ``intra_period``-th
+    picture is intra, the rest predict from the previous decoded
+    picture via exhaustive even full-pel motion search (window
+    ±``search``), per-macroblock mode decision (pred-mc / pred-c /
+    pred-m / intra fallback / skip runs), and §2.4.4.2 non-intra
+    residual coding. ``intra_period=1`` degenerates to the I-only
+    stream :func:`encode_mpeg1_intra` produces (different encoder, same
+    syntax family)."""
+    data, _ = _encode_video(frames, qscale, intra_period, search, intra_quant)
+    return data
+
+
+def mpeg1_video_expected_reconstruction(
+    frames: list[np.ndarray],
+    qscale: int = 1,
+    intra_period: int = 4,
+    search: int = 8,
+    intra_quant: np.ndarray | None = None,
+) -> list[np.ndarray]:
+    """Encoder-internal reconstruction for :func:`encode_mpeg1_video` —
+    the exact uint8 frames a conformant decoder must produce. Unlike
+    the intra-only invariant this is not merely per-block algebra: the
+    recon chain IS the encoder's own prediction reference (P pictures
+    predict from reconstructed, not source, frames — the standard
+    closed-loop design that prevents drift), so decode == this list
+    bit-exactly, and any mismatch would compound frame over frame and
+    be caught at the first P picture."""
+    _, recons = _encode_video(frames, qscale, intra_period, search, intra_quant)
+    return recons

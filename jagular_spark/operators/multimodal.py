@@ -989,6 +989,100 @@ def mpeg1_roundtrip_stats(
     return media.mapInPandas(kernel, MJPEG_ROUNDTRIP_SCHEMA)
 
 
+def mpeg1_pframe_roundtrip_stats(
+    media: DataFrame,
+    qscale: int = 1,
+    tol: int = 8,
+    frame_h: int = 16,
+    frame_w: int = 16,
+    intra_period: int = 4,
+    flat_quant: int | None = 16,
+) -> DataFrame:
+    """MOTION-COMPENSATED video roundtrip — MPEG-1 I+P elementary
+    stream (operators/mpeg1.py encode_mpeg1_video): frames are cut
+    from the payload at a 50 % OVERLAP stride, so frame t+1 is frame t
+    shifted up by ``frame_h/2`` rows — genuine vertical motion the
+    exhaustive even full-pel search must find (dy = 8 sits inside the
+    ±8 window), making P pictures predict rather than fall back to
+    intra on corpus bytes. ``frame_ok`` = stream dims/frame count
+    survived AND decode == the encoder's closed-loop internal
+    reconstruction BIT-EXACTLY (the audio-codec discipline — drift
+    would compound frame over frame and fail at the first P picture)
+    AND |decoded − original| ≤ ``tol``. Same output schema / narrow
+    Arrow-map shape as mpeg1_roundtrip_stats; payloads never
+    shuffle."""
+    import numpy as _np
+
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_video,
+        encode_mpeg1_video,
+        mpeg1_video_expected_reconstruction,
+    )
+
+    fsz = frame_h * frame_w
+    stride = fsz // 2
+    quant = (
+        None
+        if flat_quant is None
+        else _np.full(64, int(flat_quant), dtype=_np.int64)
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(
+                        f"codec {r.codec!r}: mpeg1_pframe_roundtrip_stats "
+                        "needs raw8 input"
+                    )
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                if len(buf) < fsz:
+                    continue
+                nf = (len(buf) - fsz) // stride + 1
+                origs = [
+                    buf[i * stride : i * stride + fsz].reshape(frame_h, frame_w)
+                    for i in range(nf)
+                ]
+                stream = encode_mpeg1_video(
+                    origs, qscale, intra_period, 8, quant
+                )
+                expected = mpeg1_video_expected_reconstruction(
+                    origs, qscale, intra_period, 8, quant
+                )
+                dec_frames, w, h = decode_mpeg1_video(stream)
+                dims_ok = (w, h) == (frame_w, frame_h) and len(dec_frames) == nf
+                for i, (dec, exp, orig) in enumerate(
+                    zip(dec_frames, expected, origs)
+                ):
+                    ok = (
+                        dims_ok
+                        and dec.shape == (frame_h, frame_w)
+                        and np.array_equal(dec, exp)
+                        and bool(
+                            np.abs(
+                                dec.astype(np.int64) - orig.astype(np.int64)
+                            ).max(initial=0)
+                            <= tol
+                        )
+                    )
+                    s = int(orig.sum(dtype=np.int64))
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "height": frame_h,
+                            "width": frame_w,
+                            "orig_sum": s,
+                            "mean_px": float(s) / float(fsz * 255),
+                            "frame_ok": ok,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, MJPEG_ROUNDTRIP_SCHEMA)
+
+
 JPEG_COLOR_ROUNDTRIP_SCHEMA = (
     "media_id long, height int, width int, n_bytes long, orig_sum long, "
     "mean_byte double, y_ok boolean, chroma_ok boolean"

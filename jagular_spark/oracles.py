@@ -1777,6 +1777,28 @@ ORACLE_SQL["docs_media_mjpeg_video"] = """
 # identical oracle; the codec signal is the hash-verified frame_ok.
 ORACLE_SQL["docs_media_mpeg1_video"] = ORACLE_SQL["docs_media_mjpeg_video"]
 
+# Motion-compensated MPEG-1 (I+P): frames cut at a 50% overlap stride
+# (frame i covers bytes [i*128, i*128+256) -> nf = (len-256)//128 + 1),
+# so consecutive frames are 8-row vertical shifts of each other and
+# the P pictures genuinely motion-compensate. frame_ok is the
+# hash-verified decode == closed-loop-reconstruction flag.
+ORACLE_SQL["docs_media_mpeg1_pframes"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST((length(text) - 256) // 128 + 1 AS BIGINT) AS nf, text
+        FROM documents WHERE length(text) = strlen(text) AND length(text) >= 256
+    ), f AS (
+        SELECT media_id, CAST(s.i AS BIGINT) AS frame_idx,
+               CAST(list_sum(list_transform(
+                        generate_series(s.i * 128 + 1, s.i * 128 + 256),
+                        j -> ord(substr(text, j, 1)))) AS BIGINT) AS orig_sum
+        FROM b, UNNEST(generate_series(0, nf - 1)) AS s(i)
+    )
+    SELECT media_id, frame_idx, 16 AS height, 16 AS width, orig_sum,
+           CAST(orig_sum AS DOUBLE) / (256 * 255) AS mean_px,
+           TRUE AS frame_ok
+    FROM f"""
+
 # Color MPEG-1: one row per 192-byte (8x8 RGB) frame — sized so real
 # corpus docs qualify (the former 768 B gate matched zero docs at
 # every shipped sf); exact original byte stats + the hash-verified

@@ -1319,6 +1319,36 @@ def docs_media_mpeg1_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_media_mpeg1_pframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOTION-COMPENSATED MPEG-1 under the driver oracle (r12): doc
+    bytes become 16x16 grayscale frames cut at a 50 % overlap stride —
+    frame t+1 is frame t shifted up 8 rows, real vertical motion — and
+    every doc's frames encode into ONE I+P elementary stream
+    (intra_period=4): exhaustive even full-pel motion search, pred-mc/
+    pred-c/pred-m/intra/skip macroblock modes (tables B.1/B.2b/B.3/
+    B.4), §2.4.4.2 non-intra quant with the flat-16 matrix. frame_ok
+    additionally requires decode == the encoder's closed-loop internal
+    reconstruction BIT-EXACTLY, so the hash-verified row carries the
+    full P-picture syntax + arithmetic, not just a tolerance."""
+    from jagular_spark.operators.multimodal import mpeg1_pframe_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    nb = F.length(F.encode("text", "UTF-8"))
+    media = docs.where(nb >= 256).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        ((nb - 256) / F.lit(128) + 1).cast("int").alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return mpeg1_pframe_roundtrip_stats(
+        _codec_spread(media), qscale=1, tol=8, intra_period=4, flat_quant=16
+    )
+
+
 def docs_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 COLOR baseline-JPEG roundtrip under the driver oracle: doc
     bytes become a (h, 16, 3) RGB image, go through the full color
@@ -3224,6 +3254,8 @@ ROUND_TOUCHED: set[str] = {
     "docs_substring_dedup_keepfirst",
     "docs_substring_dedup_streamed",
     "docs_curation_funnel_v2",
+    # NEW this round: motion-compensated MPEG-1 (I+P pictures)
+    "docs_media_mpeg1_pframes",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3237,6 +3269,7 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
+    "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r0
     "docs_bigram_fluency": docs_bigram_fluency,  # last green r8
     "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r8
     "docs_curation_funnel": docs_curation_funnel,  # last green r8
@@ -3281,13 +3314,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,  # last green r10
     "docs_pii_redaction": docs_pii_redaction,  # last green r10
     "docs_simhash_neardup": docs_simhash_neardup,  # last green r10
-    "docs_stratified_sample": docs_stratified_sample,  # last green r10
     "docs_substring_dedup": docs_substring_dedup,  # last green r10
     "docs_substring_dedup_applied": docs_substring_dedup_applied,  # last green r10
     "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,  # last green r10
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r10
     "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r11
     # ---- driver window ends here ----
+    "docs_stratified_sample": docs_stratified_sample,  # last green r10
     "docs_survivor_setops": docs_survivor_setops,  # last green r10
     "docs_token_quantiles": docs_token_quantiles,  # last green r10
     "emb_semantic_dedup": emb_semantic_dedup,  # last green r10

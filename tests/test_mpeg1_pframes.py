@@ -1,0 +1,216 @@
+"""MPEG-1 P pictures (forward prediction): decode == encoder-internal
+reconstruction bit-exactly (the closed-loop recon IS the prediction
+reference, so any drift compounds and fails at the first P picture),
+plus syntax-level pins — P pictures really appear, skip runs compress
+static scenes, the intra fallback engages on scene changes, and the
+decoder's half-pel interpolation path matches the §2.4.4.2 rounded
+averages on a hand-built stream."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jagular_spark.operators.mpeg1 import (
+    decode_mpeg1_video,
+    encode_mpeg1_intra,
+    encode_mpeg1_video,
+    mpeg1_video_expected_reconstruction,
+)
+
+
+def _moving_scene(n=6, h=48, w=64, dx=2, dy=4, seed=5):
+    """Textured sprite translating over a gradient — every P
+    macroblock has a real nonzero motion vector to find."""
+    rng = np.random.default_rng(seed)
+    sprite = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    grad = (
+        np.add.outer(np.arange(h), np.arange(w)) * 255 // (h + w - 2)
+    ).astype(np.uint8)
+    frames = []
+    for t in range(n):
+        f = grad.copy()
+        y, x = 4 + t * dy, 2 + t * dx
+        f[y : y + 16, x : x + 16] = sprite
+        frames.append(f)
+    return frames
+
+
+def _picture_types(data: bytes) -> list[int]:
+    """Walk start codes; collect picture_coding_type of each picture."""
+    types = []
+    i = 0
+    while i < len(data) - 4:
+        if data[i : i + 3] == b"\x00\x00\x01" and data[i + 3] == 0x00:
+            # picture header: 10 bits temporal_ref then 3 bits type
+            b = (data[i + 4] << 8) | data[i + 5]
+            types.append((b >> 3) & 0b111)
+            i += 4
+        else:
+            i += 1
+    return types
+
+
+def test_pframe_roundtrip_matches_internal_reconstruction():
+    frames = _moving_scene()
+    for qscale in (1, 2, 6):
+        data = encode_mpeg1_video(frames, qscale=qscale, intra_period=4)
+        want = mpeg1_video_expected_reconstruction(
+            frames, qscale=qscale, intra_period=4
+        )
+        got, w, h = decode_mpeg1_video(data)
+        assert (w, h) == (64, 48)
+        assert len(got) == len(want) == len(frames)
+        for g, x in zip(got, want):
+            assert g.dtype == np.uint8 and g.shape == (48, 64)
+            assert np.array_equal(g, x)
+    types = _picture_types(data)
+    assert types == [1, 2, 2, 2, 1, 2]  # intra_period=4 -> I P P P I P
+
+
+def test_pframe_reconstruction_tracks_source():
+    frames = _moving_scene()
+    got, _, _ = decode_mpeg1_video(encode_mpeg1_video(frames, qscale=1))
+    for g, src in zip(got, frames):
+        assert np.abs(g.astype(int) - src.astype(int)).mean() < 4.0
+
+
+def test_static_scene_p_pictures_compress_via_skips():
+    frames = [_moving_scene(1)[0]] * 5  # identical frames
+    inter = encode_mpeg1_video(frames, qscale=2, intra_period=5)
+    intra = encode_mpeg1_intra(frames, qscale=2)
+    # 4 P pictures of pure skip runs vs 4 extra full I pictures
+    assert len(inter) < len(intra) / 3
+    got, _, _ = decode_mpeg1_video(inter)
+    want = mpeg1_video_expected_reconstruction(frames, qscale=2, intra_period=5)
+    for g, x in zip(got, want):
+        assert np.array_equal(g, x)
+
+
+def test_scene_change_intra_fallback_stays_bit_exact():
+    rng = np.random.default_rng(9)
+    a = _moving_scene(3)
+    b = [rng.integers(0, 256, (48, 64), dtype=np.uint8) for _ in range(2)]
+    frames = a + b  # hard cut at frame 3, inside the GOP
+    data = encode_mpeg1_video(frames, qscale=2, intra_period=8)
+    got, _, _ = decode_mpeg1_video(data)
+    want = mpeg1_video_expected_reconstruction(frames, qscale=2, intra_period=8)
+    for g, x in zip(got, want):
+        assert np.array_equal(g, x)
+    assert _picture_types(data) == [1, 2, 2, 2, 2]  # cut coded WITHIN a P
+
+
+def test_non_multiple_of_16_dimensions():
+    frames = [f[:41, :53] for f in _moving_scene(4)]
+    data = encode_mpeg1_video(frames, qscale=1, intra_period=2)
+    got, w, h = decode_mpeg1_video(data)
+    want = mpeg1_video_expected_reconstruction(frames, qscale=1, intra_period=2)
+    assert (w, h) == (53, 41)
+    for g, x in zip(got, want):
+        assert g.shape == (41, 53)
+        assert np.array_equal(g, x)
+
+
+def test_intra_period_one_is_all_intra():
+    frames = _moving_scene(3)
+    data = encode_mpeg1_video(frames, intra_period=1)
+    assert _picture_types(data) == [1, 1, 1]
+    got, _, _ = decode_mpeg1_video(data)
+    want = mpeg1_video_expected_reconstruction(frames, intra_period=1)
+    for g, x in zip(got, want):
+        assert np.array_equal(g, x)
+
+
+def test_decoder_rejects_b_pictures():
+    frames = _moving_scene(2)
+    data = bytearray(encode_mpeg1_video(frames, intra_period=1))
+    # flip the second picture's coding type from I (1) to B (3):
+    # picture start code, 10 bits temporal_ref, 3 bits type
+    idx = data.index(b"\x00\x00\x01\x00", 8)
+    b = (data[idx + 4] << 8) | data[idx + 5]
+    b = (b & ~(0b111 << 3)) | (3 << 3)
+    data[idx + 4], data[idx + 5] = b >> 8, b & 0xFF
+    with pytest.raises(ValueError, match="only I and P"):
+        decode_mpeg1_video(bytes(data))
+
+
+def test_halfpel_interpolation_matches_spec_rounding():
+    """Hand-build a one-P-picture stream whose single coded macroblock
+    carries an ODD half-pel forward vector (full_pel_forward_vector=0,
+    recon = +1 half-pel in both axes) and no residual: the decoded P
+    frame must equal the §2.4.4.2 rounded four-point average
+    (a+b+c+d+2)>>2 of the reference — pinning the interpolation path
+    the even-search encoder never exercises."""
+    from jagular_spark.operators.mpeg1 import (
+        GOP_START,
+        MB_P_CODES,
+        PIC_START,
+        SEQ_END,
+        SEQ_START,
+        _BitWriter,
+        _encode_video,
+        _write_addr_inc,
+        _write_mv,
+    )
+
+    rng = np.random.default_rng(3)
+    ref_frame = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    # 32x32 (2x2 macroblocks): MB(0,0) takes the odd vector, so its
+    # 17x17 interpolation window stays inside the picture (a half-pel
+    # vector whose window leaves the frame is non-conformant)
+    bw = _BitWriter()
+    bw.start_code(SEQ_START)
+    bw.write(32, 12)
+    bw.write(32, 12)
+    bw.write(0b0001, 4)
+    bw.write(0b0101, 4)
+    bw.write(0x3FFFF, 18)
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)
+    bw.write(0, 1)  # no custom intra matrix
+    bw.write(0, 1)
+    bw.start_code(GOP_START)
+    bw.write(0, 27)
+    # splice: take the I picture from the real encoder's stream
+    i_stream, recons = _encode_video([ref_frame], 1, 1, 0, None)
+    i_pic_start = i_stream.index(b"\x00\x00\x01\x00")
+    i_pic_end = i_stream.index(SEQ_END.to_bytes(4, "big"))
+    prefix = bw.bytes()  # aligned
+    bw2 = _BitWriter()
+    bw2.start_code(PIC_START)
+    bw2.write(1, 10)  # temporal_reference
+    bw2.write(2, 3)  # P picture
+    bw2.write(0xFFFF, 16)
+    bw2.write(0, 1)  # full_pel_forward_vector = 0 -> half-pel units
+    bw2.write(1, 3)  # forward_f_code = 1
+    bw2.write(0, 1)
+    for srow in range(2):
+        bw2.start_code(0x00000101 + srow)
+        bw2.write(1, 5)  # qscale
+        bw2.write(0, 1)
+        for col in range(2):
+            _write_addr_inc(bw2, 1)
+            bw2.write(*MB_P_CODES["mc"])  # MC, not coded
+            if srow == 0 and col == 0:
+                _write_mv(bw2, 1)  # horizontal +1 half-pel
+                _write_mv(bw2, 1)  # vertical +1 half-pel
+            elif srow == 0 and col == 1:
+                _write_mv(bw2, -1)  # back to vector 0 (differential)
+                _write_mv(bw2, -1)
+            else:
+                _write_mv(bw2, 0)
+                _write_mv(bw2, 0)
+    bw2.start_code(SEQ_END)
+    stream = prefix + i_stream[i_pic_start:i_pic_end] + bw2.bytes()
+
+    got, w, h = decode_mpeg1_video(stream)
+    assert (w, h) == (32, 32) and len(got) == 2
+    rec0 = recons[0].astype(np.int64)
+    a = rec0[0:16, 0:16]
+    b = rec0[0:16, 1:17]
+    c = rec0[1:17, 0:16]
+    d = rec0[1:17, 1:17]
+    want = rec0.copy()
+    want[0:16, 0:16] = (a + b + c + d + 2) >> 2  # §2.4.4.2 rounding
+    assert np.array_equal(got[1].astype(np.int64), want)
