@@ -1055,19 +1055,27 @@ def _motion_search(ref: np.ndarray, cur: np.ndarray, y0: int, x0: int,
     is exercised by this encoder (the decoder still implements it).
     Returns (mvy, mvx, sad)."""
     ph, pw = ref.shape
-    base = ref[y0 : y0 + 16, x0 : x0 + 16]
-    best = (0, 0, int(np.abs(cur - base).sum()))
-    for dy in range(-search, search + 1, 2):
-        for dx in range(-search, search + 1, 2):
-            if dy == 0 and dx == 0:
-                continue
-            r, c = y0 + dy, x0 + dx
-            if not (0 <= r <= ph - 16 and 0 <= c <= pw - 16):
-                continue
-            sad = int(np.abs(cur - ref[r : r + 16, c : c + 16]).sum())
-            if sad < best[2]:
-                best = (dy, dx, sad)
-    return best
+    sad0 = int(np.abs(cur - ref[y0 : y0 + 16, x0 : x0 + 16]).sum())
+    if search == 0:
+        return (0, 0, sad0)
+    # vectorized SAD grid over the clipped even-offset window (one
+    # sliding-window view instead of ~81 small-array passes); tie
+    # semantics match the scalar loop: (0, 0) wins unless some
+    # candidate is STRICTLY better, then first occurrence in
+    # row-major (dy, dx) order — np.argmin's first-min rule
+    r0 = max(y0 - search, 0) + (y0 - max(y0 - search, 0)) % 2
+    c0 = max(x0 - search, 0) + (x0 - max(x0 - search, 0)) % 2
+    r1 = min(y0 + search, ph - 16)
+    c1 = min(x0 + search, pw - 16)
+    win = np.lib.stride_tricks.sliding_window_view(ref, (16, 16))
+    cand = win[r0 : r1 + 1 : 2, c0 : c1 + 1 : 2]
+    sads = np.abs(cand - cur).sum(axis=(2, 3))
+    flat = int(np.argmin(sads))
+    i, j = divmod(flat, sads.shape[1])
+    best = int(sads[i, j])
+    if best >= sad0:
+        return (0, 0, sad0)
+    return (r0 + 2 * i - y0, c0 + 2 * j - x0, best)
 
 
 def _code_intra_y_blocks(bw, ypad, row, col, dc_y, q, qscale):

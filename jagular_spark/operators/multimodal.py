@@ -993,19 +993,30 @@ def mpeg1_pframe_roundtrip_stats(
     media: DataFrame,
     qscale: int = 1,
     tol: int = 8,
-    frame_h: int = 16,
-    frame_w: int = 16,
+    frame_h: int = 32,
+    frame_w: int = 8,
+    stride_rows: int = 8,
     intra_period: int = 4,
     flat_quant: int | None = 16,
 ) -> DataFrame:
     """MOTION-COMPENSATED video roundtrip — MPEG-1 I+P elementary
     stream (operators/mpeg1.py encode_mpeg1_video): frames are cut
-    from the payload at a 50 % OVERLAP stride, so frame t+1 is frame t
-    shifted up by ``frame_h/2`` rows — genuine vertical motion the
-    exhaustive even full-pel search must find (dy = 8 sits inside the
-    ±8 window), making P pictures predict rather than fall back to
-    intra on corpus bytes. ``frame_ok`` = stream dims/frame count
-    survived AND decode == the encoder's closed-loop internal
+    from the payload at a ``stride_rows``-row overlap stride, so frame
+    t+1 is frame t shifted up by that many rows — genuine vertical
+    motion the exhaustive even full-pel search must find (dy = 8 sits
+    inside the ±8 window), making P pictures predict rather than fall
+    back to intra on corpus bytes. The frame must be TALLER than one
+    macroblock for this to be real: a 16-row frame pads to a 16-row
+    plane where the only in-bounds vector is (0, 0) — with 32 rows
+    (2 MB rows) the top macroblock's +8 match lies inside the
+    reference plane and genuinely motion-compensates, while the bottom
+    one (whose match would extend past the plane) takes the residual/
+    intra path, exercising both. The default 8-column width keeps the
+    frame at 256 B so real corpus docs (max ~550 ASCII bytes) yield
+    MULTI-frame streams — i.e. actual P pictures — while the width
+    pads to the 16 grid edge-replicated, identically in every frame,
+    so prediction stays aligned. ``frame_ok`` = stream dims/frame
+    count survived AND decode == the encoder's closed-loop internal
     reconstruction BIT-EXACTLY (the audio-codec discipline — drift
     would compound frame over frame and fail at the first P picture)
     AND |decoded − original| ≤ ``tol``. Same output schema / narrow
@@ -1020,7 +1031,7 @@ def mpeg1_pframe_roundtrip_stats(
     )
 
     fsz = frame_h * frame_w
-    stride = fsz // 2
+    stride = stride_rows * frame_w
     quant = (
         None
         if flat_quant is None

@@ -1777,24 +1777,27 @@ ORACLE_SQL["docs_media_mjpeg_video"] = """
 # identical oracle; the codec signal is the hash-verified frame_ok.
 ORACLE_SQL["docs_media_mpeg1_video"] = ORACLE_SQL["docs_media_mjpeg_video"]
 
-# Motion-compensated MPEG-1 (I+P): frames cut at a 50% overlap stride
-# (frame i covers bytes [i*128, i*128+256) -> nf = (len-256)//128 + 1),
-# so consecutive frames are 8-row vertical shifts of each other and
-# the P pictures genuinely motion-compensate. frame_ok is the
-# hash-verified decode == closed-loop-reconstruction flag.
+# Motion-compensated MPEG-1 (I+P): 32x8 frames (256 B — two
+# macroblock ROWS so the in-plane dy=+8 match exists, 8 columns so
+# the ~550-byte-max ASCII corpus yields MULTI-frame streams with real
+# P pictures) cut at an 8-row/64-byte overlap stride (frame i covers
+# bytes [i*64, i*64+256) -> nf = (len-256)//64 + 1), so consecutive
+# frames are 8-row vertical shifts of each other and the P pictures
+# genuinely motion-compensate. frame_ok is the hash-verified
+# decode == closed-loop-reconstruction flag.
 ORACLE_SQL["docs_media_mpeg1_pframes"] = """
     WITH b AS (
         SELECT doc_id AS media_id,
-               CAST((length(text) - 256) // 128 + 1 AS BIGINT) AS nf, text
+               CAST((length(text) - 256) // 64 + 1 AS BIGINT) AS nf, text
         FROM documents WHERE length(text) = strlen(text) AND length(text) >= 256
     ), f AS (
         SELECT media_id, CAST(s.i AS BIGINT) AS frame_idx,
                CAST(list_sum(list_transform(
-                        generate_series(s.i * 128 + 1, s.i * 128 + 256),
+                        generate_series(s.i * 64 + 1, s.i * 64 + 256),
                         j -> ord(substr(text, j, 1)))) AS BIGINT) AS orig_sum
         FROM b, UNNEST(generate_series(0, nf - 1)) AS s(i)
     )
-    SELECT media_id, frame_idx, 16 AS height, 16 AS width, orig_sum,
+    SELECT media_id, frame_idx, 32 AS height, 8 AS width, orig_sum,
            CAST(orig_sum AS DOUBLE) / (256 * 255) AS mean_px,
            TRUE AS frame_ok
     FROM f"""

@@ -1321,15 +1321,22 @@ def docs_media_mpeg1_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_media_mpeg1_pframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOTION-COMPENSATED MPEG-1 under the driver oracle (r12): doc
-    bytes become 16x16 grayscale frames cut at a 50 % overlap stride —
-    frame t+1 is frame t shifted up 8 rows, real vertical motion — and
-    every doc's frames encode into ONE I+P elementary stream
-    (intra_period=4): exhaustive even full-pel motion search, pred-mc/
-    pred-c/pred-m/intra/skip macroblock modes (tables B.1/B.2b/B.3/
-    B.4), §2.4.4.2 non-intra quant with the flat-16 matrix. frame_ok
-    additionally requires decode == the encoder's closed-loop internal
-    reconstruction BIT-EXACTLY, so the hash-verified row carries the
-    full P-picture syntax + arithmetic, not just a tolerance."""
+    bytes become 32x8 grayscale frames — TWO macroblock rows tall (a
+    single-MB-tall frame pads to a plane where the only legal vector
+    is (0,0), so the MC path would never run) and 256 B small (the
+    corpus' ASCII docs max out ~550 B; a bigger frame would mean
+    single-frame streams with no P pictures at all) — cut at an 8-row
+    (64 B) overlap stride: frame t+1 is frame t shifted up 8 rows,
+    real vertical motion the top macroblock's search finds at dy=+8
+    while the bottom one takes residual/intra — and every doc's
+    frames encode into ONE
+    I+P elementary stream (intra_period=4): exhaustive even full-pel
+    motion search, pred-mc/pred-c/pred-m/intra/skip macroblock modes
+    (tables B.1/B.2b/B.3/B.4), §2.4.4.2 non-intra quant with the
+    flat-16 matrix. frame_ok additionally requires decode == the
+    encoder's closed-loop internal reconstruction BIT-EXACTLY, so the
+    hash-verified row carries the full P-picture syntax + arithmetic,
+    not just a tolerance."""
     from jagular_spark.operators.multimodal import mpeg1_pframe_roundtrip_stats
 
     docs = _ascii_docs(spark, sf_dir)
@@ -1339,9 +1346,9 @@ def docs_media_mpeg1_pframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("video").alias("kind"),
         F.lit("raw8").alias("codec"),
         F.encode("text", "UTF-8").alias("payload"),
-        F.lit(16).alias("width"),
-        F.lit(16).alias("height"),
-        ((nb - 256) / F.lit(128) + 1).cast("int").alias("n_frames"),
+        F.lit(8).alias("width"),
+        F.lit(32).alias("height"),
+        ((nb - 256) / F.lit(64) + 1).cast("int").alias("n_frames"),
         F.lit(0).alias("sample_rate"),
     )
     return mpeg1_pframe_roundtrip_stats(
