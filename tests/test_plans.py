@@ -507,3 +507,17 @@ def test_cut_spans_single_join_no_explode(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Generate" not in p
+
+
+def test_mpeg1_pframes_plan_single_spread_exchange(spark):
+    """The motion-compensated video query is one codec-spread
+    repartition (the deliberate hash Exchange that fans Arrow kernel
+    work across executor threads) followed by a single narrow
+    mapInPandas — no join, no aggregate, no second shuffle; payloads
+    never move again after the spread."""
+    from jagular_spark.workloads import docs_media_mpeg1_pframes
+
+    p = _formatted(docs_media_mpeg1_pframes(spark, SF))
+    assert p.count("Exchange (") == 1, p[:2000]  # tree line; detail is "(n) Exchange"
+    assert "MapInPandas" in p
+    assert "Join" not in p and "Aggregate" not in p
