@@ -1098,13 +1098,19 @@ def _code_intra_y_blocks(bw, ypad, row, col, dc_y, q, qscale):
     return dc_y, rec
 
 
-def _code_intra_chroma_flat(bw, dc_cb, dc_cr):
-    """Flat-128 Cb/Cr blocks (gray video path): DC diff vs predictor,
-    empty AC."""
-    for pred_val, codes in ((dc_cb, DC_CHROM_CODES), (dc_cr, DC_CHROM_CODES)):
-        _write_dc(bw, 128 - pred_val, codes)
-        bw.write(EOB_CODE, EOB_LEN)
-    return 128, 128
+def _code_intra_chroma_blocks(bw, cbpad, crpad, row, col, dc_cb, dc_cr,
+                              q, qscale):
+    """Write the intra Cb/Cr blocks of one macroblock; returns
+    (dc_cb, dc_cr, rec_cb 8x8, rec_cr 8x8)."""
+    recs = []
+    for plane, pred_dc in ((cbpad, dc_cb), (crpad, dc_cr)):
+        blk = plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8]
+        zz = _quant_intra(_fdct(blk), q, qscale)
+        _write_dc(bw, int(zz[0]) - pred_dc, DC_CHROM_CODES)
+        _write_ac(bw, zz)
+        recs.append((int(zz[0]), _idct(_dequant_intra(zz, q, qscale))))
+    (dc_cb, rec_cb), (dc_cr, rec_cr) = recs
+    return dc_cb, dc_cr, rec_cb, rec_cr
 
 
 def _write_addr_inc(bw, inc: int) -> None:
@@ -1114,18 +1120,25 @@ def _write_addr_inc(bw, inc: int) -> None:
     bw.write(*MB_ADDR_INC_CODES[inc])
 
 
-def _encode_video(
-    frames: list[np.ndarray],
+def _encode_video_planes(
+    planes,
+    w: int,
+    h: int,
     qscale: int,
     intra_period: int,
     search: int,
-    intra_quant: np.ndarray | None,
+    intra_quant,
 ):
-    """Shared I+P encoder (grayscale). Returns (bytes, recon uint8
-    frames) — the recon list is the decoder-must-produce output AND
-    the prediction reference chain, so parity is drift-free by
-    construction."""
-    if not frames:
+    """Shared I+P encoder over prepared planes: ``planes`` is one
+    (ypad, cbpad, crpad) float tuple per frame — Y padded to the
+    16-grid, chroma to the 8-grid (exactly _encode_intra_planes'
+    contract). Returns (bytes, recon (y, cb, cr) uint8 frame tuples
+    cropped like the decoder crops) — the recon chain is the decoder-
+    must-produce output AND the prediction reference, so parity is
+    drift-free by construction. Motion is estimated on Y (even
+    full-pel, window ±``search``); chroma follows the spec's
+    vector/2, which stays full-pel because the search is even."""
+    if not planes:
         raise ValueError("encode_mpeg1_video needs at least one frame")
     if not 1 <= qscale <= 31:
         raise ValueError("qscale must be in 1..31")
@@ -1133,7 +1146,6 @@ def _encode_video(
         raise ValueError("intra_period must be >= 1")
     if not 0 <= search <= 8 or search % 2:
         raise ValueError("search must be even and within ±8 (f_code 1)")
-    h, w = frames[0].shape
     q_i = DEFAULT_INTRA_QUANT if intra_quant is None else np.asarray(
         intra_quant, dtype=np.int64
     ).reshape(64)
@@ -1161,24 +1173,21 @@ def _encode_video(
     bw.write(0, 25)
     bw.write(1, 1)  # closed_gop
     bw.write(0, 1)
-    ref: np.ndarray | None = None
-    recons: list[np.ndarray] = []
-    for t, f in enumerate(frames):
-        if f.shape != (h, w):
-            raise ValueError("all frames must share one shape")
-        ypad = np.pad(
-            f.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
-        )
+    ref_y = ref_cb = ref_cr = None
+    recons = []
+    for t, (ypad, cbpad, crpad) in enumerate(planes):
         bw.start_code(PIC_START)
         bw.write(t, 10)
-        is_i = ref is None or t % intra_period == 0
+        is_i = ref_y is None or t % intra_period == 0
         bw.write(1 if is_i else 2, 3)
         bw.write(0xFFFF, 16)
         if not is_i:
             bw.write(1, 1)  # full_pel_forward_vector
             bw.write(1, 3)  # forward_f_code
         bw.write(0, 1)  # extra_bit_picture
-        rec_plane = np.zeros((ph, pw), dtype=np.float64)
+        rp_y = np.zeros((ph, pw), dtype=np.float64)
+        rp_cb = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+        rp_cr = np.zeros((ph // 2, pw // 2), dtype=np.float64)
         for row in range(mb_h):
             bw.start_code(0x00000100 + row + 1)
             bw.write(qscale, 5)
@@ -1187,20 +1196,28 @@ def _encode_video(
             pmv = (0, 0)
             pending = 0  # address-increment run over skipped MBs
             for col in range(mb_w):
-                cur = ypad[row * 16 : row * 16 + 16, col * 16 : col * 16 + 16]
+                ys, xs = slice(row * 16, row * 16 + 16), slice(
+                    col * 16, col * 16 + 16
+                )
+                cs_y, cs_x = slice(row * 8, row * 8 + 8), slice(
+                    col * 8, col * 8 + 8
+                )
+                cur = ypad[ys, xs]
                 if is_i:
                     _write_addr_inc(bw, 1)
                     bw.write(1, 1)  # intra
                     dc_y, rec = _code_intra_y_blocks(
                         bw, ypad, row, col, dc_y, q_i, qscale
                     )
-                    dc_cb, dc_cr = _code_intra_chroma_flat(bw, dc_cb, dc_cr)
-                    rec_plane[
-                        row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
-                    ] = rec
+                    dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
+                        bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
+                    )
+                    rp_y[ys, xs] = rec
+                    rp_cb[cs_y, cs_x] = rec_cb
+                    rp_cr[cs_y, cs_x] = rec_cr
                     continue
                 mvy, mvx, sad = _motion_search(
-                    ref, cur.astype(np.int64), row * 16, col * 16, search
+                    ref_y, cur.astype(np.int64), row * 16, col * 16, search
                 )
                 # classic variance test: predict only when the residual
                 # beats the mean-removed energy of the block itself
@@ -1212,15 +1229,26 @@ def _encode_video(
                     dc_y, rec = _code_intra_y_blocks(
                         bw, ypad, row, col, dc_y, q_i, qscale
                     )
-                    dc_cb, dc_cr = _code_intra_chroma_flat(bw, dc_cb, dc_cr)
-                    rec_plane[
-                        row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
-                    ] = rec
+                    dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
+                        bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
+                    )
+                    rp_y[ys, xs] = rec
+                    rp_cb[cs_y, cs_x] = rec_cb
+                    rp_cr[cs_y, cs_x] = rec_cr
                     pmv = (0, 0)  # predictors reset after intra
                     continue
-                pred = ref[
+                pred = ref_y[
                     row * 16 + mvy : row * 16 + mvy + 16,
                     col * 16 + mvx : col * 16 + mvx + 16,
+                ]
+                # chroma vector = luma/2, exact (even search)
+                pred_cb = ref_cb[
+                    row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
+                    col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
+                ]
+                pred_cr = ref_cr[
+                    row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
+                    col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
                 ]
                 resid = cur - pred
                 zzs = []
@@ -1235,15 +1263,24 @@ def _encode_video(
                     zzs.append(zz)
                     if np.any(zz):
                         cbp |= 32 >> b
-                # chroma is flat on both sides: residual 0, bits 2/1 clear
+                zz_cb = _quant_non_intra(
+                    _fdct(cbpad[cs_y, cs_x] - pred_cb), q_n, qscale
+                )
+                zz_cr = _quant_non_intra(
+                    _fdct(crpad[cs_y, cs_x] - pred_cr), q_n, qscale
+                )
+                if np.any(zz_cb):
+                    cbp |= 2
+                if np.any(zz_cr):
+                    cbp |= 1
                 zero_mv = mvy == 0 and mvx == 0
                 last = col == mb_w - 1
                 if cbp == 0 and zero_mv and 0 < col and not last:
                     # skipped: decoder copies co-located, resets PMV + DC
                     pending += 1
-                    rec_plane[
-                        row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
-                    ] = pred
+                    rp_y[ys, xs] = pred
+                    rp_cb[cs_y, cs_x] = pred_cb
+                    rp_cr[cs_y, cs_x] = pred_cr
                     pmv = (0, 0)
                     dc_y = dc_cb = dc_cr = 128
                     continue
@@ -1272,14 +1309,82 @@ def _encode_video(
                         rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] += _idct(
                             _dequant_non_intra(zzs[b], q_n, qscale)
                         )
-                rec_plane[
-                    row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
-                ] = np.clip(rec, 0, 255)
+                rec_cb = pred_cb.astype(np.float64)
+                if cbp & 2:
+                    _write_ac_nonintra(bw, zz_cb)
+                    rec_cb = rec_cb + _idct(_dequant_non_intra(zz_cb, q_n, qscale))
+                rec_cr = pred_cr.astype(np.float64)
+                if cbp & 1:
+                    _write_ac_nonintra(bw, zz_cr)
+                    rec_cr = rec_cr + _idct(_dequant_non_intra(zz_cr, q_n, qscale))
+                rp_y[ys, xs] = np.clip(rec, 0, 255)
+                rp_cb[cs_y, cs_x] = np.clip(rec_cb, 0, 255)
+                rp_cr[cs_y, cs_x] = np.clip(rec_cr, 0, 255)
                 dc_y = dc_cb = dc_cr = 128  # non-intra MB resets DC preds
-        ref = np.clip(np.rint(rec_plane), 0, 255).astype(np.int64)
-        recons.append(ref[:h, :w].astype(np.uint8))
+        ref_y = np.clip(np.rint(rp_y), 0, 255).astype(np.int64)
+        ref_cb = np.clip(np.rint(rp_cb), 0, 255).astype(np.int64)
+        ref_cr = np.clip(np.rint(rp_cr), 0, 255).astype(np.int64)
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        recons.append(
+            (
+                ref_y[:h, :w].astype(np.uint8),
+                ref_cb[:ch, :cw].astype(np.uint8),
+                ref_cr[:ch, :cw].astype(np.uint8),
+            )
+        )
     bw.start_code(SEQ_END)
     return bw.bytes(), recons
+
+
+def _gray_planes(frames):
+    """Pad gray frames to encoder plane tuples (flat-128 chroma)."""
+    h, w = frames[0].shape
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    flat = np.full((mb_h * 8, mb_w * 8), 128.0)
+    planes = []
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        ypad = np.pad(
+            f.astype(np.float64),
+            ((0, mb_h * 16 - h), (0, mb_w * 16 - w)),
+            mode="edge",
+        )
+        planes.append((ypad, flat, flat))
+    return planes, w, h
+
+
+def _color_planes(frames_rgb):
+    """Pad RGB frames to encoder plane tuples (JFIF RGB→YCbCr + 2x2
+    box chroma downsample — the same prep encode_mpeg1_intra_color
+    uses)."""
+    from jagular_spark.operators.jpeg import rgb_to_ycbcr
+
+    h, w = frames_rgb[0].shape[:2]
+    mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+    ph, pw = mb_h * 16, mb_w * 16
+    planes = []
+    for f in frames_rgb:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share one (h, w, 3) shape")
+        y, cb, cr = rgb_to_ycbcr(np.asarray(f, dtype=np.uint8))
+        pad = lambda p: np.pad(  # noqa: E731
+            p.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+        )
+        down = lambda p: np.rint(  # noqa: E731
+            pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        )
+        planes.append((pad(y), down(cb), down(cr)))
+    return planes, w, h
+
+
+def _encode_video(frames, qscale, intra_period, search, intra_quant):
+    """Grayscale I+P encode; returns (bytes, uint8 Y recon frames)."""
+    planes, w, h = _gray_planes(frames)
+    data, recons = _encode_video_planes(
+        planes, w, h, qscale, intra_period, search, intra_quant
+    )
+    return data, [y for y, _cb, _cr in recons]
 
 
 def encode_mpeg1_video(
@@ -1318,4 +1423,42 @@ def mpeg1_video_expected_reconstruction(
     bit-exactly, and any mismatch would compound frame over frame and
     be caught at the first P picture."""
     _, recons = _encode_video(frames, qscale, intra_period, search, intra_quant)
+    return recons
+
+
+def encode_mpeg1_video_color(
+    frames_rgb: list[np.ndarray],
+    qscale: int = 1,
+    intra_period: int = 4,
+    search: int = 8,
+    intra_quant: np.ndarray | None = None,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB frames as an MPEG-1 I+P elementary
+    stream with REAL 4:2:0 chroma: motion estimated on Y, the spec's
+    halved vector applied to Cb/Cr (exactly full-pel because the
+    search is even), per-component non-intra residual coding through
+    the shared CBP bits 2/1, intra fallback through the chroma DC DPCM
+    chains. Decode with :func:`decode_mpeg1_intra_color` (the general
+    decoder)."""
+    planes, w, h = _color_planes(frames_rgb)
+    data, _ = _encode_video_planes(
+        planes, w, h, qscale, intra_period, search, intra_quant
+    )
+    return data
+
+
+def mpeg1_video_color_expected_reconstruction(
+    frames_rgb: list[np.ndarray],
+    qscale: int = 1,
+    intra_period: int = 4,
+    search: int = 8,
+    intra_quant: np.ndarray | None = None,
+) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Encoder-internal (y, cb, cr) reconstruction for
+    :func:`encode_mpeg1_video_color` — the closed-loop reference
+    chain; decode must equal it bit-exactly on all three planes."""
+    planes, w, h = _color_planes(frames_rgb)
+    _, recons = _encode_video_planes(
+        planes, w, h, qscale, intra_period, search, intra_quant
+    )
     return recons

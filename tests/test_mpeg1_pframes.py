@@ -214,3 +214,72 @@ def test_halfpel_interpolation_matches_spec_rounding():
     want = rec0.copy()
     want[0:16, 0:16] = (a + b + c + d + 2) >> 2  # §2.4.4.2 rounding
     assert np.array_equal(got[1].astype(np.int64), want)
+
+
+def _moving_rgb(n=5, h=32, w=48, seed=11):
+    rng = np.random.default_rng(seed)
+    sprite = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    base = np.zeros((h, w, 3), dtype=np.uint8)
+    base[..., 0] = (np.add.outer(np.arange(h), np.arange(w)) * 3) % 256
+    base[..., 2] = 64
+    frames = []
+    for t in range(n):
+        f = base.copy()
+        f[8 : 8 + 16, 2 + t * 4 : 18 + t * 4] = sprite
+        frames.append(f)
+    return frames
+
+
+def test_color_pframe_roundtrip_matches_internal_reconstruction():
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_intra_color,
+        encode_mpeg1_video_color,
+        mpeg1_video_color_expected_reconstruction,
+    )
+
+    frames = _moving_rgb()
+    data = encode_mpeg1_video_color(frames, qscale=2, intra_period=3)
+    assert _picture_types(data) == [1, 2, 2, 1, 2]
+    want = mpeg1_video_color_expected_reconstruction(
+        frames, qscale=2, intra_period=3
+    )
+    got, w, h = decode_mpeg1_intra_color(data)
+    assert (w, h) == (48, 32) and len(got) == 5
+    for (gy, gcb, gcr), (wy, wcb, wcr) in zip(got, want):
+        assert np.array_equal(gy, wy)
+        assert np.array_equal(gcb, wcb)
+        assert np.array_equal(gcr, wcr)
+
+
+def test_color_pframe_chroma_residuals_really_coded():
+    """A chroma-only scene change (constant luma, moving chroma) must
+    still reconstruct bit-exactly — the CBP bits 2/1 carry real
+    non-intra chroma residuals, not the gray path's empty blocks."""
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_intra_color,
+        encode_mpeg1_video_color,
+        mpeg1_video_color_expected_reconstruction,
+    )
+
+    frames = []
+    for t in range(4):
+        f = np.zeros((32, 32, 3), dtype=np.uint8)
+        f[..., 0] = 120  # near-constant luma
+        f[..., 1] = 120
+        f[:, 8 + t * 2 : 16 + t * 2, 2] = 240  # chroma stripe marches
+        frames.append(f)
+    data = encode_mpeg1_video_color(frames, qscale=1, intra_period=4)
+    want = mpeg1_video_color_expected_reconstruction(
+        frames, qscale=1, intra_period=4
+    )
+    got, _, _ = decode_mpeg1_intra_color(data)
+    n_diff_cb = 0
+    for (gy, gcb, gcr), (wy, wcb, wcr) in zip(got, want):
+        assert np.array_equal(gy, wy)
+        assert np.array_equal(gcb, wcb)
+        assert np.array_equal(gcr, wcr)
+    # the marching stripe really lives in chroma: consecutive decoded
+    # cb planes must differ (else the test proves nothing)
+    assert any(
+        not np.array_equal(a[1], b[1]) for a, b in zip(got, got[1:])
+    )
