@@ -16,7 +16,11 @@ operators/audio_codecs.py: ``ulaw`` (G.711 companding) and
 ``adpcm_ima`` (IMA 4-bit adaptive differential), both decodable in
 :func:`audio_window_features`, and ``gif`` (GIF89a LZW + palettes +
 interlace, operators/gif.py). Video rides a REAL RIFF/AVI Motion-JPEG
-container (operators/mjpeg.py, :func:`mjpeg_roundtrip_stats`). Codecs
+container (operators/mjpeg.py, :func:`mjpeg_roundtrip_stats`) and a
+REAL MPEG-1 elementary-stream codec — intra AND motion-compensated
+P pictures, gray and 4:2:0 color (operators/mpeg1.py,
+:func:`mpeg1_roundtrip_stats` / :func:`mpeg1_pframe_roundtrip_stats` /
+:func:`mpeg1_color_roundtrip_stats`). Codecs
 genuinely needing external libraries absent from this container
 (opus/h264) raise ``NotImplementedError``; swapping one in touches
 exactly one function (`_decode_payload`) — the distributed plan is
