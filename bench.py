@@ -179,9 +179,13 @@ def main() -> None:
         signals (either trips it): (a) the fixed CPU probes degrade >3x
         between pass start and end — the r10 round's 1.22x 'regression'
         rode a 40x in-run matmul degradation; (b) hypervisor steal
-        exceeds 5% of the pass's total CPU capacity — r10's contaminated
+        exceeds 3% of the pass's total CPU capacity — r10's contaminated
         queries carried 1,000-2,300 steal ticks each vs single digits
-        on the clean r9 run."""
+        on the clean r9 run, and an r12 pass at 4.46% steal (under the
+        original 5% bar) inflated the total 34% with 2-5x swings on
+        short queries whose solo re-measures sat at their clean
+        history, so the bar moved to 3% — still >10x the 0.26-0.45%
+        band every verified-clean pass has measured."""
         cs = p["env"].get("calibration_start", {})
         ce = p["env"].get("calibration_end", {})
         ratios = [
@@ -199,7 +203,7 @@ def main() -> None:
             "calibration_ratio": round(calib_ratio, 2),
             "steal_ticks": p["steal_ticks"],
             "steal_fraction": round(steal_frac, 4),
-            "contaminated": calib_ratio > 3.0 or steal_frac > 0.05,
+            "contaminated": calib_ratio > 3.0 or steal_frac > 0.03,
         }
 
     passes = [run_pass("pass1")]
