@@ -283,3 +283,87 @@ def test_color_pframe_chroma_residuals_really_coded():
     assert any(
         not np.array_equal(a[1], b[1]) for a, b in zip(got, got[1:])
     )
+
+
+def test_fcode2_residual_vectors_decode_per_spec():
+    """Hand-build a P picture with forward_f_code = 2: motion deltas
+    carry a residual bit and reconstruct as sign·((|code|−1)·f +
+    residual + 1) — a conformant-stream path the f_code=1 encoder
+    never emits. The middle macroblock takes a −4 half-pel horizontal
+    vector (motion_code −2, residual 1); its decode must equal the
+    reference shifted left 2 full pels, neighbors co-located."""
+    from jagular_spark.operators.mpeg1 import (
+        GOP_START,
+        MB_P_CODES,
+        MV_CODES,
+        PIC_START,
+        SEQ_END,
+        SEQ_START,
+        _BitWriter,
+        _encode_video,
+        _write_addr_inc,
+        decode_mpeg1_video,
+    )
+
+    rng = np.random.default_rng(4)
+    ref_frame = rng.integers(0, 256, (16, 48), dtype=np.uint8)
+    bw = _BitWriter()
+    bw.start_code(SEQ_START)
+    bw.write(48, 12)
+    bw.write(16, 12)
+    bw.write(0b0001, 4)
+    bw.write(0b0101, 4)
+    bw.write(0x3FFFF, 18)
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.start_code(GOP_START)
+    bw.write(0, 27)
+    i_stream, recons = _encode_video([ref_frame], 1, 1, 0, None)
+    i_pic = i_stream[
+        i_stream.index(b"\x00\x00\x01\x00") : i_stream.index(
+            SEQ_END.to_bytes(4, "big")
+        )
+    ]
+    bw2 = _BitWriter()
+    bw2.start_code(PIC_START)
+    bw2.write(1, 10)
+    bw2.write(2, 3)  # P
+    bw2.write(0xFFFF, 16)
+    bw2.write(0, 1)  # full_pel = 0 (half-pel units)
+    bw2.write(2, 3)  # forward_f_code = 2
+    bw2.write(0, 1)
+    bw2.start_code(0x00000101)
+    bw2.write(1, 5)
+    bw2.write(0, 1)
+
+    def mv(code_mag, sign, residual):
+        c, ln = MV_CODES[code_mag]
+        bw2.write(c, ln)
+        if code_mag:
+            bw2.write(sign, 1)
+            bw2.write(residual, 1)  # r_size = f_code - 1 = 1 bit
+
+    for col in range(3):
+        _write_addr_inc(bw2, 1)
+        bw2.write(*MB_P_CODES["mc"])
+        if col == 1:
+            mv(2, 1, 1)  # horizontal: -((2-1)*2 + 1 + 1) = -4 half-pel
+            mv(0, 0, 0)  # vertical 0 (no sign/residual after code 0)
+        elif col == 2:
+            mv(2, 0, 1)  # +4 differential -> back to vector 0
+            mv(0, 0, 0)
+        else:
+            mv(0, 0, 0)
+            mv(0, 0, 0)
+    bw2.start_code(SEQ_END)
+    stream = bw.bytes() + i_pic + bw2.bytes()
+
+    got, w, h = decode_mpeg1_video(stream)
+    assert (w, h) == (48, 16) and len(got) == 2
+    rec0 = recons[0].astype(np.int64)
+    want = rec0.copy()
+    want[:, 16:32] = rec0[:, 14:30]  # -4 half-pel = -2 full-pel shift
+    assert np.array_equal(got[1].astype(np.int64), want)
