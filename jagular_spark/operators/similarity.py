@@ -167,7 +167,9 @@ def _guarded_ids(col: str = "ids") -> F.Column:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_members: int | None = None
+) -> DataFrame:
     """Band the signature (LSH_BANDS bands × 2 rows), group each
     (band, key) bucket, and generate ``id_a < id_b`` pairs *inside* the
     bucket with array combinatorics → ``(id_a, id_b, n_bands)``. The
@@ -179,7 +181,19 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     AQE in Spark 4.x does not fire ReusedExchange on that shape
     (measured: the shingle/minhash pipeline executed twice). Bucket
     sizes are near-dup cluster sizes — tiny for natural corpora — so
-    the k² in-bucket fan-out matches what the self-join emitted anyway."""
+    the k² in-bucket fan-out matches what the self-join emitted anyway.
+
+    ``max_members`` is the same heavy-hitter guard the shingle pair
+    gens carry (``ngram_jaccard_pairs``' ``max_bucket``): duplicate
+    CLUSTERS grow with the corpus in a real crawl, and a bucket of k
+    members emits k²/2 pairs — the r12 streaming scale probe measured
+    a 9.4x time step on 4x data once cluster size crossed ~600. With
+    the cap, buckets larger than ``max_members`` are dropped whole
+    (their docs are by construction the most-duplicated content — a
+    dedup pass wants them surfaced by the exact-dup hash path, not as
+    10^5-pair LSH fanout), bounding pair volume at
+    corpus · max_members/2. Default None preserves exact all-pairs
+    semantics (the oracle-matched queries)."""
     keys = F.array(
         *[
             F.col(f"m{2 * b}") * F.lit(_BAND_SHIFT) + F.col(f"m{2 * b + 1}")
@@ -194,6 +208,8 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .agg(F.collect_list("id").alias("ids"))
         .withColumn("ids", _guarded_ids())
     )
+    if max_members is not None:
+        grouped = grouped.where(F.size("ids") <= max_members)
     # packed-BIGINT pairs (id_a * 2^32 + id_b, ids < 2^31) — same
     # allocation-free shape as ngram_jaccard_pairs
     combos = F.expr(

@@ -287,6 +287,7 @@ def stream_lsh_candidate_pairs(
     docs: DataFrame,
     n_buckets: int = 256,
     horizon_ms: int | None = 600_000,
+    max_members: int | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH candidate generation (batch twin:
     operators.similarity.lsh_candidate_pairs): per arriving doc the
@@ -313,7 +314,19 @@ def stream_lsh_candidate_pairs(
     Within one micro-batch, arrivals are processed in id order (the
     only deterministic order a replay has); an availableNow replay is
     one batch, so its output is batch-identical regardless of the
-    horizon."""
+    horizon.
+
+    ``max_members`` is the hot-bucket guard (batch twin:
+    lsh_candidate_pairs' cap): a (band, key) already holding
+    ``max_members`` ids FREEZES — later arrivals emit no pairs against
+    it and are not appended, so per-bucket state and pair fanout are
+    both hard-bounded even when a duplicate mega-cluster grows with
+    the stream (the r12 scale probe measured a 9.4x step on 4x data
+    without it). Streaming semantics differ from the batch cap by
+    construction: the batch drops an oversized bucket RETROACTIVELY,
+    which a stream that already emitted its early pairs cannot — the
+    frozen-prefix rule is the causal equivalent. Default None keeps
+    exact batch parity (the oracle-matched twin)."""
     from jagular_spark.operators.similarity import (
         _BAND_SHIFT,
         LSH_BANDS,
@@ -359,6 +372,8 @@ def stream_lsh_candidate_pairs(
             ):
                 bk = (int(band), int(bkey))
                 seen = members.setdefault(bk, [])
+                if max_members is not None and len(seen) >= max_members:
+                    continue  # frozen hot bucket: no pairs, no append
                 for old in seen:
                     lo, hi = (old, new_id) if old < new_id else (new_id, old)
                     out_band.append(bk[0])

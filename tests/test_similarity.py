@@ -536,3 +536,22 @@ def test_ngram_containment_respects_max_bucket(spark):
     assert with_guard.collect() == []  # only the stop shingle connected them
     no_guard = ngram_containment_pairs(df, min_containment=0.1).collect()
     assert len(no_guard) == 10  # all C(5,2) pairs share the stop shingle
+
+
+def test_lsh_candidate_pairs_max_members_drops_mega_bucket(spark):
+    """The batch hot-bucket guard: 5 exact dups (one 5-member bucket
+    per band) plus a separate near-dup pair. Cap 4 drops the
+    mega-bucket's 10 pairs wholesale and keeps the pair; uncapped
+    emits both."""
+    rows = [(i, "aa bb cc dd ee ff gg hh ii jj") for i in range(5)]
+    rows += [(10, "zz yy xx ww vv uu tt ss rr qq"),
+             (11, "zz yy xx ww vv uu tt ss rr qq")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = sim.minhash_signature(docs)
+    uncapped = {(r.id_a, r.id_b) for r in sim.lsh_candidate_pairs(sig).collect()}
+    assert (10, 11) in uncapped and (0, 1) in uncapped and len(uncapped) == 11
+    capped = {
+        (r.id_a, r.id_b)
+        for r in sim.lsh_candidate_pairs(sig, max_members=4).collect()
+    }
+    assert capped == {(10, 11)}

@@ -855,3 +855,28 @@ def test_sessionize_streamed_rocksdb_state_store_matches_memory(spark, tmp_path)
     assert len(rocks_rows) > 0
     assert any(k.startswith("rocksdb") for k in rocks_metrics), rocks_metrics
     assert not any(k.startswith("rocksdb") for k in base_metrics)
+
+
+def test_stream_lsh_hot_bucket_freezes_at_cap(spark, tmp_path):
+    """max_members: 5 identical docs all band into the same buckets; a
+    cap of 3 emits pairs only among the first 3 arrivals (3 pairs per
+    band — the frozen-prefix rule), and the uncapped run emits the
+    full 10 per band. Identical texts also collide in every one of the
+    4 bands, so the counts are exact multiples."""
+    from jagular_spark.streaming.pipeline import stream_lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact duplicated text content here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    stream = _as_stream(spark, docs, tmp_path, "hotlsh")
+    _run_to_memory(
+        stream_lsh_candidate_pairs(stream, max_members=3), "lsh_capped", "append"
+    )
+    capped = spark.sql("SELECT * FROM lsh_capped").collect()
+    assert len(capped) == 4 * 3  # 4 bands x C(3,2)
+    assert {(r.id_a, r.id_b) for r in capped} == {(0, 1), (0, 2), (1, 2)}
+
+    stream2 = _as_stream(spark, docs, tmp_path, "hotlsh2")
+    _run_to_memory(stream_lsh_candidate_pairs(stream2), "lsh_uncapped", "append")
+    assert spark.sql("SELECT count(*) c FROM lsh_uncapped").collect()[0].c == 4 * 10

@@ -299,13 +299,111 @@ def main() -> None:
     probe_events(spark, chans)
     emb_sizes = [4000, 16000, 64000]
     probe_embeddings(spark, emb_sizes)
+    probe_streaming(spark, [20000, 80000, 320000])
     for n in sizes:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
     for n in chans:
         shutil.rmtree(f"/tmp/scale_probe_samples_{n}", ignore_errors=True)
     for n in emb_sizes:
         shutil.rmtree(f"/tmp/scale_probe_emb_{n}", ignore_errors=True)
+    for n in (20000, 80000, 320000):
+        shutil.rmtree(f"/tmp/scale_probe_sess_{n}", ignore_errors=True)
+        shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
+    for op in ("stream_sessionize", "stream_lsh_candidates"):
+        shutil.rmtree(f"/tmp/scale_probe_ckpt_{op}", ignore_errors=True)
 
 
 if __name__ == "__main__":
     main()
+
+
+def probe_streaming(spark, sizes: list[int]) -> list[dict]:
+    """Structured Streaming scaling (r12): drain the same corpora the
+    batch probes use through the stateful streaming twins with one
+    availableNow pass and measure wall time per corpus size. State
+    stays bounded by construction (session windows close at the
+    watermark; LSH buckets are a fixed n_buckets grouping), so time
+    should track input volume — the curve verifies the stateful
+    kernels have no per-batch rescan of history."""
+    from jagular_spark.streaming import stream_sessionize
+    from jagular_spark.streaming.pipeline import stream_lsh_candidate_pairs
+
+    def drain(sdf, name):
+        q = (
+            sdf.writeStream.format("noop")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"/tmp/scale_probe_ckpt_{name}")
+            .start()
+        )
+        q.awaitTermination(600)
+        q.stop()
+
+    def sessionize_run(n):
+        path = f"/tmp/scale_probe_sess_{n}"
+        if not os.path.exists(path):
+            # n events over n//50 users; a >30-min gap every ~25 events
+            # so session volume scales with the corpus
+            base = spark.range(0, n, 1, 32)
+            ev = base.select(
+                (F.col("id") % (n // 50)).alias("user_id"),
+                F.timestamp_micros(
+                    F.col("id") * 60_000_000
+                    + (F.col("id") / 25).cast("long") * 3_600_000_000
+                ).alias("ts"),
+            )
+            ev.write.mode("overwrite").parquet(path)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        return stream_sessionize(stream, gap="30 minutes", watermark="0 seconds")
+
+    def lsh_run(n):
+        path = f"/tmp/scale_probe_docs_{n}"
+        synth_docs(spark, n, path)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        return stream_lsh_candidate_pairs(stream)
+
+    def lsh_capped_run(n):
+        path = f"/tmp/scale_probe_docs_{n}"
+        synth_docs(spark, n, path)
+        schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(schema).parquet(path)
+        return stream_lsh_candidate_pairs(stream, max_members=64)
+
+    ops = {
+        "stream_sessionize": sessionize_run,
+        "stream_lsh_candidates": lsh_run,
+        # the hot-bucket guard the uncapped curve motivated: duplicate
+        # clusters growing with the corpus made uncapped pair volume
+        # quadratic (9.4x time on 4x data at 320k); capped must be flat
+        "stream_lsh_candidates_capped": lsh_capped_run,
+    }
+    out = []
+    for op_name, mk in ops.items():
+        times = []
+        for i, n in enumerate(sizes):
+            import shutil as _sh
+
+            # one discarded warm drain per op (smallest size): the first
+            # streaming query of a shape pays session-wide codegen +
+            # state-store setup that would be misread as size-0 cost
+            reps = 3 if i == 0 else 2
+            best = None
+            for rep in range(reps):
+                _sh.rmtree(f"/tmp/scale_probe_ckpt_{op_name}", ignore_errors=True)
+                t0 = time.perf_counter()
+                drain(mk(n), op_name)
+                dt = time.perf_counter() - t0
+                if i == 0 and rep == 0:
+                    continue  # warm pass, discard
+                best = dt if best is None else min(best, dt)
+            times.append((n, round(best, 3)))
+        rec = {"op": op_name, "points": times}
+        for (n0, t0_), (n1, t1_) in zip(times, times[1:]):
+            rec[f"time_ratio_{n1}v{n0}"] = round(t1_ / max(t0_, 1e-9), 2)
+            rec[f"size_ratio_{n1}v{n0}"] = round(n1 / n0, 2)
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
