@@ -165,6 +165,22 @@ def _similarity_oracles() -> dict[str, str]:
         FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
         GROUP BY a.id, b.id"""
 
+    # r12 hot-bucket guard twin: (band, key) buckets holding more than
+    # max_members ids are removed wholesale BEFORE pair generation —
+    # exactly lsh_candidate_pairs(max_members=3)'s size filter.
+    minhash_lsh_capped = f"""{shingle_cte}, sig AS (
+            SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id
+        ), buckets AS (
+            {band_selects}
+        ), ok AS (
+            SELECT band, key FROM buckets GROUP BY band, key HAVING COUNT(*) <= 3
+        ), kept AS (
+            SELECT b.* FROM buckets b JOIN ok USING (band, key)
+        )
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+        FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        GROUP BY a.id, b.id"""
+
     # Mirrors the engine's _JACCARD_MAX_BUCKET stop-shingle cutoff (the
     # r9 guard on the standalone call site): over-cap hashes are removed
     # from every doc's shingle multiset before sizes AND common — exactly
@@ -369,6 +385,7 @@ def _similarity_oracles() -> dict[str, str]:
 
     return {
         "docs_minhash_lsh": minhash_lsh,
+        "docs_minhash_lsh_capped": minhash_lsh_capped,
         "docs_ngram_jaccard": jaccard,
         "docs_ngram_containment": containment,
         "docs_ngram_jaccard_lsh": jaccard_lsh,

@@ -599,6 +599,21 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_candidate_pairs(sim.minhash_signature(docs))
 
 
+def docs_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 hot-bucket guard under the driver oracle: same
+    minhash banding as docs_minhash_lsh with ``max_members=3`` — every
+    (band, key) bucket larger than 3 is dropped wholesale before pair
+    generation, bounding candidate volume at corpus·cap/2 even when
+    duplicate clusters grow with the corpus (the streaming scale probe
+    measured uncapped pair volume going quadratic: 3.4k → 396k pairs
+    across 20k → 320k synthetic docs). Cap 3 is demonstration-scale,
+    chosen to BITE on the shipped corpora (max bucket 4 at sf0.01, 12
+    at sf0.1) so the hash-verified rows certify the drop semantics,
+    not a no-op."""
+    docs = load(spark, sf_dir, "documents")
+    return sim.lsh_candidate_pairs(sim.minhash_signature(docs), max_members=3)
+
+
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.5 for shingle-sharing pairs.
 
@@ -3263,6 +3278,8 @@ ROUND_TOUCHED: set[str] = {
     "docs_curation_funnel_v2",
     # NEW this round: motion-compensated MPEG-1 (I+P pictures)
     "docs_media_mpeg1_pframes",
+    # NEW this round: LSH hot-bucket guard under the driver oracle
+    "docs_minhash_lsh_capped",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3277,6 +3294,7 @@ EXPECT_EMPTY: set[str] = set()
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
     "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r0
+    "docs_minhash_lsh_capped": docs_minhash_lsh_capped,  # last green r0
     "docs_bigram_fluency": docs_bigram_fluency,  # last green r8
     "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r8
     "docs_curation_funnel": docs_curation_funnel,  # last green r8
@@ -3320,13 +3338,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": docs_ngram_jaccard,  # last green r10
     "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,  # last green r10
     "docs_pii_redaction": docs_pii_redaction,  # last green r10
-    "docs_simhash_neardup": docs_simhash_neardup,  # last green r10
     "docs_substring_dedup": docs_substring_dedup,  # last green r10
     "docs_substring_dedup_applied": docs_substring_dedup_applied,  # last green r10
     "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,  # last green r10
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r10
     "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r11
     # ---- driver window ends here ----
+    "docs_simhash_neardup": docs_simhash_neardup,  # last green r10
     "docs_stratified_sample": docs_stratified_sample,  # last green r10
     "docs_survivor_setops": docs_survivor_setops,  # last green r10
     "docs_token_quantiles": docs_token_quantiles,  # last green r10
