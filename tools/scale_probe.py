@@ -1,13 +1,18 @@
-"""Measured scaling curves for the headline corpus operators.
+"""Measured scaling curves for the headline operators.
 
 SCALE.md argues the designs are O(corpus) by plan properties (pinned
-in tests/test_plans.py); this probe MEASURES it: synthesize corpora at
-1x / 4x / 16x the sf0.1 document count (5k -> 80k docs, same token
-distribution and duplication structure at every size), run each
-operator end-to-end, and report wall-time growth vs data growth. An
-operator whose time ratio tracks the size ratio (within Spark's fixed
-per-job overhead) is corpus-linear; a quadratic pair stage would show
-a 16x step between adjacent sizes.
+in tests/test_plans.py); this probe MEASURES it across four axes:
+text corpora at 1x/4x/16x the sf0.1 document count (5k -> 80k docs,
+duplication structure scaling with the corpus), signal streams on the
+channel axis (64 -> 1024 channels), cluster-structured embedding
+corpora (4k -> 64k vectors, fixed-absolute-size quantizer fit — the
+100 TB shape), and the stateful Structured-Streaming twins (20k ->
+320k rows per availableNow drain). An operator whose time ratio
+tracks the size ratio (within Spark's fixed per-job overhead) is
+corpus-linear; a quadratic pair stage shows a 16x step between
+adjacent sizes — which is exactly how the r12 run caught the uncapped
+LSH hot-bucket blowup (pair volume 3.4k -> 396k across 16x docs) and
+motivated lsh_candidate_pairs' max_members guard.
 
 Usage: python tools/scale_probe.py [--sizes 5000,20000,80000]
 Writes /tmp parquet only; prints one JSON line per operator.
