@@ -431,3 +431,50 @@ def test_mpeg1_intra_roundtrip_property(data, qscale, w):
     # principle align: |pixel err| <= 64*(qscale+1)/4 + 1 rounding.
     err = np.abs(frames[0].astype(int) - img.astype(int)).max()
     assert err <= 16 * (qscale + 1) + 1, (err, qscale, w, h)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    data=st.binary(min_size=600, max_size=2400),
+    qscale=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=9, max_value=24),
+    intra_period=st.integers(min_value=1, max_value=4),
+)
+def test_mpeg1_pframe_roundtrip_property(data, qscale, w, intra_period):
+    """I+P decode reproduces the encoder's closed-loop reconstruction
+    BIT-EXACTLY for arbitrary byte content, dims, qscale and GOP
+    structure: frames are overlapping windows of the random buffer
+    (stride w·4 rows of overlap), so the motion search sees real
+    shifted content, macroblock modes (pred-mc/pred-c/pred-m/intra
+    fallback/skip) all fire across examples, and any encoder/decoder
+    arithmetic drift compounds into the next P frame and fails. Random
+    bytes also force non-intra 16-bit AC escapes."""
+    import numpy as np
+
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_video,
+        encode_mpeg1_video,
+        mpeg1_video_expected_reconstruction,
+    )
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    h = 18  # 2 macroblock rows after padding -> vertical MC in-plane
+    fsz, stride = h * w, 4 * w
+    n = min((len(buf) - fsz) // stride + 1, 5)
+    if n < 2:
+        n = 1
+    frames = [
+        buf[i * stride : i * stride + fsz].reshape(h, w) for i in range(n)
+    ]
+    flat = np.full(64, 16, dtype=np.int64)
+    dec, dw, dh = decode_mpeg1_video(
+        encode_mpeg1_video(
+            frames, qscale=qscale, intra_period=intra_period, intra_quant=flat
+        )
+    )
+    want = mpeg1_video_expected_reconstruction(
+        frames, qscale=qscale, intra_period=intra_period, intra_quant=flat
+    )
+    assert (dw, dh) == (w, h) and len(dec) == len(frames)
+    for g, x in zip(dec, want):
+        assert (g == x).all(), (qscale, w, intra_period, len(frames))
