@@ -367,3 +367,62 @@ def test_fcode2_residual_vectors_decode_per_spec():
     want = rec0.copy()
     want[:, 16:32] = rec0[:, 14:30]  # -4 half-pel = -2 full-pel shift
     assert np.array_equal(got[1].astype(np.int64), want)
+
+
+def test_addr_increment_escape_roundtrip():
+    """macroblock_address_increment values above 33 use the escape
+    code (each adds 33); the writer/reader pair must agree for every
+    value a wide frame's skip run could produce. Driven directly (the
+    scene tests never skip >33 MBs)."""
+    from jagular_spark.operators.mpeg1 import (
+        MB_ADDR_ESC,
+        MB_STUFFING,
+        _BitReader,
+        _BitWriter,
+        _MB_ADDR_DECODE,
+        _write_addr_inc,
+    )
+
+    def read_inc(br):
+        inc = 0
+        while True:
+            code, ln = 0, 0
+            while ln < 11:
+                code = (code << 1) | br.bits(1)
+                ln += 1
+                if (ln, code) == (MB_STUFFING[1], MB_STUFFING[0]):
+                    code, ln = 0, 0
+                    continue
+                if (ln, code) == (MB_ADDR_ESC[1], MB_ADDR_ESC[0]):
+                    inc += 33
+                    code, ln = 0, 0
+                    continue
+                v = _MB_ADDR_DECODE.get((ln, code))
+                if v is not None:
+                    return inc + v
+            raise AssertionError("bad increment")
+
+    values = list(range(1, 34)) + [34, 40, 66, 67, 99, 100, 133]
+    bw = _BitWriter()
+    for v in values:
+        _write_addr_inc(bw, v)
+    bw.write(1, 1)  # trailing guard bit so the last read can't overrun
+    br = _BitReader(bw.bytes())
+    got = [read_inc(br) for _ in values]
+    assert got == values
+
+
+def test_skip_run_over_33_uses_escape_end_to_end():
+    """A 576-px-wide static P picture skips 34 interior macroblocks in
+    one run — the final coded MB's address increment is 35, which the
+    writer must emit as ESCAPE(+33) + code(2) and the real decoder
+    must consume; parity stays bit-exact."""
+    rng = np.random.default_rng(21)
+    frame = rng.integers(0, 256, (16, 576), dtype=np.uint8)
+    frames = [frame, frame]  # static -> pure skip run in the P picture
+    data = encode_mpeg1_video(frames, qscale=2, intra_period=2)
+    got, w, h = decode_mpeg1_video(data)
+    want = mpeg1_video_expected_reconstruction(frames, qscale=2, intra_period=2)
+    assert (w, h) == (576, 16) and _picture_types(data) == [1, 2]
+    for g, x in zip(got, want):
+        assert np.array_equal(g, x)
