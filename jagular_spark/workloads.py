@@ -2329,10 +2329,24 @@ def docs_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curation_funnel(cleaned, with_text=True)
 
 
-def _curation_funnel(docs: DataFrame, with_text: bool = False) -> DataFrame:
+def _curation_funnel(
+    docs: DataFrame, with_text: bool = False, stage_dir: str | None = None
+) -> DataFrame:
     """Shared funnel body (see docs_curation_funnel): ``docs`` is any
     (doc_id, text) corpus — raw documents for v1, the keep-first
-    substring-cut corpus for v2."""
+    substring-cut corpus for v2.
+
+    ``stage_dir`` is the warehouse fault-tolerance mode SCALE.md
+    prescribes: the post-filter survivor set (which feeds BOTH the
+    pair-generation branch and the final join) is STAGED TO PARQUET
+    there and read back, instead of the default lazy
+    ``localCheckpoint`` — checkpoint blocks are lineage-truncated, so
+    an executor loss mid-funnel forfeits them and fails the job, while
+    a parquet stage survives any executor churn and is re-readable by
+    retries. Identical results by construction (pinned in
+    tests/test_workload_extensions.py); the default stays checkpoint
+    for the single-host harness where re-execution is cheaper than
+    I/O."""
     from jagular_spark.operators.graph import dedup_clusters
     from jagular_spark.operators.sampling import hash_sample
     n = F.length(F.col("text")).cast("double")
@@ -2360,7 +2374,11 @@ def _curation_funnel(docs: DataFrame, with_text: bool = False) -> DataFrame:
     # the (small) post-filter working set once instead of re-running the
     # scoring+dedup lineage per consumer (standard practice: persist the
     # survivor set between curation stages).
-    s2 = s2.localCheckpoint(eager=False)
+    if stage_dir is not None:
+        s2.write.mode("overwrite").parquet(stage_dir)
+        s2 = docs.sparkSession.read.parquet(stage_dir)
+    else:
+        s2 = s2.localCheckpoint(eager=False)
 
     # near-dup removal over the SURVIVORS only (stage threading matters).
     # LSH-first: banded candidates + exact-Jaccard verify — the

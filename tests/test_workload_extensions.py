@@ -123,3 +123,31 @@ def test_media_query_partition_count_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert len(a) > 0 and a == b
+
+
+def test_curation_funnel_parquet_staging_matches_checkpoint(spark, tmp_path):
+    """The warehouse fault-tolerance mode (SCALE.md: 'stage the
+    survivor set to parquet instead of localCheckpoint — checkpoint
+    blocks die with executors'): stage_dir= produces IDENTICAL rows to
+    the default checkpoint path, and the stage really materialized (a
+    retry could re-read it)."""
+    import os
+
+    from jagular_spark.workloads import _curation_funnel, load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    stage = str(tmp_path / "funnel_stage")
+    base = {
+        tuple(r) for r in _curation_funnel(docs, with_text=True).collect()
+    }
+    staged = {
+        tuple(r)
+        for r in _curation_funnel(docs, with_text=True, stage_dir=stage).collect()
+    }
+    assert staged == base and len(base) > 0
+    assert any(f.endswith(".parquet") for f in os.listdir(stage))
+    # the staged survivor set is independently re-readable — the
+    # property executor churn needs
+    assert spark.read.parquet(stage).count() >= len(base)
