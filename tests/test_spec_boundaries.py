@@ -610,3 +610,55 @@ def test_semdedup_keep_rule_matches_independent_python_reference(spark):
     want = _semdedup_reference(vectors, clusters, 0.35)
     mismatches = {v: (got[v], want[v]) for v in got if got[v] != want[v]}
     assert not mismatches, mismatches
+
+
+def test_substring_cut_matches_independent_python_reference(spark):
+    """The FULL published pass — keep-first detection composed with
+    span surgery — against the independent replay: every document's
+    cleaned text must equal its tokens minus the replay's marked
+    positions, re-joined with single spaces (Lee et al. 2022 'remove
+    all but one occurrence'). Same seeded threshold-biased corpus as
+    the detection cross-check, so k-1/k/k+1 passages, intra-doc
+    repeats and chance collisions all flow through the surgery."""
+    import random
+
+    from jagular_spark.operators.text import cut_spans, repeated_kgram_spans
+
+    k = 5
+    rng = random.Random(12)
+    vocab = [f"w{i}" for i in range(12)]
+    passages = [
+        [rng.choice(vocab) for _ in range(n)] for n in (k - 1, k, k + 1, 2 * k, 3 * k)
+    ]
+    docs = []
+    for i in range(50):
+        toks = []
+        for _ in range(rng.randint(1, 4)):
+            toks.extend(rng.choice(vocab) for _ in range(rng.randint(2, 8)))
+            if rng.random() < 0.6:
+                toks.extend(rng.choice(passages))
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = repeated_kgram_spans(df, k=k, min_count=2, keep_first=True)
+    got = {
+        r.doc_id: (r.clean_text, r.n_spans, r.n_tokens_cut)
+        for r in cut_spans(df, spans.select("doc_id", "span_start", "span_len")).collect()
+    }
+
+    # independent replay of detect (same function as the detection
+    # cross-check) + surgery: drop every token inside a marked span
+    ref_spans = _lee_reference(docs, k, 2, True)
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, start, length, _nw in ref_spans:
+        by_doc.setdefault(doc_id, []).append((start, length))
+    mismatches = []
+    for doc_id, text in docs:
+        toks = text.split()
+        cut = set()
+        for start, length in by_doc.get(doc_id, []):
+            cut.update(range(start, start + length))
+        want_text = " ".join(t for j, t in enumerate(toks) if j not in cut)
+        want = (want_text, len(by_doc.get(doc_id, [])), len(cut))
+        if got[doc_id] != want:
+            mismatches.append((doc_id, got[doc_id], want))
+    assert not mismatches, mismatches[:3]
