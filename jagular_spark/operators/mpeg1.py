@@ -1032,6 +1032,17 @@ def _mc_block(ref: np.ndarray, y0: int, x0: int, mvy_h: int, mvx_h: int,
     iy, hy = mvy_h >> 1, mvy_h & 1
     ix, hx = mvx_h >> 1, mvx_h & 1
     r, c = y0 + iy, x0 + ix
+    # a malformed/untrusted stream can carry a vector whose window
+    # leaves the reference plane: negative starts silently wrap to the
+    # far side under numpy slicing (garbage decode), and far-positive
+    # starts raise an opaque broadcast ValueError — reject both with a
+    # clear error (the half-pel taps need one extra sample on each axis)
+    ph, pw = ref.shape
+    if not (0 <= r and r + size + hy <= ph and 0 <= c and c + size + hx <= pw):
+        raise ValueError(
+            f"mpeg1: motion vector outside picture (block at ({y0},{x0}), "
+            f"half-pel mv ({mvy_h},{mvx_h}), plane {ph}x{pw})"
+        )
     a = ref[r : r + size, c : c + size]
     if not hy and not hx:
         return a.copy()

@@ -318,10 +318,6 @@ def main() -> None:
         shutil.rmtree(f"/tmp/scale_probe_ckpt_{op}", ignore_errors=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def probe_streaming(spark, sizes: list[int]) -> list[dict]:
     """Structured Streaming scaling (r12): drain the same corpora the
     batch probes use through the stateful streaming twins with one
@@ -412,3 +408,11 @@ def probe_streaming(spark, sizes: list[int]) -> list[dict]:
         out.append(rec)
         print(json.dumps(rec), flush=True)
     return out
+
+
+# entry point LAST so every function main() calls is already defined —
+# r12 shipped this guard above probe_streaming and the documented CLI
+# died with NameError after the batch probes finished (streaming curves
+# never ran via the CLI, cleanup below the call was skipped)
+if __name__ == "__main__":
+    main()
