@@ -152,13 +152,31 @@ def main() -> None:
                 try:
                     n = fn(spark, sf_dir).count()
                     dt2 = time.perf_counter() - t1
+                    run2_steal = steal_ticks() - st0
                     env[name] = {
                         "run1_s": round(dt, 3),
                         "run2_s": round(dt2, 3),
                         "run2_gc_ms": jvm_gc_ms() - gc0,
-                        "run2_steal_ticks": steal_ticks() - st0,
+                        "run2_steal_ticks": run2_steal,
                     }
                     dt = min(dt, dt2)
+                    # A steal-hit rerun measured the hypervisor, not the
+                    # query — r12's emb_ann_topk_ivf_pq recorded run1=4.80
+                    # (cold: first execution of its shape at its new early
+                    # registry position) and run2=6.52 with 368 steal
+                    # ticks, so best-of-2 kept the cold 4.80 while the
+                    # isolated warm time was 2.58 s. One clean retry makes
+                    # that recovery mechanical.
+                    if run2_steal > 50 and dt > RERUN_ABOVE:
+                        hygiene()
+                        gc0, st0 = jvm_gc_ms(), steal_ticks()
+                        t1 = time.perf_counter()
+                        n = fn(spark, sf_dir).count()
+                        dt3 = time.perf_counter() - t1
+                        env[name]["run3_s"] = round(dt3, 3)
+                        env[name]["run3_gc_ms"] = jvm_gc_ms() - gc0
+                        env[name]["run3_steal_ticks"] = steal_ticks() - st0
+                        dt = min(dt, dt3)
                 except Exception:  # pragma: no cover — keep the first timing
                     pass
             timings[name] = round(dt, 4)
@@ -263,7 +281,28 @@ def main() -> None:
         },
     }
     repo = os.path.dirname(os.path.abspath(__file__))
-    detail_file = f"BENCH_r{_next_round(repo):02d}_local.json"
+    round_n = _next_round(repo)
+    # Mechanical round-over-round drift attribution (r12 verdict task
+    # #5): compare THIS run's per-query timings against the newest
+    # earlier-round detail file on the common query set, so "is the
+    # total up because of noise, new queries, or a real mover?" is
+    # answered by the artifact itself instead of a by-hand diff.
+    drift = _drift_vs_previous(repo, round_n, timings, sf)
+    if drift:
+        print(
+            f"# drift vs {drift['reference_file']}: common set "
+            f"{drift['common_total_prev_s']} -> {drift['common_total_now_s']} s "
+            f"(x{drift['common_ratio']}); top deltas: "
+            + ", ".join(
+                f"{d['query']} {d['prev_s']}->{d['now_s']}"
+                for d in drift["top_deltas"]
+            ),
+            file=sys.stderr,
+        )
+    # round-over-round common-query-set comparison (None when no
+    # earlier-round detail file exists to compare against)
+    detail["drift"] = drift
+    detail_file = f"BENCH_r{round_n:02d}_local.json"
     try:
         with open(os.path.join(repo, detail_file), "w") as f:
             json.dump(detail, f, indent=1)
@@ -282,6 +321,69 @@ def main() -> None:
         "contaminated": contaminated,
         "detail_file": detail_file,
     }))
+
+
+def _drift_vs_previous(
+    repo: str, round_n: int, timings: dict[str, float | None], sf: float = -1.0
+) -> dict | None:
+    """Common-query-set comparison against the newest EARLIER-round
+    detail file (r12 verdict task #5: bench totals drifted 1.05–1.19x
+    and the noise-vs-regression attribution was done by hand; now the
+    artifact answers it). Reference = BENCH_r{M}_local.json with the
+    largest M < round_n that carries a per-query map AT THE SAME sf
+    (an sf0.001 smoke must not 'drift' against the sf0.1 record;
+    driver-detail and same-round files are ignored — a same-round
+    rerun would compare a run to itself). Returns None when no
+    reference exists."""
+    import re
+
+    candidates = []
+    for name in os.listdir(repo):
+        m = re.fullmatch(r"BENCH_r(\d+)_local\.json", name)
+        if m and int(m.group(1)) < round_n:
+            candidates.append((int(m.group(1)), name))
+    prev = None
+    ref_name = None
+    for _, name in sorted(candidates, reverse=True):
+        try:
+            with open(os.path.join(repo, name)) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):  # pragma: no cover — best-effort
+            continue
+        if doc.get("queries") and (sf < 0 or doc.get("sf") in (sf, None)):
+            prev, ref_name = doc["queries"], name
+            break
+    if prev is None:
+        return None
+    common = [
+        q
+        for q, v in timings.items()
+        if v is not None and isinstance(prev.get(q), (int, float))
+    ]
+    if not common:
+        return None
+    now_total = sum(timings[q] for q in common)
+    prev_total = sum(prev[q] for q in common)
+    deltas = sorted(common, key=lambda q: prev[q] - timings[q])[:5]
+    return {
+        "reference_file": ref_name,
+        "n_common": len(common),
+        "n_new": sum(1 for q, v in timings.items() if v is not None) - len(common),
+        "common_total_now_s": round(now_total, 2),
+        "common_total_prev_s": round(prev_total, 2),
+        "common_ratio": round(now_total / max(prev_total, 1e-9), 3),
+        # the 5 largest absolute increases — the movers a human would
+        # chase first when the ratio looks wrong
+        "top_deltas": [
+            {
+                "query": q,
+                "prev_s": round(prev[q], 3),
+                "now_s": round(timings[q], 3),
+                "ratio": round(timings[q] / max(prev[q], 1e-9), 2),
+            }
+            for q in deltas
+        ],
+    }
 
 
 def _next_round(repo: str) -> int:

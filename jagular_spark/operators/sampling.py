@@ -41,6 +41,26 @@ def hash_sample(
     return df.where(hash_bucket(key_col, salt) < F.lit(thr))
 
 
+def hash_sample_rows(
+    df: DataFrame, key_col: str, n_rows: int, salt: str = ""
+) -> DataFrame:
+    """Keep EXACTLY the ``n_rows`` smallest-hash rows (ties broken by
+    key) — the absolute-size twin of :func:`hash_sample` and the
+    100-TB quantizer-fit shape (SCALE.md measures fits at a FIXED
+    sample size; with only a fraction knob a deployment had to compute
+    ``n_rows / corpus_count`` by hand, r12 verdict task #3).
+
+    Determinism: membership is a pure function of (corpus, salt) —
+    the n smallest md5 buckets are the same under any partitioning,
+    retry, or engine, so a DuckDB oracle reproduces the set with
+    ``ORDER BY bucket, key LIMIT n``. Scale: Catalyst plans
+    orderBy+limit as TakeOrderedAndProject — each task keeps its local
+    top-n and the driver merges k·n_partitions candidates; no global
+    sort, no shuffle of the corpus."""
+    b = hash_bucket(key_col, salt)
+    return df.orderBy(b.asc(), F.col(key_col).asc()).limit(int(n_rows))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: F.Column | str,

@@ -891,6 +891,7 @@ def ivf_fit_centroids(
     vec_col: str = "embedding",
     fit_fraction: float | None = None,
     salt: str = "",
+    fit_rows: int | None = None,
 ) -> list[list[int]]:
     """Deterministic INTEGER-QUANTIZED Lloyd's k-means over the
     integer-scaled vectors (IVF coarse quantizer). Seeds = the ``k``
@@ -919,23 +920,20 @@ def ivf_fit_centroids(
     Spark job for the whole fit instead of 1 + n_iter. Same integer
     math, so the fit stays bit-reproducible and SQL-replayable; choose
     the fraction so the sample fits the driver (quantizer quality, not
-    exactness, is what sampling trades)."""
+    exactness, is what sampling trades). ``fit_rows`` (absolute, takes
+    precedence over ``fit_fraction``) keeps exactly that many
+    smallest-hash rows regardless of corpus size — the shape a 100-TB
+    deployment wants (a FIXED driver-side fit budget that does not
+    grow with the corpus)."""
     import numpy as np
 
-    if fit_fraction is not None:
-        from jagular_spark.operators.sampling import hash_sample
-
-        rows = (
-            hash_sample(df, id_col, fit_fraction, salt)
-            .select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
-            .collect()
-        )
-        rows.sort(key=lambda r: r.id)
-        if len(rows) < k:
+    if fit_fraction is not None or fit_rows is not None:
+        X = _collect_fit_sample(df, id_col, vec_col, fit_fraction, salt, fit_rows)
+        if len(X) < k:
             raise ValueError(
-                f"fit sample has {len(rows)} rows < k={k}; raise fit_fraction"
+                f"fit sample has {len(X)} rows < k={k}; raise "
+                + ("fit_rows" if fit_rows is not None else "fit_fraction")
             )
-        X = np.array([r.iv for r in rows], dtype=np.int64)
         return _lloyd_int(X, k, n_iter)
 
     dim = len(df.select(vec_col).first()[0])
@@ -999,6 +997,7 @@ def ann_topk_ivf(
     vec_col: str = "embedding",
     fit_fraction: float | None = None,
     salt: str = "",
+    fit_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-listed by
     nearest centroid (one narrow projection — the centroid table is a
@@ -1017,7 +1016,7 @@ def ann_topk_ivf(
     ``nprobe`` → better recall, candidates ∝ nprobe/n_centroids of the
     corpus."""
     cents = ivf_fit_centroids(
-        df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt
+        df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt, fit_rows
     )
     return _ivf_search(df, probe_filter, cents, k, nprobe, id_col, vec_col)
 
@@ -1083,6 +1082,7 @@ def semantic_dedup(
     fit_fraction: float = 0.5,
     salt: str = "",
     max_cluster: int | None = None,
+    fit_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedding corpus by clustering + within-cluster
@@ -1124,7 +1124,7 @@ def semantic_dedup(
     The rank window funnels a hot cluster through one sort task
     (O(n log n)) — linear-ish, vs the k² join it prevents."""
     cents = ivf_fit_centroids(
-        df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt
+        df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt, fit_rows
     )
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
     argmin = F.array_min(_dist_idx(cents)).getField("i").cast("long")
@@ -1202,20 +1202,29 @@ def ann_topk_ivf_frozen(
 # ---------------------------------------------------------------------------
 
 def _collect_fit_sample(
-    df: DataFrame, id_col: str, vec_col: str, fit_fraction: float, salt: str
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    fit_fraction: float,
+    salt: str,
+    fit_rows: int | None = None,
 ):
     """The md5 hash-sample of the integer-scaled vectors as an
     id-sorted in-memory int64 matrix — one collect, shared by every
-    quantizer fit of a query."""
+    quantizer fit of a query. ``fit_rows`` (absolute, takes precedence)
+    keeps exactly the ``fit_rows`` smallest-hash rows regardless of
+    corpus size — the 100-TB shape SCALE.md measures (fixed ~2000-row
+    fits), expressible directly instead of hand-computing a fraction."""
     import numpy as np
 
-    from jagular_spark.operators.sampling import hash_sample
+    from jagular_spark.operators.sampling import hash_sample, hash_sample_rows
 
-    rows = (
-        hash_sample(df, id_col, fit_fraction, salt)
-        .select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv"))
-        .collect()
+    sampled = (
+        hash_sample_rows(df, id_col, fit_rows, salt)
+        if fit_rows is not None
+        else hash_sample(df, id_col, fit_fraction, salt)
     )
+    rows = sampled.select(F.col(id_col).alias("id"), int_vec(vec_col).alias("iv")).collect()
     rows.sort(key=lambda r: r.id)
     return np.array([r.iv for r in rows], dtype=np.int64)
 
@@ -1239,6 +1248,7 @@ def pq_fit_codebooks(
     vec_col: str = "embedding",
     fit_fraction: float = 0.5,
     salt: str = "",
+    fit_rows: int | None = None,
 ) -> list[list[list[int]]]:
     """Product-quantization codebooks: the vector space is split into
     ``m`` contiguous subspaces and each gets its own integer Lloyd
@@ -1247,7 +1257,7 @@ def pq_fit_codebooks(
     IVF coarse fit — seeds by id, int64 distances, floor-divided
     updates — so a SQL oracle can replay the fit). Returns
     ``codebooks[m][k][dim // m]``."""
-    X = _collect_fit_sample(df, id_col, vec_col, fit_fraction, salt)
+    X = _collect_fit_sample(df, id_col, vec_col, fit_fraction, salt, fit_rows)
     return _pq_books_from_sample(X, m, k, n_iter)
 
 
@@ -1371,6 +1381,7 @@ def ann_topk_ivf_pq(
     vec_col: str = "embedding",
     fit_fraction: float = 0.5,
     salt: str = "",
+    fit_rows: int | None = None,
 ) -> DataFrame:
     """FAISS-style IVFADC: IVF cells bound the candidate set, corpus
     rows are scored from their m-byte PQ CODES via per-probe ADC dot
@@ -1387,7 +1398,7 @@ def ann_topk_ivf_pq(
     search end-to-end and the query hash-matches."""
     # ONE sample collect feeds both quantizer fits (identical math to
     # the separate ivf_fit_centroids / pq_fit_codebooks calls)
-    X = _collect_fit_sample(df, id_col, vec_col, fit_fraction, salt)
+    X = _collect_fit_sample(df, id_col, vec_col, fit_fraction, salt, fit_rows)
     if len(X) < n_centroids:
         raise ValueError(f"fit sample has {len(X)} rows < k={n_centroids}")
     cents = _lloyd_int(X, n_centroids, n_iter)

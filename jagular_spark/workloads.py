@@ -1701,7 +1701,21 @@ def emb_ann_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-32 re-ranked with full-precision integer dots. Both fits
     (IVF coarse + per-subspace PQ codebooks) run on the shared md5
     half-sample in exact int64, so the DuckDB oracle replays fit +
-    encode + ADC + re-rank end-to-end and hash-matches."""
+    encode + ADC + re-rank end-to-end and hash-matches.
+
+    Perf attribution for the r11→r12 "drift" (2.56 → 4.80 s on both
+    bench hosts; code unchanged — the r12 similarity.py diff is the LSH
+    cap only): measured r13 isolated in ONE warm process at sf0.1,
+    best-of-5 = 2.58 s (reps 2.58–3.18; stages: fit 0.13 s, corpus
+    encode 0.27 s) — exactly r11's 2.56 s. The r12 readings were
+    position + rerun-contamination: the stalest-first reorder moved the
+    query 58th → 17th, so its pass-1 run now pays the IVFADC shape's
+    first-execution codegen/Arrow warm-up (r12 run1_s=4.80), and the
+    one RERUN_ABOVE rerun that should have recovered the warm time
+    recorded 368 steal ticks and read 6.52 s (BENCH_r12_local env), so
+    best-of-2 kept the cold 4.80. Not a regression; bench.py now
+    retries a steal-hit rerun once more so this recovery is mechanical
+    (see bench.py RERUN_ABOVE block)."""
     emb = load(spark, sf_dir, "embeddings")
     return sim.ann_topk_ivf_pq(
         emb, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3,

@@ -55,3 +55,55 @@ def test_next_round_ignores_local_and_driver_detail_files(tmp_path):
     (tmp_path / "BENCH_r11_local.json").write_text("{}")
     (tmp_path / "BENCH_r10_driver_detail.json").write_text("{}")
     assert bench._next_round(str(tmp_path)) == 11
+
+
+def test_drift_vs_previous_common_set_and_top_deltas(tmp_path):
+    """r12 verdict task #5: the drift block must compare only the
+    common query set (new queries excluded from the ratio), pick the
+    newest EARLIER round's _local detail as reference, and rank the
+    top increases."""
+    import json
+
+    bench = _load_bench()
+    (tmp_path / "BENCH_r11_local.json").write_text(
+        json.dumps({"queries": {"a": 1.0, "b": 2.0, "c": 3.0, "gone": 9.9}})
+    )
+    # an even older file must NOT win; a same/later-round file must be
+    # ignored (a same-round rerun would compare a run to itself)
+    (tmp_path / "BENCH_r09_local.json").write_text(
+        json.dumps({"queries": {"a": 99.0}})
+    )
+    (tmp_path / "BENCH_r13_local.json").write_text(
+        json.dumps({"queries": {"a": 0.0}})
+    )
+    timings = {"a": 1.1, "b": 4.0, "c": 2.5, "new_query": 7.0, "err": None}
+    d = bench._drift_vs_previous(str(tmp_path), 13, timings)
+    assert d["reference_file"] == "BENCH_r11_local.json"
+    assert d["n_common"] == 3 and d["n_new"] == 1
+    assert d["common_total_prev_s"] == 6.0
+    assert d["common_total_now_s"] == 7.6
+    assert d["top_deltas"][0]["query"] == "b"  # +2.0, the largest increase
+    assert d["top_deltas"][0]["ratio"] == 2.0
+
+
+def test_drift_vs_previous_no_reference(tmp_path):
+    bench = _load_bench()
+    assert bench._drift_vs_previous(str(tmp_path), 13, {"a": 1.0}) is None
+
+
+def test_drift_vs_previous_skips_other_sf(tmp_path):
+    """An sf0.001 smoke run must not 'drift' against the sf0.1 record —
+    it walks back to the newest earlier round at the SAME sf."""
+    import json
+
+    bench = _load_bench()
+    (tmp_path / "BENCH_r12_local.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 5.0}})
+    )
+    (tmp_path / "BENCH_r11_local.json").write_text(
+        json.dumps({"sf": 0.001, "queries": {"a": 1.0}})
+    )
+    d = bench._drift_vs_previous(str(tmp_path), 13, {"a": 1.2}, sf=0.001)
+    assert d["reference_file"] == "BENCH_r11_local.json"
+    d2 = bench._drift_vs_previous(str(tmp_path), 13, {"a": 5.2}, sf=0.1)
+    assert d2["reference_file"] == "BENCH_r12_local.json"

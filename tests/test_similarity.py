@@ -555,3 +555,62 @@ def test_lsh_candidate_pairs_max_members_drops_mega_bucket(spark):
         for r in sim.lsh_candidate_pairs(sig, max_members=4).collect()
     }
     assert capped == {(10, 11)}
+
+
+def test_fit_rows_collects_exactly_k_smallest_hash_rows(spark):
+    """r12 verdict task #3: ``fit_rows=k`` must select EXACTLY the k
+    smallest-hash rows (ties by id) regardless of corpus size or
+    partitioning — the fixed-absolute-sample 100-TB fit shape SCALE.md
+    measures, now a first-class parameter instead of a hand-computed
+    fraction."""
+    from jagular_spark.operators.sampling import hash_bucket, hash_sample_rows
+
+    emb = _emb(spark)
+    k = 37
+    expected = [
+        r.vec_id
+        for r in emb.select(
+            "vec_id", hash_bucket("vec_id").alias("b")
+        ).orderBy("b", "vec_id").limit(k).collect()
+    ]
+    got = sorted(r.vec_id for r in hash_sample_rows(emb, "vec_id", k).collect())
+    assert sorted(expected) == got and len(got) == k
+    # partition-layout invariance: same membership from any layout
+    got7 = sorted(
+        r.vec_id for r in hash_sample_rows(emb.repartition(7), "vec_id", k).collect()
+    )
+    assert got7 == got
+    # corpus-size independence: a half corpus still yields exactly k
+    # rows — its own k smallest hashes
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    got_half = hash_sample_rows(half, "vec_id", k).collect()
+    assert len(got_half) == k
+    # the fit plumbing end to end: the collected sample matrix has
+    # exactly fit_rows rows on BOTH corpus sizes
+    X_full = sim._collect_fit_sample(emb, "vec_id", "embedding", 0.5, "", fit_rows=k)
+    X_half = sim._collect_fit_sample(half, "vec_id", "embedding", 0.5, "", fit_rows=k)
+    assert X_full.shape[0] == k and X_half.shape[0] == k
+
+
+def test_fit_rows_threaded_through_ann_entry_points(spark):
+    """fit_rows must reach every quantizer fit: IVF-Flat, IVFADC, and
+    SemDeDup all run (and return sane shapes) with an absolute fit
+    budget and no fit_fraction."""
+    emb = _emb(spark)
+    out = sim.ann_topk_ivf(
+        emb, F.col("id") < 3, k=3, n_centroids=4, nprobe=2, n_iter=2,
+        fit_rows=64,
+    )
+    assert out.count() > 0
+    out_pq = sim.ann_topk_ivf_pq(
+        emb, F.col("id") < 3, k=3, n_centroids=4, nprobe=2, n_iter=2,
+        m=4, pq_k=4, pq_iter=1, refine=8, fit_rows=64,
+    )
+    assert out_pq.count() > 0
+    sd = sim.semantic_dedup(emb, n_centroids=4, n_iter=2, fit_rows=64)
+    assert sd.count() == emb.count()
+    # fit_rows smaller than k must fail loudly, naming the right knob
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fit_rows"):
+        sim.ivf_fit_centroids(emb, k=16, n_iter=1, fit_rows=4)
