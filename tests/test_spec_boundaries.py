@@ -662,3 +662,155 @@ def test_substring_cut_matches_independent_python_reference(spark):
         if got[doc_id] != want:
             mismatches.append((doc_id, got[doc_id], want))
     assert not mismatches, mismatches[:3]
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination — third independent replay (r12 verdict task #6)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_reference(train_docs, eval_docs, n, m_bits, k, min_shared):
+    """Independent pure-Python replay of the Bloom decontamination
+    pipeline, written from the documented construction (hashlib md5,
+    set arithmetic — no Spark, no DuckDB): shingle hash =
+    md5(shingle)[:8] as hex -> int % P; bit positions =
+    md5('bf{j}:' + str(h))[:8] % m_bits for j < k; the filter is the
+    union of the eval set's bit positions; a train shingle is
+    maybe-present iff ALL k of its bits are set; a doc is flagged at
+    >= min_shared distinct maybe-present shingle hashes. Returns
+    {doc_id: (n_maybe, flagged)} plus the exact intersection counts
+    {doc_id: n_shared} so the same corpus also cross-checks the
+    non-Bloom `decontaminate` (>= is inclusive on both)."""
+    import hashlib
+
+    P = 2147483647
+
+    def shingle_hashes(text):
+        toks = text.split()
+        return {
+            int(
+                hashlib.md5(" ".join(toks[p : p + n]).encode()).hexdigest()[:8], 16
+            )
+            % P
+            for p in range(len(toks) - n + 1)
+        }
+
+    def bit_positions(h):
+        return [
+            int(hashlib.md5(f"bf{j}:{h}".encode()).hexdigest()[:8], 16) % m_bits
+            for j in range(k)
+        ]
+
+    eval_hashes = set()
+    bits = set()
+    for _, text in eval_docs:
+        for h in shingle_hashes(text):
+            eval_hashes.add(h)
+            bits.update(bit_positions(h))
+    bloom = {}
+    exact = {}
+    for doc_id, text in train_docs:
+        hs = shingle_hashes(text)
+        n_maybe = sum(1 for h in hs if all(b in bits for b in bit_positions(h)))
+        bloom[doc_id] = (n_maybe, n_maybe >= min_shared)
+        exact[doc_id] = len(hs & eval_hashes)
+    return bloom, exact
+
+
+def test_bloom_decontaminate_matches_independent_python_reference(spark):
+    """Engine Bloom flags == the independent hashlib replay on a
+    seeded corpus biased to the min_shared=2 boundary: train docs
+    embed exactly 0, 1, 2 or 3 distinct eval shingles, and m_bits is
+    squeezed to 512 so genuine Bloom FALSE POSITIVES occur — the
+    replay must agree on those too (the filter's FPs are documented as
+    deterministic). The same corpus cross-checks the exact
+    `decontaminate` n_shared counts, so a mirrored engine+oracle
+    misreading of the >= min_shared rule or of distinctness cannot
+    hide behind either implementation."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jagular_spark.operators.sketches import bloom_bits, bloom_probe
+    from jagular_spark.operators.text import decontaminate
+    from jagular_spark.operators import similarity as sim
+
+    rng = random.Random(13)
+    vocab = [f"v{i:02d}" for i in range(40)]
+    n, m_bits, k, min_shared = 4, 512, 3, 2
+
+    eval_docs = [
+        (1000 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(16, 28))))
+        for i in range(5)
+    ]
+
+    def eval_window(rng):
+        _, etext = eval_docs[rng.randrange(len(eval_docs))]
+        toks = etext.split()
+        p = rng.randrange(len(toks) - n + 1)
+        return toks[p : p + n]
+
+    train_docs = []
+    for i in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(10, 24))]
+        # 0..3 embedded eval windows, cycling so every boundary case
+        # (below / exactly at / above min_shared) is populated
+        for _ in range(i % 4):
+            pos = rng.randrange(len(toks) + 1)
+            toks[pos:pos] = eval_window(rng)
+        train_docs.append((i, " ".join(toks)))
+
+    ref_bloom, ref_exact = _bloom_reference(
+        train_docs, eval_docs, n, m_bits, k, min_shared
+    )
+    # the corpus must genuinely exercise the semantics: both flag
+    # outcomes present, at least one doc at EXACTLY min_shared, and at
+    # least one Bloom false positive (n_maybe > exact intersection)
+    n_maybe_vals = {doc: v[0] for doc, v in ref_bloom.items()}
+    assert any(v for _, v in ref_bloom.values()) and not all(
+        v for _, v in ref_bloom.values()
+    )
+    assert any(v[0] == min_shared for v in ref_bloom.values())
+    assert any(
+        n_maybe_vals[doc] > ref_exact[doc] for doc in n_maybe_vals
+    ), "no Bloom false positive generated — shrink m_bits"
+
+    train = spark.createDataFrame(train_docs, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_docs, "doc_id long, text string")
+
+    # engine: same composition as docs_bloom_decontaminate, with the
+    # test's (n, m_bits, k) so false positives occur
+    ev_h = sim.doc_shingle_hashes(ev, n=n).select("h").distinct()
+    bits = bloom_bits(ev_h, "h", m_bits=m_bits, k=k)
+    tr_h = sim.doc_shingle_hashes(train, n=n).select("doc_id", "h").distinct()
+    per_doc = (
+        bloom_probe(tr_h, bits, "h", m_bits=m_bits, k=k)
+        .where("maybe_present")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_maybe"))
+    )
+    got_bloom = {
+        r.doc_id: (
+            int(r.n_maybe) if r.n_maybe is not None else 0,
+            (int(r.n_maybe) if r.n_maybe is not None else 0) >= min_shared,
+        )
+        for r in train.select("doc_id").join(per_doc, "doc_id", "left").collect()
+    }
+    assert got_bloom == ref_bloom, {
+        d: (got_bloom[d], ref_bloom[d])
+        for d in ref_bloom
+        if got_bloom[d] != ref_bloom[d]
+    }
+
+    # exact decontaminate on the same corpus: n_shared == set
+    # intersection size; flag inclusive at min_shared
+    got_exact = {
+        r.doc_id: (int(r.n_shared), bool(r.contaminated))
+        for r in decontaminate(train, ev, n=n, min_shared=min_shared).collect()
+    }
+    want_exact = {d: (c, c >= min_shared) for d, c in ref_exact.items()}
+    assert got_exact == want_exact, {
+        d: (got_exact[d], want_exact[d])
+        for d in want_exact
+        if got_exact[d] != want_exact[d]
+    }
