@@ -596,8 +596,17 @@ def decode_mpeg1_intra_color(data: bytes):
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     ph, pw = mb_h * 16, mb_w * 16
     frames: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-    # reference planes (previous decoded picture), int64
+    # Anchor reference planes (int64): ref_* = the NEWEST decoded
+    # anchor (a P picture's forward reference, a B picture's BACKWARD
+    # reference); old_* = the anchor before it (a B's forward
+    # reference). pending_out holds the newest anchor's output frame
+    # until the next anchor (or sequence end) supersedes it — the
+    # standard display reorder: B pictures are emitted immediately
+    # (they sit between the two anchors already decoded), anchors are
+    # emitted when the next anchor arrives.
     ref_y = ref_cb = ref_cr = None
+    old_y = old_cb = old_cr = None
+    pending_out = None
     code = br.next_start_code()
     while code != SEQ_END:
         if code == GOP_START:
@@ -608,19 +617,25 @@ def decode_mpeg1_intra_color(data: bytes):
             raise ValueError(f"mpeg1: unexpected start code {code:#010x}")
         br.bits(10)  # temporal_reference
         ptype = br.bits(3)
-        if ptype not in (1, 2):
-            raise ValueError(
-                "mpeg1: only I and P pictures supported (no backward refs)"
-            )
+        if ptype not in (1, 2, 3):
+            raise ValueError("mpeg1: only I/P/B picture types supported")
         br.bits(16)  # vbv_delay
         full_pel, f = 1, 1
-        if ptype == 2:
-            if ref_y is None:
-                raise ValueError("mpeg1: P picture with no reference")
+        full_pel_b, fb = 1, 1
+        if ptype in (2, 3) and ref_y is None:
+            raise ValueError("mpeg1: predicted picture with no reference")
+        if ptype == 3 and old_y is None:
+            raise ValueError("mpeg1: B picture needs two decoded anchors")
+        if ptype in (2, 3):
             full_pel = br.bits(1)
             f = br.bits(3)
             if f == 0:
                 raise ValueError("mpeg1: forward_f_code 0 is forbidden")
+        if ptype == 3:
+            full_pel_b = br.bits(1)
+            fb = br.bits(3)
+            if fb == 0:
+                raise ValueError("mpeg1: backward_f_code 0 is forbidden")
         if br.bits(1):
             raise ValueError("mpeg1: extra_bit_picture payload unsupported")
         plane = np.zeros((ph, pw), dtype=np.float64)
@@ -637,6 +652,41 @@ def decode_mpeg1_intra_color(data: bytes):
             crp[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = ref_cr[
                 row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
             ]
+
+        def mc_planes(mvy, mvx, fp, y_ref, cb_ref, cr_ref, row, col):
+            """One direction's (pred_y, pred_cb, pred_cr): full_pel
+            doubling to half-pel units, chroma vector = luma / 2
+            truncating toward zero (§2.4.4.2)."""
+            hvy = mvy << 1 if fp else mvy
+            hvx = mvx << 1 if fp else mvx
+            cvy = int(hvy / 2)
+            cvx = int(hvx / 2)
+            return (
+                _mc_block(y_ref, row * 16, col * 16, hvy, hvx, 16),
+                _mc_block(cb_ref, row * 8, col * 8, cvy, cvx, 8),
+                _mc_block(cr_ref, row * 8, col * 8, cvy, cvx, 8),
+            )
+
+        def b_predict(row, col, use_f, use_b, fmv, bmv):
+            """B-picture prediction at (row, col) from the given
+            vectors — forward from the old anchor, backward from the
+            new one, both averaged with the §2.4.4.4 rounding
+            ((f + b + 1) >> 1) when interpolated. Also reconstructs
+            skipped B macroblocks, which reuse the previous
+            macroblock's direction flags and vectors (§2.4.4.3)."""
+            pf = (
+                mc_planes(fmv[0], fmv[1], full_pel, old_y, old_cb, old_cr, row, col)
+                if use_f
+                else None
+            )
+            pb = (
+                mc_planes(bmv[0], bmv[1], full_pel_b, ref_y, ref_cb, ref_cr, row, col)
+                if use_b
+                else None
+            )
+            if pf is not None and pb is not None:
+                return tuple((a + b + 1) >> 1 for a, b in zip(pf, pb))
+            return pf if pf is not None else pb
 
         def read_addr_inc():
             inc = 0
@@ -665,15 +715,38 @@ def decode_mpeg1_intra_color(data: bytes):
                 br.bits(8)
             dc_y = dc_cb = dc_cr = 128
             pmv = (0, 0)
+            fpmv = (0, 0)
+            bpmv = (0, 0)
+            prev_flags = None  # previous B MB's (use_f, use_b) for skips
             col = -1
             while col < mb_w - 1:
                 inc = read_addr_inc()
-                for _ in range(inc - 1):  # skipped MBs (P only)
+                for _ in range(inc - 1):  # skipped MBs (P/B only)
                     if ptype == 1:
                         raise ValueError("mpeg1: skipped MB in I picture")
                     col += 1
-                    copy_mb(row, col)
-                    pmv = (0, 0)
+                    if ptype == 2:
+                        copy_mb(row, col)
+                        pmv = (0, 0)
+                    else:
+                        # §2.4.4.3: a skipped B MB repeats the previous
+                        # MB's prediction (flags + vectors); predictors
+                        # are left UNCHANGED (unlike P's reset)
+                        if prev_flags in (None, "intra"):
+                            raise ValueError(
+                                "mpeg1: skipped B macroblock without a "
+                                "non-intra predecessor"
+                            )
+                        py, pcb, pcr = b_predict(
+                            row, col, prev_flags[0], prev_flags[1], fpmv, bpmv
+                        )
+                        plane[
+                            row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+                        ] = py
+                        cbp_pl[
+                            row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
+                        ] = pcb
+                        crp[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = pcr
                     dc_y = dc_cb = dc_cr = 128
                 col += 1
                 # macroblock_type
@@ -684,16 +757,21 @@ def decode_mpeg1_intra_color(data: bytes):
                         mtype = "intra_q"
                     else:
                         raise ValueError("mpeg1: bad I-picture MB type")
-                else:
+                elif ptype == 2:
                     mtype = _read_vlc(br, _MB_P_DECODE, "P macroblock_type", 6)
+                else:
+                    mtype = _read_vlc(br, _MB_B_DECODE, "B macroblock_type", 6)
                 if mtype.endswith("_q"):
                     qscale = br.bits(5)
                     mtype = mtype[:-2]
                 intra = mtype == "intra"
                 has_mv = mtype in ("mc", "mc_coded")
-                coded = mtype in ("coded", "mc_coded")
+                coded = mtype in ("coded", "mc_coded") or mtype.endswith("_coded")
                 if intra:
                     pmv = (0, 0)
+                    fpmv = (0, 0)  # §2.4.4.3: intra resets both B predictors
+                    bpmv = (0, 0)
+                    prev_flags = "intra"
                     for by in range(2):
                         for bx in range(2):
                             zz = np.zeros(64, dtype=np.int64)
@@ -721,24 +799,35 @@ def decode_mpeg1_intra_color(data: bytes):
                             row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
                         ] = blk
                     continue
-                # non-intra (P): prediction + optional residual
+                # non-intra (P/B): prediction + optional residual
                 dc_y = dc_cb = dc_cr = 128
-                if has_mv:
-                    mvx = _fold_mv(pmv[1] + _read_mv(br, f), f)
-                    mvy = _fold_mv(pmv[0] + _read_mv(br, f), f)
-                    pmv = (mvy, mvx)
-                else:
-                    mvy = mvx = 0
-                    pmv = (0, 0)  # no-vector P MB resets the predictor
-                # half-pel units (full_pel doubles); chroma = luma / 2
-                # truncating toward zero (§2.4.4.2)
-                hvy = mvy << 1 if full_pel else mvy
-                hvx = mvx << 1 if full_pel else mvx
-                cvy = int(hvy / 2)
-                cvx = int(hvx / 2)
-                pred_y = _mc_block(ref_y, row * 16, col * 16, hvy, hvx, 16)
-                pred_cb = _mc_block(ref_cb, row * 8, col * 8, cvy, cvx, 8)
-                pred_cr = _mc_block(ref_cr, row * 8, col * 8, cvy, cvx, 8)
+                if ptype == 2:
+                    if has_mv:
+                        mvx = _fold_mv(pmv[1] + _read_mv(br, f), f)
+                        mvy = _fold_mv(pmv[0] + _read_mv(br, f), f)
+                        pmv = (mvy, mvx)
+                    else:
+                        mvy = mvx = 0
+                        pmv = (0, 0)  # no-vector P MB resets the predictor
+                    pred_y, pred_cb, pred_cr = mc_planes(
+                        mvy, mvx, full_pel, ref_y, ref_cb, ref_cr, row, col
+                    )
+                else:  # B: per-direction vectors against separate predictors
+                    bmode = mtype[:-6] if mtype.endswith("_coded") else mtype
+                    use_f = bmode in ("fwd", "interp")
+                    use_b = bmode in ("bwd", "interp")
+                    if use_f:
+                        fmvx = _fold_mv(fpmv[1] + _read_mv(br, f), f)
+                        fmvy = _fold_mv(fpmv[0] + _read_mv(br, f), f)
+                        fpmv = (fmvy, fmvx)
+                    if use_b:
+                        bmvx = _fold_mv(bpmv[1] + _read_mv(br, fb), fb)
+                        bmvy = _fold_mv(bpmv[0] + _read_mv(br, fb), fb)
+                        bpmv = (bmvy, bmvx)
+                    prev_flags = (use_f, use_b)
+                    pred_y, pred_cb, pred_cr = b_predict(
+                        row, col, use_f, use_b, fpmv, bpmv
+                    )
                 cbp = (
                     _read_vlc(br, _CBP_DECODE, "coded_block_pattern", 9)
                     if coded
@@ -772,11 +861,24 @@ def decode_mpeg1_intra_color(data: bytes):
         to8 = lambda p, hh, ww: np.clip(  # noqa: E731
             np.rint(p[:hh, :ww]), 0, 255
         ).astype(np.uint8)
-        ref_y = np.clip(np.rint(plane), 0, 255).astype(np.int64)
-        ref_cb = np.clip(np.rint(cbp_pl), 0, 255).astype(np.int64)
-        ref_cr = np.clip(np.rint(crp), 0, 255).astype(np.int64)
         ch, cw = (h + 1) // 2, (w + 1) // 2
-        frames.append((to8(plane, h, w), to8(cbp_pl, ch, cw), to8(crp, ch, cw)))
+        out = (to8(plane, h, w), to8(cbp_pl, ch, cw), to8(crp, ch, cw))
+        if ptype == 3:
+            # B pictures sit between the two anchors already decoded —
+            # output immediately; they are never references
+            frames.append(out)
+        else:
+            # display reorder: the previous anchor becomes displayable
+            # when the next anchor arrives
+            if pending_out is not None:
+                frames.append(pending_out)
+            old_y, old_cb, old_cr = ref_y, ref_cb, ref_cr
+            ref_y = np.clip(np.rint(plane), 0, 255).astype(np.int64)
+            ref_cb = np.clip(np.rint(cbp_pl), 0, 255).astype(np.int64)
+            ref_cr = np.clip(np.rint(crp), 0, 255).astype(np.int64)
+            pending_out = out
+    if pending_out is not None:
+        frames.append(pending_out)
     return frames, w, h
 
 
@@ -828,6 +930,26 @@ MB_P_CODES: dict[str, tuple[int, int]] = {
     "intra_q": (0b000001, 6),
 }
 
+# B-picture macroblock_type VLCs (table B.2c). Mode name encodes the
+# flag triple (motion_forward, motion_backward, coded); "_q" variants
+# additionally carry a new quantizer_scale. B pictures have no
+# "coded, no vector" type — every non-intra B macroblock carries at
+# least one direction flag (skipped MBs REUSE the previous
+# macroblock's direction and vectors, unlike P's reset-to-zero skip).
+MB_B_CODES: dict[str, tuple[int, int]] = {
+    "interp": (0b10, 2),           # MF + MB, no coefficients
+    "interp_coded": (0b11, 2),     # MF + MB + CBP
+    "bwd": (0b010, 3),             # MB only
+    "bwd_coded": (0b011, 3),       # MB + CBP
+    "fwd": (0b0010, 4),            # MF only
+    "fwd_coded": (0b0011, 4),      # MF + CBP
+    "intra": (0b00011, 5),
+    "interp_coded_q": (0b00010, 5),
+    "fwd_coded_q": (0b000011, 6),
+    "bwd_coded_q": (0b000010, 6),
+    "intra_q": (0b000001, 6),
+}
+
 # coded_block_pattern VLCs (table B.3), cbp value 1..63; bit 32 = Y0,
 # 16 = Y1, 8 = Y2, 4 = Y3, 2 = Cb, 1 = Cr.
 CBP_CODES: dict[int, tuple[int, int]] = {
@@ -868,6 +990,7 @@ MV_CODES: dict[int, tuple[int, int]] = {
 
 _MB_ADDR_DECODE = {(ln, c): v for v, (c, ln) in MB_ADDR_INC_CODES.items()}
 _MB_P_DECODE = {(ln, c): k for k, (c, ln) in MB_P_CODES.items()}
+_MB_B_DECODE = {(ln, c): k for k, (c, ln) in MB_B_CODES.items()}
 _CBP_DECODE = {(ln, c): v for v, (c, ln) in CBP_CODES.items()}
 _MV_DECODE = {(ln, c): v for v, (c, ln) in MV_CODES.items()}
 
@@ -1139,8 +1262,9 @@ def _encode_video_planes(
     intra_period: int,
     search: int,
     intra_quant,
+    b_frames: int = 0,
 ):
-    """Shared I+P encoder over prepared planes: ``planes`` is one
+    """Shared I+P(+B) encoder over prepared planes: ``planes`` is one
     (ypad, cbpad, crpad) float tuple per frame — Y padded to the
     16-grid, chroma to the 8-grid (exactly _encode_intra_planes'
     contract). Returns (bytes, recon (y, cb, cr) uint8 frame tuples
@@ -1157,6 +1281,8 @@ def _encode_video_planes(
         raise ValueError("intra_period must be >= 1")
     if not 0 <= search <= 8 or search % 2:
         raise ValueError("search must be even and within ±8 (f_code 1)")
+    if not 0 <= b_frames <= 4:
+        raise ValueError("b_frames must be in 0..4")
     q_i = DEFAULT_INTRA_QUANT if intra_quant is None else np.asarray(
         intra_quant, dtype=np.int64
     ).reshape(64)
@@ -1184,167 +1310,438 @@ def _encode_video_planes(
     bw.write(0, 25)
     bw.write(1, 1)  # closed_gop
     bw.write(0, 1)
-    ref_y = ref_cb = ref_cr = None
-    recons = []
-    for t, (ypad, cbpad, crpad) in enumerate(planes):
-        bw.start_code(PIC_START)
-        bw.write(t, 10)
-        is_i = ref_y is None or t % intra_period == 0
-        bw.write(1 if is_i else 2, 3)
-        bw.write(0xFFFF, 16)
-        if not is_i:
-            bw.write(1, 1)  # full_pel_forward_vector
-            bw.write(1, 3)  # forward_f_code
-        bw.write(0, 1)  # extra_bit_picture
-        rp_y = np.zeros((ph, pw), dtype=np.float64)
-        rp_cb = np.zeros((ph // 2, pw // 2), dtype=np.float64)
-        rp_cr = np.zeros((ph // 2, pw // 2), dtype=np.float64)
-        for row in range(mb_h):
-            bw.start_code(0x00000100 + row + 1)
-            bw.write(qscale, 5)
-            bw.write(0, 1)
-            dc_y = dc_cb = dc_cr = 128
-            pmv = (0, 0)
-            pending = 0  # address-increment run over skipped MBs
-            for col in range(mb_w):
-                ys, xs = slice(row * 16, row * 16 + 16), slice(
-                    col * 16, col * 16 + 16
-                )
-                cs_y, cs_x = slice(row * 8, row * 8 + 8), slice(
-                    col * 8, col * 8 + 8
-                )
-                cur = ypad[ys, xs]
-                if is_i:
-                    _write_addr_inc(bw, 1)
-                    bw.write(1, 1)  # intra
-                    dc_y, rec = _code_intra_y_blocks(
-                        bw, ypad, row, col, dc_y, q_i, qscale
-                    )
-                    dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
-                        bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
-                    )
-                    rp_y[ys, xs] = rec
-                    rp_cb[cs_y, cs_x] = rec_cb
-                    rp_cr[cs_y, cs_x] = rec_cr
-                    continue
-                mvy, mvx, sad = _motion_search(
-                    ref_y, cur.astype(np.int64), row * 16, col * 16, search
-                )
-                # classic variance test: predict only when the residual
-                # beats the mean-removed energy of the block itself
-                intra_cost = int(np.abs(cur - np.rint(cur.mean())).sum())
-                if sad > intra_cost:
-                    _write_addr_inc(bw, pending + 1)
-                    pending = 0
-                    bw.write(*MB_P_CODES["intra"])
-                    dc_y, rec = _code_intra_y_blocks(
-                        bw, ypad, row, col, dc_y, q_i, qscale
-                    )
-                    dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
-                        bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
-                    )
-                    rp_y[ys, xs] = rec
-                    rp_cb[cs_y, cs_x] = rec_cb
-                    rp_cr[cs_y, cs_x] = rec_cr
-                    pmv = (0, 0)  # predictors reset after intra
-                    continue
-                pred = ref_y[
-                    row * 16 + mvy : row * 16 + mvy + 16,
-                    col * 16 + mvx : col * 16 + mvx + 16,
-                ]
-                # chroma vector = luma/2, exact (even search)
-                pred_cb = ref_cb[
-                    row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
-                    col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
-                ]
-                pred_cr = ref_cr[
-                    row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
-                    col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
-                ]
-                resid = cur - pred
-                zzs = []
-                cbp = 0
-                for b in range(4):
-                    by, bx = divmod(b, 2)
-                    zz = _quant_non_intra(
-                        _fdct(resid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
-                        q_n,
-                        qscale,
-                    )
-                    zzs.append(zz)
-                    if np.any(zz):
-                        cbp |= 32 >> b
-                zz_cb = _quant_non_intra(
-                    _fdct(cbpad[cs_y, cs_x] - pred_cb), q_n, qscale
-                )
-                zz_cr = _quant_non_intra(
-                    _fdct(crpad[cs_y, cs_x] - pred_cr), q_n, qscale
-                )
-                if np.any(zz_cb):
-                    cbp |= 2
-                if np.any(zz_cr):
-                    cbp |= 1
-                zero_mv = mvy == 0 and mvx == 0
-                last = col == mb_w - 1
-                if cbp == 0 and zero_mv and 0 < col and not last:
-                    # skipped: decoder copies co-located, resets PMV + DC
-                    pending += 1
-                    rp_y[ys, xs] = pred
-                    rp_cb[cs_y, cs_x] = pred_cb
-                    rp_cr[cs_y, cs_x] = pred_cr
-                    pmv = (0, 0)
-                    dc_y = dc_cb = dc_cr = 128
-                    continue
-                _write_addr_inc(bw, pending + 1)
-                pending = 0
-                if cbp == 0:
-                    bw.write(*MB_P_CODES["mc"])
-                    _write_mv(bw, _fold_mv(mvx - pmv[1]))  # horizontal first
-                    _write_mv(bw, _fold_mv(mvy - pmv[0]))
-                    pmv = (mvy, mvx)
-                elif zero_mv:
-                    bw.write(*MB_P_CODES["coded"])  # no vector -> PMV reset
-                    bw.write(*CBP_CODES[cbp])
-                    pmv = (0, 0)
-                else:
-                    bw.write(*MB_P_CODES["mc_coded"])
-                    _write_mv(bw, _fold_mv(mvx - pmv[1]))  # horizontal first
-                    _write_mv(bw, _fold_mv(mvy - pmv[0]))
-                    bw.write(*CBP_CODES[cbp])
-                    pmv = (mvy, mvx)
-                rec = pred.astype(np.float64).copy()
-                for b in range(4):
-                    if cbp & (32 >> b):
-                        _write_ac_nonintra(bw, zzs[b])
-                        by, bx = divmod(b, 2)
-                        rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] += _idct(
-                            _dequant_non_intra(zzs[b], q_n, qscale)
-                        )
-                rec_cb = pred_cb.astype(np.float64)
-                if cbp & 2:
-                    _write_ac_nonintra(bw, zz_cb)
-                    rec_cb = rec_cb + _idct(_dequant_non_intra(zz_cb, q_n, qscale))
-                rec_cr = pred_cr.astype(np.float64)
-                if cbp & 1:
-                    _write_ac_nonintra(bw, zz_cr)
-                    rec_cr = rec_cr + _idct(_dequant_non_intra(zz_cr, q_n, qscale))
-                rp_y[ys, xs] = np.clip(rec, 0, 255)
-                rp_cb[cs_y, cs_x] = np.clip(rec_cb, 0, 255)
-                rp_cr[cs_y, cs_x] = np.clip(rec_cr, 0, 255)
-                dc_y = dc_cb = dc_cr = 128  # non-intra MB resets DC preds
-        ref_y = np.clip(np.rint(rp_y), 0, 255).astype(np.int64)
-        ref_cb = np.clip(np.rint(rp_cb), 0, 255).astype(np.int64)
-        ref_cr = np.clip(np.rint(rp_cr), 0, 255).astype(np.int64)
-        ch, cw = (h + 1) // 2, (w + 1) // 2
-        recons.append(
-            (
-                ref_y[:h, :w].astype(np.uint8),
-                ref_cb[:ch, :cw].astype(np.uint8),
-                ref_cr[:ch, :cw].astype(np.uint8),
+    n = len(planes)
+    if b_frames == 0:
+        ref = None
+        recons = []
+        for t, (ypad, cbpad, crpad) in enumerate(planes):
+            is_i = ref is None or t % intra_period == 0
+            rp = _encode_anchor_picture(
+                bw, ypad, cbpad, crpad, t, is_i, ref, qscale, q_i, q_n,
+                search, mb_w, mb_h, ph, pw,
             )
+            ref = _round_planes(rp)
+            recons.append(_crop_planes(ref, w, h))
+        bw.start_code(SEQ_END)
+        return bw.bytes(), recons
+    # B-picture GOP structure (r13): anchors every b_frames+1 display
+    # positions (the LAST frame is forced to be an anchor so every B
+    # has a future reference); anchor k is I every intra_period
+    # anchors. Transmission order: each anchor goes first, then the B
+    # pictures that sit between it and the previous anchor — exactly
+    # the reorder a conformant decoder undoes.
+    s = b_frames + 1
+    anchors = list(range(0, n, s))
+    if anchors[-1] != n - 1:
+        anchors.append(n - 1)
+    recons: list = [None] * n
+    fwd = bwd = None
+    for k, t in enumerate(anchors):
+        is_i = k % intra_period == 0
+        rp = _encode_anchor_picture(
+            bw, *planes[t], t, is_i, bwd, qscale, q_i, q_n,
+            search, mb_w, mb_h, ph, pw,
         )
+        fwd, bwd = bwd, _round_planes(rp)
+        recons[t] = _crop_planes(bwd, w, h)
+        if k > 0:
+            for tb in range(anchors[k - 1] + 1, t):
+                rpb = _encode_b_picture(
+                    bw, *planes[tb], tb, fwd, bwd, qscale, q_i, q_n,
+                    search, mb_w, mb_h, ph, pw,
+                )
+                recons[tb] = _crop_planes(_round_planes(rpb), w, h)
     bw.start_code(SEQ_END)
     return bw.bytes(), recons
+
+
+def _round_planes(rp):
+    """Float recon planes -> the int64 uint8-range planes a decoder
+    holds (and predicts from)."""
+    return tuple(np.clip(np.rint(p), 0, 255).astype(np.int64) for p in rp)
+
+
+def _crop_planes(ref, w: int, h: int):
+    """(y, cb, cr) int64 planes -> the cropped uint8 output frame."""
+    ref_y, ref_cb, ref_cr = ref
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    return (
+        ref_y[:h, :w].astype(np.uint8),
+        ref_cb[:ch, :cw].astype(np.uint8),
+        ref_cr[:ch, :cw].astype(np.uint8),
+    )
+
+
+def _encode_anchor_picture(
+    bw,
+    ypad,
+    cbpad,
+    crpad,
+    t: int,
+    is_i: bool,
+    ref,
+    qscale: int,
+    q_i,
+    q_n,
+    search: int,
+    mb_w: int,
+    mb_h: int,
+    ph: int,
+    pw: int,
+):
+    """Write one I or P picture (header + slices + macroblocks) and
+    return the float reconstruction planes (rp_y, rp_cb, rp_cr).
+    ``ref`` is the (y, cb, cr) int64 prediction reference (the previous
+    ANCHOR — with B pictures in the stream the previous picture in
+    transmission order is not necessarily the reference) or None for
+    the first I. Extracted verbatim from the r12 I+P loop body so the
+    B-picture path (r13) shares one anchor implementation."""
+    ref_y = ref_cb = ref_cr = None
+    if ref is not None:
+        ref_y, ref_cb, ref_cr = ref
+    bw.start_code(PIC_START)
+    bw.write(t & 0x3FF, 10)  # temporal_reference (display order)
+    bw.write(1 if is_i else 2, 3)
+    bw.write(0xFFFF, 16)
+    if not is_i:
+        bw.write(1, 1)  # full_pel_forward_vector
+        bw.write(1, 3)  # forward_f_code
+    bw.write(0, 1)  # extra_bit_picture
+    rp_y = np.zeros((ph, pw), dtype=np.float64)
+    rp_cb = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+    rp_cr = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+    for row in range(mb_h):
+        bw.start_code(0x00000100 + row + 1)
+        bw.write(qscale, 5)
+        bw.write(0, 1)
+        dc_y = dc_cb = dc_cr = 128
+        pmv = (0, 0)
+        pending = 0  # address-increment run over skipped MBs
+        for col in range(mb_w):
+            ys, xs = slice(row * 16, row * 16 + 16), slice(
+                col * 16, col * 16 + 16
+            )
+            cs_y, cs_x = slice(row * 8, row * 8 + 8), slice(
+                col * 8, col * 8 + 8
+            )
+            cur = ypad[ys, xs]
+            if is_i:
+                _write_addr_inc(bw, 1)
+                bw.write(1, 1)  # intra
+                dc_y, rec = _code_intra_y_blocks(
+                    bw, ypad, row, col, dc_y, q_i, qscale
+                )
+                dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
+                    bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
+                )
+                rp_y[ys, xs] = rec
+                rp_cb[cs_y, cs_x] = rec_cb
+                rp_cr[cs_y, cs_x] = rec_cr
+                continue
+            mvy, mvx, sad = _motion_search(
+                ref_y, cur.astype(np.int64), row * 16, col * 16, search
+            )
+            # classic variance test: predict only when the residual
+            # beats the mean-removed energy of the block itself
+            intra_cost = int(np.abs(cur - np.rint(cur.mean())).sum())
+            if sad > intra_cost:
+                _write_addr_inc(bw, pending + 1)
+                pending = 0
+                bw.write(*MB_P_CODES["intra"])
+                dc_y, rec = _code_intra_y_blocks(
+                    bw, ypad, row, col, dc_y, q_i, qscale
+                )
+                dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
+                    bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
+                )
+                rp_y[ys, xs] = rec
+                rp_cb[cs_y, cs_x] = rec_cb
+                rp_cr[cs_y, cs_x] = rec_cr
+                pmv = (0, 0)  # predictors reset after intra
+                continue
+            pred = ref_y[
+                row * 16 + mvy : row * 16 + mvy + 16,
+                col * 16 + mvx : col * 16 + mvx + 16,
+            ]
+            # chroma vector = luma/2, exact (even search)
+            pred_cb = ref_cb[
+                row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
+                col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
+            ]
+            pred_cr = ref_cr[
+                row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
+                col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
+            ]
+            resid = cur - pred
+            zzs = []
+            cbp = 0
+            for b in range(4):
+                by, bx = divmod(b, 2)
+                zz = _quant_non_intra(
+                    _fdct(resid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
+                    q_n,
+                    qscale,
+                )
+                zzs.append(zz)
+                if np.any(zz):
+                    cbp |= 32 >> b
+            zz_cb = _quant_non_intra(
+                _fdct(cbpad[cs_y, cs_x] - pred_cb), q_n, qscale
+            )
+            zz_cr = _quant_non_intra(
+                _fdct(crpad[cs_y, cs_x] - pred_cr), q_n, qscale
+            )
+            if np.any(zz_cb):
+                cbp |= 2
+            if np.any(zz_cr):
+                cbp |= 1
+            zero_mv = mvy == 0 and mvx == 0
+            last = col == mb_w - 1
+            if cbp == 0 and zero_mv and 0 < col and not last:
+                # skipped: decoder copies co-located, resets PMV + DC
+                pending += 1
+                rp_y[ys, xs] = pred
+                rp_cb[cs_y, cs_x] = pred_cb
+                rp_cr[cs_y, cs_x] = pred_cr
+                pmv = (0, 0)
+                dc_y = dc_cb = dc_cr = 128
+                continue
+            _write_addr_inc(bw, pending + 1)
+            pending = 0
+            if cbp == 0:
+                bw.write(*MB_P_CODES["mc"])
+                _write_mv(bw, _fold_mv(mvx - pmv[1]))  # horizontal first
+                _write_mv(bw, _fold_mv(mvy - pmv[0]))
+                pmv = (mvy, mvx)
+            elif zero_mv:
+                bw.write(*MB_P_CODES["coded"])  # no vector -> PMV reset
+                bw.write(*CBP_CODES[cbp])
+                pmv = (0, 0)
+            else:
+                bw.write(*MB_P_CODES["mc_coded"])
+                _write_mv(bw, _fold_mv(mvx - pmv[1]))  # horizontal first
+                _write_mv(bw, _fold_mv(mvy - pmv[0]))
+                bw.write(*CBP_CODES[cbp])
+                pmv = (mvy, mvx)
+            rec = pred.astype(np.float64).copy()
+            for b in range(4):
+                if cbp & (32 >> b):
+                    _write_ac_nonintra(bw, zzs[b])
+                    by, bx = divmod(b, 2)
+                    rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] += _idct(
+                        _dequant_non_intra(zzs[b], q_n, qscale)
+                    )
+            rec_cb = pred_cb.astype(np.float64)
+            if cbp & 2:
+                _write_ac_nonintra(bw, zz_cb)
+                rec_cb = rec_cb + _idct(_dequant_non_intra(zz_cb, q_n, qscale))
+            rec_cr = pred_cr.astype(np.float64)
+            if cbp & 1:
+                _write_ac_nonintra(bw, zz_cr)
+                rec_cr = rec_cr + _idct(_dequant_non_intra(zz_cr, q_n, qscale))
+            rp_y[ys, xs] = np.clip(rec, 0, 255)
+            rp_cb[cs_y, cs_x] = np.clip(rec_cb, 0, 255)
+            rp_cr[cs_y, cs_x] = np.clip(rec_cr, 0, 255)
+            dc_y = dc_cb = dc_cr = 128  # non-intra MB resets DC preds
+    return rp_y, rp_cb, rp_cr
+
+
+def _encode_b_picture(
+    bw,
+    ypad,
+    cbpad,
+    crpad,
+    t: int,
+    fwd,
+    bwd,
+    qscale: int,
+    q_i,
+    q_n,
+    search: int,
+    mb_w: int,
+    mb_h: int,
+    ph: int,
+    pw: int,
+):
+    """Write one B picture (ISO 11172-2 §2.4.4.3 bidirectional
+    prediction) and return its float reconstruction planes. ``fwd`` /
+    ``bwd`` are the (y, cb, cr) int64 reconstructions of the PAST and
+    FUTURE anchors (both already transmitted — the stream carries
+    pictures in decoding order). B pictures are never references, so
+    the recon is only the decoder-must-produce output.
+
+    Per-macroblock mode decision by SAD over the even full-pel
+    exhaustive search against EACH anchor: forward, backward, or
+    interpolated — the §2.4.4.4 rounded average (f + b + 1) >> 1 of
+    the two predictions — with the same variance-test intra fallback
+    as P pictures. Vectors code differentially against per-direction
+    predictors (reset at slice start and after intra, UNCHANGED by
+    skips); a skipped B macroblock reuses the previous macroblock's
+    direction flags and vectors verbatim (§2.4.4.3 — unlike P, where
+    skip means zero vector), so the encoder may only emit a skip when
+    the chosen mode and vectors equal the previous macroblock's, the
+    residual quantizes to nothing, and the MB is interior to the
+    slice with a non-intra predecessor."""
+    fy, fcb, fcr = fwd
+    by_, bcb, bcr = bwd
+    bw.start_code(PIC_START)
+    bw.write(t & 0x3FF, 10)  # temporal_reference (display order)
+    bw.write(3, 3)
+    bw.write(0xFFFF, 16)
+    bw.write(1, 1)  # full_pel_forward_vector
+    bw.write(1, 3)  # forward_f_code
+    bw.write(1, 1)  # full_pel_backward_vector
+    bw.write(1, 3)  # backward_f_code
+    bw.write(0, 1)  # extra_bit_picture
+    rp_y = np.zeros((ph, pw), dtype=np.float64)
+    rp_cb = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+    rp_cr = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+    for row in range(mb_h):
+        bw.start_code(0x00000100 + row + 1)
+        bw.write(qscale, 5)
+        bw.write(0, 1)
+        dc_y = dc_cb = dc_cr = 128
+        fpmv = (0, 0)
+        bpmv = (0, 0)
+        prev = None  # (mode, fmv, bmv) of the previous macroblock
+        pending = 0
+        for col in range(mb_w):
+            ys = slice(row * 16, row * 16 + 16)
+            xs = slice(col * 16, col * 16 + 16)
+            cs_y = slice(row * 8, row * 8 + 8)
+            cs_x = slice(col * 8, col * 8 + 8)
+            cur = ypad[ys, xs]
+            cur_i = cur.astype(np.int64)
+            fmvy, fmvx, fsad = _motion_search(fy, cur_i, row * 16, col * 16, search)
+            bmvy, bmvx, bsad = _motion_search(by_, cur_i, row * 16, col * 16, search)
+            fpred = fy[row * 16 + fmvy : row * 16 + fmvy + 16,
+                       col * 16 + fmvx : col * 16 + fmvx + 16]
+            bpred = by_[row * 16 + bmvy : row * 16 + bmvy + 16,
+                        col * 16 + bmvx : col * 16 + bmvx + 16]
+            ipred = (fpred + bpred + 1) >> 1  # §2.4.4.4 rounded average
+            isad = int(np.abs(cur_i - ipred).sum())
+            mode, sad = min(
+                (("fwd", fsad), ("bwd", bsad), ("interp", isad)),
+                key=lambda ms: ms[1],
+            )
+            intra_cost = int(np.abs(cur - np.rint(cur.mean())).sum())
+            if sad > intra_cost:
+                _write_addr_inc(bw, pending + 1)
+                pending = 0
+                bw.write(*MB_B_CODES["intra"])
+                dc_y, rec = _code_intra_y_blocks(
+                    bw, ypad, row, col, dc_y, q_i, qscale
+                )
+                dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
+                    bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
+                )
+                rp_y[ys, xs] = rec
+                rp_cb[cs_y, cs_x] = rec_cb
+                rp_cr[cs_y, cs_x] = rec_cr
+                fpmv = (0, 0)  # §2.4.4.3: intra resets BOTH predictors
+                bpmv = (0, 0)
+                prev = ("intra", None, None)
+                continue
+            # prediction planes for the chosen direction(s); chroma
+            # vector = luma/2, exact because the search is even
+            def _chroma(ref_c, mvy, mvx):
+                return ref_c[
+                    row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
+                    col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
+                ]
+
+            if mode == "fwd":
+                pred, = (fpred,)
+                pred_cb = _chroma(fcb, fmvy, fmvx)
+                pred_cr = _chroma(fcr, fmvy, fmvx)
+            elif mode == "bwd":
+                pred, = (bpred,)
+                pred_cb = _chroma(bcb, bmvy, bmvx)
+                pred_cr = _chroma(bcr, bmvy, bmvx)
+            else:
+                pred = ipred
+                pred_cb = (_chroma(fcb, fmvy, fmvx) + _chroma(bcb, bmvy, bmvx) + 1) >> 1
+                pred_cr = (_chroma(fcr, fmvy, fmvx) + _chroma(bcr, bmvy, bmvx) + 1) >> 1
+            resid = cur - pred
+            zzs = []
+            cbp = 0
+            for b in range(4):
+                byy, bxx = divmod(b, 2)
+                zz = _quant_non_intra(
+                    _fdct(resid[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8]),
+                    q_n,
+                    qscale,
+                )
+                zzs.append(zz)
+                if np.any(zz):
+                    cbp |= 32 >> b
+            zz_cb = _quant_non_intra(_fdct(cbpad[cs_y, cs_x] - pred_cb), q_n, qscale)
+            zz_cr = _quant_non_intra(_fdct(crpad[cs_y, cs_x] - pred_cr), q_n, qscale)
+            if np.any(zz_cb):
+                cbp |= 2
+            if np.any(zz_cr):
+                cbp |= 1
+            uses_f = mode in ("fwd", "interp")
+            uses_b = mode in ("bwd", "interp")
+            fmv = (fmvy, fmvx) if uses_f else None
+            bmv = (bmvy, bmvx) if uses_b else None
+            last = col == mb_w - 1
+            # skip: residual-free AND the previous macroblock already
+            # established this exact prediction (mode + vectors) — the
+            # decoder will reproduce it verbatim from its state
+            if (
+                cbp == 0
+                and 0 < col
+                and not last
+                and prev is not None
+                and prev[0] == mode
+                and prev[1] == fmv
+                and prev[2] == bmv
+            ):
+                pending += 1
+                rp_y[ys, xs] = pred
+                rp_cb[cs_y, cs_x] = pred_cb
+                rp_cr[cs_y, cs_x] = pred_cr
+                dc_y = dc_cb = dc_cr = 128
+                continue
+            _write_addr_inc(bw, pending + 1)
+            pending = 0
+            bw.write(*MB_B_CODES[mode + ("_coded" if cbp else "")])
+            if uses_f:
+                _write_mv(bw, _fold_mv(fmvx - fpmv[1]))  # horizontal first
+                _write_mv(bw, _fold_mv(fmvy - fpmv[0]))
+                fpmv = (fmvy, fmvx)
+            if uses_b:
+                _write_mv(bw, _fold_mv(bmvx - bpmv[1]))
+                _write_mv(bw, _fold_mv(bmvy - bpmv[0]))
+                bpmv = (bmvy, bmvx)
+            if cbp:
+                bw.write(*CBP_CODES[cbp])
+            rec = pred.astype(np.float64).copy()
+            for b in range(4):
+                if cbp & (32 >> b):
+                    _write_ac_nonintra(bw, zzs[b])
+                    byy, bxx = divmod(b, 2)
+                    rec[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] += _idct(
+                        _dequant_non_intra(zzs[b], q_n, qscale)
+                    )
+            rec_cb = pred_cb.astype(np.float64)
+            if cbp & 2:
+                _write_ac_nonintra(bw, zz_cb)
+                rec_cb = rec_cb + _idct(_dequant_non_intra(zz_cb, q_n, qscale))
+            rec_cr = pred_cr.astype(np.float64)
+            if cbp & 1:
+                _write_ac_nonintra(bw, zz_cr)
+                rec_cr = rec_cr + _idct(_dequant_non_intra(zz_cr, q_n, qscale))
+            rp_y[ys, xs] = np.clip(rec, 0, 255)
+            rp_cb[cs_y, cs_x] = np.clip(rec_cb, 0, 255)
+            rp_cr[cs_y, cs_x] = np.clip(rec_cr, 0, 255)
+            dc_y = dc_cb = dc_cr = 128  # non-intra MB resets DC preds
+            prev = (mode, fmv, bmv)
+    return rp_y, rp_cb, rp_cr
+
+
+
 
 
 def _gray_planes(frames):
@@ -1389,11 +1786,13 @@ def _color_planes(frames_rgb):
     return planes, w, h
 
 
-def _encode_video(frames, qscale, intra_period, search, intra_quant):
-    """Grayscale I+P encode; returns (bytes, uint8 Y recon frames)."""
+def _encode_video(frames, qscale, intra_period, search, intra_quant,
+                  b_frames=0):
+    """Grayscale I+P(+B) encode; returns (bytes, uint8 Y recon frames
+    in DISPLAY order)."""
     planes, w, h = _gray_planes(frames)
     data, recons = _encode_video_planes(
-        planes, w, h, qscale, intra_period, search, intra_quant
+        planes, w, h, qscale, intra_period, search, intra_quant, b_frames
     )
     return data, [y for y, _cb, _cr in recons]
 
@@ -1404,6 +1803,7 @@ def encode_mpeg1_video(
     intra_period: int = 4,
     search: int = 8,
     intra_quant: np.ndarray | None = None,
+    b_frames: int = 0,
 ) -> bytes:
     """Encode grayscale uint8 frames as an MPEG-1 elementary stream of
     I and forward-predicted P pictures: every ``intra_period``-th
@@ -1413,8 +1813,16 @@ def encode_mpeg1_video(
     pred-m / intra fallback / skip runs), and §2.4.4.2 non-intra
     residual coding. ``intra_period=1`` degenerates to the I-only
     stream :func:`encode_mpeg1_intra` produces (different encoder, same
-    syntax family)."""
-    data, _ = _encode_video(frames, qscale, intra_period, search, intra_quant)
+    syntax family). ``b_frames`` > 0 inserts that many BIDIRECTIONAL
+    pictures between consecutive anchors (ISO 11172-2 §2.4.4.3):
+    anchors land every b_frames+1 display positions (the final frame is
+    forced to be an anchor so every B has a future reference), every
+    ``intra_period``-th ANCHOR is intra, and the stream carries
+    pictures in decoding order (each anchor before the B pictures that
+    precede it in display order) with temporal_reference recording the
+    display position."""
+    data, _ = _encode_video(frames, qscale, intra_period, search,
+                            intra_quant, b_frames)
     return data
 
 
@@ -1424,6 +1832,7 @@ def mpeg1_video_expected_reconstruction(
     intra_period: int = 4,
     search: int = 8,
     intra_quant: np.ndarray | None = None,
+    b_frames: int = 0,
 ) -> list[np.ndarray]:
     """Encoder-internal reconstruction for :func:`encode_mpeg1_video` —
     the exact uint8 frames a conformant decoder must produce. Unlike
@@ -1432,8 +1841,10 @@ def mpeg1_video_expected_reconstruction(
     predict from reconstructed, not source, frames — the standard
     closed-loop design that prevents drift), so decode == this list
     bit-exactly, and any mismatch would compound frame over frame and
-    be caught at the first P picture."""
-    _, recons = _encode_video(frames, qscale, intra_period, search, intra_quant)
+    be caught at the first P picture. With ``b_frames`` the list is in
+    DISPLAY order — exactly the order the decoder emits."""
+    _, recons = _encode_video(frames, qscale, intra_period, search,
+                              intra_quant, b_frames)
     return recons
 
 
@@ -1443,6 +1854,7 @@ def encode_mpeg1_video_color(
     intra_period: int = 4,
     search: int = 8,
     intra_quant: np.ndarray | None = None,
+    b_frames: int = 0,
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB frames as an MPEG-1 I+P elementary
     stream with REAL 4:2:0 chroma: motion estimated on Y, the spec's
@@ -1450,10 +1862,13 @@ def encode_mpeg1_video_color(
     search is even), per-component non-intra residual coding through
     the shared CBP bits 2/1, intra fallback through the chroma DC DPCM
     chains. Decode with :func:`decode_mpeg1_intra_color` (the general
-    decoder)."""
+    decoder). ``b_frames`` inserts bidirectional pictures between
+    anchors exactly as in :func:`encode_mpeg1_video` — chroma follows
+    each direction's halved vector and interpolation averages Cb/Cr
+    with the same §2.4.4.4 rounding as Y."""
     planes, w, h = _color_planes(frames_rgb)
     data, _ = _encode_video_planes(
-        planes, w, h, qscale, intra_period, search, intra_quant
+        planes, w, h, qscale, intra_period, search, intra_quant, b_frames
     )
     return data
 
@@ -1464,12 +1879,14 @@ def mpeg1_video_color_expected_reconstruction(
     intra_period: int = 4,
     search: int = 8,
     intra_quant: np.ndarray | None = None,
+    b_frames: int = 0,
 ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Encoder-internal (y, cb, cr) reconstruction for
     :func:`encode_mpeg1_video_color` — the closed-loop reference
-    chain; decode must equal it bit-exactly on all three planes."""
+    chain; decode must equal it bit-exactly on all three planes (in
+    display order when ``b_frames`` > 0)."""
     planes, w, h = _color_planes(frames_rgb)
     _, recons = _encode_video_planes(
-        planes, w, h, qscale, intra_period, search, intra_quant
+        planes, w, h, qscale, intra_period, search, intra_quant, b_frames
     )
     return recons

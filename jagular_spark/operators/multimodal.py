@@ -1002,6 +1002,7 @@ def mpeg1_pframe_roundtrip_stats(
     stride_rows: int = 8,
     intra_period: int = 4,
     flat_quant: int | None = 16,
+    b_frames: int = 0,
 ) -> DataFrame:
     """MOTION-COMPENSATED video roundtrip — MPEG-1 I+P elementary
     stream (operators/mpeg1.py encode_mpeg1_video): frames are cut
@@ -1025,7 +1026,17 @@ def mpeg1_pframe_roundtrip_stats(
     would compound frame over frame and fail at the first P picture)
     AND |decoded − original| ≤ ``tol``. Same output schema / narrow
     Arrow-map shape as mpeg1_roundtrip_stats; payloads never
-    shuffle."""
+    shuffle.
+
+    ``b_frames`` > 0 (r13) inserts BIDIRECTIONAL pictures between
+    anchors: with the same shifted-window geometry the B picture's TOP
+    macroblock can only be predicted FORWARD (its match in the past
+    anchor sits at dy=+8, in-plane; the future anchor's match would be
+    above the plane) while the BOTTOM macroblock can only be predicted
+    BACKWARD (mirror argument), so every B picture provably exercises
+    both prediction directions — not a geometry where one mode
+    silently wins everywhere (the r12 vacuity lesson, pinned in
+    tests/test_mpeg1_bframes.py::test_corpus_geometry_forces_both_directions)."""
     import numpy as _np
 
     from jagular_spark.operators.mpeg1 import (
@@ -1060,10 +1071,10 @@ def mpeg1_pframe_roundtrip_stats(
                     for i in range(nf)
                 ]
                 stream = encode_mpeg1_video(
-                    origs, qscale, intra_period, 8, quant
+                    origs, qscale, intra_period, 8, quant, b_frames
                 )
                 expected = mpeg1_video_expected_reconstruction(
-                    origs, qscale, intra_period, 8, quant
+                    origs, qscale, intra_period, 8, quant, b_frames
                 )
                 dec_frames, w, h = decode_mpeg1_video(stream)
                 dims_ok = (w, h) == (frame_w, frame_h) and len(dec_frames) == nf

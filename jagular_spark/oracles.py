@@ -1377,13 +1377,28 @@ ORACLE_SQL["emb_ann_topk_ivf_frozen"] = f"""
 # empty clusters keep their previous centroid), then the same frozen
 # search shape (nprobe=4). Bit-exact vs sim.ivf_fit_centroids +
 # sim.ann_topk_ivf because every quantity on both sides is int64.
-def _ivf_fit_prefix(k: int, n_iter: int, fit_fraction: float) -> str:
+def _ivf_fit_prefix(
+    k: int, n_iter: int, fit_fraction: float, fit_rows: int | None = None
+) -> str:
     """WITH-prefix replaying the sampled integer IVF coarse fit:
     base → normed → fitset (the engine-portable md5 hash-sample, the
-    Spark side's operators/sampling.hash_bucket construction) →
-    cents0..cents{n_iter}. The search half of each consumer still runs
-    over the FULL corpus."""
+    Spark side's operators/sampling.hash_bucket construction; with
+    ``fit_rows`` the ABSOLUTE variant — exactly the fit_rows
+    smallest-hash rows, sampling.hash_sample_rows' ORDER BY bucket, id
+    LIMIT n) → cents0..cents{n_iter}. The search half of each consumer
+    still runs over the FULL corpus."""
     fit_thr = int(fit_fraction * (1 << 32))
+    fitset = (
+        f"""
+        SELECT vec_id, iv FROM normed
+        ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                 vec_id
+        LIMIT {fit_rows}"""
+        if fit_rows is not None
+        else f"""
+        SELECT vec_id, iv FROM normed
+        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT < {fit_thr}"""
+    )
     its = []
     for i in range(n_iter):
         its.append(f"""
@@ -1418,9 +1433,7 @@ def _ivf_fit_prefix(k: int, n_iter: int, fit_fraction: float) -> str:
                CAST(list_sum(list_transform(generate_series(1, len(iv)),
                     i -> iv[i] * iv[i])) AS BIGINT) AS nrm
         FROM base
-    ), fitset AS (
-        SELECT vec_id, iv FROM normed
-        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT < {fit_thr}
+    ), fitset AS ({fitset}
     ), cents0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS c, iv AS civ
         FROM (SELECT vec_id, iv FROM fitset ORDER BY vec_id LIMIT {k})
@@ -1428,9 +1441,13 @@ def _ivf_fit_prefix(k: int, n_iter: int, fit_fraction: float) -> str:
 
 
 def _ivf_fitted_oracle(
-    k: int = 16, n_iter: int = 3, nprobe: int = 4, fit_fraction: float = 0.5
+    k: int = 16,
+    n_iter: int = 3,
+    nprobe: int = 4,
+    fit_fraction: float = 0.5,
+    fit_rows: int | None = None,
 ) -> str:
-    return f"""{_ivf_fit_prefix(k, n_iter, fit_fraction)}
+    return f"""{_ivf_fit_prefix(k, n_iter, fit_fraction, fit_rows)}
     , fdist AS (
         SELECT n.vec_id, n.iv, n.nrm, c.c,
                CAST(list_sum(list_transform(generate_series(1, 64),
@@ -1463,6 +1480,12 @@ def _ivf_fitted_oracle(
 
 
 ORACLE_SQL["emb_ann_topk_ivf"] = _ivf_fitted_oracle()
+
+# Absolute-fit-budget variant (r13): identical fitted pipeline, but the
+# fit sample is EXACTLY the 300 smallest-hash vectors (ORDER BY bucket,
+# id LIMIT 300) — the fixed-size 100-TB fit shape as a first-class,
+# hash-verified driver row.
+ORACLE_SQL["emb_ann_topk_ivf_fitrows"] = _ivf_fitted_oracle(fit_rows=300)
 
 # SemDeDup: same sampled Lloyd fit prefix as the IVF oracle, full-corpus
 # argmin assignment, within-cluster pairwise cosine (id_a < id_b), drop
@@ -1803,6 +1826,28 @@ ORACLE_SQL["docs_media_mpeg1_video"] = ORACLE_SQL["docs_media_mjpeg_video"]
 # genuinely motion-compensate. frame_ok is the hash-verified
 # decode == closed-loop-reconstruction flag.
 ORACLE_SQL["docs_media_mpeg1_pframes"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST((length(text) - 256) // 64 + 1 AS BIGINT) AS nf, text
+        FROM documents WHERE length(text) = strlen(text) AND length(text) >= 256
+    ), f AS (
+        SELECT media_id, CAST(s.i AS BIGINT) AS frame_idx,
+               CAST(list_sum(list_transform(
+                        generate_series(s.i * 64 + 1, s.i * 64 + 256),
+                        j -> ord(substr(text, j, 1)))) AS BIGINT) AS orig_sum
+        FROM b, UNNEST(generate_series(0, nf - 1)) AS s(i)
+    )
+    SELECT media_id, frame_idx, 32 AS height, 8 AS width, orig_sum,
+           CAST(orig_sum AS DOUBLE) / (256 * 255) AS mean_px,
+           TRUE AS frame_ok
+    FROM f"""
+
+# B-picture MPEG-1 (r13): identical frame geometry and byte stats to
+# the pframes oracle — the codec signal is the hash-verified frame_ok
+# column, which the engine sets only when decode == the closed-loop
+# reconstruction bit-exactly IN DISPLAY ORDER (so a broken reorder, a
+# wrong vector predictor, or a bad interpolation rounding all flip it).
+ORACLE_SQL["docs_media_mpeg1_bframes"] = """
     WITH b AS (
         SELECT doc_id AS media_id,
                CAST((length(text) - 256) // 64 + 1 AS BIGINT) AS nf, text

@@ -1371,6 +1371,45 @@ def docs_media_mpeg1_pframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_media_mpeg1_bframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIDIRECTIONALLY-PREDICTED MPEG-1 under the driver oracle (r13):
+    the docs_media_mpeg1_pframes geometry (32x8 grayscale frames cut at
+    an 8-row overlap stride — frame t+1 is frame t shifted up 8 rows)
+    encoded with ``b_frames=1``: anchors at even display positions
+    (every 3rd anchor intra), a B picture between each pair,
+    transmitted in decoding order with the decoder undoing the reorder.
+    The geometry FORCES both prediction directions inside every B
+    picture — the top macroblock's match exists only in the PAST
+    anchor (dy=+8; the future anchor's match would sit above the
+    plane) and the bottom macroblock's only in the FUTURE anchor
+    (dy=-8) — so the hash-verified rows certify genuine forward AND
+    backward motion compensation plus the §2.4.4.4 interpolation
+    machinery (tables B.1/B.2c/B.3/B.4, per-direction vector
+    predictors, skip-reuses-vectors semantics), not a mode that never
+    fires (pinned in tests/test_mpeg1_bframes.py::
+    test_corpus_geometry_forces_both_directions). frame_ok requires
+    decode == the encoder's closed-loop reconstruction BIT-EXACTLY in
+    display order."""
+    from jagular_spark.operators.multimodal import mpeg1_pframe_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    nb = F.length(F.encode("text", "UTF-8"))
+    media = docs.where(nb >= 256).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(8).alias("width"),
+        F.lit(32).alias("height"),
+        ((nb - 256) / F.lit(64) + 1).cast("int").alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return mpeg1_pframe_roundtrip_stats(
+        _codec_spread(media), qscale=1, tol=8, intra_period=3,
+        flat_quant=16, b_frames=1,
+    )
+
+
 def docs_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 COLOR baseline-JPEG roundtrip under the driver oracle: doc
     bytes become a (h, 16, 3) RGB image, go through the full color
@@ -1664,6 +1703,25 @@ def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_ivf(
         emb, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3,
         fit_fraction=0.5,
+    )
+
+
+def emb_ann_topk_ivf_fitrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with an ABSOLUTE fit budget (r13): same fitted pipeline
+    as emb_ann_topk_ivf but the coarse quantizer trains on exactly the
+    ``fit_rows=300`` smallest-hash vectors regardless of corpus size —
+    the 100-TB fit shape SCALE.md measures (a fixed driver-side sample
+    that does not grow with the corpus), now a first-class parameter
+    instead of a hand-computed fraction. The sample is
+    ``ORDER BY md5-bucket, id LIMIT 300`` (TakeOrderedAndProject — no
+    shuffle; membership is a pure function of the corpus and replays
+    bit-for-bit on any engine), so the DuckDB oracle reproduces fit +
+    search end-to-end and hash-matches. 300 < the 500-row sf0.01
+    corpus, so the sample is a strict subset at every shipped sf."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf(
+        emb, F.col("id") < 20, k=5, n_centroids=16, nprobe=4, n_iter=3,
+        fit_rows=300,
     )
 
 
@@ -3290,7 +3348,7 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below is the output of `python tools/rotate_window.py`;
 # tests/test_rotation.py pins the shipped order to the derivation,
 # and `tools/rotate_window.py --check` verifies it from the CLI.
-REGISTRY_ROUND = 12
+REGISTRY_ROUND = 13
 
 # Queries whose OPERATOR CODE changed this round (window policy a).
 # Output-identical refactors pinned by unit tests do not consume
@@ -3303,15 +3361,21 @@ REGISTRY_ROUND = 12
 # insurance against exactly this kind of "provably equivalent"
 # reasoning being wrong).
 ROUND_TOUCHED: set[str] = {
-    "docs_substring_dedup",
-    "docs_substring_dedup_applied",
-    "docs_substring_dedup_keepfirst",
-    "docs_substring_dedup_streamed",
-    "docs_curation_funnel_v2",
-    # NEW this round: motion-compensated MPEG-1 (I+P pictures)
+    # r13: _mc_block gained a motion-vector bounds check — only the
+    # P-picture query decodes through it (the I-frame-only mpeg1
+    # queries never call _mc_block)
     "docs_media_mpeg1_pframes",
-    # NEW this round: LSH hot-bucket guard under the driver oracle
-    "docs_minhash_lsh_capped",
+    # r13: the quantizer fit plumbing was refactored (ivf_fit_centroids'
+    # sampled branch now routes through _collect_fit_sample; fit_rows
+    # threading). Same integer math, pinned by tests — window slots are
+    # cheap insurance per the r12 policy note above.
+    "emb_ann_topk_ivf",
+    "emb_ann_topk_ivf_pq",
+    "emb_semantic_dedup",
+    # NEW this round: absolute fit budget (fit_rows=300) under the oracle
+    "emb_ann_topk_ivf_fitrows",
+    # NEW this round: MPEG-1 B pictures (bidirectional prediction)
+    "docs_media_mpeg1_bframes",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3325,57 +3389,8 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
-    "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r0
-    "docs_minhash_lsh_capped": docs_minhash_lsh_capped,  # last green r0
-    "docs_bigram_fluency": docs_bigram_fluency,  # last green r8
-    "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r8
-    "docs_curation_funnel": docs_curation_funnel,  # last green r8
-    "docs_dedup_clusters": docs_dedup_clusters,  # last green r8
-    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r8
-    "docs_media_flac_roundtrip": docs_media_flac_roundtrip,  # last green r8
-    "docs_media_gif_roundtrip": docs_media_gif_roundtrip,  # last green r8
-    "docs_media_jpeg_stats": docs_media_jpeg_stats,  # last green r8
-    "docs_media_mjpeg_video": docs_media_mjpeg_video,  # last green r8
-    "docs_rebalance_sample": docs_rebalance_sample,  # last green r8
-    "docs_shuffle_shards": docs_shuffle_shards,  # last green r8
-    "docs_tfidf_top": docs_tfidf_top,  # last green r8
-    "emb_ann_recall": emb_ann_recall,  # last green r8
-    "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r8
-    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,  # last green r8
-    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r8
-    "emb_knn_classify": emb_knn_classify,  # last green r8
-    "events_asof": events_asof,  # last green r8
-    "events_asof_nearest": events_asof_nearest,  # last green r8
-    "events_audit": events_audit,  # last green r8
-    "events_band_power": events_band_power,  # last green r8
-    "events_censor_streamed": events_censor_streamed,  # last green r8
-    "events_detect_spikes": events_detect_spikes,  # last green r8
-    "events_hourly_rollup": events_hourly_rollup,  # last green r8
-    "events_interpolate_streamed": events_interpolate_streamed,  # last green r8
-    "events_salted_hourly": events_salted_hourly,  # last green r8
-    "events_sessionize_streamed": events_sessionize_streamed,  # last green r8
-    "events_sortedness": events_sortedness,  # last green r8
-    "events_winsorize": events_winsorize,  # last green r8
-    "events_winsorize_chunked": events_winsorize_chunked,  # last green r8
-    "events_xcorr": events_xcorr,  # last green r8
-    "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r10
-    "docs_hll_vocab": docs_hll_vocab,  # last green r10
-    "docs_media_audio": docs_media_audio,  # last green r10
-    "docs_media_frames": docs_media_frames,  # last green r10
-    "docs_media_mpeg1_color": docs_media_mpeg1_color,  # last green r10
-    "docs_media_mpeg1_video": docs_media_mpeg1_video,  # last green r10
-    "docs_media_resize": docs_media_resize,  # last green r10
-    "docs_minhash_lsh": docs_minhash_lsh,  # last green r10
-    "docs_ngram_containment": docs_ngram_containment,  # last green r10
-    "docs_ngram_jaccard": docs_ngram_jaccard,  # last green r10
-    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,  # last green r10
-    "docs_pii_redaction": docs_pii_redaction,  # last green r10
-    "docs_substring_dedup": docs_substring_dedup,  # last green r10
-    "docs_substring_dedup_applied": docs_substring_dedup_applied,  # last green r10
-    "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,  # last green r10
-    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r10
-    "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r11
-    # ---- driver window ends here ----
+    "docs_media_mpeg1_bframes": docs_media_mpeg1_bframes,  # last green r0
+    "emb_ann_topk_ivf_fitrows": emb_ann_topk_ivf_fitrows,  # last green r0
     "docs_simhash_neardup": docs_simhash_neardup,  # last green r10
     "docs_stratified_sample": docs_stratified_sample,  # last green r10
     "docs_survivor_setops": docs_survivor_setops,  # last green r10
@@ -3421,6 +3436,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
     "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r11
     "docs_media_jpeg_progressive": docs_media_jpeg_progressive,  # last green r11
+    "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r12
+    "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r12
+    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r12
+    # ---- driver window ends here ----
     "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,  # last green r11
     "docs_media_png_roundtrip": docs_media_png_roundtrip,  # last green r11
     "docs_media_stats": docs_media_stats,  # last green r11
@@ -3457,6 +3476,53 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,  # last green r11
     "q5_region_revenue": q5_region_revenue,  # last green r11
     "top3_orders_per_customer": top3_orders_per_customer,  # last green r11
+    "docs_bigram_fluency": docs_bigram_fluency,  # last green r12
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r12
+    "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r12
+    "docs_curation_funnel": docs_curation_funnel,  # last green r12
+    "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r12
+    "docs_dedup_clusters": docs_dedup_clusters,  # last green r12
+    "docs_hll_vocab": docs_hll_vocab,  # last green r12
+    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
+    "docs_media_audio": docs_media_audio,  # last green r12
+    "docs_media_flac_roundtrip": docs_media_flac_roundtrip,  # last green r12
+    "docs_media_frames": docs_media_frames,  # last green r12
+    "docs_media_gif_roundtrip": docs_media_gif_roundtrip,  # last green r12
+    "docs_media_jpeg_stats": docs_media_jpeg_stats,  # last green r12
+    "docs_media_mjpeg_video": docs_media_mjpeg_video,  # last green r12
+    "docs_media_mpeg1_color": docs_media_mpeg1_color,  # last green r12
+    "docs_media_mpeg1_video": docs_media_mpeg1_video,  # last green r12
+    "docs_media_resize": docs_media_resize,  # last green r12
+    "docs_minhash_lsh": docs_minhash_lsh,  # last green r12
+    "docs_minhash_lsh_capped": docs_minhash_lsh_capped,  # last green r12
+    "docs_ngram_containment": docs_ngram_containment,  # last green r12
+    "docs_ngram_jaccard": docs_ngram_jaccard,  # last green r12
+    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,  # last green r12
+    "docs_pii_redaction": docs_pii_redaction,  # last green r12
+    "docs_rebalance_sample": docs_rebalance_sample,  # last green r12
+    "docs_shuffle_shards": docs_shuffle_shards,  # last green r12
+    "docs_substring_dedup": docs_substring_dedup,  # last green r12
+    "docs_substring_dedup_applied": docs_substring_dedup_applied,  # last green r12
+    "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,  # last green r12
+    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
+    "docs_tfidf_top": docs_tfidf_top,  # last green r12
+    "emb_ann_recall": emb_ann_recall,  # last green r12
+    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,  # last green r12
+    "emb_knn_classify": emb_knn_classify,  # last green r12
+    "events_asof": events_asof,  # last green r12
+    "events_asof_nearest": events_asof_nearest,  # last green r12
+    "events_audit": events_audit,  # last green r12
+    "events_band_power": events_band_power,  # last green r12
+    "events_censor_streamed": events_censor_streamed,  # last green r12
+    "events_detect_spikes": events_detect_spikes,  # last green r12
+    "events_hourly_rollup": events_hourly_rollup,  # last green r12
+    "events_interpolate_streamed": events_interpolate_streamed,  # last green r12
+    "events_salted_hourly": events_salted_hourly,  # last green r12
+    "events_sessionize_streamed": events_sessionize_streamed,  # last green r12
+    "events_sortedness": events_sortedness,  # last green r12
+    "events_winsorize": events_winsorize,  # last green r12
+    "events_winsorize_chunked": events_winsorize_chunked,  # last green r12
+    "events_xcorr": events_xcorr,  # last green r12
 }
 
 

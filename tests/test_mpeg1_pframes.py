@@ -121,17 +121,9 @@ def test_intra_period_one_is_all_intra():
         assert np.array_equal(g, x)
 
 
-def test_decoder_rejects_b_pictures():
-    frames = _moving_scene(2)
-    data = bytearray(encode_mpeg1_video(frames, intra_period=1))
-    # flip the second picture's coding type from I (1) to B (3):
-    # picture start code, 10 bits temporal_ref, 3 bits type
-    idx = data.index(b"\x00\x00\x01\x00", 8)
-    b = (data[idx + 4] << 8) | data[idx + 5]
-    b = (b & ~(0b111 << 3)) | (3 << 3)
-    data[idx + 4], data[idx + 5] = b >> 8, b & 0xFF
-    with pytest.raises(ValueError, match="only I and P"):
-        decode_mpeg1_video(bytes(data))
+# test_decoder_rejects_b_pictures (r12) retired: B pictures are decoded
+# since r13 — its conformance-guard role moved to
+# tests/test_mpeg1_bframes.py::test_b_without_two_anchors_rejected.
 
 
 def test_halfpel_interpolation_matches_spec_rounding():

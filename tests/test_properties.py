@@ -478,3 +478,52 @@ def test_mpeg1_pframe_roundtrip_property(data, qscale, w, intra_period):
     assert (dw, dh) == (w, h) and len(dec) == len(frames)
     for g, x in zip(dec, want):
         assert (g == x).all(), (qscale, w, intra_period, len(frames))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.binary(min_size=900, max_size=2400),
+    qscale=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=9, max_value=20),
+    intra_period=st.integers(min_value=1, max_value=3),
+    b_frames=st.integers(min_value=1, max_value=3),
+)
+def test_mpeg1_bframe_roundtrip_property(data, qscale, w, intra_period, b_frames):
+    """I+P+B decode reproduces the encoder's closed-loop reconstruction
+    BIT-EXACTLY (in DISPLAY order) for arbitrary byte content, dims,
+    qscale, anchor cadence, and B-group size: overlapping windows give
+    the bidirectional search real shifted content so fwd/bwd/interp/
+    intra/skip modes all fire across examples; the final frame is
+    forced to be an anchor (every B needs a future reference) and the
+    stream's decode-order reordering must be undone exactly."""
+    import numpy as np
+
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_video,
+        encode_mpeg1_video,
+        mpeg1_video_expected_reconstruction,
+    )
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    h = 18  # 2 macroblock rows after padding -> vertical MC in-plane
+    fsz, stride = h * w, 4 * w
+    n = min((len(buf) - fsz) // stride + 1, 6)
+    if n < 2:
+        n = 1
+    frames = [
+        buf[i * stride : i * stride + fsz].reshape(h, w) for i in range(n)
+    ]
+    flat = np.full(64, 16, dtype=np.int64)
+    dec, dw, dh = decode_mpeg1_video(
+        encode_mpeg1_video(
+            frames, qscale=qscale, intra_period=intra_period,
+            intra_quant=flat, b_frames=b_frames,
+        )
+    )
+    want = mpeg1_video_expected_reconstruction(
+        frames, qscale=qscale, intra_period=intra_period,
+        intra_quant=flat, b_frames=b_frames,
+    )
+    assert (dw, dh) == (w, h) and len(dec) == len(frames)
+    for g, x in zip(dec, want):
+        assert (g == x).all(), (qscale, w, intra_period, b_frames, len(frames))
