@@ -521,3 +521,17 @@ def test_mpeg1_pframes_plan_single_spread_exchange(spark):
     assert p.count("Exchange (") == 1, p[:2000]  # tree line; detail is "(n) Exchange"
     assert "MapInPandas" in p
     assert "Join" not in p and "Aggregate" not in p
+
+
+def test_fit_rows_sample_is_takeordered_no_shuffle(spark):
+    """hash_sample_rows (the fit_rows absolute-budget sampler, r13)
+    must plan as TakeOrderedAndProject — each task keeps a local
+    top-k and the driver merges — never a global sort or an
+    Exchange of the corpus."""
+    from jagular_spark.operators.sampling import hash_sample_rows
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = _formatted(hash_sample_rows(emb, "vec_id", 100))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    assert "SortExec" not in p and "Sort " not in p
