@@ -1212,6 +1212,49 @@ def _motion_search(ref: np.ndarray, cur: np.ndarray, y0: int, x0: int,
     return (r0 + 2 * i - y0, c0 + 2 * j - x0, best)
 
 
+def _motion_search_half(ref: np.ndarray, cur: np.ndarray, y0: int, x0: int,
+                        search: int) -> tuple[int, int, int]:
+    """Two-stage HALF-PEL search (r13): exhaustive integer-pel coarse
+    pass (any parity — with full_pel=0 the derived chroma vector may
+    be half-pel, which the decoder interpolates), then the eight
+    half-pel refinements around the winner, each scored with the
+    §2.4.4.2 rounded interpolation via :func:`_mc_block` — the exact
+    arithmetic the decoder will run, so the closed loop stays
+    drift-free. Deterministic: (0,0) first, coarse ties first-best in
+    row-major order, refinements in fixed (dy, dx) order and only on a
+    STRICT improvement. Returns (hy, hx, sad) in half-pel units;
+    |search| ≤ 7 keeps every refined vector inside the f_code=1 coded
+    range [-16, 15]."""
+    ph, pw = ref.shape
+    sad0 = int(np.abs(cur - ref[y0 : y0 + 16, x0 : x0 + 16]).sum())
+    by, bx, best = 0, 0, sad0
+    if search:
+        r0, c0 = max(y0 - search, 0), max(x0 - search, 0)
+        r1, c1 = min(y0 + search, ph - 16), min(x0 + search, pw - 16)
+        win = np.lib.stride_tricks.sliding_window_view(ref, (16, 16))
+        sads = np.abs(win[r0 : r1 + 1, c0 : c1 + 1] - cur).sum(axis=(2, 3))
+        flat = int(np.argmin(sads))
+        i, j = divmod(flat, sads.shape[1])
+        if int(sads[i, j]) < best:
+            by, bx, best = r0 + i - y0, c0 + j - x0, int(sads[i, j])
+    hy, hx = 2 * by, 2 * bx
+    out_y, out_x = hy, hx
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            ty, tx = hy + dy, hx + dx
+            iy, fy = ty >> 1, ty & 1
+            ix, fx = tx >> 1, tx & 1
+            r, c = y0 + iy, x0 + ix
+            if not (0 <= r and r + 16 + fy <= ph and 0 <= c and c + 16 + fx <= pw):
+                continue
+            s = int(np.abs(cur - _mc_block(ref, y0, x0, ty, tx, 16)).sum())
+            if s < best:
+                out_y, out_x, best = ty, tx, s
+    return (out_y, out_x, best)
+
+
 def _code_intra_y_blocks(bw, ypad, row, col, dc_y, q, qscale):
     """Write the 4 intra luma blocks of one macroblock; returns
     (new dc predictor, 16×16 float reconstruction)."""
@@ -1263,6 +1306,7 @@ def _encode_video_planes(
     search: int,
     intra_quant,
     b_frames: int = 0,
+    half_pel: bool = False,
 ):
     """Shared I+P(+B) encoder over prepared planes: ``planes`` is one
     (ypad, cbpad, crpad) float tuple per frame — Y padded to the
@@ -1279,7 +1323,13 @@ def _encode_video_planes(
         raise ValueError("qscale must be in 1..31")
     if intra_period < 1:
         raise ValueError("intra_period must be >= 1")
-    if not 0 <= search <= 8 or search % 2:
+    if half_pel:
+        # any-parity integer coarse pass + half-pel refinement: ±7 px
+        # keeps every refined vector inside the f_code=1 half-pel
+        # coded range [-16, 15]
+        if not 0 <= search <= 7:
+            raise ValueError("half_pel search must be within ±7 (f_code 1)")
+    elif not 0 <= search <= 8 or search % 2:
         raise ValueError("search must be even and within ±8 (f_code 1)")
     if not 0 <= b_frames <= 4:
         raise ValueError("b_frames must be in 0..4")
@@ -1318,7 +1368,7 @@ def _encode_video_planes(
             is_i = ref is None or t % intra_period == 0
             rp = _encode_anchor_picture(
                 bw, ypad, cbpad, crpad, t, is_i, ref, qscale, q_i, q_n,
-                search, mb_w, mb_h, ph, pw,
+                search, mb_w, mb_h, ph, pw, half_pel,
             )
             ref = _round_planes(rp)
             recons.append(_crop_planes(ref, w, h))
@@ -1340,7 +1390,7 @@ def _encode_video_planes(
         is_i = k % intra_period == 0
         rp = _encode_anchor_picture(
             bw, *planes[t], t, is_i, bwd, qscale, q_i, q_n,
-            search, mb_w, mb_h, ph, pw,
+            search, mb_w, mb_h, ph, pw, half_pel,
         )
         fwd, bwd = bwd, _round_planes(rp)
         recons[t] = _crop_planes(bwd, w, h)
@@ -1348,7 +1398,7 @@ def _encode_video_planes(
             for tb in range(anchors[k - 1] + 1, t):
                 rpb = _encode_b_picture(
                     bw, *planes[tb], tb, fwd, bwd, qscale, q_i, q_n,
-                    search, mb_w, mb_h, ph, pw,
+                    search, mb_w, mb_h, ph, pw, half_pel,
                 )
                 recons[tb] = _crop_planes(_round_planes(rpb), w, h)
     bw.start_code(SEQ_END)
@@ -1388,6 +1438,7 @@ def _encode_anchor_picture(
     mb_h: int,
     ph: int,
     pw: int,
+    half_pel: bool = False,
 ):
     """Write one I or P picture (header + slices + macroblocks) and
     return the float reconstruction planes (rp_y, rp_cb, rp_cr).
@@ -1395,7 +1446,15 @@ def _encode_anchor_picture(
     ANCHOR — with B pictures in the stream the previous picture in
     transmission order is not necessarily the reference) or None for
     the first I. Extracted verbatim from the r12 I+P loop body so the
-    B-picture path (r13) shares one anchor implementation."""
+    B-picture path (r13) shares one anchor implementation.
+
+    ``half_pel`` (r13): vectors are estimated by the two-stage
+    :func:`_motion_search_half` and coded in HALF-PEL units
+    (full_pel_forward_vector = 0); prediction — luma and the derived
+    truncating-division chroma vector — goes through :func:`_mc_block`,
+    the decoder's own interpolation. With half_pel=False the even
+    full-pel vectors make every _mc_block call a plain slice copy, so
+    r12 streams stay byte-identical (pinned by test)."""
     ref_y = ref_cb = ref_cr = None
     if ref is not None:
         ref_y, ref_cb, ref_cr = ref
@@ -1404,7 +1463,7 @@ def _encode_anchor_picture(
     bw.write(1 if is_i else 2, 3)
     bw.write(0xFFFF, 16)
     if not is_i:
-        bw.write(1, 1)  # full_pel_forward_vector
+        bw.write(0 if half_pel else 1, 1)  # full_pel_forward_vector
         bw.write(1, 3)  # forward_f_code
     bw.write(0, 1)  # extra_bit_picture
     rp_y = np.zeros((ph, pw), dtype=np.float64)
@@ -1438,9 +1497,14 @@ def _encode_anchor_picture(
                 rp_cb[cs_y, cs_x] = rec_cb
                 rp_cr[cs_y, cs_x] = rec_cr
                 continue
-            mvy, mvx, sad = _motion_search(
-                ref_y, cur.astype(np.int64), row * 16, col * 16, search
-            )
+            if half_pel:
+                mvy, mvx, sad = _motion_search_half(
+                    ref_y, cur.astype(np.int64), row * 16, col * 16, search
+                )  # HALF-PEL units (coded directly: full_pel bit is 0)
+            else:
+                mvy, mvx, sad = _motion_search(
+                    ref_y, cur.astype(np.int64), row * 16, col * 16, search
+                )
             # classic variance test: predict only when the residual
             # beats the mean-removed energy of the block itself
             intra_cost = int(np.abs(cur - np.rint(cur.mean())).sum())
@@ -1459,19 +1523,17 @@ def _encode_anchor_picture(
                 rp_cr[cs_y, cs_x] = rec_cr
                 pmv = (0, 0)  # predictors reset after intra
                 continue
-            pred = ref_y[
-                row * 16 + mvy : row * 16 + mvy + 16,
-                col * 16 + mvx : col * 16 + mvx + 16,
-            ]
-            # chroma vector = luma/2, exact (even search)
-            pred_cb = ref_cb[
-                row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
-                col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
-            ]
-            pred_cr = ref_cr[
-                row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
-                col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
-            ]
+            # half-pel luma vector (mvy is already half-pel when
+            # half_pel, else doubled exactly like the decoder does for
+            # full_pel=1); chroma = luma/2 truncating toward zero
+            # (§2.4.4.2). _mc_block is the decoder's own arithmetic —
+            # for even vectors it degenerates to the plain slice copy
+            # this path used through r12 (byte-identical streams).
+            hvy, hvx = (mvy, mvx) if half_pel else (mvy << 1, mvx << 1)
+            cvy, cvx = int(hvy / 2), int(hvx / 2)
+            pred = _mc_block(ref_y, row * 16, col * 16, hvy, hvx, 16)
+            pred_cb = _mc_block(ref_cb, row * 8, col * 8, cvy, cvx, 8)
+            pred_cr = _mc_block(ref_cr, row * 8, col * 8, cvy, cvx, 8)
             resid = cur - pred
             zzs = []
             cbp = 0
@@ -1562,6 +1624,7 @@ def _encode_b_picture(
     mb_h: int,
     ph: int,
     pw: int,
+    half_pel: bool = False,
 ):
     """Write one B picture (ISO 11172-2 §2.4.4.3 bidirectional
     prediction) and return its float reconstruction planes. ``fwd`` /
@@ -1588,9 +1651,9 @@ def _encode_b_picture(
     bw.write(t & 0x3FF, 10)  # temporal_reference (display order)
     bw.write(3, 3)
     bw.write(0xFFFF, 16)
-    bw.write(1, 1)  # full_pel_forward_vector
+    bw.write(0 if half_pel else 1, 1)  # full_pel_forward_vector
     bw.write(1, 3)  # forward_f_code
-    bw.write(1, 1)  # full_pel_backward_vector
+    bw.write(0 if half_pel else 1, 1)  # full_pel_backward_vector
     bw.write(1, 3)  # backward_f_code
     bw.write(0, 1)  # extra_bit_picture
     rp_y = np.zeros((ph, pw), dtype=np.float64)
@@ -1612,12 +1675,16 @@ def _encode_b_picture(
             cs_x = slice(col * 8, col * 8 + 8)
             cur = ypad[ys, xs]
             cur_i = cur.astype(np.int64)
-            fmvy, fmvx, fsad = _motion_search(fy, cur_i, row * 16, col * 16, search)
-            bmvy, bmvx, bsad = _motion_search(by_, cur_i, row * 16, col * 16, search)
-            fpred = fy[row * 16 + fmvy : row * 16 + fmvy + 16,
-                       col * 16 + fmvx : col * 16 + fmvx + 16]
-            bpred = by_[row * 16 + bmvy : row * 16 + bmvy + 16,
-                        col * 16 + bmvx : col * 16 + bmvx + 16]
+            ms = _motion_search_half if half_pel else _motion_search
+            fmvy, fmvx, fsad = ms(fy, cur_i, row * 16, col * 16, search)
+            bmvy, bmvx, bsad = ms(by_, cur_i, row * 16, col * 16, search)
+            # half-pel units for prediction (coded units stay fmv/bmv:
+            # half-pel when half_pel, full-pel otherwise — exactly what
+            # the full_pel picture-header bits tell the decoder)
+            fhy, fhx = (fmvy, fmvx) if half_pel else (fmvy << 1, fmvx << 1)
+            bhy, bhx = (bmvy, bmvx) if half_pel else (bmvy << 1, bmvx << 1)
+            fpred = _mc_block(fy, row * 16, col * 16, fhy, fhx, 16)
+            bpred = _mc_block(by_, row * 16, col * 16, bhy, bhx, 16)
             ipred = (fpred + bpred + 1) >> 1  # §2.4.4.4 rounded average
             isad = int(np.abs(cur_i - ipred).sum())
             mode, sad = min(
@@ -1644,24 +1711,25 @@ def _encode_b_picture(
                 continue
             # prediction planes for the chosen direction(s); chroma
             # vector = luma/2, exact because the search is even
-            def _chroma(ref_c, mvy, mvx):
-                return ref_c[
-                    row * 8 + mvy // 2 : row * 8 + mvy // 2 + 8,
-                    col * 8 + mvx // 2 : col * 8 + mvx // 2 + 8,
-                ]
+            def _chroma(ref_c, hy, hx):
+                # chroma vector = luma/2 truncating toward zero
+                # (§2.4.4.2), in half-pel units — _mc_block is the
+                # decoder's interpolation (slice copy when even)
+                return _mc_block(ref_c, row * 8, col * 8,
+                                 int(hy / 2), int(hx / 2), 8)
 
             if mode == "fwd":
-                pred, = (fpred,)
-                pred_cb = _chroma(fcb, fmvy, fmvx)
-                pred_cr = _chroma(fcr, fmvy, fmvx)
+                pred = fpred
+                pred_cb = _chroma(fcb, fhy, fhx)
+                pred_cr = _chroma(fcr, fhy, fhx)
             elif mode == "bwd":
-                pred, = (bpred,)
-                pred_cb = _chroma(bcb, bmvy, bmvx)
-                pred_cr = _chroma(bcr, bmvy, bmvx)
+                pred = bpred
+                pred_cb = _chroma(bcb, bhy, bhx)
+                pred_cr = _chroma(bcr, bhy, bhx)
             else:
                 pred = ipred
-                pred_cb = (_chroma(fcb, fmvy, fmvx) + _chroma(bcb, bmvy, bmvx) + 1) >> 1
-                pred_cr = (_chroma(fcr, fmvy, fmvx) + _chroma(bcr, bmvy, bmvx) + 1) >> 1
+                pred_cb = (_chroma(fcb, fhy, fhx) + _chroma(bcb, bhy, bhx) + 1) >> 1
+                pred_cr = (_chroma(fcr, fhy, fhx) + _chroma(bcr, bhy, bhx) + 1) >> 1
             resid = cur - pred
             zzs = []
             cbp = 0
@@ -1787,12 +1855,13 @@ def _color_planes(frames_rgb):
 
 
 def _encode_video(frames, qscale, intra_period, search, intra_quant,
-                  b_frames=0):
+                  b_frames=0, half_pel=False):
     """Grayscale I+P(+B) encode; returns (bytes, uint8 Y recon frames
     in DISPLAY order)."""
     planes, w, h = _gray_planes(frames)
     data, recons = _encode_video_planes(
-        planes, w, h, qscale, intra_period, search, intra_quant, b_frames
+        planes, w, h, qscale, intra_period, search, intra_quant,
+        b_frames, half_pel,
     )
     return data, [y for y, _cb, _cr in recons]
 
@@ -1804,6 +1873,7 @@ def encode_mpeg1_video(
     search: int = 8,
     intra_quant: np.ndarray | None = None,
     b_frames: int = 0,
+    half_pel: bool = False,
 ) -> bytes:
     """Encode grayscale uint8 frames as an MPEG-1 elementary stream of
     I and forward-predicted P pictures: every ``intra_period``-th
@@ -1820,9 +1890,12 @@ def encode_mpeg1_video(
     ``intra_period``-th ANCHOR is intra, and the stream carries
     pictures in decoding order (each anchor before the B pictures that
     precede it in display order) with temporal_reference recording the
-    display position."""
+    display position. ``half_pel`` (r13) switches motion estimation to
+    the two-stage half-pel search and codes vectors in half-pel units
+    (full_pel bits 0) — the decoder's §2.4.4.2 interpolation path,
+    exercised by the ENCODER's own closed loop."""
     data, _ = _encode_video(frames, qscale, intra_period, search,
-                            intra_quant, b_frames)
+                            intra_quant, b_frames, half_pel)
     return data
 
 
@@ -1833,6 +1906,7 @@ def mpeg1_video_expected_reconstruction(
     search: int = 8,
     intra_quant: np.ndarray | None = None,
     b_frames: int = 0,
+    half_pel: bool = False,
 ) -> list[np.ndarray]:
     """Encoder-internal reconstruction for :func:`encode_mpeg1_video` —
     the exact uint8 frames a conformant decoder must produce. Unlike
@@ -1844,7 +1918,7 @@ def mpeg1_video_expected_reconstruction(
     be caught at the first P picture. With ``b_frames`` the list is in
     DISPLAY order — exactly the order the decoder emits."""
     _, recons = _encode_video(frames, qscale, intra_period, search,
-                              intra_quant, b_frames)
+                              intra_quant, b_frames, half_pel)
     return recons
 
 
@@ -1855,6 +1929,7 @@ def encode_mpeg1_video_color(
     search: int = 8,
     intra_quant: np.ndarray | None = None,
     b_frames: int = 0,
+    half_pel: bool = False,
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB frames as an MPEG-1 I+P elementary
     stream with REAL 4:2:0 chroma: motion estimated on Y, the spec's
@@ -1868,7 +1943,8 @@ def encode_mpeg1_video_color(
     with the same §2.4.4.4 rounding as Y."""
     planes, w, h = _color_planes(frames_rgb)
     data, _ = _encode_video_planes(
-        planes, w, h, qscale, intra_period, search, intra_quant, b_frames
+        planes, w, h, qscale, intra_period, search, intra_quant,
+        b_frames, half_pel,
     )
     return data
 
@@ -1880,6 +1956,7 @@ def mpeg1_video_color_expected_reconstruction(
     search: int = 8,
     intra_quant: np.ndarray | None = None,
     b_frames: int = 0,
+    half_pel: bool = False,
 ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Encoder-internal (y, cb, cr) reconstruction for
     :func:`encode_mpeg1_video_color` — the closed-loop reference
@@ -1887,6 +1964,7 @@ def mpeg1_video_color_expected_reconstruction(
     display order when ``b_frames`` > 0)."""
     planes, w, h = _color_planes(frames_rgb)
     _, recons = _encode_video_planes(
-        planes, w, h, qscale, intra_period, search, intra_quant, b_frames
+        planes, w, h, qscale, intra_period, search, intra_quant,
+        b_frames, half_pel,
     )
     return recons

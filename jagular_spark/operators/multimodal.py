@@ -993,6 +993,116 @@ def mpeg1_roundtrip_stats(
     return media.mapInPandas(kernel, MJPEG_ROUNDTRIP_SCHEMA)
 
 
+def mpeg1_halfpel_roundtrip_stats(
+    media: DataFrame,
+    qscale: int = 1,
+    tol: int = 8,
+    frame_h: int = 32,
+    frame_w: int = 8,
+    intra_period: int = 4,
+    b_frames: int = 0,
+    flat_quant: int | None = 16,
+    max_frames: int = 16,
+) -> DataFrame:
+    """HALF-PEL motion-compensated roundtrip (r13): frames step by
+    HALF a row per display position — even frames are plain row
+    windows of the payload at offset t/2 rows, odd frames are the
+    §2.4.4.2-rounded average of adjacent rows ((a + b + 1) >> 1), a
+    true +0.5-pel vertical shift no full-pel vector can express — and
+    the whole sequence encodes with ``half_pel=True``: the two-stage
+    search must land on ODD vertical vectors for the half-row steps
+    (pinned on this exact geometry in tests/test_mpeg1_halfpel.py::
+    test_corpus_geometry_selects_odd_vectors — the r12 vacuity
+    discipline: a green row must certify interpolation that RAN), and
+    decode == the encoder's closed-loop reconstruction BIT-EXACTLY.
+    The oracle reproduces the frame construction — including the odd
+    frames' rounded row averages — in exact integer SQL. Same output
+    schema / narrow Arrow-map shape as mpeg1_roundtrip_stats; payloads
+    never shuffle."""
+    import numpy as _np
+
+    from jagular_spark.operators.mpeg1 import _encode_video, decode_mpeg1_video
+
+    quant = (
+        None
+        if flat_quant is None
+        else _np.full(64, int(flat_quant), dtype=_np.int64)
+    )
+    fsz = frame_h * frame_w
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples(index=False):
+                if r.codec != "raw8":
+                    raise NotImplementedError(
+                        f"codec {r.codec!r}: mpeg1_halfpel_roundtrip_stats "
+                        "needs raw8 input"
+                    )
+                buf = np.frombuffer(bytes(r.payload), dtype=np.uint8)
+                n_rows = len(buf) // frame_w
+                if n_rows < frame_h + 2:
+                    continue
+                grid = (
+                    buf[: n_rows * frame_w]
+                    .reshape(n_rows, frame_w)
+                    .astype(np.int64)
+                )
+                # max t: even 2(R-h); capped — the half-row stride
+                # yields ~2 frames per payload ROW (~70/doc), and 16
+                # already exercises 8 odd half-pel steps per stream
+                nf = min(2 * n_rows - (2 * frame_h - 1), max_frames)
+                origs = []
+                for t in range(nf):
+                    off = t // 2
+                    if t % 2 == 0:
+                        f = grid[off : off + frame_h]
+                    else:
+                        f = (
+                            grid[off : off + frame_h]
+                            + grid[off + 1 : off + frame_h + 1]
+                            + 1
+                        ) >> 1
+                    origs.append(f.astype(np.uint8))
+                # one encoder pass yields BOTH the stream and the
+                # closed-loop reconstruction (the two public wrappers
+                # each re-run the encode — 2x the work for nothing)
+                stream, expected = _encode_video(
+                    origs, qscale, intra_period, 7, quant, b_frames, True
+                )
+                dec_frames, w, h = decode_mpeg1_video(stream)
+                dims_ok = (w, h) == (frame_w, frame_h) and len(dec_frames) == nf
+                for i, (dec, exp, orig) in enumerate(
+                    zip(dec_frames, expected, origs)
+                ):
+                    ok = (
+                        dims_ok
+                        and dec.shape == (frame_h, frame_w)
+                        and np.array_equal(dec, exp)
+                        and bool(
+                            np.abs(
+                                dec.astype(np.int64) - orig.astype(np.int64)
+                            ).max(initial=0)
+                            <= tol
+                        )
+                    )
+                    s = int(orig.sum(dtype=np.int64))
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "frame_idx": i,
+                            "height": frame_h,
+                            "width": frame_w,
+                            "orig_sum": s,
+                            "mean_px": float(s) / float(fsz * 255),
+                            "frame_ok": ok,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(kernel, MJPEG_ROUNDTRIP_SCHEMA)
+
+
 def mpeg1_pframe_roundtrip_stats(
     media: DataFrame,
     qscale: int = 1,
@@ -1039,11 +1149,7 @@ def mpeg1_pframe_roundtrip_stats(
     tests/test_mpeg1_bframes.py::test_corpus_geometry_forces_both_directions)."""
     import numpy as _np
 
-    from jagular_spark.operators.mpeg1 import (
-        decode_mpeg1_video,
-        encode_mpeg1_video,
-        mpeg1_video_expected_reconstruction,
-    )
+    from jagular_spark.operators.mpeg1 import _encode_video, decode_mpeg1_video
 
     fsz = frame_h * frame_w
     stride = stride_rows * frame_w
@@ -1070,10 +1176,8 @@ def mpeg1_pframe_roundtrip_stats(
                     buf[i * stride : i * stride + fsz].reshape(frame_h, frame_w)
                     for i in range(nf)
                 ]
-                stream = encode_mpeg1_video(
-                    origs, qscale, intra_period, 8, quant, b_frames
-                )
-                expected = mpeg1_video_expected_reconstruction(
+                # single encoder pass for stream + closed-loop recon
+                stream, expected = _encode_video(
                     origs, qscale, intra_period, 8, quant, b_frames
                 )
                 dec_frames, w, h = decode_mpeg1_video(stream)

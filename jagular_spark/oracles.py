@@ -1864,6 +1864,41 @@ ORACLE_SQL["docs_media_mpeg1_bframes"] = """
            TRUE AS frame_ok
     FROM f"""
 
+# Half-pel MPEG-1 (r13): frames step by HALF a row — even frames are
+# plain 32x8 row windows at offset t/2 rows, odd frames the
+# §2.4.4.2-rounded average of adjacent rows ((a+b+1)//2, exact integer
+# floor on both engines). R = length//8 usable rows; nf = 2R-63 (max
+# even t = 2(R-32); odd t needs one extra row). frame_ok is the
+# hash-verified codec signal: decode == closed-loop recon bit-exactly
+# through the half-pel interpolation path. Frame count capped at 8
+# per doc (the half-row stride yields ~2 frames/payload-row; 8 still
+# carries 4 odd half-pel steps per stream, and the per-frame encode
+# cost is what bounds the bench).
+ORACLE_SQL["docs_media_mpeg1_halfpel"] = """
+    WITH b AS (
+        SELECT doc_id AS media_id,
+               CAST(length(text) // 8 AS BIGINT) AS r, text
+        FROM documents WHERE length(text) = strlen(text) AND length(text) >= 272
+    ), f AS (
+        SELECT media_id, CAST(s.t AS BIGINT) AS frame_idx,
+               CAST(CASE WHEN s.t % 2 = 0 THEN
+                   list_sum(list_transform(
+                       generate_series((s.t // 2) * 8 + 1, (s.t // 2) * 8 + 256),
+                       j -> ord(substr(text, j, 1))))
+               ELSE
+                   list_sum(list_transform(
+                       generate_series(1, 256),
+                       j -> (ord(substr(text, (s.t // 2) * 8 + j, 1))
+                             + ord(substr(text, (s.t // 2) * 8 + 8 + j, 1))
+                             + 1) // 2))
+               END AS BIGINT) AS orig_sum
+        FROM b, UNNEST(generate_series(0, least(2 * r - 64, 7))) AS s(t)
+    )
+    SELECT media_id, frame_idx, 32 AS height, 8 AS width, orig_sum,
+           CAST(orig_sum AS DOUBLE) / (256 * 255) AS mean_px,
+           TRUE AS frame_ok
+    FROM f"""
+
 # Color MPEG-1: one row per 192-byte (8x8 RGB) frame — sized so real
 # corpus docs qualify (the former 768 B gate matched zero docs at
 # every shipped sf); exact original byte stats + the hash-verified
@@ -2302,6 +2337,63 @@ ORACLE_SQL["docs_bigram_fluency"] = """
     SELECT doc_id, lang, n_bigrams, freq_sum,
            CAST(freq_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
     FROM agg"""
+
+# DSIR targeted-selection scores (r13): hashed unigram+bigram count
+# models over target (doc_id%50==0) and raw corpora, per-bucket integer
+# cross-multiplied probability difference
+# delta[b] = (tc+1)*Mr - (rc+1)*Mt, per-doc BIGINT sum over gram
+# occurrences, two final IEEE divisions — mirrors
+# operators/selection.py exactly (no transcendental anywhere).
+_DSIR_PREFIX = """
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_concat(t, CASE WHEN len(t) >= 2 THEN
+                   list_transform(generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1])
+                   ELSE [] END) AS gs
+        FROM tok
+    ), g AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(u.g), 1, 8))::BIGINT % 4096 AS INT) AS b
+        FROM grams, UNNEST(gs) AS u(g)
+    ), tcnt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM g
+        WHERE doc_id % 50 = 0 GROUP BY b
+    ), rcnt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM g
+        WHERE doc_id % 50 <> 0 GROUP BY b
+    ), tot AS (
+        SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM tcnt) + 4096 AS BIGINT) AS mt,
+               CAST((SELECT COALESCE(SUM(c), 0) FROM rcnt) + 4096 AS BIGINT) AS mr
+    ), delta AS (
+        SELECT CAST(s.i AS INT) AS b,
+               (COALESCE(tc.c, 0) + 1) * tot.mr
+                 - (COALESCE(rc.c, 0) + 1) * tot.mt AS d
+        FROM UNNEST(generate_series(0, 4095)) AS s(i)
+        CROSS JOIN tot
+        LEFT JOIN tcnt tc ON tc.b = s.i
+        LEFT JOIN rcnt rc ON rc.b = s.i
+    ), scored AS (
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(delta.d) AS BIGINT) AS score_num
+        FROM g JOIN delta ON g.b = delta.b
+        WHERE g.doc_id % 50 <> 0
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, score_num,
+           CAST(score_num AS DOUBLE) / (SELECT CAST(mt AS DOUBLE) FROM tot)
+               / (SELECT CAST(mr AS DOUBLE) FROM tot) AS score
+    FROM scored"""
+
+ORACLE_SQL["docs_dsir_scores"] = _DSIR_PREFIX
+
+ORACLE_SQL["docs_dsir_topk"] = (
+    _DSIR_PREFIX + "\n    ORDER BY score_num DESC, doc_id ASC LIMIT 100"
+)
 
 # k-NN label vote: exact integer dots, (dot DESC, neighbor) top-10,
 # (votes DESC, label) argmax — all-integer output.

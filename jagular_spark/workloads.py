@@ -1410,6 +1410,43 @@ def docs_media_mpeg1_bframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_media_mpeg1_halfpel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HALF-PEL MPEG-1 under the driver oracle (r13): 32x8 grayscale
+    frames stepping by HALF A ROW per display position — even frames
+    are plain row windows of the doc bytes, odd frames the
+    §2.4.4.2-rounded average of adjacent rows, a true +0.5-pel
+    vertical shift NO full-pel vector can express — encoded with
+    ``half_pel=True`` (full_pel bits 0, vectors coded in half-pel
+    units, two-stage search, chroma truncating-division vectors). The
+    geometry forces the search onto ODD vertical vectors (pinned in
+    tests/test_mpeg1_halfpel.py on this exact construction — r12
+    vacuity discipline), so the hash-verified rows certify the
+    decoder's half-pel interpolation path running inside the encoder's
+    own closed loop: frame_ok requires decode == reconstruction
+    BIT-EXACTLY. The oracle replays the frame construction — rounded
+    row averages included — in exact integer SQL."""
+    from jagular_spark.operators.multimodal import mpeg1_halfpel_roundtrip_stats
+
+    docs = _ascii_docs(spark, sf_dir)
+    nb = F.length(F.encode("text", "UTF-8"))
+    media = docs.where(nb >= 272).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(8).alias("width"),
+        F.lit(32).alias("height"),
+        F.least(
+            F.lit(2) * (nb / 8).cast("int") - 63, F.lit(8)
+        ).cast("int").alias("n_frames"),
+        F.lit(0).alias("sample_rate"),
+    )
+    return mpeg1_halfpel_roundtrip_stats(
+        _codec_spread(media), qscale=1, tol=8, intra_period=4, flat_quant=16,
+        max_frames=8,
+    )
+
+
 def docs_media_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4:2:0 COLOR baseline-JPEG roundtrip under the driver oracle: doc
     bytes become a (h, 16, 3) RGB image, go through the full color
@@ -3294,6 +3331,45 @@ def docs_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.bigram_fluency(load(spark, sf_dir, "documents"))
 
 
+def docs_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style targeted selection scores (Xie et al. 2023,
+    arXiv:2302.03169) under the driver oracle: every 50th document is
+    the high-quality TARGET seed set, the rest are the raw pool; both
+    get hashed unigram+bigram count models (4096 md5 buckets, the
+    paper's feature hashing), and every raw document is scored by the
+    exact-BIGINT cross-multiplied probability-difference surrogate of
+    the paper's log-likelihood-ratio importance (operators/selection.py
+    — the BM25-rational-idf discipline: no transcendental in the
+    hash-matched path; the paper-exact log form is replayed in
+    tests/test_spec_boundaries.py). Fit = two bounded aggregates
+    (≤ 4096 rows collected); scoring = row-local literal-table lookup,
+    zero shuffles on the corpus; the only floats are two final IEEE
+    divisions."""
+    from jagular_spark.operators.selection import dsir_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+    )
+
+
+def docs_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection cut: the 100 most target-like raw documents
+    by (score_num DESC, doc_id ASC) — an exact-integer total order, so
+    the k-boundary is engine-reproducible, and orderBy+limit plans as
+    TakeOrderedAndProject (per-task heap top-k; the corpus never
+    shuffles — pinned in tests/test_plans.py)."""
+    from jagular_spark.operators.selection import dsir_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_topk(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        k=100,
+    )
+
+
 def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote label propagation (semi-supervised labeling):
     50 probe vectors classified by their 10 exact-integer-dot nearest
@@ -3376,6 +3452,11 @@ ROUND_TOUCHED: set[str] = {
     "emb_ann_topk_ivf_fitrows",
     # NEW this round: MPEG-1 B pictures (bidirectional prediction)
     "docs_media_mpeg1_bframes",
+    # NEW this round: DSIR targeted data selection
+    "docs_dsir_scores",
+    "docs_dsir_topk",
+    # NEW this round: half-pel motion estimation
+    "docs_media_mpeg1_halfpel",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3389,7 +3470,10 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
+    "docs_dsir_scores": docs_dsir_scores,  # last green r0
+    "docs_dsir_topk": docs_dsir_topk,  # last green r0
     "docs_media_mpeg1_bframes": docs_media_mpeg1_bframes,  # last green r0
+    "docs_media_mpeg1_halfpel": docs_media_mpeg1_halfpel,  # last green r0
     "emb_ann_topk_ivf_fitrows": emb_ann_topk_ivf_fitrows,  # last green r0
     "docs_simhash_neardup": docs_simhash_neardup,  # last green r10
     "docs_stratified_sample": docs_stratified_sample,  # last green r10
@@ -3433,13 +3517,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_fingerprint": docs_fingerprint,  # last green r11
     "docs_gopher_rules": docs_gopher_rules,  # last green r11
     "docs_language_id": docs_language_id,  # last green r11
-    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
-    "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r11
-    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,  # last green r11
     "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r12
     "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r12
     "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r12
     # ---- driver window ends here ----
+    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
+    "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r11
+    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,  # last green r11
     "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,  # last green r11
     "docs_media_png_roundtrip": docs_media_png_roundtrip,  # last green r11
     "docs_media_stats": docs_media_stats,  # last green r11

@@ -535,3 +535,21 @@ def test_fit_rows_sample_is_takeordered_no_shuffle(spark):
     assert "TakeOrderedAndProject" in p
     assert "Exchange" not in p
     assert "SortExec" not in p and "Sort " not in p
+
+
+def test_dsir_scoring_is_row_local_topk_is_heap(spark):
+    """DSIR scoring must be a pure row-local projection against the
+    literal delta table (zero Exchange — the corpus never shuffles for
+    scoring; the fit's two bounded aggregates run at call time), and
+    the selection cut must plan as TakeOrderedAndProject, not a global
+    sort."""
+    from jagular_spark.operators.selection import dsir_scores, dsir_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    raw = docs.where("doc_id % 50 != 0")
+    tgt = docs.where("doc_id % 50 = 0")
+    p = _formatted(dsir_scores(raw, tgt))
+    assert "Exchange" not in p
+    assert "Generate" not in p  # no explode in the scoring path
+    pk = _formatted(dsir_topk(raw, tgt, k=100))
+    assert "TakeOrderedAndProject" in pk

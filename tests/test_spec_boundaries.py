@@ -814,3 +814,118 @@ def test_bloom_decontaminate_matches_independent_python_reference(spark):
         for d in want_exact
         if got_exact[d] != want_exact[d]
     }
+
+
+# ---------------------------------------------------------------------------
+# DSIR targeted selection — independent replay + paper-log-form agreement
+# ---------------------------------------------------------------------------
+
+
+def _dsir_reference(raw_docs, target_docs, n_buckets=4096, alpha=1):
+    """Independent pure-Python replay of the DSIR surrogate (hashlib +
+    Counter — no Spark, no DuckDB): hashed unigram+bigram occurrence
+    counts, delta[b] = (tc+alpha)·Mr − (rc+alpha)·Mt, per-doc BIGINT
+    sum, two IEEE divisions. ALSO returns the PAPER's exact
+    log-likelihood-ratio score (math.log of the same smoothed
+    probabilities) so the surrogate's ranking behaviour is checked
+    against the published form, not just against itself."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def grams(text):
+        t = text.split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    tc, rc = Counter(), Counter()
+    for _, text in target_docs:
+        tc.update(bucket(g) for g in grams(text))
+    for _, text in raw_docs:
+        rc.update(bucket(g) for g in grams(text))
+    mt = sum(tc.values()) + alpha * n_buckets
+    mr = sum(rc.values()) + alpha * n_buckets
+    delta = {
+        b: (tc.get(b, 0) + alpha) * mr - (rc.get(b, 0) + alpha) * mt
+        for b in set(tc) | set(rc)
+    }
+    base_delta = alpha * mr - alpha * mt  # unseen-bucket value
+
+    out, log_scores = {}, {}
+    for doc_id, text in raw_docs:
+        gs = grams(text)
+        num = sum(delta.get(bucket(g), base_delta) for g in gs)
+        out[doc_id] = (len(gs), num, num / mt / mr)
+        log_scores[doc_id] = sum(
+            math.log((tc.get(bucket(g), 0) + alpha) / mt)
+            - math.log((rc.get(bucket(g), 0) + alpha) / mr)
+            for g in gs
+        )
+    return out, log_scores
+
+
+def test_dsir_scores_match_independent_python_reference(spark):
+    """Engine DSIR scores == the hashlib/Counter replay — exact BIGINT
+    score_num and bit-equal IEEE-division score — on a seeded corpus
+    with a disjoint target vocabulary mixed into raw docs at doc-
+    controlled rates, so the scores span strongly-negative to
+    strongly-positive. The same corpus checks the surrogate against
+    the PAPER's log-ratio form: documents whose target-gram fraction
+    strictly dominates another's must rank above it under BOTH
+    scores (the claim the surrogate is shipped on)."""
+    import random
+
+    from jagular_spark.operators.selection import dsir_scores
+
+    rng = random.Random(17)
+    tvoc = [f"tq{i:02d}" for i in range(30)]   # target-favored vocab
+    rvoc = [f"rw{i:02d}" for i in range(60)]   # raw-background vocab
+    target_docs = [
+        (1000 + i, " ".join(rng.choice(tvoc) for _ in range(rng.randint(15, 25))))
+        for i in range(20)
+    ]
+    raw_docs = []
+    for i in range(100):
+        # target-gram fraction rises with i%5: 0, 1/4, 1/2, 3/4, 1 —
+        # the top tier is pure target vocabulary so positive scores
+        # occur; 256 buckets keep the +1 smoothing mass (alpha times
+        # n_buckets) from drowning the organic counts at this corpus
+        # size (probability-DIFFERENCE weighting needs the fitted
+        # distributions, not the uniform prior, to dominate)
+        n = 24
+        k = (i % 5) * 6
+        toks = [rng.choice(tvoc) for _ in range(k)] + [
+            rng.choice(rvoc) for _ in range(n - k)
+        ]
+        rng.shuffle(toks)
+        raw_docs.append((i, " ".join(toks)))
+
+    ref, log_scores = _dsir_reference(raw_docs, target_docs, n_buckets=256)
+    raw = spark.createDataFrame(raw_docs, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (int(r.n_grams), int(r.score_num), float(r.score))
+        for r in dsir_scores(raw, tgt, n_buckets=256).collect()
+    }
+    assert got == ref, {
+        d: (got[d], ref[d]) for d in ref if got.get(d) != ref[d]
+    }
+    # corpus must genuinely span both signs (vacuity guard)
+    nums = [v[1] for v in ref.values()]
+    assert min(nums) < 0 < max(nums)
+    # paper-form agreement: mean surrogate and mean log score per
+    # target-fraction tier must BOTH be strictly increasing in the
+    # tier — the ordering claim the surrogate ships on
+    tiers = {t: [d for d, _ in raw_docs if d % 5 == t] for t in range(5)}
+
+    def tier_means(scores):
+        return [
+            sum(scores[d] for d in tiers[t]) / len(tiers[t]) for t in range(5)
+        ]
+
+    sur = tier_means({d: v[1] for d, v in ref.items()})
+    logm = tier_means(log_scores)
+    assert all(a < b for a, b in zip(sur, sur[1:])), sur
+    assert all(a < b for a, b in zip(logm, logm[1:])), logm
