@@ -131,9 +131,27 @@ def dsir_scores(
     delta, mt, mr = dsir_fit_deltas(
         raw, target, id_col, text_col, n_buckets, alpha
     )
+    return score_with_deltas(raw, delta, mt, mr, id_col, text_col, n_buckets)
+
+
+def score_with_deltas(
+    df: DataFrame,
+    delta: list[int],
+    mt: int,
+    mr: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The serving half: score documents against an ALREADY-FITTED
+    delta table — a pure row-local projection (no shuffle, no state),
+    which is also exactly the frozen-model STREAMING shape
+    (streaming/pipeline.stream_dsir_scores wires a document stream
+    through this very function; stream-static with zero stateful
+    operators, so append mode just works)."""
     lit = F.lit(delta).cast("array<bigint>")
     gs = F.expr(_grams_expr(text_col))
-    out = raw.select(F.col(id_col), gs.alias("__gs__")).select(
+    out = df.select(F.col(id_col), gs.alias("__gs__")).select(
         F.col(id_col),
         F.size("__gs__").cast("long").alias("n_grams"),
         F.aggregate(

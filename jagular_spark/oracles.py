@@ -2391,6 +2391,10 @@ _DSIR_PREFIX = """
 
 ORACLE_SQL["docs_dsir_scores"] = _DSIR_PREFIX
 
+# the streaming twin is bit-identical to the batch scorer (frozen fit,
+# stateless row-local serving) — same oracle verbatim
+ORACLE_SQL["docs_dsir_scores_streamed"] = _DSIR_PREFIX
+
 ORACLE_SQL["docs_dsir_topk"] = (
     _DSIR_PREFIX + "\n    ORDER BY score_num DESC, doc_id ASC LIMIT 100"
 )

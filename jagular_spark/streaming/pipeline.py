@@ -653,3 +653,26 @@ def stream_interval_enrich(
         & (F.col("r.r_ts") <= F.col(f"l.{ts_col}"))
     )
     return l.join(r, cond, "inner").drop("r_key")
+
+
+def stream_dsir_scores(
+    docs: DataFrame,
+    delta: list[int],
+    mt: int,
+    mr: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Frozen-model DSIR importance scoring on a document stream (the
+    serving shape of targeted data selection: fit the hashed-ngram
+    models offline on target + raw snapshots, then score every
+    arriving crawl document incrementally). COMPLETELY stateless —
+    the fitted delta table rides into the plan as a literal and
+    scoring is a row-local projection (operators/selection.py
+    score_with_deltas, shared with the batch operator), so there is no
+    watermark, no state store, and ``append`` output mode works as-is.
+    Bit-identical to the batch ``dsir_scores`` when the fit snapshot
+    matches (parity pinned in tests/test_streaming.py; the driver
+    query shares docs_dsir_scores' oracle verbatim)."""
+    from jagular_spark.operators.selection import score_with_deltas
+
+    return score_with_deltas(docs, delta, mt, mr, n_buckets=n_buckets)

@@ -3354,6 +3354,32 @@ def docs_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dsir_scores_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of docs_dsir_scores — the serving shape of
+    targeted selection: the hashed-ngram models are fit OFFLINE on the
+    target/raw snapshots (two bounded batch aggregates) and every
+    arriving document is scored incrementally against the frozen
+    integer delta table (streaming/pipeline.stream_dsir_scores).
+    Completely STATELESS — the fit rides into the plan as a literal and
+    scoring is a row-local projection, so there is no watermark and no
+    state store; one availableNow pass over the staged corpus emits
+    exactly the batch rows, and the query shares docs_dsir_scores'
+    oracle verbatim (hash match, not rows-only)."""
+    from jagular_spark.operators.selection import dsir_fit_deltas
+    from jagular_spark.streaming.pipeline import stream_dsir_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = docs.where(F.col("doc_id") % 50 != 0)
+    delta, mt, mr = dsir_fit_deltas(raw, docs.where(F.col("doc_id") % 50 == 0))
+    stage = _stage_dir("dsir_stream", sf_dir)
+    raw.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    tbl = _run_stream_to_table(
+        stream_dsir_scores(stream, delta, mt, mr), "dsir_stream"
+    )
+    return spark.table(tbl)
+
+
 def docs_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DSIR selection cut: the 100 most target-like raw documents
     by (score_num DESC, doc_id ASC) — an exact-integer total order, so
@@ -3457,6 +3483,8 @@ ROUND_TOUCHED: set[str] = {
     "docs_dsir_topk",
     # NEW this round: half-pel motion estimation
     "docs_media_mpeg1_halfpel",
+    # NEW this round: frozen-model streaming DSIR scorer
+    "docs_dsir_scores_streamed",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3471,6 +3499,7 @@ EXPECT_EMPTY: set[str] = set()
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
     "docs_dsir_scores": docs_dsir_scores,  # last green r0
+    "docs_dsir_scores_streamed": docs_dsir_scores_streamed,  # last green r0
     "docs_dsir_topk": docs_dsir_topk,  # last green r0
     "docs_media_mpeg1_bframes": docs_media_mpeg1_bframes,  # last green r0
     "docs_media_mpeg1_halfpel": docs_media_mpeg1_halfpel,  # last green r0
@@ -3516,11 +3545,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_exact_dedup": docs_exact_dedup,  # last green r11
     "docs_fingerprint": docs_fingerprint,  # last green r11
     "docs_gopher_rules": docs_gopher_rules,  # last green r11
-    "docs_language_id": docs_language_id,  # last green r11
     "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r12
     "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r12
     "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r12
     # ---- driver window ends here ----
+    "docs_language_id": docs_language_id,  # last green r11
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
     "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r11
     "docs_media_jpeg_progressive": docs_media_jpeg_progressive,  # last green r11

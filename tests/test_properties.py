@@ -527,3 +527,50 @@ def test_mpeg1_bframe_roundtrip_property(data, qscale, w, intra_period, b_frames
     assert (dw, dh) == (w, h) and len(dec) == len(frames)
     for g, x in zip(dec, want):
         assert (g == x).all(), (qscale, w, intra_period, b_frames, len(frames))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.binary(min_size=900, max_size=2200),
+    qscale=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=9, max_value=20),
+    b_frames=st.integers(min_value=0, max_value=2),
+)
+def test_mpeg1_halfpel_roundtrip_property(data, qscale, w, b_frames):
+    """half_pel=True decode reproduces the closed-loop reconstruction
+    BIT-EXACTLY for arbitrary byte content, dims, qscale and B-group
+    size: the two-stage search runs over lossy reconstructions of
+    random content, so odd half-pel vectors, truncating-division
+    chroma (negative side included), and the full_pel=0 decode path
+    all fire across examples, in P-only and B streams alike."""
+    import numpy as np
+
+    from jagular_spark.operators.mpeg1 import (
+        decode_mpeg1_video,
+        encode_mpeg1_video,
+        mpeg1_video_expected_reconstruction,
+    )
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    h = 18
+    fsz, stride = h * w, 3 * w
+    n = min((len(buf) - fsz) // stride + 1, 5)
+    if n < 2:
+        n = 1
+    frames = [
+        buf[i * stride : i * stride + fsz].reshape(h, w) for i in range(n)
+    ]
+    flat = np.full(64, 16, dtype=np.int64)
+    dec, dw, dh = decode_mpeg1_video(
+        encode_mpeg1_video(
+            frames, qscale=qscale, intra_period=2, search=7,
+            intra_quant=flat, b_frames=b_frames, half_pel=True,
+        )
+    )
+    want = mpeg1_video_expected_reconstruction(
+        frames, qscale=qscale, intra_period=2, search=7,
+        intra_quant=flat, b_frames=b_frames, half_pel=True,
+    )
+    assert (dw, dh) == (w, h) and len(dec) == len(frames)
+    for g, x in zip(dec, want):
+        assert (g == x).all(), (qscale, w, b_frames, len(frames))

@@ -880,3 +880,46 @@ def test_stream_lsh_hot_bucket_freezes_at_cap(spark, tmp_path):
     stream2 = _as_stream(spark, docs, tmp_path, "hotlsh2")
     _run_to_memory(stream_lsh_candidate_pairs(stream2), "lsh_uncapped", "append")
     assert spark.sql("SELECT count(*) c FROM lsh_uncapped").collect()[0].c == 4 * 10
+
+
+def test_stream_dsir_scores_parity_with_batch(spark, tmp_path):
+    """Frozen-model streaming DSIR == batch dsir_scores bit-for-bit on
+    the same fit snapshot (score_num exact BIGINT, score the same two
+    IEEE divisions), with ZERO stateful operators — append mode, no
+    watermark, no state store."""
+    from jagular_spark.operators.selection import dsir_fit_deltas, dsir_scores
+    from jagular_spark.streaming.pipeline import stream_dsir_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    raw = docs.where("doc_id % 50 != 0")
+    tgt = docs.where("doc_id % 50 = 0")
+    batch = {
+        r.doc_id: (r.n_grams, r.score_num, r.score)
+        for r in dsir_scores(raw, tgt).collect()
+    }
+    delta, mt, mr = dsir_fit_deltas(raw, tgt)
+    stage = str(tmp_path / "docs")
+    raw.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    q = (
+        stream_dsir_scores(stream, delta, mt, mr)
+        .writeStream.format("memory")
+        .queryName("dsir_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_grams, r.score_num, r.score)
+        for r in spark.table("dsir_parity").collect()
+    }
+    assert got == batch
+    # stateless by construction: no state-store rows were ever created
+    prog = q.lastProgress
+    assert all(
+        (op.get("numRowsTotal") or 0) == 0
+        for op in (prog.get("stateOperators") or [])
+    )
