@@ -718,6 +718,101 @@ def _normed_bucketed(
     return base.withColumn("bucket", _bucket_from_dots(_plane_dots("iv", n_planes, dim)))
 
 
+def ann_topk_truncated(
+    df: DataFrame,
+    probe_filter: F.Column,
+    k: int = 5,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncated-dimension exact top-k (Kusupati et
+    al. 2022, arXiv:2205.13147: MRL embeddings are trained so their
+    PREFIX is itself a usable embedding — serving at dims/D of the
+    full dot cost is the standard cheap first-pass retrieval lever).
+    Identical plan to :func:`ann_topk_bruteforce` — broadcast probes,
+    corpus never shuffles, exact integer dots, (dot DESC, neighbor)
+    ties — but every vector is sliced to its first ``dims`` components
+    before the norm and the dot, so the query measures what that
+    truncation actually retrieves. ``(query_id, neighbor_id, rank,
+    cos)`` with cos computed in the truncated space."""
+    iv_t = F.slice(int_vec(vec_col), 1, dims)
+    base = df.select(F.col(id_col).alias("id"), iv_t.alias("iv"))
+    base = base.withColumn("nrm", _int_dot("iv", "iv"))
+    probes = base.where(probe_filter).select(
+        F.col("id").alias("query_id"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
+    )
+    corpus = base.select(
+        F.col("id").alias("neighbor_id"), F.col("iv").alias("iv_b"), F.col("nrm").alias("nrm_b")
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def mrl_recall(
+    df: DataFrame,
+    probe_filter: F.Column,
+    k: int = 5,
+    dims_list: tuple[int, ...] = (16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall audit for prefix-truncated retrieval: per (dims, probe),
+    the full-dimension exact top-k vs the truncated top-k — overlap
+    counts and recall@k, so the dimension/quality trade is a
+    hash-verified number instead of folklore. All-integer counts; the
+    single float is the final division (the emb_ann_recall shape).
+    ``(dims, query_id, n_full, n_trunc, n_overlap, recall)``."""
+    full = (
+        ann_topk_bruteforce(df, probe_filter, k, id_col, vec_col)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    nf = full.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full")
+    )
+    parts = []
+    for d in dims_list:
+        tr = ann_topk_truncated(df, probe_filter, k, d, id_col, vec_col).select(
+            "query_id", "neighbor_id"
+        )
+        nt = tr.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_trunc")
+        )
+        nov = (
+            full.join(tr, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        )
+        parts.append(
+            nf.join(nt, "query_id", "left")
+            .join(nov, "query_id", "left")
+            .select(
+                F.lit(d).cast("long").alias("dims"),
+                "query_id",
+                "n_full",
+                F.coalesce("n_trunc", F.lit(0).cast("long")).alias("n_trunc"),
+                F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.withColumn(
+        "recall",
+        F.col("n_overlap").cast("double") / F.col("n_full").cast("double"),
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     probe_filter: F.Column,

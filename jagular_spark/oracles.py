@@ -2480,6 +2480,72 @@ ORACLE_SQL["q18_large_volume_customers"] = """
     LIMIT 100"""
 
 
+def _truncated_ann_sql(dims: int, k: int = 5) -> str:
+    """Brute-force top-k in the FIRST ``dims`` components — the
+    emb_ann_topk template with the integer vectors list-sliced before
+    norm and dot (DuckDB ``iv[1:d]`` is 1-based inclusive slicing)."""
+    return f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * {sim.EMB_SCALE}) AS BIGINT)
+        )[1:{dims}] AS iv
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, iv,
+               CAST(list_sum(list_transform(generate_series(1, len(iv)),
+                    i -> iv[i] * iv[i])) AS BIGINT) AS nrm
+        FROM base
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(generate_series(1, len(q.iv)),
+                    i -> q.iv[i] * c.iv[i])) AS BIGINT) AS dot,
+               q.nrm AS nrm_a, c.nrm AS nrm_b
+        FROM normed q JOIN normed c
+          ON q.vec_id < 20 AND c.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k}"""
+
+
+def _mrl_recall_oracle(dims_list=(16, 32), k: int = 5) -> str:
+    """Per (dims, probe): full-dimension exact top-k vs the truncated
+    top-k — counts + one division (the emb_ann_recall composition
+    keyed by the integer dims instead of a method name)."""
+    exact_sql = ORACLE_SQL["emb_ann_topk"]
+    parts = []
+    for d in dims_list:
+        tsql = _truncated_ann_sql(d, k)
+        parts.append(f"""
+    SELECT CAST({d} AS BIGINT) AS dims, ne.query_id, ne.n_full,
+           COALESCE(nt.n_trunc, CAST(0 AS BIGINT)) AS n_trunc,
+           COALESCE(nov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+    FROM (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_full
+        FROM ({exact_sql}) e GROUP BY query_id
+    ) ne
+    LEFT JOIN (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_trunc
+        FROM ({tsql}) a GROUP BY query_id
+    ) nt ON ne.query_id = nt.query_id
+    LEFT JOIN (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM ({exact_sql}) e JOIN ({tsql}) a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    ) nov ON ne.query_id = nov.query_id""")
+    body = "\n    UNION ALL\n".join(parts)
+    return f"""
+    SELECT dims, query_id, n_full, n_trunc, n_overlap,
+           CAST(n_overlap AS DOUBLE) / CAST(n_full AS DOUBLE) AS recall
+    FROM ({body})"""
+
+
+ORACLE_SQL["emb_mrl_recall"] = _mrl_recall_oracle()
+
+
 def _ann_recall_oracle() -> str:
     """Compose the recall audit from the ALREADY-VERIFIED per-method
     oracles (brute / LSH / frozen-IVF result sets as subquery CTEs) —

@@ -3396,6 +3396,20 @@ def docs_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncated-dimension recall audit (Kusupati et al.
+    2022, arXiv:2205.13147) under the driver oracle: per probe, the
+    exact full-64-dim top-5 vs the top-5 retrieved using only the
+    first 16 and 32 vector components — overlap counts and recall@5,
+    so the standard cheap-first-pass dimension/quality trade is a
+    hash-verified measurement. Both sides are exact integer dots (the
+    truncated space slices the integer vectors before norm + dot);
+    probes broadcast, the corpus never shuffles; the single float is
+    the final recall division."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.mrl_recall(emb, F.col("id") < 20, k=5, dims_list=(16, 32))
+
+
 def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN majority-vote label propagation (semi-supervised labeling):
     50 probe vectors classified by their 10 exact-integer-dot nearest
@@ -3485,6 +3499,8 @@ ROUND_TOUCHED: set[str] = {
     "docs_media_mpeg1_halfpel",
     # NEW this round: frozen-model streaming DSIR scorer
     "docs_dsir_scores_streamed",
+    # NEW this round: MRL truncated-dimension recall audit
+    "emb_mrl_recall",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3504,6 +3520,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_mpeg1_bframes": docs_media_mpeg1_bframes,  # last green r0
     "docs_media_mpeg1_halfpel": docs_media_mpeg1_halfpel,  # last green r0
     "emb_ann_topk_ivf_fitrows": emb_ann_topk_ivf_fitrows,  # last green r0
+    "emb_mrl_recall": emb_mrl_recall,  # last green r0
     "docs_simhash_neardup": docs_simhash_neardup,  # last green r10
     "docs_stratified_sample": docs_stratified_sample,  # last green r10
     "docs_survivor_setops": docs_survivor_setops,  # last green r10
@@ -3544,11 +3561,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_domain_mixture": docs_domain_mixture,  # last green r11
     "docs_exact_dedup": docs_exact_dedup,  # last green r11
     "docs_fingerprint": docs_fingerprint,  # last green r11
-    "docs_gopher_rules": docs_gopher_rules,  # last green r11
     "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r12
     "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r12
     "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r12
     # ---- driver window ends here ----
+    "docs_gopher_rules": docs_gopher_rules,  # last green r11
     "docs_language_id": docs_language_id,  # last green r11
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
     "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r11

@@ -614,3 +614,28 @@ def test_fit_rows_threaded_through_ann_entry_points(spark):
 
     with _pytest.raises(ValueError, match="fit_rows"):
         sim.ivf_fit_centroids(emb, k=16, n_iter=1, fit_rows=4)
+
+
+def test_mrl_truncated_topk_semantics(spark):
+    """Truncated retrieval degenerates to exact brute-force when dims
+    equals the full dimension (same vectors, same ties), and the
+    recall audit is non-vacuous on this corpus: mean recall@5 rises
+    strictly with the prefix length and the full-width row is exactly
+    1.0 for every probe."""
+    emb = _emb(spark)
+    probes = F.col("id") < 10
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ann_topk_bruteforce(emb, probes, k=5).collect()
+    }
+    trunc64 = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ann_topk_truncated(emb, probes, k=5, dims=64).collect()
+    }
+    assert trunc64 == full
+    rec = sim.mrl_recall(emb, probes, k=5, dims_list=(8, 32, 64)).collect()
+    by_dims = {}
+    for r in rec:
+        by_dims.setdefault(r.dims, []).append(r.recall)
+    means = {d: sum(v) / len(v) for d, v in by_dims.items()}
+    assert means[8] < means[32] < means[64] == 1.0, means
