@@ -161,3 +161,35 @@ def test_batched_reports_unreached_queries_as_failures(monkeypatch, capsys):
         assert f"FAIL {name}: not executed" in out, name
     assert f"OK   {names[0]}" in out
     assert "stderr tail" in out and "Killed" in out
+
+
+# ------------------------------------------------------------ registry shape
+
+
+def test_every_query_has_an_oracle_and_no_orphans():
+    """The correctness gate is only as wide as the oracle map: every
+    SPARK_QUERIES entry must have an ORACLE_SQL twin (the driver
+    records a weaker rows-only check otherwise — this registry has
+    kept full coverage since r6 and a silent omission would look like
+    a pass), and every oracle must correspond to a registered query
+    (an orphan oracle is dead certification)."""
+    from jagular_spark.workloads import ORACLE_SQL, SPARK_QUERIES
+
+    missing = set(SPARK_QUERIES) - set(ORACLE_SQL)
+    orphans = set(ORACLE_SQL) - set(SPARK_QUERIES)
+    assert not missing, f"queries without oracles: {sorted(missing)}"
+    assert not orphans, f"oracles without queries: {sorted(orphans)}"
+
+
+def test_round_touched_queries_are_registered_and_windowed():
+    """ROUND_TOUCHED names must exist in the registry (rotation raises
+    on unknowns, but only when the tool runs) and sit inside the
+    driver's 50-query window — changed code whose query the driver
+    cannot see this round would carry a stale green."""
+    from jagular_spark.rotation import WINDOW_SIZE
+    from jagular_spark.workloads import ROUND_TOUCHED, SPARK_QUERIES
+
+    names = list(SPARK_QUERIES)
+    window = set(names[:WINDOW_SIZE])
+    assert ROUND_TOUCHED <= set(names)
+    assert ROUND_TOUCHED <= window, sorted(ROUND_TOUCHED - window)
