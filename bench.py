@@ -48,6 +48,51 @@ def main() -> None:
     # a limit() here would collapse to 1 partition and warm 1 worker
     warm.mapInPandas(lambda it: (b for b in it), "k long, v long").count()
 
+    # Streaming pre-warm: the FIRST stateful streaming execution in a
+    # process pays a ~5-7 s one-time cost (micro-batch engine + state
+    # store provider init + the applyInPandasWithState worker path) —
+    # measured r14: first availableNow drain 7.8 s vs 4.6 s steady on
+    # identical input, and the r13 DRIVER artifact charged that cold
+    # cost to whichever stateful streamed query the window rotation
+    # happened to put first (docs_lsh_candidates_streamed 5.4 -> 15.0 s
+    # driver-to-driver while its code was untouched). One throwaway
+    # stateful availableNow drain, untimed, absorbs it for every host
+    # and every future registry order.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    _wdir = _tempfile.mkdtemp(prefix="jgs_warm_stream_")
+    try:
+        spark.range(0, 1000, 1, 4).selectExpr("id % 7 AS k", "id AS v").write.mode(
+            "overwrite"
+        ).parquet(_wdir)
+
+        def _warm_kernel(key, pdfs, state):
+            tot = state.get[0] if state.exists else 0
+            for p in pdfs:
+                tot += int(p["v"].sum())
+            state.update((tot,))
+            yield _pd.DataFrame({"k": [key[0]], "tot": [tot]})
+
+        _wq = (
+            spark.readStream.schema("k long, v long")
+            .parquet(_wdir)
+            .groupBy("k")
+            .applyInPandasWithState(
+                _warm_kernel, "k long, tot long", "tot long", "append", "NoTimeout"
+            )
+            .writeStream.format("memory")
+            .queryName("jgs_warm_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _wq.awaitTermination(120)
+        spark.table("jgs_warm_stream").count()
+        spark.catalog.dropTempView("jgs_warm_stream")
+    finally:
+        _shutil.rmtree(_wdir, ignore_errors=True)
+
     # Per-query fault isolation: one raising query must not invalidate
     # the whole artifact — it records null and the loop (and the final
     # JSON line) still happen.
@@ -63,7 +108,15 @@ def main() -> None:
         try:
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for jrdd in jmap.values():
-                jrdd.rdd().unpersist(False)
+                # BLOCKING unpersist: with blocking=false the block
+                # removal work lands inside the NEXT query's timed
+                # window — on a loaded host, a localCheckpoint-heavy
+                # predecessor (docs_dedup_clusters) can charge seconds
+                # of cleanup to whatever the rotation put after it
+                # (r13 driver: docs_hll_vocab run1 3.67 s vs 0.5 s
+                # committed, code untouched). Blocking keeps cleanup
+                # inside hygiene where it belongs.
+                jrdd.rdd().unpersist(True)
         except Exception:  # pragma: no cover — hygiene must never fail a run
             pass
         spark._jvm.System.gc()
@@ -258,6 +311,7 @@ def main() -> None:
     if len(passes) > 1:
         env["pass1"] = passes[0]["env"]
     contaminated = all(v["contaminated"] for v in verdicts)
+    cold = _cold_block(env, timings)
     detail = {
         "metric": "workload_total_wall",
         "value": round(total, 4),
@@ -279,6 +333,12 @@ def main() -> None:
             "reran": len(passes) > 1,
             "contaminated": contaminated,
         },
+        # cold-vs-warm attribution (r13 verdict task #6): per rerun
+        # query, how much the first execution exceeded the reported
+        # best — so a driver-vs-committed divergence is diagnosed from
+        # the artifact alone (a large run1-minus-best with a small best
+        # is a cold-path/position effect, not a plan regression)
+        "cold": cold,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     round_n = _next_round(repo)
@@ -319,8 +379,36 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "contaminated": contaminated,
+        "n_cold_recovered": cold["n_cold_recovered"],
         "detail_file": detail_file,
     }))
+
+
+def _cold_block(env: dict, timings: dict[str, float | None]) -> dict:
+    """Cold-vs-warm attribution from the rerun records (r13 verdict
+    task #6): for every query that got rerun (it tripped RERUN_ABOVE or
+    sits in PROBE_ALWAYS), ``run1_minus_best_s`` is the first
+    execution's excess over the reported best; ``n_cold_recovered``
+    counts the queries where reruns recovered a material cold start
+    (run1 > 1.5x best AND at least 0.5 s above it — both bounds, so
+    neither a 2 ms blip on a 1 ms query nor 0.6 s of noise on a 10 s
+    query is called 'cold'). r13's driver/committed divergence
+    (docs_lsh_candidates_streamed 15.0 s driver vs 3.2 s committed) had
+    to be diagnosed by hand from a rejected pass; this block answers it
+    from the artifact."""
+    deltas: dict[str, float] = {}
+    n_recovered = 0
+    for q, e in env.items():
+        if not isinstance(e, dict) or "run1_s" not in e:
+            continue
+        best = timings.get(q)
+        if not isinstance(best, (int, float)):
+            continue
+        d = round(e["run1_s"] - best, 3)
+        deltas[q] = d
+        if d >= 0.5 and e["run1_s"] > 1.5 * best:
+            n_recovered += 1
+    return {"n_cold_recovered": n_recovered, "run1_minus_best_s": deltas}
 
 
 def _drift_vs_previous(

@@ -2106,26 +2106,48 @@ def _stage_dir(prefix: str, sf_dir: str) -> str:
     return _STAGE_DIRS[key]
 
 
-def _run_stream_to_table(sdf: DataFrame, prefix: str) -> str:
+def _run_stream_to_table(
+    sdf: DataFrame, prefix: str, shuffle_partitions: int | None = None
+) -> str:
     """Run a streaming DataFrame to completion under availableNow into a
     uniquely named memory-sink table; return the table name. Unique
     names keep repeated driver/bench invocations independent; the
     PREVIOUS invocation's sink table for the same prefix is dropped so
     repeated runs don't accumulate full result copies in driver
-    memory."""
+    memory.
+
+    ``shuffle_partitions`` narrows the STREAM's shuffle width (the
+    session conf is snapshotted into the query's cloned session at
+    ``start()`` and restored immediately after): a stateful streaming
+    query materializes one state-store instance per shuffle partition
+    per micro-batch — delta file + CRC + commit under the checkpoint —
+    so at probe scale the fixed per-store I/O dominates the drain.
+    Measured r14 on docs_lsh_candidates_streamed at sf0.1: drain 4.6 s
+    at 32 partitions vs 2.3-2.8 s at 8, identical output (keyed state
+    is partitioning-invariant; the oracles pin it). On a 100 TB cluster
+    this knob rises with executor count exactly like the session width
+    — it exists because a 32-way local probe is OVER-partitioned for a
+    256-bucket state layout, not to cap cluster parallelism."""
     spark = sdf.sparkSession
     if prefix in _STREAM_TBL:
         spark.catalog.dropTempView(_STREAM_TBL[prefix])
     _STREAM_SEQ[0] += 1
     name = f"{prefix}_{_STREAM_SEQ[0]}"
     _STREAM_TBL[prefix] = name
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     # awaitTermination returns False on timeout with the query STILL
     # RUNNING — returning then would read a partial memory-sink table
     # and silently produce wrong results; fail loudly instead.
@@ -2175,6 +2197,7 @@ def events_sessionize_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         ),
         "sessionize_stream",
+        shuffle_partitions=8,
     )
     return spark.table(tbl)
 
@@ -2204,6 +2227,7 @@ def events_censor_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _run_stream_to_table(
         out.select(F.col("user_id").cast("long").alias("user_id"), F.col("us")),
         "censor_stream",
+        shuffle_partitions=8,
     )
     return spark.table(tbl)
 
@@ -2236,7 +2260,8 @@ def events_interpolate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=("user_id",),
     )
     tbl = _run_stream_to_table(
-        out.select("user_id", "minute", "value"), "interp_stream"
+        out.select("user_id", "minute", "value"), "interp_stream",
+        shuffle_partitions=8,
     )
     return spark.table(tbl)
 
@@ -2289,14 +2314,46 @@ def docs_lsh_candidates_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     A one-shot availableNow pass emits every in-bucket pair exactly
     once per band, so the per-pair band count aggregated from the
     memory sink equals the batch operator's n_bands — the query shares
-    docs_minhash_lsh's oracle verbatim."""
+    docs_minhash_lsh's oracle verbatim.
+
+    r14 attribution of the r13 driver reading (5.4 -> 15.0 s
+    driver-to-driver, code untouched; committed clean run 3.17 s).
+    Isolated staged timing at sf0.1, fresh process, 32 cores:
+
+    =====================  ======  ======  ======  =====  =====
+    stage                  cold    warm2   warm3   sp=8   sp=8
+    =====================  ======  ======  ======  =====  =====
+    stage write (parquet)  2.27    0.41    0.42    0.28   0.32
+    stream start           1.42    0.59    0.45    0.43   0.28
+    availableNow drain     7.78    4.95    4.56    2.84   2.33
+    sink aggregate         0.74    0.34    0.40    0.22   0.25
+    total                  12.21   6.30    5.83    3.77   3.17
+    =====================  ======  ======  ======  =====  =====
+
+    Three stacked causes: (a) ~6 s ONE-TIME cost on the first stateful
+    streaming execution in a process (engine + state-store provider +
+    stateful-worker init) — in both r12 and r13 registry orders this
+    query is the first stateful stream, and bench.py now absorbs the
+    cost with an untimed pre-warm drain; (b) per-run fixed cost scales
+    with state-store count (one store per shuffle partition per batch:
+    drain 4.6 s at 32 partitions vs 2.3 s at 8 on a 256-bucket state
+    layout) — fixed by shuffle_partitions=8 below; (c) the r13 driver
+    host ran this query under 10-16% CPU steal (run2/run3 carried
+    8642/5585 steal ticks in its env block), which hits the
+    store-commit fsync path superlinearly. The committed-vs-driver gap
+    also had a systematic half: r13's committed numbers came from a
+    contamination-rejected pass2 (everything warm) while the driver ran
+    a single cold pass1 — the pre-warm closes exactly that asymmetry.
+    """
     from jagular_spark.streaming.pipeline import stream_lsh_candidate_pairs
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     stage = _stage_dir("lsh_stream", sf_dir)
     docs.write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(docs.schema).parquet(stage)
-    tbl = _run_stream_to_table(stream_lsh_candidate_pairs(stream), "lsh_stream")
+    tbl = _run_stream_to_table(
+        stream_lsh_candidate_pairs(stream), "lsh_stream", shuffle_partitions=8
+    )
     return (
         spark.table(tbl)
         .groupBy("id_a", "id_b")
@@ -2319,7 +2376,9 @@ def docs_substring_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     stage = _stage_dir("ssd_stream", sf_dir)
     docs.write.mode("overwrite").parquet(stage)
     stream = spark.readStream.schema(docs.schema).parquet(stage)
-    tbl = _run_stream_to_table(stream_dup_kgram_marks(stream, k=8), "ssd_stream")
+    tbl = _run_stream_to_table(
+        stream_dup_kgram_marks(stream, k=8), "ssd_stream", shuffle_partitions=8
+    )
     from pyspark.sql import Window
 
     marked = spark.table(tbl)

@@ -91,6 +91,45 @@ def test_drift_vs_previous_no_reference(tmp_path):
     assert bench._drift_vs_previous(str(tmp_path), 13, {"a": 1.0}) is None
 
 
+def test_cold_block_counts_material_recoveries_only():
+    """r13 verdict task #6: the artifact must carry per-query
+    run1-minus-best and a count of MATERIAL cold recoveries — both the
+    ratio bound (>1.5x) and the absolute bound (>=0.5 s) must hold, so
+    neither tiny-query blips nor sub-noise deltas on long queries count."""
+    bench = _load_bench()
+    env = {
+        # material cold start: run1 12.2 s, best 5.8 s (the measured
+        # first-stateful-stream shape)
+        "lsh_streamed": {"run1_s": 12.2, "run2_s": 5.8},
+        # ratio trips but absolute delta is sub-noise: NOT cold
+        "tiny": {"run1_s": 0.3, "run2_s": 0.1},
+        # absolute delta trips but ratio does not (noise on a long
+        # query): NOT cold
+        "long": {"run1_s": 10.6, "run2_s": 10.0},
+        # rerun did not help at all
+        "flat": {"run1_s": 3.0, "run2_s": 3.2},
+        # non-query env entries must be ignored
+        "calibration_start": {"matmul_512_ms": 5.0},
+    }
+    timings = {"lsh_streamed": 5.8, "tiny": 0.1, "long": 10.0, "flat": 3.0}
+    cold = bench._cold_block(env, timings)
+    assert cold["n_cold_recovered"] == 1
+    assert cold["run1_minus_best_s"]["lsh_streamed"] == 6.4
+    assert cold["run1_minus_best_s"]["tiny"] == 0.2
+    assert cold["run1_minus_best_s"]["long"] == 0.6
+    assert cold["run1_minus_best_s"]["flat"] == 0.0
+    assert "calibration_start" not in cold["run1_minus_best_s"]
+
+
+def test_cold_block_uses_cross_pass_best():
+    """timings holds the best across passes; a query whose best came
+    from ANOTHER pass still gets its delta measured against that best."""
+    bench = _load_bench()
+    cold = bench._cold_block({"q": {"run1_s": 4.0}}, {"q": 1.0})
+    assert cold["run1_minus_best_s"]["q"] == 3.0
+    assert cold["n_cold_recovered"] == 1
+
+
 def test_drift_vs_previous_skips_other_sf(tmp_path):
     """An sf0.001 smoke run must not 'drift' against the sf0.1 record —
     it walks back to the newest earlier round at the SAME sf."""
