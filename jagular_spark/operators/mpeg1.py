@@ -565,9 +565,11 @@ def decode_mpeg1_intra_color(data: bytes):
     each frame is ``(y, cb, cr)`` — y uint8 (h, w); cb/cr uint8 at the
     4:2:0 half resolution, cropped to (ceil(h/2), ceil(w/2)) from the
     macroblock grid the same way Y crops to (h, w). Despite the
-    historical name this is the GENERAL decoder — it also decodes the
-    forward-predicted P pictures :func:`encode_mpeg1_video` emits
-    (B pictures are rejected: no backward reference support)."""
+    historical name this is the GENERAL decoder — it decodes I, P AND
+    (since r13) B pictures: bidirectionally-predicted macroblocks
+    resolve against both anchors per §2.4.4.3, the stream is consumed
+    in decoding (transmission) order, and frames are returned in
+    DISPLAY order via the temporal_reference reorder."""
     br = _BitReader(data)
     code = br.next_start_code()
     if code != SEQ_START:
@@ -1422,6 +1424,65 @@ def _crop_planes(ref, w: int, h: int):
     )
 
 
+def _quantize_residuals(cur, pred, pred_cb, pred_cr, cb_src, cr_src, q_n, qscale):
+    """Quantize one macroblock's non-intra residuals — four 8×8 luma
+    blocks plus one block per chroma plane — and assemble the
+    coded-block pattern (§2.4.3.6 bit order: luma 32>>b, cb=2, cr=1).
+    Returns ``(zzs, zz_cb, zz_cr, cbp)``. Shared by the anchor (P) and
+    B picture encoders so the residual arithmetic cannot drift between
+    them (r13 advice item)."""
+    resid = cur - pred
+    zzs = []
+    cbp = 0
+    for b in range(4):
+        by, bx = divmod(b, 2)
+        zz = _quant_non_intra(
+            _fdct(resid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
+            q_n,
+            qscale,
+        )
+        zzs.append(zz)
+        if np.any(zz):
+            cbp |= 32 >> b
+    zz_cb = _quant_non_intra(_fdct(cb_src - pred_cb), q_n, qscale)
+    zz_cr = _quant_non_intra(_fdct(cr_src - pred_cr), q_n, qscale)
+    if np.any(zz_cb):
+        cbp |= 2
+    if np.any(zz_cr):
+        cbp |= 1
+    return zzs, zz_cb, zz_cr, cbp
+
+
+def _write_residuals_and_reconstruct(
+    bw, cbp, zzs, zz_cb, zz_cr, pred, pred_cb, pred_cr, q_n, qscale
+):
+    """Emit the CBP-selected residual blocks and return the clipped
+    float reconstruction planes (prediction + dequantized residual) —
+    the closed-loop arithmetic both picture encoders must share
+    bit-for-bit with the decoder. Returns ``(rec_y, rec_cb, rec_cr)``."""
+    rec = pred.astype(np.float64).copy()
+    for b in range(4):
+        if cbp & (32 >> b):
+            _write_ac_nonintra(bw, zzs[b])
+            by, bx = divmod(b, 2)
+            rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] += _idct(
+                _dequant_non_intra(zzs[b], q_n, qscale)
+            )
+    rec_cb = pred_cb.astype(np.float64)
+    if cbp & 2:
+        _write_ac_nonintra(bw, zz_cb)
+        rec_cb = rec_cb + _idct(_dequant_non_intra(zz_cb, q_n, qscale))
+    rec_cr = pred_cr.astype(np.float64)
+    if cbp & 1:
+        _write_ac_nonintra(bw, zz_cr)
+        rec_cr = rec_cr + _idct(_dequant_non_intra(zz_cr, q_n, qscale))
+    return (
+        np.clip(rec, 0, 255),
+        np.clip(rec_cb, 0, 255),
+        np.clip(rec_cr, 0, 255),
+    )
+
+
 def _encode_anchor_picture(
     bw,
     ypad,
@@ -1534,29 +1595,10 @@ def _encode_anchor_picture(
             pred = _mc_block(ref_y, row * 16, col * 16, hvy, hvx, 16)
             pred_cb = _mc_block(ref_cb, row * 8, col * 8, cvy, cvx, 8)
             pred_cr = _mc_block(ref_cr, row * 8, col * 8, cvy, cvx, 8)
-            resid = cur - pred
-            zzs = []
-            cbp = 0
-            for b in range(4):
-                by, bx = divmod(b, 2)
-                zz = _quant_non_intra(
-                    _fdct(resid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
-                    q_n,
-                    qscale,
-                )
-                zzs.append(zz)
-                if np.any(zz):
-                    cbp |= 32 >> b
-            zz_cb = _quant_non_intra(
-                _fdct(cbpad[cs_y, cs_x] - pred_cb), q_n, qscale
+            zzs, zz_cb, zz_cr, cbp = _quantize_residuals(
+                cur, pred, pred_cb, pred_cr,
+                cbpad[cs_y, cs_x], crpad[cs_y, cs_x], q_n, qscale,
             )
-            zz_cr = _quant_non_intra(
-                _fdct(crpad[cs_y, cs_x] - pred_cr), q_n, qscale
-            )
-            if np.any(zz_cb):
-                cbp |= 2
-            if np.any(zz_cr):
-                cbp |= 1
             zero_mv = mvy == 0 and mvx == 0
             last = col == mb_w - 1
             if cbp == 0 and zero_mv and 0 < col and not last:
@@ -1585,25 +1627,12 @@ def _encode_anchor_picture(
                 _write_mv(bw, _fold_mv(mvy - pmv[0]))
                 bw.write(*CBP_CODES[cbp])
                 pmv = (mvy, mvx)
-            rec = pred.astype(np.float64).copy()
-            for b in range(4):
-                if cbp & (32 >> b):
-                    _write_ac_nonintra(bw, zzs[b])
-                    by, bx = divmod(b, 2)
-                    rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] += _idct(
-                        _dequant_non_intra(zzs[b], q_n, qscale)
-                    )
-            rec_cb = pred_cb.astype(np.float64)
-            if cbp & 2:
-                _write_ac_nonintra(bw, zz_cb)
-                rec_cb = rec_cb + _idct(_dequant_non_intra(zz_cb, q_n, qscale))
-            rec_cr = pred_cr.astype(np.float64)
-            if cbp & 1:
-                _write_ac_nonintra(bw, zz_cr)
-                rec_cr = rec_cr + _idct(_dequant_non_intra(zz_cr, q_n, qscale))
-            rp_y[ys, xs] = np.clip(rec, 0, 255)
-            rp_cb[cs_y, cs_x] = np.clip(rec_cb, 0, 255)
-            rp_cr[cs_y, cs_x] = np.clip(rec_cr, 0, 255)
+            rp_y[ys, xs], rp_cb[cs_y, cs_x], rp_cr[cs_y, cs_x] = (
+                _write_residuals_and_reconstruct(
+                    bw, cbp, zzs, zz_cb, zz_cr,
+                    pred, pred_cb, pred_cr, q_n, qscale,
+                )
+            )
             dc_y = dc_cb = dc_cr = 128  # non-intra MB resets DC preds
     return rp_y, rp_cb, rp_cr
 
@@ -1730,25 +1759,10 @@ def _encode_b_picture(
                 pred = ipred
                 pred_cb = (_chroma(fcb, fhy, fhx) + _chroma(bcb, bhy, bhx) + 1) >> 1
                 pred_cr = (_chroma(fcr, fhy, fhx) + _chroma(bcr, bhy, bhx) + 1) >> 1
-            resid = cur - pred
-            zzs = []
-            cbp = 0
-            for b in range(4):
-                byy, bxx = divmod(b, 2)
-                zz = _quant_non_intra(
-                    _fdct(resid[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8]),
-                    q_n,
-                    qscale,
-                )
-                zzs.append(zz)
-                if np.any(zz):
-                    cbp |= 32 >> b
-            zz_cb = _quant_non_intra(_fdct(cbpad[cs_y, cs_x] - pred_cb), q_n, qscale)
-            zz_cr = _quant_non_intra(_fdct(crpad[cs_y, cs_x] - pred_cr), q_n, qscale)
-            if np.any(zz_cb):
-                cbp |= 2
-            if np.any(zz_cr):
-                cbp |= 1
+            zzs, zz_cb, zz_cr, cbp = _quantize_residuals(
+                cur, pred, pred_cb, pred_cr,
+                cbpad[cs_y, cs_x], crpad[cs_y, cs_x], q_n, qscale,
+            )
             uses_f = mode in ("fwd", "interp")
             uses_b = mode in ("bwd", "interp")
             fmv = (fmvy, fmvx) if uses_f else None
@@ -1785,25 +1799,12 @@ def _encode_b_picture(
                 bpmv = (bmvy, bmvx)
             if cbp:
                 bw.write(*CBP_CODES[cbp])
-            rec = pred.astype(np.float64).copy()
-            for b in range(4):
-                if cbp & (32 >> b):
-                    _write_ac_nonintra(bw, zzs[b])
-                    byy, bxx = divmod(b, 2)
-                    rec[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] += _idct(
-                        _dequant_non_intra(zzs[b], q_n, qscale)
-                    )
-            rec_cb = pred_cb.astype(np.float64)
-            if cbp & 2:
-                _write_ac_nonintra(bw, zz_cb)
-                rec_cb = rec_cb + _idct(_dequant_non_intra(zz_cb, q_n, qscale))
-            rec_cr = pred_cr.astype(np.float64)
-            if cbp & 1:
-                _write_ac_nonintra(bw, zz_cr)
-                rec_cr = rec_cr + _idct(_dequant_non_intra(zz_cr, q_n, qscale))
-            rp_y[ys, xs] = np.clip(rec, 0, 255)
-            rp_cb[cs_y, cs_x] = np.clip(rec_cb, 0, 255)
-            rp_cr[cs_y, cs_x] = np.clip(rec_cr, 0, 255)
+            rp_y[ys, xs], rp_cb[cs_y, cs_x], rp_cr[cs_y, cs_x] = (
+                _write_residuals_and_reconstruct(
+                    bw, cbp, zzs, zz_cb, zz_cr,
+                    pred, pred_cb, pred_cr, q_n, qscale,
+                )
+            )
             dc_y = dc_cb = dc_cr = 128  # non-intra MB resets DC preds
             prev = (mode, fmv, bmv)
     return rp_y, rp_cb, rp_cr

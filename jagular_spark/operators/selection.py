@@ -50,9 +50,18 @@ def _grams_expr(text_col: str) -> str:
     """SQL expression: the document's unigram + bigram array, with the
     token array bound once as a ``transform`` lambda variable (the
     doc_shingle_hashes idiom — a bare multi-reference alias would make
-    Catalyst's project-collapse re-run split() per element)."""
+    Catalyst's project-collapse re-run split() per element).
+
+    Empty tokens are filtered: ``split('')`` yields ``['']``, so a
+    blank / whitespace-only document would otherwise contribute ONE
+    empty-string unigram (n_grams=1, a nonzero smoothing-bucket score)
+    where the paper's ``text.split()`` tokenization yields zero grams.
+    With the filter, a blank document scores exactly (n_grams=0,
+    score_num=0, score=0.0) on engine, oracle, and the pure-Python
+    replay alike (r13 advice; boundary pinned in
+    tests/test_spec_boundaries.py)."""
     return (
-        f"transform(array(split(trim({text_col}), '\\\\s+')), t -> "
+        f"transform(array(filter(split(trim({text_col}), '\\\\s+'), x -> x <> '')), t -> "
         f"concat(t, if(size(t) >= 2, "
         f"   transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])), "
         f"   cast(array() as array<string>))))[0]"

@@ -807,9 +807,16 @@ def mrl_recall(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    # n_full >= 1 by construction (nf rows come from a GROUP BY over
+    # actual full-dimension neighbors), but guard the division anyway
+    # (r13 advice): a degenerate future caller can't turn recall into
+    # NaN/Inf — it reads NULL, mirrored by the oracle's CASE.
     return u.withColumn(
         "recall",
-        F.col("n_overlap").cast("double") / F.col("n_full").cast("double"),
+        F.when(
+            F.col("n_full") > 0,
+            F.col("n_overlap").cast("double") / F.col("n_full").cast("double"),
+        ),
     )
 
 

@@ -2344,9 +2344,16 @@ ORACLE_SQL["docs_bigram_fluency"] = """
 # delta[b] = (tc+1)*Mr - (rc+1)*Mt, per-doc BIGINT sum over gram
 # occurrences, two final IEEE divisions — mirrors
 # operators/selection.py exactly (no transcendental anywhere).
+# Empty tokens are filtered like the engine's _grams_expr (r13 advice:
+# split('') yields ['']); a blank raw doc has ZERO grams, so the scored
+# set is built by LEFT JOIN from the raw pool — it keeps the row with
+# n_grams=0, score_num=0, score=0.0 exactly as the engine's row-local
+# projection does.
 _DSIR_PREFIX = """
     WITH tok AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS t
         FROM documents
     ), grams AS (
         SELECT doc_id,
@@ -2376,13 +2383,19 @@ _DSIR_PREFIX = """
         CROSS JOIN tot
         LEFT JOIN tcnt tc ON tc.b = s.i
         LEFT JOIN rcnt rc ON rc.b = s.i
-    ), scored AS (
+    ), gagg AS (
         SELECT g.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_grams,
                CAST(SUM(delta.d) AS BIGINT) AS score_num
         FROM g JOIN delta ON g.b = delta.b
         WHERE g.doc_id % 50 <> 0
         GROUP BY g.doc_id
+    ), scored AS (
+        SELECT d.doc_id,
+               COALESCE(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+               COALESCE(a.score_num, CAST(0 AS BIGINT)) AS score_num
+        FROM documents d LEFT JOIN gagg a ON d.doc_id = a.doc_id
+        WHERE d.doc_id % 50 <> 0
     )
     SELECT doc_id, n_grams, score_num,
            CAST(score_num AS DOUBLE) / (SELECT CAST(mt AS DOUBLE) FROM tot)
@@ -2539,7 +2552,9 @@ def _mrl_recall_oracle(dims_list=(16, 32), k: int = 5) -> str:
     body = "\n    UNION ALL\n".join(parts)
     return f"""
     SELECT dims, query_id, n_full, n_trunc, n_overlap,
-           CAST(n_overlap AS DOUBLE) / CAST(n_full AS DOUBLE) AS recall
+           CASE WHEN n_full > 0
+                THEN CAST(n_overlap AS DOUBLE) / CAST(n_full AS DOUBLE)
+           END AS recall
     FROM ({body})"""
 
 

@@ -866,6 +866,30 @@ def _dsir_reference(raw_docs, target_docs, n_buckets=4096, alpha=1):
     return out, log_scores
 
 
+def test_dsir_blank_docs_score_zero(spark):
+    """r13 advice item: ``split('')`` yields ``['']``, so before the
+    empty-token filter a blank / whitespace-only document contributed
+    ONE empty-string unigram (n_grams=1 and a nonzero smoothing-bucket
+    score), diverging from the paper's ``text.split()`` tokenization.
+    Pinned: blank docs keep their row (the engine scores every raw doc
+    row-locally) with exactly n_grams=0, score_num=0, score=0.0."""
+    from jagular_spark.operators.selection import dsir_scores
+
+    raw = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "alpha beta")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(100, "alpha alpha")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dsir_scores(raw, tgt, n_buckets=64).collect()}
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2):
+        assert rows[d].n_grams == 0
+        assert rows[d].score_num == 0
+        assert rows[d].score == 0.0
+    assert rows[3].n_grams == 3  # alpha, beta, 'alpha beta'
+
+
 def test_dsir_scores_match_independent_python_reference(spark):
     """Engine DSIR scores == the hashlib/Counter replay — exact BIGINT
     score_num and bit-equal IEEE-division score — on a seeded corpus
