@@ -28,6 +28,13 @@ documents where it may not). The only floating steps are two final
 IEEE divisions (correctly rounded, hence engine-identical):
 score = score_num / Mt / Mr.
 
+Since r14 the PAPER-EXACT form is also first-class behind
+``importance="log"`` (the BM25 ``idf="ln"`` precedent): per-bucket
+ln-likelihood-ratio weights computed once on the driver, scored by the
+same zero-shuffle literal-table fold; its oracle is the pure-Python
+replay rather than the DuckDB hash gate (a transcendental cannot be
+certified engine-identical). The surrogate stays the default.
+
 Scale shape: the gram explode feeds ONE hash aggregate per corpus that
 map-side-combines to at most n_buckets rows per task; both fitted
 count tables are collected bounded by n_buckets (4096 default) and the
@@ -91,18 +98,17 @@ def hashed_gram_buckets(
     )
 
 
-def dsir_fit_deltas(
+def _fit_counts(
     raw: DataFrame,
     target: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = DSIR_BUCKETS,
-    alpha: int = 1,
-) -> tuple[list[int], int, int]:
-    """Fit both hashed-gram count models and return the integer scoring
-    table: ``(delta, Mt, Mr)`` with ``delta[b] = (tc+alpha)·Mr −
-    (rc+alpha)·Mt``. Two bounded collects (≤ n_buckets rows each) —
-    the quantizer-fit pattern; everything int64."""
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    alpha: int,
+) -> tuple[dict[int, int], dict[int, int], int, int]:
+    """Fit both hashed-gram count models: ``(tc, rc, Mt, Mr)`` where
+    Mt/Mr are the smoothed totals. Two bounded collects (≤ n_buckets
+    rows each) — the quantizer-fit pattern; everything int64."""
 
     def counts(df: DataFrame) -> dict[int, int]:
         rows = (
@@ -116,11 +122,54 @@ def dsir_fit_deltas(
     tc, rc = counts(target), counts(raw)
     mt = sum(tc.values()) + alpha * n_buckets
     mr = sum(rc.values()) + alpha * n_buckets
+    return tc, rc, mt, mr
+
+
+def dsir_fit_deltas(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: int = 1,
+) -> tuple[list[int], int, int]:
+    """Fit both hashed-gram count models and return the integer scoring
+    table: ``(delta, Mt, Mr)`` with ``delta[b] = (tc+alpha)·Mr −
+    (rc+alpha)·Mt``."""
+    tc, rc, mt, mr = _fit_counts(raw, target, id_col, text_col, n_buckets, alpha)
     delta = [
         (tc.get(b, 0) + alpha) * mr - (rc.get(b, 0) + alpha) * mt
         for b in range(n_buckets)
     ]
     return delta, mt, mr
+
+
+def dsir_fit_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: int = 1,
+) -> list[float]:
+    """PAPER-EXACT per-bucket log-likelihood-ratio weights (Xie et al.
+    2023 eq. 2): ``logw[b] = ln((tc[b]+α)/Mt) − ln((rc[b]+α)/Mr)``.
+    The transcendental runs ONCE PER BUCKET on the driver (≤ n_buckets
+    ``math.log`` calls against the collected fit tables), never per
+    row — scoring stays a row-local literal-table lookup exactly like
+    the surrogate path. The oracle for this form is the independent
+    hashlib/Counter replay (tests/test_spec_boundaries.py), not the
+    DuckDB hash gate: a transcendental cannot be certified
+    engine-identical, which is why the BIGINT surrogate remains the
+    hash-matched default (the BM25 ``idf="ln"`` precedent)."""
+    import math
+
+    tc, rc, mt, mr = _fit_counts(raw, target, id_col, text_col, n_buckets, alpha)
+    return [
+        math.log((tc.get(b, 0) + alpha) / mt)
+        - math.log((rc.get(b, 0) + alpha) / mr)
+        for b in range(n_buckets)
+    ]
 
 
 def dsir_scores(
@@ -130,13 +179,35 @@ def dsir_scores(
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     alpha: int = 1,
+    importance: str = "diff",
 ) -> DataFrame:
-    """Score every raw document: ``(id, n_grams, score_num, score)``.
-    score_num is the exact BIGINT surrogate importance; score is the
-    probability-difference scale (score_num / Mt / Mr — two IEEE
-    divisions, engine-identical). Positive score ⇒ the document's gram
-    mass sits in buckets the TARGET favors. Scoring is row-local
-    against the literal delta table: zero shuffles on the corpus."""
+    """Score every raw document.
+
+    ``importance="diff"`` (default, hash-matched): ``(id, n_grams,
+    score_num, score)`` — score_num is the exact BIGINT surrogate
+    importance; score is the probability-difference scale (score_num /
+    Mt / Mr — two IEEE divisions, engine-identical). Positive score ⇒
+    the document's gram mass sits in buckets the TARGET favors.
+
+    ``importance="log"`` (paper-exact, r13 verdict task #5): ``(id,
+    n_grams, score)`` — score is the paper's summed per-gram
+    log-likelihood ratio Σ ln((tc+α)/Mt) − ln((rc+α)/Mr), folded
+    left-to-right over the document's grams so it is bit-reproducible
+    against the pure-Python replay. The two rankings agree where gram
+    masses dominate and MAY diverge where a rare bucket's ratio is
+    extreme but its probability mass tiny (the log form is
+    ratio-weighted, the surrogate mass-weighted) — the divergence is
+    pinned in tests/test_spec_boundaries.py.
+
+    Either way scoring is row-local against a literal table: zero
+    shuffles on the corpus."""
+    if importance == "log":
+        logw = dsir_fit_log_weights(
+            raw, target, id_col, text_col, n_buckets, alpha
+        )
+        return score_with_log_weights(raw, logw, id_col, text_col, n_buckets)
+    if importance != "diff":
+        raise ValueError(f"importance must be 'diff' or 'log', got {importance!r}")
     delta, mt, mr = dsir_fit_deltas(
         raw, target, id_col, text_col, n_buckets, alpha
     )
@@ -180,6 +251,35 @@ def score_with_deltas(
     )
 
 
+def score_with_log_weights(
+    df: DataFrame,
+    logw: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Serving half of the PAPER-EXACT form: score documents against an
+    already-fitted per-bucket log-weight table (dsir_fit_log_weights).
+    Same zero-shuffle, frozen-model shape as score_with_deltas — the
+    double sum folds left-to-right over the gram array, matching the
+    replay's per-gram ``math.log`` accumulation order bit-for-bit
+    (each logw entry IS the per-gram summand)."""
+    lit = F.lit(logw).cast("array<double>")
+    gs = F.expr(_grams_expr(text_col))
+    return df.select(F.col(id_col), gs.alias("__gs__")).select(
+        F.col(id_col),
+        F.size("__gs__").cast("long").alias("n_grams"),
+        F.aggregate(
+            F.transform(
+                F.col("__gs__"),
+                lambda g: F.element_at(lit, _bucket(g, n_buckets) + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("score"),
+    )
+
+
 def dsir_topk(
     raw: DataFrame,
     target: DataFrame,
@@ -188,10 +288,15 @@ def dsir_topk(
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     alpha: int = 1,
+    importance: str = "diff",
 ) -> DataFrame:
-    """The selection step: the ``k`` most target-like raw documents
-    (score_num DESC, id ASC — exact-integer total order, so the cut is
-    engine-reproducible). orderBy+limit plans as TakeOrderedAndProject:
-    per-task heap top-k, no global sort, the corpus never shuffles."""
-    s = dsir_scores(raw, target, id_col, text_col, n_buckets, alpha)
-    return s.orderBy(F.col("score_num").desc(), F.col(id_col).asc()).limit(k)
+    """The selection step: the ``k`` most target-like raw documents.
+    Default surrogate form orders by (score_num DESC, id ASC) — an
+    exact-integer total order, so the cut is engine-reproducible; the
+    paper-exact ``importance="log"`` form orders by (score DESC, id
+    ASC) with the usual float-tie caveat. orderBy+limit plans as
+    TakeOrderedAndProject: per-task heap top-k, no global sort, the
+    corpus never shuffles."""
+    s = dsir_scores(raw, target, id_col, text_col, n_buckets, alpha, importance)
+    rank = "score" if importance == "log" else "score_num"
+    return s.orderBy(F.col(rank).desc(), F.col(id_col).asc()).limit(k)

@@ -866,6 +866,76 @@ def _dsir_reference(raw_docs, target_docs, n_buckets=4096, alpha=1):
     return out, log_scores
 
 
+def test_dsir_log_form_matches_replay_and_diverges_from_surrogate(spark):
+    """r13 verdict task #5: the paper-exact ``importance="log"`` knob.
+    Its oracle is the independent hashlib/Counter + math.log replay
+    (_dsir_reference's log_scores) — asserted BIT-EQUAL, since the
+    engine folds the same per-bucket doubles in the same left-to-right
+    gram order. The corpus is built so the two rankings genuinely
+    diverge: bucket 'big' carries large gram MASS at a moderate
+    target/raw ratio, bucket 'niche' tiny mass at an extreme ratio —
+    the mass-weighted surrogate ranks big > niche while the
+    ratio-weighted log form ranks niche > big (exactly the regime the
+    surrogate's docstring warns about, now pinned)."""
+    import hashlib
+
+    from jagular_spark.operators.selection import dsir_scores, dsir_topk
+
+    n_buckets = 64
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    # three single tokens in distinct buckets whose filler bigram
+    # ('other other') also avoids the big/niche buckets
+    toks, i = [], 0
+    while True:
+        t = f"tok{i}"
+        i += 1
+        if all(bucket(t) != bucket(o) for o in toks):
+            toks.append(t)
+        if len(toks) == 3:
+            big, niche, other = toks
+            if bucket(f"{other} {other}") not in (bucket(big), bucket(niche)):
+                break
+            toks = toks[:2]
+    target_docs = [(1000 + j, big) for j in range(30)] + [
+        (1100 + j, niche) for j in range(5)
+    ]
+    raw_docs = (
+        [(j, other) for j in range(23)]
+        + [(50, big), (51, niche), (52, f"{other} {other}")]
+        + [(60 + j, big) for j in range(10)]
+    )
+    ref, log_scores = _dsir_reference(raw_docs, target_docs, n_buckets=n_buckets)
+    # the divergence this knob exists for (checked on the replay first,
+    # so the corpus itself is proven non-vacuous)
+    assert ref[50][1] > ref[51][1], "surrogate must rank big > niche"
+    assert log_scores[51] > log_scores[50], "log form must rank niche > big"
+
+    raw = spark.createDataFrame(raw_docs, "doc_id long, text string")
+    tgt = spark.createDataFrame(target_docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (int(r.n_grams), float(r.score))
+        for r in dsir_scores(
+            raw, tgt, n_buckets=n_buckets, importance="log"
+        ).collect()
+    }
+    assert set(got) == set(log_scores)
+    for d, s in log_scores.items():
+        assert got[d][0] == ref[d][0]  # n_grams agree with the replay
+        assert got[d][1] == s, (d, got[d][1], s)  # bit-equal double fold
+    # the selection cut flips leaders between the two forms (ties under
+    # the surrogate break by id: doc 50 is the smallest big-bucket doc)
+    assert [r.doc_id for r in dsir_topk(raw, tgt, 1, n_buckets=n_buckets).collect()] == [50]
+    assert [
+        r.doc_id
+        for r in dsir_topk(
+            raw, tgt, 1, n_buckets=n_buckets, importance="log"
+        ).collect()
+    ] == [51]
+
+
 def test_dsir_blank_docs_score_zero(spark):
     """r13 advice item: ``split('')`` yields ``['']``, so before the
     empty-token filter a blank / whitespace-only document contributed
