@@ -3523,43 +3523,38 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below is the output of `python tools/rotate_window.py`;
 # tests/test_rotation.py pins the shipped order to the derivation,
 # and `tools/rotate_window.py --check` verifies it from the CLI.
-REGISTRY_ROUND = 13
+REGISTRY_ROUND = 14
 
 # Queries whose OPERATOR CODE changed this round (window policy a).
 # Output-identical refactors pinned by unit tests do not consume
 # window slots — e.g. r12's session.shuffle_width extraction leaves
 # every _codec_spread caller's plan byte-identical on numeric confs
 # (tests/test_session.py), so the media family is not charged here;
-# repeated_kgram_spans' default-width expression changed in the same
-# commit, so its consumers ARE (conservative: the old "200" string
-# fallback was dead on any live session, but the window is cheap
-# insurance against exactly this kind of "provably equivalent"
-# reasoning being wrong).
+# likewise r14's mpeg1 residual-helper extraction (the duplicated
+# quantize/CBP/reconstruct step shared by the anchor and B encoders)
+# is charged to NO query: it is bit-identical by construction and
+# pinned by the 40-test golden/property mpeg1 suite.
 ROUND_TOUCHED: set[str] = {
-    # r13: _mc_block gained a motion-vector bounds check — only the
-    # P-picture query decodes through it (the I-frame-only mpeg1
-    # queries never call _mc_block)
-    "docs_media_mpeg1_pframes",
-    # r13: the quantizer fit plumbing was refactored (ivf_fit_centroids'
-    # sampled branch now routes through _collect_fit_sample; fit_rows
-    # threading). Same integer math, pinned by tests — window slots are
-    # cheap insurance per the r12 policy note above.
-    "emb_ann_topk_ivf",
-    "emb_ann_topk_ivf_pq",
-    "emb_semantic_dedup",
-    # NEW this round: absolute fit budget (fit_rows=300) under the oracle
-    "emb_ann_topk_ivf_fitrows",
-    # NEW this round: MPEG-1 B pictures (bidirectional prediction)
-    "docs_media_mpeg1_bframes",
-    # NEW this round: DSIR targeted data selection
+    # r14: DSIR gram tokenization gained the empty-token filter — the
+    # engine expression AND the DuckDB oracle changed together (blank
+    # docs now contribute zero grams; the shipped corpora contain none,
+    # so hashes are expected unchanged — slots are cheap insurance)
     "docs_dsir_scores",
-    "docs_dsir_topk",
-    # NEW this round: half-pel motion estimation
-    "docs_media_mpeg1_halfpel",
-    # NEW this round: frozen-model streaming DSIR scorer
     "docs_dsir_scores_streamed",
-    # NEW this round: MRL truncated-dimension recall audit
+    "docs_dsir_topk",
+    # r14: the recall division gained a when(n_full>0) guard on both
+    # engine and oracle (output-identical today: n_full >= 1 by
+    # construction)
     "emb_mrl_recall",
+    # r14: the five stateful streaming twins now execute their streams
+    # at shuffle_partitions=8 (state-store width — the bench cold-start
+    # fix). Keyed state is partitioning-invariant so results are
+    # unchanged, but the executed physical plan is not — charge them.
+    "docs_lsh_candidates_streamed",
+    "docs_substring_dedup_streamed",
+    "events_censor_streamed",
+    "events_interpolate_streamed",
+    "events_sessionize_streamed",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3573,57 +3568,6 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
-    "docs_dsir_scores": docs_dsir_scores,  # last green r0
-    "docs_dsir_scores_streamed": docs_dsir_scores_streamed,  # last green r0
-    "docs_dsir_topk": docs_dsir_topk,  # last green r0
-    "docs_media_mpeg1_bframes": docs_media_mpeg1_bframes,  # last green r0
-    "docs_media_mpeg1_halfpel": docs_media_mpeg1_halfpel,  # last green r0
-    "emb_ann_topk_ivf_fitrows": emb_ann_topk_ivf_fitrows,  # last green r0
-    "emb_mrl_recall": emb_mrl_recall,  # last green r0
-    "docs_simhash_neardup": docs_simhash_neardup,  # last green r10
-    "docs_stratified_sample": docs_stratified_sample,  # last green r10
-    "docs_survivor_setops": docs_survivor_setops,  # last green r10
-    "docs_token_quantiles": docs_token_quantiles,  # last green r10
-    "emb_semantic_dedup": emb_semantic_dedup,  # last green r10
-    "events_compacted_roundtrip": events_compacted_roundtrip,  # last green r10
-    "events_filtfilt_chunked": events_filtfilt_chunked,  # last green r10
-    "events_rolling_stats": events_rolling_stats,  # last green r10
-    "events_sessionize": events_sessionize,  # last green r10
-    "events_spike_clusters": events_spike_clusters,  # last green r10
-    "events_zscore": events_zscore,  # last green r10
-    "orders_bucketed_revenue": orders_bucketed_revenue,  # last green r10
-    "q10_returned_items": q10_returned_items,  # last green r10
-    "q11_important_parts": q11_important_parts,  # last green r10
-    "q12_shipping_classes": q12_shipping_classes,  # last green r10
-    "q13_customer_distribution": q13_customer_distribution,  # last green r10
-    "q14_promo_effect": q14_promo_effect,  # last green r10
-    "q15_top_supplier": q15_top_supplier,  # last green r10
-    "q16_supplier_counts": q16_supplier_counts,  # last green r10
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,  # last green r10
-    "q18_large_volume_customers": q18_large_volume_customers,  # last green r10
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,  # last green r10
-    "q1_rollup_summary": q1_rollup_summary,  # last green r10
-    "q20_dominant_suppliers": q20_dominant_suppliers,  # last green r10
-    "q21_waiting_suppliers": q21_waiting_suppliers,  # last green r10
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,  # last green r10
-    "q2_min_price_supplier": q2_min_price_supplier,  # last green r10
-    "q4_order_priority": q4_order_priority,  # last green r10
-    "q6_forecast_revenue": q6_forecast_revenue,  # last green r10
-    "q7_volume_shipping": q7_volume_shipping,  # last green r10
-    "q8_market_share": q8_market_share,  # last green r10
-    "q9_product_profit": q9_product_profit,  # last green r10
-    "docs_bm25_search": docs_bm25_search,  # last green r11
-    "docs_bpe_tokens": docs_bpe_tokens,  # last green r11
-    "docs_chunk_dedup": docs_chunk_dedup,  # last green r11
-    "docs_chunking": docs_chunking,  # last green r11
-    "docs_decontaminate": docs_decontaminate,  # last green r11
-    "docs_domain_mixture": docs_domain_mixture,  # last green r11
-    "docs_exact_dedup": docs_exact_dedup,  # last green r11
-    "docs_fingerprint": docs_fingerprint,  # last green r11
-    "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r12
-    "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r12
-    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r12
-    # ---- driver window ends here ----
     "docs_gopher_rules": docs_gopher_rules,  # last green r11
     "docs_language_id": docs_language_id,  # last green r11
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
@@ -3665,6 +3609,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,  # last green r11
     "q5_region_revenue": q5_region_revenue,  # last green r11
     "top3_orders_per_customer": top3_orders_per_customer,  # last green r11
+    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
+    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
+    "events_censor_streamed": events_censor_streamed,  # last green r12
+    "events_interpolate_streamed": events_interpolate_streamed,  # last green r12
+    "events_sessionize_streamed": events_sessionize_streamed,  # last green r12
+    "docs_dsir_scores": docs_dsir_scores,  # last green r13
+    "docs_dsir_scores_streamed": docs_dsir_scores_streamed,  # last green r13
+    "docs_dsir_topk": docs_dsir_topk,  # last green r13
+    "emb_mrl_recall": emb_mrl_recall,  # last green r13
+    # ---- driver window ends here ----
     "docs_bigram_fluency": docs_bigram_fluency,  # last green r12
     "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r12
     "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r12
@@ -3672,7 +3626,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r12
     "docs_dedup_clusters": docs_dedup_clusters,  # last green r12
     "docs_hll_vocab": docs_hll_vocab,  # last green r12
-    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
     "docs_media_audio": docs_media_audio,  # last green r12
     "docs_media_flac_roundtrip": docs_media_flac_roundtrip,  # last green r12
     "docs_media_frames": docs_media_frames,  # last green r12
@@ -3693,7 +3646,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_substring_dedup": docs_substring_dedup,  # last green r12
     "docs_substring_dedup_applied": docs_substring_dedup_applied,  # last green r12
     "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,  # last green r12
-    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
     "docs_tfidf_top": docs_tfidf_top,  # last green r12
     "emb_ann_recall": emb_ann_recall,  # last green r12
     "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,  # last green r12
@@ -3702,16 +3654,59 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_nearest": events_asof_nearest,  # last green r12
     "events_audit": events_audit,  # last green r12
     "events_band_power": events_band_power,  # last green r12
-    "events_censor_streamed": events_censor_streamed,  # last green r12
     "events_detect_spikes": events_detect_spikes,  # last green r12
     "events_hourly_rollup": events_hourly_rollup,  # last green r12
-    "events_interpolate_streamed": events_interpolate_streamed,  # last green r12
     "events_salted_hourly": events_salted_hourly,  # last green r12
-    "events_sessionize_streamed": events_sessionize_streamed,  # last green r12
     "events_sortedness": events_sortedness,  # last green r12
     "events_winsorize": events_winsorize,  # last green r12
     "events_winsorize_chunked": events_winsorize_chunked,  # last green r12
     "events_xcorr": events_xcorr,  # last green r12
+    "docs_bm25_search": docs_bm25_search,  # last green r13
+    "docs_bpe_tokens": docs_bpe_tokens,  # last green r13
+    "docs_chunk_dedup": docs_chunk_dedup,  # last green r13
+    "docs_chunking": docs_chunking,  # last green r13
+    "docs_decontaminate": docs_decontaminate,  # last green r13
+    "docs_domain_mixture": docs_domain_mixture,  # last green r13
+    "docs_exact_dedup": docs_exact_dedup,  # last green r13
+    "docs_fingerprint": docs_fingerprint,  # last green r13
+    "docs_media_mpeg1_bframes": docs_media_mpeg1_bframes,  # last green r13
+    "docs_media_mpeg1_halfpel": docs_media_mpeg1_halfpel,  # last green r13
+    "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r13
+    "docs_simhash_neardup": docs_simhash_neardup,  # last green r13
+    "docs_stratified_sample": docs_stratified_sample,  # last green r13
+    "docs_survivor_setops": docs_survivor_setops,  # last green r13
+    "docs_token_quantiles": docs_token_quantiles,  # last green r13
+    "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r13
+    "emb_ann_topk_ivf_fitrows": emb_ann_topk_ivf_fitrows,  # last green r13
+    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r13
+    "emb_semantic_dedup": emb_semantic_dedup,  # last green r13
+    "events_compacted_roundtrip": events_compacted_roundtrip,  # last green r13
+    "events_filtfilt_chunked": events_filtfilt_chunked,  # last green r13
+    "events_rolling_stats": events_rolling_stats,  # last green r13
+    "events_sessionize": events_sessionize,  # last green r13
+    "events_spike_clusters": events_spike_clusters,  # last green r13
+    "events_zscore": events_zscore,  # last green r13
+    "orders_bucketed_revenue": orders_bucketed_revenue,  # last green r13
+    "q10_returned_items": q10_returned_items,  # last green r13
+    "q11_important_parts": q11_important_parts,  # last green r13
+    "q12_shipping_classes": q12_shipping_classes,  # last green r13
+    "q13_customer_distribution": q13_customer_distribution,  # last green r13
+    "q14_promo_effect": q14_promo_effect,  # last green r13
+    "q15_top_supplier": q15_top_supplier,  # last green r13
+    "q16_supplier_counts": q16_supplier_counts,  # last green r13
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,  # last green r13
+    "q18_large_volume_customers": q18_large_volume_customers,  # last green r13
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,  # last green r13
+    "q1_rollup_summary": q1_rollup_summary,  # last green r13
+    "q20_dominant_suppliers": q20_dominant_suppliers,  # last green r13
+    "q21_waiting_suppliers": q21_waiting_suppliers,  # last green r13
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,  # last green r13
+    "q2_min_price_supplier": q2_min_price_supplier,  # last green r13
+    "q4_order_priority": q4_order_priority,  # last green r13
+    "q6_forecast_revenue": q6_forecast_revenue,  # last green r13
+    "q7_volume_shipping": q7_volume_shipping,  # last green r13
+    "q8_market_share": q8_market_share,  # last green r13
+    "q9_product_profit": q9_product_profit,  # last green r13
 }
 
 
