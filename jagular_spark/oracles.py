@@ -2349,54 +2349,66 @@ ORACLE_SQL["docs_bigram_fluency"] = """
 # set is built by LEFT JOIN from the raw pool — it keeps the row with
 # n_grams=0, score_num=0, score=0.0 exactly as the engine's row-local
 # projection does.
-_DSIR_PREFIX = """
-    WITH tok AS (
+def _dsir_ctes(x: str = "") -> str:
+    """The DSIR fit + scoring CTE chain (docs_dsir_scores semantics:
+    every-50th-doc target, 4096 md5 gram buckets, exact-BIGINT
+    cross-multiplied probability-difference surrogate), with every CTE
+    name suffixed ``x`` so the chain composes with other oracle bodies
+    (docs_dsir_select_funnel prepends it to the funnel oracle, whose
+    own first CTE is also named ``scored``). Ends with ``scored{x}``
+    holding (doc_id, n_grams, score_num) for every raw-pool doc and
+    ``tot{x}`` holding the smoothed totals."""
+    return f"""tok{x} AS (
         SELECT doc_id,
                list_filter(string_split_regex(trim(text), '\\s+'),
                            x -> x <> '') AS t
         FROM documents
-    ), grams AS (
+    ), grams{x} AS (
         SELECT doc_id,
                list_concat(t, CASE WHEN len(t) >= 2 THEN
                    list_transform(generate_series(1, len(t) - 1),
                        i -> t[i] || ' ' || t[i + 1])
                    ELSE [] END) AS gs
-        FROM tok
-    ), g AS (
+        FROM tok{x}
+    ), g{x} AS (
         SELECT doc_id,
                CAST(('0x' || substr(md5(u.g), 1, 8))::BIGINT % 4096 AS INT) AS b
-        FROM grams, UNNEST(gs) AS u(g)
-    ), tcnt AS (
-        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM g
+        FROM grams{x}, UNNEST(gs) AS u(g)
+    ), tcnt{x} AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM g{x}
         WHERE doc_id % 50 = 0 GROUP BY b
-    ), rcnt AS (
-        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM g
+    ), rcnt{x} AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM g{x}
         WHERE doc_id % 50 <> 0 GROUP BY b
-    ), tot AS (
-        SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM tcnt) + 4096 AS BIGINT) AS mt,
-               CAST((SELECT COALESCE(SUM(c), 0) FROM rcnt) + 4096 AS BIGINT) AS mr
-    ), delta AS (
+    ), tot{x} AS (
+        SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM tcnt{x}) + 4096 AS BIGINT) AS mt,
+               CAST((SELECT COALESCE(SUM(c), 0) FROM rcnt{x}) + 4096 AS BIGINT) AS mr
+    ), delta{x} AS (
         SELECT CAST(s.i AS INT) AS b,
-               (COALESCE(tc.c, 0) + 1) * tot.mr
-                 - (COALESCE(rc.c, 0) + 1) * tot.mt AS d
+               (COALESCE(tc.c, 0) + 1) * tot{x}.mr
+                 - (COALESCE(rc.c, 0) + 1) * tot{x}.mt AS d
         FROM UNNEST(generate_series(0, 4095)) AS s(i)
-        CROSS JOIN tot
-        LEFT JOIN tcnt tc ON tc.b = s.i
-        LEFT JOIN rcnt rc ON rc.b = s.i
-    ), gagg AS (
-        SELECT g.doc_id,
+        CROSS JOIN tot{x}
+        LEFT JOIN tcnt{x} tc ON tc.b = s.i
+        LEFT JOIN rcnt{x} rc ON rc.b = s.i
+    ), gagg{x} AS (
+        SELECT g{x}.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_grams,
-               CAST(SUM(delta.d) AS BIGINT) AS score_num
-        FROM g JOIN delta ON g.b = delta.b
-        WHERE g.doc_id % 50 <> 0
-        GROUP BY g.doc_id
-    ), scored AS (
+               CAST(SUM(delta{x}.d) AS BIGINT) AS score_num
+        FROM g{x} JOIN delta{x} ON g{x}.b = delta{x}.b
+        WHERE g{x}.doc_id % 50 <> 0
+        GROUP BY g{x}.doc_id
+    ), scored{x} AS (
         SELECT d.doc_id,
                COALESCE(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
                COALESCE(a.score_num, CAST(0 AS BIGINT)) AS score_num
-        FROM documents d LEFT JOIN gagg a ON d.doc_id = a.doc_id
+        FROM documents d LEFT JOIN gagg{x} a ON d.doc_id = a.doc_id
         WHERE d.doc_id % 50 <> 0
-    )
+    )"""
+
+
+_DSIR_PREFIX = f"""
+    WITH {_dsir_ctes()}
     SELECT doc_id, n_grams, score_num,
            CAST(score_num AS DOUBLE) / (SELECT CAST(mt AS DOUBLE) FROM tot)
                / (SELECT CAST(mr AS DOUBLE) FROM tot) AS score
@@ -2410,6 +2422,21 @@ ORACLE_SQL["docs_dsir_scores_streamed"] = _DSIR_PREFIX
 
 ORACLE_SQL["docs_dsir_topk"] = (
     _DSIR_PREFIX + "\n    ORDER BY score_num DESC, doc_id ASC LIMIT 100"
+)
+
+# DSIR select-then-clean (the paper's actual pipeline): the suffixed
+# DSIR CTE chain picks the top-200 raw docs, dsel joins their text
+# back, and the whole curation funnel runs over that selection —
+# one oracle replaying both halves in sequence.
+ORACLE_SQL["docs_dsir_select_funnel"] = _funnel_oracle(
+    prefix_ctes=_dsir_ctes("1")
+    + """, dsel AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM (SELECT doc_id FROM scored1
+              ORDER BY score_num DESC, doc_id ASC LIMIT 200) s
+        JOIN documents d USING (doc_id)
+    ), """,
+    corpus="dsel",
 )
 
 # k-NN label vote: exact integer dots, (dot DESC, neighbor) top-10,

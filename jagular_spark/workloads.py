@@ -3455,6 +3455,43 @@ def docs_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dsir_select_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR paper's ACTUAL pipeline, end-to-end (Xie et al. 2023
+    §3: importance-resample the raw pool toward the target, THEN apply
+    the standard quality/dedup cleaning to the selected subset): the
+    200 most target-like raw documents by the exact-BIGINT surrogate
+    importance (dsir_topk — TakeOrderedAndProject, corpus never
+    shuffles) are joined back to their text via a BROADCAST of the
+    200-row selection (at 100 TB the selected id-set is k rows however
+    big the pool is — the join must broadcast the selection, never
+    shuffle the corpus) and fed through the shared curation funnel
+    (quality → language → exact dedup → LSH near-dup closure → 50 %
+    hash sample). Selection-then-cleaning composition matters: the
+    funnel's dedup/near-dup decisions run over the SELECTED subset
+    only, exactly as the paper resamples before cleaning — and the one
+    DuckDB oracle replays both halves in sequence, so the green row
+    certifies the composition, not just the stages."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return _curation_funnel(_dsir_selected_docs(docs, k=200))
+
+
+def _dsir_selected_docs(docs: DataFrame, k: int) -> DataFrame:
+    """The selection half of docs_dsir_select_funnel, split out so its
+    plan shape is pinnable in isolation (tests/test_plans.py — the
+    funnel's survivor checkpoint truncates the composed explain string
+    at the RDD-scan barrier, hiding everything upstream): top-k by the
+    exact-integer surrogate importance, then the k-row id-set joined
+    back to the corpus text as the BROADCAST side."""
+    from jagular_spark.operators.selection import dsir_topk
+
+    sel = dsir_topk(
+        docs.where(F.col("doc_id") % 50 != 0),
+        docs.where(F.col("doc_id") % 50 == 0),
+        k=k,
+    ).select("doc_id")
+    return docs.join(F.broadcast(sel), "doc_id")
+
+
 def emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncated-dimension recall audit (Kusupati et al.
     2022, arXiv:2205.13147) under the driver oracle: per probe, the
@@ -3546,6 +3583,8 @@ ROUND_TOUCHED: set[str] = {
     # engine and oracle (output-identical today: n_full >= 1 by
     # construction)
     "emb_mrl_recall",
+    # r14: NEW — DSIR select-then-clean end-to-end (verdict task #7)
+    "docs_dsir_select_funnel",
     # r14: the five stateful streaming twins now execute their streams
     # at shuffle_partitions=8 (state-store width — the bench cold-start
     # fix). Keyed state is partitioning-invariant so results are
@@ -3568,6 +3607,7 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
+    "docs_dsir_select_funnel": docs_dsir_select_funnel,  # last green r0
     "docs_gopher_rules": docs_gopher_rules,  # last green r11
     "docs_language_id": docs_language_id,  # last green r11
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
@@ -3608,7 +3648,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,  # last green r11
     "q3_shipping_priority": q3_shipping_priority,  # last green r11
     "q5_region_revenue": q5_region_revenue,  # last green r11
-    "top3_orders_per_customer": top3_orders_per_customer,  # last green r11
     "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
     "events_censor_streamed": events_censor_streamed,  # last green r12
@@ -3619,6 +3658,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dsir_topk": docs_dsir_topk,  # last green r13
     "emb_mrl_recall": emb_mrl_recall,  # last green r13
     # ---- driver window ends here ----
+    "top3_orders_per_customer": top3_orders_per_customer,  # last green r11
     "docs_bigram_fluency": docs_bigram_fluency,  # last green r12
     "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r12
     "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r12

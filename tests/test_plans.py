@@ -553,3 +553,24 @@ def test_dsir_scoring_is_row_local_topk_is_heap(spark):
     assert "Generate" not in p  # no explode in the scoring path
     pk = _formatted(dsir_topk(raw, tgt, k=100))
     assert "TakeOrderedAndProject" in pk
+
+
+def test_dsir_select_funnel_selection_join_broadcasts(spark):
+    """docs_dsir_select_funnel (r14): the k-row DSIR selection must
+    join back to the corpus text as the BROADCAST side — at 100 TB the
+    selection is k rows however big the pool is, so a shuffle of the
+    corpus for this join would be a scale-killer. The cut itself must
+    still plan as a heap top-k, and nothing may go cartesian. Pinned on
+    the extracted selection half (workloads._dsir_selected_docs, the
+    exact expression the composed query feeds the funnel): the funnel's
+    survivor checkpoint truncates the composed explain string at the
+    RDD-scan barrier, so the selection join is invisible there."""
+    from jagular_spark.workloads import _dsir_selected_docs
+
+    docs = _docs(spark).select("doc_id", "text")
+    p = _formatted(_dsir_selected_docs(docs, k=200))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p

@@ -14,7 +14,17 @@ adjacent sizes — which is exactly how the r12 run caught the uncapped
 LSH hot-bucket blowup (pair volume 3.4k -> 396k across 16x docs) and
 motivated lsh_candidate_pairs' max_members guard.
 
+Since r14 four more measured axes close the r13 verdict's "argued
+shapes get measured" gap: DSIR fit+score on the document axis (fixed
+400-doc target; fit aggregates bounded at 4096 buckets, frozen-model
+scoring zero-shuffle), quantizer-fit cost under ``fit_rows=2000`` vs
+``fit_fraction=0.5`` on the vector axis (absolute budget must stay
+flat where the fraction's sample grows with the corpus), Matryoshka
+truncated-dimension recall on the vector axis, and MPEG-1
+B-frame/half-pel encode on a fixed-payload media axis.
+
 Usage: python tools/scale_probe.py [--sizes 5000,20000,80000]
+                                   [--families dsir,fit_shapes,mrl,media]
 Writes /tmp parquet only; prints one JSON line per operator.
 """
 
@@ -292,25 +302,268 @@ def probe(spark, sizes: list[int]) -> list[dict]:
     return out
 
 
+def _curve(op_name: str, times: list) -> dict:
+    """The shared record shape: points + adjacent time/size ratios."""
+    rec = {"op": op_name, "points": times}
+    for p0, p1 in zip(times, times[1:]):
+        n0, t0_, n1, t1_ = p0[0], p0[1], p1[0], p1[1]
+        rec[f"time_ratio_{n1}v{n0}"] = round(t1_ / max(t0_, 1e-9), 2)
+        rec[f"size_ratio_{n1}v{n0}"] = round(n1 / n0, 2)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def probe_dsir(spark, sizes: list[int]) -> list[dict]:
+    """DSIR scaling on the document axis (r13 verdict task #4). The
+    TARGET is held at a FIXED ABSOLUTE size (the first 400 doc_ids —
+    the paper's shape: a small high-quality seed set that does not grow
+    with the raw pool), so the curves isolate the raw-corpus stages:
+
+    - ``dsir_fit``: the two hashed-gram count aggregates. The SCAN is
+      honestly linear (every gram occurrence is counted once) but the
+      aggregate map-side-combines to <= 4096 rows per task and the
+      collect is bounded at 4096 buckets regardless of corpus — so
+      time must track corpus size with no superlinear step (a
+      growing-state fit would step harder than the size ratio).
+    - ``dsir_score_frozen``: scoring against an ALREADY-FITTED delta
+      table (the frozen-model serving half; fit once on the smallest
+      corpus, score every size against it). Row-local literal-table
+      lookup, zero shuffles — must be linear."""
+    from jagular_spark.operators.selection import (
+        dsir_fit_deltas,
+        score_with_deltas,
+    )
+
+    out = []
+    # fit the frozen scoring model ONCE (smallest corpus) so the
+    # scoring curve measures serving alone, not refits
+    path0 = f"/tmp/scale_probe_docs_{sizes[0]}"
+    synth_docs(spark, sizes[0], path0)
+    d0 = spark.read.parquet(path0)
+    delta0, mt0, mr0 = dsir_fit_deltas(
+        d0.where(F.col("doc_id") >= 400), d0.where(F.col("doc_id") < 400)
+    )
+
+    times_fit, times_score = [], []
+    for n in sizes:
+        path = f"/tmp/scale_probe_docs_{n}"
+        synth_docs(spark, n, path)
+        docs = spark.read.parquet(path)
+        raw = docs.where(F.col("doc_id") >= 400)
+        target = docs.where(F.col("doc_id") < 400)
+        dsir_fit_deltas(raw, target)  # warm
+        best = None
+        for _ in range(2):
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            delta, _, _ = dsir_fit_deltas(raw, target)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times_fit.append((n, round(best, 3), len(delta)))
+
+        scored = score_with_deltas(raw, delta0, mt0, mr0)
+        scored.count()  # warm
+        best, rows = None, 0
+        for _ in range(2):
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            rows = scored.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times_score.append((n, round(best, 3), rows))
+    out.append(_curve("dsir_fit", times_fit))
+    out.append(_curve("dsir_score_frozen", times_score))
+    return out
+
+
+def probe_fit_shapes(spark, sizes: list[int]) -> list[dict]:
+    """Quantizer-fit cost vs corpus size (r13 verdict task #4): the
+    whole claim of ``fit_rows`` is that the fit budget is ABSOLUTE —
+    exactly 2000 smallest-hash rows are selected (TakeOrderedAndProject:
+    per-task heap, no shuffle), collected, and Lloyd-fit driver-side,
+    so the measured curve must stay FLAT up to the narrow O(N)
+    sample-selection scan. The ``fit_fraction=0.5`` contrast is the
+    shape a 100-TB deployment must NOT use: its sample (and therefore
+    the collect and the driver-side Lloyd loop) grows linearly with
+    the corpus, and the curve shows it."""
+    from jagular_spark.operators.similarity import ivf_fit_centroids
+
+    ops = {
+        "ivf_fit_rows2000": lambda d: ivf_fit_centroids(
+            d, k=16, n_iter=3, fit_rows=2000
+        ),
+        "ivf_fit_fraction_half": lambda d: ivf_fit_centroids(
+            d, k=16, n_iter=3, fit_fraction=0.5
+        ),
+    }
+    out = []
+    for op_name, fn in ops.items():
+        times = []
+        for n in sizes:
+            path = f"/tmp/scale_probe_emb_{n}"
+            synth_embeddings(spark, n, path)
+            emb = spark.read.parquet(path)
+            fn(emb)  # warm
+            best = None
+            for _ in range(3):
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                cents = fn(emb)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.append((n, round(best, 3), len(cents)))
+        out.append(_curve(op_name, times))
+    return out
+
+
+def probe_mrl(spark, sizes: list[int]) -> list[dict]:
+    """Matryoshka truncated-dimension recall audit on the vector axis
+    (r13 verdict task #4): full-dimension exact top-k vs 16- and 32-dim
+    prefix top-k for 20 broadcast probes. Every stage is a broadcast
+    join against the (never-shuffled) corpus plus bounded per-probe
+    aggregates, so time must track corpus size linearly — the probe
+    count, not the corpus, is the only quadratic-risk axis and it is
+    fixed."""
+    from jagular_spark.operators.similarity import mrl_recall
+
+    out = []
+    times = []
+    for n in sizes:
+        path = f"/tmp/scale_probe_emb_{n}"
+        synth_embeddings(spark, n, path)
+        emb = spark.read.parquet(path)
+        q = mrl_recall(emb, F.col("id") < 20, k=5, dims_list=(16, 32))
+        q.count()  # warm
+        best, rows = None, 0
+        for _ in range(3):
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            rows = q.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times.append((n, round(best, 3), rows))
+    out.append(_curve("mrl_recall_16_32", times))
+    return out
+
+
+def synth_media(spark, n_docs: int, path: str) -> None:
+    """Fixed-size raw8 video payloads, generated distributed: 576
+    deterministic md5-derived bytes per doc (72 rows x 8 cols), so the
+    pframe cutter yields 6 frames/doc and the half-pel cutter 8 —
+    every stream has real P/B pictures and per-doc encode work is
+    CONSTANT, which is what makes the doc-axis curve a clean linearity
+    read (the sf corpora's variable doc lengths would confound it)."""
+    if os.path.exists(path):
+        return
+    base = spark.range(0, n_docs, 1, 32).select(F.col("id").alias("media_id"))
+    hexes = F.concat(
+        *[
+            F.md5(F.concat_ws("-", F.col("media_id").cast("string"), F.lit(str(j))))
+            for j in range(18)
+        ]
+    )
+    base.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.lit("raw8").alias("codec"),
+        F.unhex(F.concat(hexes, hexes)).alias("payload"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def probe_media(spark, sizes: list[int]) -> list[dict]:
+    """MPEG-1 B-frame and half-pel encode on the media axis (r13
+    verdict task #4): both kernels are row-local Arrow ``mapInPandas``
+    over never-shuffled payloads with constant per-doc work (fixed
+    576 B payloads -> fixed frame counts), so wall time must track doc
+    count. The overlapping-window frame cutter gives every stream real
+    vertical motion (frame t+1 is frame t shifted up), so the measured
+    cost includes the exhaustive motion searches actually running, not
+    an all-intra fallback."""
+    from jagular_spark.operators.multimodal import (
+        mpeg1_halfpel_roundtrip_stats,
+        mpeg1_pframe_roundtrip_stats,
+    )
+
+    ops = {
+        "mpeg1_bframes_encode": lambda d: mpeg1_pframe_roundtrip_stats(
+            d, qscale=1, tol=8, intra_period=3, flat_quant=16, b_frames=1
+        ),
+        "mpeg1_halfpel_encode": lambda d: mpeg1_halfpel_roundtrip_stats(
+            d, qscale=1, tol=8, intra_period=4, flat_quant=16, max_frames=8
+        ),
+    }
+    out = []
+    for op_name, fn in ops.items():
+        times = []
+        for n in sizes:
+            path = f"/tmp/scale_probe_media_{n}"
+            synth_media(spark, n, path)
+            media = spark.read.parquet(path)
+            fn(media).count()  # warm
+            best, rows = None, 0
+            for _ in range(2):
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                rows = fn(media).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.append((n, round(best, 3), rows))
+        out.append(_curve(op_name, times))
+    return out
+
+
+ALL_FAMILIES = (
+    "text",
+    "events",
+    "embeddings",
+    "streaming",
+    "dsir",
+    "fit_shapes",
+    "mrl",
+    "media",
+)
+
+
 def main() -> None:
     sizes = [5000, 20000, 80000]
+    families = list(ALL_FAMILIES)
     for a in sys.argv[1:]:
         if a.startswith("--sizes"):
             sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--families"):
+            families = a.split("=", 1)[1].split(",")
+            unknown = set(families) - set(ALL_FAMILIES)
+            if unknown:
+                raise SystemExit(f"unknown families: {sorted(unknown)}")
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    probe(spark, sizes)
     chans = [64, 256, 1024]
-    probe_events(spark, chans)
     emb_sizes = [4000, 16000, 64000]
-    probe_embeddings(spark, emb_sizes)
-    probe_streaming(spark, [20000, 80000, 320000])
+    media_sizes = [1000, 4000, 16000]
+    if "text" in families:
+        probe(spark, sizes)
+    if "events" in families:
+        probe_events(spark, chans)
+    if "embeddings" in families:
+        probe_embeddings(spark, emb_sizes)
+    if "streaming" in families:
+        probe_streaming(spark, [20000, 80000, 320000])
+    if "dsir" in families:
+        probe_dsir(spark, [20000, 80000, 320000])
+    if "fit_shapes" in families:
+        probe_fit_shapes(spark, emb_sizes)
+    if "mrl" in families:
+        probe_mrl(spark, emb_sizes)
+    if "media" in families:
+        probe_media(spark, media_sizes)
     for n in sizes:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
     for n in chans:
         shutil.rmtree(f"/tmp/scale_probe_samples_{n}", ignore_errors=True)
     for n in emb_sizes:
         shutil.rmtree(f"/tmp/scale_probe_emb_{n}", ignore_errors=True)
+    for n in media_sizes:
+        shutil.rmtree(f"/tmp/scale_probe_media_{n}", ignore_errors=True)
     for n in (20000, 80000, 320000):
         shutil.rmtree(f"/tmp/scale_probe_sess_{n}", ignore_errors=True)
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
