@@ -130,6 +130,67 @@ def rebalance_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Mixture building to ABSOLUTE token budgets — the shape a
+    training run actually specifies ("200 B tokens of web, 30 B of
+    code"), which neither ``stratified_sample`` (fixed fractions) nor
+    ``rebalance_sample`` (doc-COUNT shares) expresses: long-document
+    strata need fewer docs per token, so a count-based share misses a
+    token target by the stratum's mean-length ratio.
+
+    Per stratum the exact token total ``T_g`` comes from ONE bounded
+    aggregate (map-side combine to ≤ |strata| rows per task, collected
+    bounded); the keep rule is the usual deterministic md5 threshold
+    with ``thr_g = min(2^32, budget_g · 2^32 // T_g)`` so the EXPECTED
+    surviving token mass is ``min(budget_g, T_g)``. The threshold
+    division runs driver-side in arbitrary-precision Python ints —
+    ``budget · 2^32`` overflows int64 for any corpus past ~2^31 tokens,
+    so neither engine may do that multiply in 64-bit; the DuckDB oracle
+    replays it in HUGEINT and lands on the identical BIGINT threshold.
+    Membership is then a scan-level filter against a ≤ |strata|-branch
+    literal CASE: the corpus never shuffles. A stratum not in
+    ``budgets`` is DROPPED (budget 0 — a mixture is a whole
+    composition), mirroring ``rebalance_sample``.
+
+    Sampling (hash-uniform within the stratum), not a greedy
+    quality-ordered fill: an exact running-cumsum cut would need a
+    per-stratum total order — a single-task sort for a hot stratum at
+    100 TB — while the expected-budget threshold is exact-integer,
+    partition-invariant, and one scan. Output = surviving rows plus
+    their exact ``n_tokens`` (whitespace tokens, the domain_mixture
+    convention)."""
+    n_tok = F.expr(f"CAST(size(split(trim({text_col}), '\\\\s+')) AS BIGINT)")
+    totals = {
+        r[0]: int(r[1])
+        for r in (
+            df.where(F.col(group_col).isin(list(budgets)))
+            .select(F.col(group_col), n_tok.alias("__nt__"))
+            .groupBy(group_col)
+            .agg(F.sum("__nt__").cast("long").alias("__t__"))
+            .collect()
+        )
+    }
+    thr = F.lit(0).cast("long")
+    for g, budget in sorted(budgets.items()):
+        t_g = totals.get(g, 0)
+        cut = (
+            _HASH_SPACE
+            if t_g == 0
+            else min(_HASH_SPACE, (int(budget) * _HASH_SPACE) // t_g)
+        )
+        thr = F.when(F.col(group_col) == F.lit(g), F.lit(cut)).otherwise(thr)
+    return df.withColumn("n_tokens", n_tok).where(
+        hash_bucket(key_col, salt) < thr
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     key_col: str,

@@ -25,6 +25,7 @@ from jagular_spark.workload_params import (
     _SPIKE_FIT_FRACTION,
     _SPIKE_FIT_SALT,
     _STRATA_FRACTIONS,
+    _TOKEN_BUDGETS,
     _fir_chain_sql,
 )
 
@@ -2423,6 +2424,34 @@ ORACLE_SQL["docs_dsir_scores_streamed"] = _DSIR_PREFIX
 ORACLE_SQL["docs_dsir_topk"] = (
     _DSIR_PREFIX + "\n    ORDER BY score_num DESC, doc_id ASC LIMIT 100"
 )
+
+# Token-budget mixture sampling: per-source exact token totals, then
+# the threshold floor-division in HUGEINT — budget · 2^32 overflows
+# int64 on large corpora, which is why the ENGINE computes the same
+# division driver-side in arbitrary-precision Python ints; both land
+# on the identical BIGINT threshold — then md5-threshold membership.
+_BUDGET_ROWS = ", ".join(
+    f"('{g}', {int(b)})" for g, b in sorted(_TOKEN_BUDGETS.items())
+)
+_BUDGET_SRCS = ", ".join(f"'{g}'" for g in sorted(_TOKEN_BUDGETS))
+ORACLE_SQL["docs_token_budget_sample"] = f"""
+    WITH nt AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM documents
+    ), tg AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t FROM nt
+        WHERE source IN ({_BUDGET_SRCS}) GROUP BY source
+    ), thr AS (
+        SELECT tg.source,
+               LEAST(CAST(4294967296 AS HUGEINT),
+                     (CAST(b.budget AS HUGEINT) * 4294967296) // tg.t) AS cut
+        FROM tg JOIN (VALUES {_BUDGET_ROWS}) AS b(source, budget) USING (source)
+    )
+    SELECT n.doc_id, n.source, n.n_tokens
+    FROM nt n JOIN thr ON n.source = thr.source
+    WHERE CAST(n.h AS HUGEINT) < thr.cut"""
 
 # DSIR select-then-clean (the paper's actual pipeline): the suffixed
 # DSIR CTE chain picks the top-200 raw docs, dsel joins their text

@@ -77,6 +77,13 @@ _SPIKE_FIT_SALT = "spkfit"
 
 _REBALANCE_TARGETS = {"en": 0.2, "fr": 0.3, "de": 0.2, "es": 0.2, "zh": 0.1}
 
+# docs_token_budget_sample: ABSOLUTE per-source token budgets (shared
+# verbatim with the DuckDB oracle). Chosen to exercise all three
+# regimes at every shipped sf: src1's budget exceeds its total (clamp
+# to keep-all), src0/src2/src3/src4 cut at different depths, unlisted
+# sources are dropped.
+_TOKEN_BUDGETS = {"src0": 600, "src1": 1_000_000, "src2": 800, "src3": 400, "src4": 250}
+
 # Stop-shingle cutoff for the flagship exact-Jaccard dedup pass: a
 # shingle hash shared by more than this many document occurrences is
 # dropped from EVERY document's shingle set before the Jaccard (engine

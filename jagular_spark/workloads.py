@@ -38,6 +38,7 @@ from jagular_spark.workload_params import (
     _LP_TAPS,
     _REBALANCE_TARGETS,
     _STRATA_FRACTIONS,
+    _TOKEN_BUDGETS,
 )
 
 TABLES = [
@@ -1981,6 +1982,27 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pred_lang")
 
 
+def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture building to ABSOLUTE per-source token budgets (the way
+    a pretraining run is actually specified — "N tokens of web, M of
+    code" — which count-share rebalancing cannot hit when strata have
+    different mean document lengths): per-stratum exact token totals
+    from one bounded aggregate, then the deterministic md5-threshold
+    keep rule with ``thr = min(2^32, budget·2^32 // T_g)``, computed
+    driver-side in arbitrary-precision ints because the multiply
+    overflows int64 on any large corpus (the oracle replays it in
+    HUGEINT). Budgets here exercise all three regimes: src1's budget
+    exceeds its total (clamp → keep-all), src0/src2/src3/src4 cut at
+    different depths, and the 15 unlisted sources are dropped (a
+    mixture is a whole composition). Scoring is a scan-level filter —
+    the corpus never shuffles (operators/sampling.py)."""
+    from jagular_spark.operators.sampling import token_budget_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = token_budget_sample(docs, _TOKEN_BUDGETS, group_col="source")
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-count quantiles (p50/p90/p99) per (language,
     stopword-density decile) via rank-index selection over a
@@ -3585,6 +3607,8 @@ ROUND_TOUCHED: set[str] = {
     "emb_mrl_recall",
     # r14: NEW — DSIR select-then-clean end-to-end (verdict task #7)
     "docs_dsir_select_funnel",
+    # r14: NEW — absolute-token-budget mixture sampling
+    "docs_token_budget_sample",
     # r14: the five stateful streaming twins now execute their streams
     # at shuffle_partitions=8 (state-store width — the bench cold-start
     # fix). Keyed state is partitioning-invariant so results are
@@ -3608,6 +3632,7 @@ EXPECT_EMPTY: set[str] = set()
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
     "docs_dsir_select_funnel": docs_dsir_select_funnel,  # last green r0
+    "docs_token_budget_sample": docs_token_budget_sample,  # last green r0
     "docs_gopher_rules": docs_gopher_rules,  # last green r11
     "docs_language_id": docs_language_id,  # last green r11
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
@@ -3647,7 +3672,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tetrode": events_tetrode,  # last green r11
     "q1_pricing_summary": q1_pricing_summary,  # last green r11
     "q3_shipping_priority": q3_shipping_priority,  # last green r11
-    "q5_region_revenue": q5_region_revenue,  # last green r11
     "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
     "events_censor_streamed": events_censor_streamed,  # last green r12
@@ -3658,6 +3682,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dsir_topk": docs_dsir_topk,  # last green r13
     "emb_mrl_recall": emb_mrl_recall,  # last green r13
     # ---- driver window ends here ----
+    "q5_region_revenue": q5_region_revenue,  # last green r11
     "top3_orders_per_customer": top3_orders_per_customer,  # last green r11
     "docs_bigram_fluency": docs_bigram_fluency,  # last green r12
     "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r12

@@ -193,3 +193,55 @@ def test_shuffle_shards_deterministic_and_balanced(spark):
         assert len(poss) > n // 8 // 4  # no empty/starved shard
     c = sorted(map(tuple, shuffle_shards(docs, "doc_id", 8, "s2").collect()))
     assert c != a  # salt changes the permutation
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample (r14): absolute-token-budget mixture building
+# ---------------------------------------------------------------------------
+
+def test_token_budget_sample_matches_pure_python_replay(spark):
+    """Independent hashlib/int replay of the whole keep rule: exact
+    per-stratum token totals, threshold = min(2^32, budget·2^32 // T_g)
+    in arbitrary-precision ints, membership = md5 bucket < threshold.
+    The budget for stratum 'c' is deliberately past int64/2^32 so a
+    64-bit engine-side multiply would overflow — the driver-side
+    Python-int division must not."""
+    from jagular_spark.operators.sampling import token_budget_sample
+
+    rows = [
+        (i, ["a", "b", "c", "d"][i % 4], "tok " * (3 + i % 5))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    budgets = {"a": 150, "b": 0, "c": 1 << 40}
+    got = {
+        (r.doc_id, r.src, r.n_tokens)
+        for r in token_budget_sample(
+            df, budgets, group_col="src", key_col="doc_id"
+        ).collect()
+    }
+
+    # replay: trailing space means split('\s+') of the trimmed text
+    # yields exactly (3 + i%5) tokens
+    ntok = {i: 3 + i % 5 for i, _, _ in rows}
+    totals = {}
+    for i, s, _ in rows:
+        if s in budgets:
+            totals[s] = totals.get(s, 0) + ntok[i]
+    thr = {
+        s: min(1 << 32, (b << 32) // totals[s]) for s, b in budgets.items()
+    }
+    expect = {
+        (i, s, ntok[i])
+        for i, s, _ in rows
+        if s in thr and _py_bucket(str(i)) < thr[s]
+    }
+    assert got == expect
+    # the three regimes all occurred: 'c' clamped to keep-all, 'a'
+    # genuinely cut, 'b' (budget 0) and unlisted 'd' fully dropped
+    assert {s for _, s, _ in got if s == "c"} and sum(
+        1 for _, s, _ in got if s == "c"
+    ) == sum(1 for _, s, _ in rows if s == "c")
+    n_a = sum(1 for _, s, _ in got if s == "a")
+    assert 0 < n_a < sum(1 for _, s, _ in rows if s == "a")
+    assert not any(s in ("b", "d") for _, s, _ in got)
