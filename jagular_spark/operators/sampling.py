@@ -166,27 +166,68 @@ def token_budget_sample(
     partition-invariant, and one scan. Output = surviving rows plus
     their exact ``n_tokens`` (whitespace tokens, the domain_mixture
     convention)."""
-    n_tok = F.expr(f"CAST(size(split(trim({text_col}), '\\\\s+')) AS BIGINT)")
+    thresholds = token_budget_thresholds(df, budgets, group_col, text_col)
+    return apply_token_thresholds(
+        df, thresholds, group_col, key_col, text_col, salt
+    )
+
+
+def _ntok_expr(text_col: str) -> F.Column:
+    """Exact whitespace token count — the domain_mixture convention."""
+    return F.expr(f"CAST(size(split(trim({text_col}), '\\\\s+')) AS BIGINT)")
+
+
+def token_budget_thresholds(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """The FIT half of :func:`token_budget_sample`: exact per-stratum
+    token totals from one bounded aggregate, floor-divided into the
+    md5 hash space driver-side in arbitrary-precision ints. Returns
+    ``{stratum: threshold}`` — a frozen, serializable model a serving
+    path (the streaming twin) applies without touching the corpus
+    snapshot again."""
     totals = {
         r[0]: int(r[1])
         for r in (
             df.where(F.col(group_col).isin(list(budgets)))
-            .select(F.col(group_col), n_tok.alias("__nt__"))
+            .select(F.col(group_col), _ntok_expr(text_col).alias("__nt__"))
             .groupBy(group_col)
             .agg(F.sum("__nt__").cast("long").alias("__t__"))
             .collect()
         )
     }
-    thr = F.lit(0).cast("long")
-    for g, budget in sorted(budgets.items()):
-        t_g = totals.get(g, 0)
-        cut = (
+    return {
+        g: (
             _HASH_SPACE
-            if t_g == 0
-            else min(_HASH_SPACE, (int(budget) * _HASH_SPACE) // t_g)
+            if totals.get(g, 0) == 0
+            else min(_HASH_SPACE, (int(b) * _HASH_SPACE) // totals[g])
         )
-        thr = F.when(F.col(group_col) == F.lit(g), F.lit(cut)).otherwise(thr)
-    return df.withColumn("n_tokens", n_tok).where(
+        for g, b in budgets.items()
+    }
+
+
+def apply_token_thresholds(
+    df: DataFrame,
+    thresholds: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """The SERVING half: membership against ALREADY-FITTED thresholds —
+    a scan-level md5 filter with the thresholds as a ≤ |strata|-branch
+    literal CASE (zero shuffle, zero state), which is also exactly the
+    frozen-model STREAMING shape (streaming/pipeline.
+    stream_token_budget_sample wires a document stream through this
+    very function; stream-static with no stateful operators, so append
+    mode just works)."""
+    thr = F.lit(0).cast("long")
+    for g, cut in sorted(thresholds.items()):
+        thr = F.when(F.col(group_col) == F.lit(g), F.lit(int(cut))).otherwise(thr)
+    return df.withColumn("n_tokens", _ntok_expr(text_col)).where(
         hash_bucket(key_col, salt) < thr
     )
 

@@ -2425,6 +2425,28 @@ ORACLE_SQL["docs_dsir_topk"] = (
     _DSIR_PREFIX + "\n    ORDER BY score_num DESC, doc_id ASC LIMIT 100"
 )
 
+# Cross-source near-dup attribution: the docs_ngram_jaccard_lsh pair
+# SQL (verbatim, as a derived table) labeled with both sides' sources
+# and rolled up to the unordered source-pair matrix.
+ORACLE_SQL["docs_neardup_source_matrix"] = (
+    """
+    SELECT LEAST(da.source, db.source) AS src_lo,
+           GREATEST(da.source, db.source) AS src_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN da.source <> db.source THEN 1 END) AS BIGINT)
+               AS n_cross
+    FROM ("""
+    + ORACLE_SQL["docs_ngram_jaccard_lsh"]
+    + """) p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2"""
+)
+
+# the token-budget streaming twin is bit-identical to the batch
+# sampler (frozen thresholds, stateless row-local serving) — same
+# oracle verbatim (assigned below, after the batch entry is defined)
+
 # Token-budget mixture sampling: per-source exact token totals, then
 # the threshold floor-division in HUGEINT — budget · 2^32 overflows
 # int64 on large corpora, which is why the ENGINE computes the same
@@ -2452,6 +2474,9 @@ ORACLE_SQL["docs_token_budget_sample"] = f"""
     SELECT n.doc_id, n.source, n.n_tokens
     FROM nt n JOIN thr ON n.source = thr.source
     WHERE CAST(n.h AS HUGEINT) < thr.cut"""
+ORACLE_SQL["docs_token_budget_sample_streamed"] = ORACLE_SQL[
+    "docs_token_budget_sample"
+]
 
 # DSIR select-then-clean (the paper's actual pipeline): the suffixed
 # DSIR CTE chain picks the top-200 raw docs, dsel joins their text

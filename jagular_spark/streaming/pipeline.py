@@ -676,3 +676,29 @@ def stream_dsir_scores(
     from jagular_spark.operators.selection import score_with_deltas
 
     return score_with_deltas(docs, delta, mt, mr, n_buckets=n_buckets)
+
+
+def stream_token_budget_sample(
+    docs: DataFrame,
+    thresholds: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Frozen-model token-budget mixture sampling on a document stream
+    (the serving shape of mixture building: fit the per-stratum
+    thresholds offline on the corpus snapshot, then admit/drop every
+    arriving crawl document at ingest). COMPLETELY stateless — the
+    thresholds ride into the plan as a literal CASE and membership is
+    a row-local md5 filter (operators/sampling.apply_token_thresholds,
+    shared with the batch operator), so there is no watermark, no
+    state store, and ``append`` output mode works as-is. Bit-identical
+    to the batch ``token_budget_sample`` when the fit snapshot matches
+    (parity pinned in tests/test_streaming.py; the driver query shares
+    docs_token_budget_sample's oracle verbatim)."""
+    from jagular_spark.operators.sampling import apply_token_thresholds
+
+    return apply_token_thresholds(
+        docs, thresholds, group_col, key_col, text_col, salt
+    )

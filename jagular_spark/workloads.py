@@ -678,6 +678,43 @@ def docs_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ngram_jaccard_pairs_lsh(docs, min_jaccard=0.5)
 
 
+def docs_neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate attribution — the provenance audit a
+    curation team runs before trusting per-source mixture weights
+    ("is src A leaking into src B?", the classic crawl/curated-set
+    contamination question): the LSH-first exact-Jaccard near-dup pairs
+    (docs_ngram_jaccard_lsh's composition, unchanged) are labeled with
+    each side's source and rolled up to an unordered source-pair matrix
+    ``(src_lo, src_hi, n_pairs, n_cross)``. At 100 TB the pair set
+    grows linearly with the corpus (banded candidates, capped buckets)
+    but is NOT broadcastable, so the label joins are plain equi-joins
+    against the 2-column (doc_id, source) projection — the only
+    corpus-width data that moves; the rollup output is ≤ |sources|²
+    rows. least/greatest give the canonical unordered key with
+    identical string collation on both engines (ASCII source ids)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = sim.ngram_jaccard_pairs_lsh(docs, min_jaccard=0.5).select(
+        "id_a", "id_b"
+    )
+    src = docs.select("doc_id", "source")
+    lab = pairs.join(
+        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("s_a")),
+        "id_a",
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("s_b")),
+        "id_b",
+    )
+    return lab.groupBy(
+        F.least("s_a", "s_b").alias("src_lo"),
+        F.greatest("s_a", "s_b").alias("src_hi"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count(F.when(F.col("s_a") != F.col("s_b"), F.lit(1)))
+        .cast("long")
+        .alias("n_cross"),
+    )
+
+
 def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level exact repeated-substring spans (the Lee et al. 2022
     substring-dedup pass): maximal token spans whose 8-token windows
@@ -2001,6 +2038,32 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = token_budget_sample(docs, _TOKEN_BUDGETS, group_col="source")
     return out.select("doc_id", "source", "n_tokens")
+
+
+def docs_token_budget_sample_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of docs_token_budget_sample — the serving shape
+    of mixture building: the per-source thresholds are fit OFFLINE on
+    the corpus snapshot (one bounded aggregate + driver-side
+    arbitrary-precision floor-divisions) and every arriving document
+    is admitted or dropped incrementally against the frozen literal
+    table (streaming/pipeline.stream_token_budget_sample). Completely
+    STATELESS — membership is a row-local md5 filter, so there is no
+    watermark and no state store; one availableNow pass over the
+    staged corpus emits exactly the batch rows, and the query shares
+    docs_token_budget_sample's oracle verbatim (hash match, not
+    rows-only)."""
+    from jagular_spark.operators.sampling import token_budget_thresholds
+    from jagular_spark.streaming.pipeline import stream_token_budget_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    thresholds = token_budget_thresholds(docs, _TOKEN_BUDGETS, group_col="source")
+    stage = _stage_dir("tbs_stream", sf_dir)
+    docs.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    tbl = _run_stream_to_table(
+        stream_token_budget_sample(stream, thresholds), "tbs_stream"
+    )
+    return spark.table(tbl).select("doc_id", "source", "n_tokens")
 
 
 def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3609,6 +3672,10 @@ ROUND_TOUCHED: set[str] = {
     "docs_dsir_select_funnel",
     # r14: NEW — absolute-token-budget mixture sampling
     "docs_token_budget_sample",
+    # r14: NEW — cross-source near-dup attribution matrix
+    "docs_neardup_source_matrix",
+    # r14: NEW — frozen-threshold streaming twin of the mixture sampler
+    "docs_token_budget_sample_streamed",
     # r14: the five stateful streaming twins now execute their streams
     # at shuffle_partitions=8 (state-store width — the bench cold-start
     # fix). Keyed state is partitioning-invariant so results are
@@ -3632,7 +3699,9 @@ EXPECT_EMPTY: set[str] = set()
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
     "docs_dsir_select_funnel": docs_dsir_select_funnel,  # last green r0
+    "docs_neardup_source_matrix": docs_neardup_source_matrix,  # last green r0
     "docs_token_budget_sample": docs_token_budget_sample,  # last green r0
+    "docs_token_budget_sample_streamed": docs_token_budget_sample_streamed,  # last green r0
     "docs_gopher_rules": docs_gopher_rules,  # last green r11
     "docs_language_id": docs_language_id,  # last green r11
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
@@ -3670,8 +3739,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_spikes_roundtrip": events_spikes_roundtrip,  # last green r11
     "events_stream_bounds": events_stream_bounds,  # last green r11
     "events_tetrode": events_tetrode,  # last green r11
-    "q1_pricing_summary": q1_pricing_summary,  # last green r11
-    "q3_shipping_priority": q3_shipping_priority,  # last green r11
     "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
     "events_censor_streamed": events_censor_streamed,  # last green r12
@@ -3682,6 +3749,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dsir_topk": docs_dsir_topk,  # last green r13
     "emb_mrl_recall": emb_mrl_recall,  # last green r13
     # ---- driver window ends here ----
+    "q1_pricing_summary": q1_pricing_summary,  # last green r11
+    "q3_shipping_priority": q3_shipping_priority,  # last green r11
     "q5_region_revenue": q5_region_revenue,  # last green r11
     "top3_orders_per_customer": top3_orders_per_customer,  # last green r11
     "docs_bigram_fluency": docs_bigram_fluency,  # last green r12

@@ -133,6 +133,7 @@ def test_no_cartesian_products_on_flagships(spark):
         "docs_ngram_jaccard",
         "q5_region_revenue",
         "docs_curation_funnel_v2",
+        "docs_neardup_source_matrix",
     ):
         p = _formatted(SPARK_QUERIES[name](spark, SF))
         assert "CartesianProduct" not in p, name
@@ -574,3 +575,17 @@ def test_dsir_select_funnel_selection_join_broadcasts(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_token_budget_sample_scoring_is_scan_level(spark):
+    """token_budget_sample (r14): after the bounded fit aggregate runs
+    at call time (collected ≤ |strata| rows), the RETURNED plan must be
+    a pure scan-level filter + projection — no Exchange, no join, no
+    aggregate: the corpus never shuffles for mixture membership."""
+    from jagular_spark.operators.sampling import token_budget_sample
+
+    docs = _docs(spark).select("doc_id", "source", "text")
+    p = _formatted(token_budget_sample(docs, {"src0": 100, "src1": 10**9}))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "Aggregate" not in p

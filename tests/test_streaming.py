@@ -923,3 +923,48 @@ def test_stream_dsir_scores_parity_with_batch(spark, tmp_path):
         (op.get("numRowsTotal") or 0) == 0
         for op in (prog.get("stateOperators") or [])
     )
+
+
+def test_stream_token_budget_sample_parity_with_batch(spark, tmp_path):
+    """Frozen-threshold streaming mixture sampling == batch
+    token_budget_sample bit-for-bit on the same fit snapshot (the
+    thresholds are exact BIGINTs, membership a pure md5 compare), with
+    ZERO stateful operators — append mode, no watermark, no state
+    store."""
+    from jagular_spark.operators.sampling import (
+        token_budget_sample,
+        token_budget_thresholds,
+    )
+    from jagular_spark.streaming.pipeline import stream_token_budget_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    budgets = {"src0": 120, "src1": 10**9, "src2": 40}
+    batch = {
+        (r.doc_id, r.source, r.n_tokens)
+        for r in token_budget_sample(docs, budgets).collect()
+    }
+    thresholds = token_budget_thresholds(docs, budgets)
+    stage = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    q = (
+        stream_token_budget_sample(stream, thresholds)
+        .writeStream.format("memory")
+        .queryName("tbs_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.source, r.n_tokens)
+        for r in spark.table("tbs_parity").collect()
+    }
+    assert got == batch and batch
+    prog = q.lastProgress
+    assert all(
+        (op.get("numRowsTotal") or 0) == 0
+        for op in (prog.get("stateOperators") or [])
+    )
