@@ -245,3 +245,55 @@ def test_token_budget_sample_matches_pure_python_replay(spark):
     n_a = sum(1 for _, s, _ in got if s == "a")
     assert 0 < n_a < sum(1 for _, s, _ in rows if s == "a")
     assert not any(s in ("b", "d") for _, s, _ in got)
+
+
+corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),      # stratum
+        st.integers(1, 9),                      # token count
+    ),
+    min_size=1,
+    max_size=60,
+)
+budget_maps = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.one_of(st.integers(0, 40), st.just(1 << 40)),
+    min_size=1,
+    max_size=3,
+)
+
+
+@_SET
+@given(corpora, budget_maps)
+def test_token_budget_sample_property_matches_replay(spark, rows_spec, budgets):
+    """Property: for ANY stratum/length composition and ANY budget map
+    (including zero budgets and budgets past int64/2^32), the sampler
+    equals the arbitrary-precision pure-Python replay exactly."""
+    from jagular_spark.operators.sampling import token_budget_sample
+
+    rows = [
+        (i, s, "t " * n) for i, (s, n) in enumerate(rows_spec)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    got = {
+        (r.doc_id, r.src, r.n_tokens)
+        for r in token_budget_sample(
+            df, budgets, group_col="src", key_col="doc_id"
+        ).collect()
+    }
+    ntok = {i: n for i, (_, n) in enumerate(rows_spec)}
+    totals: dict[str, int] = {}
+    for i, (s, n) in enumerate(rows_spec):
+        if s in budgets:
+            totals[s] = totals.get(s, 0) + n
+    thr = {
+        s: (1 << 32) if totals.get(s, 0) == 0
+        else min(1 << 32, (b << 32) // totals[s])
+        for s, b in budgets.items()
+    }
+    expect = {
+        (i, s, ntok[i])
+        for i, (s, _) in enumerate(rows_spec)
+        if s in thr and _py_bucket(str(i)) < thr[s]
+    }
+    assert got == expect
