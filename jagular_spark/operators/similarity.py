@@ -1174,6 +1174,128 @@ def _ivf_search(
     )
 
 
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float | None = None,
+    salt: str = "",
+    fit_rows: int | None = None,
+) -> list[list[int]]:
+    """BUILD-ONCE half of the persisted-IVF serving shape: fit the
+    coarse quantizer, assign every vector its inverted-list cell (the
+    same literal-centroid argmin narrow projection as the inline
+    path), and write ``(id, iv, nrm, cell)`` to parquet PARTITIONED BY
+    cell. At 100 TB this is the layout that makes serving cheap: each
+    cell is its own parquet directory, so a search touching ``nprobe``
+    of ``n_centroids`` cells reads ~nprobe/n_centroids of the corpus
+    BYTES via static partition pruning — the scan never lists, opens,
+    or decodes the other cells' files (FAISS IVF-Flat's "only visit
+    nprobe lists", expressed as Catalyst partition pruning; pinned in
+    tests/test_plans.py on the PartitionFilters line). One write-side
+    shuffle-free pass; returns the fitted centroids (the frozen model
+    the searcher needs)."""
+    cents = ivf_fit_centroids(
+        df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt, fit_rows
+    )
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    argmin = F.array_min(_dist_idx(cents)).getField("i").cast("int")
+    base.withColumn("cell", argmin).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    return cents
+
+
+def ivf_probe_rows(
+    df: DataFrame,
+    probe_filter: F.Column,
+    cents: Sequence[Sequence[int]],
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_probes: int = 1024,
+) -> list[tuple[int, list[int], int, list[int]]]:
+    """Collect the (bounded) probe set and compute each probe's
+    ``nprobe`` nearest cells DRIVER-side in exact arbitrary-precision
+    ints — ``sorted((d, i))`` reproduces the engine's
+    ``array_sort`` on (d, i) structs tie-for-tie. Queries are small by
+    nature (they are the serving request, not the corpus); the
+    ``max_probes`` guard turns an accidental corpus-sized probe filter
+    into a loud error instead of a driver OOM. Returns
+    ``[(query_id, iv, nrm, cells)]`` — everything the partition-pruned
+    searcher needs without touching the corpus."""
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    rows = base.where(probe_filter).collect()
+    if len(rows) > max_probes:
+        raise ValueError(
+            f"probe set has {len(rows)} rows > max_probes={max_probes}; "
+            "probes are serving requests, not a corpus — raise the guard "
+            "only if you mean it"
+        )
+    out = []
+    for r in rows:
+        dists = sorted(
+            (sum((x - c) ** 2 for x, c in zip(r.iv, cent)), i)
+            for i, cent in enumerate(cents)
+        )
+        out.append(
+            (int(r.id), [int(v) for v in r.iv], int(r.nrm),
+             [i for _, i in dists[:nprobe]])
+        )
+    return out
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    probes: list[tuple[int, list[int], int, list[int]]],
+    k: int = 5,
+) -> DataFrame:
+    """SERVE-MANY half: search a persisted cell-partitioned IVF index
+    (ivf_write_index) for a bounded probe set (ivf_probe_rows). The
+    union of the probes' cells becomes a STATIC ``isin`` partition
+    filter — Catalyst prunes every other cell's files at planning time
+    (PartitionFilters on the scan, pinned in tests/test_plans.py), so
+    the scan reads ~nprobe/n_centroids of the index bytes. Probes ride
+    in as a broadcast literal DataFrame; scoring/ranking are the exact
+    integer dot + (dot DESC, neighbor) window shared with the inline
+    path, so the result is bit-identical to ``ann_topk_ivf`` on the
+    same fit — which is why the driver query reuses that oracle
+    verbatim. ``(query_id, neighbor_id, rank, cos)``."""
+    cells = sorted({c for _, _, _, cs in probes for c in cs})
+    pdf = spark.createDataFrame(
+        [(pid, iv, nrm, c) for pid, iv, nrm, cs in probes for c in cs],
+        "query_id long, iv_a array<bigint>, nrm_a bigint, pcl int",
+    )
+    idx = spark.read.parquet(path).where(F.col("cell").isin(cells))
+    scored = (
+        idx.select(
+            F.col("id").alias("neighbor_id"),
+            F.col("iv").alias("iv_b"),
+            F.col("nrm").alias("nrm_b"),
+            F.col("cell"),
+        )
+        .join(
+            F.broadcast(pdf),
+            (F.col("pcl") == F.col("cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

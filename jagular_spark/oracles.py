@@ -1481,6 +1481,11 @@ def _ivf_fitted_oracle(
 
 
 ORACLE_SQL["emb_ann_topk_ivf"] = _ivf_fitted_oracle()
+# the persisted-index variant is bit-identical to the inline pipeline
+# (same fit, same probes, same exact-integer scoring — only the
+# physical layout differs: cell-partitioned parquet + static partition
+# pruning), so it shares the fitted oracle verbatim
+ORACLE_SQL["emb_ann_topk_ivf_prebuilt"] = ORACLE_SQL["emb_ann_topk_ivf"]
 
 # Absolute-fit-budget variant (r13): identical fitted pipeline, but the
 # fit sample is EXACTLY the 300 smallest-hash vectors (ORDER BY bucket,

@@ -1781,6 +1781,29 @@ def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ann_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX IVF serving shape (build once, serve many —
+    what a 100 TB deployment actually runs instead of refitting per
+    query): the corpus is written ONCE as a parquet index PARTITIONED
+    BY inverted-list cell (sim.ivf_write_index), and the search reads
+    it back with the probes' nprobe cells as a STATIC partition filter
+    — Catalyst prunes every other cell's files at planning time, so
+    the serving scan touches ~nprobe/n_centroids of the index bytes
+    (PartitionFilters pinned in tests/test_plans.py). Same fit
+    (fit_fraction=0.5 md5 half-sample, 3 integer Lloyd iterations),
+    same probes, same exact-integer scoring as emb_ann_topk_ivf, so
+    the result is bit-identical and this query REUSES that oracle
+    verbatim — the hash match certifies that persist→prune→search
+    loses nothing vs the inline pipeline."""
+    emb = load(spark, sf_dir, "embeddings")
+    stage = _stage_dir("ivf_index", sf_dir)
+    cents = sim.ivf_write_index(
+        emb, stage, n_centroids=16, n_iter=3, fit_fraction=0.5
+    )
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 20, cents, nprobe=4)
+    return sim.ivf_search_index(spark, stage, probes, k=5)
+
+
 def emb_ann_topk_ivf_fitrows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with an ABSOLUTE fit budget (r13): same fitted pipeline
     as emb_ann_topk_ivf but the coarse quantizer trains on exactly the
@@ -3676,6 +3699,8 @@ ROUND_TOUCHED: set[str] = {
     "docs_neardup_source_matrix",
     # r14: NEW — frozen-threshold streaming twin of the mixture sampler
     "docs_token_budget_sample_streamed",
+    # r14: NEW — persisted cell-partitioned IVF index serving path
+    "emb_ann_topk_ivf_prebuilt",
     # r14: the five stateful streaming twins now execute their streams
     # at shuffle_partitions=8 (state-store width — the bench cold-start
     # fix). Keyed state is partitioning-invariant so results are
@@ -3702,6 +3727,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_neardup_source_matrix": docs_neardup_source_matrix,  # last green r0
     "docs_token_budget_sample": docs_token_budget_sample,  # last green r0
     "docs_token_budget_sample_streamed": docs_token_budget_sample_streamed,  # last green r0
+    "emb_ann_topk_ivf_prebuilt": emb_ann_topk_ivf_prebuilt,  # last green r0
     "docs_gopher_rules": docs_gopher_rules,  # last green r11
     "docs_language_id": docs_language_id,  # last green r11
     "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
@@ -3738,7 +3764,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_segments": events_segments,  # last green r11
     "events_spikes_roundtrip": events_spikes_roundtrip,  # last green r11
     "events_stream_bounds": events_stream_bounds,  # last green r11
-    "events_tetrode": events_tetrode,  # last green r11
     "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
     "events_censor_streamed": events_censor_streamed,  # last green r12
@@ -3749,6 +3774,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dsir_topk": docs_dsir_topk,  # last green r13
     "emb_mrl_recall": emb_mrl_recall,  # last green r13
     # ---- driver window ends here ----
+    "events_tetrode": events_tetrode,  # last green r11
     "q1_pricing_summary": q1_pricing_summary,  # last green r11
     "q3_shipping_priority": q3_shipping_priority,  # last green r11
     "q5_region_revenue": q5_region_revenue,  # last green r11

@@ -589,3 +589,26 @@ def test_token_budget_sample_scoring_is_scan_level(spark):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "Aggregate" not in p
+
+
+def test_ivf_prebuilt_index_scan_is_partition_pruned(spark, tmp_path):
+    """The persisted-IVF serving claim (r14): the index is parquet
+    PARTITIONED BY cell, and the search's static cell filter must
+    reach the scan as PartitionFilters — Catalyst prunes the other
+    cells' files at planning time, so the serving scan reads
+    ~nprobe/n_centroids of the index bytes. Probes broadcast; nothing
+    goes cartesian."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    cents = sim.ivf_write_index(emb, path, n_centroids=8, n_iter=1, fit_fraction=0.5)
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 5, cents, nprobe=2)
+    p = _formatted(sim.ivf_search_index(spark, path, probes, k=3))
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert pf and "cell" in pf.group(1) and pf.group(1).strip(), p[:2000]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # pruning is real: fewer index files are read than cells exist
+    used = {c for _, _, _, cs in probes for c in cs}
+    assert len(used) < 8
