@@ -1682,6 +1682,121 @@ def ann_topk_ivf_pq(
     )
 
 
+def ivf_pq_write_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float = 0.5,
+    salt: str = "",
+    fit_rows: int | None = None,
+) -> tuple[list[list[int]], list[list[list[int]]]]:
+    """BUILD-ONCE half of the persisted IVFADC index — THE 100 TB ANN
+    layout: the written table carries ``(id, codes)`` only (m small
+    ints per row, ~100× smaller than the raw vectors) PARTITIONED BY
+    inverted-list cell, so the ADC serving scan both reads the tiny
+    codes representation AND prunes to the probes' nprobe cells'
+    files. One fit-sample collect feeds both quantizer fits (identical
+    math to ann_topk_ivf_pq); encoding is the vectorized Arrow kernel.
+    Returns ``(cents, books)`` — the frozen model the searcher
+    needs."""
+    X = _collect_fit_sample(df, id_col, vec_col, fit_fraction, salt, fit_rows)
+    if len(X) < n_centroids:
+        raise ValueError(f"fit sample has {len(X)} rows < k={n_centroids}")
+    cents = _lloyd_int(X, n_centroids, n_iter)
+    books = _pq_books_from_sample(X, m, pq_k, pq_iter)
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    codes = _encode_corpus_codes(base, cents, books)
+    codes.select(
+        F.col("neighbor_id").alias("id"), "codes", F.col("cl").alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    return cents, books
+
+
+def ivf_pq_search_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    probes: list[tuple[int, list[int], int, list[int]]],
+    books: Sequence[Sequence[Sequence[int]]],
+    k: int = 5,
+    refine: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SERVE-MANY half of the persisted IVFADC index: the probes' cell
+    union becomes a static partition filter on the codes table
+    (PartitionFilters — the scan reads ~nprobe/n_centroids of the
+    m-byte-per-row index), each probe's exact-int ADC tables ride in on
+    the broadcast probe rows, and the ADC top-``refine`` shortlist is
+    re-ranked with exact integer dots against the FULL-PRECISION vector
+    store (``df``) — fetched for shortlist candidates only, exactly the
+    inline pipeline's shape. Bit-identical to ``ann_topk_ivf_pq`` on
+    the same fit, so the driver query shares that oracle verbatim.
+    ``(query_id, neighbor_id, rank, cos)``."""
+    cells = sorted({c for _, _, _, cs in probes for c in cs})
+    pdf = spark.createDataFrame(
+        [(pid, iv, nrm, c) for pid, iv, nrm, cs in probes for c in cs],
+        "query_id long, iv array<bigint>, nrm_a bigint, pcl int",
+    ).select(
+        "query_id",
+        F.col("iv").alias("iv_a"),
+        "nrm_a",
+        _pq_dot_tables(books).alias("t"),
+        "pcl",
+    )
+    idx = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(cells))
+        .select(
+            F.col("id").alias("neighbor_id"), "codes", F.col("cell").alias("cl")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("t"), F.col("codes"),
+            lambda tj, cj: F.element_at(tj, cj + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = idx.join(
+        F.broadcast(pdf),
+        (F.col("pcl") == F.col("cl")) & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn("adc", adc)
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("rr", F.row_number().over(rw))
+        .where(F.col("rr") <= refine)
+        .select("query_id", "neighbor_id", "iv_a", "nrm_a")
+    )
+    store = with_int_norm(df, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("iv").alias("iv_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    scored = (
+        shortlist.join(store, "neighbor_id")
+        .withColumn("dot", _int_dot("iv_a", "iv_b"))
+        .withColumn("cos", _cos())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def knn_classify(
     df: DataFrame,
     probe_filter: F.Column,

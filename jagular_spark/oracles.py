@@ -1665,6 +1665,11 @@ def _pq_fitted_oracle(
 
 
 ORACLE_SQL["emb_ann_topk_ivf_pq"] = _pq_fitted_oracle()
+# the persisted codes-index variant is bit-identical to the inline
+# IVFADC pipeline (same one-collect fit, same ADC + exact re-rank —
+# only the physical layout differs: cell-partitioned codes parquet +
+# static partition pruning), so it shares the fitted oracle verbatim
+ORACLE_SQL["emb_ann_topk_ivf_pq_prebuilt"] = ORACLE_SQL["emb_ann_topk_ivf_pq"]
 
 # F2 chunked: core-exact halo contract — same oracle as whole-epoch FIR.
 ORACLE_SQL["events_filtfilt_chunked"] = ORACLE_SQL["events_filtfilt"]

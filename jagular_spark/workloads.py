@@ -1804,6 +1804,31 @@ def emb_ann_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_search_index(spark, stage, probes, k=5)
 
 
+def emb_ann_topk_ivf_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVFADC index — THE memory-bounded 100 TB ANN
+    deployment: the table written once is ``(id, codes)`` (m=4 small
+    ints per vector, ~100× smaller than raw) PARTITIONED BY
+    inverted-list cell, so serving combines BOTH scale levers — the
+    codes-only representation AND static partition pruning to the
+    probes' nprobe cells' files. ADC tables ride in on the broadcast
+    probe rows; the ADC top-32 shortlist is re-ranked with exact
+    integer dots against the full-precision store, fetched for
+    shortlist candidates only. Same fit (one md5 half-sample collect
+    feeding both quantizers), same probes, same exact-integer
+    arithmetic as emb_ann_topk_ivf_pq, so the result is bit-identical
+    and this query REUSES that oracle verbatim."""
+    emb = load(spark, sf_dir, "embeddings")
+    stage = _stage_dir("ivfpq_index", sf_dir)
+    cents, books = sim.ivf_pq_write_index(
+        emb, stage, n_centroids=16, n_iter=3, m=4, pq_k=16, pq_iter=2,
+        fit_fraction=0.5,
+    )
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 20, cents, nprobe=4)
+    return sim.ivf_pq_search_index(
+        spark, emb, stage, probes, books, k=5, refine=32
+    )
+
+
 def emb_ann_topk_ivf_fitrows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with an ABSOLUTE fit budget (r13): same fitted pipeline
     as emb_ann_topk_ivf but the coarse quantizer trains on exactly the
@@ -3701,6 +3726,8 @@ ROUND_TOUCHED: set[str] = {
     "docs_token_budget_sample_streamed",
     # r14: NEW — persisted cell-partitioned IVF index serving path
     "emb_ann_topk_ivf_prebuilt",
+    # r14: NEW — persisted codes-only IVFADC index serving path
+    "emb_ann_topk_ivf_pq_prebuilt",
     # r14: the five stateful streaming twins now execute their streams
     # at shuffle_partitions=8 (state-store width — the bench cold-start
     # fix). Keyed state is partitioning-invariant so results are
@@ -3727,6 +3754,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_neardup_source_matrix": docs_neardup_source_matrix,  # last green r0
     "docs_token_budget_sample": docs_token_budget_sample,  # last green r0
     "docs_token_budget_sample_streamed": docs_token_budget_sample_streamed,  # last green r0
+    "emb_ann_topk_ivf_pq_prebuilt": emb_ann_topk_ivf_pq_prebuilt,  # last green r0
     "emb_ann_topk_ivf_prebuilt": emb_ann_topk_ivf_prebuilt,  # last green r0
     "docs_gopher_rules": docs_gopher_rules,  # last green r11
     "docs_language_id": docs_language_id,  # last green r11
@@ -3763,7 +3791,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mad_threshold": events_mad_threshold,  # last green r11
     "events_segments": events_segments,  # last green r11
     "events_spikes_roundtrip": events_spikes_roundtrip,  # last green r11
-    "events_stream_bounds": events_stream_bounds,  # last green r11
     "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
     "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
     "events_censor_streamed": events_censor_streamed,  # last green r12
@@ -3774,6 +3801,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dsir_topk": docs_dsir_topk,  # last green r13
     "emb_mrl_recall": emb_mrl_recall,  # last green r13
     # ---- driver window ends here ----
+    "events_stream_bounds": events_stream_bounds,  # last green r11
     "events_tetrode": events_tetrode,  # last green r11
     "q1_pricing_summary": q1_pricing_summary,  # last green r11
     "q3_shipping_priority": q3_shipping_priority,  # last green r11

@@ -612,3 +612,30 @@ def test_ivf_prebuilt_index_scan_is_partition_pruned(spark, tmp_path):
     # pruning is real: fewer index files are read than cells exist
     used = {c for _, _, _, cs in probes for c in cs}
     assert len(used) < 8
+
+
+def test_ivf_pq_prebuilt_codes_scan_is_partition_pruned(spark, tmp_path):
+    """The persisted IVFADC claim (r14): the codes table is parquet
+    PARTITIONED BY cell and the serving scan must show BOTH scale
+    levers — PartitionFilters on cell (static pruning to the probes'
+    cells) AND a ReadSchema carrying only (id, codes): the 64-element
+    vectors are absent from the index scan entirely (they are fetched
+    from the store only for the shortlist re-rank)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_index")
+    cents, books = sim.ivf_pq_write_index(
+        emb, path, n_centroids=8, n_iter=1, m=4, pq_k=8, pq_iter=1,
+        fit_fraction=0.5,
+    )
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 5, cents, nprobe=2)
+    p = _formatted(
+        sim.ivf_pq_search_index(spark, emb, path, probes, books, k=3, refine=8)
+    )
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert pf and "cell" in pf.group(1) and pf.group(1).strip(), p[:2000]
+    # the index scan reads codes, never the raw vectors
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert rs and "codes" in rs.group(1) and "embedding" not in rs.group(1), rs
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
