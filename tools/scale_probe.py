@@ -446,6 +446,66 @@ def probe_mrl(spark, sizes: list[int]) -> list[dict]:
     return out
 
 
+def probe_ivf_prebuilt(spark, sizes: list[int]) -> list[dict]:
+    """Persisted-index SERVING scaling (r14): the index is built once
+    per corpus size (untimed — build-once/serve-many is the shape's
+    whole point) and only the search is timed. The flat index scan
+    reads ~nprobe/n_centroids of the corpus bytes via static partition
+    pruning; the IVFADC codes index additionally shrinks every row to
+    m small ints. Serve time must therefore grow no faster than
+    corpus × nprobe/n_centroids — at these sizes the fixed job floor
+    dominates, so the curve should sit well under the 4× data ratio."""
+    from jagular_spark.operators.similarity import (
+        ivf_pq_search_index,
+        ivf_pq_write_index,
+        ivf_probe_rows,
+        ivf_search_index,
+        ivf_write_index,
+    )
+
+    out = []
+    for variant in ("flat", "pq"):
+        times = []
+        for n in sizes:
+            epath = f"/tmp/scale_probe_emb_{n}"
+            synth_embeddings(spark, n, epath)
+            emb = spark.read.parquet(epath)
+            ipath = f"/tmp/scale_probe_ivfidx_{variant}_{n}"
+            ff = min(0.5, 2000 / n)
+            if variant == "flat":
+                cents = ivf_write_index(
+                    emb, ipath, n_centroids=16, n_iter=3,
+                    id_col="vec_id", fit_fraction=ff,
+                )
+                probes = ivf_probe_rows(
+                    emb, F.col("id") < 20, cents, nprobe=4, id_col="vec_id"
+                )
+                mk = lambda: ivf_search_index(spark, ipath, probes, k=5)  # noqa: E731
+            else:
+                cents, books = ivf_pq_write_index(
+                    emb, ipath, n_centroids=16, n_iter=3, m=4, pq_k=16,
+                    pq_iter=2, id_col="vec_id", fit_fraction=ff,
+                )
+                probes = ivf_probe_rows(
+                    emb, F.col("id") < 20, cents, nprobe=4, id_col="vec_id"
+                )
+                mk = lambda: ivf_pq_search_index(  # noqa: E731
+                    spark, emb, ipath, probes, books, k=5, refine=32,
+                    id_col="vec_id",
+                )
+            mk().count()  # warm
+            best, rows = None, 0
+            for _ in range(3):
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                rows = mk().count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.append((n, round(best, 3), rows))
+        out.append(_curve(f"ivf_{variant}_index_serve", times))
+    return out
+
+
 def synth_media(spark, n_docs: int, path: str) -> None:
     """Fixed-size raw8 video payloads, generated distributed: 576
     deterministic md5-derived bytes per doc (72 rows x 8 cols), so the
@@ -521,6 +581,7 @@ ALL_FAMILIES = (
     "fit_shapes",
     "mrl",
     "media",
+    "ivf_prebuilt",
 )
 
 
@@ -556,6 +617,8 @@ def main() -> None:
         probe_mrl(spark, emb_sizes)
     if "media" in families:
         probe_media(spark, media_sizes)
+    if "ivf_prebuilt" in families:
+        probe_ivf_prebuilt(spark, emb_sizes)
     for n in sizes:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
     for n in chans:
@@ -564,6 +627,9 @@ def main() -> None:
         shutil.rmtree(f"/tmp/scale_probe_emb_{n}", ignore_errors=True)
     for n in media_sizes:
         shutil.rmtree(f"/tmp/scale_probe_media_{n}", ignore_errors=True)
+    for n in emb_sizes:
+        for v in ("flat", "pq"):
+            shutil.rmtree(f"/tmp/scale_probe_ivfidx_{v}_{n}", ignore_errors=True)
     for n in (20000, 80000, 320000):
         shutil.rmtree(f"/tmp/scale_probe_sess_{n}", ignore_errors=True)
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
