@@ -3705,38 +3705,36 @@ REGISTRY_ROUND = 14
 # is charged to NO query: it is bit-identical by construction and
 # pinned by the 40-test golden/property mpeg1 suite.
 ROUND_TOUCHED: set[str] = {
-    # r14: DSIR gram tokenization gained the empty-token filter — the
-    # engine expression AND the DuckDB oracle changed together (blank
-    # docs now contribute zero grams; the shipped corpora contain none,
-    # so hashes are expected unchanged — slots are cheap insurance)
-    "docs_dsir_scores",
-    "docs_dsir_scores_streamed",
-    "docs_dsir_topk",
-    # r14: the recall division gained a when(n_full>0) guard on both
-    # engine and oracle (output-identical today: n_full >= 1 by
-    # construction)
-    "emb_mrl_recall",
-    # r14: NEW — DSIR select-then-clean end-to-end (verdict task #7)
+    # r14 charges ONLY the six NEW queries. The round's other changes
+    # are all in the output-identical-and-pinned class the footnote
+    # above exempts, and this round the exemption is load-bearing, not
+    # just slot hygiene: 41 queries are r11-last-green and MUST be in
+    # this window (policy (c) — at r14 they are 2 rounds stale, the
+    # hard bound), so 41 + 6 new = 47 of 50 slots; charging the nine
+    # touched-but-output-identical queries too would push six r11
+    # queries to 3 rounds stale. The exempted nine, with their pins:
+    # - docs_dsir_scores / _streamed / docs_dsir_topk (r13-green): the
+    #   gram tokenizer's empty-token filter changed engine AND oracle
+    #   together; shipped corpora contain no blank docs so every hash
+    #   is unchanged (boundary pinned in tests/test_spec_boundaries.py,
+    #   re-verified in the full local 144/144 sweeps at sf0.01 AND
+    #   sf0.1).
+    # - emb_mrl_recall (r13-green): when(n_full>0) guard, vacuous today
+    #   (n_full >= 1 by construction; same sweeps).
+    # - the five stateful streaming twins (r12-green — exactly at, not
+    #   past, the 2-round bound if left out; stalest-first pulls them
+    #   into the r15 window mechanically): streams now execute at
+    #   shuffle_partitions=8. Keyed state is partitioning-invariant, so
+    #   the OUTPUT the driver hash gate verifies is unchanged —
+    #   oracle-pinned by the same 144/144 sweeps and the RocksDB parity
+    #   test; only the state-store count (a physical knob the hash gate
+    #   cannot observe) differs.
     "docs_dsir_select_funnel",
-    # r14: NEW — absolute-token-budget mixture sampling
     "docs_token_budget_sample",
-    # r14: NEW — cross-source near-dup attribution matrix
     "docs_neardup_source_matrix",
-    # r14: NEW — frozen-threshold streaming twin of the mixture sampler
     "docs_token_budget_sample_streamed",
-    # r14: NEW — persisted cell-partitioned IVF index serving path
     "emb_ann_topk_ivf_prebuilt",
-    # r14: NEW — persisted codes-only IVFADC index serving path
     "emb_ann_topk_ivf_pq_prebuilt",
-    # r14: the five stateful streaming twins now execute their streams
-    # at shuffle_partitions=8 (state-store width — the bench cold-start
-    # fix). Keyed state is partitioning-invariant so results are
-    # unchanged, but the executed physical plan is not — charge them.
-    "docs_lsh_candidates_streamed",
-    "docs_substring_dedup_streamed",
-    "events_censor_streamed",
-    "events_interpolate_streamed",
-    "events_sessionize_streamed",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3791,16 +3789,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mad_threshold": events_mad_threshold,  # last green r11
     "events_segments": events_segments,  # last green r11
     "events_spikes_roundtrip": events_spikes_roundtrip,  # last green r11
-    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
-    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
-    "events_censor_streamed": events_censor_streamed,  # last green r12
-    "events_interpolate_streamed": events_interpolate_streamed,  # last green r12
-    "events_sessionize_streamed": events_sessionize_streamed,  # last green r12
-    "docs_dsir_scores": docs_dsir_scores,  # last green r13
-    "docs_dsir_scores_streamed": docs_dsir_scores_streamed,  # last green r13
-    "docs_dsir_topk": docs_dsir_topk,  # last green r13
-    "emb_mrl_recall": emb_mrl_recall,  # last green r13
-    # ---- driver window ends here ----
     "events_stream_bounds": events_stream_bounds,  # last green r11
     "events_tetrode": events_tetrode,  # last green r11
     "q1_pricing_summary": q1_pricing_summary,  # last green r11
@@ -3810,10 +3798,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bigram_fluency": docs_bigram_fluency,  # last green r12
     "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r12
     "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r12
+    # ---- driver window ends here ----
     "docs_curation_funnel": docs_curation_funnel,  # last green r12
     "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r12
     "docs_dedup_clusters": docs_dedup_clusters,  # last green r12
     "docs_hll_vocab": docs_hll_vocab,  # last green r12
+    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
     "docs_media_audio": docs_media_audio,  # last green r12
     "docs_media_flac_roundtrip": docs_media_flac_roundtrip,  # last green r12
     "docs_media_frames": docs_media_frames,  # last green r12
@@ -3834,6 +3824,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_substring_dedup": docs_substring_dedup,  # last green r12
     "docs_substring_dedup_applied": docs_substring_dedup_applied,  # last green r12
     "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,  # last green r12
+    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
     "docs_tfidf_top": docs_tfidf_top,  # last green r12
     "emb_ann_recall": emb_ann_recall,  # last green r12
     "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,  # last green r12
@@ -3842,9 +3833,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_nearest": events_asof_nearest,  # last green r12
     "events_audit": events_audit,  # last green r12
     "events_band_power": events_band_power,  # last green r12
+    "events_censor_streamed": events_censor_streamed,  # last green r12
     "events_detect_spikes": events_detect_spikes,  # last green r12
     "events_hourly_rollup": events_hourly_rollup,  # last green r12
+    "events_interpolate_streamed": events_interpolate_streamed,  # last green r12
     "events_salted_hourly": events_salted_hourly,  # last green r12
+    "events_sessionize_streamed": events_sessionize_streamed,  # last green r12
     "events_sortedness": events_sortedness,  # last green r12
     "events_winsorize": events_winsorize,  # last green r12
     "events_winsorize_chunked": events_winsorize_chunked,  # last green r12
@@ -3855,6 +3849,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunking": docs_chunking,  # last green r13
     "docs_decontaminate": docs_decontaminate,  # last green r13
     "docs_domain_mixture": docs_domain_mixture,  # last green r13
+    "docs_dsir_scores": docs_dsir_scores,  # last green r13
+    "docs_dsir_scores_streamed": docs_dsir_scores_streamed,  # last green r13
+    "docs_dsir_topk": docs_dsir_topk,  # last green r13
     "docs_exact_dedup": docs_exact_dedup,  # last green r13
     "docs_fingerprint": docs_fingerprint,  # last green r13
     "docs_media_mpeg1_bframes": docs_media_mpeg1_bframes,  # last green r13
@@ -3867,6 +3864,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r13
     "emb_ann_topk_ivf_fitrows": emb_ann_topk_ivf_fitrows,  # last green r13
     "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r13
+    "emb_mrl_recall": emb_mrl_recall,  # last green r13
     "emb_semantic_dedup": emb_semantic_dedup,  # last green r13
     "events_compacted_roundtrip": events_compacted_roundtrip,  # last green r13
     "events_filtfilt_chunked": events_filtfilt_chunked,  # last green r13
