@@ -639,3 +639,32 @@ def test_mrl_truncated_topk_semantics(spark):
         by_dims.setdefault(r.dims, []).append(r.recall)
     means = {d: sum(v) / len(v) for d, v in by_dims.items()}
     assert means[8] < means[32] < means[64] == 1.0, means
+
+
+def test_ivf_probe_rows_cells_match_engine_expression(spark):
+    """The persisted-index searcher computes probe cells DRIVER-side
+    (ivf_probe_rows: python-int distances, sorted (d, i)); the inline
+    pipeline computes them with the array_sort-over-structs JVM
+    expression. They must agree tie-for-tie on every probe, or the
+    prebuilt query's oracle reuse would be unsound."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = sim.ivf_fit_centroids(emb, k=8, n_iter=2, fit_fraction=0.5)
+    nprobe = 3
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 25, cents, nprobe=nprobe)
+    base = sim.with_int_norm(emb, "embedding").select(
+        F.col("vec_id").alias("id"), "iv"
+    )
+    nearest_n = F.slice(
+        F.transform(F.array_sort(sim._dist_idx(cents)), lambda s: s["i"]),
+        1,
+        nprobe,
+    )
+    engine = {
+        r.id: list(r.cells)
+        for r in base.where(F.col("id") < 25)
+        .select("id", nearest_n.alias("cells"))
+        .collect()
+    }
+    assert len(probes) == 25
+    for pid, _, _, cells in probes:
+        assert engine[pid] == cells, (pid, engine[pid], cells)
