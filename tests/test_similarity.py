@@ -668,3 +668,39 @@ def test_ivf_probe_rows_cells_match_engine_expression(spark):
     assert len(probes) == 25
     for pid, _, _, cells in probes:
         assert engine[pid] == cells, (pid, engine[pid], cells)
+
+
+def test_ivf_prebuilt_parity_with_inline_including_empty_cells(spark, tmp_path):
+    """End-to-end parity of the persisted-index search with the inline
+    _ivf_search on the same fit — on a corpus engineered so several
+    centroids own NO vectors: 24 vectors take only 3 distinct values,
+    so the 8 seeds contain duplicates and first-min tie-breaking sends
+    every vector to the lowest-index duplicate's cell, leaving the
+    rest provably empty. An empty cell writes no partition directory,
+    so the probes' isin filter references partition values that do not
+    exist on disk — the pruned scan must read nothing for them (not
+    fail), and results must match the inline pipeline row-for-row."""
+    rows = [(i, [float((i % 3) + 1)] * 64) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "idx")
+    cents = sim.ivf_write_index(df, path, n_centroids=8, n_iter=2, fit_fraction=1.0)
+    import os
+
+    written = {d for d in os.listdir(path) if d.startswith("cell=")}
+    assert len(written) == 3, written  # the edge is real: 5 cells empty
+    probes = sim.ivf_probe_rows(df, F.col("id") < 3, cents, nprobe=8)
+    assert any(
+        f"cell={c}" not in written for _, _, _, cs in probes for c in cs
+    )  # probed cells include directories that were never written
+    got = {
+        tuple(r)
+        for r in sim.ivf_search_index(spark, path, probes, k=4).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in sim._ivf_search(
+            df, F.col("id") < 3, cents, k=4, nprobe=8,
+            id_col="vec_id", vec_col="embedding",
+        ).collect()
+    }
+    assert got == inline and got
