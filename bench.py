@@ -178,6 +178,24 @@ def main() -> None:
     # measurement — the r10 verdict asked for a standing probe so any
     # future excursion arrives with its attribution attached.
     PROBE_ALWAYS = {"docs_media_wav_roundtrip"}
+    # Drift-triggered reruns (r15, closing the r14 finding-#2 class):
+    # queries under RERUN_ABOVE get a SINGLE measurement, so a
+    # sub-threshold one-shot hit (docs_media_adpcm_roundtrip
+    # 0.86 → 2.09 s committed-to-committed, code untouched, steal 0,
+    # gc 0 — while staged probes read 0.6–1.0 s at the shipped
+    # position) ships as unattributable "drift": by the time the drift
+    # block flags it, the evidence is gone. Seed per-query thresholds
+    # from the previous round's committed detail at the same sf: any
+    # query reading > 1.5× its prior committed time (+0.3 s floor, so
+    # 0.1 → 0.2 s noise never triggers) gets the same best-of retry
+    # the slow queries get, recovering one-shot position/noise hits
+    # mechanically instead of recording them.
+    _repo0 = os.path.dirname(os.path.abspath(__file__))
+    _prev_t = _prev_timings(_repo0, _next_round(_repo0), sf)[1] or {}
+
+    def drifted(name: str, dt: float) -> bool:
+        prev = _prev_t.get(name)
+        return isinstance(prev, (int, float)) and dt > 1.5 * prev + 0.3
 
     def run_pass(tag: str) -> dict:
         timings: dict[str, float | None] = {}
@@ -198,7 +216,7 @@ def main() -> None:
                 print(f"# [{tag}] {name}: FAILED {type(e).__name__}", file=sys.stderr)
                 continue
             dt = time.perf_counter() - t0
-            if dt > RERUN_ABOVE or name in PROBE_ALWAYS:
+            if dt > RERUN_ABOVE or name in PROBE_ALWAYS or drifted(name, dt):
                 hygiene()
                 gc0, st0 = jvm_gc_ms(), steal_ticks()
                 t1 = time.perf_counter()
@@ -411,18 +429,16 @@ def _cold_block(env: dict, timings: dict[str, float | None]) -> dict:
     return {"n_cold_recovered": n_recovered, "run1_minus_best_s": deltas}
 
 
-def _drift_vs_previous(
-    repo: str, round_n: int, timings: dict[str, float | None], sf: float = -1.0
-) -> dict | None:
-    """Common-query-set comparison against the newest EARLIER-round
-    detail file (r12 verdict task #5: bench totals drifted 1.05–1.19x
-    and the noise-vs-regression attribution was done by hand; now the
-    artifact answers it). Reference = BENCH_r{M}_local.json with the
-    largest M < round_n that carries a per-query map AT THE SAME sf
-    (an sf0.001 smoke must not 'drift' against the sf0.1 record;
-    driver-detail and same-round files are ignored — a same-round
-    rerun would compare a run to itself). Returns None when no
-    reference exists."""
+def _prev_timings(
+    repo: str, round_n: int, sf: float = -1.0
+) -> tuple[str | None, dict | None]:
+    """Newest earlier-round per-query timing map at the same sf —
+    reference for both the drift block and the drift-triggered rerun
+    thresholds. BENCH_r{M}_local.json with the largest M < round_n
+    that carries a per-query map AT THE SAME sf (an sf0.001 smoke must
+    not 'drift' against the sf0.1 record; driver-detail and same-round
+    files are ignored — a same-round rerun would compare a run to
+    itself). Returns (None, None) when no reference exists."""
     import re
 
     candidates = []
@@ -430,8 +446,6 @@ def _drift_vs_previous(
         m = re.fullmatch(r"BENCH_r(\d+)_local\.json", name)
         if m and int(m.group(1)) < round_n:
             candidates.append((int(m.group(1)), name))
-    prev = None
-    ref_name = None
     for _, name in sorted(candidates, reverse=True):
         try:
             with open(os.path.join(repo, name)) as f:
@@ -439,8 +453,18 @@ def _drift_vs_previous(
         except (OSError, ValueError):  # pragma: no cover — best-effort
             continue
         if doc.get("queries") and (sf < 0 or doc.get("sf") in (sf, None)):
-            prev, ref_name = doc["queries"], name
-            break
+            return name, doc["queries"]
+    return None, None
+
+
+def _drift_vs_previous(
+    repo: str, round_n: int, timings: dict[str, float | None], sf: float = -1.0
+) -> dict | None:
+    """Common-query-set comparison against the newest EARLIER-round
+    detail file (r12 verdict task #5: bench totals drifted 1.05–1.19x
+    and the noise-vs-regression attribution was done by hand; now the
+    artifact answers it). Returns None when no reference exists."""
+    ref_name, prev = _prev_timings(repo, round_n, sf)
     if prev is None:
         return None
     common = [

@@ -1183,12 +1183,18 @@ def _write_index_model(spark, path: str, model: dict) -> None:
     serving scan over ``<path>`` never sees it. This makes the index
     SELF-DESCRIBING: a fresh process can serve given only the path
     (r14 judge gap #1 — previously the centroids/codebooks lived only
-    in the writing process and a restart would have to refit)."""
+    in the writing process and a restart would have to refit).
+
+    The payload rides as a JVM literal over ``range(1)`` rather than a
+    ``createDataFrame`` local relation: a Python-backed one-row write
+    measured 3.4 s (pickled-RDD task + Python worker round-trip) vs
+    0.15 s for the pure-JVM plan — a 20× difference inside every timed
+    build query."""
     import json as _json
 
-    spark.createDataFrame([(_json.dumps(model),)], "model string").coalesce(
-        1
-    ).write.mode("overwrite").text(path.rstrip("/") + "/_model")
+    spark.range(1).select(
+        F.lit(_json.dumps(model)).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(path.rstrip("/") + "/_model")
 
 
 def _read_index_model(spark, path: str, kind: str) -> dict:

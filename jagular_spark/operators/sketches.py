@@ -101,6 +101,67 @@ def hll_distinct(
     )
 
 
+def hll_distinct_with_exact(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str],
+    m: int = 64,
+) -> DataFrame:
+    """:func:`hll_distinct` AND the exact per-group distinct count from
+    ONE pass over the data — the auditable-sketch shape (estimate
+    beside truth) without scanning the corpus twice.
+
+    The trick: HLL register maxima only depend on the DISTINCT item
+    values (``max`` over duplicates == ``max`` over distinct), so a
+    single ``distinct()`` stage feeds a LINEAR chain — distinct
+    (group, item) pairs → per-(group, register) ``max(rank)`` plus the
+    register's distinct-item count → per-group estimate plus
+    ``exact_distinct = Σ register counts``. One corpus scan, one
+    corpus-sized exchange (the same one an exact ``countDistinct``
+    needs anyway), two bounded aggregates (≤ m rows per group), no
+    join. The two-scan formulation (sketch pass + countDistinct pass +
+    join) computes the identical values at twice the scan cost — r15
+    measured halving of ``docs_hll_vocab``'s honest work.
+    ``(*group_cols, n_registers, est_distinct, exact_distinct)``."""
+    import math
+
+    if m not in _ALPHA:
+        raise ValueError(f"m must be one of {sorted(_ALPHA)}, got {m}")
+    b = 32 - int(math.log2(m))
+    dt = df.select(*group_cols, item_col).distinct()
+    regs = (
+        dt.select(*group_cols, _hash32(item_col).alias("__h__"))
+        .withColumn("__w__", F.expr(f"CAST(__h__ DIV {m} AS BIGINT)"))
+        .withColumn("register", F.pmod(F.col("__h__"), F.lit(m)).cast("long"))
+        .withColumn(
+            "rank",
+            F.when(F.col("__w__") == 0, F.lit(b + 1))
+            .otherwise(F.lit(b) - F.length(F.bin(F.col("__w__"))) + F.lit(1))
+            .cast("long"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(
+            F.max("rank").cast("long").alias("max_rank"),
+            F.count(F.lit(1)).cast("long").alias("__n_items__"),
+        )
+    )
+    s_present = F.sum(F.pow(F.lit(0.5), F.col("max_rank")))
+    return (
+        regs.groupBy(*group_cols)
+        .agg(
+            s_present.alias("__s__"),
+            F.count(F.lit(1)).cast("long").alias("n_registers"),
+            F.sum("__n_items__").cast("long").alias("exact_distinct"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.lit(_ALPHA[m] * m * m)
+            / (F.col("__s__") + (F.lit(m) - F.col("n_registers")).cast("double")),
+        )
+        .select(*group_cols, "n_registers", "est_distinct", "exact_distinct")
+    )
+
+
 def cms_table(
     df: DataFrame,
     item_col: str,

@@ -3398,20 +3398,19 @@ def docs_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions — so unlike builtin approx_count_distinct (engine-specific
     HLL++), the whole sketch INCLUDING the float estimate hash-matches
     the DuckDB replay. Alongside: the exact distinct count, making the
-    sketch's error auditable in the same row."""
-    from jagular_spark.operators.sketches import hll_distinct
+    sketch's error auditable in the same row. r15: one-pass
+    formulation (hll_distinct_with_exact) — register maxima depend
+    only on DISTINCT tokens, so one distinct() stage feeds both the
+    sketch and the exact count; the old sketch-pass + countDistinct-
+    pass + join shape scanned/exploded the corpus twice for the same
+    values."""
+    from jagular_spark.operators.sketches import hll_distinct_with_exact
 
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
-    est = hll_distinct(toks, "tok", ["lang"], m=64)
-    exact = toks.groupBy("lang").agg(
-        F.countDistinct("tok").cast("long").alias("exact_distinct")
-    )
-    return est.join(exact, "lang").select(
-        "lang", "n_registers", "est_distinct", "exact_distinct"
-    )
+    return hll_distinct_with_exact(toks, "tok", ["lang"], m=64)
 
 
 def docs_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,3 +123,31 @@ def test_bloom_probe_null_carried_column_keeps_guarantee(spark):
     res = bloom_probe(ins, bits, "it")
     assert res.where(~F.col("maybe_present")).count() == 0
     assert res.count() == 2
+
+
+def test_hll_with_exact_matches_two_pass_formulation(spark):
+    """The r15 one-pass hll_distinct_with_exact must reproduce the
+    two-pass shape (sketch pass + countDistinct pass + join) value for
+    value — register maxima over distinct items equal maxima over all
+    occurrences, and the per-register distinct counts sum to the exact
+    count. Duplicated rows and multiple groups included."""
+    from jagular_spark.operators.sketches import hll_distinct_with_exact
+
+    base = spark.range(4000, numPartitions=9).select(
+        F.concat(F.lit("g"), (F.col("id") % 3)).alias("g"),
+        F.concat(F.lit("item_"), (F.col("id") % 1100)).alias("it"),
+    )
+    df = base.union(base.limit(700))  # real duplicates
+    one = {
+        r.g: (r.n_registers, r.est_distinct, r.exact_distinct)
+        for r in hll_distinct_with_exact(df, "it", ["g"]).collect()
+    }
+    est = hll_distinct(df, "it", ["g"])
+    exact = df.groupBy("g").agg(
+        F.countDistinct("it").cast("long").alias("exact_distinct")
+    )
+    two = {
+        r.g: (r.n_registers, r.est_distinct, r.exact_distinct)
+        for r in est.join(exact, "g").collect()
+    }
+    assert one == two and len(one) == 3
