@@ -2488,6 +2488,54 @@ ORACLE_SQL["docs_token_budget_sample_streamed"] = ORACLE_SQL[
     "docs_token_budget_sample"
 ]
 
+# Terminal "write the training shards" composition: token-budget
+# mixture (HUGEINT threshold fit + md5 membership, as above) → the
+# deterministic shard/rank layout (docs_shuffle_shards' salted-md5
+# construction) → per-shard 2048-token sequence packing (window
+# cumsum in shard order), rolled up to the 8-row shard manifest.
+ORACLE_SQL["docs_training_shards"] = f"""
+    WITH nt AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM documents
+    ), tg AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t FROM nt
+        WHERE source IN ({_BUDGET_SRCS}) GROUP BY source
+    ), thr AS (
+        SELECT tg.source,
+               LEAST(CAST(4294967296 AS HUGEINT),
+                     (CAST(b.budget AS HUGEINT) * 4294967296) // tg.t) AS cut
+        FROM tg JOIN (VALUES {_BUDGET_ROWS}) AS b(source, budget) USING (source)
+    ), samp AS (
+        SELECT n.doc_id, n.n_tokens
+        FROM nt n JOIN thr ON n.source = thr.source
+        WHERE CAST(n.h AS HUGEINT) < thr.cut
+    ), sh AS (
+        SELECT doc_id, n_tokens,
+               ('0x' || substr(md5('train-mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 8 AS shard,
+               ('0x' || substr(md5('train-mix-v1#pos' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS ord
+        FROM samp
+    ), pos AS (
+        SELECT shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS off
+        FROM sh
+    ), pd AS (
+        SELECT shard, n_tokens AS nt, off // 2048 AS seq_id,
+               ((off + n_tokens - 1) // 2048) > (off // 2048) AS straddles
+        FROM pos
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(MAX(seq_id) + 1 AS BIGINT) AS n_sequences,
+           CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_straddle
+    FROM pd GROUP BY shard"""
+
 # DSIR select-then-clean (the paper's actual pipeline): the suffixed
 # DSIR CTE chain picks the top-200 raw docs, dsel joins their text
 # back, and the whole curation funnel runs over that selection —

@@ -2067,6 +2067,59 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pred_lang")
 
 
+def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's TERMINAL shape end-to-end — "write the training
+    shards" (r14 verdict optional task #7), composing three verified
+    operators in their deployment order: (1) build the mixture to
+    ABSOLUTE per-source token budgets (token_budget_sample — bounded
+    threshold fit, scan-level md5 membership, the corpus never
+    shuffles), (2) lay the survivors out as deterministic training
+    shards (shuffle_shards — row-local hash shard + per-shard rank,
+    NO global sort), (3) pack each shard's stream into 2048-token
+    sequences in shard order (per-shard window cumsum — the
+    docs_pack_sequences bookkeeping on the SHARD axis; the pack rides
+    the same by-shard exchange the rank already required, so the
+    composition adds no extra corpus shuffle). Output is the 8-row
+    shard MANIFEST a shard-writing job publishes: docs, exact token
+    mass, packed sequence count, and boundary-straddle count per
+    shard. At 100 TB ``n_shards`` scales with the cluster (thousands);
+    8 here matches docs_shuffle_shards for oracle parity. The one
+    DuckDB oracle replays sample → shard → pack in sequence, so the
+    green row certifies the composition, not just the stages."""
+    from jagular_spark.operators.sampling import (
+        shuffle_shards,
+        token_budget_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sampled = token_budget_sample(docs, _TOKEN_BUDGETS, group_col="source").select(
+        "doc_id", "n_tokens"
+    )
+    sharded = shuffle_shards(sampled, "doc_id", n_shards=8, salt="train-mix-v1")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos_in_shard")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = sharded.select(
+        "shard",
+        F.col("n_tokens").alias("nt"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
+    )
+    per_doc = base.select(
+        "shard",
+        "nt",
+        F.expr("off DIV 2048").alias("seq_id"),
+        F.expr("((off + nt - 1) DIV 2048) > (off DIV 2048)").alias("straddles"),
+    )
+    return per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        (F.max("seq_id") + 1).cast("long").alias("n_sequences"),
+        F.sum(F.col("straddles").cast("long")).cast("long").alias("n_straddle"),
+    )
+
+
 def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture building to ABSOLUTE per-source token budgets (the way
     a pretraining run is actually specified — "N tokens of web, M of
@@ -3692,7 +3745,7 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below is the output of `python tools/rotate_window.py`;
 # tests/test_rotation.py pins the shipped order to the derivation,
 # and `tools/rotate_window.py --check` verifies it from the CLI.
-REGISTRY_ROUND = 14
+REGISTRY_ROUND = 15
 
 # Queries whose OPERATOR CODE changed this round (window policy a).
 # Output-identical refactors pinned by unit tests do not consume
@@ -3704,36 +3757,25 @@ REGISTRY_ROUND = 14
 # is charged to NO query: it is bit-identical by construction and
 # pinned by the 40-test golden/property mpeg1 suite.
 ROUND_TOUCHED: set[str] = {
-    # r14 charges ONLY the six NEW queries. The round's other changes
-    # are all in the output-identical-and-pinned class the footnote
-    # above exempts, and this round the exemption is load-bearing, not
-    # just slot hygiene: 41 queries are r11-last-green and MUST be in
-    # this window (policy (c) — at r14 they are 2 rounds stale, the
-    # hard bound), so 41 + 6 new = 47 of 50 slots; charging the nine
-    # touched-but-output-identical queries too would push six r11
-    # queries to 3 rounds stale. The exempted nine, with their pins:
-    # - docs_dsir_scores / _streamed / docs_dsir_topk (r13-green): the
-    #   gram tokenizer's empty-token filter changed engine AND oracle
-    #   together; shipped corpora contain no blank docs so every hash
-    #   is unchanged (boundary pinned in tests/test_spec_boundaries.py,
-    #   re-verified in the full local 144/144 sweeps at sf0.01 AND
-    #   sf0.1).
-    # - emb_mrl_recall (r13-green): when(n_full>0) guard, vacuous today
-    #   (n_full >= 1 by construction; same sweeps).
-    # - the five stateful streaming twins (r12-green — exactly at, not
-    #   past, the 2-round bound if left out; stalest-first pulls them
-    #   into the r15 window mechanically): streams now execute at
-    #   shuffle_partitions=8. Keyed state is partitioning-invariant, so
-    #   the OUTPUT the driver hash gate verifies is unchanged —
-    #   oracle-pinned by the same 144/144 sweeps and the RocksDB parity
-    #   test; only the state-store count (a physical knob the hash gate
-    #   cannot observe) differs.
-    "docs_dsir_select_funnel",
-    "docs_token_budget_sample",
-    "docs_neardup_source_matrix",
-    "docs_token_budget_sample_streamed",
-    "emb_ann_topk_ivf_prebuilt",
-    "emb_ann_topk_ivf_pq_prebuilt",
+    # r15 charges the one NEW query and the one materially rewritten
+    # one: docs_hll_vocab moved from the two-scan sketch + countDistinct
+    # + join shape to the one-pass hll_distinct_with_exact chain — a
+    # genuinely different plan, so it re-verifies in this window even
+    # though the parity test (tests/test_sketches.py) and the sf0.01
+    # oracle sweep pin the values unchanged. Exempt under the standing
+    # output-identical-and-pinned footnote above:
+    # - emb_ann_topk_ivf_pq (r14-green): F.broadcast hint on the exact
+    #   re-rank shortlist — join-order/physical-only, result invariant
+    #   by construction, BroadcastHashJoin pinned in tests/test_plans.py
+    #   and the query re-oracle-checked at sf0.01 this round.
+    # - emb_ann_topk_ivf_prebuilt / _pq_prebuilt (r14-green): the index
+    #   write now also persists the model sidecar (a separate write
+    #   job AFTER the index write; the returned result plan is
+    #   byte-identical), fresh-process parity pinned in
+    #   tests/test_similarity.py and both queries re-oracle-checked at
+    #   sf0.01 this round.
+    "docs_hll_vocab",
+    "docs_training_shards",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3747,57 +3789,7 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
-    "docs_dsir_select_funnel": docs_dsir_select_funnel,  # last green r0
-    "docs_neardup_source_matrix": docs_neardup_source_matrix,  # last green r0
-    "docs_token_budget_sample": docs_token_budget_sample,  # last green r0
-    "docs_token_budget_sample_streamed": docs_token_budget_sample_streamed,  # last green r0
-    "emb_ann_topk_ivf_pq_prebuilt": emb_ann_topk_ivf_pq_prebuilt,  # last green r0
-    "emb_ann_topk_ivf_prebuilt": emb_ann_topk_ivf_prebuilt,  # last green r0
-    "docs_gopher_rules": docs_gopher_rules,  # last green r11
-    "docs_language_id": docs_language_id,  # last green r11
-    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r11
-    "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r11
-    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,  # last green r11
-    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,  # last green r11
-    "docs_media_png_roundtrip": docs_media_png_roundtrip,  # last green r11
-    "docs_media_stats": docs_media_stats,  # last green r11
-    "docs_media_wav_roundtrip": docs_media_wav_roundtrip,  # last green r11
-    "docs_pack_sequences": docs_pack_sequences,  # last green r11
-    "docs_quality": docs_quality,  # last green r11
-    "docs_repetition": docs_repetition,  # last green r11
-    "docs_simhash": docs_simhash,  # last green r11
-    "docs_token_stats": docs_token_stats,  # last green r11
-    "docs_vocab_topdf": docs_vocab_topdf,  # last green r11
-    "emb_ann_topk": emb_ann_topk,  # last green r11
-    "emb_ann_topk_lsh": emb_ann_topk_lsh,  # last green r11
-    "emb_cosine_neardup": emb_cosine_neardup,  # last green r11
-    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,  # last green r11
-    "emb_lsh_buckets": emb_lsh_buckets,  # last green r11
-    "events_align": events_align,  # last green r11
-    "events_align_cspline": events_align_cspline,  # last green r11
-    "events_common_ref": events_common_ref,  # last green r11
-    "events_crossings": events_crossings,  # last green r11
-    "events_crossings_both": events_crossings_both,  # last green r11
-    "events_crossings_chunked": events_crossings_chunked,  # last green r11
-    "events_decimate": events_decimate,  # last green r11
-    "events_dedup_first": events_dedup_first,  # last green r11
-    "events_filtfilt": events_filtfilt,  # last green r11
-    "events_fir_smooth": events_fir_smooth,  # last green r11
-    "events_gap_lengths": events_gap_lengths,  # last green r11
-    "events_interpolate": events_interpolate,  # last green r11
-    "events_mad_threshold": events_mad_threshold,  # last green r11
-    "events_segments": events_segments,  # last green r11
-    "events_spikes_roundtrip": events_spikes_roundtrip,  # last green r11
-    "events_stream_bounds": events_stream_bounds,  # last green r11
-    "events_tetrode": events_tetrode,  # last green r11
-    "q1_pricing_summary": q1_pricing_summary,  # last green r11
-    "q3_shipping_priority": q3_shipping_priority,  # last green r11
-    "q5_region_revenue": q5_region_revenue,  # last green r11
-    "top3_orders_per_customer": top3_orders_per_customer,  # last green r11
-    "docs_bigram_fluency": docs_bigram_fluency,  # last green r12
-    "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r12
-    "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r12
-    # ---- driver window ends here ----
+    "docs_training_shards": docs_training_shards,  # last green r0
     "docs_curation_funnel": docs_curation_funnel,  # last green r12
     "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r12
     "docs_dedup_clusters": docs_dedup_clusters,  # last green r12
@@ -3847,6 +3839,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunk_dedup": docs_chunk_dedup,  # last green r13
     "docs_chunking": docs_chunking,  # last green r13
     "docs_decontaminate": docs_decontaminate,  # last green r13
+    # ---- driver window ends here ----
     "docs_domain_mixture": docs_domain_mixture,  # last green r13
     "docs_dsir_scores": docs_dsir_scores,  # last green r13
     "docs_dsir_scores_streamed": docs_dsir_scores_streamed,  # last green r13
@@ -3892,6 +3885,56 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_volume_shipping": q7_volume_shipping,  # last green r13
     "q8_market_share": q8_market_share,  # last green r13
     "q9_product_profit": q9_product_profit,  # last green r13
+    "docs_bigram_fluency": docs_bigram_fluency,  # last green r14
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r14
+    "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r14
+    "docs_dsir_select_funnel": docs_dsir_select_funnel,  # last green r14
+    "docs_gopher_rules": docs_gopher_rules,  # last green r14
+    "docs_language_id": docs_language_id,  # last green r14
+    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r14
+    "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r14
+    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,  # last green r14
+    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,  # last green r14
+    "docs_media_png_roundtrip": docs_media_png_roundtrip,  # last green r14
+    "docs_media_stats": docs_media_stats,  # last green r14
+    "docs_media_wav_roundtrip": docs_media_wav_roundtrip,  # last green r14
+    "docs_neardup_source_matrix": docs_neardup_source_matrix,  # last green r14
+    "docs_pack_sequences": docs_pack_sequences,  # last green r14
+    "docs_quality": docs_quality,  # last green r14
+    "docs_repetition": docs_repetition,  # last green r14
+    "docs_simhash": docs_simhash,  # last green r14
+    "docs_token_budget_sample": docs_token_budget_sample,  # last green r14
+    "docs_token_budget_sample_streamed": docs_token_budget_sample_streamed,  # last green r14
+    "docs_token_stats": docs_token_stats,  # last green r14
+    "docs_vocab_topdf": docs_vocab_topdf,  # last green r14
+    "emb_ann_topk": emb_ann_topk,  # last green r14
+    "emb_ann_topk_ivf_pq_prebuilt": emb_ann_topk_ivf_pq_prebuilt,  # last green r14
+    "emb_ann_topk_ivf_prebuilt": emb_ann_topk_ivf_prebuilt,  # last green r14
+    "emb_ann_topk_lsh": emb_ann_topk_lsh,  # last green r14
+    "emb_cosine_neardup": emb_cosine_neardup,  # last green r14
+    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,  # last green r14
+    "emb_lsh_buckets": emb_lsh_buckets,  # last green r14
+    "events_align": events_align,  # last green r14
+    "events_align_cspline": events_align_cspline,  # last green r14
+    "events_common_ref": events_common_ref,  # last green r14
+    "events_crossings": events_crossings,  # last green r14
+    "events_crossings_both": events_crossings_both,  # last green r14
+    "events_crossings_chunked": events_crossings_chunked,  # last green r14
+    "events_decimate": events_decimate,  # last green r14
+    "events_dedup_first": events_dedup_first,  # last green r14
+    "events_filtfilt": events_filtfilt,  # last green r14
+    "events_fir_smooth": events_fir_smooth,  # last green r14
+    "events_gap_lengths": events_gap_lengths,  # last green r14
+    "events_interpolate": events_interpolate,  # last green r14
+    "events_mad_threshold": events_mad_threshold,  # last green r14
+    "events_segments": events_segments,  # last green r14
+    "events_spikes_roundtrip": events_spikes_roundtrip,  # last green r14
+    "events_stream_bounds": events_stream_bounds,  # last green r14
+    "events_tetrode": events_tetrode,  # last green r14
+    "q1_pricing_summary": q1_pricing_summary,  # last green r14
+    "q3_shipping_priority": q3_shipping_priority,  # last green r14
+    "q5_region_revenue": q5_region_revenue,  # last green r14
+    "top3_orders_per_customer": top3_orders_per_customer,  # last green r14
 }
 
 

@@ -572,6 +572,90 @@ def probe_media(spark, sizes: list[int]) -> list[dict]:
     return out
 
 
+def probe_r14_shapes(spark, sizes: list[int]) -> list[dict]:
+    """Measured curves for the three r14 queries whose scale shapes
+    were docstring arguments only (r14 verdict task #4), all on the
+    document axis with the shared near-dup-structured synth corpus:
+
+    - ``token_budget_sample``: absolute budgets held FIXED across
+      sizes (the operator's semantics — "20k tokens of each source"
+      does not grow with the pool). The fit is one bounded ≤|strata|
+      aggregate and membership a scan-level literal CASE, so time must
+      track the SCAN (linear), never a shuffle of the corpus.
+    - ``neardup_source_matrix``: the pairs stage is timed alone and
+      then the full matrix (pairs → two equi-joins against the
+      2-column source projection → ≤|sources|² rollup). The matrix
+      overhead (full − pairs) must track the capped-LSH PAIR volume
+      (linear, recorded per point), not corpus².
+    - ``dsir_select_funnel``: top-k selection at FIXED k=200 + the
+      shared curation funnel over the selected rows. Selection is a
+      TakeOrderedAndProject over the scan (linear, no corpus shuffle);
+      the funnel runs on 200 rows whatever the pool size, so the total
+      must flatten toward the scan cost as the pool grows."""
+    from jagular_spark.operators import similarity as sim
+    from jagular_spark.operators.sampling import token_budget_sample
+    from jagular_spark.workloads import _curation_funnel, _dsir_selected_docs
+
+    def matrix_df(docs, pairs):
+        src = docs.select("doc_id", "source")
+        lab = pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("s_a")),
+            "id_a",
+        ).join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("s_b")),
+            "id_b",
+        )
+        return lab.groupBy(
+            F.least("s_a", "s_b").alias("src_lo"),
+            F.greatest("s_a", "s_b").alias("src_hi"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+    budgets = {f"src{i}": 20_000 for i in range(4)}
+    out = []
+    t_tb, t_pairs, t_mx, t_sel = [], [], [], []
+    for n in sizes:
+        path = f"/tmp/scale_probe_docs_{n}"
+        synth_docs(spark, n, path)
+        docs = spark.read.parquet(path).withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
+        )
+
+        def best_of(fn, warm=True):
+            if warm:
+                fn()
+            best = None
+            for _ in range(2):
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                r = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3), r
+
+        bt, rows = best_of(lambda: token_budget_sample(docs, budgets).count())
+        t_tb.append((n, bt, rows))
+
+        pairs = sim.ngram_jaccard_pairs_lsh(docs, min_jaccard=0.5).select(
+            "id_a", "id_b"
+        )
+        bt_p, n_pairs = best_of(lambda: pairs.count())
+        t_pairs.append((n, bt_p, n_pairs))
+        bt_m, _ = best_of(lambda: matrix_df(docs, pairs).count())
+        t_mx.append((n, bt_m, n_pairs))
+
+        bt_s, rows = best_of(
+            lambda: _curation_funnel(
+                _dsir_selected_docs(docs.select("doc_id", "text"), k=200)
+            ).count()
+        )
+        t_sel.append((n, bt_s, rows))
+    out.append(_curve("token_budget_sample", t_tb))
+    out.append(_curve("neardup_pairs_stage", t_pairs))
+    out.append(_curve("neardup_source_matrix", t_mx))
+    out.append(_curve("dsir_select_funnel_k200", t_sel))
+    return out
+
+
 ALL_FAMILIES = (
     "text",
     "events",
@@ -582,6 +666,7 @@ ALL_FAMILIES = (
     "mrl",
     "media",
     "ivf_prebuilt",
+    "r14_shapes",
 )
 
 
@@ -619,6 +704,8 @@ def main() -> None:
         probe_media(spark, media_sizes)
     if "ivf_prebuilt" in families:
         probe_ivf_prebuilt(spark, emb_sizes)
+    if "r14_shapes" in families:
+        probe_r14_shapes(spark, [20000, 80000, 320000])
     for n in sizes:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
     for n in chans:
