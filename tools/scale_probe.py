@@ -611,6 +611,22 @@ def probe_r14_shapes(spark, sizes: list[int]) -> list[dict]:
         ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
 
     budgets = {f"src{i}": 20_000 for i in range(4)}
+    # English-vocab variant for the funnel sub-probe: the shared synth
+    # corpus's wNNN/pNNtNN tokens fail the funnel's quality/language
+    # gates (no stopwords, low alpha after digits), which would make
+    # the funnel half of the curve vacuous (0 survivors). Mapping each
+    # token deterministically into a 40-word English vocabulary (7 en
+    # stopwords + alphabetic fillers, none colliding with the fr/de/es
+    # profiles) preserves the duplication structure token-for-token
+    # while making the selected docs real funnel input.
+    en_vocab = F.array(*[F.lit(w) for w in (
+        "the", "a", "of", "and", "to", "in", "is",
+        "model", "data", "train", "shard", "token", "sample", "batch",
+        "layer", "graph", "query", "index", "merge", "scale", "bench",
+        "frame", "audio", "video", "text", "corpus", "filter", "window",
+        "stream", "buffer", "vector", "metric", "engine", "worker",
+        "driver", "output", "input", "cache", "spill", "probe",
+    )])
     out = []
     t_tb, t_pairs, t_mx, t_sel = [], [], [], []
     for n in sizes:
@@ -619,6 +635,22 @@ def probe_r14_shapes(spark, sizes: list[int]) -> list[dict]:
         docs = spark.read.parquet(path).withColumn(
             "source", F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
         )
+        en_path = f"/tmp/scale_probe_docsen_{n}"
+        if not os.path.exists(en_path):
+            spark.read.parquet(path).select(
+                "doc_id",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.element_at(
+                            en_vocab,
+                            ((F.xxhash64(t) % 40 + 40) % 40 + 1).cast("int"),
+                        ),
+                    ),
+                ).alias("text"),
+            ).write.mode("overwrite").parquet(en_path)
+        docs_en = spark.read.parquet(en_path)
 
         def best_of(fn, warm=True):
             if warm:
@@ -645,7 +677,7 @@ def probe_r14_shapes(spark, sizes: list[int]) -> list[dict]:
 
         bt_s, rows = best_of(
             lambda: _curation_funnel(
-                _dsir_selected_docs(docs.select("doc_id", "text"), k=200)
+                _dsir_selected_docs(docs_en.select("doc_id", "text"), k=200)
             ).count()
         )
         t_sel.append((n, bt_s, rows))
@@ -720,6 +752,7 @@ def main() -> None:
     for n in (20000, 80000, 320000):
         shutil.rmtree(f"/tmp/scale_probe_sess_{n}", ignore_errors=True)
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
+        shutil.rmtree(f"/tmp/scale_probe_docsen_{n}", ignore_errors=True)
     for op in ("stream_sessionize", "stream_lsh_candidates"):
         shutil.rmtree(f"/tmp/scale_probe_ckpt_{op}", ignore_errors=True)
 
