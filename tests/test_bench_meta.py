@@ -146,3 +146,34 @@ def test_drift_vs_previous_skips_other_sf(tmp_path):
     assert d["reference_file"] == "BENCH_r11_local.json"
     d2 = bench._drift_vs_previous(str(tmp_path), 13, {"a": 5.2}, sf=0.1)
     assert d2["reference_file"] == "BENCH_r12_local.json"
+
+
+def test_prev_timings_loader_and_drift_rerun_threshold(tmp_path):
+    """r15: _prev_timings feeds the drift-triggered rerun thresholds —
+    it must pick the newest earlier round AT THE SAME sf, ignore
+    same-round files, and return (None, None) with no reference (so
+    the rerun rule degrades to RERUN_ABOVE-only). The threshold rule
+    itself (>1.5x prior + 0.3 s floor) is pinned arithmetically here
+    since it lives in a main() closure."""
+    import json
+
+    bench = _load_bench()
+    (tmp_path / "BENCH_r14_local.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 0.86, "b": None}})
+    )
+    (tmp_path / "BENCH_r15_local.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 99.0}})
+    )
+    name, prev = bench._prev_timings(str(tmp_path), 15, sf=0.1)
+    assert name == "BENCH_r14_local.json" and prev == {"a": 0.86, "b": None}
+    assert bench._prev_timings(str(tmp_path), 15, sf=0.001) == (None, None)
+    assert bench._prev_timings(str(tmp_path), 14, sf=0.1) == (None, None)
+
+    def drifted(name, dt, prev_t=prev):
+        p = prev_t.get(name)
+        return isinstance(p, (int, float)) and dt > 1.5 * p + 0.3
+
+    assert drifted("a", 2.09)       # the r14 adpcm case recovers
+    assert not drifted("a", 1.5)    # inside 1.5x + floor
+    assert not drifted("b", 50.0)   # prior errored -> no threshold
+    assert not drifted("c", 50.0)   # no prior at all
