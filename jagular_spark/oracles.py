@@ -14,6 +14,8 @@ from jagular_spark.operators import similarity as sim
 from jagular_spark.operators import text as txt
 from jagular_spark.operators.filtering import XCORR_CORR_SQL as _XCORR_CORR
 from jagular_spark.workload_params import (
+    _BPE_FIT_ROWS,
+    _BPE_MERGES,
     _BP_TAPS,
     _DISC_PRICE_QUANTA,
     _IVF_FROZEN_CENTS,
@@ -2487,6 +2489,72 @@ ORACLE_SQL["docs_token_budget_sample"] = f"""
 ORACLE_SQL["docs_token_budget_sample_streamed"] = ORACLE_SQL[
     "docs_token_budget_sample"
 ]
+
+# BPE tokenizer fit + frozen encode, replayed END-TO-END: the fit
+# sample is the fit_rows smallest-md5 docs (hash_sample_rows'
+# ORDER BY bucket, id LIMIT n); each merge round is one unrolled CTE
+# group (pair counts over the current symbolization -> the
+# (cnt DESC, pair ASC) argmax -> boundary-safe literal replace applied
+# to BOTH the fit sample (w-chain) and the corpus (e-chain)) — the
+# integer-Lloyd-in-SQL precedent (_ivf_fit_prefix) on strings. The
+# paren symbol representation '(h)(e)(l)(l)(o)(#)' makes replace
+# merge application unambiguous on both engines (see operators/bpe.py).
+def _bpe_oracle(n_merges: int, fit_rows: int) -> str:
+    sym = (
+        "'(' || array_to_string(list_transform(generate_series(1, length(w)),"
+        " i -> w[i]), ')(') || ')(#)'"
+    )
+    words = (
+        "SELECT lower(t) AS w FROM {src}, "
+        "UNNEST(list_filter(string_split_regex(trim(text), '\\s+'), "
+        "t -> regexp_matches(t, '^[A-Za-z]+$'))) AS u(t)"
+    )
+    rounds = []
+    for r in range(n_merges):
+        rounds.append(f"""
+    , p{r} AS MATERIALIZED (
+        SELECT pr, COUNT(*) AS cnt FROM (
+            SELECT UNNEST(list_transform(generate_series(1, len(l) - 1),
+                   i -> '(' || l[i] || ')(' || l[i + 1] || ')')) AS pr
+            FROM (SELECT regexp_extract_all(sym, '\\(([^)]*)\\)', 1) AS l FROM w{r})
+        ) GROUP BY pr
+    ), m{r} AS MATERIALIZED (
+        SELECT pr, replace(pr, ')(', '') AS mg
+        FROM p{r} ORDER BY cnt DESC, pr ASC LIMIT 1
+    ), w{r + 1} AS MATERIALIZED (
+        SELECT replace(sym, (SELECT pr FROM m{r}), (SELECT mg FROM m{r})) AS sym
+        FROM w{r}
+    ), e{r + 1} AS MATERIALIZED (
+        SELECT replace(sym, (SELECT pr FROM m{r}), (SELECT mg FROM m{r})) AS sym
+        FROM e{r}
+    )""")
+    mt = " UNION ALL ".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS rank, "
+        f"(SELECT substr(mg, 2, length(mg) - 2) FROM m{r}) AS token"
+        for r in range(n_merges)
+    )
+    return f"""
+    WITH fitdocs AS (
+        SELECT doc_id, text FROM documents
+        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                 doc_id
+        LIMIT {fit_rows}
+    ), w0 AS MATERIALIZED (
+        SELECT {sym} AS sym FROM ({words.format(src='fitdocs')})
+    ), e0 AS MATERIALIZED (
+        SELECT {sym} AS sym FROM ({words.format(src='documents')})
+    ){''.join(rounds)}
+    , fin AS (
+        SELECT UNNEST(regexp_extract_all(sym, '\\(([^)]*)\\)', 1)) AS token
+        FROM e{n_merges}
+    ), cnts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_final FROM fin GROUP BY token
+    ), mt AS ({mt})
+    SELECT mt.rank, mt.token, COALESCE(cnts.n_final, 0) AS n_final
+    FROM mt LEFT JOIN cnts USING (token)"""
+
+
+ORACLE_SQL["docs_bpe_vocab"] = _bpe_oracle(_BPE_MERGES, _BPE_FIT_ROWS)
 
 # Terminal "write the training shards" composition: token-budget
 # mixture (HUGEINT threshold fit + md5 membership, as above) → the

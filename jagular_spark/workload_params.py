@@ -84,6 +84,15 @@ _REBALANCE_TARGETS = {"en": 0.2, "fr": 0.3, "de": 0.2, "es": 0.2, "zh": 0.1}
 # sources are dropped.
 _TOKEN_BUDGETS = {"src0": 600, "src1": 1_000_000, "src2": 800, "src3": 400, "src4": 250}
 
+# BPE tokenizer fit (docs_bpe_vocab): merges fitted on the absolute
+# 256-doc md5 hash-sample (the quantizer fit_rows precedent — the fit
+# cost is corpus-size-invariant), then frozen into literal replace
+# chains for the row-local corpus encode. 16 merges keeps the oracle's
+# unrolled fit chain (one CTE round per merge) compact while still
+# exercising multi-level merges (pairs of merged symbols).
+_BPE_MERGES = 16
+_BPE_FIT_ROWS = 256
+
 # Stop-shingle cutoff for the flagship exact-Jaccard dedup pass: a
 # shingle hash shared by more than this many document occurrences is
 # dropped from EVERY document's shingle set before the Jaccard (engine

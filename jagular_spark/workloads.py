@@ -35,6 +35,8 @@ from jagular_spark.workload_params import (
     _BP_TAPS,
     _DISC_PRICE_QUANTA,
     _IVF_FROZEN_CENTS,
+    _BPE_FIT_ROWS,
+    _BPE_MERGES,
     _LP_TAPS,
     _REBALANCE_TARGETS,
     _STRATA_FRACTIONS,
@@ -2067,6 +2069,32 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pred_lang")
 
 
+def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    tokenizer-fitting stage of the pretraining pipeline, in the
+    engine's bounded-fit / frozen-serving shape: 16 merges fitted
+    driver-side on the ABSOLUTE 256-doc md5 hash-sample (the
+    fit_rows quantizer precedent — corpus-size-invariant fit,
+    TakeOrderedAndProject membership a pure function of the corpus),
+    then frozen into a chain of LITERAL boundary-safe string replaces
+    — the ``(a)(b)`` → ``(ab)`` paren representation — applied to
+    every corpus word as pure JVM expressions (one scan, zero Python,
+    zero corpus shuffle; the only exchange is the
+    ≤|alphabet|+|merges|-key symbol-count aggregate). Output: the
+    per-merge audit (rank, token, n_final) — how often each fitted
+    token survives in the final encoding (later merges legitimately
+    consume earlier tokens to 0). The DuckDB oracle re-derives the
+    merge list INDEPENDENTLY (one unrolled CTE round per merge — the
+    integer-Lloyd-in-SQL precedent) and replays the encode, so the
+    hash match certifies fit AND serving end-to-end
+    (operators/bpe.py)."""
+    from jagular_spark.operators.bpe import bpe_fit, bpe_vocab_audit
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_fit(docs, n_merges=_BPE_MERGES, fit_rows=_BPE_FIT_ROWS)
+    return bpe_vocab_audit(docs, merges)
+
+
 def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's TERMINAL shape end-to-end — "write the training
     shards" (r14 verdict optional task #7), composing three verified
@@ -3757,8 +3785,9 @@ REGISTRY_ROUND = 15
 # is charged to NO query: it is bit-identical by construction and
 # pinned by the 40-test golden/property mpeg1 suite.
 ROUND_TOUCHED: set[str] = {
-    # r15 charges the one NEW query and the one materially rewritten
-    # one: docs_hll_vocab moved from the two-scan sketch + countDistinct
+    # r15 charges the two NEW queries (docs_training_shards,
+    # docs_bpe_vocab) and the one materially rewritten one:
+    # docs_hll_vocab moved from the two-scan sketch + countDistinct
     # + join shape to the one-pass hll_distinct_with_exact chain — a
     # genuinely different plan, so it re-verifies in this window even
     # though the parity test (tests/test_sketches.py) and the sf0.01
@@ -3776,6 +3805,7 @@ ROUND_TOUCHED: set[str] = {
     #   sf0.01 this round.
     "docs_hll_vocab",
     "docs_training_shards",
+    "docs_bpe_vocab",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3789,6 +3819,7 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
+    "docs_bpe_vocab": docs_bpe_vocab,  # last green r0
     "docs_training_shards": docs_training_shards,  # last green r0
     "docs_curation_funnel": docs_curation_funnel,  # last green r12
     "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r12
@@ -3838,8 +3869,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bpe_tokens": docs_bpe_tokens,  # last green r13
     "docs_chunk_dedup": docs_chunk_dedup,  # last green r13
     "docs_chunking": docs_chunking,  # last green r13
-    "docs_decontaminate": docs_decontaminate,  # last green r13
     # ---- driver window ends here ----
+    "docs_decontaminate": docs_decontaminate,  # last green r13
     "docs_domain_mixture": docs_domain_mixture,  # last green r13
     "docs_dsir_scores": docs_dsir_scores,  # last green r13
     "docs_dsir_scores_streamed": docs_dsir_scores_streamed,  # last green r13

@@ -1,0 +1,134 @@
+"""BPE tokenizer training: merge selection on a hand-checkable corpus,
+the replace-semantics equivalence the cross-engine exactness rests on,
+frozen-encode parity vs a pure-Python reference, and the loud
+exhaustion guard."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from jagular_spark.operators.bpe import (
+    _apply_merge,
+    _pair_str,
+    bpe_encode_words,
+    bpe_fit,
+    bpe_vocab_audit,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fit_on_hand_checkable_corpus(spark):
+    """'low low lower': pairs of the symbolized words
+    (l o w #) (l o w #) (l o w e r #) — (l,o) and (o,w) both count 3;
+    the (cnt DESC, pair ASC) tie-break picks '(l)(o)' first, then
+    ('lo','w') at 3 beats everything, then ('low','#') at 2."""
+    df = _docs(spark, [(1, "low low lower")])
+    merges = bpe_fit(df, n_merges=3, fit_rows=10)
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "#")]
+
+
+def test_fit_ignores_non_alphabetic_and_case(spark):
+    """cat42 / punctuation tokens are outside the vocabulary; 'The'
+    and 'the' are the same word."""
+    a = bpe_fit(_docs(spark, [(1, "The the cat42 !! the")]), 2, 10)
+    b = bpe_fit(_docs(spark, [(1, "the the the")]), 2, 10)
+    assert a == b
+
+
+def test_apply_merge_matches_string_replace_semantics(spark):
+    """The driver fit's list emulation must equal the engines' literal
+    replace-all on the paren representation — including the
+    overlapping-run case replace resolves leftmost-first without
+    rescanning ((a)(a)(a) -> (aa)(a)). Checked exhaustively over runs
+    and mixed patterns via the JVM replace itself."""
+    cases = [
+        (["a", "a", "a"], ("a", "a")),
+        (["a", "a", "a", "a"], ("a", "a")),
+        (["x", "a", "b", "a", "b", "y"], ("a", "b")),
+        (["ab", "c", "b", "c"], ("b", "c")),  # boundary safety: 'ab'+'c' must not match
+        (["a", "b"], ("c", "d")),
+    ]
+    rows = [
+        ("(" + ")(".join(syms) + ")", _pair_str(*pair), f"({pair[0] + pair[1]})", i)
+        for i, (syms, pair) in enumerate(cases)
+    ]
+    got = {
+        r.i: r.out
+        for r in spark.createDataFrame(rows, "sym string, pat string, rep string, i int")
+        .select(F.replace("sym", "pat", "rep").alias("out"), "i")
+        .collect()
+    }
+    for i, (syms, pair) in enumerate(cases):
+        expect = "(" + ")(".join(_apply_merge(syms, *pair)) + ")"
+        assert got[i] == expect, (syms, pair, got[i], expect)
+
+
+def test_encode_matches_python_reference_on_real_docs(spark):
+    """Frozen-merge serving parity: the JVM replace-chain encode equals
+    the pure-Python list-level encode word for word on the sf0.001
+    documents corpus."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = bpe_fit(docs, n_merges=8, fit_rows=64)
+    enc = docs.select(
+        "doc_id", bpe_encode_words("text", merges).alias("ws")
+    ).collect()
+    assert enc and any(r.ws for r in enc)
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        words = [
+            t.lower()
+            for t in re.split(r"\s+", (r.text or "").strip())
+            if re.fullmatch("[A-Za-z]+", t)
+        ]
+        expect = []
+        for w in words:
+            syms = list(w) + ["#"]
+            for a, b in merges:
+                syms = _apply_merge(syms, a, b)
+            expect.append("(" + ")(".join(syms) + ")")
+        got = next(e.ws for e in enc if e.doc_id == r.doc_id)
+        assert list(got) == expect, (r.doc_id, got[:3], expect[:3])
+
+
+def test_vocab_audit_counts_and_zero_rows(spark):
+    """n_final counts the token's survivals in the FINAL encoding; a
+    token fully consumed by a later merge legitimately reads 0 but its
+    rank row must still be present (the left-join contract)."""
+    df = _docs(spark, [(1, "aaaa aaaa"), (2, "aaaa")])
+    # merges: (a,a)->aa dominates; then (aa,aa)->aaaa consumes every aa
+    merges = bpe_fit(df, n_merges=2, fit_rows=10)
+    assert merges[0] == ("a", "a")
+    out = {r.rank: (r.token, r.n_final) for r in bpe_vocab_audit(df, merges).collect()}
+    assert len(out) == 2 and out[1][0] == "aa"
+    if merges[1] == ("aa", "aa"):
+        assert out[1][1] == 0  # every 'aa' merged into 'aaaa'
+
+
+def test_fit_exhaustion_raises(spark):
+    """A sample whose words fully merge before n_merges must fail
+    loudly, not return a silently short vocabulary."""
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_fit(_docs(spark, [(1, "ab ab")]), n_merges=10, fit_rows=10)
+
+
+def test_bpe_audit_plan_shape(spark):
+    """Scale shape: the encode is scan-local (no exchange before the
+    bounded symbol-count aggregate), the rank attach is a broadcast
+    join, and nothing sorts the corpus."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = bpe_fit(docs, n_merges=4, fit_rows=32)
+    p_df = bpe_vocab_audit(docs, merges)
+    jvm = spark._jvm
+    p = p_df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
