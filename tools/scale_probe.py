@@ -572,6 +572,43 @@ def probe_media(spark, sizes: list[int]) -> list[dict]:
     return out
 
 
+def synth_docs_en(spark, n: int):
+    """English-vocab variant of the shared synth corpus: the wNNN /
+    pNNtNN tokens fail alphabetic-word filters (funnel quality /
+    language gates, the BPE vocabulary), which would make any
+    word-level probe vacuous. Mapping each token deterministically
+    into a 40-word English vocabulary (7 en stopwords + alphabetic
+    fillers, none colliding with the fr/de/es stopword profiles)
+    preserves the duplication structure token-for-token while making
+    the text real word-operator input."""
+    en_vocab = F.array(*[F.lit(w) for w in (
+        "the", "a", "of", "and", "to", "in", "is",
+        "model", "data", "train", "shard", "token", "sample", "batch",
+        "layer", "graph", "query", "index", "merge", "scale", "bench",
+        "frame", "audio", "video", "text", "corpus", "filter", "window",
+        "stream", "buffer", "vector", "metric", "engine", "worker",
+        "driver", "output", "input", "cache", "spill", "probe",
+    )])
+    path = f"/tmp/scale_probe_docs_{n}"
+    synth_docs(spark, n, path)
+    en_path = f"/tmp/scale_probe_docsen_{n}"
+    if not os.path.exists(en_path):
+        spark.read.parquet(path).select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.element_at(
+                        en_vocab,
+                        ((F.xxhash64(t) % 40 + 40) % 40 + 1).cast("int"),
+                    ),
+                ),
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(en_path)
+    return spark.read.parquet(en_path)
+
+
 def probe_r14_shapes(spark, sizes: list[int]) -> list[dict]:
     """Measured curves for the three r14 queries whose scale shapes
     were docstring arguments only (r14 verdict task #4), all on the
@@ -611,22 +648,6 @@ def probe_r14_shapes(spark, sizes: list[int]) -> list[dict]:
         ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
 
     budgets = {f"src{i}": 20_000 for i in range(4)}
-    # English-vocab variant for the funnel sub-probe: the shared synth
-    # corpus's wNNN/pNNtNN tokens fail the funnel's quality/language
-    # gates (no stopwords, low alpha after digits), which would make
-    # the funnel half of the curve vacuous (0 survivors). Mapping each
-    # token deterministically into a 40-word English vocabulary (7 en
-    # stopwords + alphabetic fillers, none colliding with the fr/de/es
-    # profiles) preserves the duplication structure token-for-token
-    # while making the selected docs real funnel input.
-    en_vocab = F.array(*[F.lit(w) for w in (
-        "the", "a", "of", "and", "to", "in", "is",
-        "model", "data", "train", "shard", "token", "sample", "batch",
-        "layer", "graph", "query", "index", "merge", "scale", "bench",
-        "frame", "audio", "video", "text", "corpus", "filter", "window",
-        "stream", "buffer", "vector", "metric", "engine", "worker",
-        "driver", "output", "input", "cache", "spill", "probe",
-    )])
     out = []
     t_tb, t_pairs, t_mx, t_sel = [], [], [], []
     for n in sizes:
@@ -635,22 +656,7 @@ def probe_r14_shapes(spark, sizes: list[int]) -> list[dict]:
         docs = spark.read.parquet(path).withColumn(
             "source", F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
         )
-        en_path = f"/tmp/scale_probe_docsen_{n}"
-        if not os.path.exists(en_path):
-            spark.read.parquet(path).select(
-                "doc_id",
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.split(F.col("text"), " "),
-                        lambda t: F.element_at(
-                            en_vocab,
-                            ((F.xxhash64(t) % 40 + 40) % 40 + 1).cast("int"),
-                        ),
-                    ),
-                ).alias("text"),
-            ).write.mode("overwrite").parquet(en_path)
-        docs_en = spark.read.parquet(en_path)
+        docs_en = synth_docs_en(spark, n)
 
         def best_of(fn, warm=True):
             if warm:
@@ -688,6 +694,82 @@ def probe_r14_shapes(spark, sizes: list[int]) -> list[dict]:
     return out
 
 
+def probe_r15_shapes(spark, sizes: list[int]) -> list[dict]:
+    """Measured curves for the r15 queries, before anyone has to ask
+    (the repo's standard: argued shapes get measured):
+
+    - ``bpe_fit``: merge selection on the ABSOLUTE 256-doc hash-sample
+      — the whole claim is corpus-size invariance (TakeOrderedAndProject
+      membership + driver-side fit on a fixed sample), so the curve
+      must stay FLAT across 16× docs like ivf_fit_rows2000 does.
+    - ``bpe_vocab_audit``: frozen-merge encode + bounded symbol-count
+      aggregate over the FULL corpus — one scan, so time tracks the
+      corpus linearly (under the job floor at small sizes), never a
+      shuffle step.
+    - ``training_shards``: the sample → shard → pack composition; the
+      by-shard exchange carries only token-budget survivors (fixed
+      absolute budgets → roughly constant survivor count), so the
+      curve is the membership scan's, linear at most."""
+    from jagular_spark.operators.bpe import bpe_fit, bpe_vocab_audit
+    from jagular_spark.operators.sampling import (
+        shuffle_shards,
+        token_budget_sample,
+    )
+    from pyspark.sql import Window
+
+    budgets = {f"src{i}": 20_000 for i in range(4)}
+
+    def shards_df(docs):
+        sampled = token_budget_sample(docs, budgets).select("doc_id", "n_tokens")
+        sharded = shuffle_shards(sampled, "doc_id", n_shards=8, salt="probe")
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("pos_in_shard")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        base = sharded.select(
+            "shard",
+            F.col("n_tokens").alias("nt"),
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
+        )
+        return base.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
+        )
+
+    out = []
+    t_fit, t_audit, t_shards = [], [], []
+    for n in sizes:
+        path = f"/tmp/scale_probe_docs_{n}"
+        synth_docs(spark, n, path)
+        docs = spark.read.parquet(path).withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
+        )
+
+        def best_of(fn, warm=True):
+            if warm:
+                fn()
+            best, r = None, None
+            for _ in range(2):
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                r = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3), r
+
+        docs_en = synth_docs_en(spark, n)
+        bt, merges = best_of(lambda: bpe_fit(docs_en, n_merges=16, fit_rows=256))
+        t_fit.append((n, bt, len(merges)))
+        bt, rows = best_of(lambda: bpe_vocab_audit(docs_en, merges).count())
+        t_audit.append((n, bt, rows))
+        bt, rows = best_of(lambda: shards_df(docs.select("doc_id", "source", "text")).count())
+        t_shards.append((n, bt, rows))
+    out.append(_curve("bpe_fit_256", t_fit))
+    out.append(_curve("bpe_vocab_audit", t_audit))
+    out.append(_curve("training_shards", t_shards))
+    return out
+
+
 ALL_FAMILIES = (
     "text",
     "events",
@@ -699,6 +781,7 @@ ALL_FAMILIES = (
     "media",
     "ivf_prebuilt",
     "r14_shapes",
+    "r15_shapes",
 )
 
 
@@ -738,6 +821,8 @@ def main() -> None:
         probe_ivf_prebuilt(spark, emb_sizes)
     if "r14_shapes" in families:
         probe_r14_shapes(spark, [20000, 80000, 320000])
+    if "r15_shapes" in families:
+        probe_r15_shapes(spark, [20000, 80000, 320000])
     for n in sizes:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
     for n in chans:
