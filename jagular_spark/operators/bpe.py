@@ -164,6 +164,30 @@ def bpe_encode_words(
     return F.transform(bpe_words_col(text_col), encode_one)
 
 
+def bpe_token_count_col(
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> F.Column:
+    """Per-document token count under the FITTED tokenizer — the
+    honest token-accounting unit a budgeted mixture really wants
+    (whitespace counts misprice long-word strata; BPE counts are what
+    the training run pays for). Pure row-local JVM expression: encode
+    each word with the frozen merges, count symbols as the number of
+    '(' delimiters, sum over words. Stateless, so it drops into a
+    document STREAM unchanged (see streaming.pipeline
+    stream_bpe_token_counts)."""
+    ws = bpe_encode_words(text_col, merges)
+    per_word = F.transform(
+        ws,
+        lambda e: (
+            F.length(e) - F.length(F.replace(e, F.lit("("), F.lit("")))
+        ).cast("long"),
+    )
+    return F.aggregate(
+        per_word, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
 def bpe_vocab_audit(
     df: DataFrame,
     merges: list[tuple[str, str]],

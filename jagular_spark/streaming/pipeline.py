@@ -678,6 +678,28 @@ def stream_dsir_scores(
     return score_with_deltas(docs, delta, mt, mr, n_buckets=n_buckets)
 
 
+def stream_bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frozen-tokenizer token accounting on a document stream: the BPE
+    merges are fitted OFFLINE (operators/bpe.bpe_fit on the absolute
+    hash-sample) and every arriving document's token count under that
+    tokenizer is computed row-locally (literal replace chains — see
+    operators/bpe.bpe_token_count_col). COMPLETELY stateless: no
+    watermark, no state store, ``append`` mode works as-is, and the
+    stream emits exactly the batch expression's values (parity pinned
+    in tests/test_streaming.py)."""
+    from jagular_spark.operators.bpe import bpe_token_count_col
+
+    return docs.select(
+        F.col(id_col),
+        bpe_token_count_col(text_col, merges).alias("n_bpe_tokens"),
+    )
+
+
 def stream_token_budget_sample(
     docs: DataFrame,
     thresholds: dict[str, int],

@@ -968,3 +968,46 @@ def test_stream_token_budget_sample_parity_with_batch(spark, tmp_path):
         (op.get("numRowsTotal") or 0) == 0
         for op in (prog.get("stateOperators") or [])
     )
+
+
+def test_stream_bpe_token_counts_parity_with_batch(spark, tmp_path):
+    """Frozen-tokenizer token accounting on a stream == the batch
+    bpe_token_count_col expression row for row (the merges fit offline
+    on the absolute hash-sample; serving is literal replace chains),
+    with ZERO stateful operators — append mode, no watermark, no
+    state store."""
+    from jagular_spark.operators.bpe import bpe_fit, bpe_token_count_col
+    from jagular_spark.streaming.pipeline import stream_bpe_token_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = bpe_fit(docs, n_merges=8, fit_rows=64)
+    batch = {
+        (r.doc_id, r.n)
+        for r in docs.select(
+            "doc_id", bpe_token_count_col("text", merges).alias("n")
+        ).collect()
+    }
+    stage = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    q = (
+        stream_bpe_token_counts(stream, merges)
+        .writeStream.format("memory")
+        .queryName("bpe_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_bpe_tokens) for r in spark.table("bpe_parity").collect()
+    }
+    assert got == batch and batch
+    assert any(n > 0 for _, n in batch)
+    prog = q.lastProgress
+    assert all(
+        (op.get("numRowsTotal") or 0) == 0
+        for op in (prog.get("stateOperators") or [])
+    )
