@@ -1271,6 +1271,48 @@ def ivf_write_index(
     return cents
 
 
+def ivf_append_index(df: DataFrame, path: str,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[int]]:
+    """INCREMENTAL ingest into a persisted IVF index — the missing
+    third verb of build-once/serve-many (write → APPEND → search): new
+    vectors are assigned their inverted-list cell by the index's own
+    FROZEN model (loaded from the sidecar, never refit — refitting
+    would silently re-home existing cells and corrupt every serving
+    path) and appended into the existing cell partitions. Dynamic
+    partition append only touches the cells the new rows land in; the
+    sidecar and all previously written files are untouched, so
+    concurrent partition-pruned searches keep working. Returns the
+    (unchanged) centroids for convenience."""
+    spark = df.sparkSession
+    cents = ivf_load_index(spark, path)
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    argmin = F.array_min(_dist_idx(cents)).getField("i").cast("int")
+    base.withColumn("cell", argmin).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+    return cents
+
+
+def ivf_pq_append_index(df: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        ) -> tuple[list[list[int]], list[list[list[int]]]]:
+    """Incremental ingest into a persisted IVFADC codes index: new
+    vectors are PQ-encoded with the index's frozen (cents, books) from
+    the sidecar and appended to their cells' partitions — same
+    contract as :func:`ivf_append_index` (model never refit, existing
+    files untouched)."""
+    spark = df.sparkSession
+    cents, books = ivf_pq_load_index(spark, path)
+    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    codes = _encode_corpus_codes(base, cents, books)
+    codes.select(
+        F.col("neighbor_id").alias("id"), "codes", F.col("cl").alias("cell")
+    ).write.mode("append").partitionBy("cell").parquet(path)
+    return cents, books
+
+
 def ivf_probe_rows(
     df: DataFrame,
     probe_filter: F.Column,

@@ -768,3 +768,70 @@ def test_persisted_index_is_self_describing(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="kind"):
         sim.ivf_pq_load_index(spark, ivf_path)
+
+
+def test_persisted_index_incremental_append(spark, tmp_path):
+    """The build-once/APPEND/serve-many contract: ingest half the
+    corpus, append the other half using only the sidecar-frozen model
+    (no refit), and the search over the appended index must equal the
+    search over an index built from the full corpus WITH THE SAME
+    frozen model — cell assignment is a pure function of (vector,
+    centroids), so append-vs-rebuild cannot diverge. Covers both the
+    flat IVF and the IVFADC codes index; also pins that append does
+    not disturb the sidecar (reload still returns the original fit)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+
+    path = str(tmp_path / "ivf_inc")
+    cents0 = sim.ivf_write_index(first, path, n_centroids=8, n_iter=2,
+                                 fit_fraction=1.0)
+    cents1 = sim.ivf_append_index(rest, path)
+    assert cents1 == cents0 == sim.ivf_load_index(spark, path)
+    n = spark.read.parquet(path).count()
+    assert n == emb.count()
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 10, cents0, nprobe=3)
+    got = {
+        tuple(r)
+        for r in sim.ivf_search_index(spark, path, probes, k=4).collect()
+    }
+    # reference: the same frozen model over the full corpus, inline
+    inline = {
+        tuple(r)
+        for r in sim._ivf_search(
+            emb, F.col("id") < 10, cents0, k=4, nprobe=3,
+            id_col="vec_id", vec_col="embedding",
+        ).collect()
+    }
+    assert got == inline and got
+
+    pq_path = str(tmp_path / "ivfpq_inc")
+    c0, b0 = sim.ivf_pq_write_index(
+        first, pq_path, n_centroids=8, n_iter=1, m=4, pq_k=8, pq_iter=1,
+        fit_fraction=1.0,
+    )
+    c1, b1 = sim.ivf_pq_append_index(rest, pq_path)
+    assert (c1, b1) == (c0, b0)
+    assert spark.read.parquet(pq_path).count() == emb.count()
+    probes2 = sim.ivf_probe_rows(emb, F.col("id") < 10, c0, nprobe=3)
+    got2 = {
+        tuple(r)
+        for r in sim.ivf_pq_search_index(
+            spark, emb, pq_path, probes2, b0, k=3, refine=8
+        ).collect()
+    }
+    # reference: rebuild the codes index from the FULL corpus with the
+    # identical frozen model by appending everything to a fresh dir
+    ref_path = str(tmp_path / "ivfpq_ref")
+    sim.ivf_pq_write_index(
+        first, ref_path, n_centroids=8, n_iter=1, m=4, pq_k=8, pq_iter=1,
+        fit_fraction=1.0,
+    )
+    sim.ivf_pq_append_index(rest, ref_path)
+    got_ref = {
+        tuple(r)
+        for r in sim.ivf_pq_search_index(
+            spark, emb, ref_path, probes2, b0, k=3, refine=8
+        ).collect()
+    }
+    assert got2 == got_ref and got2
