@@ -1313,6 +1313,40 @@ def ivf_pq_append_index(df: DataFrame, path: str,
     return cents, books
 
 
+def ivf_compact_index(
+    spark,
+    path: str,
+    cells: list[int] | None = None,
+    n_tasks: int | None = None,
+) -> None:
+    """Operational companion to :func:`ivf_append_index`: every append
+    adds task-count files to the cells it touches, and the serving
+    scan's cost is (pruned) file COUNT as much as bytes — so a
+    long-lived index periodically compacts. Rewrites each target cell
+    into ONE file: hash-repartitioning on ``cell`` colocates a cell's
+    rows in exactly one of the ``n_tasks`` writer tasks (default: the
+    session shuffle parallelism — cells compact in parallel, one file
+    per cell regardless of task count), and DYNAMIC partition
+    overwrite replaces only the touched cells' directories — the
+    sidecar model and every unlisted cell's files are untouched, so
+    ``cells=[...]`` compacts just the append-churned cells of a 100 TB
+    index. Data-identical by construction (read → repartition → write
+    of the same rows); works for both index kinds (flat and IVFADC
+    codes) because it never interprets the columns."""
+    idx = spark.read.parquet(path)
+    if cells is not None:
+        idx = idx.where(F.col("cell").isin([int(c) for c in cells]))
+    if n_tasks is None:
+        n_tasks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    (
+        idx.repartition(int(n_tasks), "cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def ivf_probe_rows(
     df: DataFrame,
     probe_filter: F.Column,

@@ -835,3 +835,60 @@ def test_persisted_index_incremental_append(spark, tmp_path):
         ).collect()
     }
     assert got2 == got_ref and got2
+
+
+def test_ivf_compact_index_after_appends(spark, tmp_path):
+    """Compaction contract: after appends fragment the cell
+    directories, ivf_compact_index rewrites each cell into ONE file
+    via dynamic partition overwrite — row set identical, sidecar model
+    untouched, search results unchanged; with cells=[...] only the
+    listed cells' directories are rewritten."""
+    import os
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_cmp")
+    cents = sim.ivf_write_index(
+        emb.where(F.col("vec_id") % 3 == 0), path, n_centroids=4, n_iter=2,
+        fit_fraction=1.0,
+    )
+    sim.ivf_append_index(emb.where(F.col("vec_id") % 3 == 1), path)
+    sim.ivf_append_index(emb.where(F.col("vec_id") % 3 == 2), path)
+
+    def cell_files(c):
+        d = os.path.join(path, f"cell={c}")
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ) if os.path.isdir(d) else []
+
+    written = sorted(
+        int(d.split("=")[1]) for d in os.listdir(path) if d.startswith("cell=")
+    )
+    assert any(len(cell_files(c)) > 1 for c in written)  # fragmentation is real
+    before = {
+        (r.id, tuple(r.iv), r.nrm, r.cell)
+        for r in spark.read.parquet(path).collect()
+    }
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 8, cents, nprobe=2)
+    res_before = {
+        tuple(r) for r in sim.ivf_search_index(spark, path, probes, k=3).collect()
+    }
+
+    # partial compaction: only the first cell is rewritten
+    c0, c_rest = written[0], written[1:]
+    frag_rest = {c: cell_files(c) for c in c_rest}
+    sim.ivf_compact_index(spark, path, cells=[c0])
+    assert len(cell_files(c0)) == 1
+    assert all(cell_files(c) == frag_rest[c] for c in c_rest)  # untouched
+
+    sim.ivf_compact_index(spark, path)  # full compaction
+    assert all(len(cell_files(c)) == 1 for c in written)
+    after = {
+        (r.id, tuple(r.iv), r.nrm, r.cell)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after == before
+    assert sim.ivf_load_index(spark, path) == cents  # sidecar survived
+    res_after = {
+        tuple(r) for r in sim.ivf_search_index(spark, path, probes, k=3).collect()
+    }
+    assert res_after == res_before and res_after
