@@ -16,6 +16,7 @@ from jagular_spark.operators.bpe import (
     bpe_encode_words,
     bpe_fit,
     bpe_vocab_audit,
+    bpe_words_col,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -132,3 +133,45 @@ def test_bpe_audit_plan_shape(spark):
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_fit_is_partition_invariant(spark):
+    """The merge list is a pure function of (corpus, salt): physical
+    layout of the sample scan must not change a single merge (counts
+    are order-independent, ties broken on the pair string, sample
+    membership deterministic)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    a = bpe_fit(docs, n_merges=12, fit_rows=64)
+    b = bpe_fit(docs.repartition(7), n_merges=12, fit_rows=64)
+    assert a == b
+
+
+def test_encode_partitions_the_word(spark):
+    """Structural invariant of any correct BPE application: the encoded
+    symbols, concatenated (parens stripped), must reconstruct the
+    original lowercased word plus the end marker EXACTLY — merges
+    re-segment, never alter, the character stream. Checked via the JVM
+    expression over the real corpus for several merge depths."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    for n_merges in (1, 8, 16):
+        merges = bpe_fit(docs, n_merges=n_merges, fit_rows=64)
+        bad = (
+            docs.select(
+                F.explode(
+                    F.arrays_zip(
+                        bpe_words_col("text").alias("w"),
+                        bpe_encode_words("text", merges).alias("e"),
+                    )
+                ).alias("z")
+            )
+            .where(
+                F.replace(
+                    F.replace(F.col("z.e"), F.lit("("), F.lit("")),
+                    F.lit(")"),
+                    F.lit(""),
+                )
+                != F.concat(F.col("z.w"), F.lit("#"))
+            )
+            .count()
+        )
+        assert bad == 0, f"n_merges={n_merges}: {bad} words corrupted"
