@@ -671,3 +671,20 @@ def test_pq_exact_rerank_join_is_broadcast(spark, tmp_path):
     )
     assert "SortMergeJoin" not in p2, p2[:2000]
     assert p2.count("BroadcastHashJoin") >= 2, p2[:2000]
+
+
+def test_training_shards_single_by_shard_exchange(spark):
+    """docs_training_shards (r15): the whole sample → shard → pack
+    composition must plan with exactly ONE Exchange, on shard — the
+    token-budget membership is scan-level (no shuffle), the shard rank
+    and the 2048-token pack cumsum are stacked windows on the same
+    partitioning, and the manifest groupBy(shard) reuses it."""
+    import re
+
+    from jagular_spark.workloads import docs_training_shards
+
+    p = _formatted(docs_training_shards(spark, SF))
+    ex = re.findall(r"\(\d+\) Exchange\b", p)
+    assert len(ex) == 1, p[:1500]
+    assert "hashpartitioning(shard" in p
+    assert "Join" not in p and "CartesianProduct" not in p
