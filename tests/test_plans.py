@@ -688,3 +688,17 @@ def test_training_shards_single_by_shard_exchange(spark):
     assert len(ex) == 1, p[:1500]
     assert "hashpartitioning(shard" in p
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_hll_vocab_one_pass_single_scan_no_join(spark):
+    """docs_hll_vocab (r15 rewrite): sketch AND exact distinct from ONE
+    pass — the plan must read the documents parquet exactly once and
+    contain no join (the old shape scanned/exploded twice and joined
+    the two halves)."""
+    import re
+
+    from jagular_spark.workloads import docs_hll_vocab
+
+    p = _formatted(docs_hll_vocab(spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p[:1500]
+    assert "Join" not in p
