@@ -197,6 +197,31 @@ def main() -> None:
         prev = _prev_t.get(name)
         return isinstance(prev, (int, float)) and dt > 1.5 * prev + 0.3
 
+
+    def force_full(df) -> int:
+        """Execute the query COMPLETELY and return its row count.
+
+        r15 fidelity fix: the old ``df.count()`` let Catalyst optimize
+        away real work — count() prunes every column that does not
+        affect the row count, so a query whose expensive output (the
+        substring-surgery cleaned text, the decontamination flags, the
+        recall fractions) is a pure projection got measured at scan
+        cost, and a LEFT join against a right side aggregated BY the
+        join key (docs_bpe_vocab's rank table) is eliminated outright
+        (unique-key inference: row count provable from the left side
+        alone). Measured at sf0.01: six queries under-measured 2-20x
+        (docs_bpe_vocab 0.26 vs 2.25 s honest). The noop sink forces
+        every column of every row to materialize JVM-side with no
+        driver transfer, and the Observation rides the same single job
+        to report the row count."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df.observe(obs, _F.count(_F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return int(obs.get["rows"])
+
     def run_pass(tag: str) -> dict:
         timings: dict[str, float | None] = {}
         errors: dict[str, str] = {}
@@ -209,7 +234,7 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
-                n = df.count()  # force full execution
+                n = force_full(df)
             except Exception as e:  # noqa: BLE001 — record and continue
                 timings[name] = None
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
@@ -221,7 +246,7 @@ def main() -> None:
                 gc0, st0 = jvm_gc_ms(), steal_ticks()
                 t1 = time.perf_counter()
                 try:
-                    n = fn(spark, sf_dir).count()
+                    n = force_full(fn(spark, sf_dir))
                     dt2 = time.perf_counter() - t1
                     run2_steal = steal_ticks() - st0
                     env[name] = {
@@ -242,7 +267,7 @@ def main() -> None:
                         hygiene()
                         gc0, st0 = jvm_gc_ms(), steal_ticks()
                         t1 = time.perf_counter()
-                        n = fn(spark, sf_dir).count()
+                        n = force_full(fn(spark, sf_dir))
                         dt3 = time.perf_counter() - t1
                         env[name]["run3_s"] = round(dt3, 3)
                         env[name]["run3_gc_ms"] = jvm_gc_ms() - gc0

@@ -45,6 +45,25 @@ from jagular_spark.session import get_spark
 WORDS = [f"w{i:03d}" for i in range(400)]
 
 
+
+def _force(df) -> int:
+    """Execute COMPLETELY and return the row count (r15 fidelity fix,
+    same as bench.py force_full): ``.count()`` lets Catalyst prune
+    every column that does not affect the row count — including
+    aggregate-VALUE expressions (group counting needs only the keys),
+    projected score/surgery columns, and whole unique-key left joins —
+    so a probe timing ``count()`` can measure the scan instead of the
+    operator. The noop sink materializes every column of every row
+    JVM-side; the Observation rides the same job for the row count."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    return int(obs.get["rows"])
+
+
 def synth_docs(spark, n_docs: int, path: str) -> None:
     """Deterministic corpus with the duplication structure the dedup
     operators exist for: ~60-token docs from a 400-word vocabulary
@@ -144,12 +163,12 @@ def probe_events(spark, channel_sizes: list[int], m: int = 6250) -> list[dict]:
             path = f"/tmp/scale_probe_samples_{n}"
             synth_samples(spark, n, m, path)
             df = spark.read.parquet(path)
-            fn(df).count()  # warm
+            _force(fn(df))  # warm
             best, rows = None, 0
             for _ in range(2):
                 spark._jvm.System.gc()
                 t0 = time.perf_counter()
-                rows = fn(df).count()
+                rows = _force(fn(df))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times.append((n * m, round(best, 3), rows))
@@ -236,7 +255,7 @@ def probe_embeddings(spark, sizes: list[int]) -> list[dict]:
             path = f"/tmp/scale_probe_emb_{n}"
             synth_embeddings(spark, n, path)
             emb = spark.read.parquet(path)
-            fn(emb, n).count()  # warm
+            _force(fn(emb, n))  # warm
             best, rows = None, 0
             # best-of-3 (not 2): these queries are short enough that a
             # single host steal burst can outlast two runs — a one-off
@@ -244,7 +263,7 @@ def probe_embeddings(spark, sizes: list[int]) -> list[dict]:
             for _ in range(3):
                 spark._jvm.System.gc()
                 t0 = time.perf_counter()
-                rows = fn(emb, n).count()
+                rows = _force(fn(emb, n))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times.append((n, round(best, 3), rows))
@@ -284,12 +303,12 @@ def probe(spark, sizes: list[int]) -> list[dict]:
             path = f"/tmp/scale_probe_docs_{n}"
             synth_docs(spark, n, path)
             docs = spark.read.parquet(path)
-            fn(docs).count()  # warm (codegen + file listing)
+            _force(fn(docs))  # warm (codegen + file listing)
             best, rows = None, 0
             for _ in range(2):  # this VM's steal bursts: best-of-2
                 spark._jvm.System.gc()
                 t0 = time.perf_counter()
-                rows = fn(docs).count()
+                rows = _force(fn(docs))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times.append((n, round(best, 3), rows))
@@ -362,12 +381,12 @@ def probe_dsir(spark, sizes: list[int]) -> list[dict]:
         times_fit.append((n, round(best, 3), len(delta)))
 
         scored = score_with_deltas(raw, delta0, mt0, mr0)
-        scored.count()  # warm
+        _force(scored)  # warm
         best, rows = None, 0
         for _ in range(2):
             spark._jvm.System.gc()
             t0 = time.perf_counter()
-            rows = scored.count()
+            rows = _force(scored)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times_score.append((n, round(best, 3), rows))
@@ -433,12 +452,12 @@ def probe_mrl(spark, sizes: list[int]) -> list[dict]:
         synth_embeddings(spark, n, path)
         emb = spark.read.parquet(path)
         q = mrl_recall(emb, F.col("id") < 20, k=5, dims_list=(16, 32))
-        q.count()  # warm
+        _force(q)  # warm
         best, rows = None, 0
         for _ in range(3):
             spark._jvm.System.gc()
             t0 = time.perf_counter()
-            rows = q.count()
+            rows = _force(q)
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times.append((n, round(best, 3), rows))
@@ -493,12 +512,12 @@ def probe_ivf_prebuilt(spark, sizes: list[int]) -> list[dict]:
                     spark, emb, ipath, probes, books, k=5, refine=32,
                     id_col="vec_id",
                 )
-            mk().count()  # warm
+            _force(mk())  # warm
             best, rows = None, 0
             for _ in range(3):
                 spark._jvm.System.gc()
                 t0 = time.perf_counter()
-                rows = mk().count()
+                rows = _force(mk())
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times.append((n, round(best, 3), rows))
@@ -559,12 +578,12 @@ def probe_media(spark, sizes: list[int]) -> list[dict]:
             path = f"/tmp/scale_probe_media_{n}"
             synth_media(spark, n, path)
             media = spark.read.parquet(path)
-            fn(media).count()  # warm
+            _force(fn(media))  # warm
             best, rows = None, 0
             for _ in range(2):
                 spark._jvm.System.gc()
                 t0 = time.perf_counter()
-                rows = fn(media).count()
+                rows = _force(fn(media))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             times.append((n, round(best, 3), rows))
@@ -670,21 +689,21 @@ def probe_r14_shapes(spark, sizes: list[int]) -> list[dict]:
                 best = dt if best is None else min(best, dt)
             return round(best, 3), r
 
-        bt, rows = best_of(lambda: token_budget_sample(docs, budgets).count())
+        bt, rows = best_of(lambda: _force(token_budget_sample(docs, budgets)))
         t_tb.append((n, bt, rows))
 
         pairs = sim.ngram_jaccard_pairs_lsh(docs, min_jaccard=0.5).select(
             "id_a", "id_b"
         )
-        bt_p, n_pairs = best_of(lambda: pairs.count())
+        bt_p, n_pairs = best_of(lambda: _force(pairs))
         t_pairs.append((n, bt_p, n_pairs))
-        bt_m, _ = best_of(lambda: matrix_df(docs, pairs).count())
+        bt_m, _ = best_of(lambda: _force(matrix_df(docs, pairs)))
         t_mx.append((n, bt_m, n_pairs))
 
         bt_s, rows = best_of(
-            lambda: _curation_funnel(
+            lambda: _force(_curation_funnel(
                 _dsir_selected_docs(docs_en.select("doc_id", "text"), k=200)
-            ).count()
+            ))
         )
         t_sel.append((n, bt_s, rows))
     out.append(_curve("token_budget_sample", t_tb))
@@ -760,9 +779,9 @@ def probe_r15_shapes(spark, sizes: list[int]) -> list[dict]:
         docs_en = synth_docs_en(spark, n)
         bt, merges = best_of(lambda: bpe_fit(docs_en, n_merges=16, fit_rows=256))
         t_fit.append((n, bt, len(merges)))
-        bt, rows = best_of(lambda: bpe_vocab_audit(docs_en, merges).count())
+        bt, rows = best_of(lambda: _force(bpe_vocab_audit(docs_en, merges)))
         t_audit.append((n, bt, rows))
-        bt, rows = best_of(lambda: shards_df(docs.select("doc_id", "source", "text")).count())
+        bt, rows = best_of(lambda: _force(shards_df(docs.select("doc_id", "source", "text"))))
         t_shards.append((n, bt, rows))
     out.append(_curve("bpe_fit_256", t_fit))
     out.append(_curve("bpe_vocab_audit", t_audit))

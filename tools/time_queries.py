@@ -1,7 +1,11 @@
 """Quick per-query timer: python tools/time_queries.py sf_dir q1 q2 ...
 
 Runs each named SPARK_QUERIES entry twice (reports both) against sf_dir.
-Dev tool for A/B-ing plan changes — not the official bench.
+Dev tool for A/B-ing plan changes — not the official bench. Forces
+FULL materialization (noop sink + Observation row count), same as
+bench.py force_full — a bare .count() lets Catalyst prune computed
+columns and unique-key left joins, timing the scan instead of the
+operator.
 """
 
 from __future__ import annotations
@@ -26,10 +30,16 @@ def main() -> None:
     w = spark.range(0, 1 << 19, 1, 32).select((F.col("id") % 97).alias("k"))
     w.groupBy("k").count().count()
     w.mapInPandas(lambda it: (b for b in it), "k long").count()
+    from pyspark.sql import Observation
+
     for name in names:
         for i in range(2):
             t0 = time.perf_counter()
-            n = SPARK_QUERIES[name](spark, sf_dir).count()
+            obs = Observation()
+            SPARK_QUERIES[name](spark, sf_dir).observe(
+                obs, F.count(F.lit(1)).alias("rows")
+            ).write.mode("overwrite").format("noop").save()
+            n = int(obs.get["rows"])
             print(f"{name} run{i}: {time.perf_counter() - t0:.3f}s rows={n}", flush=True)
 
 
