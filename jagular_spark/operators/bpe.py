@@ -85,7 +85,14 @@ def bpe_fit_sample(
     ).collect()
     words: list[list[str]] = []
     for r in rows:
-        for t in re.split(r"\s+", (r[text_col] or "").strip()):
+        # flags=re.ASCII: Python's \s is Unicode by default (matches
+        # \xa0,  , ...) while the JVM encode's split('\s+') and
+        # the oracle's RE2 \s are ASCII classes — a fit-sample doc with
+        # non-ASCII whitespace would otherwise tokenize differently
+        # here than in BOTH SQL engines and silently shift the fitted
+        # merge list (r15 advice). Residual JVM-vs-RE2 \x0B difference
+        # is shared with every other split-based workload.
+        for t in re.split(r"\s+", (r[text_col] or "").strip(), flags=re.ASCII):
             if re.fullmatch("[A-Za-z]+", t):
                 words.append(_word_symbols(t.lower()))
     return words

@@ -1326,25 +1326,75 @@ def ivf_compact_index(
     into ONE file: hash-repartitioning on ``cell`` colocates a cell's
     rows in exactly one of the ``n_tasks`` writer tasks (default: the
     session shuffle parallelism — cells compact in parallel, one file
-    per cell regardless of task count), and DYNAMIC partition
-    overwrite replaces only the touched cells' directories — the
-    sidecar model and every unlisted cell's files are untouched, so
-    ``cells=[...]`` compacts just the append-churned cells of a 100 TB
-    index. Data-identical by construction (read → repartition → write
-    of the same rows); works for both index kinds (flat and IVFADC
-    codes) because it never interprets the columns."""
+    per cell regardless of task count). ``cells=[...]`` compacts just
+    the append-churned cells of a 100 TB index; the sidecar model and
+    every unlisted cell's files are untouched. Data-identical by
+    construction (read → repartition → write of the same rows); works
+    for both index kinds (flat and IVFADC codes) because it never
+    interprets the columns.
+
+    Commit protocol (r15 advice: the previous in-place dynamic
+    overwrite could lose a cell permanently on a mid-commit crash):
+    STAGE — the compacted copy is fully written to
+    ``<path>/_staging_compact`` (underscore prefix: invisible to
+    Hadoop's hidden-file filter, so readers never see it) — then
+    SWAP — each live cell directory is renamed into
+    ``<path>/_trash_compact`` (an O(1) metadata move, never a delete)
+    and its staged replacement renamed into place — then CLEAN —
+    staging and trash are removed only after every swap committed. A
+    crash anywhere leaves every row recoverable: before the swap the
+    live tree is untouched; mid-swap a cell's rows are in exactly one
+    of live/trash; stale ``_staging_compact``/``_trash_compact`` from
+    a crashed run are invisible to readers and cleared by the next
+    compaction.
+
+    Concurrency contract: SINGLE WRITER, and the swap is not snapshot
+    isolated — a reader that resolved its file listing before
+    compaction fails LOUDLY mid-scan (FileNotFoundException; pinned in
+    tests) rather than silently dropping or duplicating rows. Serving
+    reads concurrent with APPENDS are safe; schedule compaction in the
+    serving pauses or behind a manifest layer."""
     idx = spark.read.parquet(path)
     if cells is not None:
         idx = idx.where(F.col("cell").isin([int(c) for c in cells]))
     if n_tasks is None:
         n_tasks = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    root = path.rstrip("/")
+    staging, trash = root + "/_staging_compact", root + "/_trash_compact"
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # STAGE: mode=overwrite also clears stale staging from a crashed run
     (
         idx.repartition(int(n_tasks), "cell")
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")
-        .parquet(path)
+        .parquet(staging)
     )
+
+    # SWAP: per staged cell, live dir → trash, staged dir → live
+    fs.delete(hpath(trash), True)  # stale trash from a crashed run
+    fs.mkdirs(hpath(trash))
+    staged = [
+        s.getPath().getName()
+        for s in fs.listStatus(hpath(staging))
+        if s.isDirectory() and s.getPath().getName().startswith("cell=")
+    ]
+    for name in staged:
+        live = hpath(f"{root}/{name}")
+        if fs.exists(live) and not fs.rename(live, hpath(f"{trash}/{name}")):
+            raise IOError(f"compaction swap: could not move {name} to trash")
+        if not fs.rename(hpath(f"{staging}/{name}"), live):
+            raise IOError(
+                f"compaction swap: could not move staged {name} into place "
+                f"(previous contents preserved at {trash}/{name})"
+            )
+
+    # CLEAN: only after every swap committed
+    fs.delete(hpath(trash), True)
+    fs.delete(hpath(staging), True)
 
 
 def ivf_probe_rows(

@@ -2549,9 +2549,18 @@ def _bpe_oracle(n_merges: int, fit_rows: int) -> str:
         FROM e{n_merges}
     ), cnts AS (
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n_final FROM fin GROUP BY token
-    ), mt AS ({mt})
+    ), mt AS ({mt}), chk AS (
+        -- loud spec guard mirroring bpe_fit's ValueError: if any fit
+        -- round's pair table emptied before n_merges, its m{{r}} scalar
+        -- subqueries go NULL and the replace() chain would silently
+        -- null every row — error() here turns that into the same loud
+        -- failure the engine raises (r15 advice)
+        SELECT CASE WHEN (SELECT COUNT(*) FROM mt WHERE token IS NULL) > 0
+                    THEN error('BPE oracle: fit sample exhausted before n_merges')
+                    ELSE 1 END AS ok
+    )
     SELECT mt.rank, mt.token, COALESCE(cnts.n_final, 0) AS n_final
-    FROM mt LEFT JOIN cnts USING (token)"""
+    FROM mt LEFT JOIN cnts USING (token), chk"""
 
 
 ORACLE_SQL["docs_bpe_vocab"] = _bpe_oracle(_BPE_MERGES, _BPE_FIT_ROWS)
@@ -2599,7 +2608,7 @@ ORACLE_SQL["docs_training_shards"] = f"""
     )
     SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS n_tokens,
-           CAST(MAX(seq_id) + 1 AS BIGINT) AS n_sequences,
+           CAST((SUM(nt) - 1) // 2048 + 1 AS BIGINT) AS n_sequences,
            CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
                AS n_straddle
     FROM pd GROUP BY shard"""

@@ -2140,10 +2140,18 @@ def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("off DIV 2048").alias("seq_id"),
         F.expr("((off + nt - 1) DIV 2048) > (off DIV 2048)").alias("straddles"),
     )
+    # n_sequences is the PACKED-FILE sequence count ceil(Σnt / 2048) —
+    # docs pack back-to-back, so the file's last sequence is the one
+    # holding the final token, not the last one a document STARTS in
+    # (max(seq_id)+1 under-counted when a shard's last doc straddled
+    # boundaries: one 5000-token doc is 1 start but 3 sequences; r15
+    # advice). seq_id still feeds the per-doc straddle flag.
     return per_doc.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("nt").cast("long").alias("n_tokens"),
-        (F.max("seq_id") + 1).cast("long").alias("n_sequences"),
+        F.expr("CAST(((sum(nt) - 1) DIV 2048) + 1 AS BIGINT)").alias(
+            "n_sequences"
+        ),
         F.sum(F.col("straddles").cast("long")).cast("long").alias("n_straddle"),
     )
 

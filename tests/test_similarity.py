@@ -892,3 +892,58 @@ def test_ivf_compact_index_after_appends(spark, tmp_path):
         tuple(r) for r in sim.ivf_search_index(spark, path, probes, k=3).collect()
     }
     assert res_after == res_before and res_after
+
+
+def test_ivf_compact_commit_protocol(spark, tmp_path):
+    """The stage→swap→clean commit (r15 advice): stale staging/trash
+    from a crashed run are invisible to readers (underscore prefix)
+    and cleared by the next compaction; the single-writer contract's
+    failure mode for a reader resolved BEFORE compaction is LOUD
+    (missing-file error), never silent row drops or duplicates."""
+    import os
+
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_commit")
+    sim.ivf_write_index(
+        emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=4, n_iter=2,
+        fit_fraction=1.0,
+    )
+    sim.ivf_append_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    before = {
+        (r.id, tuple(r.iv), r.nrm, r.cell)
+        for r in spark.read.parquet(path).collect()
+    }
+
+    # simulate a crashed previous run: stale staging with garbage rows
+    # + stale trash — readers must not see either
+    stale = spark.range(3).select(
+        F.col("id"), F.array(F.lit(1)).alias("iv"),
+        F.lit(1).alias("nrm"), F.lit(0).alias("cell"),
+    )
+    stale.write.mode("overwrite").partitionBy("cell").parquet(
+        path + "/_staging_compact"
+    )
+    os.makedirs(path + "/_trash_compact/cell=99", exist_ok=True)
+    assert {
+        (r.id, tuple(r.iv), r.nrm, r.cell)
+        for r in spark.read.parquet(path).collect()
+    } == before
+
+    # a reader resolved BEFORE compaction (file listing captured)
+    pre = spark.read.parquet(path)
+    assert pre.count() == len(before)
+
+    sim.ivf_compact_index(spark, path)  # clears stale dirs, swaps cells
+    assert not os.path.exists(path + "/_staging_compact")
+    assert not os.path.exists(path + "/_trash_compact")
+    after = {
+        (r.id, tuple(r.iv), r.nrm, r.cell)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after == before  # stale staging rows did NOT leak in
+
+    # pinned loud failure: the pre-resolved reader's files moved
+    with pytest.raises(Exception, match="(?i)file|exist|path"):
+        pre.collect()
