@@ -113,13 +113,23 @@ def bpe_fit(
     Returns ``[(a, b), ...]`` in rank order; raises if the sample
     exhausts its pairs before ``n_merges`` (a loud spec violation
     instead of a silent short vocabulary)."""
-    words = bpe_fit_sample(df, fit_rows, id_col, text_col, salt)
+    # dedup the sample's word OCCURRENCES into (distinct word, count)
+    # before the merge rounds: pair counts are Σ_word count·pairs(word),
+    # identical by linearity, and each round then scans |distinct words|
+    # symbol lists instead of |occurrences| — Zipf makes that the
+    # difference between a 16-merge toy fit and a realistic
+    # 1024-merge fit finishing driver-side (measured in SCALE.md)
+    occurrences = bpe_fit_sample(df, fit_rows, id_col, text_col, salt)
+    wcounts: dict[tuple[str, ...], int] = {}
+    for w in occurrences:
+        wcounts[tuple(w)] = wcounts.get(tuple(w), 0) + 1
+    words = [(list(w), c) for w, c in wcounts.items()]
     merges: list[tuple[str, str]] = []
     for rank in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
-        for w in words:
+        for w, c in words:
             for i in range(len(w) - 1):
-                counts[(w[i], w[i + 1])] = counts.get((w[i], w[i + 1]), 0) + 1
+                counts[(w[i], w[i + 1])] = counts.get((w[i], w[i + 1]), 0) + c
         if not counts:
             raise ValueError(
                 f"BPE fit sample exhausted after {rank} merges "
@@ -127,7 +137,7 @@ def bpe_fit(
             )
         (a, b) = min(counts, key=lambda p: (-counts[p], _pair_str(*p)))
         merges.append((a, b))
-        words = [_apply_merge(w, a, b) for w in words]
+        words = [(_apply_merge(w, a, b), c) for w, c in words]
     return merges
 
 
@@ -192,6 +202,139 @@ def bpe_token_count_col(
     )
     return F.aggregate(
         per_word, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def bpe_merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """``(a, b) -> rank`` lookup for the rank-based encoder."""
+    return {(a, b): r for r, (a, b) in enumerate(merges)}
+
+
+def bpe_encode_word_py(word: str, ranks: dict[tuple[str, str], int]) -> str:
+    """Encode ONE word against the fitted merges — the rank-based
+    algorithm every real tokenizer serves with: repeatedly merge the
+    LOWEST-RANK adjacent pair present (leftmost non-overlapping, via
+    the same ``_apply_merge`` the fit uses). Provably identical to the
+    sequential replace chain: applying merge r can only create pairs
+    involving the new token, and any fitted pair containing that token
+    was learned AFTER r (higher rank) — so processing ranks in
+    increasing order replays the chain while doing O(applied) passes
+    instead of O(n_merges). This is what makes realistic vocabularies
+    (32k merges) servable: the chain's cost — and its expression-tree
+    depth on the JVM path — grows with n_merges even when a word uses
+    three of them. Returns the paren representation. Exactness pinned
+    against the chain in tests/test_bpe.py."""
+    syms = _word_symbols(word)
+    while len(syms) > 1:
+        best: tuple[int, str, str] | None = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, syms[i], syms[i + 1])
+        if best is None:
+            break
+        syms = _apply_merge(syms, best[1], best[2])
+    return "(" + ")(".join(syms) + ")"
+
+
+def bpe_word_encodings(
+    words_df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Append ``enc`` (the paren encoding) to a DISTINCT-word table —
+    the build half of the scale-path serving shape. Word frequency is
+    Zipfian, so the distinct-word table is tiny relative to the corpus
+    (the whole point: encode each word ONCE, not once per occurrence),
+    and the encoder is the rank-based ``bpe_encode_word_py`` inside an
+    Arrow-batched pandas UDF — merge-count cost is O(merges a word
+    actually uses), immune to the replace chain's expression-depth
+    cliff (measured in SCALE.md: analysis/codegen cost grows with
+    chain length and becomes the bottleneck long before data does)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = bpe_merge_ranks(merges)
+
+    # annotations passed explicitly: the module's `from __future__
+    # import annotations` turns hints into strings that PySpark's
+    # eval-type inference cannot resolve against a function-local pd
+    def _enc_fn(s):
+        return s.map(lambda w: bpe_encode_word_py(w, ranks))
+
+    _enc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _enc = pandas_udf(_enc_fn, "string")
+    return words_df.withColumn("enc", _enc(F.col(word_col)))
+
+
+def bpe_encode_corpus_words(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale-path CORPUS encode: ``(id, word, enc)`` for every word
+    occurrence, as one corpus scan + one BROADCAST join against the
+    distinct-word encoding map (plan-pinned in tests/test_plans.py).
+    The map build is its own narrow pre-pass (distinct words → pandas
+    encode — Zipf-small whatever the corpus size); the corpus-side job
+    never shuffles and never runs Python. This is the serving shape at
+    realistic vocabulary sizes — the literal-replace chain
+    (:func:`bpe_encode_words`) stays the zero-join fast path for SMALL
+    merge counts where its expression depth is harmless."""
+    words = df.select(
+        F.col(id_col), F.explode(bpe_words_col(text_col)).alias("word")
+    )
+    enc_map = bpe_word_encodings(
+        df.select(F.explode(bpe_words_col(text_col)).alias("word")).distinct(),
+        merges,
+    )
+    return words.join(F.broadcast(enc_map), "word").select(id_col, "word", "enc")
+
+
+def bpe_vocab_audit_distinct(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The audit in the distinct-word shape — result-identical to
+    :func:`bpe_vocab_audit` (same (rank, token, n_final) rows, same
+    oracle) with the encode cost moved OFF the corpus axis: one corpus
+    scan feeds a word-frequency aggregate (map-side combine onto the
+    Zipf-small word keyspace — the only corpus-width exchange), each
+    DISTINCT word is encoded once (rank-based pandas encode on the
+    tiny aggregate), and the final symbol counts are the
+    occurrence-weighted rollup Σ n_w per token. At a realistic 32k
+    vocabulary the per-occurrence chain encode is both slower (chain
+    cost × every occurrence) and un-analyzable (32k-deep replace
+    tree); this shape's encode work is |distinct words|, not
+    |occurrences|."""
+    spark = df.sparkSession
+    wc = (
+        df.select(F.explode(bpe_words_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    enc = bpe_word_encodings(wc, merges)
+    counts = (
+        enc.select(
+            F.explode(
+                F.regexp_extract_all("enc", F.lit(r"\(([^)]*)\)"), F.lit(1))
+            ).alias("token"),
+            "n_w",
+        )
+        .groupBy("token")
+        .agg(F.sum("n_w").cast("long").alias("n_final"))
+    )
+    toks = F.array(*[F.lit(a + b) for a, b in merges])
+    ranks = spark.range(1, len(merges) + 1).select(
+        F.col("id").alias("rank"),
+        F.element_at(toks, F.col("id").cast("int")).alias("token"),
+    )
+    return ranks.join(F.broadcast(counts), "token", "left").select(
+        "rank",
+        "token",
+        F.coalesce(F.col("n_final"), F.lit(0).cast("long")).alias("n_final"),
     )
 
 

@@ -2076,23 +2076,28 @@ def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side on the ABSOLUTE 256-doc md5 hash-sample (the
     fit_rows quantizer precedent — corpus-size-invariant fit,
     TakeOrderedAndProject membership a pure function of the corpus),
-    then frozen into a chain of LITERAL boundary-safe string replaces
-    — the ``(a)(b)`` → ``(ab)`` paren representation — applied to
-    every corpus word as pure JVM expressions (one scan, zero Python,
-    zero corpus shuffle; the only exchange is the
-    ≤|alphabet|+|merges|-key symbol-count aggregate). Output: the
-    per-merge audit (rank, token, n_final) — how often each fitted
-    token survives in the final encoding (later merges legitimately
-    consume earlier tokens to 0). The DuckDB oracle re-derives the
-    merge list INDEPENDENTLY (one unrolled CTE round per merge — the
-    integer-Lloyd-in-SQL precedent) and replays the encode, so the
-    hash match certifies fit AND serving end-to-end
-    (operators/bpe.py)."""
-    from jagular_spark.operators.bpe import bpe_fit, bpe_vocab_audit
+    served in the DISTINCT-WORD shape (r16): one corpus scan feeds a
+    word-frequency aggregate (map-side combine onto the Zipf-small
+    word keyspace — the only corpus-width exchange), each DISTINCT
+    word is encoded ONCE (rank-based encoder, Arrow-batched pandas on
+    the tiny aggregate — provably identical to the literal replace
+    chain), and symbol counts are the occurrence-weighted rollup.
+    This is the shape that survives a realistic 32k-merge vocabulary:
+    the per-occurrence replace chain's cost and expression depth grow
+    with merge count (measured cliff in SCALE.md), while this encode
+    is |distinct words| × merges-a-word-uses. Output: the per-merge
+    audit (rank, token, n_final) — how often each fitted token
+    survives in the final encoding (later merges legitimately consume
+    earlier tokens to 0). The DuckDB oracle re-derives the merge list
+    INDEPENDENTLY (one unrolled CTE round per merge — the
+    integer-Lloyd-in-SQL precedent) and replays the encode
+    per-occurrence, so the hash match certifies fit AND both serving
+    forms end-to-end (operators/bpe.py)."""
+    from jagular_spark.operators.bpe import bpe_fit, bpe_vocab_audit_distinct
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     merges = bpe_fit(docs, n_merges=_BPE_MERGES, fit_rows=_BPE_FIT_ROWS)
-    return bpe_vocab_audit(docs, merges)
+    return bpe_vocab_audit_distinct(docs, merges)
 
 
 def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:

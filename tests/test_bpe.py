@@ -175,3 +175,78 @@ def test_encode_partitions_the_word(spark):
             .count()
         )
         assert bad == 0, f"n_merges={n_merges}: {bad} words corrupted"
+
+
+def test_rank_encoder_equals_chain_encoder(spark):
+    """The rank-based word encoder (serving path at realistic merge
+    counts) must replay the sequential replace chain bit-for-bit:
+    applying merge r only creates pairs involving the new token, and
+    any fitted pair containing it was learned later — so lowest-rank-
+    first equals chain order. Checked on every distinct word of the
+    real corpus plus adversarial overlap cases."""
+    from jagular_spark.operators.bpe import bpe_encode_word_py, bpe_merge_ranks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = bpe_fit(docs, n_merges=16, fit_rows=64)
+    ranks = bpe_merge_ranks(merges)
+    words = {
+        t.lower()
+        for r in docs.collect()
+        for t in re.split(r"\s+", (r.text or "").strip(), flags=re.ASCII)
+        if re.fullmatch("[A-Za-z]+", t)
+    }
+    words |= {"aaaa", "abababab", "lowlowlower", "zzz"}
+    for w in sorted(words):
+        syms = list(w) + ["#"]
+        for a, b in merges:
+            syms = _apply_merge(syms, a, b)
+        chain = "(" + ")(".join(syms) + ")"
+        assert bpe_encode_word_py(w, ranks) == chain, w
+
+
+def test_audit_distinct_equals_chain_audit(spark):
+    """bpe_vocab_audit_distinct is result-identical to the
+    per-occurrence chain audit on the real corpus (same oracle)."""
+    from jagular_spark.operators.bpe import bpe_vocab_audit_distinct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = bpe_fit(docs, n_merges=16, fit_rows=64)
+    chain = {(r.rank, r.token, r.n_final) for r in bpe_vocab_audit(docs, merges).collect()}
+    dist = {
+        (r.rank, r.token, r.n_final)
+        for r in bpe_vocab_audit_distinct(docs, merges).collect()
+    }
+    assert dist == chain and len(dist) == 16
+
+
+def test_encode_corpus_words_broadcast_plan_and_values(spark):
+    """The corpus-side encode job is one scan + one BROADCAST join (the
+    plan pin the 32k-merge serving shape rests on) and its (id, word,
+    enc) rows agree with the chain encode."""
+    from jagular_spark.operators.bpe import bpe_encode_corpus_words
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = bpe_fit(docs, n_merges=8, fit_rows=64)
+    out = bpe_encode_corpus_words(docs, merges)
+    jvm = spark._jvm
+    p = out._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    got = sorted(
+        (r.doc_id, r.word, r.enc) for r in out.collect()
+    )
+    expect = sorted(
+        (r.doc_id, r.z.w, r.z.e)
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    bpe_words_col("text").alias("w"),
+                    bpe_encode_words("text", merges).alias("e"),
+                )
+            ).alias("z"),
+        ).collect()
+    )
+    assert got == expect and got

@@ -702,3 +702,27 @@ def test_hll_vocab_one_pass_single_scan_no_join(spark):
     p = _formatted(docs_hll_vocab(spark, SF))
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p[:1500]
     assert "Join" not in p
+
+
+def test_bpe_vocab_distinct_single_scan_bounded_exchanges(spark):
+    """docs_bpe_vocab (r16 distinct-word serving shape): the corpus
+    parquet is scanned exactly ONCE; the only exchanges are the
+    word-frequency aggregate (Zipf-small keyspace) and the tiny
+    token rollup; the rank attach is a broadcast join; the pandas
+    encode runs on the AGGREGATED side, never on corpus rows."""
+    import re
+
+    from jagular_spark.workloads import docs_bpe_vocab
+
+    p = _formatted(docs_bpe_vocab(spark, SF))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p[:1500]
+    ex = re.findall(r"\(\d+\) Exchange\b", p)
+    assert len(ex) <= 2, p[:2000]
+    assert "hashpartitioning(word" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # the Arrow/pandas encode sits above the word aggregate, not the scan
+    assert "ArrowEvalPython" in p or "PythonUDF" in p
+    scan_pos = p.index("Scan parquet")
+    agg_pos = p.index("hashpartitioning(word")
+    py_pos = p.index("ArrowEvalPython") if "ArrowEvalPython" in p else p.index("PythonUDF")
+    assert py_pos != -1 and agg_pos != -1 and scan_pos != -1

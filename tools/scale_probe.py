@@ -789,6 +789,103 @@ def probe_r15_shapes(spark, sizes: list[int]) -> list[dict]:
     return out
 
 
+def synth_docs_rich(spark, n: int):
+    """Rich-vocabulary variant of the shared synth corpus for the BPE
+    merge-count probe: the 400 wNNN tokens (non-alphabetic, outside
+    the BPE vocabulary) map deterministically into 4000 pronounceable
+    pseudo-words (syllable pairs/triples over 95 CV syllables), so a
+    fit can select 1024+ merges before the sample's pair structure
+    exhausts — the 40-word English variant tops out near its total
+    distinct-adjacency count."""
+    syls = [c + v for c in "bcdfghjklmnpqrstvwz" for v in "aeiou"]
+    vocab = []
+    for i in range(4000):
+        w = syls[i % 95] + syls[(i // 95) % 95]
+        if i % 3 == 0:
+            w += syls[(i // 9025) % 95]
+        vocab.append(w)
+    rich = F.array(*[F.lit(w) for w in vocab])
+    path = f"/tmp/scale_probe_docs_{n}"
+    synth_docs(spark, n, path)
+    rich_path = f"/tmp/scale_probe_docsrich_{n}"
+    if not os.path.exists(rich_path):
+        spark.read.parquet(path).select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.element_at(
+                        rich,
+                        ((F.xxhash64(t) % 4000 + 4000) % 4000 + 1).cast("int"),
+                    ),
+                ),
+            ).alias("text"),
+        ).write.mode("overwrite").parquet(rich_path)
+    return spark.read.parquet(rich_path)
+
+
+def probe_bpe_serve(spark, n_docs: int = 80000) -> list[dict]:
+    """BPE serving cost on the MERGE-COUNT axis (r15 verdict task #2):
+    fixed 80k-doc rich-vocab corpus, merges 16/64/256/1024. The chain
+    audit applies one literal replace per merge to EVERY word
+    occurrence — its cost (and its expression-tree analysis) grows
+    with merge count regardless of how many merges a word uses, which
+    is the cliff a realistic 32k vocabulary falls off. The
+    distinct-word audit's encode cost is |distinct words| × merges a
+    word USES (rank-based encoder), so its curve must stay near-flat
+    on this axis. The chain is skipped (recorded as such) once a level
+    exceeds the cliff guard — the point is locating the cliff, not
+    waiting on it."""
+    from jagular_spark.operators.bpe import (
+        bpe_fit,
+        bpe_vocab_audit,
+        bpe_vocab_audit_distinct,
+    )
+
+    docs = synth_docs_rich(spark, n_docs)
+    out = []
+    t_chain, t_dist, t_fit = [], [], []
+    chain_dead = False
+    for m in (16, 64, 256, 1024):
+        t0 = time.perf_counter()
+        merges = bpe_fit(docs, n_merges=m, fit_rows=512)
+        t_fit.append((m, round(time.perf_counter() - t0, 3), len(merges)))
+
+        def best_of(fn):
+            fn()
+            best, r = None, None
+            for _ in range(2):
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                r = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3), r
+
+        if not chain_dead:
+            t0 = time.perf_counter()
+            try:
+                bt, rows = best_of(lambda: _force(bpe_vocab_audit(docs, merges)))
+                t_chain.append((m, bt, rows))
+                if bt > 60:
+                    chain_dead = True
+            except Exception as e:  # analysis/codegen cliff: record, move on
+                t_chain.append((m, round(time.perf_counter() - t0, 3),
+                                f"FAILED:{type(e).__name__}"))
+                chain_dead = True
+        else:
+            t_chain.append((m, None, "skipped (cliff guard)"))
+
+        bt, rows = best_of(lambda: _force(bpe_vocab_audit_distinct(docs, merges)))
+        t_dist.append((m, bt, rows))
+    out.append(_curve("bpe_fit_rich512_by_merges", t_fit))
+    print(json.dumps({"op": "bpe_audit_chain_by_merges", "points": t_chain}),
+          flush=True)
+    out.append(_curve("bpe_audit_distinct_by_merges", t_dist))
+    return out
+
+
 ALL_FAMILIES = (
     "text",
     "events",
@@ -801,6 +898,7 @@ ALL_FAMILIES = (
     "ivf_prebuilt",
     "r14_shapes",
     "r15_shapes",
+    "bpe_serve",
 )
 
 
@@ -842,6 +940,8 @@ def main() -> None:
         probe_r14_shapes(spark, [20000, 80000, 320000])
     if "r15_shapes" in families:
         probe_r15_shapes(spark, [20000, 80000, 320000])
+    if "bpe_serve" in families:
+        probe_bpe_serve(spark, 80000)
     for n in sizes:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
     for n in chans:
