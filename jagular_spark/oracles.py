@@ -2613,6 +2613,13 @@ ORACLE_SQL["docs_training_shards"] = f"""
                AS n_straddle
     FROM pd GROUP BY shard"""
 
+# the terminal composition's streaming twin packs each shard in the
+# same deterministic (ord, id) order with the offset carried as state
+# — bit-identical manifest under a one-pass drain, same oracle verbatim
+ORACLE_SQL["docs_training_shards_streamed"] = ORACLE_SQL[
+    "docs_training_shards"
+]
+
 # DSIR select-then-clean (the paper's actual pipeline): the suffixed
 # DSIR CTE chain picks the top-200 raw docs, dsel joins their text
 # back, and the whole curation funnel runs over that selection —

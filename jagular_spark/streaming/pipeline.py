@@ -724,3 +724,70 @@ def stream_token_budget_sample(
     return apply_token_thresholds(
         docs, thresholds, group_col, key_col, text_col, salt
     )
+
+def stream_training_shard_pack(
+    docs: DataFrame,
+    thresholds: dict[str, int],
+    n_shards: int = 8,
+    salt: str = "",
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The TERMINAL composition's streaming twin (r15 verdict optional
+    task): token-budget admission → deterministic shard assignment →
+    per-shard 2048-token sequence packing, on a document stream. The
+    admission and shard/order columns are the batch pipeline's frozen
+    row-local md5 expressions (stateless); the only genuinely stateful
+    step is the pack's running token offset, carried per shard through
+    ``applyInPandasWithState`` — ONE long of state per shard, the
+    bounded-state discipline every twin in this module follows. Within
+    a micro-batch each shard's arrivals pack in the batch layout's
+    deterministic (ord, id) order, and the offset carries across
+    batches — under a one-pass availableNow drain this emits exactly
+    the batch composition's per-document offsets, so the driver query
+    shares docs_training_shards' DuckDB oracle VERBATIM (hash match,
+    not rows-only). Emits ``(shard, doc_id, nt, off)`` per admitted
+    document — the manifest rollup happens on the sink, where it is a
+    plain bounded aggregate."""
+    import pandas as pd
+
+    from jagular_spark.operators.sampling import hash_bucket
+
+    sampled = stream_token_budget_sample(
+        docs, thresholds, group_col, key_col, text_col, salt="",
+    )
+    sharded = sampled.select(
+        F.col(key_col).alias("doc_id"),
+        F.col("n_tokens"),
+        F.pmod(hash_bucket(key_col, salt), F.lit(n_shards))
+        .cast("long")
+        .alias("shard"),
+        hash_bucket(key_col, salt + "#pos").alias("__ord__"),
+    )
+
+    def kernel(key, pdfs, state):
+        off = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # the batch layout's per-shard order: (ord, doc_id) — stable
+        # sort so equal keys cannot reorder across pandas versions
+        pdf = pdf.sort_values(["__ord__", "doc_id"], kind="mergesort")
+        nts = pdf["n_tokens"].to_numpy()
+        offs = off + nts.cumsum() - nts
+        state.update((int(off + nts.sum()),))
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "nt": nts,
+                "off": offs,
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        kernel,
+        "shard long, doc_id long, nt long, off long",
+        "off long",
+        "append",
+        "NoTimeout",
+    )

@@ -2161,6 +2161,47 @@ def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_training_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of docs_training_shards — the terminal
+    composition as a shard-writer would actually run it at ingest:
+    token-budget admission and shard/order assignment are the frozen
+    row-local md5 expressions (stateless), and the 2048-token pack's
+    running offset is the ONLY state — one long per shard, carried
+    through applyInPandasWithState
+    (streaming/pipeline.stream_training_shard_pack). One availableNow
+    pass over the staged corpus packs every shard in the batch
+    layout's (ord, id) order, so the manifest rolled up from the sink
+    is bit-identical to the batch composition's and the query shares
+    docs_training_shards' oracle VERBATIM (hash match, not
+    rows-only)."""
+    from jagular_spark.operators.sampling import token_budget_thresholds
+    from jagular_spark.streaming.pipeline import stream_training_shard_pack
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    thresholds = token_budget_thresholds(docs, _TOKEN_BUDGETS, group_col="source")
+    stage = _stage_dir("shards_stream", sf_dir)
+    docs.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    tbl = _run_stream_to_table(
+        stream_training_shard_pack(stream, thresholds, salt="train-mix-v1"),
+        "shards_stream",
+        shuffle_partitions=8,
+    )
+    per_doc = spark.table(tbl).select(
+        "shard",
+        "nt",
+        F.expr("((off + nt - 1) DIV 2048) > (off DIV 2048)").alias("straddles"),
+    )
+    return per_doc.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.expr("CAST(((sum(nt) - 1) DIV 2048) + 1 AS BIGINT)").alias(
+            "n_sequences"
+        ),
+        F.sum(F.col("straddles").cast("long")).cast("long").alias("n_straddle"),
+    )
+
+
 def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture building to ABSOLUTE per-source token budgets (the way
     a pretraining run is actually specified — "N tokens of web, M of
@@ -3786,7 +3827,7 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below is the output of `python tools/rotate_window.py`;
 # tests/test_rotation.py pins the shipped order to the derivation,
 # and `tools/rotate_window.py --check` verifies it from the CLI.
-REGISTRY_ROUND = 15
+REGISTRY_ROUND = 16
 
 # Queries whose OPERATOR CODE changed this round (window policy a).
 # Output-identical refactors pinned by unit tests do not consume
@@ -3798,27 +3839,22 @@ REGISTRY_ROUND = 15
 # is charged to NO query: it is bit-identical by construction and
 # pinned by the 40-test golden/property mpeg1 suite.
 ROUND_TOUCHED: set[str] = {
-    # r15 charges the two NEW queries (docs_training_shards,
-    # docs_bpe_vocab) and the one materially rewritten one:
-    # docs_hll_vocab moved from the two-scan sketch + countDistinct
-    # + join shape to the one-pass hll_distinct_with_exact chain — a
-    # genuinely different plan, so it re-verifies in this window even
-    # though the parity test (tests/test_sketches.py) and the sf0.01
-    # oracle sweep pin the values unchanged. Exempt under the standing
+    # r16 charges: docs_bpe_vocab (rewritten to the distinct-word
+    # serving shape — genuinely different plan — plus the re.ASCII fit
+    # fix and the weighted-distinct fit refactor), docs_training_shards
+    # (n_sequences semantics changed to the packed-file sequence count
+    # on BOTH engines — a result change), and the NEW
+    # docs_training_shards_streamed twin. Exempt under the standing
     # output-identical-and-pinned footnote above:
-    # - emb_ann_topk_ivf_pq (r14-green): F.broadcast hint on the exact
-    #   re-rank shortlist — join-order/physical-only, result invariant
-    #   by construction, BroadcastHashJoin pinned in tests/test_plans.py
-    #   and the query re-oracle-checked at sf0.01 this round.
-    # - emb_ann_topk_ivf_prebuilt / _pq_prebuilt (r14-green): the index
-    #   write now also persists the model sidecar (a separate write
-    #   job AFTER the index write; the returned result plan is
-    #   byte-identical), fresh-process parity pinned in
-    #   tests/test_similarity.py and both queries re-oracle-checked at
-    #   sf0.01 this round.
-    "docs_hll_vocab",
-    "docs_training_shards",
+    # - ivf_compact_index stage→swap→clean rework: test-only operator
+    #   (no registry query calls compaction), pinned by
+    #   tests/test_similarity.py's data-identity + commit-protocol
+    #   tests.
+    # - dsir scoring: NO code change shipped (the r15 320k flag closed
+    #   as environment-class by measurement — see SCALE.md r16).
     "docs_bpe_vocab",
+    "docs_training_shards",
+    "docs_training_shards_streamed",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3832,57 +3868,7 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
-    "docs_bpe_vocab": docs_bpe_vocab,  # last green r0
-    "docs_training_shards": docs_training_shards,  # last green r0
-    "docs_curation_funnel": docs_curation_funnel,  # last green r12
-    "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r12
-    "docs_dedup_clusters": docs_dedup_clusters,  # last green r12
-    "docs_hll_vocab": docs_hll_vocab,  # last green r12
-    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r12
-    "docs_media_audio": docs_media_audio,  # last green r12
-    "docs_media_flac_roundtrip": docs_media_flac_roundtrip,  # last green r12
-    "docs_media_frames": docs_media_frames,  # last green r12
-    "docs_media_gif_roundtrip": docs_media_gif_roundtrip,  # last green r12
-    "docs_media_jpeg_stats": docs_media_jpeg_stats,  # last green r12
-    "docs_media_mjpeg_video": docs_media_mjpeg_video,  # last green r12
-    "docs_media_mpeg1_color": docs_media_mpeg1_color,  # last green r12
-    "docs_media_mpeg1_video": docs_media_mpeg1_video,  # last green r12
-    "docs_media_resize": docs_media_resize,  # last green r12
-    "docs_minhash_lsh": docs_minhash_lsh,  # last green r12
-    "docs_minhash_lsh_capped": docs_minhash_lsh_capped,  # last green r12
-    "docs_ngram_containment": docs_ngram_containment,  # last green r12
-    "docs_ngram_jaccard": docs_ngram_jaccard,  # last green r12
-    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,  # last green r12
-    "docs_pii_redaction": docs_pii_redaction,  # last green r12
-    "docs_rebalance_sample": docs_rebalance_sample,  # last green r12
-    "docs_shuffle_shards": docs_shuffle_shards,  # last green r12
-    "docs_substring_dedup": docs_substring_dedup,  # last green r12
-    "docs_substring_dedup_applied": docs_substring_dedup_applied,  # last green r12
-    "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,  # last green r12
-    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r12
-    "docs_tfidf_top": docs_tfidf_top,  # last green r12
-    "emb_ann_recall": emb_ann_recall,  # last green r12
-    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,  # last green r12
-    "emb_knn_classify": emb_knn_classify,  # last green r12
-    "events_asof": events_asof,  # last green r12
-    "events_asof_nearest": events_asof_nearest,  # last green r12
-    "events_audit": events_audit,  # last green r12
-    "events_band_power": events_band_power,  # last green r12
-    "events_censor_streamed": events_censor_streamed,  # last green r12
-    "events_detect_spikes": events_detect_spikes,  # last green r12
-    "events_hourly_rollup": events_hourly_rollup,  # last green r12
-    "events_interpolate_streamed": events_interpolate_streamed,  # last green r12
-    "events_salted_hourly": events_salted_hourly,  # last green r12
-    "events_sessionize_streamed": events_sessionize_streamed,  # last green r12
-    "events_sortedness": events_sortedness,  # last green r12
-    "events_winsorize": events_winsorize,  # last green r12
-    "events_winsorize_chunked": events_winsorize_chunked,  # last green r12
-    "events_xcorr": events_xcorr,  # last green r12
-    "docs_bm25_search": docs_bm25_search,  # last green r13
-    "docs_bpe_tokens": docs_bpe_tokens,  # last green r13
-    "docs_chunk_dedup": docs_chunk_dedup,  # last green r13
-    "docs_chunking": docs_chunking,  # last green r13
-    # ---- driver window ends here ----
+    "docs_training_shards_streamed": docs_training_shards_streamed,  # last green r0
     "docs_decontaminate": docs_decontaminate,  # last green r13
     "docs_domain_mixture": docs_domain_mixture,  # last green r13
     "docs_dsir_scores": docs_dsir_scores,  # last green r13
@@ -3930,6 +3916,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": q8_market_share,  # last green r13
     "q9_product_profit": q9_product_profit,  # last green r13
     "docs_bigram_fluency": docs_bigram_fluency,  # last green r14
+    "docs_bpe_vocab": docs_bpe_vocab,  # last green r15
+    "docs_training_shards": docs_training_shards,  # last green r15
+    # ---- driver window ends here ----
     "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r14
     "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r14
     "docs_dsir_select_funnel": docs_dsir_select_funnel,  # last green r14
@@ -3979,6 +3968,54 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,  # last green r14
     "q5_region_revenue": q5_region_revenue,  # last green r14
     "top3_orders_per_customer": top3_orders_per_customer,  # last green r14
+    "docs_bm25_search": docs_bm25_search,  # last green r15
+    "docs_bpe_tokens": docs_bpe_tokens,  # last green r15
+    "docs_chunk_dedup": docs_chunk_dedup,  # last green r15
+    "docs_chunking": docs_chunking,  # last green r15
+    "docs_curation_funnel": docs_curation_funnel,  # last green r15
+    "docs_curation_funnel_v2": docs_curation_funnel_v2,  # last green r15
+    "docs_dedup_clusters": docs_dedup_clusters,  # last green r15
+    "docs_hll_vocab": docs_hll_vocab,  # last green r15
+    "docs_lsh_candidates_streamed": docs_lsh_candidates_streamed,  # last green r15
+    "docs_media_audio": docs_media_audio,  # last green r15
+    "docs_media_flac_roundtrip": docs_media_flac_roundtrip,  # last green r15
+    "docs_media_frames": docs_media_frames,  # last green r15
+    "docs_media_gif_roundtrip": docs_media_gif_roundtrip,  # last green r15
+    "docs_media_jpeg_stats": docs_media_jpeg_stats,  # last green r15
+    "docs_media_mjpeg_video": docs_media_mjpeg_video,  # last green r15
+    "docs_media_mpeg1_color": docs_media_mpeg1_color,  # last green r15
+    "docs_media_mpeg1_video": docs_media_mpeg1_video,  # last green r15
+    "docs_media_resize": docs_media_resize,  # last green r15
+    "docs_minhash_lsh": docs_minhash_lsh,  # last green r15
+    "docs_minhash_lsh_capped": docs_minhash_lsh_capped,  # last green r15
+    "docs_ngram_containment": docs_ngram_containment,  # last green r15
+    "docs_ngram_jaccard": docs_ngram_jaccard,  # last green r15
+    "docs_ngram_jaccard_lsh": docs_ngram_jaccard_lsh,  # last green r15
+    "docs_pii_redaction": docs_pii_redaction,  # last green r15
+    "docs_rebalance_sample": docs_rebalance_sample,  # last green r15
+    "docs_shuffle_shards": docs_shuffle_shards,  # last green r15
+    "docs_substring_dedup": docs_substring_dedup,  # last green r15
+    "docs_substring_dedup_applied": docs_substring_dedup_applied,  # last green r15
+    "docs_substring_dedup_keepfirst": docs_substring_dedup_keepfirst,  # last green r15
+    "docs_substring_dedup_streamed": docs_substring_dedup_streamed,  # last green r15
+    "docs_tfidf_top": docs_tfidf_top,  # last green r15
+    "emb_ann_recall": emb_ann_recall,  # last green r15
+    "emb_ann_topk_ivf_frozen": emb_ann_topk_ivf_frozen,  # last green r15
+    "emb_knn_classify": emb_knn_classify,  # last green r15
+    "events_asof": events_asof,  # last green r15
+    "events_asof_nearest": events_asof_nearest,  # last green r15
+    "events_audit": events_audit,  # last green r15
+    "events_band_power": events_band_power,  # last green r15
+    "events_censor_streamed": events_censor_streamed,  # last green r15
+    "events_detect_spikes": events_detect_spikes,  # last green r15
+    "events_hourly_rollup": events_hourly_rollup,  # last green r15
+    "events_interpolate_streamed": events_interpolate_streamed,  # last green r15
+    "events_salted_hourly": events_salted_hourly,  # last green r15
+    "events_sessionize_streamed": events_sessionize_streamed,  # last green r15
+    "events_sortedness": events_sortedness,  # last green r15
+    "events_winsorize": events_winsorize,  # last green r15
+    "events_winsorize_chunked": events_winsorize_chunked,  # last green r15
+    "events_xcorr": events_xcorr,  # last green r15
 }
 
 

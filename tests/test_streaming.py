@@ -1011,3 +1011,67 @@ def test_stream_bpe_token_counts_parity_with_batch(spark, tmp_path):
         (op.get("numRowsTotal") or 0) == 0
         for op in (prog.get("stateOperators") or [])
     )
+
+
+def test_training_shard_pack_stream_matches_batch(spark, tmp_path):
+    """The terminal composition's streaming twin: token-budget
+    admission + shard assignment are stateless frozen expressions; the
+    pack's running offset is ONE long of state per shard. Under a
+    one-pass drain the per-doc (shard, nt, off) rows — and therefore
+    the rolled-up manifest — are bit-identical to the batch
+    composition (same oracle)."""
+    from pyspark.sql import Window, functions as F
+
+    from jagular_spark.operators.sampling import (
+        shuffle_shards,
+        token_budget_sample,
+        token_budget_thresholds,
+    )
+    from jagular_spark.streaming.pipeline import stream_training_shard_pack
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    budgets = {"src0": 300, "src1": 200, "src2": 250}
+    sampled = token_budget_sample(docs, budgets, group_col="source").select(
+        "doc_id", "n_tokens"
+    )
+    sharded = shuffle_shards(sampled, "doc_id", n_shards=4, salt="t")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos_in_shard")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    batch = {
+        (r.shard, r.doc_id, r.nt, r.off)
+        for r in sharded.select(
+            "shard",
+            "doc_id",
+            F.col("n_tokens").alias("nt"),
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off"),
+        ).collect()
+    }
+    thresholds = token_budget_thresholds(docs, budgets, group_col="source")
+    stage = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    q = (
+        stream_training_shard_pack(stream, thresholds, n_shards=4, salt="t")
+        .writeStream.format("memory")
+        .queryName("shardpack_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.shard, r.doc_id, r.nt, r.off)
+        for r in spark.table("shardpack_parity").collect()
+    }
+    assert got == batch and batch
+    # bounded state: one row per shard, never per document
+    prog = q.lastProgress
+    tot = sum(
+        (op.get("numRowsTotal") or 0) for op in (prog.get("stateOperators") or [])
+    )
+    assert 0 < tot <= 4

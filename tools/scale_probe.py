@@ -825,6 +825,57 @@ def synth_docs_rich(spark, n: int):
     return spark.read.parquet(rich_path)
 
 
+def synth_skewed(spark, n: int, path: str) -> None:
+    """90 %-one-key rows — the pathological-key regime salted_agg
+    exists for (AQE splits oversized partitions, not a single hot key
+    inside one)."""
+    if os.path.exists(path):
+        return
+    h = (F.xxhash64("id") % 100 + 100) % 100
+    key = F.when(h < 90, F.lit(0)).otherwise((h % 50) + 1).cast("long")
+    spark.range(0, n, 1, 32).select(
+        key.alias("k"), (F.col("id") % 1000).cast("long").alias("v")
+    ).write.mode("overwrite").parquet(path)
+
+
+def probe_skew(spark, sizes: list[int]) -> list[dict]:
+    """Salted two-phase aggregation on the row axis (re-measured under
+    forced materialization — the r11-era curves predate the fidelity
+    fix): 90 % of rows share one key, so the unsalted plan's reduce
+    task for key 0 carries 0.9·N rows while salted_agg bounds any
+    reduce task at 1/n_salts of that. Both must track the data ratio
+    (the map scan is the linear floor); the salted curve's constant
+    overhead is the second (≤ keys×n_salts row) merge exchange."""
+    from jagular_spark.operators.skew import salted_agg
+
+    ops = {
+        "agg_plain_hot_key": lambda d: d.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+        ),
+        "salted_agg_hot_key": lambda d: salted_agg(
+            d, ["k"], {"s": ("sum", "v"), "n": ("count", "v")}, n_salts=8
+        ),
+    }
+    out = []
+    for op_name, fn in ops.items():
+        times = []
+        for n in sizes:
+            path = f"/tmp/scale_probe_skew_{n}"
+            synth_skewed(spark, n, path)
+            df = spark.read.parquet(path)
+            _force(fn(df))  # warm
+            best, rows = None, 0
+            for _ in range(2):
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                rows = _force(fn(df))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times.append((n, round(best, 3), rows))
+        out.append(_curve(op_name, times))
+    return out
+
+
 def probe_bpe_serve(spark, n_docs: int = 80000) -> list[dict]:
     """BPE serving cost on the MERGE-COUNT axis (r15 verdict task #2):
     fixed 80k-doc rich-vocab corpus, merges 16/64/256/1024. The chain
@@ -899,6 +950,7 @@ ALL_FAMILIES = (
     "r14_shapes",
     "r15_shapes",
     "bpe_serve",
+    "skew",
 )
 
 
@@ -942,6 +994,8 @@ def main() -> None:
         probe_r15_shapes(spark, [20000, 80000, 320000])
     if "bpe_serve" in families:
         probe_bpe_serve(spark, 80000)
+    if "skew" in families:
+        probe_skew(spark, [1_000_000, 4_000_000, 16_000_000])
     for n in sizes:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
     for n in chans:
@@ -957,8 +1011,14 @@ def main() -> None:
         shutil.rmtree(f"/tmp/scale_probe_sess_{n}", ignore_errors=True)
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
         shutil.rmtree(f"/tmp/scale_probe_docsen_{n}", ignore_errors=True)
-    for op in ("stream_sessionize", "stream_lsh_candidates"):
+    for op in ("stream_sessionize", "stream_lsh_candidates",
+               "stream_lsh_candidates_capped", "stream_training_shard_pack"):
         shutil.rmtree(f"/tmp/scale_probe_ckpt_{op}", ignore_errors=True)
+    shutil.rmtree("/tmp/scale_probe_docsrich_80000", ignore_errors=True)
+    for n in (20000, 80000, 320000):
+        shutil.rmtree(f"/tmp/scale_probe_shardsrc_{n}", ignore_errors=True)
+    for n in (1_000_000, 4_000_000, 16_000_000):
+        shutil.rmtree(f"/tmp/scale_probe_skew_{n}", ignore_errors=True)
 
 
 def probe_streaming(spark, sizes: list[int]) -> list[dict]:
@@ -1016,6 +1076,29 @@ def probe_streaming(spark, sizes: list[int]) -> list[dict]:
         stream = spark.readStream.schema(schema).parquet(path)
         return stream_lsh_candidate_pairs(stream, max_members=64)
 
+    def shard_pack_run(n):
+        # r16 terminal-composition twin: admission thresholds frozen
+        # offline (absolute budgets fixed across sizes), pack state is
+        # one long per shard — drain time must track input volume with
+        # state-store cost CONSTANT (8 state rows whatever the corpus)
+        from jagular_spark.operators.sampling import token_budget_thresholds
+        from jagular_spark.streaming.pipeline import stream_training_shard_pack
+
+        path = f"/tmp/scale_probe_docs_{n}"
+        synth_docs(spark, n, path)
+        docs = spark.read.parquet(path).withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string"))
+        )
+        spath = f"/tmp/scale_probe_shardsrc_{n}"
+        if not os.path.exists(spath):
+            docs.write.mode("overwrite").parquet(spath)
+        thr = token_budget_thresholds(
+            docs, {f"src{i}": 20_000 for i in range(4)}, group_col="source"
+        )
+        schema = spark.read.parquet(spath).schema
+        stream = spark.readStream.schema(schema).parquet(spath)
+        return stream_training_shard_pack(stream, thr, n_shards=8, salt="probe")
+
     ops = {
         "stream_sessionize": sessionize_run,
         "stream_lsh_candidates": lsh_run,
@@ -1023,6 +1106,7 @@ def probe_streaming(spark, sizes: list[int]) -> list[dict]:
         # clusters growing with the corpus made uncapped pair volume
         # quadratic (9.4x time on 4x data at 320k); capped must be flat
         "stream_lsh_candidates_capped": lsh_capped_run,
+        "stream_training_shard_pack": shard_pack_run,
     }
     out = []
     for op_name, mk in ops.items():
