@@ -250,3 +250,50 @@ def test_encode_corpus_words_broadcast_plan_and_values(spark):
         ).collect()
     )
     assert got == expect and got
+
+
+def test_rank_encoder_equals_chain_on_random_words():
+    """Property check (no Spark needed): for random words over a small
+    alphabet and a random-but-valid merge sequence (each merge's parts
+    exist when it is learned — built by running the fit on a random
+    sample), the rank-based encoder equals the full sequential chain."""
+    import random
+
+    from jagular_spark.operators.bpe import (
+        _apply_merge,
+        _pair_str,
+        bpe_encode_word_py,
+        bpe_merge_ranks,
+    )
+
+    rng = random.Random(20260816)
+    for trial in range(25):
+        alpha = "abcd"[: rng.randint(2, 4)]
+        sample = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+            for _ in range(rng.randint(5, 40))
+        ]
+        # fit merges on the sample exactly like bpe_fit's inner loop
+        words = [list(w) + ["#"] for w in sample]
+        merges = []
+        for _ in range(rng.randint(1, 12)):
+            counts = {}
+            for w in words:
+                for i in range(len(w) - 1):
+                    counts[(w[i], w[i + 1])] = counts.get((w[i], w[i + 1]), 0) + 1
+            if not counts:
+                break
+            pair = min(counts, key=lambda p: (-counts[p], _pair_str(*p)))
+            merges.append(pair)
+            words = [_apply_merge(w, *pair) for w in words]
+        ranks = bpe_merge_ranks(merges)
+        probes = sample + [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+            for _ in range(20)
+        ]
+        for w in probes:
+            syms = list(w) + ["#"]
+            for a, b in merges:
+                syms = _apply_merge(syms, a, b)
+            chain = "(" + ")(".join(syms) + ")"
+            assert bpe_encode_word_py(w, ranks) == chain, (trial, w, merges)
