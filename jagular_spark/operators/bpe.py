@@ -292,6 +292,21 @@ def bpe_encode_corpus_words(
     return words.join(F.broadcast(enc_map), "word").select(id_col, "word", "enc")
 
 
+def _merge_rank_rows(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """``(rank, token)`` rows for the fitted merges as a pure-JVM plan:
+    ONE string literal split + posexplode. The earlier
+    ``array(lit, lit, …)`` form built an n_merges-element literal
+    array expression whose ANALYSIS cost grows with vocabulary size —
+    measured 10.7 s of plan build at 32,768 merges, vs milliseconds
+    for the single-literal split (tokens are ``[a-z#]+``, so the
+    ``,`` separator can never collide). Still not a Python local
+    relation (the r15 sidecar-write 3.4 s trap)."""
+    joined = ",".join(a + b for a, b in merges)
+    return spark.range(1).select(
+        F.posexplode(F.split(F.lit(joined), ","))
+    ).select((F.col("pos") + 1).cast("long").alias("rank"), F.col("col").alias("token"))
+
+
 def bpe_vocab_audit_distinct(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -326,11 +341,7 @@ def bpe_vocab_audit_distinct(
         .groupBy("token")
         .agg(F.sum("n_w").cast("long").alias("n_final"))
     )
-    toks = F.array(*[F.lit(a + b) for a, b in merges])
-    ranks = spark.range(1, len(merges) + 1).select(
-        F.col("id").alias("rank"),
-        F.element_at(toks, F.col("id").cast("int")).alias("token"),
-    )
+    ranks = _merge_rank_rows(spark, merges)
     return ranks.join(F.broadcast(counts), "token", "left").select(
         "rank",
         "token",
@@ -368,11 +379,7 @@ def bpe_vocab_audit(
     counts = syms.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n_final")
     )
-    toks = F.array(*[F.lit(a + b) for a, b in merges])
-    ranks = spark.range(1, len(merges) + 1).select(
-        F.col("id").alias("rank"),
-        F.element_at(toks, F.col("id").cast("int")).alias("token"),
-    )
+    ranks = _merge_rank_rows(spark, merges)
     return ranks.join(F.broadcast(counts), "token", "left").select(
         "rank", "token", F.coalesce(F.col("n_final"), F.lit(0).cast("long")).alias("n_final")
     )
