@@ -301,6 +301,11 @@ def _merge_rank_rows(spark, merges: list[tuple[str, str]]) -> DataFrame:
     for the single-literal split (tokens are ``[a-z#]+``, so the
     ``,`` separator can never collide). Still not a Python local
     relation (the r15 sidecar-write 3.4 s trap)."""
+    if not merges:
+        # split('') would yield [''] — one bogus rank row — where the
+        # old array() form was correctly empty; an empty merge list is
+        # a caller bug either way
+        raise ValueError("merges must be non-empty")
     joined = ",".join(a + b for a, b in merges)
     return spark.range(1).select(
         F.posexplode(F.split(F.lit(joined), ","))

@@ -1397,6 +1397,48 @@ def ivf_compact_index(
     fs.delete(hpath(staging), True)
 
 
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Operational telemetry for a persisted index — the signal that
+    decides WHEN to run :func:`ivf_compact_index`: per cell
+    ``(cell, n_files, bytes, n_rows)``. A serving scan's pruned cost
+    is file COUNT as much as bytes (each append adds task-count files
+    to the cells it touches), so the compaction trigger is
+    ``n_files`` drifting above ~1-2 per cell. Cost shape: file
+    counts/bytes come from the filesystem LISTING (driver-side
+    metadata, O(files) — the same listing every scan plan pays);
+    ``n_rows`` is a parquet metadata-only count (no data columns
+    read). Underscore sidecars (``_model``) are invisible as
+    always."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = path.rstrip("/")
+    fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    rows = []
+    for st in fs.listStatus(hpath(root)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cell=")):
+            continue
+        files = [
+            f for f in fs.listStatus(st.getPath())
+            if f.isFile() and not f.getPath().getName().startswith((".", "_"))
+        ]
+        rows.append(
+            (int(name.split("=", 1)[1]), len(files), sum(f.getLen() for f in files))
+        )
+    listing = spark.createDataFrame(
+        rows, "cell int, n_files long, bytes long"
+    )
+    counts = (
+        spark.read.parquet(root)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return listing.join(counts, "cell", "left").select(
+        "cell", "n_files", "bytes",
+        F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+    )
+
+
 def ivf_probe_rows(
     df: DataFrame,
     probe_filter: F.Column,

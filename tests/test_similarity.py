@@ -947,3 +947,48 @@ def test_ivf_compact_commit_protocol(spark, tmp_path):
     # pinned loud failure: the pre-resolved reader's files moved
     with pytest.raises(Exception, match="(?i)file|exist|path"):
         pre.collect()
+
+
+def test_ivf_index_stats_and_pq_compaction(spark, tmp_path):
+    """ivf_index_stats reports per-cell (n_files, bytes, n_rows) —
+    the compaction trigger — and ivf_compact_index works on an IVFADC
+    codes index too (it never interprets the columns): fragmentation
+    visible after appends, one file per cell after compaction, search
+    results unchanged, sidecar intact."""
+    import os
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivfpq_cmp")
+    cents, books = sim.ivf_pq_write_index(
+        emb.where(F.col("vec_id") % 3 == 0), path, n_centroids=4, n_iter=2,
+        m=4, pq_k=8, pq_iter=2, fit_fraction=1.0,
+    )
+    sim.ivf_pq_append_index(emb.where(F.col("vec_id") % 3 == 1), path)
+    sim.ivf_pq_append_index(emb.where(F.col("vec_id") % 3 == 2), path)
+
+    stats = {r.cell: r for r in sim.ivf_index_stats(spark, path).collect()}
+    assert stats and any(r.n_files > 1 for r in stats.values())  # fragmented
+    assert all(r.bytes > 0 and r.n_rows > 0 for r in stats.values())
+    n_total = spark.read.parquet(path).count()
+    assert sum(r.n_rows for r in stats.values()) == n_total
+
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 8, cents, nprobe=2)
+    before = {
+        tuple(r)
+        for r in sim.ivf_pq_search_index(
+            spark, emb, path, probes, books, k=3, refine=8
+        ).collect()
+    }
+    sim.ivf_compact_index(spark, path)
+    stats2 = {r.cell: r for r in sim.ivf_index_stats(spark, path).collect()}
+    assert set(stats2) == set(stats)
+    assert all(r.n_files == 1 for r in stats2.values())
+    assert sum(r.n_rows for r in stats2.values()) == n_total
+    assert sim.ivf_pq_load_index(spark, path) == (cents, books)  # sidecar
+    after = {
+        tuple(r)
+        for r in sim.ivf_pq_search_index(
+            spark, emb, path, probes, books, k=3, refine=8
+        ).collect()
+    }
+    assert after == before and after
