@@ -272,6 +272,7 @@ def bpe_encode_corpus_words(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    enc_map: DataFrame | None = None,
 ) -> DataFrame:
     """Scale-path CORPUS encode: ``(id, word, enc)`` for every word
     occurrence, as one corpus scan + one BROADCAST join against the
@@ -281,14 +282,23 @@ def bpe_encode_corpus_words(
     never shuffles and never runs Python. This is the serving shape at
     realistic vocabulary sizes — the literal-replace chain
     (:func:`bpe_encode_words`) stays the zero-join fast path for SMALL
-    merge counts where its expression depth is harmless."""
+    merge counts where its expression depth is harmless.
+
+    Pass ``enc_map`` (``(word, enc)`` rows, e.g. a persisted map from
+    an earlier run or the word-frequency aggregate already in hand)
+    to skip the map-build pre-pass — the build-once/serve-many shape:
+    the corpus side is then literally ONE scan. Words absent from a
+    provided map are DROPPED by the inner join (a stale map is a
+    caller bug; the default self-built map covers every word by
+    construction)."""
     words = df.select(
         F.col(id_col), F.explode(bpe_words_col(text_col)).alias("word")
     )
-    enc_map = bpe_word_encodings(
-        df.select(F.explode(bpe_words_col(text_col)).alias("word")).distinct(),
-        merges,
-    )
+    if enc_map is None:
+        enc_map = bpe_word_encodings(
+            df.select(F.explode(bpe_words_col(text_col)).alias("word")).distinct(),
+            merges,
+        )
     return words.join(F.broadcast(enc_map), "word").select(id_col, "word", "enc")
 
 

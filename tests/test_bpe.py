@@ -297,3 +297,25 @@ def test_rank_encoder_equals_chain_on_random_words():
                 syms = _apply_merge(syms, a, b)
             chain = "(" + ")(".join(syms) + ")"
             assert bpe_encode_word_py(w, ranks) == chain, (trial, w, merges)
+
+
+def test_encode_corpus_words_with_prebuilt_map(spark):
+    """The build-once/serve-many form: a provided (word, enc) map
+    skips the map-build pre-pass and yields identical rows."""
+    from jagular_spark.operators.bpe import (
+        bpe_encode_corpus_words,
+        bpe_word_encodings,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = bpe_fit(docs, n_merges=8, fit_rows=64)
+    prebuilt = bpe_word_encodings(
+        docs.select(F.explode(bpe_words_col("text")).alias("word")).distinct(),
+        merges,
+    )
+    a = sorted(tuple(r) for r in bpe_encode_corpus_words(docs, merges).collect())
+    b = sorted(
+        tuple(r)
+        for r in bpe_encode_corpus_words(docs, merges, enc_map=prebuilt).collect()
+    )
+    assert a == b and a
