@@ -48,6 +48,34 @@ def main() -> None:
     # a limit() here would collapse to 1 partition and warm 1 worker
     warm.mapInPandas(lambda it: (b for b in it), "k long, v long").count()
 
+    # Heap-ramp absorber (r16, same discipline as the streaming
+    # pre-warm below): ZGC grows the heap toward the workload's
+    # steady-state working set on the process's FIRST allocation-heavy
+    # jobs — measured in SCALE.md r16, run1 of a 320k-doc scoring job
+    # pays 10-13 s of GC that run4 does not, and the tax lands on
+    # whichever allocation-heavy queries the registry rotation happens
+    # to place early (r16: the dsir family read +20 % with no code
+    # change purely from moving to positions ~4-10). One untimed
+    # md5/string-churn pass at the heavy queries' allocation scale
+    # ramps the heap before anything is timed, so the bench measures
+    # the steady state a long-lived cluster actually runs at.
+    spark.range(0, 200_000, 1, 32).select(
+        _F.aggregate(
+            _F.transform(
+                _F.sequence(_F.lit(0), _F.lit(59)),
+                lambda i: _F.conv(
+                    _F.substring(
+                        _F.md5(_F.concat(_F.col("id").cast("string"), i.cast("string"))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long"),
+            ),
+            _F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("s")
+    ).groupBy((_F.col("s") % 97).alias("b")).count().count()
+
     # Streaming pre-warm: the FIRST stateful streaming execution in a
     # process pays a ~5-7 s one-time cost (micro-batch engine + state
     # store provider init + the applyInPandasWithState worker path) —
