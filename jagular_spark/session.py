@@ -101,3 +101,49 @@ def shuffle_width(spark: SparkSession) -> int:
         return int(raw)
     except ValueError:
         return spark.sparkContext.defaultParallelism
+
+
+def heap_ramp_warmup(spark: SparkSession, rows: int = 200_000) -> None:
+    """Untimed allocation-heavy warm-up — run ONCE before timing
+    anything (bench.py, tools/time_queries.py, tools/scale_probe.py).
+
+    ZGC grows the heap toward the workload's steady-state working set
+    on the process's FIRST allocation-heavy jobs: measured r16, run1
+    of a 320k-doc hashed-gram scoring job pays 10-13 s of GC that
+    run4 does not, and the tax lands on whichever queries happen to
+    run early. One throwaway md5/string-churn pass at the heavy
+    queries' allocation scale (~12M md5-hex strings) ramps the heap so
+    subsequent measurements see the steady state a long-lived cluster
+    actually runs at. Isolated A/B ×2 at sf0.1: first-run dsir_scores
+    8.9 → 6.5 s, dsir_topk 5.8 → 4.9 s; the full bench's cold-start
+    recovery count went 4-10 → 0."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, rows, 1, 32)
+        .select(
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(59)),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("id").cast("string"), i.cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("s")
+        )
+        .groupBy((F.col("s") % 97).alias("b"))
+        .count()
+        .count()
+    )

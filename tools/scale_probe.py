@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from jagular_spark.session import get_spark
+from jagular_spark.session import get_spark, heap_ramp_warmup
 
 WORDS = [f"w{i:03d}" for i in range(400)]
 
@@ -967,6 +967,7 @@ def main() -> None:
                 raise SystemExit(f"unknown families: {sorted(unknown)}")
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    heap_ramp_warmup(spark)  # steady-state heap before any curve (r16)
     chans = [64, 256, 1024]
     emb_sizes = [4000, 16000, 64000]
     media_sizes = [1000, 4000, 16000]

@@ -30,6 +30,9 @@ def main() -> None:
     w = spark.range(0, 1 << 19, 1, 32).select((F.col("id") % 97).alias("k"))
     w.groupBy("k").count().count()
     w.mapInPandas(lambda it: (b for b in it), "k long").count()
+    from jagular_spark.session import heap_ramp_warmup
+
+    heap_ramp_warmup(spark)  # steady-state heap before any timing (r16)
     from pyspark.sql import Observation
 
     for name in names:
