@@ -372,7 +372,7 @@ def probe_dsir(spark, sizes: list[int]) -> list[dict]:
         target = docs.where(F.col("doc_id") < 400)
         dsir_fit_deltas(raw, target)  # warm
         best = None
-        for _ in range(2):
+        for _ in range(3):  # best-of-3: same GC-spike exposure as scoring
             spark._jvm.System.gc()
             t0 = time.perf_counter()
             delta, _, _ = dsir_fit_deltas(raw, target)
@@ -383,7 +383,12 @@ def probe_dsir(spark, sizes: list[int]) -> list[dict]:
         scored = score_with_deltas(raw, delta0, mt0, mr0)
         _force(scored)  # warm
         best, rows = None, 0
-        for _ in range(2):
+        # best-of-3 (the probe_embeddings precedent): the 320k scoring
+        # job's GC variance spans 1-11 s per run on this shared host
+        # (shape/order/warmup-independent — r16 A/Bs), so best-of-2
+        # can catch two spiked runs and read 12 s where best-of-3
+        # reads the stable ~2.7 s (= exactly 4x the 80k point)
+        for _ in range(3):
             spark._jvm.System.gc()
             t0 = time.perf_counter()
             rows = _force(scored)
