@@ -1075,3 +1075,82 @@ def test_training_shard_pack_stream_matches_batch(spark, tmp_path):
         (op.get("numRowsTotal") or 0) for op in (prog.get("stateOperators") or [])
     )
     assert 0 < tot <= 4
+
+
+def test_training_shard_pack_multibatch_semantics(spark, tmp_path):
+    """Under a MULTI-batch drain (maxFilesPerTrigger=1) the pack is a
+    well-defined incremental semantics: offsets still begin at 0 and
+    stack contiguously per shard (the state carries across batches),
+    so the order-independent manifest columns (n_docs, n_tokens,
+    n_sequences = ceil(sum/2048)) are batch-split-invariant and equal
+    the batch composition's; only the order-DEPENDENT straddle flags
+    may differ — which is why the driver query drains the stage in
+    one availableNow batch."""
+    from pyspark.sql import functions as F
+
+    from jagular_spark.operators.sampling import (
+        token_budget_sample,
+        token_budget_thresholds,
+    )
+    from jagular_spark.streaming.pipeline import stream_training_shard_pack
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    budgets = {"src0": 300, "src1": 200, "src2": 250}
+    thresholds = token_budget_thresholds(docs, budgets, group_col="source")
+    stage = str(tmp_path / "docs")
+    docs.repartition(5).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream_training_shard_pack(stream, thresholds, n_shards=4, salt="t")
+        .writeStream.format("memory")
+        .queryName("shardpack_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.table("shardpack_multibatch")
+    # offsets stack contiguously per shard: sorted offs == cumsum of nts
+    rows = sorted(
+        ((r.shard, r.off, r.nt) for r in got.collect()),
+    )
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for s, off, nt in rows:
+        by_shard.setdefault(s, []).append((off, nt))
+    for s, offs in by_shard.items():
+        expect = 0
+        for off, nt in sorted(offs):
+            assert off == expect, (s, off, expect)
+            expect = off + nt
+    # order-independent manifest columns equal the batch composition's
+    sampled = token_budget_sample(docs, budgets, group_col="source")
+    from jagular_spark.operators.sampling import shuffle_shards
+
+    sharded = shuffle_shards(
+        sampled.select("doc_id", "n_tokens"), "doc_id", n_shards=4, salt="t"
+    )
+    batch = {
+        (r.shard, r.n_docs, r.n_tokens)
+        for r in sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    stream_agg = {
+        (r.shard, r.n_docs, r.n_tokens)
+        for r in got.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    assert stream_agg == batch and batch
