@@ -1313,6 +1313,68 @@ def ivf_pq_append_index(df: DataFrame, path: str,
     return cents, books
 
 
+def ivf_repair_index(spark, path: str) -> list[str]:
+    """Roll BACK a compaction swap that a crash left half-committed —
+    the mandatory preamble of :func:`ivf_compact_index` and the
+    operational entry to run on writer startup after any unclean exit.
+
+    The only swap window that can leave a cell out of the live tree is
+    between its two renames (live→trash committed, staged→live not
+    yet): the rows then exist under ``_trash_compact`` (the original
+    files, always) and ``_staging_compact`` (the completed data-
+    identical rewrite). This scans both hidden dirs and, for each
+    ``cell=N`` that is MISSING from the live tree and holds at least
+    one data file, renames it back into place — trash first (the
+    original bytes), staged copy as defense-in-depth only when trash
+    lacks the cell AND staging carries the writer's ``_SUCCESS``
+    marker (an incomplete stage is never trusted). Idempotent, O(cells)
+    driver-side metadata renames, no data read or written. Empty stale
+    dirs (no files → no rows at risk) are left for compaction's
+    normal stale-dir cleanup. Returns the restored ``cell=N`` names.
+
+    Until repair (or the next compaction) runs, a pruned search
+    silently omits the pending cell — underscore dirs are invisible to
+    readers — which is why the single-writer loop should call this on
+    startup, not only inside compaction."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = path.rstrip("/")
+    staging, trash = root + "/_staging_compact", root + "/_trash_compact"
+    fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def cell_dirs(base: str, require_success: bool) -> list[str]:
+        if not fs.exists(hpath(base)):
+            return []
+        if require_success and not fs.exists(hpath(base + "/_SUCCESS")):
+            return []
+        out = []
+        for st in fs.listStatus(hpath(base)):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("cell=")):
+                continue
+            has_data = any(
+                f.isFile() and not f.getPath().getName().startswith((".", "_"))
+                for f in fs.listStatus(st.getPath())
+            )
+            if has_data:
+                out.append(name)
+        return out
+
+    restored: list[str] = []
+    for base, require_success in ((trash, False), (staging, True)):
+        for name in cell_dirs(base, require_success):
+            live = hpath(f"{root}/{name}")
+            if fs.exists(live):
+                continue
+            if not fs.rename(hpath(f"{base}/{name}"), live):
+                raise IOError(
+                    f"compaction repair: could not restore pending {name} "
+                    f"from {base} into the live tree"
+                )
+            restored.append(name)
+    return restored
+
+
 def ivf_compact_index(
     spark,
     path: str,
@@ -1353,7 +1415,18 @@ def ivf_compact_index(
     compaction fails LOUDLY mid-scan (FileNotFoundException; pinned in
     tests) rather than silently dropping or duplicating rows. Serving
     reads concurrent with APPENDS are safe; schedule compaction in the
-    serving pauses or behind a manifest layer."""
+    serving pauses or behind a manifest layer.
+
+    Crash recovery (r16 advice): a kill BETWEEN the two swap renames
+    leaves that cell's rows only under trash/staging — and the naive
+    "next run clears stale dirs" would then read a live tree missing
+    the cell, overwrite staging (destroying the staged copy), and
+    delete trash (destroying the last copy). So every compaction FIRST
+    runs :func:`ivf_repair_index`, which renames any such pending cell
+    back into the live tree before staging overwrites anything. The
+    crash-injection matrix in tests/test_similarity.py kills the swap
+    at every point and re-runs compaction to pin zero row loss."""
+    ivf_repair_index(spark, path)
     idx = spark.read.parquet(path)
     if cells is not None:
         idx = idx.where(F.col("cell").isin([int(c) for c in cells]))

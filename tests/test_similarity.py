@@ -949,6 +949,129 @@ def test_ivf_compact_commit_protocol(spark, tmp_path):
         pre.collect()
 
 
+def _index_rows(spark, path):
+    return {
+        (r.id, tuple(r.iv), r.nrm, r.cell)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _stage_copy(spark, path):
+    """Reproduce what a completed STAGE leaves on disk (the compacted
+    rewrite under _staging_compact, _SUCCESS included)."""
+    spark.read.parquet(path).repartition(8, "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path + "/_staging_compact")
+
+
+def test_ivf_compact_crash_matrix(spark, tmp_path):
+    """r16-advice crash-injection matrix: kill the swap at EVERY point
+    — stage-complete/no-swap, mid-swap (cell in trash+staging only,
+    the data-loss window the r16 protocol still had), between cells,
+    and mid-CLEAN — then re-run ivf_compact_index and pin that no
+    state loses a row. The mid-swap case is the regression pin: before
+    ivf_repair_index, the re-run's STAGE overwrote the staged copy and
+    its CLEAN deleted the trash copy, permanently losing the cell."""
+    import os
+    import shutil
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = str(tmp_path / "ivf_crash_base")
+    sim.ivf_write_index(
+        emb.where(F.col("vec_id") % 2 == 0), base, n_centroids=4, n_iter=2,
+        fit_fraction=1.0,
+    )
+    sim.ivf_append_index(emb.where(F.col("vec_id") % 2 == 1), base)
+    before = _index_rows(spark, base)
+    cells = sorted(
+        d for d in os.listdir(base) if d.startswith("cell=")
+    )
+    assert len(cells) >= 3  # the matrix below needs three distinct cells
+
+    def fresh(name):
+        path = str(tmp_path / name)
+        shutil.copytree(base, path)
+        return path
+
+    # (a) crash after STAGE, before any swap: live tree intact
+    p = fresh("crash_a")
+    _stage_copy(spark, p)
+    sim.ivf_compact_index(spark, p)
+    assert _index_rows(spark, p) == before
+
+    # (b) crash BETWEEN the two renames of one cell: rows only under
+    # trash (originals) + staging (rewrite) — the r16 data-loss window
+    p = fresh("crash_b")
+    _stage_copy(spark, p)
+    os.makedirs(f"{p}/_trash_compact")
+    os.rename(f"{p}/{cells[0]}", f"{p}/_trash_compact/{cells[0]}")
+    assert _index_rows(spark, p) != before  # readers really omit the cell
+    sim.ivf_compact_index(spark, p)
+    assert _index_rows(spark, p) == before
+    assert not os.path.exists(f"{p}/_staging_compact")
+    assert not os.path.exists(f"{p}/_trash_compact")
+
+    # (c) crash between cells: cells[0] fully swapped, cells[1] pending
+    # mid-swap, cells[2] untouched
+    p = fresh("crash_c")
+    _stage_copy(spark, p)
+    os.makedirs(f"{p}/_trash_compact")
+    os.rename(f"{p}/{cells[0]}", f"{p}/_trash_compact/{cells[0]}")
+    os.rename(f"{p}/_staging_compact/{cells[0]}", f"{p}/{cells[0]}")
+    os.rename(f"{p}/{cells[1]}", f"{p}/_trash_compact/{cells[1]}")
+    sim.ivf_compact_index(spark, p)
+    assert _index_rows(spark, p) == before
+
+    # (d) crash mid-CLEAN: every swap committed, trash+staging leftovers
+    p = fresh("crash_d")
+    _stage_copy(spark, p)
+    os.makedirs(f"{p}/_trash_compact")
+    for c in cells:
+        os.rename(f"{p}/{c}", f"{p}/_trash_compact/{c}")
+        os.rename(f"{p}/_staging_compact/{c}", f"{p}/{c}")
+    sim.ivf_compact_index(spark, p)
+    assert _index_rows(spark, p) == before
+
+    # in every recovered tree the sidecar still resolves the model
+    assert sim.ivf_load_index(spark, p)
+
+
+def test_ivf_repair_index_semantics(spark, tmp_path):
+    """ivf_repair_index directly: restores a mid-swap pending cell from
+    trash (originals first), falls back to a _SUCCESS-marked staged
+    copy only when trash lacks the cell, never trusts an incomplete
+    stage, ignores empty stale dirs, and is idempotent."""
+    import os
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_repair")
+    sim.ivf_write_index(emb, path, n_centroids=4, n_iter=2, fit_fraction=1.0)
+    before = _index_rows(spark, path)
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+
+    # trash-first restore (+ an empty stale trash cell that must NOT be
+    # resurrected into the live tree)
+    os.makedirs(f"{path}/_trash_compact/cell=99")
+    os.rename(f"{path}/{cells[0]}", f"{path}/_trash_compact/{cells[0]}")
+    assert sim.ivf_repair_index(spark, path) == [cells[0]]
+    assert _index_rows(spark, path) == before
+    assert not os.path.exists(f"{path}/cell=99")
+    assert sim.ivf_repair_index(spark, path) == []  # idempotent
+
+    # staged fallback requires _SUCCESS
+    _stage_copy(spark, path)
+    os.rename(
+        f"{path}/_trash_compact/cell=99", f"{path}/_trash_compact_gone"
+    )  # keep trash around but without the target cell
+    os.rename(f"{path}/{cells[1]}", f"{path}/_trash_compact_gone/{cells[1]}")
+    success = f"{path}/_staging_compact/_SUCCESS"
+    os.rename(success, success + ".hidden")
+    assert sim.ivf_repair_index(spark, path) == []  # incomplete stage: no
+    os.rename(success + ".hidden", success)
+    assert sim.ivf_repair_index(spark, path) == [cells[1]]
+    assert _index_rows(spark, path) == before
+
+
 def test_ivf_index_stats_and_pq_compaction(spark, tmp_path):
     """ivf_index_stats reports per-cell (n_files, bytes, n_rows) —
     the compaction trigger — and ivf_compact_index works on an IVFADC
