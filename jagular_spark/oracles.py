@@ -1381,7 +1381,8 @@ ORACLE_SQL["emb_ann_topk_ivf_frozen"] = f"""
 # search shape (nprobe=4). Bit-exact vs sim.ivf_fit_centroids +
 # sim.ann_topk_ivf because every quantity on both sides is int64.
 def _ivf_fit_prefix(
-    k: int, n_iter: int, fit_fraction: float, fit_rows: int | None = None
+    k: int, n_iter: int, fit_fraction: float, fit_rows: int | None = None,
+    fit_where: str = "TRUE",
 ) -> str:
     """WITH-prefix replaying the sampled integer IVF coarse fit:
     base → normed → fitset (the engine-portable md5 hash-sample, the
@@ -1389,18 +1390,23 @@ def _ivf_fit_prefix(
     ``fit_rows`` the ABSOLUTE variant — exactly the fit_rows
     smallest-hash rows, sampling.hash_sample_rows' ORDER BY bucket, id
     LIMIT n) → cents0..cents{n_iter}. The search half of each consumer
-    still runs over the FULL corpus."""
+    still runs over the FULL corpus. ``fit_where`` restricts the FIT
+    BASE only (the lifecycle query fits on the initially-written half
+    and appends the rest with the frozen model — the sample filter
+    composes with the hash threshold exactly like Spark's
+    ivf_write_index(df.where(...)))."""
     fit_thr = int(fit_fraction * (1 << 32))
     fitset = (
         f"""
-        SELECT vec_id, iv FROM normed
+        SELECT vec_id, iv FROM normed WHERE ({fit_where})
         ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
                  vec_id
         LIMIT {fit_rows}"""
         if fit_rows is not None
         else f"""
         SELECT vec_id, iv FROM normed
-        WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT < {fit_thr}"""
+        WHERE ({fit_where})
+          AND ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT < {fit_thr}"""
     )
     its = []
     for i in range(n_iter):
@@ -1449,8 +1455,9 @@ def _ivf_fitted_oracle(
     nprobe: int = 4,
     fit_fraction: float = 0.5,
     fit_rows: int | None = None,
+    fit_where: str = "TRUE",
 ) -> str:
-    return f"""{_ivf_fit_prefix(k, n_iter, fit_fraction, fit_rows)}
+    return f"""{_ivf_fit_prefix(k, n_iter, fit_fraction, fit_rows, fit_where)}
     , fdist AS (
         SELECT n.vec_id, n.iv, n.nrm, c.c,
                CAST(list_sum(list_transform(generate_series(1, 64),
@@ -1494,6 +1501,18 @@ ORACLE_SQL["emb_ann_topk_ivf_prebuilt"] = ORACLE_SQL["emb_ann_topk_ivf"]
 # id LIMIT 300) — the fixed-size 100-TB fit shape as a first-class,
 # hash-verified driver row.
 ORACLE_SQL["emb_ann_topk_ivf_fitrows"] = _ivf_fitted_oracle(fit_rows=300)
+
+# Index-lifecycle composition (r17): build on the even half (the fit
+# sample is therefore the md5 hash-sample OF THE EVEN HALF), append the
+# odd half with the FROZEN model, stats-driven compaction, then the
+# partition-pruned search. Assignment uses the same frozen-centroid
+# argmin for written and appended rows alike, and compaction is
+# data-identical by construction — so the oracle is the fitted pipeline
+# with only the fit base restricted; the hash match certifies the whole
+# write→append→stats→compact→search lifecycle loses and invents nothing.
+ORACLE_SQL["emb_index_lifecycle"] = _ivf_fitted_oracle(
+    fit_where="(vec_id % 2) = 0"
+)
 
 # SemDeDup: same sampled Lloyd fit prefix as the IVF oracle, full-corpus
 # argmin assignment, within-cluster pairwise cosine (id_a < id_b), drop

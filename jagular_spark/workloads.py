@@ -1831,6 +1831,42 @@ def emb_ann_topk_ivf_pq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL persisted-index operational loop a long-lived 100 TB
+    deployment runs, as one oracle-verified composition: BUILD the
+    cell-partitioned IVF index from the initial (even-id) half of the
+    corpus — the coarse quantizer fits on that half's md5 hash-sample —
+    then APPEND the odd-id half with the FROZEN sidecar model (never
+    refit: refitting would re-home existing cells), read the per-cell
+    ``ivf_index_stats`` telemetry and COMPACT exactly the cells whose
+    ``n_files`` drifted above 1 (the stats→compact trigger, now running
+    the r17 crash-repair preamble), and finally serve the same
+    partition-pruned search as emb_ann_topk_ivf_prebuilt. Append
+    assignment uses the identical frozen-centroid argmin and compaction
+    is a data-identical rewrite, so the DuckDB oracle is the fitted
+    pipeline with only the FIT BASE restricted to even ids — the hash
+    match certifies no row is lost, duplicated, or re-homed anywhere in
+    write→append→stats→compact→search. The stats collect is bounded by
+    n_centroids (≤16 rows)."""
+    emb = load(spark, sf_dir, "embeddings")
+    stage = _stage_dir("ivf_lifecycle", sf_dir)
+    cents = sim.ivf_write_index(
+        emb.where(F.col("vec_id") % 2 == 0), stage,
+        n_centroids=16, n_iter=3, fit_fraction=0.5,
+    )
+    sim.ivf_append_index(emb.where(F.col("vec_id") % 2 == 1), stage)
+    churned = [
+        r.cell
+        for r in sim.ivf_index_stats(spark, stage)
+        .where(F.col("n_files") > 1)
+        .collect()
+    ]
+    if churned:
+        sim.ivf_compact_index(spark, stage, cells=churned)
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 20, cents, nprobe=4)
+    return sim.ivf_search_index(spark, stage, probes, k=5)
+
+
 def emb_ann_topk_ivf_fitrows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with an ABSOLUTE fit budget (r13): same fitted pipeline
     as emb_ann_topk_ivf but the coarse quantizer trains on exactly the
@@ -3827,7 +3863,7 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below is the output of `python tools/rotate_window.py`;
 # tests/test_rotation.py pins the shipped order to the derivation,
 # and `tools/rotate_window.py --check` verifies it from the CLI.
-REGISTRY_ROUND = 16
+REGISTRY_ROUND = 17
 
 # Queries whose OPERATOR CODE changed this round (window policy a).
 # Output-identical refactors pinned by unit tests do not consume
@@ -3839,22 +3875,24 @@ REGISTRY_ROUND = 16
 # is charged to NO query: it is bit-identical by construction and
 # pinned by the 40-test golden/property mpeg1 suite.
 ROUND_TOUCHED: set[str] = {
-    # r16 charges: docs_bpe_vocab (rewritten to the distinct-word
-    # serving shape — genuinely different plan — plus the re.ASCII fit
-    # fix and the weighted-distinct fit refactor), docs_training_shards
-    # (n_sequences semantics changed to the packed-file sequence count
-    # on BOTH engines — a result change), and the NEW
-    # docs_training_shards_streamed twin. Exempt under the standing
+    # r17 charges exactly the budget (49 r14-stale queries saturate the
+    # window, leaving ONE slot): the NEW emb_index_lifecycle — the
+    # write→append→stats→compact→search composition that puts the r17
+    # compaction crash-repair code under the driver's eye, the r16
+    # verdict's requested lifecycle query. Exempt under the standing
     # output-identical-and-pinned footnote above:
-    # - ivf_compact_index stage→swap→clean rework: test-only operator
-    #   (no registry query calls compaction), pinned by
-    #   tests/test_similarity.py's data-identity + commit-protocol
-    #   tests.
-    # - dsir scoring: NO code change shipped (the r15 320k flag closed
-    #   as environment-class by measurement — see SCALE.md r16).
-    "docs_bpe_vocab",
-    "docs_training_shards",
-    "docs_training_shards_streamed",
+    # - ivf_repair_index + the repair preamble in ivf_compact_index
+    #   (the r16-advice HIGH data-loss fix): charged to the new
+    #   lifecycle query, which exercises compaction; no other registry
+    #   query calls it. Pinned by the crash-injection matrix in
+    #   tests/test_similarity.py.
+    # - bpe_encode_corpus_words broadcast_map knob: default "auto"
+    #   resolves to the SAME broadcast plan on the registry corpus
+    #   (plan-pinned tests/test_plans.py), so docs_bpe_vocab's plan is
+    #   unchanged.
+    # - substring_dedup_staged: NEW helper, output-identical to the
+    #   composed form by property test; no registry query rewired.
+    "emb_index_lifecycle",
 }
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
@@ -3868,57 +3906,7 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
-    "docs_training_shards_streamed": docs_training_shards_streamed,  # last green r0
-    "docs_decontaminate": docs_decontaminate,  # last green r13
-    "docs_domain_mixture": docs_domain_mixture,  # last green r13
-    "docs_dsir_scores": docs_dsir_scores,  # last green r13
-    "docs_dsir_scores_streamed": docs_dsir_scores_streamed,  # last green r13
-    "docs_dsir_topk": docs_dsir_topk,  # last green r13
-    "docs_exact_dedup": docs_exact_dedup,  # last green r13
-    "docs_fingerprint": docs_fingerprint,  # last green r13
-    "docs_media_mpeg1_bframes": docs_media_mpeg1_bframes,  # last green r13
-    "docs_media_mpeg1_halfpel": docs_media_mpeg1_halfpel,  # last green r13
-    "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r13
-    "docs_simhash_neardup": docs_simhash_neardup,  # last green r13
-    "docs_stratified_sample": docs_stratified_sample,  # last green r13
-    "docs_survivor_setops": docs_survivor_setops,  # last green r13
-    "docs_token_quantiles": docs_token_quantiles,  # last green r13
-    "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r13
-    "emb_ann_topk_ivf_fitrows": emb_ann_topk_ivf_fitrows,  # last green r13
-    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r13
-    "emb_mrl_recall": emb_mrl_recall,  # last green r13
-    "emb_semantic_dedup": emb_semantic_dedup,  # last green r13
-    "events_compacted_roundtrip": events_compacted_roundtrip,  # last green r13
-    "events_filtfilt_chunked": events_filtfilt_chunked,  # last green r13
-    "events_rolling_stats": events_rolling_stats,  # last green r13
-    "events_sessionize": events_sessionize,  # last green r13
-    "events_spike_clusters": events_spike_clusters,  # last green r13
-    "events_zscore": events_zscore,  # last green r13
-    "orders_bucketed_revenue": orders_bucketed_revenue,  # last green r13
-    "q10_returned_items": q10_returned_items,  # last green r13
-    "q11_important_parts": q11_important_parts,  # last green r13
-    "q12_shipping_classes": q12_shipping_classes,  # last green r13
-    "q13_customer_distribution": q13_customer_distribution,  # last green r13
-    "q14_promo_effect": q14_promo_effect,  # last green r13
-    "q15_top_supplier": q15_top_supplier,  # last green r13
-    "q16_supplier_counts": q16_supplier_counts,  # last green r13
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,  # last green r13
-    "q18_large_volume_customers": q18_large_volume_customers,  # last green r13
-    "q19_disjunctive_revenue": q19_disjunctive_revenue,  # last green r13
-    "q1_rollup_summary": q1_rollup_summary,  # last green r13
-    "q20_dominant_suppliers": q20_dominant_suppliers,  # last green r13
-    "q21_waiting_suppliers": q21_waiting_suppliers,  # last green r13
-    "q22_global_sales_opportunity": q22_global_sales_opportunity,  # last green r13
-    "q2_min_price_supplier": q2_min_price_supplier,  # last green r13
-    "q4_order_priority": q4_order_priority,  # last green r13
-    "q6_forecast_revenue": q6_forecast_revenue,  # last green r13
-    "q7_volume_shipping": q7_volume_shipping,  # last green r13
-    "q8_market_share": q8_market_share,  # last green r13
-    "q9_product_profit": q9_product_profit,  # last green r13
-    "docs_bigram_fluency": docs_bigram_fluency,  # last green r14
-    "docs_bpe_vocab": docs_bpe_vocab,  # last green r15
-    "docs_training_shards": docs_training_shards,  # last green r15
-    # ---- driver window ends here ----
+    "emb_index_lifecycle": emb_index_lifecycle,  # last green r0
     "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r14
     "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r14
     "docs_dsir_select_funnel": docs_dsir_select_funnel,  # last green r14
@@ -3968,6 +3956,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_shipping_priority": q3_shipping_priority,  # last green r14
     "q5_region_revenue": q5_region_revenue,  # last green r14
     "top3_orders_per_customer": top3_orders_per_customer,  # last green r14
+    # ---- driver window ends here ----
     "docs_bm25_search": docs_bm25_search,  # last green r15
     "docs_bpe_tokens": docs_bpe_tokens,  # last green r15
     "docs_chunk_dedup": docs_chunk_dedup,  # last green r15
@@ -4016,7 +4005,58 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_winsorize": events_winsorize,  # last green r15
     "events_winsorize_chunked": events_winsorize_chunked,  # last green r15
     "events_xcorr": events_xcorr,  # last green r15
+    "docs_bigram_fluency": docs_bigram_fluency,  # last green r16
+    "docs_bpe_vocab": docs_bpe_vocab,  # last green r16
+    "docs_decontaminate": docs_decontaminate,  # last green r16
+    "docs_domain_mixture": docs_domain_mixture,  # last green r16
+    "docs_dsir_scores": docs_dsir_scores,  # last green r16
+    "docs_dsir_scores_streamed": docs_dsir_scores_streamed,  # last green r16
+    "docs_dsir_topk": docs_dsir_topk,  # last green r16
+    "docs_exact_dedup": docs_exact_dedup,  # last green r16
+    "docs_fingerprint": docs_fingerprint,  # last green r16
+    "docs_media_mpeg1_bframes": docs_media_mpeg1_bframes,  # last green r16
+    "docs_media_mpeg1_halfpel": docs_media_mpeg1_halfpel,  # last green r16
+    "docs_media_mpeg1_pframes": docs_media_mpeg1_pframes,  # last green r16
+    "docs_simhash_neardup": docs_simhash_neardup,  # last green r16
+    "docs_stratified_sample": docs_stratified_sample,  # last green r16
+    "docs_survivor_setops": docs_survivor_setops,  # last green r16
+    "docs_token_quantiles": docs_token_quantiles,  # last green r16
+    "docs_training_shards": docs_training_shards,  # last green r16
+    "docs_training_shards_streamed": docs_training_shards_streamed,  # last green r16
+    "emb_ann_topk_ivf": emb_ann_topk_ivf,  # last green r16
+    "emb_ann_topk_ivf_fitrows": emb_ann_topk_ivf_fitrows,  # last green r16
+    "emb_ann_topk_ivf_pq": emb_ann_topk_ivf_pq,  # last green r16
+    "emb_mrl_recall": emb_mrl_recall,  # last green r16
+    "emb_semantic_dedup": emb_semantic_dedup,  # last green r16
+    "events_compacted_roundtrip": events_compacted_roundtrip,  # last green r16
+    "events_filtfilt_chunked": events_filtfilt_chunked,  # last green r16
+    "events_rolling_stats": events_rolling_stats,  # last green r16
+    "events_sessionize": events_sessionize,  # last green r16
+    "events_spike_clusters": events_spike_clusters,  # last green r16
+    "events_zscore": events_zscore,  # last green r16
+    "orders_bucketed_revenue": orders_bucketed_revenue,  # last green r16
+    "q10_returned_items": q10_returned_items,  # last green r16
+    "q11_important_parts": q11_important_parts,  # last green r16
+    "q12_shipping_classes": q12_shipping_classes,  # last green r16
+    "q13_customer_distribution": q13_customer_distribution,  # last green r16
+    "q14_promo_effect": q14_promo_effect,  # last green r16
+    "q15_top_supplier": q15_top_supplier,  # last green r16
+    "q16_supplier_counts": q16_supplier_counts,  # last green r16
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,  # last green r16
+    "q18_large_volume_customers": q18_large_volume_customers,  # last green r16
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,  # last green r16
+    "q1_rollup_summary": q1_rollup_summary,  # last green r16
+    "q20_dominant_suppliers": q20_dominant_suppliers,  # last green r16
+    "q21_waiting_suppliers": q21_waiting_suppliers,  # last green r16
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,  # last green r16
+    "q2_min_price_supplier": q2_min_price_supplier,  # last green r16
+    "q4_order_priority": q4_order_priority,  # last green r16
+    "q6_forecast_revenue": q6_forecast_revenue,  # last green r16
+    "q7_volume_shipping": q7_volume_shipping,  # last green r16
+    "q8_market_share": q8_market_share,  # last green r16
+    "q9_product_profit": q9_product_profit,  # last green r16
 }
+
 
 
 # Oracle SQL lives in its own module; re-exported here so existing
