@@ -720,9 +720,63 @@ def test_bpe_vocab_distinct_single_scan_bounded_exchanges(spark):
     assert len(ex) <= 2, p[:2000]
     assert "hashpartitioning(word" in p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
-    # the Arrow/pandas encode sits above the word aggregate, not the scan
-    assert "ArrowEvalPython" in p or "PythonUDF" in p
-    scan_pos = p.index("Scan parquet")
-    agg_pos = p.index("hashpartitioning(word")
-    py_pos = p.index("ArrowEvalPython") if "ArrowEvalPython" in p else p.index("PythonUDF")
-    assert py_pos != -1 and agg_pos != -1 and scan_pos != -1
+    # the Arrow/pandas encode sits ABOVE the word aggregate's exchange
+    # (formatted-plan operator ids grow leaf→root), i.e. the encoder
+    # runs on the aggregated word table, never on corpus rows. (r16
+    # advice: the old `p.index(...) != -1` form was vacuous — index
+    # raises instead of returning -1 and no ordering was asserted.)
+    scan_id, word_ex_id, py_id = _detail_op_ids(
+        p,
+        lambda name, block: name.startswith("Scan parquet"),
+        lambda name, block: name == "Exchange" and "hashpartitioning(word" in block,
+        lambda name, block: name in ("ArrowEvalPython", "BatchEvalPython"),
+    )
+    assert scan_id < word_ex_id < py_id, (scan_id, word_ex_id, py_id)
+
+
+def _detail_op_ids(p, *preds):
+    """First matching operator id per predicate from the formatted
+    plan's DETAIL section (`(N) OpName` blocks; ids grow leaf→root)."""
+    import re
+
+    blocks = re.split(r"\n\n", p[p.index("\n(1) ") :])
+    out = []
+    for pred in preds:
+        found = None
+        for b in blocks:
+            m = re.match(r"\s*\((\d+)\) (\w[\w ]*)", b)
+            if m and pred(m.group(2).strip(), b):
+                found = int(m.group(1))
+                break
+        assert found is not None, f"no operator matched {pred} in plan:\n{p[:2000]}"
+        out.append(found)
+    return out
+
+
+def test_bpe_encode_corpus_join_strategy_knob(spark):
+    """bpe_encode_corpus_words' broadcast_map knob (r16 verdict Missing
+    #1 — the distinct-word map's cardinality is Heaps-law, not
+    Zipf-bounded, so 100 TB needs a non-broadcast path): True pins the
+    BROADCAST join (the corpus side never exchanges on word); False
+    pins a SHUFFLED HASH join on word — exactly ONE corpus-side
+    exchange, NO sort-merge (no sort on the corpus stream); both
+    shapes run zero Python on the corpus side (the pandas encoder
+    feeds the map side only)."""
+    from jagular_spark.operators.bpe import bpe_encode_corpus_words
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = [("t", "h"), ("th", "e#")]
+
+    pb = _formatted(bpe_encode_corpus_words(docs, merges, broadcast_map=True))
+    assert "BroadcastHashJoin" in pb
+    assert "SortMergeJoin" not in pb and "ShuffledHashJoin" not in pb
+
+    ps = _formatted(bpe_encode_corpus_words(docs, merges, broadcast_map=False))
+    assert "ShuffledHashJoin" in ps
+    assert "SortMergeJoin" not in ps and "BroadcastHashJoin" not in ps
+    # corpus side pays exactly one exchange: both join inputs
+    # hash-partition on word, nothing else shuffles
+    import re
+
+    ex_args = re.findall(r"Arguments: hashpartitioning\((\w+)", ps)
+    assert ex_args and all(a == "word" for a in ex_args), ex_args

@@ -942,6 +942,97 @@ def probe_bpe_serve(spark, n_docs: int = 80000) -> list[dict]:
     return out
 
 
+def synth_docs_card(spark, n_docs: int, n_words: int):
+    """Heaps-law axis corpus for the BPE join-strategy probe: a FIXED
+    occurrence volume (n_docs × 32 words) drawn uniformly from a
+    target distinct-word universe of ``n_words`` pronounceable
+    pseudo-words (4 syllables over 95 CV pairs — 81M combinations, so
+    every target cardinality is reachable). Corpus-side join cost is
+    held constant while the encoding MAP's cardinality sweeps the
+    broadcast-budget axis."""
+    path = f"/tmp/scale_probe_bpecard_{n_words}"
+    if not os.path.exists(path):
+        syls = [c + v for c in "bcdfghjklmnpqrstvwz" for v in "aeiou"]
+        arr = F.array(*[F.lit(s) for s in syls])
+
+        def word(j: int):
+            wid = ((F.xxhash64(F.col("id"), F.lit(j)) % n_words) + n_words) % n_words
+            return F.concat(*[
+                F.element_at(
+                    arr,
+                    (F.floor(wid / F.lit(95 ** p)).cast("long") % 95 + 1).cast("int"),
+                )
+                for p in range(4)
+            ])
+
+        spark.range(0, n_docs, 1, 32).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[word(j) for j in range(32)]).alias("text"),
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def probe_bpe_cardinality(
+    spark,
+    word_counts: tuple[int, ...] = (10_000, 100_000, 1_000_000),
+    n_docs: int = 200_000,
+) -> list[dict]:
+    """BPE corpus-encode on the DISTINCT-WORD-CARDINALITY axis (r16
+    verdict Missing #1): the map's BUILD cost is Zipf-cheap, but its
+    cardinality follows Heaps' law, and at web scale it exceeds any
+    broadcast budget — so bpe_encode_corpus_words grew a broadcast_map
+    knob. This probe holds the corpus occurrence volume constant
+    (n_docs × 32) and sweeps the map 10k → 1M words, timing BOTH join
+    shapes (broadcast vs shuffle-hash on word) plus the map
+    build+encode pass — locating where the broadcast side's growth
+    crosses the shuffle side's flat corpus-exchange price on this
+    host, and proving the shuffle-hash path's cost is
+    cardinality-flat (its exchange is the fixed corpus side)."""
+    from jagular_spark.operators.bpe import (
+        bpe_encode_corpus_words,
+        bpe_fit,
+        bpe_word_encodings,
+        bpe_words_col,
+    )
+
+    out = []
+    t_map, t_bc, t_sh = [], [], []
+    merges = None
+    for nw in word_counts:
+        docs = synth_docs_card(spark, n_docs, nw)
+        if merges is None:
+            merges = bpe_fit(docs, n_merges=64, fit_rows=512)
+
+        t0 = time.perf_counter()
+        enc_map = bpe_word_encodings(
+            docs.select(F.explode(bpe_words_col("text")).alias("word")).distinct(),
+            merges,
+        ).persist()
+        n_distinct = enc_map.count()
+        t_map.append((nw, round(time.perf_counter() - t0, 3), n_distinct))
+
+        def best_of(fn):
+            fn()  # discarded warm pass
+            best = None
+            for _ in range(3):  # this VM's steal bursts: best-of-3
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 3)
+
+        t_bc.append((nw, best_of(lambda: _force(bpe_encode_corpus_words(
+            docs, merges, enc_map=enc_map, broadcast_map=True))), n_distinct))
+        t_sh.append((nw, best_of(lambda: _force(bpe_encode_corpus_words(
+            docs, merges, enc_map=enc_map, broadcast_map=False))), n_distinct))
+        enc_map.unpersist()
+    out.append(_curve("bpe_encmap_build_by_words", t_map))
+    out.append(_curve("bpe_corpus_encode_broadcast_by_words", t_bc))
+    out.append(_curve("bpe_corpus_encode_shufflehash_by_words", t_sh))
+    return out
+
+
 ALL_FAMILIES = (
     "text",
     "events",
@@ -955,6 +1046,7 @@ ALL_FAMILIES = (
     "r14_shapes",
     "r15_shapes",
     "bpe_serve",
+    "bpe_cardinality",
     "skew",
 )
 
@@ -1000,6 +1092,8 @@ def main() -> None:
         probe_r15_shapes(spark, [20000, 80000, 320000])
     if "bpe_serve" in families:
         probe_bpe_serve(spark, 80000)
+    if "bpe_cardinality" in families:
+        probe_bpe_cardinality(spark)
     if "skew" in families:
         probe_skew(spark, [1_000_000, 4_000_000, 16_000_000])
     for n in sizes:
@@ -1021,6 +1115,8 @@ def main() -> None:
                "stream_lsh_candidates_capped", "stream_training_shard_pack"):
         shutil.rmtree(f"/tmp/scale_probe_ckpt_{op}", ignore_errors=True)
     shutil.rmtree("/tmp/scale_probe_docsrich_80000", ignore_errors=True)
+    for n in (10_000, 100_000, 1_000_000):
+        shutil.rmtree(f"/tmp/scale_probe_bpecard_{n}", ignore_errors=True)
     for n in (20000, 80000, 320000):
         shutil.rmtree(f"/tmp/scale_probe_shardsrc_{n}", ignore_errors=True)
     for n in (1_000_000, 4_000_000, 16_000_000):
