@@ -320,6 +320,43 @@ def test_repeated_kgram_spans_partition_invariant(spark):
     assert a == b and len(a) > 0
 
 
+def test_substring_dedup_staged_equals_composed(spark, tmp_path):
+    """substring_dedup_staged (the 100 TB deployment shape: detect →
+    stage spans to parquet → cut) is output-identical to the composed
+    one-job form on the real documents fixture, for BOTH span
+    policies — only the execution shape (peak memory, fault-tolerance
+    of the intermediate) differs. Also pins that the staged span table
+    actually landed on disk (the fault-tolerant intermediate is the
+    point)."""
+    import os
+
+    from jagular_spark.operators.text import (
+        cut_spans,
+        repeated_kgram_spans,
+        substring_dedup_staged,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for keep_first in (False, True):
+        stage = str(tmp_path / f"spans_kf{keep_first}")
+        composed = sorted(
+            map(tuple, cut_spans(
+                docs, repeated_kgram_spans(docs, k=8, keep_first=keep_first)
+            ).collect())
+        )
+        staged = sorted(
+            map(tuple, substring_dedup_staged(
+                docs, stage, k=8, keep_first=keep_first
+            ).collect())
+        )
+        assert staged == composed and len(staged) > 0
+        assert any(f.endswith(".parquet") for f in os.listdir(stage))
+        # the staged table IS the detect output — reusable by a resume
+        spans = spark.read.parquet(stage)
+        assert set(spans.columns) == {"doc_id", "span_start", "span_len", "n_windows"}
+        assert spans.count() > 0
+
+
 def test_substring_dedup_streamed_equals_batch(spark):
     """The availableNow streamed composition (GroupState retroactive
     dup marks -> batch span merge) must equal the batch operator

@@ -942,6 +942,58 @@ def probe_bpe_serve(spark, n_docs: int = 80000) -> list[dict]:
     return out
 
 
+def probe_substring_staged(spark, sizes: list[int]) -> list[dict]:
+    """Composed one-job substring dedup vs the shipped
+    substring_dedup_staged helper (r17: the r16 staged ATTRIBUTION —
+    composed 15.5 s vs 6.2 s staged-sum at 160k, GC vs zero-GC — is
+    now reproducible through the first-class operator instead of an
+    ad-hoc breakdown). Per-run GC delta recorded alongside: the
+    composed form's cost is peak-memory class, so best-of-N alone
+    undersells the difference."""
+    from jagular_spark.operators.text import (
+        cut_spans,
+        repeated_kgram_spans,
+        substring_dedup_staged,
+    )
+
+    def gc_ms():
+        t = 0
+        beans = spark._jvm.java.lang.management.ManagementFactory
+        for b in beans.getGarbageCollectorMXBeans():
+            t += max(0, b.getCollectionTime())
+        return t
+
+    out = []
+    shapes = {
+        "substring_composed_keepfirst": lambda d, n: cut_spans(
+            d, repeated_kgram_spans(d, k=8, min_count=2, keep_first=True)
+        ),
+        "substring_staged_keepfirst": lambda d, n: substring_dedup_staged(
+            d, f"/tmp/scale_probe_subspans_{n}", k=8, min_count=2,
+            keep_first=True,
+        ),
+    }
+    for op_name, fn in shapes.items():
+        times = []
+        for n in sizes:
+            path = f"/tmp/scale_probe_docs_{n}"
+            synth_docs(spark, n, path)
+            docs = spark.read.parquet(path)
+            _force(fn(docs, n))  # warm
+            best, rows, gc_best = None, 0, None
+            for _ in range(3):
+                spark._jvm.System.gc()
+                g0 = gc_ms()
+                t0 = time.perf_counter()
+                rows = _force(fn(docs, n))
+                dt = time.perf_counter() - t0
+                if best is None or dt < best:
+                    best, gc_best = dt, gc_ms() - g0
+            times.append((n, round(best, 3), rows, {"gc_ms": gc_best}))
+        out.append(_curve(op_name, times))
+    return out
+
+
 def synth_docs_card(spark, n_docs: int, n_words: int):
     """Heaps-law axis corpus for the BPE join-strategy probe: a FIXED
     occurrence volume (n_docs × 32 words) drawn uniformly from a
@@ -1047,6 +1099,7 @@ ALL_FAMILIES = (
     "r15_shapes",
     "bpe_serve",
     "bpe_cardinality",
+    "substring_staged",
     "skew",
 )
 
@@ -1094,6 +1147,8 @@ def main() -> None:
         probe_bpe_serve(spark, 80000)
     if "bpe_cardinality" in families:
         probe_bpe_cardinality(spark)
+    if "substring_staged" in families:
+        probe_substring_staged(spark, [20000, 80000, 160000])
     if "skew" in families:
         probe_skew(spark, [1_000_000, 4_000_000, 16_000_000])
     for n in sizes:
@@ -1117,6 +1172,8 @@ def main() -> None:
     shutil.rmtree("/tmp/scale_probe_docsrich_80000", ignore_errors=True)
     for n in (10_000, 100_000, 1_000_000):
         shutil.rmtree(f"/tmp/scale_probe_bpecard_{n}", ignore_errors=True)
+    for n in (20000, 80000, 160000):
+        shutil.rmtree(f"/tmp/scale_probe_subspans_{n}", ignore_errors=True)
     for n in (20000, 80000, 320000):
         shutil.rmtree(f"/tmp/scale_probe_shardsrc_{n}", ignore_errors=True)
     for n in (1_000_000, 4_000_000, 16_000_000):
