@@ -733,6 +733,7 @@ def stream_training_shard_pack(
     group_col: str = "source",
     key_col: str = "doc_id",
     text_col: str = "text",
+    admission_salt: str = "",
 ) -> DataFrame:
     """The TERMINAL composition's streaming twin (r15 verdict optional
     task): token-budget admission → deterministic shard assignment →
@@ -741,7 +742,15 @@ def stream_training_shard_pack(
     row-local md5 expressions (stateless); the only genuinely stateful
     step is the pack's running token offset, carried per shard through
     ``applyInPandasWithState`` — ONE long of state per shard, the
-    bounded-state discipline every twin in this module follows. Within
+    bounded-state discipline every twin in this module follows.
+
+    ``salt`` feeds the SHARD/ORDER hashes only; the token-budget
+    ADMISSION membership is salted separately by ``admission_salt``
+    (default ``""``, matching the batch composition's default — r16
+    advice: the old signature implied one salt governed the whole
+    operator, so a caller who salted admission batch-side got silent
+    divergence here). Pass both to mirror a fully-salted batch
+    pipeline. Within
     a micro-batch each shard's arrivals pack in the batch layout's
     deterministic (ord, id) order, and the offset carries across
     batches — under a one-pass availableNow drain this emits exactly
@@ -755,7 +764,7 @@ def stream_training_shard_pack(
     from jagular_spark.operators.sampling import hash_bucket
 
     sampled = stream_token_budget_sample(
-        docs, thresholds, group_col, key_col, text_col, salt="",
+        docs, thresholds, group_col, key_col, text_col, salt=admission_salt,
     )
     sharded = sampled.select(
         F.col(key_col).alias("doc_id"),

@@ -1077,6 +1077,37 @@ def test_training_shard_pack_stream_matches_batch(spark, tmp_path):
     assert 0 < tot <= 4
 
 
+def test_training_shard_pack_admission_salt_is_separate(spark, tmp_path):
+    """r16 advice: ``salt`` feeds the shard/order hashes only, while
+    admission membership is salted by the separate ``admission_salt``
+    (default "" = batch-twin parity, which the parity tests above rely
+    on: batch admission unsalted + stream shard salt "t"). Pin that
+    each salt reaches its own expression — the old single-`salt`
+    signature implied one salt governed the whole operator and would
+    silently diverge from a batch pipeline that salted admission."""
+    from jagular_spark.streaming.pipeline import stream_training_shard_pack
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    stage = str(tmp_path / "docs_adm")
+    docs.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+
+    df = stream_training_shard_pack(
+        stream, {"src0": 300}, n_shards=4,
+        salt="SHARDSALT", admission_salt="ADMITSALT",
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "SHARDSALT" in plan and "ADMITSALT" in plan
+    # and the default keeps admission UNSALTED (batch-twin parity)
+    df0 = stream_training_shard_pack(
+        stream, {"src0": 300}, n_shards=4, salt="SHARDSALT"
+    )
+    plan0 = df0._jdf.queryExecution().analyzed().toString()
+    assert "SHARDSALT" in plan0 and "ADMITSALT" not in plan0
+
+
 def test_training_shard_pack_multibatch_semantics(spark, tmp_path):
     """Under a MULTI-batch drain (maxFilesPerTrigger=1) the pack is a
     well-defined incremental semantics: offsets still begin at 0 and
