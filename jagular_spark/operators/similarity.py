@@ -1313,29 +1313,14 @@ def ivf_pq_append_index(df: DataFrame, path: str,
     return cents, books
 
 
-def ivf_repair_index(spark, path: str) -> list[str]:
-    """Roll BACK a compaction swap that a crash left half-committed —
-    the mandatory preamble of :func:`ivf_compact_index` and the
-    operational entry to run on writer startup after any unclean exit.
-
-    The only swap window that can leave a cell out of the live tree is
-    between its two renames (live→trash committed, staged→live not
-    yet): the rows then exist under ``_trash_compact`` (the original
-    files, always) and ``_staging_compact`` (the completed data-
-    identical rewrite). This scans both hidden dirs and, for each
-    ``cell=N`` that is MISSING from the live tree and holds at least
-    one data file, renames it back into place — trash first (the
-    original bytes), staged copy as defense-in-depth only when trash
-    lacks the cell AND staging carries the writer's ``_SUCCESS``
-    marker (an incomplete stage is never trusted). Idempotent, O(cells)
-    driver-side metadata renames, no data read or written. Empty stale
-    dirs (no files → no rows at risk) are left for compaction's
-    normal stale-dir cleanup. Returns the restored ``cell=N`` names.
-
-    Until repair (or the next compaction) runs, a pruned search
-    silently omits the pending cell — underscore dirs are invisible to
-    readers — which is why the single-writer loop should call this on
-    startup, not only inside compaction."""
+def _pending_swap_sources(spark, path: str) -> list[tuple[str, str]]:
+    """``(base_dir, cell=N)`` pairs a crashed compaction swap left OUT
+    of the live tree: cells holding data files under ``_trash_compact``
+    (always the originals) or under a ``_SUCCESS``-complete
+    ``_staging_compact`` (the data-identical rewrite) that are missing
+    from the live tree. Read-only, O(cells) driver-side listing —
+    shared by :func:`ivf_repair_index` (which renames them back) and
+    the search-side loud guard."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     root = path.rstrip("/")
@@ -1360,18 +1345,72 @@ def ivf_repair_index(spark, path: str) -> list[str]:
                 out.append(name)
         return out
 
-    restored: list[str] = []
+    pending: list[tuple[str, str]] = []
+    seen: set[str] = set()
     for base, require_success in ((trash, False), (staging, True)):
         for name in cell_dirs(base, require_success):
-            live = hpath(f"{root}/{name}")
-            if fs.exists(live):
+            if name in seen or fs.exists(hpath(f"{root}/{name}")):
                 continue
-            if not fs.rename(hpath(f"{base}/{name}"), live):
-                raise IOError(
-                    f"compaction repair: could not restore pending {name} "
-                    f"from {base} into the live tree"
-                )
-            restored.append(name)
+            seen.add(name)
+            pending.append((base, name))
+    return pending
+
+
+def _assert_no_pending_swap(spark, path: str) -> None:
+    """LOUD reader-side guard (r16 advice: a pruned search would
+    otherwise SILENTLY omit a pending cell, because underscore dirs
+    are invisible): refuse to serve an index a crashed compaction
+    left half-swapped. One driver-side listing, no Spark job."""
+    pending = _pending_swap_sources(spark, path)
+    if pending:
+        cells = sorted(name for _, name in pending)
+        raise RuntimeError(
+            f"index at {path} has a pending compaction swap — {cells} "
+            "exist only under _trash_compact/_staging_compact and a "
+            "search would silently omit their rows; run "
+            "ivf_repair_index(spark, path) (or re-run "
+            "ivf_compact_index, which repairs on entry) first"
+        )
+
+
+def ivf_repair_index(spark, path: str) -> list[str]:
+    """Roll BACK a compaction swap that a crash left half-committed —
+    the mandatory preamble of :func:`ivf_compact_index` and the
+    operational entry to run on writer startup after any unclean exit.
+
+    The only swap window that can leave a cell out of the live tree is
+    between its two renames (live→trash committed, staged→live not
+    yet): the rows then exist under ``_trash_compact`` (the original
+    files, always) and ``_staging_compact`` (the completed data-
+    identical rewrite). This scans both hidden dirs and, for each
+    ``cell=N`` that is MISSING from the live tree and holds at least
+    one data file, renames it back into place — trash first (the
+    original bytes), staged copy as defense-in-depth only when trash
+    lacks the cell AND staging carries the writer's ``_SUCCESS``
+    marker (an incomplete stage is never trusted). Idempotent, O(cells)
+    driver-side metadata renames, no data read or written. Empty stale
+    dirs (no files → no rows at risk) are left for compaction's
+    normal stale-dir cleanup. Returns the restored ``cell=N`` names.
+
+    Until repair (or the next compaction) runs, the pending cell is
+    outside the live tree — underscore dirs are invisible to readers —
+    so the serving entry points (:func:`ivf_search_index`,
+    :func:`ivf_pq_search_index`) REFUSE loudly instead of silently
+    omitting its rows; the single-writer loop should call this on
+    startup, not only inside compaction."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = path.rstrip("/")
+    fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    restored: list[str] = []
+    for base, name in _pending_swap_sources(spark, path):
+        if not fs.rename(hpath(f"{base}/{name}"), hpath(f"{root}/{name}")):
+            raise IOError(
+                f"compaction repair: could not restore pending {name} "
+                f"from {base} into the live tree"
+            )
+        restored.append(name)
     return restored
 
 
@@ -1567,7 +1606,11 @@ def ivf_search_index(
     integer dot + (dot DESC, neighbor) window shared with the inline
     path, so the result is bit-identical to ``ann_topk_ivf`` on the
     same fit — which is why the driver query reuses that oracle
-    verbatim. ``(query_id, neighbor_id, rank, cos)``."""
+    verbatim. ``(query_id, neighbor_id, rank, cos)``. Refuses LOUDLY
+    (one driver-side listing) if a crashed compaction left a pending
+    swap — a pruned scan would silently omit that cell's rows; run
+    :func:`ivf_repair_index` first."""
+    _assert_no_pending_swap(spark, path)
     cells = sorted({c for _, _, _, cs in probes for c in cs})
     pdf = spark.createDataFrame(
         [(pid, iv, nrm, c) for pid, iv, nrm, cs in probes for c in cs],
@@ -2051,7 +2094,9 @@ def ivf_pq_search_index(
     store (``df``) — fetched for shortlist candidates only, exactly the
     inline pipeline's shape. Bit-identical to ``ann_topk_ivf_pq`` on
     the same fit, so the driver query shares that oracle verbatim.
-    ``(query_id, neighbor_id, rank, cos)``."""
+    ``(query_id, neighbor_id, rank, cos)``. Same loud pending-swap
+    guard as :func:`ivf_search_index`."""
+    _assert_no_pending_swap(spark, path)
     cells = sorted({c for _, _, _, cs in probes for c in cs})
     pdf = spark.createDataFrame(
         [(pid, iv, nrm, c) for pid, iv, nrm, cs in probes for c in cs],

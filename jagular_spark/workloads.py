@@ -3886,10 +3886,11 @@ ROUND_TOUCHED: set[str] = {
     #   lifecycle query, which exercises compaction; no other registry
     #   query calls it. Pinned by the crash-injection matrix in
     #   tests/test_similarity.py.
-    # - bpe_encode_corpus_words broadcast_map knob: default "auto"
-    #   resolves to the SAME broadcast plan on the registry corpus
-    #   (plan-pinned tests/test_plans.py), so docs_bpe_vocab's plan is
-    #   unchanged.
+    # - bpe_encode_corpus_words broadcast_map knob: NO registry query
+    #   calls that function (docs_bpe_vocab runs the separate
+    #   bpe_vocab_audit_distinct, untouched); both join shapes are
+    #   plan-pinned in tests/test_plans.py and exactness-pinned in
+    #   tests/test_bpe.py.
     # - substring_dedup_staged: NEW helper, output-identical to the
     #   composed form by property test; no registry query rewired.
     "emb_index_lifecycle",

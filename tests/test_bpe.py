@@ -319,3 +319,36 @@ def test_encode_corpus_words_with_prebuilt_map(spark):
         for r in bpe_encode_corpus_words(docs, merges, enc_map=prebuilt).collect()
     )
     assert a == b and a
+
+
+def test_encode_corpus_words_join_strategy_exactness(spark):
+    """The broadcast_map knob (r17) is a pure join-strategy choice:
+    broadcast, shuffle-hash, and the auto path on BOTH sides of its
+    threshold all yield identical rows. max_broadcast_words=0 drives
+    auto onto the shuffle-hash branch (every real map exceeds 0);
+    the default 4M threshold keeps the fixture map broadcast-side."""
+    import pytest
+
+    from jagular_spark.operators.bpe import bpe_encode_corpus_words
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = bpe_fit(docs, n_merges=8, fit_rows=64)
+    ref = sorted(
+        tuple(r)
+        for r in bpe_encode_corpus_words(
+            docs, merges, broadcast_map=True
+        ).collect()
+    )
+    assert ref
+    for kwargs in (
+        {"broadcast_map": False},
+        {"broadcast_map": "auto"},
+        {"broadcast_map": "auto", "max_broadcast_words": 0},
+    ):
+        got = sorted(
+            tuple(r)
+            for r in bpe_encode_corpus_words(docs, merges, **kwargs).collect()
+        )
+        assert got == ref, kwargs
+    with pytest.raises(ValueError, match="broadcast_map"):
+        bpe_encode_corpus_words(docs, merges, broadcast_map="yes")

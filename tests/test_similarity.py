@@ -1072,6 +1072,40 @@ def test_ivf_repair_index_semantics(spark, tmp_path):
     assert _index_rows(spark, path) == before
 
 
+def test_search_refuses_pending_swap(spark, tmp_path):
+    """Serving is LOUD about a half-committed compaction (r16 advice:
+    the pending cell is invisible to readers, so a pruned search would
+    otherwise silently omit its rows): ivf_search_index raises with
+    the repair instruction while the swap is pending, and serves the
+    identical result again once ivf_repair_index restores the cell."""
+    import os
+
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_guard")
+    cents = sim.ivf_write_index(
+        emb, path, n_centroids=4, n_iter=2, fit_fraction=1.0
+    )
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 8, cents, nprobe=4)
+    healthy = {
+        tuple(r) for r in sim.ivf_search_index(spark, path, probes, k=3).collect()
+    }
+    assert healthy
+
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+    os.makedirs(f"{path}/_trash_compact")
+    os.rename(f"{path}/{cells[0]}", f"{path}/_trash_compact/{cells[0]}")
+    with pytest.raises(RuntimeError, match="pending compaction swap"):
+        sim.ivf_search_index(spark, path, probes, k=3)
+
+    assert sim.ivf_repair_index(spark, path) == [cells[0]]
+    again = {
+        tuple(r) for r in sim.ivf_search_index(spark, path, probes, k=3).collect()
+    }
+    assert again == healthy
+
+
 def test_ivf_index_stats_and_pq_compaction(spark, tmp_path):
     """ivf_index_stats reports per-cell (n_files, bytes, n_rows) —
     the compaction trigger — and ivf_compact_index works on an IVFADC
