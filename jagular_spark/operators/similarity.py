@@ -1283,8 +1283,17 @@ def ivf_append_index(df: DataFrame, path: str,
     partition append only touches the cells the new rows land in; the
     sidecar and all previously written files are untouched, so
     concurrent partition-pruned searches keep working. Returns the
-    (unchanged) centroids for convenience."""
+    (unchanged) centroids for convenience.
+
+    Runs the :func:`ivf_repair_index` preamble first (appends are
+    writer-side, same single-writer lane as compaction): appending
+    into a tree a crashed swap left without some ``cell=N`` would
+    CREATE a fresh live ``cell=N`` holding only the new rows — after
+    which repair would see the cell as present, skip the trash
+    restore, and the next compaction's cleanup would delete the old
+    rows for good."""
     spark = df.sparkSession
+    ivf_repair_index(spark, path)
     cents = ivf_load_index(spark, path)
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
     argmin = F.array_min(_dist_idx(cents)).getField("i").cast("int")
@@ -1302,8 +1311,9 @@ def ivf_pq_append_index(df: DataFrame, path: str,
     vectors are PQ-encoded with the index's frozen (cents, books) from
     the sidecar and appended to their cells' partitions — same
     contract as :func:`ivf_append_index` (model never refit, existing
-    files untouched)."""
+    files untouched, repair-on-entry preamble)."""
     spark = df.sparkSession
+    ivf_repair_index(spark, path)
     cents, books = ivf_pq_load_index(spark, path)
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
     codes = _encode_corpus_codes(base, cents, books)
@@ -1520,7 +1530,11 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     metadata, O(files) — the same listing every scan plan pays);
     ``n_rows`` is a parquet metadata-only count (no data columns
     read). Underscore sidecars (``_model``) are invisible as
-    always."""
+    always — which means a cell a crashed compaction left mid-swap is
+    simply ABSENT from this listing (stats stays read-only and usable
+    on a broken index; the serving entry points are the loud guard):
+    run :func:`ivf_repair_index` on writer startup so telemetry reads
+    the whole index."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     root = path.rstrip("/")

@@ -1106,6 +1106,38 @@ def test_search_refuses_pending_swap(spark, tmp_path):
     assert again == healthy
 
 
+def test_append_repairs_pending_swap_first(spark, tmp_path):
+    """Appending into a mid-swap tree without repair would CREATE a
+    fresh live cell holding only the new rows — masking the pending
+    cell from repair, so the next compaction's cleanup deletes the old
+    rows permanently. ivf_append_index therefore runs the repair
+    preamble: the interrupted cell's originals are restored BEFORE the
+    new rows land, and a follow-up compaction loses nothing."""
+    import os
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_append_repair")
+    sim.ivf_write_index(
+        emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=4, n_iter=2,
+        fit_fraction=1.0,
+    )
+    before = _index_rows(spark, path)
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+
+    # crash mid-swap: cells[0] pending in trash (+ staged copy)
+    _stage_copy(spark, path)
+    os.makedirs(f"{path}/_trash_compact")
+    os.rename(f"{path}/{cells[0]}", f"{path}/_trash_compact/{cells[0]}")
+
+    sim.ivf_append_index(emb.where(F.col("vec_id") % 2 == 1), path)
+    appended = _index_rows(spark, path)
+    assert before < appended  # old rows restored AND new rows present
+    assert {r[0] for r in before} <= {r[0] for r in appended}
+
+    sim.ivf_compact_index(spark, path)  # cleanup must lose nothing
+    assert _index_rows(spark, path) == appended
+
+
 def test_ivf_index_stats_and_pq_compaction(spark, tmp_path):
     """ivf_index_stats reports per-cell (n_files, bytes, n_rows) —
     the compaction trigger — and ivf_compact_index works on an IVFADC
