@@ -3893,6 +3893,13 @@ ROUND_TOUCHED: set[str] = {
     #   tests/test_bpe.py.
     # - substring_dedup_staged: NEW helper, output-identical to the
     #   composed form by property test; no registry query rewired.
+    # - the pending-swap serving guard (_assert_no_pending_swap in
+    #   ivf_search_index/ivf_pq_search_index) touches the two
+    #   *_prebuilt queries' code path, but it is driver-side control
+    #   flow only — the query PLAN and output are byte-identical on a
+    #   healthy index (pinned: test_search_refuses_pending_swap serves
+    #   the identical result set) — and both queries are r14-stale, so
+    #   they re-verify inside this window regardless.
     "emb_index_lifecycle",
 }
 
