@@ -574,3 +574,106 @@ def test_mpeg1_halfpel_roundtrip_property(data, qscale, w, b_frames):
     assert (dw, dh) == (w, h) and len(dec) == len(frames)
     for g, x in zip(dec, want):
         assert (g == x).all(), (qscale, w, b_frames, len(frames))
+
+
+# ---------------------------------------------------------------------------
+# Persisted-IVF compaction protocol: random crash interleavings (r17).
+# The deterministic crash matrix in tests/test_similarity.py covers each
+# kill point once; this drives random SEQUENCES of operations — append,
+# compaction crashed after a random number of swap steps (with an
+# optional half-completed cell, the r16 data-loss window), repair,
+# clean compaction — against the invariant that the protocol's whole
+# point is: NO reachable state sequence loses or invents a row.
+# ---------------------------------------------------------------------------
+
+_ivf_ops = st.lists(
+    st.sampled_from(["append1", "append2", "crash_compact", "compact", "repair"]),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_ivf_ops, data=st.data())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_ivf_compaction_crash_interleavings_lose_nothing(
+    spark, tmp_path, ops, data
+):
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from jagular_spark.operators import similarity as sim
+
+    def rows(path):
+        return {
+            (r.id, tuple(r.iv), r.nrm, r.cell)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        F.col("vec_id") < 120
+    )
+    base = str(tmp_path / "ivf_prop_base")
+    if not os.path.exists(base):  # built once, copied per example
+        sim.ivf_write_index(
+            emb.where(F.col("vec_id") % 3 == 0), base,
+            n_centroids=4, n_iter=1, fit_fraction=1.0,
+        )
+    idx = data.draw(st.integers(0, 1 << 30), label="run_id")
+    path = str(tmp_path / f"ivf_prop_{idx}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    shutil.copytree(base, path)
+    expected = rows(path)
+    appended: set[str] = set()
+
+    def stage_swap_crash():
+        # mirror the REAL protocol up to a random kill point: repair
+        # preamble, stage (full rewrite), clear stale trash, then a
+        # random number of completed cell swaps + optional half swap
+        sim.ivf_repair_index(spark, path)
+        spark.read.parquet(path).repartition(8, "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(path + "/_staging_compact")
+        trash = path + "/_trash_compact"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.makedirs(trash)
+        cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+        n_full = data.draw(st.integers(0, len(cells)), label="full_swaps")
+        for c in cells[:n_full]:
+            os.rename(f"{path}/{c}", f"{trash}/{c}")
+            os.rename(f"{path}/_staging_compact/{c}", f"{path}/{c}")
+        if n_full < len(cells) and data.draw(st.booleans(), label="half_swap"):
+            c = cells[n_full]
+            os.rename(f"{path}/{c}", f"{trash}/{c}")  # the r16 loss window
+
+    for op in ops:
+        if op == "append1" and "append1" not in appended:
+            appended.add("append1")
+            sim.ivf_append_index(emb.where(F.col("vec_id") % 3 == 1), path)
+            expected = rows(path)  # append repairs on entry -> healthy
+        elif op == "append2" and "append2" not in appended:
+            appended.add("append2")
+            sim.ivf_append_index(emb.where(F.col("vec_id") % 3 == 2), path)
+            expected = rows(path)
+        elif op == "crash_compact":
+            stage_swap_crash()
+        elif op == "compact":
+            sim.ivf_compact_index(spark, path)
+            assert rows(path) == expected, ("compact", ops)
+        elif op == "repair":
+            sim.ivf_repair_index(spark, path)
+            assert rows(path) == expected, ("repair", ops)
+
+    # whatever state the sequence ended in, one clean compaction must
+    # recover exactly the full row set (and clear the hidden dirs)
+    sim.ivf_compact_index(spark, path)
+    assert rows(path) == expected, ops
+    assert not os.path.exists(path + "/_staging_compact")
+    assert not os.path.exists(path + "/_trash_compact")
+    shutil.rmtree(path, ignore_errors=True)
