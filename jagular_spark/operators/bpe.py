@@ -299,7 +299,13 @@ def bpe_encode_corpus_words(
     ≤ ``max_broadcast_words`` (default 4M ≈ low hundreds of MB of
     driver/executor broadcast at typical word+enc widths — inside the
     measured cliff in SCALE.md r17). Exactness is join-strategy
-    independent (pinned vs the chain in tests/test_bpe.py).
+    independent (pinned vs the chain in tests/test_bpe.py). The
+    "auto" path intentionally leaves the counted map PERSISTED (the
+    join reads the cached copy; re-deriving it would double the map
+    build) — the build-once/serve-many shape. A call site looping
+    over many corpora should build the map once via
+    :func:`bpe_word_encodings`, pass it as ``enc_map`` with an
+    explicit True/False, and own the cache lifetime itself.
 
     Pass ``enc_map`` (``(word, enc)`` rows, e.g. a persisted map from
     an earlier run or the word-frequency aggregate already in hand)
