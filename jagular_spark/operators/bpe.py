@@ -273,7 +273,7 @@ def bpe_encode_corpus_words(
     text_col: str = "text",
     id_col: str = "doc_id",
     enc_map: DataFrame | None = None,
-    broadcast_map: bool | str = "auto",
+    broadcast_map: bool | str = True,
     max_broadcast_words: int = 4_000_000,
 ) -> DataFrame:
     """Scale-path CORPUS encode: ``(id, word, enc)`` for every word
@@ -290,22 +290,25 @@ def bpe_encode_corpus_words(
     Missing #1): the map's build cost is Zipf-bounded but its
     CARDINALITY follows Heaps' law — a web-scale corpus has hundreds
     of millions of distinct "words" (typos, URLs, code identifiers),
-    past any broadcast budget. ``True`` forces the broadcast join
-    (corpus side never shuffles); ``False`` forces a SHUFFLE-HASH join
-    on ``word`` — one corpus-side exchange, no sort, map side builds
-    the hash table per partition; ``"auto"`` (default) persists the
-    map, counts it (one job over the Zipf-small aggregate — noise next
+    past any broadcast budget. ``True`` (default — lazy, no job at
+    plan-build time) forces the broadcast join (corpus side never
+    shuffles); ``False`` forces a SHUFFLE-HASH join on ``word`` — one
+    corpus-side exchange, no sort, map side builds the hash table per
+    partition; ``"auto"`` (opt-in) persists the map, counts it (one
+    EAGER job over the Zipf-small aggregate at call time — noise next
     to the corpus scan it sizes), and picks broadcast iff the count is
     ≤ ``max_broadcast_words`` (default 4M ≈ low hundreds of MB of
     driver/executor broadcast at typical word+enc widths — inside the
     measured cliff in SCALE.md r17). Exactness is join-strategy
-    independent (pinned vs the chain in tests/test_bpe.py). The
-    "auto" path intentionally leaves the counted map PERSISTED (the
-    join reads the cached copy; re-deriving it would double the map
-    build) — the build-once/serve-many shape. A call site looping
-    over many corpora should build the map once via
+    independent (pinned vs the chain in tests/test_bpe.py). "auto" is
+    opt-in rather than the default precisely because of its two
+    costs: the eager sizing job, and the counted map staying
+    PERSISTED with a function-local handle (the join reads the cached
+    copy; re-deriving it would double the map build) — right for
+    build-once/serve-many, a storage leak for a long-lived process
+    calling per batch. Such call sites should build the map once via
     :func:`bpe_word_encodings`, pass it as ``enc_map`` with an
-    explicit True/False, and own the cache lifetime itself.
+    explicit True/False, and own the cache lifetime themselves.
 
     Pass ``enc_map`` (``(word, enc)`` rows, e.g. a persisted map from
     an earlier run or the word-frequency aggregate already in hand)

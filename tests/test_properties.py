@@ -619,17 +619,33 @@ def test_ivf_compaction_crash_interleavings_lose_nothing(
         F.col("vec_id") < 120
     )
     base = str(tmp_path / "ivf_prop_base")
+    ref = str(tmp_path / "ivf_prop_ref")
     if not os.path.exists(base):  # built once, copied per example
         sim.ivf_write_index(
             emb.where(F.col("vec_id") % 3 == 0), base,
             n_centroids=4, n_iter=1, fit_fraction=1.0,
         )
+        # pristine reference: both appends on a never-crashed copy —
+        # the frozen model makes per-row (iv, nrm, cell) independent
+        # of append order/crash history, so per-batch EXPECTED rows
+        # come from here, never from the tree under test (re-reading
+        # the tree under test would let a lost row silently shrink
+        # the invariant instead of failing it)
+        shutil.copytree(base, ref)
+        sim.ivf_append_index(emb.where(F.col("vec_id") % 3 == 1), ref)
+        sim.ivf_append_index(emb.where(F.col("vec_id") % 3 == 2), ref)
+    base_rows = rows(base)
+    batch_rows = {
+        name: {r for r in rows(ref) if r[0] % 3 == m} - base_rows
+        for name, m in (("append1", 1), ("append2", 2))
+    }
+    assert all(batch_rows[b] for b in batch_rows)
     idx = data.draw(st.integers(0, 1 << 30), label="run_id")
     path = str(tmp_path / f"ivf_prop_{idx}")
     if os.path.exists(path):
         shutil.rmtree(path)
     shutil.copytree(base, path)
-    expected = rows(path)
+    expected = set(base_rows)
     appended: set[str] = set()
 
     def stage_swap_crash():
@@ -653,14 +669,13 @@ def test_ivf_compaction_crash_interleavings_lose_nothing(
             os.rename(f"{path}/{c}", f"{trash}/{c}")  # the r16 loss window
 
     for op in ops:
-        if op == "append1" and "append1" not in appended:
-            appended.add("append1")
-            sim.ivf_append_index(emb.where(F.col("vec_id") % 3 == 1), path)
-            expected = rows(path)  # append repairs on entry -> healthy
-        elif op == "append2" and "append2" not in appended:
-            appended.add("append2")
-            sim.ivf_append_index(emb.where(F.col("vec_id") % 3 == 2), path)
-            expected = rows(path)
+        if op in ("append1", "append2") and op not in appended:
+            appended.add(op)
+            m = 1 if op == "append1" else 2
+            sim.ivf_append_index(emb.where(F.col("vec_id") % 3 == m), path)
+            expected |= batch_rows[op]  # from the pristine reference
+            # append repairs on entry -> tree is healthy and complete
+            assert rows(path) == expected, (op, ops)
         elif op == "crash_compact":
             stage_swap_crash()
         elif op == "compact":

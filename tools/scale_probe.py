@@ -1174,6 +1174,7 @@ def main() -> None:
         shutil.rmtree(f"/tmp/scale_probe_bpecard_{n}", ignore_errors=True)
     for n in (20000, 80000, 160000):
         shutil.rmtree(f"/tmp/scale_probe_subspans_{n}", ignore_errors=True)
+        shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
     for n in (20000, 80000, 320000):
         shutil.rmtree(f"/tmp/scale_probe_shardsrc_{n}", ignore_errors=True)
     for n in (1_000_000, 4_000_000, 16_000_000):
