@@ -324,6 +324,43 @@ def decontaminate(
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def quality_ratios(text_col: str = "text") -> dict:
+    """The quality heuristic's component ratios as column expressions
+    (alpha / digit / space / stopword fractions of ``text_col``) —
+    ONE construction shared by the batch queries (docs_quality, the
+    curation funnels) and the streaming twin (stream_curation), so a
+    weight/stopword/regex tweak cannot land in one copy and silently
+    break the advertised batch/stream parity (r17: the expressions
+    previously lived verbatim in three places)."""
+    n = F.length(F.col(text_col)).cast("double")
+    alpha = (
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("double") / n
+    )
+    digit = (
+        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("double") / n
+    )
+    space = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^\s]", "")).cast("double") / n
+    )
+    stop = F.expr(
+        f"CAST(size(filter(split(trim({text_col}), '\\\\s+'), "
+        "t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
+    ) / F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("double")
+    return {"alpha": alpha, "digit": digit, "space": space, "stop": stop}
+
+
+def quality_score_col(text_col: str = "text") -> F.Column:
+    """The weighted quality score over :func:`quality_ratios` —
+    0.4·alpha + 0.3·stopword + 0.3·(1 − digit), the single scoring
+    expression every quality gate in the repo applies."""
+    r = quality_ratios(text_col)
+    return (
+        F.lit(0.4) * r["alpha"]
+        + F.lit(0.3) * r["stop"]
+        + F.lit(0.3) * (F.lit(1.0) - r["digit"])
+    )
+
+
 def gopher_rules(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

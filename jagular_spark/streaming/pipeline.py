@@ -63,12 +63,17 @@ def stream_crossings(
     polarity: str = "pos",
 ) -> DataFrame:
     """Stateless part of detection: the threshold predicate (W1's first
-    half). The debounce/censor stages are stateful — see stream_censor."""
+    half). The debounce/censor stages are stateful — see stream_censor.
+    Rejects unknown polarities like the batch twin (operators/spikes
+    ``crossings`` raises ValueError) — the old silent fall-through to
+    "both" turned a typo into wrong both-polarity output."""
     if polarity == "pos":
         return samples.where(F.col(value_col) > threshold)
     if polarity == "neg":
         return samples.where(F.col(value_col) < -threshold)
-    return samples.where(F.abs(F.col(value_col)) > threshold)
+    if polarity == "both":
+        return samples.where(F.abs(F.col(value_col)) > threshold)
+    raise ValueError(f"polarity must be 'pos', 'neg' or 'both', got {polarity!r}")
 
 
 def stream_censor(
@@ -103,6 +108,16 @@ def stream_censor(
     in_cols = [*keys, ts_col] + ([event_time_col] if event_time_col else [])
     fields = dict(crossings.select(*in_cols).dtypes)
     out_schema = ", ".join(f"{k} {fields[k]}" for k in keys) + f", {ts_col} {fields[ts_col]}"
+    # Arrow hands pandas kernels SESSION-LOCAL tz-naive timestamps while
+    # GroupState.getCurrentWatermarkMs is UTC epoch ms — capture the
+    # session zone at build time and localize before comparing (r17: a
+    # naive astype-to-epoch shifted the lateness cutoff by the UTC
+    # offset under any non-UTC session timezone)
+    session_tz = (
+        crossings.sparkSession.conf.get("spark.sql.session.timeZone")
+        if event_time_col is not None
+        else None
+    )
 
     def kernel(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -112,7 +127,10 @@ def stream_censor(
         if event_time_col is not None:
             wm_ms = state.getCurrentWatermarkMs()
             if wm_ms > 0:
-                et_ms = pdf[event_time_col].to_numpy().astype("datetime64[ms]").astype("int64")
+                et = pd.DatetimeIndex(pdf[event_time_col])
+                if et.tz is None:
+                    et = et.tz_localize(session_tz)
+                et_ms = et.tz_convert("UTC").asi8 // 1_000_000
                 pdf = pdf[et_ms >= wm_ms]
         keep = []
         for i, t in enumerate(pdf[ts_col].to_numpy()):
@@ -142,8 +160,17 @@ def stream_dedup(
     (keys, ts); duplicate-detection state is evicted once the watermark
     passes (bounded memory — the batch operator's full-history window
     becomes O(in-flight ts) state). Built on Structured Streaming's
-    native ``dropDuplicates`` — exactly the right primitive, no custom
-    state needed.
+    native ``dropDuplicatesWithinWatermark`` — the primitive built for
+    exactly this. Plain ``dropDuplicates`` (the pre-r17 form) only
+    evicts state when the EVENT-TIME column is part of the dedup keys;
+    with ``keys + [ts]`` it silently kept one state row per distinct
+    key ever seen, growing without bound — the bounded-memory contract
+    this docstring advertises was false. WithinWatermark dedups on the
+    same (keys, ts) subset and evicts each entry once the watermark
+    passes its event time (duplicates are only guaranteed dropped when
+    they arrive within the watermark delay of the first occurrence —
+    the same in-flight horizon every watermarked op in this module
+    assumes; state-eviction pinned in tests/test_streaming.py).
 
     Semantics caveat vs batch ``dedup_keep_first``: the batch operator
     breaks ties by explicit physical order (file_idx, packet_idx);
@@ -151,7 +178,9 @@ def stream_dedup(
     reference's file-by-file iteration) the two agree — pinned by the
     parity test."""
     keys = list(key_cols)
-    return samples.withWatermark(event_time_col, watermark).dropDuplicates(keys + [ts_col])
+    return samples.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        keys + [ts_col]
+    )
 
 
 def stream_interpolate(
@@ -207,7 +236,12 @@ def stream_interpolate(
         gap_idx = np.flatnonzero((n_missing >= 1) & (n_missing <= max_gap_size))
         new_rows: dict[str, list] = {c: [] for c in keys + [ts_col] + vals}
         for g in gap_idx:
-            grid = np.arange(ts[g] + step, ts[g + 1], step, dtype=np.int64)
+            # exactly n_missing grid points, like the batch twin's
+            # sequence(left+step, right-step, step) — arange(..., ts[g+1],
+            # step) emitted EXTRA rows inside (right-step, right) when the
+            # gap is not a multiple of step (r17 parity fix, off-grid
+            # pinned in tests/test_streaming.py)
+            grid = ts[g] + step * np.arange(1, n_missing[g] + 1, dtype=np.int64)
             frac = (grid - ts[g]) / (ts[g + 1] - ts[g])
             new_rows[ts_col].extend(grid.tolist())
             for c in vals:
@@ -243,9 +277,11 @@ def stream_curation(
     """The curation funnel, incremental (batch twin:
     workloads.docs_curation_funnel minus its near-dup stage): quality
     score + language ID (stateless row-local expressions), exact
-    content dedup (watermark-bounded ``dropDuplicates`` on the md5 —
-    state is O(in-flight hashes) and evicted past the watermark), and
-    the deterministic md5 hash-sample (stateless).
+    content dedup (``dropDuplicatesWithinWatermark`` on the md5 —
+    state is O(in-flight hashes) and evicted past the watermark; plain
+    ``dropDuplicates`` on a subset WITHOUT the event-time column never
+    evicts, so the pre-r17 form accumulated every hash in stream
+    history), and the deterministic md5 hash-sample (stateless).
 
     The near-dup connected-components stage is deliberately absent: a
     component is a GLOBAL property of the pair graph (a later doc can
@@ -255,18 +291,10 @@ def stream_curation(
     the batch operator composes here.
     """
     from jagular_spark.operators.sampling import hash_bucket
-    from jagular_spark.operators.text import language_id
-
-    n = F.length(F.col("text")).cast("double")
-    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("double") / n
-    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double") / n
-    stop = F.expr(
-        "CAST(size(filter(split(trim(text), '\\\\s+'), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
-    ) / F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
-    score = F.lit(0.4) * alpha + F.lit(0.3) * stop + F.lit(0.3) * (F.lit(1.0) - digit)
+    from jagular_spark.operators.text import language_id, quality_score_col
 
     scored = language_id(
-        docs.withColumn("quality_score", score),
+        docs.withColumn("quality_score", quality_score_col("text")),
         keep=("text", "quality_score", event_time_col),
     )
     s1 = scored.where(
@@ -275,7 +303,7 @@ def stream_curation(
     s2 = (
         s1.withColumn("__h__", F.md5(F.col("text").cast("binary")))
         .withWatermark(event_time_col, watermark)
-        .dropDuplicates(["__h__"])
+        .dropDuplicatesWithinWatermark(["__h__"])
     )
     thr = int(sample_fraction * (1 << 32))
     return s2.where(hash_bucket("doc_id") < F.lit(thr)).select(
@@ -373,7 +401,13 @@ def stream_lsh_candidate_pairs(
                 bk = (int(band), int(bkey))
                 seen = members.setdefault(bk, [])
                 if max_members is not None and len(seen) >= max_members:
-                    continue  # frozen hot bucket: no pairs, no append
+                    # frozen hot bucket: no pairs, no append — but it is
+                    # ACTIVE, so refresh last_seen (r17: without this, a
+                    # continuously-hot bucket was horizon-pruned as idle,
+                    # wiping membership and re-emitting the pairs the
+                    # freeze exists to suppress, once per horizon)
+                    last[bk] = now
+                    continue
                 for old in seen:
                     lo, hi = (old, new_id) if old < new_id else (new_id, old)
                     out_band.append(bk[0])

@@ -1185,3 +1185,125 @@ def test_training_shard_pack_multibatch_semantics(spark, tmp_path):
         .collect()
     }
     assert stream_agg == batch and batch
+
+
+def test_stream_dedup_state_evicted_past_watermark(spark, tmp_path):
+    """r17: stream_dedup moved to dropDuplicatesWithinWatermark. Plain
+    dropDuplicates with a (keys, ts) subset that lacks the event-time
+    column NEVER evicts state — one row per distinct key ever seen,
+    unbounded — so the docstring's bounded-memory contract was false.
+    Three micro-batches: once the watermark passes batch 1's event
+    times, its dedup entries are evicted and total state rows equal
+    the still-in-flight entries only (the old form retained all four);
+    the output is still exactly one row per (key, ts)."""
+    from jagular_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "ddp_evict_src")
+    feeds = [
+        spark.createDataFrame(
+            [(1, 100, _mins(0)), (1, 100, _mins(0)), (1, 101, _mins(0))],
+            "user_id long, us long, ts timestamp",
+        ),
+        spark.createDataFrame(
+            [(1, 200, _mins(60))], "user_id long, us long, ts timestamp"
+        ),
+        spark.createDataFrame(
+            [(1, 201, _mins(61))], "user_id long, us long, ts timestamp"
+        ),
+    ]
+    feeds = [f.coalesce(1) for f in feeds]
+    feeds[0].write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(feeds[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_dedup(stream, "10 seconds", "ts", key_cols=["user_id"], ts_col="us")
+        .writeStream.format("memory")
+        .queryName("ddp_evict")
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for f in feeds[1:]:
+            f.write.mode("append").parquet(src)
+            q.processAllAvailable()
+        prog = q.lastProgress
+        n_state = sum(
+            (op.get("numRowsTotal") or 0)
+            for op in (prog.get("stateOperators") or [])
+        )
+    finally:
+        q.stop()
+    got = sorted(r.us for r in spark.sql("SELECT * FROM ddp_evict").collect())
+    assert got == [100, 101, 200, 201]  # dedup'd output, duplicates gone
+    # batch-1 entries (event time minute 0) are far behind the final
+    # watermark (minute ~61 - 10 s) -> evicted; only the in-flight tail
+    # remains. The pre-r17 form reported 4 here.
+    assert 0 < n_state <= 2, n_state
+
+
+def test_stream_crossings_rejects_unknown_polarity(spark):
+    """Parity with the batch twin (operators/spikes.crossings raises
+    ValueError): an unrecognized polarity must not silently fall
+    through to both-polarity detection."""
+    import pytest
+
+    from jagular_spark.streaming import stream_crossings
+
+    ev = _events_batch(spark).select("user_id", F.col("value"))
+    with pytest.raises(ValueError, match="polarity"):
+        stream_crossings(ev, threshold=1.0, polarity="NEG")
+
+
+def test_stream_interpolate_offgrid_matches_batch(spark, tmp_path):
+    """Gaps that are NOT a multiple of step (r17): the batch twin fills
+    sequence(left+step, right-step, step) — exactly n_missing points —
+    while the old streaming kernel's arange(left+step, right, step)
+    emitted extra rows inside (right-step, right). Misaligned gaps must
+    produce bit-identical fills on both paths."""
+    from jagular_spark.operators import interpolate_gaps
+    from jagular_spark.streaming import stream_interpolate
+
+    rows = []
+    for ch in (1, 2):
+        # step=4 grid with off-grid gaps: 0->10 (n_missing=1, fill {4}),
+        # 10->27 (n_missing=3 > max_gap, skip), 27->38 (n_missing=1, {31})
+        for t, v in ((0, 100), (10, 140), (27, 300), (38, 260)):
+            rows.append((ch, t, ch * 1000 + v))
+    df = spark.createDataFrame(rows, "channel_id int, ts long, value int")
+
+    want = {
+        (r.channel_id, r.ts, r.value)
+        for r in interpolate_gaps(
+            df, max_gap_size=2, partition_cols=["channel_id"], step=4
+        ).collect()
+    }
+    stream = _as_stream(spark, df, tmp_path, "interp_og")
+    out = stream_interpolate(
+        stream, max_gap_size=2, partition_cols=["channel_id"], step=4
+    )
+    _run_to_memory(out, "interp_og_out", "append")
+    got = {
+        (r.channel_id, r.ts, r.value)
+        for r in spark.sql("SELECT * FROM interp_og_out").collect()
+    }
+    assert got == want
+    assert len(got) == len(rows) + 4  # exactly one fill per qualifying gap
+
+
+def test_streaming_package_exports_every_pipeline_operator(spark):
+    """One import surface (r17): every public stream_* operator defined
+    in streaming/pipeline.py is re-exported by the package __init__."""
+    import jagular_spark.streaming as pkg
+    from jagular_spark.streaming import pipeline
+
+    ops = {
+        n for n in dir(pipeline)
+        if n.startswith("stream_") and callable(getattr(pipeline, n))
+    }
+    missing = {n for n in ops if not hasattr(pkg, n)}
+    assert not missing, missing
