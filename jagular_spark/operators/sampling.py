@@ -19,14 +19,19 @@ from pyspark.sql import DataFrame, functions as F
 _HASH_SPACE = 1 << 32
 
 
-def hash_bucket(key_col: str, salt: str = "") -> F.Column:
+def hash_bucket(key_col, salt: str = "") -> F.Column:
     """Uniform deterministic bucket in [0, 2^32) from the md5 of the
     (salted) key — same construction as the oracle's
-    ``('0x' || substr(md5(..), 1, 8))::BIGINT``."""
+    ``('0x' || substr(md5(..), 1, 8))::BIGINT``. Accepts a column name
+    or a Column expression (r17: lets selection._bucket delegate
+    instead of duplicating the recipe; Catalyst's SimplifyCasts
+    removes the no-op string cast on an already-string expression, so
+    delegating callers keep their exact plan)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
     keyed = (
-        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+        F.concat(F.lit(salt), key.cast("string"))
         if salt
-        else F.col(key_col).cast("string")
+        else key.cast("string")
     )
     return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
 

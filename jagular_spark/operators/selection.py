@@ -76,11 +76,14 @@ def _grams_expr(text_col: str) -> str:
 
 
 def _bucket(g: F.Column, n_buckets: int) -> F.Column:
-    """Deterministic md5 bucket of one gram — the engine-portable
-    sampling.hash_bucket construction, mod the feature-space size."""
-    return (
-        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % n_buckets
-    ).cast("int")
+    """Deterministic md5 bucket of one gram — DELEGATES to the
+    engine-portable sampling.hash_bucket construction (r17: this was a
+    verbatim re-implementation; if the bucket recipe ever changes to
+    match a new oracle, the DSIR features and the samplers must move
+    in lockstep), mod the feature-space size."""
+    from jagular_spark.operators.sampling import hash_bucket
+
+    return (hash_bucket(g) % n_buckets).cast("int")
 
 
 def hashed_gram_buckets(

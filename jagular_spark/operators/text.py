@@ -33,14 +33,6 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _BPE_RE_SPARK = BPE_TOKEN_RE.replace("\\", "\\\\")
 
 
-def _stopword_ratio(text_col: str, words: tuple[str, ...]) -> F.Column:
-    wl = ", ".join(f"'{w}'" for w in words)
-    return F.expr(
-        f"CAST(size(filter(split(trim({text_col}), '\\\\s+'), t -> t IN ({wl}))) AS DOUBLE)"
-        f" / CAST(size(split(trim({text_col}), '\\\\s+')) AS DOUBLE)"
-    )
-
-
 def language_id(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", keep: tuple = ()
 ) -> DataFrame:
@@ -215,7 +207,6 @@ def vocab_top_df(
 
 def domain_mixture(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     domain_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
@@ -223,7 +214,10 @@ def domain_mixture(
     data mixture weights: docs, token totals (exact BIGINT), and each
     domain's share of all corpus tokens (single double division at the
     end, identical expression both engines).
-    ``(domains…, n_docs, n_tokens, token_share)``."""
+    ``(domains…, n_docs, n_tokens, token_share)``. ``n_docs`` is a
+    plain row count — rows, not distinct ids, which is why this takes
+    no id column (the r17 review found the old ``id_col`` parameter
+    unused and implying a dedup that never happened)."""
     n_tok = F.expr(f"CAST(size(split(trim({text_col}), '\\\\s+')) AS BIGINT)")
     per = df.select(*[F.col(c) for c in domain_cols], n_tok.alias("nt")).groupBy(
         *domain_cols
@@ -331,8 +325,17 @@ def quality_ratios(text_col: str = "text") -> dict:
     curation funnels) and the streaming twin (stream_curation), so a
     weight/stopword/regex tweak cannot land in one copy and silently
     break the advertised batch/stream parity (r17: the expressions
-    previously lived verbatim in three places)."""
-    n = F.length(F.col(text_col)).cast("double")
+    previously lived verbatim in three places).
+
+    The character-count denominator is ``nullif``-guarded: an
+    empty-string document previously threw DIVIDE_BY_ZERO under the
+    session's default ANSI mode, poison-pilling every consumer (one
+    blank doc killed the whole funnel query and the stream_curation
+    stream). Empty text now yields NULL ratios/score — a ``>= floor``
+    quality gate drops it, never crashes. The DuckDB oracles carry the
+    same nullif. The stopword denominator needs no guard:
+    ``split(trim(''), '\\s+')`` is the 1-element [''] array."""
+    n = F.nullif(F.length(F.col(text_col)).cast("double"), F.lit(0.0))
     alpha = (
         F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("double") / n
     )
@@ -543,9 +546,13 @@ def bm25_topk(
         "__dl__", F.size("__t__").cast("long")
     )
     for j, t in enumerate(terms):
+        # escape the literal (r17): a term containing a quote previously
+        # crashed the parse (and was an expression-injection vector); the
+        # df aggregate above already passes terms safely via F.lit
+        esc = t.replace("\\", "\\\\").replace("'", "\\'")
         scored = scored.withColumn(
             f"__tf{j}__",
-            F.expr(f"CAST(size(filter(__t__, x -> x = '{t}')) AS BIGINT)"),
+            F.expr(f"CAST(size(filter(__t__, x -> x = '{esc}')) AS BIGINT)"),
         )
     parts = []
     for j in range(len(terms)):
@@ -565,9 +572,18 @@ def bm25_topk(
             f" / CAST(10 * __tf{j}__ * __tt__ + 3 * __tt__ + 9 * __dl__ * __n__"
             f" AS DOUBLE))"
         )
+    # "document matches the query" = some term occurs (r17): the old
+    # `score > 0` filter was only equivalent for the always-positive
+    # rational-surrogate idf — under idf="ln", terms with df > ~N/2 get
+    # NEGATIVE Robertson idf, and score>0 silently dropped matching
+    # documents (up to returning nothing for a common term). tf>0 is
+    # the mode-independent match test; for the surrogate it is provably
+    # the same set (idf>0 and every part >= 0), oracle hash unchanged.
+    matches = F.greatest(*[F.col(f"__tf{j}__") for j in range(len(terms))]) > 0 \
+        if len(terms) > 1 else F.col("__tf0__") > 0
     top = (
         scored.withColumn("score", F.expr(" + ".join(parts)))
-        .where(F.col("score") > 0)
+        .where(matches)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )

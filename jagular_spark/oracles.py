@@ -439,12 +439,12 @@ def _funnel_oracle(
     }
     quality = (
         "0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
-        " / CAST(length(text) AS DOUBLE))"
+        " / nullif(CAST(length(text) AS DOUBLE), 0.0))"
         " + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
         " t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
         " / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))"
         " + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
-        " / CAST(length(text) AS DOUBLE))"
+        " / nullif(CAST(length(text) AS DOUBLE), 0.0))"
     )
     case_lang = """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
                     WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
@@ -734,21 +734,21 @@ ORACLE_SQL: dict[str, str] = {
     "docs_quality": """
         SELECT doc_id,
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0) AS alpha_ratio,
                CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS digit_ratio,
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0) AS digit_ratio,
                CAST(length(regexp_replace(text, '[^\\s]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS space_ratio,
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0) AS space_ratio,
                CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                         t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
                    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio,
                0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE))
+                      / nullif(CAST(length(text) AS DOUBLE), 0.0))
              + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                         t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
                       / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))
              + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                      / CAST(length(text) AS DOUBLE)) AS quality_score
+                      / nullif(CAST(length(text) AS DOUBLE), 0.0)) AS quality_score
         FROM documents
     """,
 }

@@ -3901,6 +3901,25 @@ ROUND_TOUCHED: set[str] = {
     #   events_censor_streamed, events_interpolate_streamed,
     #   docs_lsh_candidates_streamed -> 7/7 hash match) and pinned by
     #   new parity tests in tests/test_streaming.py.
+    # - r17 crash-fix/reuse sweep over text/sampling/selection
+    #   (quality_ratios nullif guard — empty text crashed under ANSI,
+    #   now NULL on BOTH engines; bm25 term-literal escaping — quoted
+    #   terms crashed the parse; bm25 match filter tf>0 — provably the
+    #   same set as score>0 for the registry's surrogate idf, fixes
+    #   the ln mode's silent drops; selection._bucket delegating to a
+    #   Column-accepting hash_bucket — SimplifyCasts keeps plans
+    #   byte-equal, DSIR plan pins green; domain_mixture's unused
+    #   id_col removed; dead _stopword_ratio deleted): crash→works
+    #   changes alter no input that ever produced results; all ten
+    #   touched registry queries re-verified by hash same day
+    #   (docs_quality, both funnels, docs_bm25_search,
+    #   docs_language_id, docs_domain_mixture, docs_dsir_scores/_topk,
+    #   docs_stratified_sample, docs_rebalance_sample -> 10/10).
+    # Queued for a budgeted round (result-changing NULL semantics, the
+    # r16 n_sequences precedent class): language_id NULL text -> 'es',
+    # NULL-key rows silently dropped by hash_bucket-based samplers and
+    # rebalance_sample's inner join, gopher_rules NULL flags. See
+    # memory + r17 SCALE.md note.
     "emb_index_lifecycle",
 }
 

@@ -532,3 +532,58 @@ def test_gopher_rules_crafted(spark):
     assert got[3].n_hash == 12 and got[3].n_words == 60
     assert got[4].n_bullet_lines == 5 and got[4].n_lines == 5
     assert got[8].n_bullet_lines == 5 and got[8].n_lines == 10
+
+
+def test_quality_score_null_not_crash_on_empty_text(spark):
+    """r17 (ANSI mode is ON in the session factory): an empty-string
+    document previously threw DIVIDE_BY_ZERO out of the quality
+    ratios, poison-pilling every consumer. Empty text now yields NULL
+    ratios/score (the oracle carries the same nullif), and a quality
+    gate simply drops the row."""
+    from jagular_spark.operators.text import quality_ratios, quality_score_col
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "the quick brown fox and the lazy dog")],
+        "doc_id long, text string",
+    )
+    r = quality_ratios("text")
+    rows = {
+        x.doc_id: x
+        for x in df.select(
+            "doc_id",
+            r["alpha"].alias("alpha"),
+            quality_score_col("text").alias("score"),
+        ).collect()
+    }
+    assert rows[1].alpha is None and rows[1].score is None
+    assert rows[2].score is not None and rows[2].score > 0
+    kept = df.where(quality_score_col("text") >= 0.3).collect()
+    assert [x.doc_id for x in kept] == [2]
+
+
+def test_bm25_handles_quoted_terms_and_ln_common_terms(spark):
+    """r17: (a) a query term containing a single quote no longer
+    crashes the parse (the tf filter now escapes the literal like the
+    df aggregate's F.lit); (b) under idf='ln', a term present in most
+    documents gets NEGATIVE Robertson idf — matching docs must still
+    be returned (the old score>0 filter dropped them, up to returning
+    an empty result for a common term)."""
+    from jagular_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "don't stop the music"),
+            (2, "the music plays on and on"),
+            (3, "the band don't play"),
+        ],
+        "doc_id long, text string",
+    )
+    quoted = bm25_topk(df, ["don't"], k=3).collect()
+    assert sorted(r.doc_id for r in quoted) == [1, 3]
+
+    common = bm25_topk(df, ["the"], idf="ln", k=3).collect()
+    assert sorted(r.doc_id for r in common) == [1, 2, 3]  # all match
+    assert all(r.score < 0 for r in common)  # df > N/2 -> negative idf
+    # and the surrogate mode's result set is unchanged by the new filter
+    surro = bm25_topk(df, ["the"], k=3).collect()
+    assert sorted(r.doc_id for r in surro) == [1, 2, 3]
