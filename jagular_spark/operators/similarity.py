@@ -51,11 +51,6 @@ def tokens_col(text_col: str) -> F.Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def _hash32(col: F.Column) -> F.Column:
-    """md5-based 32-bit hash shared bit-for-bit with the DuckDB oracle."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-
-
 def doc_shingle_hashes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Exploded ``(id, h)`` distinct shingle hashes, h ∈ [0, P).
 
@@ -377,6 +372,7 @@ def ngram_jaccard_pairs_lsh(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_members: int | None = None,
 ) -> DataFrame:
     """LSH-first exact Jaccard — the 100-TB composition of the two
     verified pieces: MinHash-LSH banding generates CANDIDATE pairs
@@ -396,7 +392,15 @@ def ngram_jaccard_pairs_lsh(
     (small) candidate set back to the per-doc multisets — AQE
     broadcasts the candidate side. n_common counts hash matches with
     multiplicity products (Σ_h cntA(h)·cntB(h)) — bit-identical to the
-    exact operator's per-bucket combinatorics under hash collisions."""
+    exact operator's per-bucket combinatorics under hash collisions.
+
+    ``max_members`` passes through to the LSH hot-bucket cap (r17: the
+    composition advertised itself as THE 100-TB path yet exposed
+    neither composed piece's guard — an exact-duplicate mega-cluster
+    shares all band keys, and one uncapped bucket both emits O(|C|²)
+    candidates and pays the multiset verify per pair, the measured
+    9.4× r12 blowup). Default None keeps exact parity with the
+    uncapped oracle-matched shape."""
     hashes = doc_shingle_hashes(df, id_col, text_col, n)
     sig_aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P)).alias(f"m{j}")
@@ -408,7 +412,9 @@ def ngram_jaccard_pairs_lsh(
     # three consumers (banding + both verify sides): truncate once,
     # materialized by the query's own action
     per_doc = per_doc.localCheckpoint(eager=False)
-    cand = lsh_candidate_pairs(per_doc, id_col).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(per_doc, id_col, max_members=max_members).select(
+        "id_a", "id_b"
+    )
     a = per_doc.select(
         F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")
     )
@@ -636,10 +642,15 @@ def ann_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for the probe subset: broadcast the
-    (small) probe side against the full corpus — the corpus never
-    shuffles; ranking is decided by the exact integer dot (ties broken
-    by neighbor id). ``(query_id, neighbor_id, rank, cos)``."""
+    """Exact top-k INNER-PRODUCT neighbors for the probe subset (MIPS
+    — the `cos` column is reported per returned row, but the k-cut and
+    ranking are by the exact integer dot, ties broken by neighbor id;
+    dot order equals cosine order only when corpus norms are ~equal,
+    which holds for the shipped embeddings and is the convention EVERY
+    rank path in this family shares with its DuckDB oracle — r17
+    review: the old docstring over-claimed "cosine top-k"). Broadcast
+    the (small) probe side against the full corpus — the corpus never
+    shuffles. ``(query_id, neighbor_id, rank, cos)``."""
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
     probes = base.where(probe_filter).select(
         F.col("id").alias("query_id"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
@@ -1580,14 +1591,17 @@ def ivf_probe_rows(
     ``array_sort`` on (d, i) structs tie-for-tie. Queries are small by
     nature (they are the serving request, not the corpus); the
     ``max_probes`` guard turns an accidental corpus-sized probe filter
-    into a loud error instead of a driver OOM. Returns
+    into a loud error instead of a driver OOM — and it is enforced by a
+    ``limit(max_probes + 1)`` BEFORE the collect (r17: the old
+    collect-then-count would itself OOM the driver on a corpus-sized
+    filter, which is the exact failure the guard exists for). Returns
     ``[(query_id, iv, nrm, cells)]`` — everything the partition-pruned
     searcher needs without touching the corpus."""
     base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
-    rows = base.where(probe_filter).collect()
+    rows = base.where(probe_filter).limit(max_probes + 1).collect()
     if len(rows) > max_probes:
         raise ValueError(
-            f"probe set has {len(rows)} rows > max_probes={max_probes}; "
+            f"probe set exceeds max_probes={max_probes}; "
             "probes are serving requests, not a corpus — raise the guard "
             "only if you mean it"
         )

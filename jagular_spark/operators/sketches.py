@@ -27,10 +27,43 @@ _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
 
 def _hash32(col: str) -> F.Column:
-    """The engine-portable 32-bit hash (same construction as
-    sampling.hash_bucket / the oracle's ``('0x' || substr(md5, 1, 8))``)."""
-    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10).cast(
-        "long"
+    """The engine-portable 32-bit hash — sampling.hash_bucket VERBATIM
+    (delegated since r17: one md5/conv recipe, one definition; the
+    oracle's ``('0x' || substr(md5, 1, 8))::BIGINT`` twin)."""
+    from jagular_spark.operators.sampling import hash_bucket
+
+    return hash_bucket(col)
+
+
+def _hll_register_rank_rows(
+    df: DataFrame, item_col: str, group_cols: list[str], m: int
+) -> DataFrame:
+    """Pre-aggregate HLL rows ``(*group_cols, register, rank)`` — the
+    single construction both :func:`hll_register_ranks` and
+    :func:`hll_distinct_with_exact` aggregate (r17: previously
+    duplicated verbatim; a rank-formula fix applied to one copy would
+    silently diverge the auditable estimator from its twin)."""
+    import math
+
+    b = 32 - int(math.log2(m))
+    return (
+        df.select(*group_cols, _hash32(item_col).alias("__h__"))
+        .withColumn("__w__", F.expr(f"CAST(__h__ DIV {m} AS BIGINT)"))
+        .withColumn("register", F.pmod(F.col("__h__"), F.lit(m)).cast("long"))
+        .withColumn(
+            "rank",
+            F.when(F.col("__w__") == 0, F.lit(b + 1))
+            .otherwise(F.lit(b) - F.length(F.bin(F.col("__w__"))) + F.lit(1))
+            .cast("long"),
+        )
+    )
+
+
+def _hll_est_col(m: int) -> F.Column:
+    """The raw-HLL estimate ``α·m²/S`` over the aggregated ``__s__`` /
+    ``n_registers`` columns — shared by both estimator entry points."""
+    return F.lit(_ALPHA[m] * m * m) / (
+        F.col("__s__") + (F.lit(m) - F.col("n_registers")).cast("double")
     )
 
 
@@ -51,19 +84,8 @@ def hll_register_ranks(
     Precondition: ``item_col`` must be non-null — a NULL item hashes to
     a NULL register row, which would distort ``n_registers`` in the
     estimate. Filter or coalesce NULLs before sketching."""
-    import math
-
-    b = 32 - int(math.log2(m))
     return (
-        df.select(*group_cols, _hash32(item_col).alias("__h__"))
-        .withColumn("__w__", F.expr(f"CAST(__h__ DIV {m} AS BIGINT)"))
-        .withColumn("register", F.pmod(F.col("__h__"), F.lit(m)).cast("long"))
-        .withColumn(
-            "rank",
-            F.when(F.col("__w__") == 0, F.lit(b + 1))
-            .otherwise(F.lit(b) - F.length(F.bin(F.col("__w__"))) + F.lit(1))
-            .cast("long"),
-        )
+        _hll_register_rank_rows(df, item_col, group_cols, m)
         .groupBy(*group_cols, "register")
         .agg(F.max("rank").cast("long").alias("max_rank"))
     )
@@ -92,11 +114,7 @@ def hll_distinct(
     return (
         regs.groupBy(*group_cols)
         .agg(s_present.alias("__s__"), n_present.alias("n_registers"))
-        .withColumn(
-            "est_distinct",
-            F.lit(_ALPHA[m] * m * m)
-            / (F.col("__s__") + (F.lit(m) - F.col("n_registers")).cast("double")),
-        )
+        .withColumn("est_distinct", _hll_est_col(m))
         .drop("__s__")
     )
 
@@ -123,22 +141,11 @@ def hll_distinct_with_exact(
     join) computes the identical values at twice the scan cost — r15
     measured halving of ``docs_hll_vocab``'s honest work.
     ``(*group_cols, n_registers, est_distinct, exact_distinct)``."""
-    import math
-
     if m not in _ALPHA:
         raise ValueError(f"m must be one of {sorted(_ALPHA)}, got {m}")
-    b = 32 - int(math.log2(m))
     dt = df.select(*group_cols, item_col).distinct()
     regs = (
-        dt.select(*group_cols, _hash32(item_col).alias("__h__"))
-        .withColumn("__w__", F.expr(f"CAST(__h__ DIV {m} AS BIGINT)"))
-        .withColumn("register", F.pmod(F.col("__h__"), F.lit(m)).cast("long"))
-        .withColumn(
-            "rank",
-            F.when(F.col("__w__") == 0, F.lit(b + 1))
-            .otherwise(F.lit(b) - F.length(F.bin(F.col("__w__"))) + F.lit(1))
-            .cast("long"),
-        )
+        _hll_register_rank_rows(dt, item_col, group_cols, m)
         .groupBy(*group_cols, "register")
         .agg(
             F.max("rank").cast("long").alias("max_rank"),
@@ -153,12 +160,34 @@ def hll_distinct_with_exact(
             F.count(F.lit(1)).cast("long").alias("n_registers"),
             F.sum("__n_items__").cast("long").alias("exact_distinct"),
         )
-        .withColumn(
-            "est_distinct",
-            F.lit(_ALPHA[m] * m * m)
-            / (F.col("__s__") + (F.lit(m) - F.col("n_registers")).cast("double")),
-        )
+        .withColumn("est_distinct", _hll_est_col(m))
         .select(*group_cols, "n_registers", "est_distinct", "exact_distinct")
+    )
+
+
+def _cms_cells(item_col: str, d: int, w: int) -> F.Column:
+    """The d salted-md5 ``(row, cell)`` structs of one item — the ONE
+    CMS cell-hash construction (r17: previously copy-pasted between
+    cms_table and cms_estimate; a salt/width change applied to one
+    copy would silently mispair sketch and probe, the exact agreement
+    CMS correctness depends on)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"cms{j}:"), F.col(item_col))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(w),
+                ).alias("cell"),
+            )
+            for j in range(d)
+        ]
     )
 
 
@@ -176,22 +205,8 @@ def cms_table(
     every estimate replay identically on any engine. O(explode) + one
     combinable aggregate; the table is ≤ d·w rows per group regardless
     of corpus size."""
-    rows = [
-        F.struct(
-            F.lit(j).alias("row"),
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), F.col(item_col))), 1, 8),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(w),
-            ).alias("cell"),
-        )
-        for j in range(d)
-    ]
     return (
-        df.select(*group_cols, F.explode(F.array(*rows)).alias("rc"))
+        df.select(*group_cols, F.explode(_cms_cells(item_col, d, w)).alias("rc"))
         .select(*group_cols, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
         .groupBy(*group_cols, "row", "cell")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -207,42 +222,44 @@ def cms_estimate(
     w: int = 256,
 ) -> DataFrame:
     """Point-frequency estimates from a CMS table: re-derive each probe
-    item's d cells, LEFT-join the sketch (broadcast — it is ≤ d·w rows
-    per group; an unoccupied cell counts as 0, the standard CMS
-    estimator), take the MIN counter. Guaranteed ≥ the true count (all
-    collisions inflate) and every probe item gets a row — an item with
-    any empty cell estimates exactly 0 (it was certainly never
-    inserted). Appends ``cms_count``."""
-    probes = items.select(
-        *items.columns,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("row"),
-                        F.pmod(
-                            F.conv(
-                                F.substring(
-                                    F.md5(F.concat(F.lit(f"cms{j}:"), F.col(item_col))),
-                                    1,
-                                    8,
-                                ),
-                                16,
-                                10,
-                            ).cast("long"),
-                            F.lit(w),
-                        ).alias("cell"),
-                    )
-                    for j in range(d)
-                ]
-            )
-        ).alias("rc"),
-    ).select(
-        *items.columns, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell")
+    item's d cells (the shared :func:`_cms_cells` construction),
+    LEFT-join the sketch (broadcast — it is ≤ d·w rows per group; an
+    unoccupied cell counts as 0, the standard CMS estimator), take the
+    MIN counter. Guaranteed ≥ the true count (all collisions inflate)
+    and EVERY probe row gets a row — including duplicate probe rows,
+    which each keep their own output (r17: the old groupBy over the
+    probe columns collapsed duplicates and broke on probe columns
+    named row/cell/cnt or of non-groupable types; probes now carry a
+    unique row id through the join and the internal columns are
+    collision-proofed). An item with any empty cell estimates exactly
+    0 (it was certainly never inserted). Appends ``cms_count``."""
+    probes = (
+        items.withColumn("__rid__", F.monotonically_increasing_id())
+        .withColumn("__rc__", F.explode(_cms_cells(item_col, d, w)))
+        .withColumn("__row__", F.col("__rc__.row"))
+        .withColumn("__cell__", F.col("__rc__.cell"))
+        .drop("__rc__")
     )
-    joined = probes.join(F.broadcast(sketch), [*group_cols, "row", "cell"], "left")
-    return joined.groupBy(*items.columns).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count")
+    sk = sketch.select(
+        *[F.col(g).alias(f"__g{i}__") for i, g in enumerate(group_cols)],
+        F.col("row").alias("__srow__"),
+        F.col("cell").alias("__scell__"),
+        F.col("cnt").alias("__cnt__"),
+    )
+    cond = [probes[g] == sk[f"__g{i}__"] for i, g in enumerate(group_cols)] + [
+        probes["__row__"] == sk["__srow__"],
+        probes["__cell__"] == sk["__scell__"],
+    ]
+    joined = probes.join(F.broadcast(sk), cond, "left")
+    return (
+        joined.groupBy("__rid__")
+        .agg(
+            *[F.first(c).alias(c) for c in items.columns],
+            F.min(F.coalesce(F.col("__cnt__"), F.lit(0)))
+            .cast("long")
+            .alias("cms_count"),
+        )
+        .select(*items.columns, "cms_count")
     )
 
 

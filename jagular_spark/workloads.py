@@ -3915,11 +3915,25 @@ ROUND_TOUCHED: set[str] = {
     #   (docs_quality, both funnels, docs_bm25_search,
     #   docs_language_id, docs_domain_mixture, docs_dsir_scores/_topk,
     #   docs_stratified_sample, docs_rebalance_sample -> 10/10).
+    # - r17 sketches/ANN sweep (cms_estimate carries a unique probe
+    #   row id through the join — duplicate probes previously
+    #   collapsed and probe columns named row/cell/cnt collided; HLL
+    #   register/estimate and the CMS cell-hash constructions factored
+    #   into single shared helpers — byte-identical by construction;
+    #   ivf_probe_rows enforces max_probes with limit() BEFORE the
+    #   collect so the guard can actually prevent the driver OOM;
+    #   ngram_jaccard_pairs_lsh passes max_members through to the LSH
+    #   cap, default None unchanged; dead similarity._hash32 deleted):
+    #   all ten touched registry queries re-verified by hash same day
+    #   (docs_cms_heavyhitters, docs_hll_vocab, both prebuilt, the
+    #   lifecycle, emb_ann_recall, emb_mrl_recall, docs_minhash_lsh,
+    #   docs_ngram_jaccard_lsh, emb_knn_classify -> 10/10).
     # Queued for a budgeted round (result-changing NULL semantics, the
     # r16 n_sequences precedent class): language_id NULL text -> 'es',
     # NULL-key rows silently dropped by hash_bucket-based samplers and
-    # rebalance_sample's inner join, gopher_rules NULL flags. See
-    # memory + r17 SCALE.md note.
+    # rebalance_sample's inner join, gopher_rules NULL flags,
+    # knn_classify NULL-label votes, union-find NULL-id inconsistency.
+    # See memory null-semantics-backlog + r17 SCALE.md note.
     "emb_index_lifecycle",
 }
 

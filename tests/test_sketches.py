@@ -151,3 +151,46 @@ def test_hll_with_exact_matches_two_pass_formulation(spark):
         for r in est.join(exact, "g").collect()
     }
     assert one == two and len(one) == 3
+
+
+def test_cms_estimate_duplicate_probes_and_hostile_columns(spark):
+    """r17 contract fixes: duplicate probe rows each keep their own
+    output row (the old groupBy over the probe columns collapsed
+    them), and probe columns named 'row'/'cell'/'cnt' no longer
+    collide with the join internals."""
+    from jagular_spark.operators.sketches import cms_estimate, cms_table
+
+    data = spark.createDataFrame(
+        [("g", "a")] * 5 + [("g", "b")] * 2, "grp string, item string"
+    )
+    sketch = cms_table(data, "item", ["grp"])
+
+    probes = spark.createDataFrame(
+        [("g", "a", 1), ("g", "a", 1), ("g", "b", 2), ("g", "zzz", 3)],
+        "grp string, item string, row int",  # hostile col name + a dup row
+    )
+    out = cms_estimate(probes, sketch, "item", ["grp"]).collect()
+    assert len(out) == 4  # the duplicate probe row survives
+    by_item = {}
+    for r in out:
+        by_item.setdefault(r.item, []).append((r.row, r.cms_count))
+    assert sorted(by_item["a"]) == [(1, 5), (1, 5)]
+    assert by_item["b"] == [(2, 2)]
+    assert by_item["zzz"] == [(3, 0)]  # absent item -> exactly 0
+
+
+def test_ivf_probe_guard_limits_before_collect(spark):
+    """r17: the max_probes guard limits BEFORE collecting, so a
+    corpus-sized probe filter raises instead of OOMing the driver, and
+    legitimate probe sets are unaffected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jagular_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.ivf_fit_centroids(emb, 4, 2, fit_fraction=1.0)
+    probes = sim.ivf_probe_rows(emb, F.col("id") < 5, cents, nprobe=2)
+    assert len(probes) == 5
+    with pytest.raises(ValueError, match="max_probes"):
+        sim.ivf_probe_rows(emb, F.lit(True), cents, nprobe=2, max_probes=10)
