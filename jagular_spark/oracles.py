@@ -2627,7 +2627,7 @@ ORACLE_SQL["docs_training_shards"] = f"""
     )
     SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS n_tokens,
-           CAST((SUM(nt) - 1) // 2048 + 1 AS BIGINT) AS n_sequences,
+           CAST((SUM(nt) + 2047) // 2048 AS BIGINT) AS n_sequences,
            CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
                AS n_straddle
     FROM pd GROUP BY shard"""

@@ -2178,11 +2178,20 @@ def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holding the final token, not the last one a document STARTS in
     # (max(seq_id)+1 under-counted when a shard's last doc straddled
     # boundaries: one 5000-token doc is 1 start but 3 sequences; r15
-    # advice). seq_id still feeds the per-doc straddle flag.
+    # advice). seq_id still feeds the per-doc straddle flag. The ceil
+    # is written (Σnt + 2047) DIV 2048, not ((Σnt - 1) DIV 2048) + 1:
+    # the latter returns 1 for an (impossible today) zero-token shard
+    # (correct ceil: 0) and divides a NEGATIVE operand — DuckDB's
+    # integer // truncates like Spark's DIV (measured), but on a
+    # DECIMAL/DOUBLE operand // degenerates to PLAIN division
+    # (5.0 // 2 = 2.5 in v1.0.0), so any future type promotion in
+    # the oracle would silently split the engines (r16/r17 advice).
+    # Identical on all positive sums; pinned in
+    # tests/test_workload_extensions.py.
     return per_doc.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("nt").cast("long").alias("n_tokens"),
-        F.expr("CAST(((sum(nt) - 1) DIV 2048) + 1 AS BIGINT)").alias(
+        F.expr("CAST((sum(nt) + 2047) DIV 2048 AS BIGINT)").alias(
             "n_sequences"
         ),
         F.sum(F.col("straddles").cast("long")).cast("long").alias("n_straddle"),
@@ -2223,7 +2232,7 @@ def docs_training_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_doc.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("nt").cast("long").alias("n_tokens"),
-        F.expr("CAST(((sum(nt) - 1) DIV 2048) + 1 AS BIGINT)").alias(
+        F.expr("CAST((sum(nt) + 2047) DIV 2048 AS BIGINT)").alias(
             "n_sequences"
         ),
         F.sum(F.col("straddles").cast("long")).cast("long").alias("n_straddle"),

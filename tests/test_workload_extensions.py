@@ -151,3 +151,54 @@ def test_curation_funnel_parquet_staging_matches_checkpoint(spark, tmp_path):
     # the staged survivor set is independently re-readable — the
     # property executor churn needs
     assert spark.read.parquet(stage).count() >= len(base)
+
+
+def test_n_sequences_ceil_form_cross_engine(spark):
+    """The shard manifest's n_sequences is (sum(nt)+2047) DIV 2048,
+    not ((sum(nt)-1) DIV 2048)+1: on a zero-token shard the old form
+    returned 1 (wrong value — the correct ceil is 0) and divided a
+    NEGATIVE operand. Measured here: DuckDB's integer // truncates
+    toward zero exactly like Spark's DIV (-1 // 2048 = 0), so the
+    engines agreed on the wrong answer — but DuckDB v1.0.0's // on a
+    DECIMAL/DOUBLE operand degenerates to PLAIN division (5.0 // 2 =
+    2.5, measured below), so any type promotion in a future oracle
+    edit would silently turn the DuckDB side fractional while Spark
+    stayed integral (the r16/r17-advice latent divergence). The
+    ceil form has no negative operand and no zero special case. Pin:
+    the shipped form equals math.ceil on both engines for zero and
+    positive sums."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [("s0", 0), ("s1", 1), ("s2", 2048), ("s3", 2049), ("s4", 5000)]
+    df = spark.createDataFrame(rows, "shard string, nt long")
+    got = {
+        r["shard"]: r["n_sequences"]
+        for r in df.groupBy("shard")
+        .agg(
+            F.expr("CAST((sum(nt) + 2047) DIV 2048 AS BIGINT)").alias(
+                "n_sequences"
+            )
+        )
+        .collect()
+    }
+    want = {s: math.ceil(nt / 2048) for s, nt in rows}
+    assert got == want
+
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            "SELECT shard, CAST((SUM(nt) + 2047) // 2048 AS BIGINT) "
+            "FROM (VALUES " + ", ".join(f"('{s}', {nt})" for s, nt in rows) +
+            ") AS t(shard, nt) GROUP BY shard"
+        ).fetchall()
+    )
+    assert duck == want
+    # the OLD form's zero-shard value bug (1, should be 0) on both
+    # engines, and the promotion hazard that would split them:
+    old_spark = spark.sql("SELECT ((0 - 1) DIV 2048) + 1").collect()[0][0]
+    old_duck = con.execute("SELECT (0 - 1) // 2048 + 1").fetchone()[0]
+    assert (old_spark, old_duck) == (1, 1)  # agree, but wrong vs ceil=0
+    assert con.execute("SELECT 5.0 // 2").fetchone()[0] == 2.5  # not int div
