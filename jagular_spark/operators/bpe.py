@@ -303,12 +303,17 @@ def bpe_encode_corpus_words(
     independent (pinned vs the chain in tests/test_bpe.py). "auto" is
     opt-in rather than the default precisely because of its two
     costs: the eager sizing job, and the counted map staying
-    PERSISTED with a function-local handle (the join reads the cached
-    copy; re-deriving it would double the map build) — right for
-    build-once/serve-many, a storage leak for a long-lived process
-    calling per batch. Such call sites should build the map once via
-    :func:`bpe_word_encodings`, pass it as ``enc_map`` with an
-    explicit True/False, and own the cache lifetime themselves.
+    PERSISTED (the join reads the cached copy; re-deriving it would
+    double the map build) — right for build-once/serve-many, a
+    storage accumulation for a long-lived process calling per batch.
+    The persisted handle is therefore EXPOSED: under "auto" the
+    returned DataFrame carries a ``persisted_enc_map`` attribute (the
+    cached map DataFrame) so the caller can ``.unpersist()`` it after
+    the consuming action — there is no orphan cache with no release
+    handle (r17 advice). Per-batch call sites should still prefer
+    building the map once via :func:`bpe_word_encodings`, passing it
+    as ``enc_map`` with an explicit True/False, and owning the cache
+    lifetime themselves.
 
     Pass ``enc_map`` (``(word, enc)`` rows, e.g. a persisted map from
     an earlier run or the word-frequency aggregate already in hand)
@@ -327,11 +332,16 @@ def bpe_encode_corpus_words(
             df.select(F.explode(bpe_words_col(text_col)).alias("word")).distinct(),
             merges,
         )
+    persisted = None
     if broadcast_map == "auto":
-        enc_map = enc_map.persist()
+        persisted = enc_map = enc_map.persist()
         broadcast_map = enc_map.count() <= max_broadcast_words
     enc_map = F.broadcast(enc_map) if broadcast_map else enc_map.hint("shuffle_hash")
-    return words.join(enc_map, "word").select(id_col, "word", "enc")
+    out = words.join(enc_map, "word").select(id_col, "word", "enc")
+    if persisted is not None:
+        # release handle for the auto-sizing cache (see docstring)
+        out.persisted_enc_map = persisted
+    return out
 
 
 def _merge_rank_rows(spark, merges: list[tuple[str, str]]) -> DataFrame:

@@ -207,6 +207,7 @@ def vocab_top_df(
 
 def domain_mixture(
     df: DataFrame,
+    *,
     text_col: str = "text",
     domain_cols: tuple[str, ...] = ("lang", "source"),
 ) -> DataFrame:
@@ -217,7 +218,13 @@ def domain_mixture(
     ``(domains…, n_docs, n_tokens, token_share)``. ``n_docs`` is a
     plain row count — rows, not distinct ids, which is why this takes
     no id column (the r17 review found the old ``id_col`` parameter
-    unused and implying a dedup that never happened)."""
+    unused and implying a dedup that never happened). Parameters are
+    keyword-only because dropping that middle positional changed the
+    positional meaning: a stale external ``domain_mixture(df,
+    "doc_id", "text")`` call would silently bind text_col="doc_id"
+    and iterate domain_cols="text" character-by-character, failing
+    only at analysis time with a confusing error — now it is an
+    immediate TypeError (r17 advice)."""
     n_tok = F.expr(f"CAST(size(split(trim({text_col}), '\\\\s+')) AS BIGINT)")
     per = df.select(*[F.col(c) for c in domain_cols], n_tok.alias("nt")).groupBy(
         *domain_cols

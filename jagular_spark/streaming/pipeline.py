@@ -108,16 +108,17 @@ def stream_censor(
     in_cols = [*keys, ts_col] + ([event_time_col] if event_time_col else [])
     fields = dict(crossings.select(*in_cols).dtypes)
     out_schema = ", ".join(f"{k} {fields[k]}" for k in keys) + f", {ts_col} {fields[ts_col]}"
-    # Arrow hands pandas kernels SESSION-LOCAL tz-naive timestamps while
-    # GroupState.getCurrentWatermarkMs is UTC epoch ms — capture the
-    # session zone at build time and localize before comparing (r17: a
-    # naive astype-to-epoch shifted the lateness cutoff by the UTC
-    # offset under any non-UTC session timezone)
-    session_tz = (
-        crossings.sparkSession.conf.get("spark.sql.session.timeZone")
-        if event_time_col is not None
-        else None
-    )
+    # GroupState.getCurrentWatermarkMs is UTC epoch ms, but Arrow hands
+    # pandas kernels SESSION-LOCAL tz-naive timestamps, so the event
+    # time is converted to epoch ms IN THE PLAN (unix_millis) rather
+    # than in the kernel: plan expressions resolve the session zone at
+    # execution time, so a timezone change between graph build and
+    # query start — or a different zone on checkpoint restart — cannot
+    # shift the lateness cutoff (r17 advice; the previous kernel-side
+    # localize captured the zone at build time). The derived column
+    # rides NEXT TO event_time_col (which stays projected, keeping the
+    # stream's watermark tag) and never reaches the output schema.
+    et_ms_col = "__jag_et_ms__"
 
     def kernel(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -127,11 +128,7 @@ def stream_censor(
         if event_time_col is not None:
             wm_ms = state.getCurrentWatermarkMs()
             if wm_ms > 0:
-                et = pd.DatetimeIndex(pdf[event_time_col])
-                if et.tz is None:
-                    et = et.tz_localize(session_tz)
-                et_ms = et.tz_convert("UTC").asi8 // 1_000_000
-                pdf = pdf[et_ms >= wm_ms]
+                pdf = pdf[pdf[et_ms_col].to_numpy() >= wm_ms]
         keep = []
         for i, t in enumerate(pdf[ts_col].to_numpy()):
             if last_kept is None or t - last_kept > width:
@@ -142,8 +139,13 @@ def stream_censor(
         out = pdf.iloc[keep][[c for c in pdf.columns if c in set(keys) | {ts_col}]]
         yield out
 
+    selected = crossings.select(*in_cols)
+    if event_time_col is not None:
+        selected = selected.withColumn(
+            et_ms_col, F.unix_millis(F.col(event_time_col).cast("timestamp"))
+        )
     return (
-        crossings.select(*in_cols)
+        selected
         .groupBy(*keys)
         .applyInPandasWithState(kernel, out_schema, "last_kept long", "append", "NoTimeout")
     )

@@ -352,3 +352,31 @@ def test_encode_corpus_words_join_strategy_exactness(spark):
         assert got == ref, kwargs
     with pytest.raises(ValueError, match="broadcast_map"):
         bpe_encode_corpus_words(docs, merges, broadcast_map="yes")
+
+
+def test_encode_corpus_words_auto_exposes_persist_handle(spark):
+    """broadcast_map="auto" persists the sizing copy of the encoding
+    map; the returned DataFrame must carry the cached map as
+    .persisted_enc_map so a long-lived caller can release it after
+    the consuming action (r17 advice: the old function-local handle
+    made the cache unreleasable). Non-auto paths persist nothing and
+    expose no handle."""
+    from pyspark import StorageLevel
+
+    from jagular_spark.operators.bpe import bpe_encode_corpus_words
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = bpe_fit(docs, n_merges=4, fit_rows=64)
+    out = bpe_encode_corpus_words(docs, merges, broadcast_map="auto")
+    handle = out.persisted_enc_map
+    assert handle.storageLevel != StorageLevel.NONE
+    assert out.count() > 0  # consuming action reads the cached map
+    handle.unpersist()
+    assert handle.storageLevel == StorageLevel.NONE
+    for kwargs in ({"broadcast_map": True}, {"broadcast_map": False}):
+        assert not hasattr(
+            bpe_encode_corpus_words(docs, merges, **kwargs),
+            "persisted_enc_map",
+        )

@@ -1307,3 +1307,51 @@ def test_streaming_package_exports_every_pipeline_operator(spark):
     }
     missing = {n for n in ops if not hasattr(pkg, n)}
     assert not missing, missing
+
+
+def test_censor_watermark_drop_independent_of_session_timezone(spark, tmp_path):
+    """The r18 fix for the r17-advice bind-time timezone capture:
+    stream_censor's lateness cutoff is computed by unix_millis IN THE
+    PLAN, so changing spark.sql.session.timeZone between sessions (or
+    a checkpoint restart under a different zone) cannot shift it. Run
+    the canonical 3-batch watermark scenario under a -06:00 session
+    zone and require the identical kept set {100, 140, 180} — under
+    the old kernel-side localize, a zone captured at build time that
+    no longer matched Arrow's session-local naive timestamps shifted
+    every event time by the zone delta, flipping drop decisions."""
+    from jagular_spark.streaming import stream_censor
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+    try:
+        def rows(pairs):
+            return spark.createDataFrame(
+                [(ch, int(t), _mins(m)) for ch, t, m in pairs],
+                "channel_id int, ts long, event_time timestamp",
+            )
+
+        def build(stream):
+            wm = stream.withWatermark("event_time", "10 minutes")
+            return stream_censor(
+                wm,
+                width=30,
+                ts_col="ts",
+                partition_cols=("channel_id",),
+                event_time_col="event_time",
+            )
+
+        out = _multi_batch_run(
+            spark,
+            tmp_path,
+            "censor_tz",
+            build,
+            [
+                rows([(0, 100, 0), (99, 1, 60)]),
+                rows([(0, 90, 55), (0, 140, 55), (99, 2, 120)]),
+                rows([(0, 5000, 20), (0, 180, 115)]),
+            ],
+        )
+        kept = sorted(r.ts for r in out.where("channel_id = 0").collect())
+        assert kept == [100, 140, 180], kept
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

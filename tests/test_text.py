@@ -587,3 +587,25 @@ def test_bm25_handles_quoted_terms_and_ln_common_terms(spark):
     # and the surrogate mode's result set is unchanged by the new filter
     surro = bm25_topk(df, ["the"], k=3).collect()
     assert sorted(r.doc_id for r in surro) == [1, 2, 3]
+
+
+def test_domain_mixture_params_keyword_only():
+    """domain_mixture dropped its unused middle positional (id_col) in
+    r17; keyword-only params make a stale positional call site fail
+    immediately with TypeError instead of silently re-meaning
+    arguments (text_col='doc_id', domain_cols='text' iterating as
+    characters) and erroring confusingly at analysis time."""
+    import inspect
+
+    import pytest
+
+    from jagular_spark.operators.text import domain_mixture
+
+    sig = inspect.signature(domain_mixture)
+    assert all(
+        p.kind is inspect.Parameter.KEYWORD_ONLY
+        for n, p in sig.parameters.items()
+        if n != "df"
+    )
+    with pytest.raises(TypeError):
+        domain_mixture(None, "doc_id", "text")
