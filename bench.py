@@ -407,14 +407,14 @@ def main() -> None:
     # earlier-round detail file on the common query set, so "is the
     # total up because of noise, new queries, or a real mover?" is
     # answered by the artifact itself instead of a by-hand diff.
-    drift = _drift_vs_previous(repo, round_n, timings, sf)
+    drift = _drift_vs_previous(repo, round_n, timings, sf, env)
     if drift:
         print(
             f"# drift vs {drift['reference_file']}: common set "
             f"{drift['common_total_prev_s']} -> {drift['common_total_now_s']} s "
             f"(x{drift['common_ratio']}); top deltas: "
             + ", ".join(
-                f"{d['query']} {d['prev_s']}->{d['now_s']}"
+                f"{d['query']} {d['prev_s']}->{d['now_s']} [{d['verdict']}]"
                 for d in drift["top_deltas"]
             ),
             file=sys.stderr,
@@ -499,8 +499,44 @@ def _prev_timings(
     return None, None
 
 
+def _rerun_verdict(e: dict | None, best: float) -> dict:
+    """Classify one drift row from the rerun evidence the pass ALREADY
+    recorded (r17 verdict task #3: three rounds of driver-vs-builder
+    window splits were re-litigated by hand because a drift row showed
+    only prev->now; the run1/run2 split answers 'cold tail or
+    genuinely slow?' at a glance). Verdicts:
+
+    - single_run: the query never tripped a rerun — its reported time
+      is one measurement, indistinguishable from noise by itself
+    - cold_tail: reruns recovered a materially faster time (run1 at
+      least 1.5x AND 0.5 s above best — the _cold_block bounds): the
+      slowness was first-execution/position, not the plan
+    - steal_hit: the reruns stayed slow but carried >50 hypervisor
+      steal ticks — the measurement hit the host, not the code
+    - run2_stable: rerun within 15% of run1 with low steal — the query
+      really runs at this speed in this window (chase the plan)
+    """
+    if not isinstance(e, dict) or "run1_s" not in e:
+        return {"verdict": "single_run"}
+    out = {k: e[k] for k in sorted(e) if k.startswith("run")}
+    run1 = e["run1_s"]
+    if run1 > 1.5 * best and run1 - best >= 0.5:
+        out["verdict"] = "cold_tail"
+    elif max(e.get("run2_steal_ticks", 0), e.get("run3_steal_ticks", 0)) > 50:
+        out["verdict"] = "steal_hit"
+    elif best >= 0.85 * run1:
+        out["verdict"] = "run2_stable"
+    else:
+        out["verdict"] = "rerun_minor_recovery"
+    return out
+
+
 def _drift_vs_previous(
-    repo: str, round_n: int, timings: dict[str, float | None], sf: float = -1.0
+    repo: str,
+    round_n: int,
+    timings: dict[str, float | None],
+    sf: float = -1.0,
+    env: dict | None = None,
 ) -> dict | None:
     """Common-query-set comparison against the newest EARLIER-round
     detail file (r12 verdict task #5: bench totals drifted 1.05–1.19x
@@ -527,13 +563,16 @@ def _drift_vs_previous(
         "common_total_prev_s": round(prev_total, 2),
         "common_ratio": round(now_total / max(prev_total, 1e-9), 3),
         # the 5 largest absolute increases — the movers a human would
-        # chase first when the ratio looks wrong
+        # chase first when the ratio looks wrong — each carrying the
+        # rerun evidence + verdict (cold_tail / steal_hit /
+        # run2_stable / single_run) so the row is self-attributing
         "top_deltas": [
             {
                 "query": q,
                 "prev_s": round(prev[q], 3),
                 "now_s": round(timings[q], 3),
                 "ratio": round(timings[q] / max(prev[q], 1e-9), 2),
+                **_rerun_verdict((env or {}).get(q), timings[q]),
             }
             for q in deltas
         ],

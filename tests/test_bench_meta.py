@@ -177,3 +177,52 @@ def test_prev_timings_loader_and_drift_rerun_threshold(tmp_path):
     assert not drifted("a", 1.5)    # inside 1.5x + floor
     assert not drifted("b", 50.0)   # prior errored -> no threshold
     assert not drifted("c", 50.0)   # no prior at all
+
+
+def test_rerun_verdict_classification():
+    """r17 verdict task #3: each drift top-delta row carries the rerun
+    evidence + a verdict so 'cold tail or genuinely slow?' is answered
+    by the artifact instead of re-litigated per round."""
+    bench = _load_bench()
+    v = bench._rerun_verdict
+
+    # no rerun record -> single measurement, nothing to attribute
+    assert v(None, 3.0) == {"verdict": "single_run"}
+    assert v({}, 3.0) == {"verdict": "single_run"}
+    # reruns recovered a material cold start (both _cold_block bounds)
+    assert (
+        v({"run1_s": 5.0, "run2_s": 2.0, "run2_steal_ticks": 3}, 2.0)["verdict"]
+        == "cold_tail"
+    )
+    # reruns stayed slow but the measurement hit hypervisor steal
+    assert (
+        v({"run1_s": 5.0, "run2_s": 4.9, "run2_steal_ticks": 400}, 4.9)[
+            "verdict"
+        ]
+        == "steal_hit"
+    )
+    # rerun within 15% of run1, low steal: genuinely slow in this window
+    r = v({"run1_s": 5.0, "run2_s": 4.8, "run2_steal_ticks": 3}, 4.8)
+    assert r["verdict"] == "run2_stable"
+    assert r["run1_s"] == 5.0 and r["run2_s"] == 4.8  # evidence rides along
+    # partial recovery below the cold bounds
+    assert (
+        v({"run1_s": 2.0, "run2_s": 1.6, "run2_steal_ticks": 3}, 1.6)["verdict"]
+        == "rerun_minor_recovery"
+    )
+
+
+def test_drift_top_deltas_carry_rerun_verdict(tmp_path):
+    import json
+
+    bench = _load_bench()
+    (tmp_path / "BENCH_r11_local.json").write_text(
+        json.dumps({"queries": {"a": 1.0, "b": 2.0}})
+    )
+    env = {"b": {"run1_s": 4.1, "run2_s": 4.0, "run2_steal_ticks": 2}}
+    d = bench._drift_vs_previous(
+        str(tmp_path), 13, {"a": 1.0, "b": 4.0}, env=env
+    )
+    rows = {r["query"]: r for r in d["top_deltas"]}
+    assert rows["b"]["verdict"] == "run2_stable"
+    assert rows["a"]["verdict"] == "single_run"
