@@ -407,6 +407,35 @@ def _similarity_oracles() -> dict[str, str]:
 
 
 
+def _curation_ratio() -> dict[str, str]:
+    """Per-language stopword-ratio expressions shared by the curation
+    oracles (batch funnel and streamed twin) — one construction."""
+    return {
+        lang: (
+            f"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"t -> t IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS DOUBLE)"
+            f" / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+        )
+        for lang, words in txt.LANG_STOPWORDS.items()
+    }
+
+
+_CURATION_QUALITY = (
+    "0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    " / nullif(CAST(length(text) AS DOUBLE), 0.0))"
+    " + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+    " t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
+    " / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))"
+    " + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    " / nullif(CAST(length(text) AS DOUBLE), 0.0))"
+)
+
+_CURATION_CASE_LANG = """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END"""
+
+
 def _funnel_oracle(
     prefix_ctes: str = "",
     corpus: str = "documents",
@@ -429,27 +458,9 @@ def _funnel_oracle(
         f"SELECT doc_id AS id, {b} AS band, m{2*b} * 2147483648 + m{2*b+1} AS key FROM sig"
         for b in range(sim.LSH_BANDS)
     )
-    ratio = {
-        lang: (
-            f"CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), "
-            f"t -> t IN ({', '.join(chr(39) + w + chr(39) for w in words)}))) AS DOUBLE)"
-            f" / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
-        )
-        for lang, words in txt.LANG_STOPWORDS.items()
-    }
-    quality = (
-        "0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
-        " / nullif(CAST(length(text) AS DOUBLE), 0.0))"
-        " + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
-        " t -> t IN ('the','a','of','and','to'))) AS DOUBLE)"
-        " / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE))"
-        " + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
-        " / nullif(CAST(length(text) AS DOUBLE), 0.0))"
-    )
-    case_lang = """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
-                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-                    WHEN s_de >= s_es THEN 'de'
-                    ELSE 'es' END"""
+    ratio = _curation_ratio()
+    quality = _CURATION_QUALITY
+    case_lang = _CURATION_CASE_LANG
     return f"""
         WITH RECURSIVE {prefix_ctes}scored AS (
             SELECT doc_id, text, {quality} AS quality_score,
@@ -1130,6 +1141,34 @@ ORACLE_SQL["docs_curation_funnel_v2"] = _funnel_oracle(
     corpus="base0",
     final_cols="doc_id, text AS clean_text, quality_score",
 )
+
+
+def _stream_curation_oracle() -> str:
+    """The streamed funnel's replay (r18): score → quality/language
+    filter → DISTINCT content hash (exact dedup — quality_score is a
+    pure function of the text, so DISTINCT over (hash, score) is the
+    whichever-arrival-wins streaming dedup's deterministic image) →
+    md5 hash-sample keyed on the content hash. No near-dup stage (the
+    streamed operator deliberately omits it — a connected component is
+    a global property of the pair graph)."""
+    ratio = _curation_ratio()
+    return f"""
+    WITH scored AS (
+        SELECT text, {_CURATION_QUALITY} AS quality_score,
+               {ratio['en']} AS s_en, {ratio['fr']} AS s_fr,
+               {ratio['de']} AS s_de, {ratio['es']} AS s_es
+        FROM documents
+    ), f1 AS (
+        SELECT text, quality_score FROM scored
+        WHERE quality_score >= 0.6 AND {_CURATION_CASE_LANG} = 'en'
+    ), d AS (
+        SELECT DISTINCT md5(text) AS content_hash, quality_score FROM f1
+    )
+    SELECT content_hash, quality_score FROM d
+    WHERE ('0x' || substr(md5(content_hash), 1, 8))::BIGINT < {1 << 31}"""
+
+
+ORACLE_SQL["docs_curation_streamed"] = _stream_curation_oracle()
 
 # As-of join: the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
 # independent implementation of the same semantics, cross-validating
@@ -2518,16 +2557,25 @@ ORACLE_SQL["docs_token_budget_sample_streamed"] = ORACLE_SQL[
 # integer-Lloyd-in-SQL precedent (_ivf_fit_prefix) on strings. The
 # paren symbol representation '(h)(e)(l)(l)(o)(#)' makes replace
 # merge application unambiguous on both engines (see operators/bpe.py).
-def _bpe_oracle(n_merges: int, fit_rows: int) -> str:
-    sym = (
-        "'(' || array_to_string(list_transform(generate_series(1, length(w)),"
-        " i -> w[i]), ')(') || ')(#)'"
-    )
-    words = (
-        "SELECT lower(t) AS w FROM {src}, "
-        "UNNEST(list_filter(string_split_regex(trim(text), '\\s+'), "
-        "t -> regexp_matches(t, '^[A-Za-z]+$'))) AS u(t)"
-    )
+# shared vocabulary convention of the BPE oracles: symbolized word and
+# the (doc-optional) word extraction — one definition, both oracles
+_BPE_SYM = (
+    "'(' || array_to_string(list_transform(generate_series(1, length(w)),"
+    " i -> w[i]), ')(') || ')(#)'"
+)
+_BPE_WORDS = (
+    "SELECT {cols}lower(t) AS w FROM {src}, "
+    "UNNEST(list_filter(string_split_regex(trim(text), '\\s+'), "
+    "t -> regexp_matches(t, '^[A-Za-z]+$'))) AS u(t)"
+)
+
+
+def _bpe_rounds(n_merges: int, e_cols: str = "") -> str:
+    """The unrolled per-merge CTE rounds both BPE oracles share: pair
+    count over the FIT sample (p), argmax merge (m), fit-side replace
+    (w) and corpus-side replace (e). ``e_cols`` prepends carried
+    columns (e.g. ``"doc_id, "``) to the corpus chain — empty yields
+    the docs_bpe_vocab text byte-identically."""
     rounds = []
     for r in range(n_merges):
         rounds.append(f"""
@@ -2544,9 +2592,15 @@ def _bpe_oracle(n_merges: int, fit_rows: int) -> str:
         SELECT replace(sym, (SELECT pr FROM m{r}), (SELECT mg FROM m{r})) AS sym
         FROM w{r}
     ), e{r + 1} AS MATERIALIZED (
-        SELECT replace(sym, (SELECT pr FROM m{r}), (SELECT mg FROM m{r})) AS sym
+        SELECT {e_cols}replace(sym, (SELECT pr FROM m{r}), (SELECT mg FROM m{r})) AS sym
         FROM e{r}
     )""")
+    return "".join(rounds)
+
+
+def _bpe_oracle(n_merges: int, fit_rows: int) -> str:
+    sym = _BPE_SYM
+    words = _BPE_WORDS.replace("{cols}", "")
     mt = " UNION ALL ".join(
         f"SELECT CAST({r + 1} AS BIGINT) AS rank, "
         f"(SELECT substr(mg, 2, length(mg) - 2) FROM m{r}) AS token"
@@ -2562,7 +2616,7 @@ def _bpe_oracle(n_merges: int, fit_rows: int) -> str:
         SELECT {sym} AS sym FROM ({words.format(src='fitdocs')})
     ), e0 AS MATERIALIZED (
         SELECT {sym} AS sym FROM ({words.format(src='documents')})
-    ){''.join(rounds)}
+    ){_bpe_rounds(n_merges)}
     , fin AS (
         SELECT UNNEST(regexp_extract_all(sym, '\\(([^)]*)\\)', 1)) AS token
         FROM e{n_merges}
@@ -2583,6 +2637,40 @@ def _bpe_oracle(n_merges: int, fit_rows: int) -> str:
 
 
 ORACLE_SQL["docs_bpe_vocab"] = _bpe_oracle(_BPE_MERGES, _BPE_FIT_ROWS)
+
+
+def _bpe_corpus_encode_oracle(n_merges: int, fit_rows: int) -> str:
+    """Replay of the corpus-encode serving path: same independently
+    re-derived fit (the shared unrolled rounds), but the corpus chain
+    carries doc_id per word OCCURRENCE and the final select rolls the
+    encodings up to the per-document manifest — n_words occurrences,
+    n_tokens total BPE symbols. The engine encodes each DISTINCT word
+    once (rank encoder) and joins; the oracle encodes every occurrence
+    through the literal replace chain — the hash match certifies the
+    rank-vs-chain equivalence AND the map join drops/duplicates no
+    occurrence."""
+    sym = _BPE_SYM
+    words = _BPE_WORDS.replace("{cols}", "doc_id, ")
+    return f"""
+    WITH fitdocs AS (
+        SELECT doc_id, text FROM documents
+        ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                 doc_id
+        LIMIT {fit_rows}
+    ), w0 AS MATERIALIZED (
+        SELECT {sym} AS sym FROM ({_BPE_WORDS.replace("{cols}", "").format(src='fitdocs')})
+    ), e0 AS MATERIALIZED (
+        SELECT doc_id, {sym} AS sym FROM ({words.format(src='documents')})
+    ){_bpe_rounds(n_merges, e_cols="doc_id, ")}
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(sym, '\\(([^)]*)\\)', 1))) AS BIGINT)
+               AS n_tokens
+    FROM e{n_merges} GROUP BY doc_id"""
+
+
+ORACLE_SQL["docs_bpe_corpus_encode"] = _bpe_corpus_encode_oracle(
+    _BPE_MERGES, _BPE_FIT_ROWS
+)
 
 # Terminal "write the training shards" composition: token-budget
 # mixture (HUGEINT threshold fit + md5 membership, as above) → the

@@ -275,6 +275,7 @@ def stream_curation(
     quality_floor: float = 0.6,
     lang: str = "en",
     sample_fraction: float = 0.5,
+    content_keyed: bool = False,
 ) -> DataFrame:
     """The curation funnel, incremental (batch twin:
     workloads.docs_curation_funnel minus its near-dup stage): quality
@@ -291,6 +292,17 @@ def stream_curation(
     under append semantics — at scale it runs as a periodic batch
     compaction over the streamed survivor table, which is exactly how
     the batch operator composes here.
+
+    ``content_keyed=True`` emits ``(content_hash, quality_score)`` with
+    the hash-sample keyed on the content hash instead of ``doc_id``:
+    every emitted column is then a pure function of the TEXT, so the
+    output is identical whichever duplicate-text arrival the streaming
+    dedup happens to keep first — the deterministic form an exact-SQL
+    oracle can certify (r18; ``dropDuplicatesWithinWatermark`` keeps
+    first ARRIVAL, and arrival order within a micro-batch is not
+    deterministic, so doc_id-keyed output is only reproducible on a
+    duplicate-free corpus). Default False keeps the per-document
+    (doc_id, quality_score) shape.
     """
     from jagular_spark.operators.sampling import hash_bucket
     from jagular_spark.operators.text import language_id, quality_score_col
@@ -308,6 +320,10 @@ def stream_curation(
         .dropDuplicatesWithinWatermark(["__h__"])
     )
     thr = int(sample_fraction * (1 << 32))
+    if content_keyed:
+        return s2.where(hash_bucket("__h__") < F.lit(thr)).select(
+            F.col("__h__").alias("content_hash"), "quality_score"
+        )
     return s2.where(hash_bucket("doc_id") < F.lit(thr)).select(
         "doc_id", "quality_score"
     )

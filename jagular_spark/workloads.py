@@ -2128,6 +2128,40 @@ def docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_vocab_audit_distinct(docs, merges)
 
 
+def docs_bpe_corpus_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE CORPUS-ENCODE serving path under the driver's eye (r17
+    verdict #4: the r17 join-strategy knob was plan-pinned and
+    property-tested but no registry query actually ran
+    bpe_encode_corpus_words): fit the frozen 16-merge vocabulary on
+    the absolute 256-doc md5 hash-sample (same fit as docs_bpe_vocab),
+    encode every word occurrence through the DISTINCT-WORD map join —
+    one corpus scan, the map built by a pandas rank-encode over the
+    Zipf-small distinct-word aggregate, corpus side never runs Python
+    — then roll the per-occurrence encodings up to the per-document
+    tokenization manifest a shard writer consumes: ``(doc_id,
+    n_words, n_tokens)`` where n_tokens counts the BPE symbols each
+    word's encoding carries. The rollup keeps the driver compare
+    bounded (one row per doc) while the join itself runs at
+    per-occurrence width. The DuckDB oracle re-derives the merges
+    independently (the unrolled-CTE fit) and replays the encode as
+    the per-occurrence literal replace chain, so the hash match
+    certifies fit + rank-encoder + map-join + rollup end-to-end —
+    the rank-vs-chain equivalence the unit pins assert, now
+    driver-verified (operators/bpe.py)."""
+    from jagular_spark.operators.bpe import bpe_encode_corpus_words, bpe_fit
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_fit(docs, n_merges=_BPE_MERGES, fit_rows=_BPE_FIT_ROWS)
+    enc = bpe_encode_corpus_words(docs, merges)
+    n_sym = F.size(
+        F.regexp_extract_all("enc", F.lit(r"\(([^)]*)\)"), F.lit(1))
+    ).cast("long")
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(n_sym).cast("long").alias("n_tokens"),
+    )
+
+
 def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's TERMINAL shape end-to-end — "write the training
     shards" (r14 verdict optional task #7), composing three verified
@@ -2284,6 +2318,47 @@ def docs_token_budget_sample_streamed(spark: SparkSession, sf_dir: str) -> DataF
         stream_token_budget_sample(stream, thresholds), "tbs_stream"
     )
     return spark.table(tbl).select("doc_id", "source", "n_tokens")
+
+
+def docs_curation_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING curation funnel (r17 verdict #6: the r17
+    dropDuplicatesWithinWatermark rework lived only in unit-tested
+    operators — this puts the bounded-state dedup composition under
+    the driver's eye): quality scoring + language ID as stateless
+    row-local expressions, exact content dedup through Structured
+    Streaming's native ``dropDuplicatesWithinWatermark`` on the md5
+    content hash (state is O(in-flight hashes) and EVICTED past the
+    watermark — the r17 fix; the pre-r17 ``dropDuplicates`` kept one
+    state row per distinct hash forever), then the deterministic
+    md5 hash-sample. Emitted CONTENT-KEYED — ``(content_hash,
+    quality_score)``, every column a pure function of the text — so
+    the result is identical whichever duplicate-text arrival the
+    dedup keeps first (arrival order within a micro-batch is not
+    deterministic; doc_id-keyed output would only be reproducible on
+    a duplicate-free corpus). Event time is synthesized from doc_id
+    (timestamp_millis) — any per-doc timestamp serves; an
+    availableNow drain is never late against its own watermark. The
+    near-dup stage is deliberately absent (a connected component is a
+    global property of the pair graph — at scale it runs as periodic
+    batch compaction over this streamed survivor table); the DuckDB
+    oracle replays score → filter → distinct-text → hash-sample
+    exactly (streaming/pipeline.stream_curation)."""
+    from jagular_spark.streaming.pipeline import stream_curation
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("event_time", F.timestamp_millis(F.col("doc_id")))
+    )
+    stage = _stage_dir("curation_stream", sf_dir)
+    docs.write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    tbl = _run_stream_to_table(
+        stream_curation(stream, "event_time", content_keyed=True),
+        "curation_stream",
+        shuffle_partitions=8,
+    )
+    return spark.table(tbl).select("content_hash", "quality_score")
 
 
 def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3858,7 +3933,7 @@ def events_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below is the output of `python tools/rotate_window.py`;
 # tests/test_rotation.py pins the shipped order to the derivation,
 # and `tools/rotate_window.py --check` verifies it from the CLI.
-REGISTRY_ROUND = 17
+REGISTRY_ROUND = 18
 
 # Queries whose OPERATOR CODE changed this round (window policy a).
 # Output-identical refactors pinned by unit tests do not consume
@@ -3870,81 +3945,51 @@ REGISTRY_ROUND = 17
 # is charged to NO query: it is bit-identical by construction and
 # pinned by the 40-test golden/property mpeg1 suite.
 ROUND_TOUCHED: set[str] = {
-    # r17 charges exactly the budget (49 r14-stale queries saturate the
-    # window, leaving ONE slot): the NEW emb_index_lifecycle — the
-    # write→append→stats→compact→search composition that puts the r17
-    # compaction crash-repair code under the driver's eye, the r16
-    # verdict's requested lifecycle query. Exempt under the standing
-    # output-identical-and-pinned footnote above:
-    # - ivf_repair_index + the repair preamble in ivf_compact_index
-    #   (the r16-advice HIGH data-loss fix): charged to the new
-    #   lifecycle query, which exercises compaction; no other registry
-    #   query calls it. Pinned by the crash-injection matrix in
-    #   tests/test_similarity.py.
-    # - bpe_encode_corpus_words broadcast_map knob: NO registry query
-    #   calls that function (docs_bpe_vocab runs the separate
-    #   bpe_vocab_audit_distinct, untouched); both join shapes are
-    #   plan-pinned in tests/test_plans.py and exactness-pinned in
-    #   tests/test_bpe.py.
-    # - substring_dedup_staged: NEW helper, output-identical to the
-    #   composed form by property test; no registry query rewired.
-    # - the pending-swap serving guard (_assert_no_pending_swap in
-    #   ivf_search_index/ivf_pq_search_index) touches the two
-    #   *_prebuilt queries' code path, but it is driver-side control
-    #   flow only — the query PLAN and output are byte-identical on a
-    #   healthy index (pinned: test_search_refuses_pending_swap serves
-    #   the identical result set) — and both queries are r14-stale, so
-    #   they re-verify inside this window regardless.
-    # - r17 streaming-robustness fixes (dropDuplicatesWithinWatermark
-    #   in the test-only stream_dedup/stream_curation; frozen-bucket
-    #   last_seen refresh — unreachable in a one-pass availableNow
-    #   replay; stream_crossings invalid-polarity raise; the
-    #   stream_interpolate off-grid grid formula — identical wherever
-    #   gaps are step-aligned, which the fixture's are; stream_censor
-    #   session-timezone localization — identical under UTC) and the
-    #   quality_score_col/quality_ratios extraction (byte-identical
-    #   expressions, single construction shared by docs_quality, the
-    #   funnels, and stream_curation): all output-identical on every
-    #   registry query, re-verified by hash against the oracles same
-    #   day (docs_quality, both funnels, docs_survivor_setops,
-    #   events_censor_streamed, events_interpolate_streamed,
-    #   docs_lsh_candidates_streamed -> 7/7 hash match) and pinned by
-    #   new parity tests in tests/test_streaming.py.
-    # - r17 crash-fix/reuse sweep over text/sampling/selection
-    #   (quality_ratios nullif guard — empty text crashed under ANSI,
-    #   now NULL on BOTH engines; bm25 term-literal escaping — quoted
-    #   terms crashed the parse; bm25 match filter tf>0 — provably the
-    #   same set as score>0 for the registry's surrogate idf, fixes
-    #   the ln mode's silent drops; selection._bucket delegating to a
-    #   Column-accepting hash_bucket — SimplifyCasts keeps plans
-    #   byte-equal, DSIR plan pins green; domain_mixture's unused
-    #   id_col removed; dead _stopword_ratio deleted): crash→works
-    #   changes alter no input that ever produced results; all ten
-    #   touched registry queries re-verified by hash same day
-    #   (docs_quality, both funnels, docs_bm25_search,
-    #   docs_language_id, docs_domain_mixture, docs_dsir_scores/_topk,
-    #   docs_stratified_sample, docs_rebalance_sample -> 10/10).
-    # - r17 sketches/ANN sweep (cms_estimate carries a unique probe
-    #   row id through the join — duplicate probes previously
-    #   collapsed and probe columns named row/cell/cnt collided; HLL
-    #   register/estimate and the CMS cell-hash constructions factored
-    #   into single shared helpers — byte-identical by construction;
-    #   ivf_probe_rows enforces max_probes with limit() BEFORE the
-    #   collect so the guard can actually prevent the driver OOM;
-    #   ngram_jaccard_pairs_lsh passes max_members through to the LSH
-    #   cap, default None unchanged; dead similarity._hash32 deleted):
-    #   all ten touched registry queries re-verified by hash same day
-    #   (docs_cms_heavyhitters, docs_hll_vocab, both prebuilt, the
-    #   lifecycle, emb_ann_recall, emb_mrl_recall, docs_minhash_lsh,
-    #   docs_ngram_jaccard_lsh, emb_knn_classify -> 10/10).
-    # Queued for a budgeted round (result-changing NULL semantics, the
-    # r16 n_sequences precedent class): language_id NULL text -> 'es',
-    # NULL-key rows silently dropped by hash_bucket-based samplers and
-    # rebalance_sample's inner join, gopher_rules NULL flags,
-    # knn_classify NULL-label votes, union-find NULL-id inconsistency.
-    # See memory null-semantics-backlog + r17 SCALE.md note.
-    "emb_index_lifecycle",
+    # r18 charges exactly the budget (48 r15-stale queries are
+    # mandatory in this window, leaving TWO slots — the r17 verdict's
+    # two requested queries):
+    # - docs_bpe_corpus_encode (NEW): the corpus-encode serving path
+    #   (bpe_encode_corpus_words' distinct-word map join) finally has
+    #   a CORRECTNESS row — the r17 join-strategy knob was plan- and
+    #   property-pinned but driver-invisible.
+    # - docs_curation_streamed (NEW): the r17
+    #   dropDuplicatesWithinWatermark bounded-state dedup rework under
+    #   the driver's eye, content-keyed so the output is deterministic
+    #   under streaming arrival order.
+    # Exempt under the standing output-identical-and-pinned footnote:
+    # - n_sequences ceil form in docs_training_shards/_streamed +
+    #   oracle ((sum+2047) DIV 2048 — the r16-advice latent-divergence
+    #   kill): hash-identical on every positive sum, re-verified 2/2
+    #   by hash at sf0.01 on landing day; cross-engine pin in
+    #   tests/test_workload_extensions.py. Both queries are r16-green
+    #   and rotate into the r19 window on schedule.
+    # - bpe broadcast_map="auto" persist-handle exposure (r17 advice):
+    #   attribute added to the RETURNED DataFrame only; join plans and
+    #   rows byte-identical, pinned in tests/test_bpe.py.
+    # - stream_censor plan-side unix_millis watermark compare (r17
+    #   advice): identical cutoff under any fixed zone (the old code
+    #   localized to the same zone kernel-side); non-UTC parity pinned
+    #   in tests/test_streaming.py; events_censor_streamed is
+    #   r15-stale and re-verifies inside this window regardless.
+    # - domain_mixture keyword-only params (r17 advice): signature
+    #   only; docs_domain_mixture calls by keyword, re-verified by
+    #   hash on landing day.
+    # - stream_curation content_keyed param: default False preserves
+    #   the r17 operator byte-for-byte; True is exercised ONLY by the
+    #   new docs_curation_streamed, charged above.
+    "docs_bpe_corpus_encode",
+    "docs_curation_streamed",
 }
+# Still queued for the r20 window (result-changing NULL semantics, the
+# n_sequences precedent class; operators + pins BUILT in r18 behind
+# legacy-default parameters — see operators/text.py null_policy,
+# sampling null_keys, knn null labels): language_id NULL text -> 'es',
+# NULL-key rows silently dropped by hash_bucket-based samplers and
+# rebalance_sample's inner join, gopher_rules NULL flags, knn_classify
+# NULL-label votes. Flip engine+oracle together in r20 when
+# docs_language_id, docs_stratified_sample, docs_gopher_rules are
+# mandatory re-verifies anyway. See memory null-semantics-backlog.
+
 
 # Queries allowed to return 0 rows on both engines at sf0.01. The
 # correctness harness (tools/check_oracles.py) FAILS any other query
@@ -3957,57 +4002,8 @@ EXPECT_EMPTY: set[str] = set()
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- driver window: first 50, stalest-first (forced: ROUND_TOUCHED) ----
-    "emb_index_lifecycle": emb_index_lifecycle,  # last green r0
-    "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r14
-    "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r14
-    "docs_dsir_select_funnel": docs_dsir_select_funnel,  # last green r14
-    "docs_gopher_rules": docs_gopher_rules,  # last green r14
-    "docs_language_id": docs_language_id,  # last green r14
-    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r14
-    "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r14
-    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,  # last green r14
-    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,  # last green r14
-    "docs_media_png_roundtrip": docs_media_png_roundtrip,  # last green r14
-    "docs_media_stats": docs_media_stats,  # last green r14
-    "docs_media_wav_roundtrip": docs_media_wav_roundtrip,  # last green r14
-    "docs_neardup_source_matrix": docs_neardup_source_matrix,  # last green r14
-    "docs_pack_sequences": docs_pack_sequences,  # last green r14
-    "docs_quality": docs_quality,  # last green r14
-    "docs_repetition": docs_repetition,  # last green r14
-    "docs_simhash": docs_simhash,  # last green r14
-    "docs_token_budget_sample": docs_token_budget_sample,  # last green r14
-    "docs_token_budget_sample_streamed": docs_token_budget_sample_streamed,  # last green r14
-    "docs_token_stats": docs_token_stats,  # last green r14
-    "docs_vocab_topdf": docs_vocab_topdf,  # last green r14
-    "emb_ann_topk": emb_ann_topk,  # last green r14
-    "emb_ann_topk_ivf_pq_prebuilt": emb_ann_topk_ivf_pq_prebuilt,  # last green r14
-    "emb_ann_topk_ivf_prebuilt": emb_ann_topk_ivf_prebuilt,  # last green r14
-    "emb_ann_topk_lsh": emb_ann_topk_lsh,  # last green r14
-    "emb_cosine_neardup": emb_cosine_neardup,  # last green r14
-    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,  # last green r14
-    "emb_lsh_buckets": emb_lsh_buckets,  # last green r14
-    "events_align": events_align,  # last green r14
-    "events_align_cspline": events_align_cspline,  # last green r14
-    "events_common_ref": events_common_ref,  # last green r14
-    "events_crossings": events_crossings,  # last green r14
-    "events_crossings_both": events_crossings_both,  # last green r14
-    "events_crossings_chunked": events_crossings_chunked,  # last green r14
-    "events_decimate": events_decimate,  # last green r14
-    "events_dedup_first": events_dedup_first,  # last green r14
-    "events_filtfilt": events_filtfilt,  # last green r14
-    "events_fir_smooth": events_fir_smooth,  # last green r14
-    "events_gap_lengths": events_gap_lengths,  # last green r14
-    "events_interpolate": events_interpolate,  # last green r14
-    "events_mad_threshold": events_mad_threshold,  # last green r14
-    "events_segments": events_segments,  # last green r14
-    "events_spikes_roundtrip": events_spikes_roundtrip,  # last green r14
-    "events_stream_bounds": events_stream_bounds,  # last green r14
-    "events_tetrode": events_tetrode,  # last green r14
-    "q1_pricing_summary": q1_pricing_summary,  # last green r14
-    "q3_shipping_priority": q3_shipping_priority,  # last green r14
-    "q5_region_revenue": q5_region_revenue,  # last green r14
-    "top3_orders_per_customer": top3_orders_per_customer,  # last green r14
-    # ---- driver window ends here ----
+    "docs_bpe_corpus_encode": docs_bpe_corpus_encode,  # last green r0
+    "docs_curation_streamed": docs_curation_streamed,  # last green r0
     "docs_bm25_search": docs_bm25_search,  # last green r15
     "docs_bpe_tokens": docs_bpe_tokens,  # last green r15
     "docs_chunk_dedup": docs_chunk_dedup,  # last green r15
@@ -4056,6 +4052,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_winsorize": events_winsorize,  # last green r15
     "events_winsorize_chunked": events_winsorize_chunked,  # last green r15
     "events_xcorr": events_xcorr,  # last green r15
+    # ---- driver window ends here ----
     "docs_bigram_fluency": docs_bigram_fluency,  # last green r16
     "docs_bpe_vocab": docs_bpe_vocab,  # last green r16
     "docs_decontaminate": docs_decontaminate,  # last green r16
@@ -4106,6 +4103,56 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_volume_shipping": q7_volume_shipping,  # last green r16
     "q8_market_share": q8_market_share,  # last green r16
     "q9_product_profit": q9_product_profit,  # last green r16
+    "docs_bloom_decontaminate": docs_bloom_decontaminate,  # last green r17
+    "docs_cms_heavyhitters": docs_cms_heavyhitters,  # last green r17
+    "docs_dsir_select_funnel": docs_dsir_select_funnel,  # last green r17
+    "docs_gopher_rules": docs_gopher_rules,  # last green r17
+    "docs_language_id": docs_language_id,  # last green r17
+    "docs_media_adpcm_roundtrip": docs_media_adpcm_roundtrip,  # last green r17
+    "docs_media_jpeg_color": docs_media_jpeg_color,  # last green r17
+    "docs_media_jpeg_progressive": docs_media_jpeg_progressive,  # last green r17
+    "docs_media_mulaw_roundtrip": docs_media_mulaw_roundtrip,  # last green r17
+    "docs_media_png_roundtrip": docs_media_png_roundtrip,  # last green r17
+    "docs_media_stats": docs_media_stats,  # last green r17
+    "docs_media_wav_roundtrip": docs_media_wav_roundtrip,  # last green r17
+    "docs_neardup_source_matrix": docs_neardup_source_matrix,  # last green r17
+    "docs_pack_sequences": docs_pack_sequences,  # last green r17
+    "docs_quality": docs_quality,  # last green r17
+    "docs_repetition": docs_repetition,  # last green r17
+    "docs_simhash": docs_simhash,  # last green r17
+    "docs_token_budget_sample": docs_token_budget_sample,  # last green r17
+    "docs_token_budget_sample_streamed": docs_token_budget_sample_streamed,  # last green r17
+    "docs_token_stats": docs_token_stats,  # last green r17
+    "docs_vocab_topdf": docs_vocab_topdf,  # last green r17
+    "emb_ann_topk": emb_ann_topk,  # last green r17
+    "emb_ann_topk_ivf_pq_prebuilt": emb_ann_topk_ivf_pq_prebuilt,  # last green r17
+    "emb_ann_topk_ivf_prebuilt": emb_ann_topk_ivf_prebuilt,  # last green r17
+    "emb_ann_topk_lsh": emb_ann_topk_lsh,  # last green r17
+    "emb_cosine_neardup": emb_cosine_neardup,  # last green r17
+    "emb_cosine_neardup_lsh": emb_cosine_neardup_lsh,  # last green r17
+    "emb_index_lifecycle": emb_index_lifecycle,  # last green r17
+    "emb_lsh_buckets": emb_lsh_buckets,  # last green r17
+    "events_align": events_align,  # last green r17
+    "events_align_cspline": events_align_cspline,  # last green r17
+    "events_common_ref": events_common_ref,  # last green r17
+    "events_crossings": events_crossings,  # last green r17
+    "events_crossings_both": events_crossings_both,  # last green r17
+    "events_crossings_chunked": events_crossings_chunked,  # last green r17
+    "events_decimate": events_decimate,  # last green r17
+    "events_dedup_first": events_dedup_first,  # last green r17
+    "events_filtfilt": events_filtfilt,  # last green r17
+    "events_fir_smooth": events_fir_smooth,  # last green r17
+    "events_gap_lengths": events_gap_lengths,  # last green r17
+    "events_interpolate": events_interpolate,  # last green r17
+    "events_mad_threshold": events_mad_threshold,  # last green r17
+    "events_segments": events_segments,  # last green r17
+    "events_spikes_roundtrip": events_spikes_roundtrip,  # last green r17
+    "events_stream_bounds": events_stream_bounds,  # last green r17
+    "events_tetrode": events_tetrode,  # last green r17
+    "q1_pricing_summary": q1_pricing_summary,  # last green r17
+    "q3_shipping_priority": q3_shipping_priority,  # last green r17
+    "q5_region_revenue": q5_region_revenue,  # last green r17
+    "top3_orders_per_customer": top3_orders_per_customer,  # last green r17
 }
 
 

@@ -1355,3 +1355,55 @@ def test_censor_watermark_drop_independent_of_session_timezone(spark, tmp_path):
         assert kept == [100, 140, 180], kept
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stream_curation_content_keyed_duplicate_invariant(spark, tmp_path):
+    """content_keyed=True emits only pure functions of the TEXT, so
+    planted duplicate-text docs (different doc_ids — the case where
+    dropDuplicatesWithinWatermark's first-arrival winner is
+    nondeterministic) yield exactly one {content_hash, quality_score}
+    row regardless of which arrival won, and re-running the drain
+    reproduces the identical row set. The sf0.01 registry corpus is
+    duplicate-free, so this pin is the only place the
+    arrival-order-invariance argument is actually exercised."""
+    from pyspark.sql import functions as F
+
+    from jagular_spark.streaming.pipeline import stream_curation
+
+    good = (
+        "the cat and the dog of a house and the tree to a garden "
+        "and the road of the town to a river and the hill"
+    )
+    rows = [
+        (1, good),
+        (2, good),          # exact duplicate, different doc_id
+        (3, good + " extra words of the story and the end"),
+        (4, "zz9 88x 77q"),  # fails quality/language
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "event_time", F.timestamp_millis(F.col("doc_id"))
+    )
+    src = str(tmp_path / "cur_src")
+    df.write.mode("overwrite").parquet(src)
+
+    def drain(name):
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = (
+            stream_curation(stream, "event_time", sample_fraction=1.0,
+                            content_keyed=True)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    a = drain("cur_ck_a")
+    b = drain("cur_ck_b")
+    assert a == b and len(a) == 2  # dup collapsed, junk filtered
+    hashes = {h for h, _ in a}
+    import hashlib
+
+    assert hashlib.md5(good.encode()).hexdigest() in hashes
