@@ -31,6 +31,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     small_graph_edges: int = 1_000_000,
+    null_ids: str = "drop",
 ) -> DataFrame:
     """``(id, component)`` for every vertex appearing in ``edges``;
     ``component`` is the minimum vertex id of the connected component
@@ -51,7 +52,19 @@ def connected_components(
     result; property-tested against the distributed loop). Above it,
     the O(log d) distributed loop runs. The materializing count that
     decides this is needed anyway to size the loop's partitions.
+
+    ``null_ids``: a NULL endpoint has no vertex identity, and before
+    r18 the two execution paths DISAGREED about it — the driver
+    union-find crashed comparing None against int in the min-label
+    pass, while the distributed loop's equi-joins silently dropped
+    the NULL side (r17 review: same graph, different answer depending
+    on edge count). "drop" (default — consistent, and bit-identical
+    on any NULL-free graph, which every registry graph is) filters
+    NULL-endpoint edges before EITHER path; "error" raises loudly on
+    the first one.
     """
+    if null_ids not in ("drop", "error"):
+        raise ValueError(f"null_ids must be 'drop' or 'error', got {null_ids!r}")
     # Materialize the directed edges BEFORE symmetrizing: the union
     # references the edge lineage twice, and pair generation (LSH /
     # jaccard join) is the expensive part — without the checkpoint it
@@ -60,7 +73,17 @@ def connected_components(
     # Lazy checkpoint + count = ONE materialization job, not two.
     e0 = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).localCheckpoint(eager=False)
+    )
+    if null_ids == "error":
+        e0 = e0.where(
+            F.assert_true(
+                F.col("a").isNotNull() & F.col("b").isNotNull(),
+                F.lit("connected_components: NULL vertex id"),
+            ).isNull()
+        )
+    else:
+        e0 = e0.where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    e0 = e0.localCheckpoint(eager=False)
     # Partition the propagation loop proportionally to the edge count
     # (~1M edges per partition), not to the corpus that produced the
     # pairs: a dedup pair graph is orders of magnitude smaller than its

@@ -19,6 +19,41 @@ from pyspark.sql import DataFrame, functions as F
 _HASH_SPACE = 1 << 32
 
 
+def _null_key_predicate(key: F.Column, pred: F.Column, null_keys: str, op: str) -> F.Column:
+    """Membership predicate wrapper implementing the NULL-key policy
+    shared by every hash-threshold sampler (r17 review: md5(NULL) is
+    NULL, NULL < thr is NULL, so a NULL-key row was SILENTLY dropped
+    by every sampler — on a real web corpus that is data loss, not a
+    policy). Policies:
+
+    - "drop" (legacy default until the r20 semantics flip): unchanged
+      predicate — NULL keys fall out via three-valued logic.
+    - "keep": NULL-key rows pass through unconditionally — sampling
+      cannot lose rows it could never hash; the caller owns any
+      downstream dedup/repair of keyless rows.
+    - "error": the scan raises on the first NULL key (assert_true
+      rides the predicate) — the loud option for pipelines where a
+      keyless row is a bug upstream.
+
+    Oracle mirror: "keep" is ``OR key IS NULL``; "error" is DuckDB's
+    ``error()`` guard — both exact."""
+    if null_keys == "drop":
+        return pred
+    if null_keys == "keep":
+        return key.isNull() | pred
+    if null_keys == "error":
+        return F.when(
+            F.assert_true(
+                key.isNotNull(), F.lit(f"{op}: NULL sampling key")
+            ).isNull(),
+            pred,
+        )
+    raise ValueError(
+        f"null_keys must be 'drop', 'keep' or 'error', got {null_keys!r}"
+    )
+
+
+
 def hash_bucket(key_col, salt: str = "") -> F.Column:
     """Uniform deterministic bucket in [0, 2^32) from the md5 of the
     (salted) key — same construction as the oracle's
@@ -37,13 +72,24 @@ def hash_bucket(key_col, salt: str = "") -> F.Column:
 
 
 def hash_sample(
-    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+    null_keys: str = "drop",
 ) -> DataFrame:
     """Keep rows whose hash bucket falls below ``fraction`` of the hash
     space. Exact integer threshold compare — no float drift between
-    engines."""
+    engines. ``null_keys``: see :func:`_null_key_predicate`."""
     thr = int(fraction * _HASH_SPACE)
-    return df.where(hash_bucket(key_col, salt) < F.lit(thr))
+    return df.where(
+        _null_key_predicate(
+            F.col(key_col),
+            hash_bucket(key_col, salt) < F.lit(thr),
+            null_keys,
+            "hash_sample",
+        )
+    )
 
 
 def hash_sample_rows(
@@ -73,16 +119,27 @@ def stratified_sample(
     key_col: str = "doc_id",
     default_fraction: float = 0.0,
     salt: str = "",
+    null_keys: str = "drop",
 ) -> DataFrame:
     """Per-stratum deterministic sampling: each row's keep-threshold is
     chosen by its stratum value (e.g. upsample rare languages, drop
     low-quality buckets). ``fractions`` maps stratum value → fraction;
-    unlisted strata get ``default_fraction``. One pass, no shuffle."""
+    unlisted strata get ``default_fraction``. One pass, no shuffle.
+    A NULL stratum takes ``default_fraction`` (the CASE's otherwise
+    arm — already explicit); ``null_keys`` governs NULL sampling KEYS
+    (see :func:`_null_key_predicate`)."""
     strata = F.col(strata_col) if isinstance(strata_col, str) else strata_col
     thr = F.lit(int(default_fraction * _HASH_SPACE))
     for value, frac in sorted(fractions.items()):
         thr = F.when(strata == F.lit(value), F.lit(int(frac * _HASH_SPACE))).otherwise(thr)
-    return df.where(hash_bucket(key_col, salt) < thr)
+    return df.where(
+        _null_key_predicate(
+            F.col(key_col),
+            hash_bucket(key_col, salt) < thr,
+            null_keys,
+            "stratified_sample",
+        )
+    )
 
 
 def rebalance_sample(
@@ -92,6 +149,8 @@ def rebalance_sample(
     key_col: str = "doc_id",
     salt: str = "",
     default_share: float = 0.0,
+    null_keys: str = "drop",
+    null_groups: str = "drop",
 ) -> DataFrame:
     """Mixture REBALANCING: downsample each stratum toward a target
     composition (the upweight-low-resource-languages step of training
@@ -114,7 +173,23 @@ def rebalance_sample(
     threshold — the DuckDB oracle reproduces it bit-for-bit. Plan: one
     count aggregate (broadcast back), membership stays a scan-level
     filter on the corpus — the big side never shuffles.
+
+    NULL handling (r17 review): the counts join is an INNER equi-join
+    on ``group_col``, and NULL never equals NULL, so a NULL-group row
+    was silently dropped BEFORE any share policy could see it —
+    unlike an unlisted stratum, which at least takes
+    ``default_share``. ``null_groups="default_share"`` switches the
+    join to null-safe equality so a NULL group flows through as an
+    ordinary unlisted stratum (its own count row, ``default_share``
+    target); ``"error"`` raises on the first NULL group; ``"drop"``
+    (legacy default until the r20 flip) keeps the silent inner-join
+    behavior. ``null_keys`` governs NULL sampling keys (see
+    :func:`_null_key_predicate`).
     """
+    if null_groups not in ("drop", "default_share", "error"):
+        raise ValueError(
+            f"null_groups must be 'drop', 'default_share' or 'error', got {null_groups!r}"
+        )
     tgt = F.lit(float(default_share))
     for value, share in sorted(target_shares.items()):
         tgt = F.when(F.col(group_col) == F.lit(value), F.lit(share)).otherwise(tgt)
@@ -127,10 +202,32 @@ def rebalance_sample(
         F.lit(1.0),
     )
     thr = F.floor(frac * F.lit(4294967296.0)).cast("long")
+    pred = _null_key_predicate(
+        F.col(key_col),
+        hash_bucket(key_col, salt) < thr,
+        null_keys,
+        "rebalance_sample",
+    )
+    if null_groups == "error":
+        # EAGER check on the counts aggregate (one map-side-combined
+        # scan to <= |strata| rows): an inline assert predicate is not
+        # reliable here — Catalyst pushes the inner join's
+        # isnotnull(group) into the same scan filter and may order it
+        # BEFORE the assert conjunct, silently discarding the row the
+        # assert exists to catch. The "error" policy buys loudness at
+        # the cost of this one extra aggregate job.
+        if counts.where(F.col(group_col).isNull()).limit(1).count() > 0:
+            raise ValueError("rebalance_sample: NULL group")
+    if null_groups == "default_share":
+        joined = df.join(
+            F.broadcast(counts.withColumnRenamed(group_col, "__g__")),
+            F.col(group_col).eqNullSafe(F.col("__g__")),
+        ).drop("__g__")
+    else:
+        joined = df.join(F.broadcast(counts), group_col)
     return (
-        df.join(F.broadcast(counts), group_col)
-        .crossJoin(F.broadcast(tot))
-        .where(hash_bucket(key_col, salt) < thr)
+        joined.crossJoin(F.broadcast(tot))
+        .where(pred)
         .drop("__n_g__", "__n_tot__")
     )
 
@@ -142,6 +239,7 @@ def token_budget_sample(
     key_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "",
+    null_keys: str = "drop",
 ) -> DataFrame:
     """Mixture building to ABSOLUTE token budgets — the shape a
     training run actually specifies ("200 B tokens of web, 30 B of
@@ -173,7 +271,7 @@ def token_budget_sample(
     convention)."""
     thresholds = token_budget_thresholds(df, budgets, group_col, text_col)
     return apply_token_thresholds(
-        df, thresholds, group_col, key_col, text_col, salt
+        df, thresholds, group_col, key_col, text_col, salt, null_keys
     )
 
 
@@ -221,6 +319,7 @@ def apply_token_thresholds(
     key_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "",
+    null_keys: str = "drop",
 ) -> DataFrame:
     """The SERVING half: membership against ALREADY-FITTED thresholds —
     a scan-level md5 filter with the thresholds as a ≤ |strata|-branch
@@ -232,8 +331,16 @@ def apply_token_thresholds(
     thr = F.lit(0).cast("long")
     for g, cut in sorted(thresholds.items()):
         thr = F.when(F.col(group_col) == F.lit(g), F.lit(int(cut))).otherwise(thr)
+    # NULL group: threshold 0 via the otherwise arm — an explicit
+    # drop, same as any unbudgeted stratum (a mixture is a whole
+    # composition); null_keys governs NULL sampling KEYS
     return df.withColumn("n_tokens", _ntok_expr(text_col)).where(
-        hash_bucket(key_col, salt) < thr
+        _null_key_predicate(
+            F.col(key_col),
+            hash_bucket(key_col, salt) < thr,
+            null_keys,
+            "token_budget_sample",
+        )
     )
 
 

@@ -2193,6 +2193,7 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    null_labels: str = "legacy",
 ) -> DataFrame:
     """k-NN majority-vote label propagation over the embedding space —
     the semi-supervised labeling / quality-transfer step of a training
@@ -2202,7 +2203,21 @@ def knn_classify(
     integer-typed and hash-matches the SQL replay. The probe side is
     broadcast — the corpus never shuffles; the top-k cut and the vote
     argmax are two window ranks over the (tiny) candidate set.
-    ``(query_id, true_label, pred_label, votes)``."""
+    ``(query_id, true_label, pred_label, votes)``.
+
+    ``null_labels="exclude"`` removes NULL-label vectors from the
+    VOTING side before the neighborhood is formed — an unlabeled
+    neighbor cannot cast a vote, so its slot goes to the next nearest
+    LABELED vector instead of electing pred_label NULL (r17 review:
+    under "legacy", NULL labels group as their own voting bloc and a
+    NULL can win the argmax — a semi-supervised labeler that answers
+    "unknown" because unlabeled data outnumbered labels locally).
+    Probes keep their NULL true_label either way (informational).
+    Default "legacy" until the r20 semantics flip."""
+    if null_labels not in ("legacy", "exclude"):
+        raise ValueError(
+            f"null_labels must be 'legacy' or 'exclude', got {null_labels!r}"
+        )
     base = with_int_norm(df, vec_col).select(
         F.col(id_col).alias("id"), "iv", F.col(label_col).alias("lbl")
     )
@@ -2216,6 +2231,8 @@ def knn_classify(
         F.col("iv").alias("iv_b"),
         F.col("lbl").cast("long").alias("nbr_label"),
     )
+    if null_labels == "exclude":
+        corpus = corpus.where(F.col("nbr_label").isNotNull())
     scored = corpus.join(
         F.broadcast(probes), F.col("query_id") != F.col("neighbor_id")
     ).withColumn("dot", _int_dot("iv_a", "iv_b"))

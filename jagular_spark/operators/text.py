@@ -34,12 +34,27 @@ _BPE_RE_SPARK = BPE_TOKEN_RE.replace("\\", "\\\\")
 
 
 def language_id(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", keep: tuple = ()
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple = (),
+    null_pred: bool = False,
 ) -> DataFrame:
     """Stopword-ratio language ID over LANG_ORDER profiles; greedy
     first-wins argmax (``pred`` deterministic under score ties).
     ``(id, *keep, s_<lang>..., pred_lang)``. ``keep`` columns ride the
     same single projection (no re-join against the source).
+
+    ``null_pred=True`` emits a NULL ``pred_lang`` for NULL text
+    instead of the greedy CASE's fall-through to the LAST profile
+    ('es') — a real web corpus has null fields, and a silent 'es' is
+    a misclassification, not a policy (r17 review; r20 default flip
+    per the NULL-semantics schedule — the oracle's CASE grows the
+    same leading ``WHEN s_en IS NULL THEN NULL`` arm). All stopword
+    scores are NULL exactly when the text is NULL, so the guard rides
+    the score array — no extra column carried. Empty text is
+    unaffected either way: its scores are defined (0.0) and argmax
+    to the first profile.
 
     Expression-structure matters here: the argmax CASE references each
     score up to 3×, and a downstream filter on ``pred_lang`` (e.g.
@@ -59,8 +74,10 @@ def language_id(
         )
         for lang in LANG_ORDER
     )
+    null_arm = "WHEN sc[0] IS NULL THEN NULL " if null_pred else ""
     pred_case = (
         "CASE "
+        + null_arm
         + " ".join(
             "WHEN "
             + " AND ".join(f"sc[{i}] >= sc[{j}]" for j in range(i + 1, n_l))
@@ -372,7 +389,10 @@ def quality_score_col(text_col: str = "text") -> F.Column:
 
 
 def gopher_rules(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    null_text: str = "propagate",
 ) -> DataFrame:
     """The Gopher / MassiveText quality-rule bundle (Rae et al. 2021,
     arXiv:2112.11446 §A1.1) as per-document pass flags + the combined
@@ -402,18 +422,31 @@ def gopher_rules(
     float anywhere, so the flags hash-match any conformant replay.
     Pure row-local projection: zero shuffles, composes with any scan.
 
+    ``null_text="reject"`` evaluates a NULL text as the empty string
+    (``coalesce``), so every count is defined, every flag is a real
+    boolean and ``keep`` is FALSE — a downstream ``WHERE keep``
+    rejects the document explicitly. The default ``"propagate"``
+    keeps the legacy behavior: NULL text → NULL counts → NULL flags →
+    NULL keep, which a keep-filter also drops but which poisons any
+    aggregate over the flag columns (r17 review; r20 default flip per
+    the NULL-semantics schedule — the oracle change is the same
+    ``coalesce(text, '')``).
+
     ``(id, n_words, word_chars, n_lines, n_hash, n_ellipsis,
     n_alpha_words, n_bullet_lines, n_ellipsis_lines, n_stops_present,
     r1..r7 boolean, keep boolean)``."""
-    t = f"split(trim({text_col}), '\\\\s+')"
-    lines = f"split({text_col}, '\\n')"
+    if null_text not in ("propagate", "reject"):
+        raise ValueError(f"null_text must be 'propagate' or 'reject', got {null_text!r}")
+    src_text = f"coalesce({text_col}, '')" if null_text == "reject" else text_col
+    t = f"split(trim({src_text}), '\\\\s+')"
+    lines = f"split({src_text}, '\\n')"
     stops_sum = " + ".join(
         f"CAST(array_contains(__t__, '{w}') AS BIGINT)" for w in GOPHER_STOPS
     )
     out = (
         df.select(
             F.col(id_col),
-            F.col(text_col),
+            F.expr(src_text).alias(text_col),
             F.expr(t).alias("__t__"),
             F.expr(lines).alias("__l__"),
         )
