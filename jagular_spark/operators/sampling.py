@@ -107,9 +107,22 @@ def hash_sample_rows(
     ``ORDER BY bucket, key LIMIT n``. Scale: Catalyst plans
     orderBy+limit as TakeOrderedAndProject — each task keeps its local
     top-n and the driver merges k·n_partitions candidates; no global
-    sort, no shuffle of the corpus."""
+    sort, no shuffle of the corpus.
+
+    The sort is explicitly NULLS LAST (r18): a NULL key hashes to a
+    NULL bucket, and Spark's bare ``asc`` is NULLS FIRST while
+    DuckDB's ``ORDER BY`` is NULLS LAST — on a corpus with NULL keys
+    the two engines would silently pick DIFFERENT fit samples (the
+    n_sequences latent-divergence class; every quantizer fit routes
+    through here via _collect_fit_sample). NULLS LAST matches the
+    oracle AND keeps unhashable rows out of the sample unless the
+    corpus has fewer than ``n_rows`` real keys; identical on every
+    NULL-free corpus, pinned cross-engine in
+    tests/test_null_semantics.py."""
     b = hash_bucket(key_col, salt)
-    return df.orderBy(b.asc(), F.col(key_col).asc()).limit(int(n_rows))
+    return df.orderBy(
+        b.asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    ).limit(int(n_rows))
 
 
 def stratified_sample(

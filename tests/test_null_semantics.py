@@ -229,3 +229,40 @@ def test_knn_classify_null_label_policies(spark):
     assert fixed[0].pred_label == 5 and fixed[0].votes == 2
     with pytest.raises(ValueError, match="null_labels"):
         knn_classify(df, F.col("vec_id") == 0, null_labels="bogus")
+
+
+# ------------------------------------------------------------ fit sampling
+
+def test_hash_sample_rows_null_keys_match_duckdb_order(spark):
+    """hash_sample_rows is the fit-sample primitive every quantizer
+    routes through (_collect_fit_sample, bpe_fit). A NULL key hashes
+    to a NULL bucket; Spark's bare asc sorts NULLS FIRST while
+    DuckDB's ORDER BY ... LIMIT sorts NULLS LAST — before r18 a
+    NULL-key corpus silently gave the two engines DIFFERENT fit
+    samples (the n_sequences latent-divergence class). Pin: explicit
+    NULLS LAST ordering keeps real keys ahead of unhashable rows and
+    matches the oracle construction exactly."""
+    import duckdb
+
+    from jagular_spark.operators.sampling import hash_sample_rows
+
+    rows = [(None,), (7,), (11,), (13,), (None,), (29,)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    got = [r.doc_id for r in hash_sample_rows(df, "doc_id", 3).collect()]
+    assert None not in got and len(got) == 3
+
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM (VALUES (NULL),(7),(11),(13),(NULL),(29)) "
+            "t(doc_id) ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, "
+            "doc_id LIMIT 3"
+        ).fetchall()
+    ]
+    assert sorted(got) == sorted(want)
+    # with fewer real keys than n_rows, NULL rows backfill on BOTH
+    # engines (nulls-last, not excluded)
+    got5 = [r.doc_id for r in hash_sample_rows(df, "doc_id", 5).collect()]
+    assert sorted(x for x in got5 if x is not None) == [7, 11, 13, 29]
+    assert got5.count(None) == 1
