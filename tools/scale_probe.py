@@ -1167,8 +1167,11 @@ def main() -> None:
         shutil.rmtree(f"/tmp/scale_probe_docs_{n}", ignore_errors=True)
         shutil.rmtree(f"/tmp/scale_probe_docsen_{n}", ignore_errors=True)
     for op in ("stream_sessionize", "stream_lsh_candidates",
-               "stream_lsh_candidates_capped", "stream_training_shard_pack"):
+               "stream_lsh_candidates_capped", "stream_training_shard_pack",
+               "stream_curation"):
         shutil.rmtree(f"/tmp/scale_probe_ckpt_{op}", ignore_errors=True)
+    for n in (20000, 80000, 320000):
+        shutil.rmtree(f"/tmp/scale_probe_curdocs_{n}", ignore_errors=True)
     shutil.rmtree("/tmp/scale_probe_docsrich_80000", ignore_errors=True)
     for n in (10_000, 100_000, 1_000_000):
         shutil.rmtree(f"/tmp/scale_probe_bpecard_{n}", ignore_errors=True)
@@ -1259,6 +1262,26 @@ def probe_streaming(spark, sizes: list[int]) -> list[dict]:
         stream = spark.readStream.schema(schema).parquet(spath)
         return stream_training_shard_pack(stream, thr, n_shards=8, salt="probe")
 
+    def curation_run(n):
+        # r18 registry twin (docs_curation_streamed): stateless scoring
+        # + dropDuplicatesWithinWatermark content dedup + stateless md5
+        # sample. State is O(in-flight hashes) bounded by the watermark
+        # horizon, so drain time must track input volume — a
+        # super-linear curve would mean the dedup state is rescanning
+        # history (the exact bug class the r17 rework fixed)
+        from jagular_spark.streaming.pipeline import stream_curation
+
+        path = f"/tmp/scale_probe_docs_{n}"
+        synth_docs(spark, n, path)
+        cpath = f"/tmp/scale_probe_curdocs_{n}"
+        if not os.path.exists(cpath):
+            spark.read.parquet(path).select("doc_id", "text").withColumn(
+                "event_time", F.timestamp_millis(F.col("doc_id"))
+            ).write.mode("overwrite").parquet(cpath)
+        schema = spark.read.parquet(cpath).schema
+        stream = spark.readStream.schema(schema).parquet(cpath)
+        return stream_curation(stream, "event_time", content_keyed=True)
+
     ops = {
         "stream_sessionize": sessionize_run,
         "stream_lsh_candidates": lsh_run,
@@ -1267,6 +1290,7 @@ def probe_streaming(spark, sizes: list[int]) -> list[dict]:
         # quadratic (9.4x time on 4x data at 320k); capped must be flat
         "stream_lsh_candidates_capped": lsh_capped_run,
         "stream_training_shard_pack": shard_pack_run,
+        "stream_curation": curation_run,
     }
     out = []
     for op_name, mk in ops.items():
