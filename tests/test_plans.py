@@ -780,3 +780,27 @@ def test_bpe_encode_corpus_join_strategy_knob(spark):
 
     ex_args = re.findall(r"Arguments: hashpartitioning\((\w+)", ps)
     assert ex_args and all(a == "word" for a in ex_args), ex_args
+
+
+def test_bpe_corpus_encode_query_plan_shape(spark):
+    """The docs_bpe_corpus_encode registry query end-to-end (r18): the
+    corpus side is ONE scan + explode feeding a BroadcastHashJoin with
+    no corpus-side exchange before the join; ArrowEvalPython (the
+    pandas rank encoder) sits above the DISTINCT-WORD aggregate only —
+    never on the per-occurrence stream; the per-doc rollup aggregates
+    partially map-side, so the only corpus-width exchanges are the
+    word-distinct build and the final doc_id rollup."""
+    import re
+
+    from jagular_spark.workloads import SPARK_QUERIES
+
+    p = _formatted(SPARK_QUERIES["docs_bpe_corpus_encode"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+    ex_args = re.findall(r"Arguments: hashpartitioning\((\w+)", p)
+    assert sorted(a.split("#")[0] for a in ex_args) == ["doc_id", "word"], ex_args
+    # the rollup's partial aggregate runs below its exchange
+    assert "partial_count" in p and "partial_sum" in p
