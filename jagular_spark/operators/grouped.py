@@ -32,6 +32,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def key_change_mask(kf: pd.DataFrame):
+    """Boolean row mask: True where ANY key column differs from the
+    previous row — the group-boundary scan shared by the grouped-map
+    strategies (and interpolate's gap finder). NULL-aware (r18): plain
+    ``kf != kf.shift()`` marks every NaN row as a boundary because
+    ``NaN != NaN`` is True in pandas, silently splitting a NULL-keyed
+    group into one-row groups — where ``groupBy().applyInPandas`` (the
+    semantics these helpers advertise) and the hash repartition both
+    put all NULL keys in ONE group. Two cells are equal iff both
+    non-null and == , or both null."""
+    prev = kf.shift()
+    change = ((kf != prev) & ~(kf.isna() & prev.isna())).any(axis=1).to_numpy()
+    change[0] = True
+    return change
+
+
 def grouped_map_in_pandas(
     df: DataFrame,
     keys: Sequence[str],
@@ -60,10 +76,7 @@ def grouped_map_in_pandas(
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         # group boundaries = rows where any key column changes
-        kf = pdf[keys]
-        change = (kf != kf.shift()).any(axis=1).to_numpy()
-        change[0] = True
-        bounds = np.append(np.flatnonzero(change), len(pdf))
+        bounds = np.append(np.flatnonzero(key_change_mask(pdf[keys])), len(pdf))
         outs = []
         for s, e in zip(bounds[:-1], bounds[1:]):
             out = kernel(pdf.iloc[s:e])
@@ -106,10 +119,7 @@ def grouped_map_partition_bounds(
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        kf = pdf[keys]
-        change = (kf != kf.shift()).any(axis=1).to_numpy()
-        change[0] = True
-        bounds = np.append(np.flatnonzero(change), len(pdf))
+        bounds = np.append(np.flatnonzero(key_change_mask(pdf[keys])), len(pdf))
         out = partition_kernel(pdf, bounds)
         if out is not None and len(out):
             yield out

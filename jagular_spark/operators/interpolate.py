@@ -86,9 +86,9 @@ def interpolate_gaps(
         # Group starts via key-change detection on the sorted partition
         # (no per-group groupby slicing — one numpy pass).
         if keys:
-            kf = pdf[keys]
-            change = (kf != kf.shift()).any(axis=1).to_numpy()
-            change[0] = True
+            from jagular_spark.operators.grouped import key_change_mask
+
+            change = key_change_mask(pdf[keys])
             starts = np.flatnonzero(change)
         else:
             change = np.zeros(n_rows, dtype=bool)

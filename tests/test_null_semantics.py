@@ -266,3 +266,41 @@ def test_hash_sample_rows_null_keys_match_duckdb_order(spark):
     got5 = [r.doc_id for r in hash_sample_rows(df, "doc_id", 5).collect()]
     assert sorted(x for x in got5 if x is not None) == [7, 11, 13, 29]
     assert got5.count(None) == 1
+
+
+# ------------------------------------------------------------ grouped strategy
+
+def test_grouped_map_null_keys_form_one_group(spark):
+    """The many-small-groups strategy advertises groupBy().applyInPandas
+    semantics; before r18 its pandas boundary scan used kf != kf.shift()
+    where NaN != NaN is True, so a NULL-keyed group silently shattered
+    into one-row groups — kernels that aggregate within a group (means,
+    censors, filters) returned per-row garbage for NULL keys while the
+    real applyInPandas grouped them together. Pin: one kernel call sees
+    ALL NULL-key rows, same as applyInPandas."""
+    from jagular_spark.operators.grouped import grouped_map_in_pandas
+
+    df = spark.createDataFrame(
+        [(None, 1, 10.0), (None, 2, 20.0), (7, 1, 1.0), (7, 2, 2.0)],
+        "channel_id int, ts long, value double",
+    )
+
+    def kernel(g):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "channel_id": [g["channel_id"].iloc[0]],
+                "n": [len(g)],
+                "total": [float(g["value"].sum())],
+            }
+        )
+
+    rows = {
+        (r.channel_id, r.n, r.total)
+        for r in grouped_map_in_pandas(
+            df, ["channel_id"], ["ts"], kernel,
+            "channel_id int, n long, total double",
+        ).collect()
+    }
+    assert rows == {(None, 2, 30.0), (7, 2, 3.0)}
