@@ -2218,18 +2218,40 @@ def knn_classify(
         raise ValueError(
             f"null_labels must be 'legacy' or 'exclude', got {null_labels!r}"
         )
+    # A STRING label column is cast to long for the vote. Under ANSI
+    # mode (the Spark 4 default) a malformed string makes the plain
+    # cast throw a generic CAST_INVALID_INPUT mid-job; under legacy
+    # mode it returns NULL SILENTLY — the neighbor loses its vote (or
+    # joins the NULL bloc) with no signal the label set was bad (r17
+    # review). String inputs therefore go through try_cast with a
+    # row-local guard: a non-null label that fails the cast raises the
+    # same named error under EITHER ANSI setting. Numeric dtypes skip
+    # the guard (their casts are total).
+    lbl_src = F.col(label_col)
+    lbl_cast = lbl_src.cast("long")
+    if dict(df.dtypes)[label_col] in ("string", "varchar"):
+        lbl_try = lbl_src.try_cast("long")
+        lbl_cast = F.when(
+            F.assert_true(
+                lbl_src.isNull() | lbl_try.isNotNull(),
+                F.concat(
+                    F.lit("knn_classify: non-numeric label "), lbl_src
+                ),
+            ).isNull(),
+            lbl_try,
+        )
     base = with_int_norm(df, vec_col).select(
-        F.col(id_col).alias("id"), "iv", F.col(label_col).alias("lbl")
+        F.col(id_col).alias("id"), "iv", lbl_cast.alias("lbl")
     )
     probes = base.where(probe_filter).select(
         F.col("id").alias("query_id"),
         F.col("iv").alias("iv_a"),
-        F.col("lbl").cast("long").alias("true_label"),
+        F.col("lbl").alias("true_label"),
     )
     corpus = base.select(
         F.col("id").alias("neighbor_id"),
         F.col("iv").alias("iv_b"),
-        F.col("lbl").cast("long").alias("nbr_label"),
+        F.col("lbl").alias("nbr_label"),
     )
     if null_labels == "exclude":
         corpus = corpus.where(F.col("nbr_label").isNotNull())

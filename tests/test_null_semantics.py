@@ -304,3 +304,25 @@ def test_grouped_map_null_keys_form_one_group(spark):
         ).collect()
     }
     assert rows == {(None, 2, 30.0), (7, 2, 3.0)}
+
+
+def test_knn_classify_string_labels_validated(spark):
+    """String label columns cast to long for the vote; before r18 a
+    non-numeric string cast to NULL SILENTLY — the neighbor lost its
+    vote (or joined the NULL bloc under legacy) with no signal the
+    label set was bad. Numeric strings still work; a garbage label
+    raises row-locally."""
+    from jagular_spark.operators.similarity import knn_classify
+
+    ok = spark.createDataFrame(
+        [(0, [1.0, 0.0], "7"), (1, [0.9, 0.1], "5"), (2, [0.8, 0.2], "5")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = knn_classify(ok, F.col("vec_id") == 0, k=2).collect()
+    assert got[0].pred_label == 5
+    bad = spark.createDataFrame(
+        [(0, [1.0, 0.0], "7"), (1, [0.9, 0.1], "spam")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    with pytest.raises(Exception, match="non-numeric label"):
+        knn_classify(bad, F.col("vec_id") == 0, k=1).collect()
