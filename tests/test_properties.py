@@ -193,34 +193,53 @@ def test_salted_agg_equals_python_groupby(spark, rows, n_salts):
 
 @given(
     big=st.lists(
-        st.tuples(st.integers(0, 4), st.integers(0, 100)), min_size=0, max_size=50
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 4)), st.integers(0, 100)
+        ),
+        min_size=0,
+        max_size=50,
     ),
     small=st.lists(
-        st.tuples(st.integers(0, 6), st.integers(0, 100)),
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 6)), st.integers(0, 100)
+        ),
         min_size=0,
         max_size=8,
         unique_by=lambda t: t[0],
     ),
     n_salts=st.integers(min_value=1, max_value=4),
-    how=st.sampled_from(["inner", "left"]),
+    how=st.sampled_from(["inner", "left", "right", "full_outer"]),
 )
 @SET
 def test_salted_join_equals_python_join(spark, big, small, n_salts, how):
+    """All four supported join types against a Python reference,
+    INCLUDING NULL join keys (r18 — previously the property domain was
+    inner/left on non-null keys, while the operator docstring claimed
+    the right/full_outer multiplicity correction and the
+    NULL-pads-exactly-once behavior): a NULL key matches nothing in
+    either the equi-join or the anti-join, so NULL-keyed rows
+    null-pad once each, exactly like the plain join."""
     from jagular_spark.operators.skew import salted_join
 
     b = spark.createDataFrame(big, "k long, v long") if big else spark.createDataFrame([], "k long, v long")
     s = spark.createDataFrame(small, "k long, w long") if small else spark.createDataFrame([], "k long, w long")
     got = sorted(
-        (r.k, r.v, r.w) for r in salted_join(b, s, ["k"], n_salts=n_salts, how=how).collect()
+        ((r.k, r.v, r.w) for r in salted_join(b, s, ["k"], n_salts=n_salts, how=how).collect()),
+        key=repr,
     )
-    lut = dict(small)
+    lut = {k: w for k, w in small if k is not None}
     want = []
     for k, v in big:
-        if k in lut:
+        if k is not None and k in lut:
             want.append((k, v, lut[k]))
-        elif how == "left":
+        elif how in ("left", "full_outer"):
             want.append((k, v, None))
-    assert got == sorted(want)
+    if how in ("right", "full_outer"):
+        matched = {k for k, _ in big if k is not None}
+        for k, w in small:
+            if k is None or k not in matched:
+                want.append((k, None, w))
+    assert got == sorted(want, key=repr)
 
 
 @given(
