@@ -159,7 +159,10 @@ def test_chunking_matches_python_reference(spark, docs, chunk, stride):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=3),      # key (few → collisions)
+            # key: few values -> collisions; None -> the NULL group
+            # (groupBy treats NULL as an ordinary group on both the
+            # salted and plain paths — r18 widened the domain to pin it)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
             st.integers(min_value=-1000, max_value=1000),
         ),
         min_size=1,
