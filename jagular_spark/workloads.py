@@ -3977,13 +3977,31 @@ ROUND_TOUCHED: set[str] = {
     # - stream_curation content_keyed param: default False preserves
     #   the r17 operator byte-for-byte; True is exercised ONLY by the
     #   new docs_curation_streamed, charged above.
+    # - NULL-semantics policies (language_id null_pred, gopher_rules
+    #   null_text, sampler null_keys/null_groups, knn null_labels,
+    #   connected_components null_ids, grouped-map key_change_mask,
+    #   hash_sample_rows NULLS LAST, knn string-label try_cast guard):
+    #   every default is output-identical on NULL-free inputs — and NO
+    #   shipped corpus carries a NULL anywhere (measured
+    #   sf0.001/0.01/0.1) — pinned both-ways in
+    #   tests/test_null_semantics.py; the touched registry queries
+    #   were re-verified by hash on landing day (docs_language_id,
+    #   docs_gopher_rules, docs_stratified_sample,
+    #   docs_rebalance_sample, docs_token_budget_sample,
+    #   docs_dedup_clusters, docs_curation_funnel, emb_knn_classify ->
+    #   8/8; fit-sampler users emb_ann_topk_ivf_fitrows,
+    #   docs_bpe_vocab, emb_mrl_recall -> 3/3; grouped-map users
+    #   events_interpolate, events_common_ref, events_decimate,
+    #   events_filtfilt -> 4/4), and the full registry re-verified
+    #   150/150 at BOTH sf0.01 and sf0.1 the same day.
     "docs_bpe_corpus_encode",
     "docs_curation_streamed",
 }
 # Still queued for the r20 window (result-changing NULL semantics, the
 # n_sequences precedent class; operators + pins BUILT in r18 behind
-# legacy-default parameters — see operators/text.py null_policy,
-# sampling null_keys, knn null labels): language_id NULL text -> 'es',
+# legacy-default parameters — language_id null_pred, gopher_rules
+# null_text, sampler null_keys/null_groups, knn_classify null_labels;
+# the legacy defaults mean): language_id NULL text -> 'es',
 # NULL-key rows silently dropped by hash_bucket-based samplers and
 # rebalance_sample's inner join, gopher_rules NULL flags, knn_classify
 # NULL-label votes. Flip engine+oracle together in r20 when
