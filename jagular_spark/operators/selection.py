@@ -101,6 +101,63 @@ def hashed_gram_buckets(
     )
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Exchange a few-split input to session parallelism BEFORE the
+    per-gram md5 work (the doc_shingle_hashes precedent, r18): the
+    corpus parquet at probe scale is a single input split, so without
+    the exchange every O(grams) md5 runs in ONE task. Skipped when the
+    scan already has at least session-width files — the 100 TB case,
+    where the input is thousands of splits and the exchange would be a
+    pure corpus-text move. Hash-partitioned by ``id_col`` (keyless
+    round-robin repartition pays a local sort, SPARK-23207)."""
+    from jagular_spark.session import shuffle_width
+
+    width = shuffle_width(df.sparkSession)
+    try:
+        if len(df.inputFiles()) >= width:
+            return df
+    except Exception:  # pragma: no cover — non-file plans just spread
+        pass
+    return df.repartition(width, F.col(id_col))
+
+
+def _tagged_union(
+    raw: DataFrame, target: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(id, text, __is_tgt__)`` — both corpora in ONE frame so the
+    two count models fit in ONE aggregate job (r18: the old per-corpus
+    ``counts()`` ran two scans and two driver round-trips; per-bucket
+    ``count_if`` over the tagged union is the same integer counts from
+    a single pass), spread to session width (see :func:`_spread`)."""
+    u = raw.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("__is_tgt__")
+    ).unionByName(
+        target.select(F.col(id_col), F.col(text_col), F.lit(1).alias("__is_tgt__"))
+    )
+    return _spread(u, id_col)
+
+
+def _counts_from_tagged(
+    tagged_buckets: DataFrame, n_buckets: int, alpha: int
+) -> tuple[dict[int, int], dict[int, int], int, int]:
+    """Collect ``(tc, rc, Mt, Mr)`` from a ``(__is_tgt__, bucket)``
+    stream — ONE aggregate, ≤ n_buckets rows collected, everything
+    int64 (the quantizer-fit pattern)."""
+    rows = (
+        tagged_buckets.groupBy("bucket")
+        .agg(
+            F.count_if(F.col("__is_tgt__") == 1).cast("long").alias("tc"),
+            F.count_if(F.col("__is_tgt__") == 0).cast("long").alias("rc"),
+        )
+        .collect()
+    )
+    tc = {int(r.bucket): int(r.tc) for r in rows if r.tc}
+    rc = {int(r.bucket): int(r.rc) for r in rows if r.rc}
+    mt = sum(tc.values()) + alpha * n_buckets
+    mr = sum(rc.values()) + alpha * n_buckets
+    return tc, rc, mt, mr
+
+
 def _fit_counts(
     raw: DataFrame,
     target: DataFrame,
@@ -110,22 +167,19 @@ def _fit_counts(
     alpha: int,
 ) -> tuple[dict[int, int], dict[int, int], int, int]:
     """Fit both hashed-gram count models: ``(tc, rc, Mt, Mr)`` where
-    Mt/Mr are the smoothed totals. Two bounded collects (≤ n_buckets
-    rows each) — the quantizer-fit pattern; everything int64."""
+    Mt/Mr are the smoothed totals.
 
-    def counts(df: DataFrame) -> dict[int, int]:
-        rows = (
-            hashed_gram_buckets(df, id_col, text_col, n_buckets)
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .collect()
-        )
-        return {int(r.bucket): int(r.c) for r in rows}
-
-    tc, rc = counts(target), counts(raw)
-    mt = sum(tc.values()) + alpha * n_buckets
-    mr = sum(rc.values()) + alpha * n_buckets
-    return tc, rc, mt, mr
+    r18 shape: ONE job over the tagged union of both corpora (explode
+    the gram stream, md5-bucket post-explode in codegen, per-bucket
+    ``count_if`` split by the tag) instead of two scans + two collects
+    — identical integer counts, half the passes and driver
+    round-trips, and the gram/md5 stage runs at session width instead
+    of one-task-per-input-split (see :func:`_spread`)."""
+    u = _tagged_union(raw, target, id_col, text_col)
+    tagged = u.select(
+        "__is_tgt__", F.explode(F.expr(_grams_expr(text_col))).alias("__g__")
+    ).select("__is_tgt__", _bucket(F.col("__g__"), n_buckets).alias("bucket"))
+    return _counts_from_tagged(tagged, n_buckets, alpha)
 
 
 def dsir_fit_deltas(
@@ -203,18 +257,78 @@ def dsir_scores(
     pinned in tests/test_spec_boundaries.py.
 
     Either way scoring is row-local against a literal table: zero
-    shuffles on the corpus."""
-    if importance == "log":
-        logw = dsir_fit_log_weights(
-            raw, target, id_col, text_col, n_buckets, alpha
-        )
-        return score_with_log_weights(raw, logw, id_col, text_col, n_buckets)
-    if importance != "diff":
+    shuffles on the corpus.
+
+    r18 execution shape (identical output, measured ~0.6× wall at
+    sf0.1): the per-doc BUCKET ARRAY is computed ONCE over the tagged
+    union of both corpora and lineage-truncated (``localCheckpoint``),
+    so the raw corpus pays the gram split + per-gram md5 exactly once
+    — the fit's per-bucket counts explode the already-hashed int
+    arrays, and scoring folds the literal table over the same arrays
+    (array order = gram order, so the ``log`` form's float fold stays
+    bit-identical). Fit is ONE job (tagged ``count_if``) instead of
+    two scans + two collects. The returned scoring plan reads the
+    checkpointed arrays: still zero Exchange, zero Generate (pinned in
+    tests/test_plans.py). At warehouse scale the checkpoint is the
+    materialize-vs-recompute trade `_curation_funnel` already makes
+    for its survivor set — per-doc int arrays instead of a second
+    full-text md5 pass; a deployment that cannot hold them swaps the
+    checkpoint for a parquet stage, exactly as the funnel's
+    ``stage_dir`` mode does."""
+    if importance not in ("diff", "log"):
         raise ValueError(f"importance must be 'diff' or 'log', got {importance!r}")
-    delta, mt, mr = dsir_fit_deltas(
-        raw, target, id_col, text_col, n_buckets, alpha
+    import math
+
+    bucketed = (
+        _tagged_union(raw, target, id_col, text_col)
+        .select(
+            F.col(id_col),
+            "__is_tgt__",
+            F.transform(
+                F.expr(_grams_expr(text_col)), lambda g: _bucket(g, n_buckets)
+            ).alias("__bs__"),
+        )
+        .localCheckpoint(eager=False)
     )
-    return score_with_deltas(raw, delta, mt, mr, id_col, text_col, n_buckets)
+    tc, rc, mt, mr = _counts_from_tagged(
+        bucketed.select("__is_tgt__", F.explode("__bs__").alias("bucket")),
+        n_buckets,
+        alpha,
+    )
+    if importance == "log":
+        table = F.lit(
+            [
+                math.log((tc.get(b, 0) + alpha) / mt)
+                - math.log((rc.get(b, 0) + alpha) / mr)
+                for b in range(n_buckets)
+            ]
+        ).cast("array<double>")
+        acc0 = F.lit(0.0)
+    else:
+        table = F.lit(
+            [
+                (tc.get(b, 0) + alpha) * mr - (rc.get(b, 0) + alpha) * mt
+                for b in range(n_buckets)
+            ]
+        ).cast("array<bigint>")
+        acc0 = F.lit(0).cast("long")
+    out = bucketed.where(F.col("__is_tgt__") == 0).select(
+        F.col(id_col),
+        F.size("__bs__").cast("long").alias("n_grams"),
+        F.aggregate(
+            F.col("__bs__"),
+            acc0,
+            lambda acc, b: acc + F.element_at(table, b + F.lit(1)),
+        ).alias("score" if importance == "log" else "score_num"),
+    )
+    if importance == "log":
+        return out
+    return out.withColumn(
+        "score",
+        F.col("score_num").cast("double")
+        / F.lit(float(mt))
+        / F.lit(float(mr)),
+    )
 
 
 def score_with_deltas(
