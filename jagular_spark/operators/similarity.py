@@ -796,17 +796,28 @@ def mrl_recall(
         tr = ann_topk_truncated(df, probe_filter, k, d, id_col, vec_col).select(
             "query_id", "neighbor_id"
         )
-        nt = tr.groupBy("query_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_trunc")
-        )
-        nov = (
-            full.join(tr, ["query_id", "neighbor_id"])
+        # r18: ONE pass per dims — the old separate n_trunc/n_overlap
+        # aggregates consumed the un-checkpointed `tr` twice, re-running
+        # each truncated brute-force search per consumer (5 corpus
+        # passes; now the 3-pass minimum). The tiny checkpointed `full`
+        # set broadcasts; its (query_id, neighbor_id) pairs are unique,
+        # so the left join cannot multiply rows — count(*) is still
+        # n_trunc and count(__hit__) counts exactly the overlap pairs
+        # the old inner-join aggregate counted.
+        stats = (
+            tr.join(
+                F.broadcast(full.withColumn("__hit__", F.lit(1))),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
             .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_trunc"),
+                F.count("__hit__").cast("long").alias("n_overlap"),
+            )
         )
         parts.append(
-            nf.join(nt, "query_id", "left")
-            .join(nov, "query_id", "left")
+            nf.join(F.broadcast(stats), "query_id", "left")
             .select(
                 F.lit(d).cast("long").alias("dims"),
                 "query_id",

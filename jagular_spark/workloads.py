@@ -1974,17 +1974,28 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for method, ap in variants.items():
         ap = ap.select("query_id", "neighbor_id")
-        na = ap.groupBy("query_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_approx")
-        )
-        nov = (
-            exact.join(ap, ["query_id", "neighbor_id"])
+        # r18: ONE pass per variant — the old separate n_approx/n_overlap
+        # aggregates consumed the un-checkpointed `ap` twice, re-running
+        # each ANN search per consumer (5 corpus passes for this query;
+        # now the 3-pass minimum). Left-joining the tiny checkpointed
+        # exact set (broadcast: n_probes·k rows) cannot multiply rows —
+        # exact (query_id, neighbor_id) pairs are unique — so count(*)
+        # is still n_approx and count(__hit__) counts exactly the
+        # overlap pairs the old inner-join aggregate counted.
+        stats = (
+            ap.join(
+                F.broadcast(exact.withColumn("__hit__", F.lit(1))),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
             .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_approx"),
+                F.count("__hit__").cast("long").alias("n_overlap"),
+            )
         )
         parts.append(
-            ne.join(na, "query_id", "left")
-            .join(nov, "query_id", "left")
+            ne.join(F.broadcast(stats), "query_id", "left")
             .select(
                 F.lit(method).alias("method"),
                 "query_id",
