@@ -62,18 +62,25 @@ def parse_events(path):
                     jobs[e["Job ID"]]["t1"] = e["Completion Time"]
             elif ev == "SparkListenerStageCompleted":
                 si = e["Stage Info"]
-                stages[si["Stage ID"]] = {
-                    "name": si.get("Stage Name", ""),
-                    "t0": si.get("Submission Time", 0),
-                    "t1": si.get("Completion Time", 0),
-                    "ntasks": si.get("Number of Tasks", 0),
-                    "details": (si.get("Details") or "").split("\n")[0],
-                }
+                # update, don't replace: TaskEnd events for this stage
+                # were already folded into the same dict
+                st = stages.setdefault(si["Stage ID"], {})
+                st.update(
+                    name=si.get("Stage Name", ""),
+                    t0=si.get("Submission Time", 0),
+                    t1=si.get("Completion Time", 0),
+                    ntasks=si.get("Number of Tasks", 0),
+                    details=(si.get("Details") or "").split("\n")[0],
+                )
             elif ev == "SparkListenerTaskEnd":
                 sid = e["Stage ID"]
                 st = stages.setdefault(sid, {})
                 m = e.get("Task Metrics") or {}
                 st["task_ms"] = st.get("task_ms", 0) + m.get("Executor Run Time", 0)
+                # CPU ns -> ms: actual CPU consumed, immune to host steal
+                st["cpu_ms"] = st.get("cpu_ms", 0) + (
+                    m.get("Executor CPU Time", 0) + m.get("Executor Deserialize CPU Time", 0)
+                ) // 1_000_000
                 st["gc_ms"] = st.get("gc_ms", 0) + m.get("JVM GC Time", 0)
                 st["deser_ms"] = st.get("deser_ms", 0) + m.get(
                     "Executor Deserialize Time", 0
@@ -106,6 +113,9 @@ def main():
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            # rolling dir logs default to zstd part files; keep them
+            # plain text so parse_events can read them directly
+            "spark.eventLog.compress": "false",
         },
     )
     from pyspark.sql import functions as F
@@ -128,9 +138,23 @@ def main():
         print(f"\n=== {name}: run1 {dt1:.3f}s run2 {dt2:.3f}s rows={n}")
 
     spark.stop()
-    # one app log file in evdir
+    # one app log per app; Spark 4 rolling logs are a DIRECTORY of
+    # events_* part files — concatenate them in sequence order
     logs = [os.path.join(evdir, f) for f in os.listdir(evdir) if not f.startswith(".")]
-    jobs, stages = parse_events(max(logs, key=os.path.getmtime))
+    target = max(logs, key=os.path.getmtime)
+    if os.path.isdir(target):
+        parts = sorted(
+            os.path.join(target, f)
+            for f in os.listdir(target)
+            if f.startswith("events_")
+        )
+        cat = os.path.join(evdir, "_concat_events.jsonl")
+        with open(cat, "w") as out:
+            for p in parts:
+                with open(p) as fh:
+                    out.write(fh.read())
+        target = cat
+    jobs, stages = parse_events(target)
 
     # split jobs into per-query run2 segments using the __MARK__ jobs
     ordered = sorted(jobs.items(), key=lambda kv: kv[1]["t0"])
@@ -178,7 +202,8 @@ def main():
                     continue
                 print(
                     f"    stage {sid}: {sw:7.3f}s  tasks={s.get('ntasks', 0):3d} "
-                    f"task_ms={s.get('task_ms', 0):6d} gc={s.get('gc_ms', 0):5d} "
+                    f"task_ms={s.get('task_ms', 0):6d} cpu_ms={s.get('cpu_ms', 0):6d} "
+                    f"gc={s.get('gc_ms', 0):5d} "
                     f"fetch={s.get('fetch_ms', 0):4d} "
                     f"shR={s.get('sh_read', 0) >> 10}K shW={s.get('sh_write', 0) >> 10}K  "
                     f"{s.get('name', '')[:50]}"
