@@ -26,6 +26,45 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def lit_bigint_array(vals: Sequence[int]) -> Column:
+    """A large ``array<bigint>`` literal built from ONE SQL-string
+    parse instead of ``F.lit(list)``'s one-py4j-call-per-element
+    construction (r18: a 4096-element DSIR delta table measured ~10 s
+    of driver time as ``F.lit``, ~0.1 s as a single ``expr`` parse —
+    the JVM sees the identical ``array(...)`` of foldable literals
+    either way, so plans and results are bit-identical)."""
+    if not vals:
+        return F.expr("cast(array() as array<bigint>)")
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
+def lit_double_array(vals: Sequence[float]) -> Column:
+    """``array<double>`` literal via one SQL parse. ``repr(float)`` is
+    Python's shortest round-trip decimal and the SQL parser's
+    ``Double.parseDouble`` is correctly rounded, so every element is
+    bit-identical to the ``F.lit`` path (pinned in
+    tests/test_functions.py); the ``D`` suffix keeps the parser from
+    typing plain decimals as DECIMAL(p,s)."""
+    if not vals:
+        return F.expr("cast(array() as array<double>)")
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def lit_bigint_matrix(rows: Sequence[Sequence[int]]) -> Column:
+    """``array<array<bigint>>`` literal (centroid / codebook tables)
+    via one SQL parse — same construction as :func:`lit_bigint_array`,
+    nested."""
+    if not rows:
+        return F.expr("cast(array() as array<array<bigint>>)")
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def frange(start: float, stop: float, step: float) -> Column:
     """U1: array<double> grid ``[start, stop)`` with
     ``num = floor((stop-start)/step)`` linspace semantics."""

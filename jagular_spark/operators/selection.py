@@ -295,22 +295,24 @@ def dsir_scores(
         n_buckets,
         alpha,
     )
+    from jagular_spark.functions import lit_bigint_array, lit_double_array
+
     if importance == "log":
-        table = F.lit(
+        table = lit_double_array(
             [
                 math.log((tc.get(b, 0) + alpha) / mt)
                 - math.log((rc.get(b, 0) + alpha) / mr)
                 for b in range(n_buckets)
             ]
-        ).cast("array<double>")
+        )
         acc0 = F.lit(0.0)
     else:
-        table = F.lit(
+        table = lit_bigint_array(
             [
                 (tc.get(b, 0) + alpha) * mr - (rc.get(b, 0) + alpha) * mt
                 for b in range(n_buckets)
             ]
-        ).cast("array<bigint>")
+        )
         acc0 = F.lit(0).cast("long")
     out = bucketed.where(F.col("__is_tgt__") == 0).select(
         F.col(id_col),
@@ -346,7 +348,9 @@ def score_with_deltas(
     (streaming/pipeline.stream_dsir_scores wires a document stream
     through this very function; stream-static with zero stateful
     operators, so append mode just works)."""
-    lit = F.lit(delta).cast("array<bigint>")
+    from jagular_spark.functions import lit_bigint_array
+
+    lit = lit_bigint_array(delta)
     gs = F.expr(_grams_expr(text_col))
     out = df.select(F.col(id_col), gs.alias("__gs__")).select(
         F.col(id_col),
@@ -381,7 +385,9 @@ def score_with_log_weights(
     double sum folds left-to-right over the gram array, matching the
     replay's per-gram ``math.log`` accumulation order bit-for-bit
     (each logw entry IS the per-gram summand)."""
-    lit = F.lit(logw).cast("array<double>")
+    from jagular_spark.functions import lit_double_array
+
+    lit = lit_double_array(logw)
     gs = F.expr(_grams_expr(text_col))
     return df.select(F.col(id_col), gs.alias("__gs__")).select(
         F.col(id_col),

@@ -30,6 +30,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jagular_spark.functions import lit_bigint_matrix
+
 # Mersenne prime 2^31-1; minhash coefficients (fixed classic LCG constants)
 P = 2147483647
 MINHASH_A = [1103515245, 1566083941, 1812433253, 1664525, 22695477, 1013904223, 69069, 1103527590,
@@ -682,11 +684,15 @@ def _plane_dots(iv_col: str, n_planes: int, dim: int) -> list[F.Column]:
     chain per plane compiles to ~512 codegen expression nodes across 8
     planes and measurably bloats Janino compile time; the array form is
     a constant-size tree regardless of dim."""
+    from jagular_spark.functions import lit_bigint_array
+
     return [
         F.aggregate(
             F.zip_with(
                 F.col(iv_col),
-                F.array(*[F.lit(_plane_sign(j, i)) for i in range(dim)]),
+                # r18: one SQL-parse literal per plane instead of dim
+                # py4j lit() round trips (see functions.lit_bigint_array)
+                lit_bigint_array([_plane_sign(j, i) for i in range(dim)]),
                 lambda x, s: x * s.cast("bigint"),
             ),
             F.lit(0).cast("bigint"),
@@ -965,7 +971,7 @@ def _cent_dists(cents: Sequence[Sequence[int]]) -> F.Column:
     form put k·dim literal nodes in the plan and dominated the query's
     cold time in Catalyst/Janino (higher-order functions are
     interpreter-evaluated either way, so runtime is unchanged)."""
-    lit = F.lit([[int(v) for v in c] for c in cents]).cast("array<array<bigint>>")
+    lit = lit_bigint_matrix(cents)
     return F.transform(
         lit,
         lambda c: F.aggregate(
@@ -1877,7 +1883,7 @@ def _pq_codes(codebooks: Sequence[Sequence[Sequence[int]]]) -> F.Column:
     d = len(codebooks[0][0])
 
     def _dists(j: int, cb) -> F.Column:
-        lit = F.lit([[int(v) for v in c] for c in cb]).cast("array<array<bigint>>")
+        lit = lit_bigint_matrix(cb)
         sl = F.slice(F.col("iv"), j * d + 1, d)
         return F.transform(
             lit,
@@ -1961,7 +1967,7 @@ def _pq_dot_tables(codebooks: Sequence[Sequence[Sequence[int]]]) -> F.Column:
     d = len(codebooks[0][0])
 
     def _table(j: int, cb) -> F.Column:
-        lit = F.lit([[int(v) for v in c] for c in cb]).cast("array<array<bigint>>")
+        lit = lit_bigint_matrix(cb)
         sl = F.slice(F.col("iv"), j * d + 1, d)
         return F.transform(
             lit,

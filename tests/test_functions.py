@@ -58,3 +58,46 @@ def test_pretty_duration_cases(spark):
     assert got[2] == "1:02:500 minutes"
     assert got[3] == "1 days 1:00:00 hours"
     assert got[4] == "inf"
+
+
+def test_lit_array_builders_bit_identical_to_lit(spark):
+    # r18: the single-parse expr builders must produce literals
+    # bit-identical to F.lit(list) — including doubles through the
+    # repr round-trip (math.log outputs are the production case) and
+    # int64 extremes.
+    import math
+    import struct
+
+    from jagular_spark.functions import (
+        lit_bigint_array,
+        lit_bigint_matrix,
+        lit_double_array,
+    )
+
+    ints = [0, 1, -1, 2**62, -(2**62), 7919 * 10**12, -3]
+    dbls = [0.0, -0.0, 0.1, math.log(3 / 7) - math.log(2 / 5), 1e-300, -1.7e308,
+            math.log(4097 / 4096)]
+    mat = [[1, -(2**40)], [0, 2**40]]
+    row = spark.range(1).select(
+        lit_bigint_array(ints).alias("a"),
+        F.lit(ints).cast("array<bigint>").alias("a0"),
+        lit_double_array(dbls).alias("d"),
+        F.lit(dbls).cast("array<double>").alias("d0"),
+        lit_bigint_matrix(mat).alias("m"),
+        F.lit(mat).cast("array<array<bigint>>").alias("m0"),
+    ).first()
+    assert row.a == row.a0 == ints
+    assert row.m == row.m0 == mat
+    bits = [struct.pack("<d", v) for v in row.d]
+    bits0 = [struct.pack("<d", v) for v in row.d0]
+    assert bits == bits0 == [struct.pack("<d", float(v)) for v in dbls]
+    # empty arrays keep their declared element types
+    empt = spark.range(1).select(
+        lit_bigint_array([]).alias("a"),
+        lit_double_array([]).alias("d"),
+        lit_bigint_matrix([]).alias("m"),
+    )
+    assert [f.dataType.simpleString() for f in empt.schema.fields] == [
+        "array<bigint>", "array<double>", "array<array<bigint>>",
+    ]
+    assert empt.first() == ([], [], [])
