@@ -271,34 +271,66 @@ def extract_waveforms(
         samples, pts, radius_before=2 * size, radius_after=2 * size,
         ts_col=ts_col, point_ts_col="crossing_ts", join_cols=keys, step=step,
     )
+    # r18: pin the gather exchange at session width ON THE AGGREGATE
+    # KEYS — the aggregate's required distribution is satisfied by the
+    # explicit repartition, so the shuffle COUNT is unchanged, but an
+    # explicit-N repartition is exempt from AQE coalescing. Without it,
+    # the few-hundred-KB post-shuffle stage coalesces to ONE task and
+    # the whole interpreted higher-order-function chain below (the
+    # expensive part — HOFs never compile) runs single-threaded:
+    # measured 8.0 s of single-task CPU at sf0.1, ~0.4 s spread wide.
+    # At warehouse scale the stage is wide either way; this only stops
+    # byte-based coalescing from serializing a CPU-bound projection.
+    from jagular_spark.session import shuffle_width
+
+    width = shuffle_width(samples.sparkSession)
     gathered = (
-        joined.groupBy(*keys, "crossing_ts")
+        joined.repartition(width, *keys, "crossing_ts")
+        .groupBy(*keys, "crossing_ts")
         .agg(F.array_sort(F.collect_list(F.struct(F.col(ts_col), F.col(value_col).alias("v")))).alias("win"))
-        .withColumn("vals", F.transform("win", lambda s: s["v"].cast("double")))
-        .withColumn("ts_arr", F.transform("win", lambda s: s[ts_col]))
     )
-    # W3: locate the extremum inside the ±size window around the crossing
+    # W3: locate the extremum inside the ±size window around the
+    # crossing. ``win`` is already the (ts, v) struct array — the
+    # pre-r18 form re-derived vals/ts_arr projections and arrays_zip'd
+    # them back together (two full per-row array rebuilds that existed
+    # only to be taken apart again); filtering ``win`` directly is
+    # element-identical. The in-center slice and its value array bind
+    # ONCE per row as transform-lambda variables (the _grams_expr
+    # idiom) instead of re-evaluating per reference.
     center_lo = F.col("crossing_ts") - size * step
     center_hi = F.col("crossing_ts") + size * step
     in_center = F.filter(
-        F.arrays_zip("ts_arr", "vals"),
-        lambda s: (s["ts_arr"] >= center_lo) & (s["ts_arr"] < center_hi),
+        "win", lambda s: (s[ts_col] >= center_lo) & (s[ts_col] < center_hi)
     )
-    center_vals = F.transform(in_center, lambda s: s["vals"])
-    extremum = F.array_min(center_vals) if recenter == "min" else F.array_max(center_vals)
-    peak_pos = F.array_position(center_vals, extremum)  # 1-based, first occurrence
-    peak_ts = F.element_at(F.transform(in_center, lambda s: s["ts_arr"]), peak_pos.cast("int"))
+    if recenter == "min":
+        _ext = F.array_min
+    else:
+        _ext = F.array_max
+    peak_ts = F.transform(
+        F.array(in_center),
+        lambda ic: F.transform(
+            F.array(F.transform(ic, lambda s: s["v"].cast("double"))),
+            # 1-based first-occurrence position of the extremum — the
+            # numpy-argmin tiebreak, unchanged
+            lambda cv: F.element_at(
+                ic, F.array_position(cv, _ext(cv)).cast("int")
+            )[ts_col],
+        )[0],
+    )[0]
 
     with_peak = gathered.withColumn("peak_ts", peak_ts)
     # final patch: [peak - size, peak + size) with zero-pad at stream edges (W4)
     lo = F.col("peak_ts") - size * step
     hi = F.col("peak_ts") + size * step
     patch = F.transform(
-        F.filter(F.arrays_zip("ts_arr", "vals"), lambda s: (s["ts_arr"] >= lo) & (s["ts_arr"] < hi)),
-        lambda s: s["vals"],
+        F.filter("win", lambda s: (s[ts_col] >= lo) & (s[ts_col] < hi)),
+        lambda s: s["v"].cast("double"),
     )
     n_before = F.aggregate(
-        "ts_arr", F.lit(0), lambda acc, t: acc + F.when((t >= lo) & (t < F.col("peak_ts")), 1).otherwise(0)
+        "win",
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when((s[ts_col] >= lo) & (s[ts_col] < F.col("peak_ts")), 1).otherwise(0),
     )
     pad_left = F.greatest(F.lit(0), F.lit(size) - n_before)
     pad_right = F.greatest(F.lit(0), F.lit(patch_size) - pad_left - F.size(patch))
@@ -345,6 +377,13 @@ def form_tetrode(
     # groupBy(peak_ts), then regroup per-channel with array expressions.
     # (Was two chained collect_list shuffles — groupBy(peak_ts, channel)
     # then groupBy(peak_ts) — same result, double the exchange volume.)
+    # r18: explicit-N repartition on the aggregate key pins the (single)
+    # exchange at session width so AQE's byte-based coalescing cannot
+    # serialize the interpreted per-channel patch assembly below into
+    # one task (see extract_waveforms).
+    from jagular_spark.session import shuffle_width
+
+    joined = joined.repartition(shuffle_width(spark), "peak_ts")
     gathered = joined.groupBy("peak_ts").agg(
         F.array_sort(
             F.collect_list(
