@@ -38,6 +38,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is byte-based: with the default 1m floor
+        # (parallelismFirst targets minPartitionSize), every CPU-dense
+        # but byte-small post-shuffle stage — md5 shingle/minhash
+        # hashing, interpreted higher-order-function projections,
+        # in-bucket pair combinatorics — collapses to 1-3 tasks and
+        # runs serialized (profiled r18: ngram pair-gen 3.6 s CPU in 3
+        # tasks, LSH bucket+verify 3.2 s CPU in 1 task). A 16k floor
+        # keeps such stages at session width; stages with real bytes
+        # are unaffected (they sit above any floor), so at warehouse
+        # scale — where post-shuffle partitions are MBs-GBs — this
+        # conf never binds, which is why it is safe as a default.
+        # Env-overridable for A/B and for deployments that prefer the
+        # stock floor.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCE", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
