@@ -2263,7 +2263,7 @@ def docs_training_shards_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     thresholds = token_budget_thresholds(docs, _TOKEN_BUDGETS, group_col="source")
     stage = _stage_dir("shards_stream", sf_dir)
     docs.write.mode("overwrite").parquet(stage)
-    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    stream = _spread_stream(spark.readStream.schema(docs.schema).parquet(stage))
     tbl = _run_stream_to_table(
         stream_training_shard_pack(stream, thresholds, salt="train-mix-v1"),
         "shards_stream",
@@ -2324,7 +2324,7 @@ def docs_token_budget_sample_streamed(spark: SparkSession, sf_dir: str) -> DataF
     thresholds = token_budget_thresholds(docs, _TOKEN_BUDGETS, group_col="source")
     stage = _stage_dir("tbs_stream", sf_dir)
     docs.write.mode("overwrite").parquet(stage)
-    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    stream = _spread_stream(spark.readStream.schema(docs.schema).parquet(stage))
     tbl = _run_stream_to_table(
         stream_token_budget_sample(stream, thresholds), "tbs_stream"
     )
@@ -2363,7 +2363,7 @@ def docs_curation_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage = _stage_dir("curation_stream", sf_dir)
     docs.write.mode("overwrite").parquet(stage)
-    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    stream = _spread_stream(spark.readStream.schema(docs.schema).parquet(stage))
     tbl = _run_stream_to_table(
         stream_curation(stream, "event_time", content_keyed=True),
         "curation_stream",
@@ -2482,6 +2482,26 @@ _STREAM_TBL: dict[str, str] = {}
 # on re-invocation instead of leaking a fresh mkdtemp full of table
 # copies per bench/driver run; removed at interpreter exit.
 _STAGE_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _spread_stream(stream: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Session-width exchange on a file-source STREAM before heavy
+    row-local work (r18, the streaming face of selection._spread): the
+    staged corpus at probe scale is one parquet file, and a one-file
+    micro-batch runs the ENTIRE map side — gram/window md5 hashing,
+    minhash signatures, quality scoring — in a single task (profiled:
+    6.7 s single-task CPU on docs_substring_dedup_streamed's hash
+    stage). Writing the stage wider does not help: the file source
+    packs small files ~32-per-split via openCostInBytes, so the only
+    reliable spread is an in-plan exchange. Stateless, deterministic
+    hash partitioning; every downstream kernel is arrival-order-safe
+    (internal sorts / set-semantics outputs), so outputs are
+    bit-identical — the shared batch oracles pin it. At 100 TB the
+    source is thousands of files per batch and a deployment drops
+    this (or keeps it — one narrow exchange of the text)."""
+    from jagular_spark.session import shuffle_width
+
+    return stream.repartition(shuffle_width(stream.sparkSession), F.col(id_col))
 
 
 def _stage_dir(prefix: str, sf_dir: str) -> str:
@@ -2741,7 +2761,7 @@ def docs_lsh_candidates_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     stage = _stage_dir("lsh_stream", sf_dir)
     docs.write.mode("overwrite").parquet(stage)
-    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    stream = _spread_stream(spark.readStream.schema(docs.schema).parquet(stage))
     tbl = _run_stream_to_table(
         stream_lsh_candidate_pairs(stream), "lsh_stream", shuffle_partitions=8
     )
@@ -2766,7 +2786,7 @@ def docs_substring_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     stage = _stage_dir("ssd_stream", sf_dir)
     docs.write.mode("overwrite").parquet(stage)
-    stream = spark.readStream.schema(docs.schema).parquet(stage)
+    stream = _spread_stream(spark.readStream.schema(docs.schema).parquet(stage))
     tbl = _run_stream_to_table(
         stream_dup_kgram_marks(stream, k=8), "ssd_stream", shuffle_partitions=8
     )
@@ -3816,7 +3836,7 @@ def docs_dsir_scores_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta, mt, mr = dsir_fit_deltas(raw, docs.where(F.col("doc_id") % 50 == 0))
     stage = _stage_dir("dsir_stream", sf_dir)
     raw.write.mode("overwrite").parquet(stage)
-    stream = spark.readStream.schema(raw.schema).parquet(stage)
+    stream = _spread_stream(spark.readStream.schema(raw.schema).parquet(stage))
     tbl = _run_stream_to_table(
         stream_dsir_scores(stream, delta, mt, mr), "dsir_stream"
     )
