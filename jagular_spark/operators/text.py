@@ -989,8 +989,17 @@ def cut_spans(
         "filter(__t__, (x, i) -> __spans__ IS NULL OR NOT exists(__spans__, "
         "s -> i >= s.span_start AND i < s.span_start + s.span_len))"
     )
+    # r18: the surgery (split + filter HOF + concat_ws) is row-local
+    # CPU that executes on the DOCS side of the broadcast span join —
+    # at probe scale that side is a one-split parquet scan, so the
+    # whole cut ran in a single task (profiled 1.4 s single-task CPU
+    # inside docs_curation_funnel_v2). Same corpus-spread heuristic as
+    # selection._spread: exchange to session width only when the scan
+    # has fewer splits than the session is wide.
+    from jagular_spark.operators.selection import _spread
+
     return (
-        docs.join(agg, id_col, "left")
+        _spread(docs, id_col).join(agg, id_col, "left")
         .withColumn("__t__", F.expr(f"split(trim({text_col}), '\\\\s+')"))
         .withColumn("__k__", kept)
         .select(
