@@ -1285,7 +1285,16 @@ def ivf_write_index(
     cents = ivf_fit_centroids(
         df, n_centroids, n_iter, id_col, vec_col, fit_fraction, salt, fit_rows
     )
-    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    # r18: spread the corpus before the argmin/encode projection and
+    # the partitioned write - on a one-split scan the whole assign +
+    # write ran in ONE task (profiled 4.5 s single-task CPU in the
+    # lifecycle build); selection._spread skips the exchange when the
+    # scan is already at least session-wide (the 100 TB case)
+    from jagular_spark.operators.selection import _spread
+
+    base = with_int_norm(_spread(df, id_col), vec_col).select(
+        F.col(id_col).alias("id"), "iv", "nrm"
+    )
     argmin = F.array_min(_dist_idx(cents)).getField("i").cast("int")
     base.withColumn("cell", argmin).write.mode("overwrite").partitionBy(
         "cell"
@@ -1323,7 +1332,16 @@ def ivf_append_index(df: DataFrame, path: str,
     spark = df.sparkSession
     ivf_repair_index(spark, path)
     cents = ivf_load_index(spark, path)
-    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    # r18: spread the corpus before the argmin/encode projection and
+    # the partitioned write - on a one-split scan the whole assign +
+    # write ran in ONE task (profiled 4.5 s single-task CPU in the
+    # lifecycle build); selection._spread skips the exchange when the
+    # scan is already at least session-wide (the 100 TB case)
+    from jagular_spark.operators.selection import _spread
+
+    base = with_int_norm(_spread(df, id_col), vec_col).select(
+        F.col(id_col).alias("id"), "iv", "nrm"
+    )
     argmin = F.array_min(_dist_idx(cents)).getField("i").cast("int")
     base.withColumn("cell", argmin).write.mode("append").partitionBy(
         "cell"
@@ -1343,7 +1361,16 @@ def ivf_pq_append_index(df: DataFrame, path: str,
     spark = df.sparkSession
     ivf_repair_index(spark, path)
     cents, books = ivf_pq_load_index(spark, path)
-    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    # r18: spread the corpus before the argmin/encode projection and
+    # the partitioned write - on a one-split scan the whole assign +
+    # write ran in ONE task (profiled 4.5 s single-task CPU in the
+    # lifecycle build); selection._spread skips the exchange when the
+    # scan is already at least session-wide (the 100 TB case)
+    from jagular_spark.operators.selection import _spread
+
+    base = with_int_norm(_spread(df, id_col), vec_col).select(
+        F.col(id_col).alias("id"), "iv", "nrm"
+    )
     codes = _encode_corpus_codes(base, cents, books)
     codes.select(
         F.col("neighbor_id").alias("id"), "codes", F.col("cl").alias("cell")
@@ -2107,7 +2134,16 @@ def ivf_pq_write_index(
         raise ValueError(f"fit sample has {len(X)} rows < k={n_centroids}")
     cents = _lloyd_int(X, n_centroids, n_iter)
     books = _pq_books_from_sample(X, m, pq_k, pq_iter)
-    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    # r18: spread the corpus before the argmin/encode projection and
+    # the partitioned write - on a one-split scan the whole assign +
+    # write ran in ONE task (profiled 4.5 s single-task CPU in the
+    # lifecycle build); selection._spread skips the exchange when the
+    # scan is already at least session-wide (the 100 TB case)
+    from jagular_spark.operators.selection import _spread
+
+    base = with_int_norm(_spread(df, id_col), vec_col).select(
+        F.col(id_col).alias("id"), "iv", "nrm"
+    )
     codes = _encode_corpus_codes(base, cents, books)
     codes.select(
         F.col("neighbor_id").alias("id"), "codes", F.col("cl").alias("cell")

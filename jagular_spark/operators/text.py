@@ -128,7 +128,14 @@ def min_gram_fingerprint(text_col: str, gram: int = 8) -> F.Column:
 
 
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return df.select(
+    # r18: the rolling/winnowing fingerprints are the heaviest
+    # row-local projections in the text family (3.3 s single-task CPU
+    # at sf0.1 — the whole query was ONE task on the one-split corpus
+    # scan, zero shuffles anywhere); spread to session width first
+    # (skipped automatically when the scan is already wide).
+    from jagular_spark.operators.selection import _spread
+
+    return _spread(df, id_col).select(
         F.col(id_col),
         rolling_fingerprint(text_col).alias("fp_roll"),
         min_gram_fingerprint(text_col).alias("fp_min8"),
