@@ -43,21 +43,50 @@ for _i in range(8, 16):
 _SAMPLE_SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc8_table() -> list[int]:
+    tbl = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        tbl.append(crc)
+    return tbl
+
+
+def _make_crc16_table() -> list[int]:
+    tbl = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+        tbl.append(crc)
+    return tbl
+
+
+# byte-at-a-time CRC tables (r18: the per-bit loops were ~20% of the
+# FLAC roundtrip kernel; the table form computes the identical
+# polynomial division, verified bit-for-bit in tests/test_flac.py)
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    tbl = _CRC8_TABLE
+    for b in data:
+        crc = tbl[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    tbl = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ tbl[(crc >> 8) ^ b]
     return crc
 
 
@@ -94,42 +123,69 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first bit reader."""
+    """MSB-first bit reader (r18: windowed — each field is one
+    ``int.from_bytes`` slice at a bit cursor instead of a per-byte
+    accumulate loop, and ``_peek16``/``_peek32`` give the zero-padded
+    lookahead the unary scan and the fused Rice path use. ``pad`` lets
+    a caller that builds many readers over ONE buffer share the padded
+    copy instead of re-copying the stream per frame)."""
 
-    def __init__(self, data: bytes, pos: int = 0) -> None:
+    def __init__(self, data: bytes, pos: int = 0, pad: bytes | None = None) -> None:
         self.data = data
-        self.bytepos = pos
-        self.acc = 0
-        self.nbits = 0
+        self.pos = pos << 3  # bit position
+        self._pad = pad if pad is not None else data + b"\x00" * 8
+        self._nbits = len(data) * 8
 
     def read(self, nbits: int) -> int:
-        while self.nbits < nbits:
-            if self.bytepos >= len(self.data):
-                raise ValueError("FLAC bitstream truncated")
-            self.acc = (self.acc << 8) | self.data[self.bytepos]
-            self.bytepos += 1
-            self.nbits += 8
-        self.nbits -= nbits
-        v = (self.acc >> self.nbits) & ((1 << nbits) - 1)
-        self.acc &= (1 << self.nbits) - 1
-        return v
+        p = self.pos
+        if p + nbits > self._nbits:
+            raise ValueError("FLAC bitstream truncated")
+        off = p & 7
+        b0 = p >> 3
+        nb = (off + nbits + 7) >> 3
+        v = int.from_bytes(self.data[b0 : b0 + nb], "big")
+        self.pos = p + nbits
+        return (v >> ((nb << 3) - off - nbits)) & ((1 << nbits) - 1)
 
     def read_signed(self, nbits: int) -> int:
         v = self.read(nbits)
         return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
 
+    def _peek16(self) -> int:
+        p = self.pos
+        b0 = p >> 3
+        v = int.from_bytes(self._pad[b0 : b0 + 3], "big")
+        return (v >> (8 - (p & 7))) & 0xFFFF
+
+    def _peek32(self) -> int:
+        p = self.pos
+        b0 = p >> 3
+        v = int.from_bytes(self._pad[b0 : b0 + 5], "big")
+        return (v >> (8 - (p & 7))) & 0xFFFFFFFF
+
     def read_unary(self) -> int:
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            w = self._peek16()
+            if w:
+                z = 16 - w.bit_length()
+                p2 = self.pos + z + 1
+                if p2 > self._nbits:
+                    raise ValueError("FLAC bitstream truncated")
+                self.pos = p2
+                return q + z
+            if self.pos + 16 > self._nbits:
+                # all remaining bits are zero: the per-bit reader would
+                # consume them and then hit the end of the stream
+                raise ValueError("FLAC bitstream truncated")
+            self.pos += 16
+            q += 16
 
     def align(self) -> None:
-        self.nbits = 0
-        self.acc = 0
+        self.pos = (self.pos + 7) & ~7
 
     def tell_bytes(self) -> int:
-        return self.bytepos - (self.nbits // 8)
+        return (self.pos + 7) >> 3
 
 
 def _utf8_number(bw: _BitWriter, n: int) -> None:
@@ -223,10 +279,20 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
             bw.write(int(v) & ((1 << width) - 1), width)
         return
     bw.write(param, 4)
+    # fused Rice write: q zeros + stop bit + remainder is the single
+    # value (1 << param) | rem at width q + 1 + param — one writer call
+    # per residual instead of two+ (bit-identical output); the rare
+    # huge-quotient case keeps the chunked unary writer
+    mask = (1 << param) - 1
+    write = bw.write
     for u in zz:
         u = int(u)
-        bw.write_unary(u >> param)
-        bw.write(u & ((1 << param) - 1), param)
+        q = u >> param
+        if q < 48:
+            write((1 << param) | (u & mask), q + 1 + param)
+        else:
+            bw.write_unary(q)
+            write(u & mask, param)
 
 
 def encode_flac_pcm16(
@@ -283,7 +349,7 @@ def encode_flac_pcm16(
         hdr.write(bs - 1, 16)
         hbytes = hdr.bytes()
         frame = bytearray(hbytes)
-        frame.append(_crc8(bytes(frame)))
+        frame.append(_crc8(frame))
 
         sw = _BitWriter()
         if not stereo:
@@ -300,7 +366,7 @@ def encode_flac_pcm16(
             _encode_subframe(sw, blk[:, 1].astype(np.int64), 16)
         sw.align()
         frame += sw.bytes()
-        frame += struct.pack(">H", _crc16(bytes(frame)))
+        frame += struct.pack(">H", _crc16(frame))
         out += frame
     return bytes(out)
 
@@ -321,18 +387,40 @@ def _decode_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
     if bs % nparts:
         raise ValueError("block size not divisible by partition count")
     res: list[int] = []
+    append = res.append
     for p in range(nparts):
         cnt = bs // nparts - (order if p == 0 else 0)
         param = br.read(pbits)
         if param == escape:
             width = br.read(5)
             for _ in range(cnt):
-                res.append(br.read_signed(width) if width else 0)
+                append(br.read_signed(width) if width else 0)
         else:
+            # fused Rice read: ONE 32-bit peek covers the unary prefix,
+            # stop bit and remainder of the common case (identical
+            # value/position semantics to read_unary + read; the long-
+            # quotient tail falls back to them)
+            mask = (1 << param) - 1
+            peek32 = br._peek32
+            nbits_total = br._nbits
             for _ in range(cnt):
+                w = peek32()
+                if w:
+                    z = 32 - w.bit_length()
+                    tot = z + 1 + param
+                    if tot <= 32:
+                        p2 = br.pos + tot
+                        if p2 > nbits_total:
+                            raise ValueError("FLAC bitstream truncated")
+                        br.pos = p2
+                        u = (z << param) | ((w >> (32 - tot)) & mask)
+                        append(
+                            (u >> 1) if (u & 1) == 0 else -((u >> 1) + 1)
+                        )
+                        continue
                 q = br.read_unary()
                 u = (q << param) | br.read(param)
-                res.append(_unzigzag(u))
+                append(_unzigzag(u))
     return np.array(res, dtype=np.int64)
 
 
@@ -355,11 +443,21 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
         res = _decode_residual(br, bs, order)
         out = np.empty(bs, dtype=np.int64)
         out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, bs):
-            out[i] = res[i - order] + sum(
-                c * out[i - 1 - j] for j, c in enumerate(coefs)
-            )
+        if order == 0:
+            out = res
+        elif bs > order:
+            # res = diff^order(x); invert with `order` exact int64
+            # cumsums (identical recurrence to the per-sample fixed-
+            # predictor loop, vectorized — r18). Boundary values of
+            # each difference level come from the warm-up samples.
+            lvls = [np.array(warm, dtype=np.int64)]
+            for _ in range(1, order):
+                lvls.append(np.diff(lvls[-1]))
+            cur = res
+            for j in range(order - 1, -1, -1):
+                first = int(lvls[j][0])
+                cur = np.concatenate(([first], first + np.cumsum(cur)))
+            out = cur
     elif t >= 32:  # LPC
         order = (t & 31) + 1
         warm = [br.read_signed(bps) for _ in range(order)]
@@ -412,9 +510,10 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 
     chans: list[list[np.ndarray]] = [[] for _ in range(n_ch)]
     got = 0
+    dpad = d + b"\x00" * 8  # shared lookahead pad (one copy per stream)
     while pos + 2 <= len(d) and (total == 0 or got < total):
         frame_start = pos
-        br = _BitReader(d, pos)
+        br = _BitReader(d, pos, dpad)
         sync = br.read(14)
         if sync != 0b11111111111110:
             raise ValueError("lost FLAC frame sync")

@@ -148,6 +148,49 @@ _DC_LUM_DECODE = {(ln, code): s for s, (code, ln) in DC_LUM_CODES.items()}
 _DC_CHROM_DECODE = {(ln, code): s for s, (code, ln) in DC_CHROM_CODES.items()}
 
 
+def _peek_table(decode: dict, width: int) -> list:
+    """Expand a prefix-free ``{(len, code): value}`` decode dict into a
+    ``width``-bit lookahead table: ``tbl[prefix] = (value, len)`` for
+    every prefix whose leading bits are a code, ``None`` for prefixes
+    no code owns. One ``_peek(width)`` + one list index replaces the
+    bit-by-bit dict walk on the decoder's hottest loops; misses fall
+    back to the exact per-bit walk so error behavior on malformed
+    streams is unchanged (profiled r18: the walk was ~55% of the
+    mpeg1 roundtrip kernels' decode half)."""
+    tbl: list = [None] * (1 << width)
+    for (ln, code), val in decode.items():
+        ent = (val, ln)
+        base = code << (width - ln)
+        for i in range(base, base + (1 << (width - ln))):
+            tbl[i] = ent
+    return tbl
+
+
+# dct coefficient lookahead (13 bits = the longest B.5c code): run/level
+# entries are (run, level, len); EOB and ESCAPE ride the same table as
+# tagged sentinels. The dct_coeff_first '1 s' special form is handled
+# by the callers before consulting the table (its '1' prefix would
+# collide with EOB '10' and (0,1) '11').
+_AC_WIDTH = 13
+_AC_PEEK: list = [None] * (1 << _AC_WIDTH)
+for _rl, (_code, _ln) in AC_CODES.items():
+    _ent = (_rl[0], _rl[1], _ln)
+    _base = _code << (_AC_WIDTH - _ln)
+    for _i in range(_base, _base + (1 << (_AC_WIDTH - _ln))):
+        _AC_PEEK[_i] = _ent
+for _code, _ln, _tag in (
+    (EOB_CODE, EOB_LEN, ("eob", EOB_LEN)),
+    (ESC_CODE, ESC_LEN, ("esc", ESC_LEN)),
+):
+    _base = _code << (_AC_WIDTH - _ln)
+    for _i in range(_base, _base + (1 << (_AC_WIDTH - _ln))):
+        _AC_PEEK[_i] = _tag
+del _rl, _code, _ln, _ent, _base, _i, _tag
+
+_DC_LUM_PEEK = _peek_table(_DC_LUM_DECODE, 8)
+_DC_CHROM_PEEK = _peek_table(_DC_CHROM_DECODE, 8)
+
+
 class _BitWriter:
     """MSB-first bit writer, no byte stuffing (MPEG-1 start codes live
     outside the entropy layer)."""
@@ -180,21 +223,46 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first bit reader over the whole stream (no unstuffing)."""
+    """MSB-first bit reader over the whole stream (no unstuffing).
+
+    ``bits`` reads the whole n-bit window with one ``int.from_bytes``
+    slice instead of a per-bit loop, and ``_peek``/``_skip`` expose the
+    non-consuming lookahead the table-driven VLC decoders below use
+    (lookahead past the end reads zero bits; a consuming read past the
+    end still raises IndexError exactly where the per-bit reader did)."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position
+        self._pad = data + b"\x00\x00\x00\x00"
+        self._nbits = len(data) * 8
 
     def bits(self, n: int) -> int:
-        v = 0
-        d = self.data
         p = self.pos
-        for _ in range(n):
-            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
-            p += 1
+        if p + n > self._nbits:
+            raise IndexError("mpeg1: bit read past end of stream")
+        off = p & 7
+        b0 = p >> 3
+        nb = (off + n + 7) >> 3
+        v = int.from_bytes(self.data[b0 : b0 + nb], "big")
+        self.pos = p + n
+        return (v >> ((nb << 3) - off - n)) & ((1 << n) - 1)
+
+    def _peek(self, n: int) -> int:
+        """n leading bits without consuming; zero-padded past the end
+        (n <= 25 — the padded buffer covers 4 bytes beyond the data)."""
+        p = self.pos
+        off = p & 7
+        b0 = p >> 3
+        nb = (off + n + 7) >> 3
+        v = int.from_bytes(self._pad[b0 : b0 + nb], "big")
+        return (v >> ((nb << 3) - off - n)) & ((1 << n) - 1)
+
+    def _skip(self, n: int) -> None:
+        p = self.pos + n
+        if p > self._nbits:
+            raise IndexError("mpeg1: bit read past end of stream")
         self.pos = p
-        return v
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -244,7 +312,16 @@ def _write_dc(bw: _BitWriter, diff: int, codes: dict) -> None:
         bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
 
 
-def _read_dc(br: _BitReader, decode: dict) -> int:
+def _read_dc(br: _BitReader, decode: dict, peek: list | None = None) -> int:
+    if peek is not None:
+        ent = peek[br._peek(8)]
+        if ent is not None:
+            s, ln = ent
+            br._skip(ln)
+            if s == 0:
+                return 0
+            v = br.bits(s)
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
     code, ln = 0, 0
     while ln < 9:
         code = (code << 1) | br.bits(1)
@@ -259,7 +336,12 @@ def _read_dc(br: _BitReader, decode: dict) -> int:
 
 
 def _write_ac(bw: _BitWriter, zz: np.ndarray) -> None:
-    """Run-level code zz[1:] (zig-zag order) + EOB."""
+    """Run-level code zz[1:] (zig-zag order) + EOB. The codes are
+    accumulated into one (value, nbits) pair and flushed with a single
+    ``bw.write`` — identical bit stream, one writer call per block
+    instead of one per coefficient (profiled r18: the per-element
+    writes were ~12% of the roundtrip kernels)."""
+    acc, nb = 0, 0
     run = 0
     for i in range(1, 64):
         lv = int(zz[i])
@@ -269,53 +351,91 @@ def _write_ac(bw: _BitWriter, zz: np.ndarray) -> None:
         ent = AC_CODES.get((run, abs(lv)))
         if ent is not None:
             code, ln = ent
-            bw.write(code, ln)
-            bw.write(1 if lv < 0 else 0, 1)
+            acc = (acc << (ln + 1)) | (code << 1) | (1 if lv < 0 else 0)
+            nb += ln + 1
         else:
-            bw.write(ESC_CODE, ESC_LEN)
-            bw.write(run, 6)
+            acc = (acc << 12) | (ESC_CODE << 6) | run
+            nb += 12
             if -127 <= lv <= 127:
-                bw.write(lv & 0xFF, 8)
+                acc = (acc << 8) | (lv & 0xFF)
+                nb += 8
             elif 128 <= lv <= 255:
-                bw.write(0x00, 8)
-                bw.write(lv, 8)
+                acc = (acc << 16) | lv
+                nb += 16
             elif -255 <= lv <= -128:
-                bw.write(0x80, 8)
-                bw.write(lv + 256, 8)
+                acc = (acc << 16) | (0x80 << 8) | (lv + 256)
+                nb += 16
             else:
                 raise ValueError("mpeg1: |level| > 255 not representable")
         run = 0
-    bw.write(EOB_CODE, EOB_LEN)
+    bw.write((acc << EOB_LEN) | EOB_CODE, nb + EOB_LEN)
+
+
+def _ac_walk_slow(br: _BitReader, first: bool):
+    """Exact per-bit dct_coeff walk — the fallback for 13-bit prefixes
+    the lookahead table does not own, so error behavior on malformed
+    streams (ValueError after 18 bits vs IndexError at stream end) is
+    bit-for-bit the pre-table decoder's. Returns (run, level), or None
+    for EOB."""
+    code, ln = 0, 0
+    while True:
+        code = (code << 1) | br.bits(1)
+        ln += 1
+        if first and ln == 1 and code == 1:
+            return (0, -1 if br.bits(1) else 1)
+        if not first and ln == EOB_LEN and code == EOB_CODE:
+            return None
+        if ln == ESC_LEN and code == ESC_CODE:
+            run = br.bits(6)
+            v = br.bits(8)
+            if v == 0x00:
+                lv = br.bits(8)
+            elif v == 0x80:
+                lv = br.bits(8) - 256
+            else:
+                lv = v if v < 128 else v - 256
+            return (run, lv)
+        rl = _AC_DECODE.get((ln, code))
+        if rl is not None:
+            run, lv = rl
+            if br.bits(1):
+                lv = -lv
+            return (run, lv)
+        if ln > 17:
+            raise ValueError("mpeg1: bad AC code")
 
 
 def _read_ac(br: _BitReader, zz: np.ndarray) -> None:
-    """Decode dct_coeff_next codes into zz[1:] until EOB."""
+    """Decode dct_coeff_next codes into zz[1:] until EOB (table-driven:
+    one 13-bit peek per coefficient instead of a per-bit dict walk)."""
     i = 0
+    tbl = _AC_PEEK
+    peek = br._peek
     while True:
-        code, ln = 0, 0
-        while True:
-            code = (code << 1) | br.bits(1)
-            ln += 1
-            if ln == EOB_LEN and code == EOB_CODE:
+        ent = tbl[peek(13)]
+        if ent is None:
+            r = _ac_walk_slow(br, False)
+            if r is None:
                 return
-            if ln == ESC_LEN and code == ESC_CODE:
-                run = br.bits(6)
-                v = br.bits(8)
-                if v == 0x00:
-                    lv = br.bits(8)
-                elif v == 0x80:
-                    lv = br.bits(8) - 256
-                else:
-                    lv = v if v < 128 else v - 256
-                break
-            rl = _AC_DECODE.get((ln, code))
-            if rl is not None:
-                run, lv = rl
-                if br.bits(1):
-                    lv = -lv
-                break
-            if ln > 17:
-                raise ValueError("mpeg1: bad AC code")
+            run, lv = r
+        elif ent[0] == "eob":
+            br._skip(2)
+            return
+        elif ent[0] == "esc":
+            br._skip(6)
+            run = br.bits(6)
+            v = br.bits(8)
+            if v == 0x00:
+                lv = br.bits(8)
+            elif v == 0x80:
+                lv = br.bits(8) - 256
+            else:
+                lv = v if v < 128 else v - 256
+        else:
+            run, lv, ln = ent
+            br._skip(ln)
+            if br.bits(1):
+                lv = -lv
         i += run + 1
         if i > 63:
             raise ValueError("mpeg1: AC coefficient index overflow")
@@ -330,12 +450,32 @@ def _idct(coef: np.ndarray) -> np.ndarray:
     return _A.T @ coef @ _A
 
 
+def _qzz(q: np.ndarray, dtype) -> np.ndarray:
+    """``q`` permuted into zig-zag order as ``dtype`` — memoized on the
+    matrix CONTENT (tobytes), so the per-block reshape/fancy-index/cast
+    runs once per distinct matrix instead of once per 8×8 block
+    (profiled r18: ~10% of the roundtrip kernels). Content-keyed, not
+    id-keyed: header-loaded matrices are per-stream temporaries whose
+    ids recycle."""
+    key = (q.tobytes(), np.dtype(dtype).char)
+    v = _QZZ_CACHE.get(key)
+    if v is None:
+        if len(_QZZ_CACHE) >= 64:  # bound the per-worker memo
+            _QZZ_CACHE.clear()
+        v = q.reshape(64)[ZIGZAG].astype(dtype)
+        _QZZ_CACHE[key] = v
+    return v
+
+
+_QZZ_CACHE: dict = {}
+
+
 def _quant_intra(coef: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray:
     """Encoder-side intra quantization matched to the §2.4.4.1 recon
     dct_recon = (2 * level * qscale * Q) // 16: level = round(8 * c /
     (qscale * Q)), saturated to the ±255 syntax limit."""
     zz = coef.reshape(64)[ZIGZAG]
-    qzz = q.reshape(64)[ZIGZAG].astype(np.float64)
+    qzz = _qzz(q, np.float64)
     lv = np.rint(8.0 * zz / (qscale * qzz)).astype(np.int64)
     lv[0] = int(np.rint(zz[0] / 8.0))  # DC: recon = 8 * level
     np.clip(lv[1:], -255, 255, out=lv[1:])
@@ -347,7 +487,7 @@ def _dequant_intra(zz: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray:
     """§2.4.4.1 reconstruction: truncating integer division, odd-
     ification mismatch control, [-2048, 2047] saturation; DC is
     8 * dct_zz[0] with no mismatch control."""
-    qzz = q.reshape(64)[ZIGZAG].astype(np.int64)
+    qzz = _qzz(q, np.int64)
     num = 2 * zz.astype(np.int64) * qscale * qzz
     rec = np.sign(num) * (np.abs(num) // 16)  # truncate toward zero
     even = (rec != 0) & (rec % 2 == 0)
@@ -693,21 +833,35 @@ def decode_mpeg1_intra_color(data: bytes):
         def read_addr_inc():
             inc = 0
             while True:
-                code, ln = 0, 0
-                while ln < 11:
-                    code = (code << 1) | br.bits(1)
-                    ln += 1
-                    if (ln, code) == (MB_STUFFING[1], MB_STUFFING[0]):
-                        code, ln = 0, 0
-                        continue
-                    if (ln, code) == (MB_ADDR_ESC[1], MB_ADDR_ESC[0]):
-                        inc += 33
-                        code, ln = 0, 0
-                        continue
-                    v = _MB_ADDR_DECODE.get((ln, code))
-                    if v is not None:
-                        return inc + v
-                raise ValueError("mpeg1: bad macroblock_address_increment")
+                ent = _MB_ADDR_PEEK[br._peek(11)]
+                if ent is None:
+                    # exact per-bit fallback: invalid 11-bit prefix —
+                    # reproduce the pre-table walk's error behavior
+                    code, ln = 0, 0
+                    while ln < 11:
+                        code = (code << 1) | br.bits(1)
+                        ln += 1
+                        if (ln, code) == (MB_STUFFING[1], MB_STUFFING[0]):
+                            code, ln = 0, 0
+                            continue
+                        if (ln, code) == (MB_ADDR_ESC[1], MB_ADDR_ESC[0]):
+                            inc += 33
+                            code, ln = 0, 0
+                            continue
+                        v = _MB_ADDR_DECODE.get((ln, code))
+                        if v is not None:
+                            return inc + v
+                    raise ValueError(
+                        "mpeg1: bad macroblock_address_increment"
+                    )
+                v, ln = ent
+                br._skip(ln)
+                if v == "stuff":
+                    continue
+                if v == "esc":
+                    inc += 33
+                    continue
+                return inc + v
 
         code = br.next_start_code()
         while 0x00000101 <= code <= 0x000001AF:
@@ -760,9 +914,9 @@ def decode_mpeg1_intra_color(data: bytes):
                     else:
                         raise ValueError("mpeg1: bad I-picture MB type")
                 elif ptype == 2:
-                    mtype = _read_vlc(br, _MB_P_DECODE, "P macroblock_type", 6)
+                    mtype = _read_vlc(br, _MB_P_DECODE, "P macroblock_type", 6, _MB_P_PEEK)
                 else:
-                    mtype = _read_vlc(br, _MB_B_DECODE, "B macroblock_type", 6)
+                    mtype = _read_vlc(br, _MB_B_DECODE, "B macroblock_type", 6, _MB_B_PEEK)
                 if mtype.endswith("_q"):
                     qscale = br.bits(5)
                     mtype = mtype[:-2]
@@ -777,7 +931,7 @@ def decode_mpeg1_intra_color(data: bytes):
                     for by in range(2):
                         for bx in range(2):
                             zz = np.zeros(64, dtype=np.int64)
-                            dc_y += _read_dc(br, _DC_LUM_DECODE)
+                            dc_y += _read_dc(br, _DC_LUM_DECODE, _DC_LUM_PEEK)
                             zz[0] = dc_y
                             _read_ac(br, zz)
                             blk = _idct(_dequant_intra(zz, q, qscale))
@@ -787,7 +941,7 @@ def decode_mpeg1_intra_color(data: bytes):
                             ] = blk
                     for pred in ("cb", "cr"):
                         zz = np.zeros(64, dtype=np.int64)
-                        d = _read_dc(br, _DC_CHROM_DECODE)
+                        d = _read_dc(br, _DC_CHROM_DECODE, _DC_CHROM_PEEK)
                         if pred == "cb":
                             dc_cb += d
                             zz[0] = dc_cb
@@ -831,7 +985,7 @@ def decode_mpeg1_intra_color(data: bytes):
                         row, col, use_f, use_b, fpmv, bpmv
                     )
                 cbp = (
-                    _read_vlc(br, _CBP_DECODE, "coded_block_pattern", 9)
+                    _read_vlc(br, _CBP_DECODE, "coded_block_pattern", 9, _CBP_PEEK)
                     if coded
                     else 0
                 )
@@ -996,8 +1150,36 @@ _MB_B_DECODE = {(ln, c): k for k, (c, ln) in MB_B_CODES.items()}
 _CBP_DECODE = {(ln, c): v for v, (c, ln) in CBP_CODES.items()}
 _MV_DECODE = {(ln, c): v for v, (c, ln) in MV_CODES.items()}
 
+# lookahead tables (see _peek_table): (table, width) pairs sized to
+# each family's longest code; macroblock_address_increment additionally
+# carries the stuffing/escape markers as tagged sentinels so the hot
+# loop stays a single peek per symbol.
+_MB_P_PEEK = (_peek_table(_MB_P_DECODE, 6), 6)
+_MB_B_PEEK = (_peek_table(_MB_B_DECODE, 6), 6)
+_CBP_PEEK = (_peek_table(_CBP_DECODE, 9), 9)
+_MV_PEEK = (_peek_table(_MV_DECODE, 10), 10)
+_MB_ADDR_PEEK = _peek_table(_MB_ADDR_DECODE, 11)
+for _code, _ln, _tag in (
+    (MB_STUFFING[0], MB_STUFFING[1], ("stuff", MB_STUFFING[1])),
+    (MB_ADDR_ESC[0], MB_ADDR_ESC[1], ("esc", MB_ADDR_ESC[1])),
+):
+    for _i in range(_code, _code + 1):  # 11-bit codes fill one slot
+        _MB_ADDR_PEEK[_i] = _tag
+del _code, _ln, _tag, _i
 
-def _read_vlc(br: _BitReader, table: dict, what: str, max_len: int = 12) -> int:
+
+def _read_vlc(
+    br: _BitReader,
+    table: dict,
+    what: str,
+    max_len: int = 12,
+    peek: tuple[list, int] | None = None,
+) -> int:
+    if peek is not None:
+        ent = peek[0][br._peek(peek[1])]
+        if ent is not None:
+            br._skip(ent[1])
+            return ent[0]
     code, ln = 0, 0
     while ln < max_len:
         code = (code << 1) | br.bits(1)
@@ -1015,7 +1197,7 @@ def _quant_non_intra(coef: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray
     step back), saturated to the ±255 escape-code limit. Applies to
     ALL 64 coefficients — non-intra DC has no special path."""
     zz = coef.reshape(64)[ZIGZAG]
-    qzz = q.reshape(64)[ZIGZAG].astype(np.float64)
+    qzz = _qzz(q, np.float64)
     lv = np.fix(8.0 * zz / (qscale * qzz)).astype(np.int64)
     np.clip(lv, -255, 255, out=lv)
     return lv
@@ -1025,7 +1207,7 @@ def _dequant_non_intra(zz: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray
     """§2.4.4.2/3 non-intra reconstruction: ((2L + sgn L)·qscale·W)
     DIV 16 truncating toward zero, odd-ification mismatch control,
     zero stays zero, [-2048, 2047] saturation."""
-    qzz = q.reshape(64)[ZIGZAG].astype(np.int64)
+    qzz = _qzz(q, np.int64)
     z = zz.astype(np.int64)
     num = (2 * z + np.sign(z)) * qscale * qzz
     rec = np.sign(num) * (np.abs(num) // 16)
@@ -1042,6 +1224,7 @@ def _write_ac_nonintra(bw: _BitWriter, zz: np.ndarray) -> None:
     First-coefficient special case (table B.5c note): the pair
     (run 0, |level| 1) codes as '1 s' — EOB cannot occur first, so the
     '1' prefix is unambiguous there."""
+    acc, nb = 0, 0
     first, run = True, 0
     for i in range(64):
         lv = int(zz[i])
@@ -1049,48 +1232,61 @@ def _write_ac_nonintra(bw: _BitWriter, zz: np.ndarray) -> None:
             run += 1
             continue
         if first and run == 0 and abs(lv) == 1:
-            bw.write(0b1, 1)
-            bw.write(1 if lv < 0 else 0, 1)
+            acc = (acc << 2) | 0b10 | (1 if lv < 0 else 0)
+            nb += 2
         else:
             ent = AC_CODES.get((run, abs(lv)))
             if ent is not None:
                 code, ln = ent
-                bw.write(code, ln)
-                bw.write(1 if lv < 0 else 0, 1)
+                acc = (acc << (ln + 1)) | (code << 1) | (1 if lv < 0 else 0)
+                nb += ln + 1
             else:
-                bw.write(ESC_CODE, ESC_LEN)
-                bw.write(run, 6)
+                acc = (acc << 12) | (ESC_CODE << 6) | run
+                nb += 12
                 if -127 <= lv <= 127:
-                    bw.write(lv & 0xFF, 8)
+                    acc = (acc << 8) | (lv & 0xFF)
+                    nb += 8
                 elif 128 <= lv <= 255:
-                    bw.write(0x00, 8)
-                    bw.write(lv, 8)
+                    acc = (acc << 16) | lv
+                    nb += 16
                 elif -255 <= lv <= -128:
-                    bw.write(0x80, 8)
-                    bw.write(lv + 256, 8)
+                    acc = (acc << 16) | (0x80 << 8) | (lv + 256)
+                    nb += 16
                 else:
                     raise ValueError("mpeg1: |level| > 255 not representable")
         first = False
         run = 0
-    bw.write(EOB_CODE, EOB_LEN)
+    bw.write((acc << EOB_LEN) | EOB_CODE, nb + EOB_LEN)
 
 
 def _read_ac_nonintra(br: _BitReader, zz: np.ndarray) -> None:
     """Decode a non-intra block: dct_coeff_first (special '1 s' form
-    for (0, ±1); EOB impossible) then dct_coeff_next until EOB."""
+    for (0, ±1); EOB impossible) then dct_coeff_next until EOB.
+    Table-driven like :func:`_read_ac`; the first-coefficient '1 s'
+    form is branched on one peeked bit before the table (its '1'
+    prefix is EOB/(0,1) in the _AC_PEEK encoding)."""
     i = -1
     first = True
+    tbl = _AC_PEEK
+    peek = br._peek
     while True:
-        code, ln = 0, 0
-        while True:
-            code = (code << 1) | br.bits(1)
-            ln += 1
-            if first and ln == 1 and code == 1:
-                run, lv = 0, (-1 if br.bits(1) else 1)
-                break
-            if not first and ln == EOB_LEN and code == EOB_CODE:
+        if first and peek(1) == 1:
+            br._skip(1)
+            run, lv = 0, (-1 if br.bits(1) else 1)
+        else:
+            ent = tbl[peek(13)]
+            if ent is None:
+                r = _ac_walk_slow(br, first)
+                if r is None:
+                    return
+                run, lv = r
+            elif ent[0] == "eob":
+                # unreachable while first: the '10' prefix is caught by
+                # the peeked-bit branch above
+                br._skip(2)
                 return
-            if ln == ESC_LEN and code == ESC_CODE:
+            elif ent[0] == "esc":
+                br._skip(6)
                 run = br.bits(6)
                 v = br.bits(8)
                 if v == 0x00:
@@ -1099,15 +1295,11 @@ def _read_ac_nonintra(br: _BitReader, zz: np.ndarray) -> None:
                     lv = br.bits(8) - 256
                 else:
                     lv = v if v < 128 else v - 256
-                break
-            rl = _AC_DECODE.get((ln, code))
-            if rl is not None:
-                run, lv = rl
+            else:
+                run, lv, ln = ent
+                br._skip(ln)
                 if br.bits(1):
                     lv = -lv
-                break
-            if ln > 17:
-                raise ValueError("mpeg1: bad AC code")
         first = False
         i += run + 1
         if i > 63:
@@ -1127,7 +1319,7 @@ def _write_mv(bw: _BitWriter, diff: int) -> None:
 def _read_mv(br: _BitReader, f: int) -> int:
     """Read motion_code (+ residual for f > 1) and return the signed
     delta in vector units: delta = (|code|-1)·f + residual + 1."""
-    mag = _read_vlc(br, _MV_DECODE, "motion")
+    mag = _read_vlc(br, _MV_DECODE, "motion", peek=_MV_PEEK)
     if mag == 0:
         return 0
     sign = -1 if br.bits(1) else 1
