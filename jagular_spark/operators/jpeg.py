@@ -143,9 +143,41 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
+class _HuffLut(dict):
+    """``{(length, code): symbol}`` decode dict that additionally
+    carries a 10-bit lookahead table (``peek[prefix] -> (symbol, len)``
+    or None), so :func:`_decode_huff` resolves short codes — the
+    overwhelming majority of real streams' symbols — with one peek
+    instead of a bit-by-bit dict walk (r18: the walk was the hottest
+    path of the baseline/progressive decoders). 10 bits keeps the
+    build at ~1k slots, cheap enough to pay per DHT segment even for
+    per-image optimized tables (a 16-bit table amortizes only for
+    reused Annex-K tables and made progressive decode SLOWER —
+    measured); codes longer than 10 bits take the per-bit walk."""
+
+    __slots__ = ("peek",)
+
+
+_HUFF_PEEK_WIDTH = 10
+
+
 def _huff_lookup(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Decoder-direction table: ``{(length, code): symbol}``."""
-    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+    """Decoder-direction table: ``{(length, code): symbol}`` (a
+    :class:`_HuffLut` with the lookahead table attached)."""
+    lut = _HuffLut(
+        ((ln, code), sym) for sym, (code, ln) in _huff_codes(bits, vals).items()
+    )
+    w = _HUFF_PEEK_WIDTH
+    peek: list = [None] * (1 << w)
+    for (ln, code), sym in lut.items():
+        if ln > w:
+            continue
+        ent = (sym, ln)
+        base = code << (w - ln)
+        n = 1 << (w - ln)
+        peek[base : base + n] = [ent] * n
+    lut.peek = peek
+    return lut
 
 
 def _scaled_table(base: np.ndarray, quality: int) -> np.ndarray:
@@ -216,9 +248,16 @@ def _emit_block(bw: _BitWriter, blk: np.ndarray, pred: int, dc_codes, ac_codes) 
     pred = int(blk[0])
     t = _category(diff)
     code, ln = dc_codes[t]
-    bw.write(code, ln)
+    # accumulate the whole block's codes into one (value, nbits) pair
+    # and flush with a single bw.write — identical bit stream (byte
+    # stuffing happens per flushed byte, independent of call
+    # granularity), one writer call per block instead of per code
+    acc, nb = code, ln
     if t:
-        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        acc = (acc << t) | (
+            (diff if diff >= 0 else diff + (1 << t) - 1) & ((1 << t) - 1)
+        )
+        nb += t
     run = 0
     nz = np.nonzero(blk[1:])[0]
     last = int(nz[-1]) + 1 if nz.size else 0
@@ -229,16 +268,21 @@ def _emit_block(bw: _BitWriter, blk: np.ndarray, pred: int, dc_codes, ac_codes) 
             continue
         while run > 15:
             code, ln = ac_codes[0xF0]  # ZRL
-            bw.write(code, ln)
+            acc = (acc << ln) | code
+            nb += ln
             run -= 16
         s = _category(v)
         code, ln = ac_codes[(run << 4) | s]
-        bw.write(code, ln)
-        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        acc = (acc << (ln + s)) | (code << s) | (
+            (v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+        )
+        nb += ln + s
         run = 0
     if last < 63:
         code, ln = ac_codes[0x00]  # EOB
-        bw.write(code, ln)
+        acc = (acc << ln) | code
+        nb += ln
+    bw.write(acc, nb)
     return pred
 
 
@@ -853,6 +897,15 @@ def _extend(v: int, t: int) -> int:
 
 
 def _decode_huff(br: _BitReader, lut: dict[tuple[int, int], int]) -> int:
+    peek = getattr(lut, "peek", None)
+    if peek is not None:
+        if br.nbits < _HUFF_PEEK_WIDTH:
+            br._fill()
+        ent = peek[(br.acc >> (br.nbits - _HUFF_PEEK_WIDTH)) & 0x3FF]
+        if ent is not None:
+            br.nbits -= ent[1]
+            return ent[0]
+    # per-bit walk: plain-dict callers and invalid-prefix error path
     code, ln = 0, 0
     while ln < 16:
         code = (code << 1) | br.bit()
