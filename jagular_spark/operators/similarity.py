@@ -1296,9 +1296,17 @@ def ivf_write_index(
         F.col(id_col).alias("id"), "iv", "nrm"
     )
     argmin = F.array_min(_dist_idx(cents)).getField("i").cast("int")
-    base.withColumn("cell", argmin).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
+    # cluster assigned rows to their cell before the partitioned write
+    # (the compaction recipe): the spread exchange parallelizes the
+    # argmin on its map side, but writing straight from session-width
+    # tasks emits up to `width` files PER CELL — measured r18: the
+    # lifecycle's stats→compact trigger then saw every cell as
+    # multi-file and compacted the whole index every run (build 6.5 →
+    # 15 s adjacent A/B). One hash exchange of the slim (id, iv, nrm,
+    # cell) rows restores one file per cell per write.
+    base.withColumn("cell", argmin).repartition(
+        max(len(cents), 1), "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
     # sidecar AFTER the overwrite (which clears the directory): the
     # index is now self-describing — ivf_load_index(spark, path)
     # recovers the model in a fresh process
@@ -1343,9 +1351,11 @@ def ivf_append_index(df: DataFrame, path: str,
         F.col(id_col).alias("id"), "iv", "nrm"
     )
     argmin = F.array_min(_dist_idx(cents)).getField("i").cast("int")
-    base.withColumn("cell", argmin).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(path)
+    # cell-clustered write, same rationale as ivf_write_index: one
+    # appended file per touched cell instead of up to session-width
+    base.withColumn("cell", argmin).repartition(
+        max(len(cents), 1), "cell"
+    ).write.mode("append").partitionBy("cell").parquet(path)
     return cents
 
 
@@ -1372,9 +1382,13 @@ def ivf_pq_append_index(df: DataFrame, path: str,
         F.col(id_col).alias("id"), "iv", "nrm"
     )
     codes = _encode_corpus_codes(base, cents, books)
+    # cell-clustered write, same rationale as ivf_write_index: one
+    # appended file per touched cell instead of up to session-width
     codes.select(
         F.col("neighbor_id").alias("id"), "codes", F.col("cl").alias("cell")
-    ).write.mode("append").partitionBy("cell").parquet(path)
+    ).repartition(max(len(cents), 1), "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
     return cents, books
 
 
@@ -2145,9 +2159,13 @@ def ivf_pq_write_index(
         F.col(id_col).alias("id"), "iv", "nrm"
     )
     codes = _encode_corpus_codes(base, cents, books)
+    # cell-clustered write, same rationale as ivf_write_index: one
+    # file per cell instead of up to session-width per cell
     codes.select(
         F.col("neighbor_id").alias("id"), "codes", F.col("cl").alias("cell")
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    ).repartition(max(len(cents), 1), "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     _write_index_model(
         df.sparkSession, path,
         {"kind": "ivf_pq", "cents": cents, "books": books, "m": m},
