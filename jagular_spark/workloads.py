@@ -16,6 +16,7 @@ hash-compare deterministic across engines:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -49,8 +50,30 @@ TABLES = [
 ]
 
 
+_TABLE_SCHEMAS: dict[tuple, object] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one input table, serving the schema catalog-style (r18):
+    a bare ``spark.read.parquet`` runs a footer schema-inference JOB
+    per call, so every registry query paid 1-3 driver round-trips of
+    pure latency re-deriving metadata that is static for the life of
+    the process — a real warehouse reads the schema from its catalog
+    and schedules zero work for it. The memo holds only the
+    ``StructType`` (never rows, never plans): every query still scans
+    the parquet data in full, and the key carries (mtime, size) so a
+    rewritten file re-infers instead of serving a stale schema."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _TABLE_SCHEMAS.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _TABLE_SCHEMAS[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def _dec(c, scale: int = 4):

@@ -153,6 +153,44 @@ def test_curation_funnel_parquet_staging_matches_checkpoint(spark, tmp_path):
     assert spark.read.parquet(stage).count() >= len(base)
 
 
+def test_load_schema_memo_matches_and_invalidates(spark, tmp_path):
+    """r18: ``load`` serves the table schema catalog-style (one footer
+    inference per (path, mtime, size) per process). Pins that (a) the
+    memoized read returns the identical schema and rows as a bare
+    ``spark.read.parquet``, and (b) rewriting the file invalidates the
+    memo instead of serving a stale schema."""
+    import os
+    import time
+
+    from jagular_spark.workloads import _TABLE_SCHEMAS, load
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "t.parquet")
+    spark.range(5).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    bare = spark.read.parquet(path)
+    first = load(spark, sf_dir, "t")
+    assert first.schema == bare.schema
+    assert sorted((r["id"], r["v"]) for r in first.collect()) == sorted(
+        (r["id"], r["v"]) for r in bare.collect()
+    )
+    # second load is served from the memo (same key present)
+    assert any(k[0] == path for k in _TABLE_SCHEMAS)
+    again = load(spark, sf_dir, "t")
+    assert again.schema == first.schema
+
+    # rewrite with a DIFFERENT schema: the (mtime, size) key must miss
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse clocks
+    spark.range(3).selectExpr(
+        "id", "CAST(id AS STRING) AS s"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    fresh = load(spark, sf_dir, "t")
+    assert set(fresh.columns) == {"id", "s"}
+    assert fresh.schema == spark.read.parquet(path).schema
+
+
 def test_n_sequences_ceil_form_cross_engine(spark):
     """The shard manifest's n_sequences is (sum(nt)+2047) DIV 2048,
     not ((sum(nt)-1) DIV 2048)+1: on a zero-token shard the old form
