@@ -86,14 +86,19 @@ def adpcm_ima_encode(samples: np.ndarray) -> tuple[bytes, np.ndarray]:
     The returned reconstruction is the predictor sequence the encoder
     tracked — by construction the EXACT output a correct decoder must
     produce, which is the invariant adpcm_roundtrip_stats verifies."""
-    x = np.asarray(samples, dtype=np.int64)
+    # pure-Python ints in the sequential recursion (r18): iterating the
+    # numpy array paid a scalar-box conversion and two builtin min/max
+    # calls per SAMPLE; lists + if-chain clamps are ~4x faster and the
+    # arithmetic is identical (all values stay small ints)
+    xs = np.asarray(samples, dtype=np.int64).tolist()
     step_table, index_table = IMA_STEP_TABLE, IMA_INDEX_TABLE
     predictor, index = 0, 0
     step = step_table[0]
-    nibbles = np.empty(len(x), dtype=np.uint8)
-    recon = np.empty(len(x), dtype=np.int16)
-    for i, s in enumerate(x):
-        diff = int(s) - predictor
+    nibbles: list[int] = []
+    recon: list[int] = []
+    nib_append, rec_append = nibbles.append, recon.append
+    for s in xs:
+        diff = s - predictor
         code = 0
         if diff < 0:
             code = 8
@@ -115,16 +120,23 @@ def adpcm_ima_encode(samples: np.ndarray) -> tuple[bytes, np.ndarray]:
         if code & 1:
             diffq += step >> 2
         predictor += -diffq if code & 8 else diffq
-        predictor = max(-32768, min(32767, predictor))
-        index = max(0, min(88, index + index_table[code]))
+        if predictor > 32767:
+            predictor = 32767
+        elif predictor < -32768:
+            predictor = -32768
+        index += index_table[code]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
         step = step_table[index]
-        nibbles[i] = code
-        recon[i] = predictor
-    packed = nibbles.copy()
-    if len(packed) % 2:
-        packed = np.append(packed, np.uint8(0))
+        nib_append(code)
+        rec_append(predictor)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = np.asarray(nibbles, dtype=np.uint8)
     data = (packed[0::2] | (packed[1::2] << 4)).astype(np.uint8).tobytes()
-    return data, recon
+    return data, np.asarray(recon, dtype=np.int16)
 
 
 def adpcm_ima_decode(data: bytes, n_samples: int) -> np.ndarray:
@@ -134,13 +146,16 @@ def adpcm_ima_decode(data: bytes, n_samples: int) -> np.ndarray:
     nibbles = np.empty(len(raw) * 2, dtype=np.uint8)
     nibbles[0::2] = raw & 0x0F
     nibbles[1::2] = raw >> 4
-    nibbles = nibbles[:n_samples]
+    # pure-Python ints in the sequential recursion (r18, same rationale
+    # as the encoder): one C-level tolist instead of a numpy scalar box
+    # per nibble, if-chain clamps instead of builtin min/max per sample
+    codes = nibbles[:n_samples].tolist()
     step_table, index_table = IMA_STEP_TABLE, IMA_INDEX_TABLE
     predictor, index = 0, 0
     step = step_table[0]
-    out = np.empty(len(nibbles), dtype=np.int16)
-    for i, code in enumerate(nibbles):
-        code = int(code)
+    out: list[int] = []
+    out_append = out.append
+    for code in codes:
         diffq = step >> 3
         if code & 4:
             diffq += step
@@ -149,11 +164,18 @@ def adpcm_ima_decode(data: bytes, n_samples: int) -> np.ndarray:
         if code & 1:
             diffq += step >> 2
         predictor += -diffq if code & 8 else diffq
-        predictor = max(-32768, min(32767, predictor))
-        index = max(0, min(88, index + index_table[code]))
+        if predictor > 32767:
+            predictor = 32767
+        elif predictor < -32768:
+            predictor = -32768
+        index += index_table[code]
+        if index < 0:
+            index = 0
+        elif index > 88:
+            index = 88
         step = step_table[index]
-        out[i] = predictor
-    return out
+        out_append(predictor)
+    return np.asarray(out, dtype=np.int16)
 
 
 # ---------------------------------------------------------------------------

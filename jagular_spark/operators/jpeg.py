@@ -587,11 +587,11 @@ def _k_ac_first(blocks, zz, ss, se, al, out) -> None:
             eobrun = 0
 
     for by, bx in blocks:
-        blk = zz[by, bx]
+        # one C-level conversion instead of (se-ss+1) numpy scalar reads
+        band = zz[by, bx, ss : se + 1].tolist()
         vals = {}
         last = -1
-        for k in range(ss, se + 1):
-            c = int(blk[k])
+        for k, c in enumerate(band, ss):
             v = abs(c) >> al
             if v:
                 vals[k] = v if c > 0 else -v
@@ -644,18 +644,16 @@ def _k_ac_refine(blocks, zz, ss, se, al, out) -> None:
         pending = []
 
     for by, bx in blocks:
-        blk = zz[by, bx]
-        absv = {}
+        # one C-level conversion instead of 2x(se-ss+1) numpy scalar reads
+        band = zz[by, bx, ss : se + 1].tolist()
+        absv = [abs(c) >> al for c in band]
         eob = -1
-        for k in range(ss, se + 1):
-            t = abs(int(blk[k])) >> al
-            absv[k] = t
+        for k, t in enumerate(absv, ss):
             if t == 1:
                 eob = k
         r = 0
         br_bits: list[int] = []
-        for k in range(ss, se + 1):
-            t = absv[k]
+        for k, t in enumerate(absv, ss):
             if t == 0:
                 r += 1
                 continue
@@ -674,7 +672,7 @@ def _k_ac_refine(blocks, zz, ss, se, al, out) -> None:
                 continue
             flush()
             out.sym((r << 4) | 1)
-            out.bits(1 if int(blk[k]) > 0 else 0, 1)
+            out.bits(1 if band[k - ss] > 0 else 0, 1)
             for b in br_bits:
                 out.bits(b, 1)
             br_bits = []

@@ -343,8 +343,8 @@ def _write_ac(bw: _BitWriter, zz: np.ndarray) -> None:
     writes were ~12% of the roundtrip kernels)."""
     acc, nb = 0, 0
     run = 0
-    for i in range(1, 64):
-        lv = int(zz[i])
+    # one C-level conversion instead of 63 numpy scalar reads
+    for lv in zz[1:].tolist():
         if lv == 0:
             run += 1
             continue
@@ -469,16 +469,46 @@ def _qzz(q: np.ndarray, dtype) -> np.ndarray:
 
 _QZZ_CACHE: dict = {}
 
+# inverse zig-zag permutation: raster position i holds zz index
+# _ZZ_INV[i], so the de-zigzag scatter (zeros + out[ZIGZAG] = rec)
+# becomes a single gather rec[_ZZ_INV] — same values, one allocation
+_ZZ_INV = np.argsort(ZIGZAG)
+
+
+def _qzz_prod(q: np.ndarray, qscale: int) -> tuple:
+    """``(qscale * qzz_float, qscale * qzz_int, 2 * qscale * qzz_int)``
+    memoized per (matrix content, qscale) — the quant/dequant helpers
+    previously rebuilt these products per 8×8 BLOCK (two array
+    multiplies each); qscale is constant per picture, so the products
+    are as cacheable as the zig-zag permutation itself. Exact: integer
+    products are associativity-free and the float divisor
+    ``qscale * qzz`` is the identical value whether formed per block
+    or once."""
+    key = (q.tobytes(), int(qscale))
+    v = _QZZ_PROD_CACHE.get(key)
+    if v is None:
+        if len(_QZZ_PROD_CACHE) >= 64:  # bound the per-worker memo
+            _QZZ_PROD_CACHE.clear()
+        qzz_f = _qzz(q, np.float64)
+        qzz_i = _qzz(q, np.int64)
+        v = (qscale * qzz_f, qscale * qzz_i, 2 * qscale * qzz_i)
+        _QZZ_PROD_CACHE[key] = v
+    return v
+
+
+_QZZ_PROD_CACHE: dict = {}
+
 
 def _quant_intra(coef: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray:
     """Encoder-side intra quantization matched to the §2.4.4.1 recon
     dct_recon = (2 * level * qscale * Q) // 16: level = round(8 * c /
     (qscale * Q)), saturated to the ±255 syntax limit."""
     zz = coef.reshape(64)[ZIGZAG]
-    qzz = _qzz(q, np.float64)
-    lv = np.rint(8.0 * zz / (qscale * qzz)).astype(np.int64)
+    sqf, _, _ = _qzz_prod(q, qscale)
+    lv = np.rint(8.0 * zz / sqf).astype(np.int64)
     lv[0] = int(np.rint(zz[0] / 8.0))  # DC: recon = 8 * level
-    np.clip(lv[1:], -255, 255, out=lv[1:])
+    np.minimum(lv[1:], 255, out=lv[1:])
+    np.maximum(lv[1:], -255, out=lv[1:])
     lv[0] = min(max(lv[0], 0), 255)
     return lv
 
@@ -487,16 +517,15 @@ def _dequant_intra(zz: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray:
     """§2.4.4.1 reconstruction: truncating integer division, odd-
     ification mismatch control, [-2048, 2047] saturation; DC is
     8 * dct_zz[0] with no mismatch control."""
-    qzz = _qzz(q, np.int64)
-    num = 2 * zz.astype(np.int64) * qscale * qzz
+    _, _, m2 = _qzz_prod(q, qscale)
+    num = zz.astype(np.int64) * m2
     rec = np.sign(num) * (np.abs(num) // 16)  # truncate toward zero
-    even = (rec != 0) & (rec % 2 == 0)
+    even = (rec != 0) & ((rec & 1) == 0)
     rec[even] -= np.sign(rec[even])
     rec[0] = zz[0] * 8
-    np.clip(rec, -2048, 2047, out=rec)
-    out = np.zeros(64, dtype=np.float64)
-    out[ZIGZAG] = rec
-    return out.reshape(8, 8)
+    np.minimum(rec, 2047, out=rec)
+    np.maximum(rec, -2048, out=rec)
+    return rec[_ZZ_INV].astype(np.float64).reshape(8, 8)
 
 
 _PIC_RATE_CODE = 0b0101  # 30 fps (table 2-D.1); informational here
@@ -1197,9 +1226,10 @@ def _quant_non_intra(coef: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray
     step back), saturated to the ±255 escape-code limit. Applies to
     ALL 64 coefficients — non-intra DC has no special path."""
     zz = coef.reshape(64)[ZIGZAG]
-    qzz = _qzz(q, np.float64)
-    lv = np.fix(8.0 * zz / (qscale * qzz)).astype(np.int64)
-    np.clip(lv, -255, 255, out=lv)
+    sqf, _, _ = _qzz_prod(q, qscale)
+    lv = np.fix(8.0 * zz / sqf).astype(np.int64)
+    np.minimum(lv, 255, out=lv)
+    np.maximum(lv, -255, out=lv)
     return lv
 
 
@@ -1207,16 +1237,15 @@ def _dequant_non_intra(zz: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray
     """§2.4.4.2/3 non-intra reconstruction: ((2L + sgn L)·qscale·W)
     DIV 16 truncating toward zero, odd-ification mismatch control,
     zero stays zero, [-2048, 2047] saturation."""
-    qzz = _qzz(q, np.int64)
+    _, m1, _ = _qzz_prod(q, qscale)
     z = zz.astype(np.int64)
-    num = (2 * z + np.sign(z)) * qscale * qzz
+    num = (2 * z + np.sign(z)) * m1
     rec = np.sign(num) * (np.abs(num) // 16)
-    even = (rec != 0) & (rec % 2 == 0)
+    even = (rec != 0) & ((rec & 1) == 0)
     rec[even] -= np.sign(rec[even])
-    np.clip(rec, -2048, 2047, out=rec)
-    out = np.zeros(64, dtype=np.float64)
-    out[ZIGZAG] = rec
-    return out.reshape(8, 8)
+    np.minimum(rec, 2047, out=rec)
+    np.maximum(rec, -2048, out=rec)
+    return rec[_ZZ_INV].astype(np.float64).reshape(8, 8)
 
 
 def _write_ac_nonintra(bw: _BitWriter, zz: np.ndarray) -> None:
@@ -1226,8 +1255,8 @@ def _write_ac_nonintra(bw: _BitWriter, zz: np.ndarray) -> None:
     '1' prefix is unambiguous there."""
     acc, nb = 0, 0
     first, run = True, 0
-    for i in range(64):
-        lv = int(zz[i])
+    # one C-level conversion instead of 64 numpy scalar reads
+    for lv in zz.tolist():
         if lv == 0:
             run += 1
             continue
