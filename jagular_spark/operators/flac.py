@@ -101,12 +101,18 @@ class _BitWriter:
     def write(self, value: int, nbits: int) -> None:
         if nbits == 0:
             return
-        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
-        self.nbits += nbits
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.buf.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
+        acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        nb = self.nbits + nbits
+        if nb >= 8:
+            # emit all whole bytes with ONE to_bytes instead of a
+            # per-byte shift/append loop (r18: the loop dominated the
+            # chunked Rice flushes, where acc holds 256+ bits)
+            rem = nb & 7
+            self.buf += (acc >> rem).to_bytes(nb >> 3, "big")
+            acc &= (1 << rem) - 1
+            nb = rem
+        self.acc = acc
+        self.nbits = nb
 
     def write_unary(self, q: int) -> None:
         while q >= 32:
@@ -275,24 +281,39 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
         bw.write(0xF, 4)
         width = max(1, int(int(np.abs(res).max()).bit_length()) + 1)
         bw.write(width, 5)
-        for v in res:
-            bw.write(int(v) & ((1 << width) - 1), width)
+        wmask = (1 << width) - 1
+        for v in res.tolist():
+            bw.write(v & wmask, width)
         return
     bw.write(param, 4)
     # fused Rice write: q zeros + stop bit + remainder is the single
-    # value (1 << param) | rem at width q + 1 + param — one writer call
-    # per residual instead of two+ (bit-identical output); the rare
-    # huge-quotient case keeps the chunked unary writer
+    # value (1 << param) | rem at width q + 1 + param, ACCUMULATED into
+    # one (acc, nbits) pair flushed every >=256 bits — the same code
+    # concatenation in ~1/32 of the writer calls (bit-identical; the
+    # per-sample call was the top cost of the encode half). tolist()
+    # iterates Python ints instead of numpy scalar boxes; the rare
+    # huge-quotient case flushes and keeps the chunked unary writer.
     mask = (1 << param) - 1
+    stop = 1 << param
     write = bw.write
-    for u in zz:
-        u = int(u)
+    acc, nb = 0, 0
+    for u in zz.tolist():
         q = u >> param
         if q < 48:
-            write((1 << param) | (u & mask), q + 1 + param)
+            ln = q + 1 + param
+            acc = (acc << ln) | stop | (u & mask)
+            nb += ln
+            if nb >= 256:
+                write(acc, nb)
+                acc, nb = 0, 0
         else:
+            if nb:
+                write(acc, nb)
+                acc, nb = 0, 0
             bw.write_unary(q)
             write(u & mask, param)
+    if nb:
+        write(acc, nb)
 
 
 def encode_flac_pcm16(
