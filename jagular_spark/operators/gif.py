@@ -60,34 +60,44 @@ class _LZWWriter:
 
 def lzw_compress(indices: np.ndarray, min_code_size: int) -> bytes:
     """GIF LZW: emit CLEAR, build the string table greedily, bump the
-    code width when the next code no longer fits, reset at 4096."""
+    code width when the next code no longer fits, reset at 4096.
+
+    The table is keyed on ``(prefix code, next byte)`` int pairs (the
+    classic trick) instead of the prefix BYTES: the byte-string form
+    re-hashed an O(len) key per pixel — quadratic on long matches,
+    which repetitive text payloads produce constantly. Identical code
+    sequence by construction (a prefix string and its table code are
+    one-to-one between resets)."""
     indices = np.asarray(indices, dtype=np.uint8)  # tobytes() below is 1 B/px
     clear = 1 << min_code_size
     end = clear + 1
     bw = _LZWWriter()
-
-    def reset():
-        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
-
-    table, nxt, width = reset()
+    width = min_code_size + 1
     bw.put(clear, width)
-    buf = b""
-    for px in indices.tobytes():
-        cand = buf + bytes([px])
-        if cand in table:
-            buf = cand
+    data = indices.tobytes()
+    if not data:
+        bw.put(end, width)
+        return bw.finish()
+    table: dict[tuple[int, int], int] = {}
+    nxt = end + 1
+    get = table.get
+    cur = data[0]
+    for px in data[1:]:
+        code = get((cur, px))
+        if code is not None:
+            cur = code
             continue
-        bw.put(table[buf], width)
-        table[cand] = nxt
+        bw.put(cur, width)
+        table[(cur, px)] = nxt
         nxt += 1
         if nxt > (1 << width) and width < 12:
             width += 1
         if nxt == 4096:
             bw.put(clear, width)
-            table, nxt, width = reset()
-        buf = bytes([px])
-    if buf:
-        bw.put(table[buf], width)
+            table, nxt, width = {}, end + 1, min_code_size + 1
+            get = table.get
+        cur = px
+    bw.put(cur, width)
     bw.put(end, width)
     return bw.finish()
 
