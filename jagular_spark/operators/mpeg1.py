@@ -234,29 +234,40 @@ class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0  # bit position
-        self._pad = data + b"\x00\x00\x00\x00"
+        self._pad = data + b"\x00" * 8
         self._nbits = len(data) * 8
+        # cached 64-bit window starting at bit _wpos (byte-aligned):
+        # bits/_peek answer from it and refill every ~57 consumed bits
+        # instead of one fresh from_bytes slice per call (measured: the
+        # per-call slices were the decoder's single largest cost after
+        # the r18 VLC lookahead tables)
+        self._wval = int.from_bytes(self._pad[:8], "big")
+        self._wpos = 0
 
     def bits(self, n: int) -> int:
         p = self.pos
         if p + n > self._nbits:
             raise IndexError("mpeg1: bit read past end of stream")
-        off = p & 7
-        b0 = p >> 3
-        nb = (off + n + 7) >> 3
-        v = int.from_bytes(self.data[b0 : b0 + nb], "big")
+        o = p - self._wpos
+        if o < 0 or o + n > 64:
+            b0 = p >> 3
+            self._wval = int.from_bytes(self._pad[b0 : b0 + 8], "big")
+            self._wpos = b0 << 3
+            o = p & 7
         self.pos = p + n
-        return (v >> ((nb << 3) - off - n)) & ((1 << n) - 1)
+        return (self._wval >> (64 - o - n)) & ((1 << n) - 1)
 
     def _peek(self, n: int) -> int:
         """n leading bits without consuming; zero-padded past the end
-        (n <= 25 — the padded buffer covers 4 bytes beyond the data)."""
+        (n <= 57 — the padded buffer covers 8 bytes beyond the data)."""
         p = self.pos
-        off = p & 7
-        b0 = p >> 3
-        nb = (off + n + 7) >> 3
-        v = int.from_bytes(self._pad[b0 : b0 + nb], "big")
-        return (v >> ((nb << 3) - off - n)) & ((1 << n) - 1)
+        o = p - self._wpos
+        if o < 0 or o + n > 64:
+            b0 = p >> 3
+            self._wval = int.from_bytes(self._pad[b0 : b0 + 8], "big")
+            self._wpos = b0 << 3
+            o = p & 7
+        return (self._wval >> (64 - o - n)) & ((1 << n) - 1)
 
     def _skip(self, n: int) -> None:
         p = self.pos + n
@@ -528,6 +539,91 @@ def _dequant_intra(zz: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray:
     return rec[_ZZ_INV].astype(np.float64).reshape(8, 8)
 
 
+def _blocks_8x8(planes: np.ndarray) -> np.ndarray:
+    """``(..., H, W)`` → ``(..., H//8, W//8, 8, 8)``: the raster 8×8
+    block grid as one stacked view (no copy) — block ``[r, c]`` is
+    ``plane[r*8:(r+1)*8, c*8:(c+1)*8]``."""
+    *lead, hh, ww = planes.shape
+    return planes.reshape(*lead, hh // 8, 8, ww // 8, 8).swapaxes(-3, -2)
+
+
+def _fdct_batch(blocks: np.ndarray) -> np.ndarray:
+    """``_fdct`` over a ``(..., 8, 8)`` stack in ONE broadcast matmul
+    pair. numpy's stacked matmul runs the same dgemm per 8×8 slice as
+    the scalar helper, so coefficients are bit-identical (pinned by the
+    stream-equality tests)."""
+    return _A @ blocks @ _A.T
+
+
+def _idct_batch(coefs: np.ndarray) -> np.ndarray:
+    return _A.T @ coefs @ _A
+
+
+def _quant_intra_batch(coefs: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray:
+    """``_quant_intra`` over a ``(n, 8, 8)`` coefficient stack →
+    ``(n, 64)`` levels: the identical elementwise ops, dispatched once
+    per picture instead of once per block."""
+    zz = coefs.reshape(-1, 64)[:, ZIGZAG]
+    sqf, _, _ = _qzz_prod(q, qscale)
+    lv = np.rint(8.0 * zz / sqf).astype(np.int64)
+    dc = np.rint(zz[:, 0] / 8.0).astype(np.int64)
+    np.minimum(lv, 255, out=lv)
+    np.maximum(lv, -255, out=lv)
+    np.minimum(dc, 255, out=dc)
+    np.maximum(dc, 0, out=dc)
+    lv[:, 0] = dc
+    return lv
+
+
+def _dequant_intra_batch(zzs: np.ndarray, q: np.ndarray, qscale: int) -> np.ndarray:
+    """``_dequant_intra`` over ``(n, 64)`` levels → ``(n, 8, 8)``."""
+    _, _, m2 = _qzz_prod(q, qscale)
+    num = zzs.astype(np.int64) * m2
+    rec = np.sign(num) * (np.abs(num) // 16)
+    even = (rec != 0) & ((rec & 1) == 0)
+    rec[even] -= np.sign(rec[even])
+    rec[:, 0] = zzs[:, 0] * 8
+    np.minimum(rec, 2047, out=rec)
+    np.maximum(rec, -2048, out=rec)
+    return rec[:, _ZZ_INV].astype(np.float64).reshape(-1, 8, 8)
+
+
+def _quant_non_intra_batch(
+    coefs: np.ndarray, q: np.ndarray, qscale: int
+) -> np.ndarray:
+    """``_quant_non_intra`` over ``(n, 8, 8)`` → ``(n, 64)``."""
+    zz = coefs.reshape(-1, 64)[:, ZIGZAG]
+    sqf, _, _ = _qzz_prod(q, qscale)
+    lv = np.fix(8.0 * zz / sqf).astype(np.int64)
+    np.minimum(lv, 255, out=lv)
+    np.maximum(lv, -255, out=lv)
+    return lv
+
+
+def _dequant_non_intra_batch(
+    zzs: np.ndarray, q: np.ndarray, qscale: int
+) -> np.ndarray:
+    """``_dequant_non_intra`` over ``(n, 64)`` → ``(n, 8, 8)``."""
+    _, m1, _ = _qzz_prod(q, qscale)
+    z = zzs.astype(np.int64)
+    num = (2 * z + np.sign(z)) * m1
+    rec = np.sign(num) * (np.abs(num) // 16)
+    even = (rec != 0) & ((rec & 1) == 0)
+    rec[even] -= np.sign(rec[even])
+    np.minimum(rec, 2047, out=rec)
+    np.maximum(rec, -2048, out=rec)
+    return rec[:, _ZZ_INV].astype(np.float64).reshape(-1, 8, 8)
+
+
+def _mb_from_blocks(blocks: np.ndarray) -> np.ndarray:
+    """``(n, 4, 8, 8)`` per-macroblock luma blocks (by-major: (0,0),
+    (0,1), (1,0), (1,1)) → ``(n, 16, 16)`` assembled macroblocks."""
+    n = blocks.shape[0]
+    return (
+        blocks.reshape(n, 2, 2, 8, 8).swapaxes(2, 3).reshape(n, 16, 16)
+    )
+
+
 _PIC_RATE_CODE = 0b0101  # 30 fps (table 2-D.1); informational here
 
 
@@ -631,7 +727,29 @@ def _encode_intra_planes(
     bw.write(0, 25)  # time_code
     bw.write(1, 1)  # closed_gop
     bw.write(0, 1)  # broken_link
-    for t, (ypad, cbpad, crpad) in enumerate(planes):
+    # Batch the WHOLE SEQUENCE's transforms up front: every intra
+    # block's fdct+quant is independent (the DC DPCM chain is
+    # wire-format only), so the per-block numpy dispatch collapses to
+    # three stacked matmul/quant passes. Levels are bit-identical to
+    # the per-block path (same dgemm per 8×8 slice, same elementwise
+    # quant ops); only the entropy writes below stay sequential.
+    nf = len(planes)
+    zz_y = _quant_intra_batch(
+        _fdct_batch(_blocks_8x8(np.stack([p[0] for p in planes]))),
+        q,
+        qscale,
+    ).reshape(nf, mb_h * 2, mb_w * 2, 64)
+    zz_cb = _quant_intra_batch(
+        _fdct_batch(_blocks_8x8(np.stack([p[1] for p in planes]))),
+        q,
+        qscale,
+    ).reshape(nf, mb_h, mb_w, 64)
+    zz_cr = _quant_intra_batch(
+        _fdct_batch(_blocks_8x8(np.stack([p[2] for p in planes]))),
+        q,
+        qscale,
+    ).reshape(nf, mb_h, mb_w, 64)
+    for t in range(nf):
         bw.start_code(PIC_START)
         bw.write(t, 10)  # temporal_reference
         bw.write(1, 3)  # picture_coding_type: I
@@ -647,19 +765,14 @@ def _encode_intra_planes(
                 bw.write(1, 1)  # macroblock_type: intra
                 for by in range(2):
                     for bx in range(2):
-                        blk = ypad[
-                            row * 16 + by * 8 : row * 16 + by * 8 + 8,
-                            col * 16 + bx * 8 : col * 16 + bx * 8 + 8,
-                        ]
-                        zz = _quant_intra(_fdct(blk), q, qscale)
+                        zz = zz_y[t, row * 2 + by, col * 2 + bx]
                         _write_dc(bw, int(zz[0]) - dc_y, DC_LUM_CODES)
                         dc_y = int(zz[0])
                         _write_ac(bw, zz)
-                for plane, pred in ((cbpad, "cb"), (crpad, "cr")):
-                    blk = plane[
-                        row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
-                    ]
-                    zz = _quant_intra(_fdct(blk), q, qscale)
+                for zz, pred in (
+                    (zz_cb[t, row, col], "cb"),
+                    (zz_cr[t, row, col], "cr"),
+                ):
                     prev = dc_cb if pred == "cb" else dc_cr
                     _write_dc(bw, int(zz[0]) - prev, DC_CHROM_CODES)
                     if pred == "cb":
@@ -701,20 +814,21 @@ def intra_expected_reconstruction(
             raise ValueError("all frames must share one shape")
     mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
     out = []
+    ph, pw = mb_h * 16, mb_w * 16
     for f in frames:
         ypad = np.pad(
             f.astype(np.float64),
-            ((0, mb_h * 16 - h), (0, mb_w * 16 - w)),
+            ((0, ph - h), (0, pw - w)),
             mode="edge",
         )
-        rec = np.zeros_like(ypad)
-        for r in range(mb_h * 2):
-            for c in range(mb_w * 2):
-                blk = ypad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
-                zz = _quant_intra(_fdct(blk), q, qscale)
-                rec[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = _idct(
-                    _dequant_intra(zz, q, qscale)
-                )
+        # whole-frame batch: same per-block arithmetic, one dispatch
+        zz = _quant_intra_batch(_fdct_batch(_blocks_8x8(ypad)), q, qscale)
+        rec = (
+            _idct_batch(_dequant_intra_batch(zz, q, qscale))
+            .reshape(mb_h * 2, mb_w * 2, 8, 8)
+            .swapaxes(1, 2)
+            .reshape(ph, pw)
+        )
         out.append(np.clip(np.rint(rec[:h, :w]), 0, 255).astype(np.uint8))
     return out
 
@@ -812,6 +926,16 @@ def decode_mpeg1_intra_color(data: bytes):
         plane = np.zeros((ph, pw), dtype=np.float64)
         cbp_pl = np.zeros((ph // 2, pw // 2), dtype=np.float64)
         crp = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+        tgts = (plane, cbp_pl, crp)
+        # Deferred per-picture transform batches: the slice loop below
+        # only parses coefficients; dequant+idct run ONCE per picture
+        # over the stacked blocks instead of per block (nothing inside
+        # a picture reads its own reconstruction — MPEG-1 predicts only
+        # from previous anchors — so deferral is value-identical).
+        # Entries: (qscale, tgt index, y0, x0, zz).
+        intra_jobs: list = []
+        resid_jobs: list = []
+        clip_regions: list = []  # (tgt, y0, x0, size) — coded inter MBs
 
         def copy_mb(row, col):
             plane[row * 16 : row * 16 + 16, col * 16 : col * 16 + 16] = ref_y[
@@ -963,26 +1087,30 @@ def decode_mpeg1_intra_color(data: bytes):
                             dc_y += _read_dc(br, _DC_LUM_DECODE, _DC_LUM_PEEK)
                             zz[0] = dc_y
                             _read_ac(br, zz)
-                            blk = _idct(_dequant_intra(zz, q, qscale))
-                            plane[
-                                row * 16 + by * 8 : row * 16 + by * 8 + 8,
-                                col * 16 + bx * 8 : col * 16 + bx * 8 + 8,
-                            ] = blk
+                            intra_jobs.append(
+                                (
+                                    qscale,
+                                    0,
+                                    row * 16 + by * 8,
+                                    col * 16 + bx * 8,
+                                    zz,
+                                )
+                            )
                     for pred in ("cb", "cr"):
                         zz = np.zeros(64, dtype=np.int64)
                         d = _read_dc(br, _DC_CHROM_DECODE, _DC_CHROM_PEEK)
                         if pred == "cb":
                             dc_cb += d
                             zz[0] = dc_cb
+                            ti = 1
                         else:
                             dc_cr += d
                             zz[0] = dc_cr
+                            ti = 2
                         _read_ac(br, zz)
-                        blk = _idct(_dequant_intra(zz, q, qscale))
-                        tgt = cbp_pl if pred == "cb" else crp
-                        tgt[
-                            row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
-                        ] = blk
+                        intra_jobs.append(
+                            (qscale, ti, row * 8, col * 8, zz)
+                        )
                     continue
                 # non-intra (P/B): prediction + optional residual
                 dc_y = dc_cb = dc_cr = 128
@@ -1018,31 +1146,62 @@ def decode_mpeg1_intra_color(data: bytes):
                     if coded
                     else 0
                 )
-                rec_y = pred_y.astype(np.float64)
+                plane[
+                    row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+                ] = pred_y
                 for b in range(4):
                     if cbp & (32 >> b):
                         zz = np.zeros(64, dtype=np.int64)
                         _read_ac_nonintra(br, zz)
                         by, bx = divmod(b, 2)
-                        rec_y[
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] += _idct(_dequant_non_intra(zz, qn, qscale))
-                plane[
-                    row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
-                ] = np.clip(rec_y, 0, 255)
-                for bit, pred_c, tgt in (
-                    (2, pred_cb, cbp_pl),
-                    (1, pred_cr, crp),
-                ):
-                    rec_c = pred_c.astype(np.float64)
+                        resid_jobs.append(
+                            (
+                                qscale,
+                                0,
+                                row * 16 + by * 8,
+                                col * 16 + bx * 8,
+                                zz,
+                            )
+                        )
+                if cbp & 60:
+                    clip_regions.append((0, row * 16, col * 16, 16))
+                for bit, pred_c, ti in ((2, pred_cb, 1), (1, pred_cr, 2)):
+                    tgts[ti][
+                        row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
+                    ] = pred_c
                     if cbp & bit:
                         zz = np.zeros(64, dtype=np.int64)
                         _read_ac_nonintra(br, zz)
-                        rec_c += _idct(_dequant_non_intra(zz, qn, qscale))
-                    tgt[
-                        row * 8 : row * 8 + 8, col * 8 : col * 8 + 8
-                    ] = np.clip(rec_c, 0, 255)
+                        resid_jobs.append((qscale, ti, row * 8, col * 8, zz))
+                        clip_regions.append((ti, row * 8, col * 8, 8))
             code = br.next_start_code()
+        # flush the deferred transforms: one batched dequant+idct per
+        # (kind, qscale) group, then the per-MB clips the scalar path
+        # applied (uncoded inter MBs skip the clip — their prediction
+        # is already in [0, 255], so the scalar clip was a no-op)
+        for jobs, mat, deq in (
+            (intra_jobs, q, _dequant_intra_batch),
+            (resid_jobs, qn, _dequant_non_intra_batch),
+        ):
+            if not jobs:
+                continue
+            add = deq is _dequant_non_intra_batch
+            by_qs: dict = {}
+            for job in jobs:
+                by_qs.setdefault(job[0], []).append(job)
+            for qs, grp in by_qs.items():
+                recs = _idct_batch(
+                    deq(np.stack([g[4] for g in grp]), mat, qs)
+                )
+                if add:
+                    for (_qs, ti, y0, x0, _zz), r in zip(grp, recs):
+                        tgts[ti][y0 : y0 + 8, x0 : x0 + 8] += r
+                else:
+                    for (_qs, ti, y0, x0, _zz), r in zip(grp, recs):
+                        tgts[ti][y0 : y0 + 8, x0 : x0 + 8] = r
+        for ti, y0, x0, sz in clip_regions:
+            reg = tgts[ti][y0 : y0 + sz, x0 : x0 + sz]
+            np.clip(reg, 0, 255, out=reg)
         to8 = lambda p, hh, ww: np.clip(  # noqa: E731
             np.rint(p[:hh, :ww]), 0, 255
         ).astype(np.uint8)
@@ -1478,39 +1637,6 @@ def _motion_search_half(ref: np.ndarray, cur: np.ndarray, y0: int, x0: int,
     return (out_y, out_x, best)
 
 
-def _code_intra_y_blocks(bw, ypad, row, col, dc_y, q, qscale):
-    """Write the 4 intra luma blocks of one macroblock; returns
-    (new dc predictor, 16×16 float reconstruction)."""
-    rec = np.zeros((16, 16), dtype=np.float64)
-    for by in range(2):
-        for bx in range(2):
-            blk = ypad[
-                row * 16 + by * 8 : row * 16 + by * 8 + 8,
-                col * 16 + bx * 8 : col * 16 + bx * 8 + 8,
-            ]
-            zz = _quant_intra(_fdct(blk), q, qscale)
-            _write_dc(bw, int(zz[0]) - dc_y, DC_LUM_CODES)
-            dc_y = int(zz[0])
-            _write_ac(bw, zz)
-            rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct(
-                _dequant_intra(zz, q, qscale)
-            )
-    return dc_y, rec
-
-
-def _code_intra_chroma_blocks(bw, cbpad, crpad, row, col, dc_cb, dc_cr,
-                              q, qscale):
-    """Write the intra Cb/Cr blocks of one macroblock; returns
-    (dc_cb, dc_cr, rec_cb 8x8, rec_cr 8x8)."""
-    recs = []
-    for plane, pred_dc in ((cbpad, dc_cb), (crpad, dc_cr)):
-        blk = plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8]
-        zz = _quant_intra(_fdct(blk), q, qscale)
-        _write_dc(bw, int(zz[0]) - pred_dc, DC_CHROM_CODES)
-        _write_ac(bw, zz)
-        recs.append((int(zz[0]), _idct(_dequant_intra(zz, q, qscale))))
-    (dc_cb, rec_cb), (dc_cr, rec_cr) = recs
-    return dc_cb, dc_cr, rec_cb, rec_cr
 
 
 def _write_addr_inc(bw, inc: int) -> None:
@@ -1645,63 +1771,106 @@ def _crop_planes(ref, w: int, h: int):
     )
 
 
-def _quantize_residuals(cur, pred, pred_cb, pred_cr, cb_src, cr_src, q_n, qscale):
-    """Quantize one macroblock's non-intra residuals — four 8×8 luma
-    blocks plus one block per chroma plane — and assemble the
-    coded-block pattern (§2.4.3.6 bit order: luma 32>>b, cb=2, cr=1).
-    Returns ``(zzs, zz_cb, zz_cr, cbp)``. Shared by the anchor (P) and
-    B picture encoders so the residual arithmetic cannot drift between
-    them (r13 advice item)."""
-    resid = cur - pred
-    zzs = []
-    cbp = 0
+
+
+def _intra_mb_batch(ypad, cbpad, crpad, mbs, q, qscale):
+    """Batched intra transforms for the macroblocks at ``mbs`` (list of
+    (row, col)): ``(zz_y (k,4,64) by-major block order, zz_cb (k,64),
+    zz_cr (k,64), rec_y (k,16,16), rec_cb (k,8,8), rec_cr (k,8,8))`` —
+    fdct/quant plus the closed-loop dequant/idct reconstruction, one
+    numpy dispatch per picture instead of six per macroblock. Levels
+    and reconstructions are bit-identical to the per-block helpers
+    (same dgemm per 8×8 slice, same elementwise quant arithmetic)."""
+    k = len(mbs)
+    rows = np.fromiter((r for r, _ in mbs), dtype=np.int64, count=k)
+    cols = np.fromiter((c for _, c in mbs), dtype=np.int64, count=k)
+    r_idx = rows[:, None] * 2 + np.array([0, 0, 1, 1])
+    c_idx = cols[:, None] * 2 + np.array([0, 1, 0, 1])
+    zz_y = _quant_intra_batch(
+        _fdct_batch(_blocks_8x8(ypad)[r_idx, c_idx]), q, qscale
+    ).reshape(k, 4, 64)
+    rec_y = _mb_from_blocks(
+        _idct_batch(
+            _dequant_intra_batch(zz_y.reshape(-1, 64), q, qscale)
+        ).reshape(k, 4, 8, 8)
+    )
+    zz_cb = _quant_intra_batch(
+        _fdct_batch(_blocks_8x8(cbpad)[rows, cols]), q, qscale
+    )
+    zz_cr = _quant_intra_batch(
+        _fdct_batch(_blocks_8x8(crpad)[rows, cols]), q, qscale
+    )
+    rec_cb = _idct_batch(_dequant_intra_batch(zz_cb, q, qscale))
+    rec_cr = _idct_batch(_dequant_intra_batch(zz_cr, q, qscale))
+    return zz_y, zz_cb, zz_cr, rec_y, rec_cb, rec_cr
+
+
+def _inter_mb_batch(resid_y, resid_cb, resid_cr, q_n, qscale):
+    """Batched non-intra transforms over stacked residual macroblocks
+    (``resid_y`` (k,16,16), ``resid_cb``/``resid_cr`` (k,8,8)):
+    ``(zz_y (k,4,64) by-major, zz_cb (k,64), zz_cr (k,64), cbp (k,),
+    rec_add_y (k,16,16), rec_add_cb (k,8,8), rec_add_cr (k,8,8))``.
+
+    ``rec_add_*`` is the dequant+idct residual reconstruction for ALL
+    blocks — an uncoded block's levels are all zero, its dequant is
+    exactly 0 and its idct exactly ±0.0, so ``pred + rec_add`` equals
+    the scalar add-coded-blocks-only arithmetic bit for bit (the
+    predictions are non-negative, so +0.0 adds are identity)."""
+    k = resid_y.shape[0]
+    yblk = _blocks_8x8(resid_y).reshape(k, 4, 8, 8)
+    zz_y = _quant_non_intra_batch(
+        _fdct_batch(yblk.reshape(-1, 8, 8)), q_n, qscale
+    ).reshape(k, 4, 64)
+    zz_cb = _quant_non_intra_batch(_fdct_batch(resid_cb), q_n, qscale)
+    zz_cr = _quant_non_intra_batch(_fdct_batch(resid_cr), q_n, qscale)
+    cbp = (
+        ((zz_y != 0).any(axis=2) * np.array([32, 16, 8, 4])).sum(axis=1)
+        + (zz_cb != 0).any(axis=1) * 2
+        + (zz_cr != 0).any(axis=1) * 1
+    )
+    rec_add_y = _mb_from_blocks(
+        _idct_batch(
+            _dequant_non_intra_batch(zz_y.reshape(-1, 64), q_n, qscale)
+        ).reshape(k, 4, 8, 8)
+    )
+    rec_add_cb = _idct_batch(_dequant_non_intra_batch(zz_cb, q_n, qscale))
+    rec_add_cr = _idct_batch(_dequant_non_intra_batch(zz_cr, q_n, qscale))
+    return zz_y, zz_cb, zz_cr, cbp, rec_add_y, rec_add_cb, rec_add_cr
+
+
+def _write_intra_mb(bw, i, batch, dc_y, dc_cb, dc_cr):
+    """Emit one intra macroblock's DC DPCM + AC codes from the batched
+    transform arrays; returns the updated DC predictors. The write
+    order (4 luma by-major, cb, cr) matches the per-block path."""
+    zz_y, zz_cb, zz_cr = batch[0], batch[1], batch[2]
     for b in range(4):
-        by, bx = divmod(b, 2)
-        zz = _quant_non_intra(
-            _fdct(resid[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]),
-            q_n,
-            qscale,
-        )
-        zzs.append(zz)
-        if np.any(zz):
-            cbp |= 32 >> b
-    zz_cb = _quant_non_intra(_fdct(cb_src - pred_cb), q_n, qscale)
-    zz_cr = _quant_non_intra(_fdct(cr_src - pred_cr), q_n, qscale)
-    if np.any(zz_cb):
-        cbp |= 2
-    if np.any(zz_cr):
-        cbp |= 1
-    return zzs, zz_cb, zz_cr, cbp
+        zz = zz_y[i, b]
+        _write_dc(bw, int(zz[0]) - dc_y, DC_LUM_CODES)
+        dc_y = int(zz[0])
+        _write_ac(bw, zz)
+    zz = zz_cb[i]
+    _write_dc(bw, int(zz[0]) - dc_cb, DC_CHROM_CODES)
+    dc_cb = int(zz[0])
+    _write_ac(bw, zz)
+    zz = zz_cr[i]
+    _write_dc(bw, int(zz[0]) - dc_cr, DC_CHROM_CODES)
+    dc_cr = int(zz[0])
+    _write_ac(bw, zz)
+    return dc_y, dc_cb, dc_cr
 
 
-def _write_residuals_and_reconstruct(
-    bw, cbp, zzs, zz_cb, zz_cr, pred, pred_cb, pred_cr, q_n, qscale
-):
-    """Emit the CBP-selected residual blocks and return the clipped
-    float reconstruction planes (prediction + dequantized residual) —
-    the closed-loop arithmetic both picture encoders must share
-    bit-for-bit with the decoder. Returns ``(rec_y, rec_cb, rec_cr)``."""
-    rec = pred.astype(np.float64).copy()
+def _write_inter_residuals(bw, k, cbp, inter_batch):
+    """Emit the CBP-selected residual blocks of inter macroblock ``k``
+    from the batched arrays (same order as the scalar path: luma b=0..3,
+    cb, cr)."""
+    zz_y, zz_cb, zz_cr = inter_batch[0], inter_batch[1], inter_batch[2]
     for b in range(4):
         if cbp & (32 >> b):
-            _write_ac_nonintra(bw, zzs[b])
-            by, bx = divmod(b, 2)
-            rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] += _idct(
-                _dequant_non_intra(zzs[b], q_n, qscale)
-            )
-    rec_cb = pred_cb.astype(np.float64)
+            _write_ac_nonintra(bw, zz_y[k, b])
     if cbp & 2:
-        _write_ac_nonintra(bw, zz_cb)
-        rec_cb = rec_cb + _idct(_dequant_non_intra(zz_cb, q_n, qscale))
-    rec_cr = pred_cr.astype(np.float64)
+        _write_ac_nonintra(bw, zz_cb[k])
     if cbp & 1:
-        _write_ac_nonintra(bw, zz_cr)
-        rec_cr = rec_cr + _idct(_dequant_non_intra(zz_cr, q_n, qscale))
-    return (
-        np.clip(rec, 0, 255),
-        np.clip(rec_cb, 0, 255),
-        np.clip(rec_cr, 0, 255),
-    )
+        _write_ac_nonintra(bw, zz_cr[k])
 
 
 def _encode_anchor_picture(
@@ -1751,6 +1920,81 @@ def _encode_anchor_picture(
     rp_y = np.zeros((ph, pw), dtype=np.float64)
     rp_cb = np.zeros((ph // 2, pw // 2), dtype=np.float64)
     rp_cr = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+    # --- pass 1: per-MB mode decisions + predictions (no transforms).
+    # Motion search and the variance test depend only on (ref, cur), so
+    # every macroblock's decision is picture-batchable; the transforms
+    # move to ONE batched dispatch below instead of six numpy calls per
+    # macroblock (guide §1.2 step 2 — per-task work).
+    intra_mbs: list[tuple[int, int]] = []
+    inter_mvs: list[tuple[int, int]] = []
+    inter_preds: list = []
+    if is_i:
+        intra_mbs = [(r, c) for r in range(mb_h) for c in range(mb_w)]
+    else:
+        for row in range(mb_h):
+            for col in range(mb_w):
+                cur = ypad[
+                    row * 16 : row * 16 + 16, col * 16 : col * 16 + 16
+                ]
+                if half_pel:
+                    mvy, mvx, sad = _motion_search_half(
+                        ref_y, cur.astype(np.int64), row * 16, col * 16, search
+                    )  # HALF-PEL units (coded directly: full_pel bit is 0)
+                else:
+                    mvy, mvx, sad = _motion_search(
+                        ref_y, cur.astype(np.int64), row * 16, col * 16, search
+                    )
+                # classic variance test: predict only when the residual
+                # beats the mean-removed energy of the block itself
+                intra_cost = int(np.abs(cur - np.rint(cur.mean())).sum())
+                if sad > intra_cost:
+                    intra_mbs.append((row, col))
+                    continue
+                # half-pel luma vector (mvy is already half-pel when
+                # half_pel, else doubled exactly like the decoder does
+                # for full_pel=1); chroma = luma/2 truncating toward
+                # zero (§2.4.4.2). _mc_block is the decoder's own
+                # arithmetic — for even vectors it degenerates to the
+                # plain slice copy (byte-identical streams).
+                hvy, hvx = (mvy, mvx) if half_pel else (mvy << 1, mvx << 1)
+                cvy, cvx = int(hvy / 2), int(hvx / 2)
+                pred = _mc_block(ref_y, row * 16, col * 16, hvy, hvx, 16)
+                pred_cb = _mc_block(ref_cb, row * 8, col * 8, cvy, cvx, 8)
+                pred_cr = _mc_block(ref_cr, row * 8, col * 8, cvy, cvx, 8)
+                inter_mvs.append((mvy, mvx))
+                inter_preds.append((row, col, pred, pred_cb, pred_cr))
+    # --- pass 2: batched transforms (intra group + inter group)
+    intra_batch = (
+        _intra_mb_batch(ypad, cbpad, crpad, intra_mbs, q_i, qscale)
+        if intra_mbs
+        else None
+    )
+    inter_batch = None
+    if inter_preds:
+        resid_y = np.stack(
+            [
+                ypad[r * 16 : r * 16 + 16, c * 16 : c * 16 + 16] - p
+                for r, c, p, _pcb, _pcr in inter_preds
+            ]
+        )
+        resid_cb = np.stack(
+            [
+                cbpad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - pcb
+                for r, c, _p, pcb, _pcr in inter_preds
+            ]
+        )
+        resid_cr = np.stack(
+            [
+                crpad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - pcr
+                for r, c, _p, _pcb, pcr in inter_preds
+            ]
+        )
+        inter_batch = _inter_mb_batch(resid_y, resid_cb, resid_cr, q_n, qscale)
+    intra_pos = {mb: i for i, mb in enumerate(intra_mbs)}
+    inter_pos = {
+        (r, c): k for k, (r, c, _p, _pcb, _pcr) in enumerate(inter_preds)
+    }
+    # --- pass 3: sequential syntax writer (bit-identical order/logic)
     for row in range(mb_h):
         bw.start_code(0x00000100 + row + 1)
         bw.write(qscale, 5)
@@ -1765,61 +2009,27 @@ def _encode_anchor_picture(
             cs_y, cs_x = slice(row * 8, row * 8 + 8), slice(
                 col * 8, col * 8 + 8
             )
-            cur = ypad[ys, xs]
-            if is_i:
-                _write_addr_inc(bw, 1)
-                bw.write(1, 1)  # intra
-                dc_y, rec = _code_intra_y_blocks(
-                    bw, ypad, row, col, dc_y, q_i, qscale
+            i = intra_pos.get((row, col))
+            if i is not None:
+                if is_i:
+                    _write_addr_inc(bw, 1)
+                    bw.write(1, 1)  # intra
+                else:
+                    _write_addr_inc(bw, pending + 1)
+                    pending = 0
+                    bw.write(*MB_P_CODES["intra"])
+                    pmv = (0, 0)  # predictors reset after intra
+                dc_y, dc_cb, dc_cr = _write_intra_mb(
+                    bw, i, intra_batch, dc_y, dc_cb, dc_cr
                 )
-                dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
-                    bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
-                )
-                rp_y[ys, xs] = rec
-                rp_cb[cs_y, cs_x] = rec_cb
-                rp_cr[cs_y, cs_x] = rec_cr
+                rp_y[ys, xs] = intra_batch[3][i]
+                rp_cb[cs_y, cs_x] = intra_batch[4][i]
+                rp_cr[cs_y, cs_x] = intra_batch[5][i]
                 continue
-            if half_pel:
-                mvy, mvx, sad = _motion_search_half(
-                    ref_y, cur.astype(np.int64), row * 16, col * 16, search
-                )  # HALF-PEL units (coded directly: full_pel bit is 0)
-            else:
-                mvy, mvx, sad = _motion_search(
-                    ref_y, cur.astype(np.int64), row * 16, col * 16, search
-                )
-            # classic variance test: predict only when the residual
-            # beats the mean-removed energy of the block itself
-            intra_cost = int(np.abs(cur - np.rint(cur.mean())).sum())
-            if sad > intra_cost:
-                _write_addr_inc(bw, pending + 1)
-                pending = 0
-                bw.write(*MB_P_CODES["intra"])
-                dc_y, rec = _code_intra_y_blocks(
-                    bw, ypad, row, col, dc_y, q_i, qscale
-                )
-                dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
-                    bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
-                )
-                rp_y[ys, xs] = rec
-                rp_cb[cs_y, cs_x] = rec_cb
-                rp_cr[cs_y, cs_x] = rec_cr
-                pmv = (0, 0)  # predictors reset after intra
-                continue
-            # half-pel luma vector (mvy is already half-pel when
-            # half_pel, else doubled exactly like the decoder does for
-            # full_pel=1); chroma = luma/2 truncating toward zero
-            # (§2.4.4.2). _mc_block is the decoder's own arithmetic —
-            # for even vectors it degenerates to the plain slice copy
-            # this path used through r12 (byte-identical streams).
-            hvy, hvx = (mvy, mvx) if half_pel else (mvy << 1, mvx << 1)
-            cvy, cvx = int(hvy / 2), int(hvx / 2)
-            pred = _mc_block(ref_y, row * 16, col * 16, hvy, hvx, 16)
-            pred_cb = _mc_block(ref_cb, row * 8, col * 8, cvy, cvx, 8)
-            pred_cr = _mc_block(ref_cr, row * 8, col * 8, cvy, cvx, 8)
-            zzs, zz_cb, zz_cr, cbp = _quantize_residuals(
-                cur, pred, pred_cb, pred_cr,
-                cbpad[cs_y, cs_x], crpad[cs_y, cs_x], q_n, qscale,
-            )
+            k = inter_pos[(row, col)]
+            mvy, mvx = inter_mvs[k]
+            _r, _c, pred, pred_cb, pred_cr = inter_preds[k]
+            cbp = int(inter_batch[3][k])
             zero_mv = mvy == 0 and mvx == 0
             last = col == mb_w - 1
             if cbp == 0 and zero_mv and 0 < col and not last:
@@ -1848,12 +2058,10 @@ def _encode_anchor_picture(
                 _write_mv(bw, _fold_mv(mvy - pmv[0]))
                 bw.write(*CBP_CODES[cbp])
                 pmv = (mvy, mvx)
-            rp_y[ys, xs], rp_cb[cs_y, cs_x], rp_cr[cs_y, cs_x] = (
-                _write_residuals_and_reconstruct(
-                    bw, cbp, zzs, zz_cb, zz_cr,
-                    pred, pred_cb, pred_cr, q_n, qscale,
-                )
-            )
+            _write_inter_residuals(bw, k, cbp, inter_batch)
+            rp_y[ys, xs] = np.clip(pred + inter_batch[4][k], 0, 255)
+            rp_cb[cs_y, cs_x] = np.clip(pred_cb + inter_batch[5][k], 0, 255)
+            rp_cr[cs_y, cs_x] = np.clip(pred_cr + inter_batch[6][k], 0, 255)
             dc_y = dc_cb = dc_cr = 128  # non-intra MB resets DC preds
     return rp_y, rp_cb, rp_cr
 
@@ -1909,21 +2117,14 @@ def _encode_b_picture(
     rp_y = np.zeros((ph, pw), dtype=np.float64)
     rp_cb = np.zeros((ph // 2, pw // 2), dtype=np.float64)
     rp_cr = np.zeros((ph // 2, pw // 2), dtype=np.float64)
+    # --- pass 1: per-MB mode decisions + predictions (same batching
+    # rationale as _encode_anchor_picture: decisions depend only on the
+    # anchors and the current frame, transforms batch per picture)
+    intra_mbs: list[tuple[int, int]] = []
+    inter_info: list = []  # (row, col, mode, fmv, bmv, pred, pred_cb, pred_cr)
     for row in range(mb_h):
-        bw.start_code(0x00000100 + row + 1)
-        bw.write(qscale, 5)
-        bw.write(0, 1)
-        dc_y = dc_cb = dc_cr = 128
-        fpmv = (0, 0)
-        bpmv = (0, 0)
-        prev = None  # (mode, fmv, bmv) of the previous macroblock
-        pending = 0
         for col in range(mb_w):
-            ys = slice(row * 16, row * 16 + 16)
-            xs = slice(col * 16, col * 16 + 16)
-            cs_y = slice(row * 8, row * 8 + 8)
-            cs_x = slice(col * 8, col * 8 + 8)
-            cur = ypad[ys, xs]
+            cur = ypad[row * 16 : row * 16 + 16, col * 16 : col * 16 + 16]
             cur_i = cur.astype(np.int64)
             ms = _motion_search_half if half_pel else _motion_search
             fmvy, fmvx, fsad = ms(fy, cur_i, row * 16, col * 16, search)
@@ -1943,22 +2144,9 @@ def _encode_b_picture(
             )
             intra_cost = int(np.abs(cur - np.rint(cur.mean())).sum())
             if sad > intra_cost:
-                _write_addr_inc(bw, pending + 1)
-                pending = 0
-                bw.write(*MB_B_CODES["intra"])
-                dc_y, rec = _code_intra_y_blocks(
-                    bw, ypad, row, col, dc_y, q_i, qscale
-                )
-                dc_cb, dc_cr, rec_cb, rec_cr = _code_intra_chroma_blocks(
-                    bw, cbpad, crpad, row, col, dc_cb, dc_cr, q_i, qscale
-                )
-                rp_y[ys, xs] = rec
-                rp_cb[cs_y, cs_x] = rec_cb
-                rp_cr[cs_y, cs_x] = rec_cr
-                fpmv = (0, 0)  # §2.4.4.3: intra resets BOTH predictors
-                bpmv = (0, 0)
-                prev = ("intra", None, None)
+                intra_mbs.append((row, col))
                 continue
+
             # prediction planes for the chosen direction(s); chroma
             # vector = luma/2, exact because the search is even
             def _chroma(ref_c, hy, hx):
@@ -1980,14 +2168,77 @@ def _encode_b_picture(
                 pred = ipred
                 pred_cb = (_chroma(fcb, fhy, fhx) + _chroma(bcb, bhy, bhx) + 1) >> 1
                 pred_cr = (_chroma(fcr, fhy, fhx) + _chroma(bcr, bhy, bhx) + 1) >> 1
-            zzs, zz_cb, zz_cr, cbp = _quantize_residuals(
-                cur, pred, pred_cb, pred_cr,
-                cbpad[cs_y, cs_x], crpad[cs_y, cs_x], q_n, qscale,
-            )
             uses_f = mode in ("fwd", "interp")
             uses_b = mode in ("bwd", "interp")
             fmv = (fmvy, fmvx) if uses_f else None
             bmv = (bmvy, bmvx) if uses_b else None
+            inter_info.append(
+                (row, col, mode, fmv, bmv, pred, pred_cb, pred_cr)
+            )
+    # --- pass 2: batched transforms
+    intra_batch = (
+        _intra_mb_batch(ypad, cbpad, crpad, intra_mbs, q_i, qscale)
+        if intra_mbs
+        else None
+    )
+    inter_batch = None
+    if inter_info:
+        resid_y = np.stack(
+            [
+                ypad[r * 16 : r * 16 + 16, c * 16 : c * 16 + 16] - p
+                for r, c, _m, _f, _b, p, _pcb, _pcr in inter_info
+            ]
+        )
+        resid_cb = np.stack(
+            [
+                cbpad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - pcb
+                for r, c, _m, _f, _b, _p, pcb, _pcr in inter_info
+            ]
+        )
+        resid_cr = np.stack(
+            [
+                crpad[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] - pcr
+                for r, c, _m, _f, _b, _p, _pcb, pcr in inter_info
+            ]
+        )
+        inter_batch = _inter_mb_batch(resid_y, resid_cb, resid_cr, q_n, qscale)
+    intra_pos = {mb: i for i, mb in enumerate(intra_mbs)}
+    inter_pos = {(rc[0], rc[1]): k for k, rc in enumerate(inter_info)}
+    # --- pass 3: sequential syntax writer (bit-identical order/logic)
+    for row in range(mb_h):
+        bw.start_code(0x00000100 + row + 1)
+        bw.write(qscale, 5)
+        bw.write(0, 1)
+        dc_y = dc_cb = dc_cr = 128
+        fpmv = (0, 0)
+        bpmv = (0, 0)
+        prev = None  # (mode, fmv, bmv) of the previous macroblock
+        pending = 0
+        for col in range(mb_w):
+            ys = slice(row * 16, row * 16 + 16)
+            xs = slice(col * 16, col * 16 + 16)
+            cs_y = slice(row * 8, row * 8 + 8)
+            cs_x = slice(col * 8, col * 8 + 8)
+            i = intra_pos.get((row, col))
+            if i is not None:
+                _write_addr_inc(bw, pending + 1)
+                pending = 0
+                bw.write(*MB_B_CODES["intra"])
+                dc_y, dc_cb, dc_cr = _write_intra_mb(
+                    bw, i, intra_batch, dc_y, dc_cb, dc_cr
+                )
+                rp_y[ys, xs] = intra_batch[3][i]
+                rp_cb[cs_y, cs_x] = intra_batch[4][i]
+                rp_cr[cs_y, cs_x] = intra_batch[5][i]
+                fpmv = (0, 0)  # §2.4.4.3: intra resets BOTH predictors
+                bpmv = (0, 0)
+                prev = ("intra", None, None)
+                continue
+            k = inter_pos[(row, col)]
+            _r, _c, mode, fmv, bmv, pred, pred_cb, pred_cr = inter_info[k]
+            cbp = int(inter_batch[3][k])
+            uses_f = mode in ("fwd", "interp")
+            uses_b = mode in ("bwd", "interp")
             last = col == mb_w - 1
             # skip: residual-free AND the previous macroblock already
             # established this exact prediction (mode + vectors) — the
@@ -2011,21 +2262,19 @@ def _encode_b_picture(
             pending = 0
             bw.write(*MB_B_CODES[mode + ("_coded" if cbp else "")])
             if uses_f:
-                _write_mv(bw, _fold_mv(fmvx - fpmv[1]))  # horizontal first
-                _write_mv(bw, _fold_mv(fmvy - fpmv[0]))
-                fpmv = (fmvy, fmvx)
+                _write_mv(bw, _fold_mv(fmv[1] - fpmv[1]))  # horizontal first
+                _write_mv(bw, _fold_mv(fmv[0] - fpmv[0]))
+                fpmv = fmv
             if uses_b:
-                _write_mv(bw, _fold_mv(bmvx - bpmv[1]))
-                _write_mv(bw, _fold_mv(bmvy - bpmv[0]))
-                bpmv = (bmvy, bmvx)
+                _write_mv(bw, _fold_mv(bmv[1] - bpmv[1]))
+                _write_mv(bw, _fold_mv(bmv[0] - bpmv[0]))
+                bpmv = bmv
             if cbp:
                 bw.write(*CBP_CODES[cbp])
-            rp_y[ys, xs], rp_cb[cs_y, cs_x], rp_cr[cs_y, cs_x] = (
-                _write_residuals_and_reconstruct(
-                    bw, cbp, zzs, zz_cb, zz_cr,
-                    pred, pred_cb, pred_cr, q_n, qscale,
-                )
-            )
+            _write_inter_residuals(bw, k, cbp, inter_batch)
+            rp_y[ys, xs] = np.clip(pred + inter_batch[4][k], 0, 255)
+            rp_cb[cs_y, cs_x] = np.clip(pred_cb + inter_batch[5][k], 0, 255)
+            rp_cr[cs_y, cs_x] = np.clip(pred_cr + inter_batch[6][k], 0, 255)
             dc_y = dc_cb = dc_cr = 128  # non-intra MB resets DC preds
             prev = (mode, fmv, bmv)
     return rp_y, rp_cb, rp_cr
