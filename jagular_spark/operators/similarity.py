@@ -937,7 +937,15 @@ def cosine_lsh_candidates(
     verification."""
     if hamming_radius not in (0, 1):
         raise ValueError("hamming_radius must be 0 or 1")
-    base = _normed_bucketed(df, id_col, vec_col, n_planes, dim)
+    # Spread a one-split corpus to session width BEFORE the norm/bucket
+    # projection and the in-bucket exact verify (profiled r18: the
+    # whole query — interpreted-HOF dots included — ran as ONE 1.7 s
+    # CPU task because the sf-scale embeddings parquet is one split and
+    # the build side broadcasts). selection._spread skips the exchange
+    # when the scan already has session-width splits (the 100 TB case).
+    from jagular_spark.operators.selection import _spread
+
+    base = _normed_bucketed(_spread(df, id_col), id_col, vec_col, n_planes, dim)
     masks = [0] + ([1 << j for j in range(n_planes)] if hamming_radius >= 1 else [])
     probes = base.select(
         F.col("id").alias("id_a"),
