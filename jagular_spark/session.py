@@ -57,6 +57,17 @@ def get_spark(
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark 4's DataFrame-API debugging decorates EVERY DataFrame/
+        # Column method with a call-site capture: a conf.get + origin-set
+        # + origin-clear py4j round trip (plus a Python stack walk) per
+        # call — measured r19 at 60-75% of plan-CONSTRUCTION time
+        # (events_tetrode 5.0 -> 1.3 s, q5 0.85 -> 0.24 s best-of-3;
+        # ~1,800 py4j commands per mid-sized query before, a third
+        # after). The flag only enriches error messages with user-code
+        # line numbers; plans, execution and results are identical —
+        # the 150-query oracle suite pins that. A debugging session can
+        # flip it back at runtime.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # the driver's testdata stores TIMESTAMP(NANOS) parquet, which Spark
