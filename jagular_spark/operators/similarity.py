@@ -652,8 +652,20 @@ def ann_topk_bruteforce(
     rank path in this family shares with its DuckDB oracle — r17
     review: the old docstring over-claimed "cosine top-k"). Broadcast
     the (small) probe side against the full corpus — the corpus never
-    shuffles. ``(query_id, neighbor_id, rank, cos)``."""
-    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    shuffles. ``(query_id, neighbor_id, rank, cos)``.
+
+    r19: the corpus is spread to session width first (selection._spread,
+    skip-at-scale guarded) — the probe-scale embeddings parquet is ONE
+    split, so the interpreted per-pair integer dots (probes × corpus
+    zip_with/aggregate HOFs) otherwise run in a single task (profiled:
+    0.7-0.9 s single-task CPU stages inside emb_ann_recall). The probe
+    side reuses the same exchange (ReusedExchange), so the scan count
+    does not grow."""
+    from jagular_spark.operators.selection import _spread
+
+    base = with_int_norm(_spread(df, id_col), vec_col).select(
+        F.col(id_col).alias("id"), "iv", "nrm"
+    )
     probes = base.where(probe_filter).select(
         F.col("id").alias("query_id"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
     )
@@ -752,9 +764,12 @@ def ann_topk_truncated(
     ties — but every vector is sliced to its first ``dims`` components
     before the norm and the dot, so the query measures what that
     truncation actually retrieves. ``(query_id, neighbor_id, rank,
-    cos)`` with cos computed in the truncated space."""
+    cos)`` with cos computed in the truncated space. Corpus spread to
+    session width like ann_topk_bruteforce (r19, same rationale)."""
+    from jagular_spark.operators.selection import _spread
+
     iv_t = F.slice(int_vec(vec_col), 1, dims)
-    base = df.select(F.col(id_col).alias("id"), iv_t.alias("iv"))
+    base = _spread(df, id_col).select(F.col(id_col).alias("id"), iv_t.alias("iv"))
     base = base.withColumn("nrm", _int_dot("iv", "iv"))
     probes = base.where(probe_filter).select(
         F.col("id").alias("query_id"), F.col("iv").alias("iv_a"), F.col("nrm").alias("nrm_a")
@@ -865,8 +880,12 @@ def ann_topk_lsh(
     recall for a corpus-partitionable bucket join (no broadcast of the
     corpus, no all-pairs): the probe side fans out ×(n_planes+1) rows —
     tiny, broadcast — while the corpus side still scans once with its
-    single true bucket. Exact integer-dot ranking within candidates."""
-    base = _normed_bucketed(df, id_col, vec_col, n_planes, dim)
+    single true bucket. Exact integer-dot ranking within candidates.
+    Corpus spread to session width before the plane-dot projection
+    (r19, same rationale and guard as ann_topk_bruteforce)."""
+    from jagular_spark.operators.selection import _spread
+
+    base = _normed_bucketed(_spread(df, id_col), id_col, vec_col, n_planes, dim)
     masks = F.array(F.lit(0), *[F.lit(1 << j) for j in range(n_planes)])
     probes = (
         base.where(probe_filter)
@@ -1178,8 +1197,14 @@ def _ivf_search(
     argmin and the oracle's ROW_NUMBER ORDER BY d, c. nprobe selection
     sorts the same (d, i) structs and keeps the first ``nprobe``
     indices. The candidate join is an equi-join on the centroid id —
-    corpus-partitionable, no all-pairs, no corpus broadcast."""
-    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    corpus-partitionable, no all-pairs, no corpus broadcast. Corpus
+    spread to session width before the literal-centroid argmin (r19,
+    same rationale and skip-at-scale guard as ann_topk_bruteforce)."""
+    from jagular_spark.operators.selection import _spread
+
+    base = with_int_norm(_spread(df, id_col), vec_col).select(
+        F.col(id_col).alias("id"), "iv", "nrm"
+    )
     argmin = F.array_min(_dist_idx(cents)).getField("i").cast("int")
     corpus = base.select(
         F.col("id").alias("neighbor_id"), F.col("iv").alias("iv_b"),
@@ -2067,7 +2092,14 @@ def ann_topk_ivf_pq(
         raise ValueError(f"fit sample has {len(X)} rows < k={n_centroids}")
     cents = _lloyd_int(X, n_centroids, n_iter)
     books = _pq_books_from_sample(X, m, pq_k, pq_iter)
-    base = with_int_norm(df, vec_col).select(F.col(id_col).alias("id"), "iv", "nrm")
+    # r19: spread the one-split corpus before the Arrow encode / exact
+    # re-rank store projections (same rationale as ann_topk_bruteforce;
+    # the md5 fit sample above is partitioning-invariant)
+    from jagular_spark.operators.selection import _spread
+
+    base = with_int_norm(_spread(df, id_col), vec_col).select(
+        F.col(id_col).alias("id"), "iv", "nrm"
+    )
     # serving table: cell + codes only (no raw vectors) — encoded by the
     # vectorized Arrow kernel (see _encode_corpus_codes; bit-identical
     # to the _dist_idx/_pq_codes JVM expressions)
@@ -2319,7 +2351,11 @@ def knn_classify(
             ).isNull(),
             lbl_try,
         )
-    base = with_int_norm(df, vec_col).select(
+    # r19: spread the one-split corpus before the per-pair dots (same
+    # rationale and skip-at-scale guard as ann_topk_bruteforce)
+    from jagular_spark.operators.selection import _spread
+
+    base = with_int_norm(_spread(df, id_col), vec_col).select(
         F.col(id_col).alias("id"), "iv", lbl_cast.alias("lbl")
     )
     probes = base.where(probe_filter).select(
